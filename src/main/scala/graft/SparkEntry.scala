@@ -1,13 +1,110 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{AnalyticsQueries => AQ, RelationalQueries => RQ}
+import graft.operators.{DedupOps, MultimodalOps, SimilarityOps}
+import graft.functions.TextOps
+
+/** Driver contract — one entry per implemented operator from SURVEY.md §2,
+  * plus the training-data pipeline surface (dedup / similarity / text /
+  * multimodal). Each `queries` key has a DuckDB oracle in [[oracleSql]]
+  * except the explicitly-noted non-SQL-expressible ones (rows-only check).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    AQ.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Plane A — the reference's 11 relational shapes (SURVEY §2.1)
+    "a1_semi_join"      -> (RQ.a1SemiJoin _),
+    "a2_date_filter"    -> (RQ.a2DateFilter _),
+    "a3_point_lookup"   -> (RQ.a3PointLookup _),
+    "a4_in_filter"      -> (RQ.a4InFilter _),
+    "a5_max_agg"        -> (RQ.a5MaxAgg _),
+    "a6_filtered_minmax" -> (RQ.a6FilteredMinMax _),
+    "a9_latest_wins"    -> (RQ.a9LatestWins _),
+    "a11_count"         -> (RQ.a11Count _),
+    // Plane B — relationally-expressible dataflow operators (SURVEY §2.2)
+    "b6_anti_join"      -> (RQ.b6AntiJoin _),
+    "b7_case_transition" -> (RQ.b7CaseTransition _),
+    "b8_group_collect_set" -> (RQ.b8GroupCollectSet _),
+    "b10_topk"          -> (RQ.b10TopK _),
+    "set_except"        -> (RQ.setExcept _),
+    "set_union"         -> (RQ.setUnion _),
+    // Scalar function surface (SURVEY §2.3)
+    "f_string_ops"      -> (RQ.fStringOps _),
+    "f_date_ops"        -> (RQ.fDateOps _),
+    "f_json_extract"    -> (RQ.fJsonExtract _),
+    "f_numeric_format"  -> (RQ.fNumericFormat _),
+    // Analytics layer (SURVEY §7.1 step 7)
+    "q1_pricing_summary" -> (AQ.q1PricingSummary _),
+    "q3_shipping_priority" -> (AQ.q3ShippingPriority _),
+    "q5_local_supplier" -> (AQ.q5LocalSupplier _),
+    "w_running_sum"     -> (AQ.wRunningSum _),
+    "w_rank"            -> (AQ.wRank _),
+    "w_time_bucket_ohlc" -> (AQ.wTimeBucketOhlc _),
+    "g_rollup"          -> (AQ.gRollup _),
+    "g_distinct_agg"    -> (AQ.gDistinctAgg _),
+    // Training-data pipeline: dedup
+    "d_exact_dedup"     -> (DedupOps.exactDedup _),
+    "d_ngram_jaccard"   -> ((s, d) => DedupOps.ngramJaccardPairs(s, d)),
+    "d_minhash_lsh"     -> (DedupOps.minhashLshPairs _),
+    "d_simhash"         -> (DedupOps.simhash _),
+    "d_simhash_pairs"   -> ((s, d) => DedupOps.simhashPairs(s, d)),
+    // Training-data pipeline: similarity search
+    "s_cosine_neardup"  -> ((s, d) => SimilarityOps.cosineNearDup(s, d)),
+    "s_ann_brute"       -> (SimilarityOps.annBruteForce _),
+    "s_ann_lsh"         -> (SimilarityOps.annLsh _),
+    // Training-data pipeline: text analysis
+    "t_langid"          -> (TextOps.langIdDf _),
+    "t_quality"         -> (TextOps.qualityDf _),
+    "t_token_count"     -> (TextOps.tokenCountDf _),
+    "t_fingerprint"     -> (TextOps.fingerprintDf _),
+    // Training-data pipeline: multimodal binary columns
+    "m_binary_meta"     -> (MultimodalOps.binaryMetaDf _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "a1_semi_join"      -> RQ.a1SemiJoinSql,
+    "a2_date_filter"    -> RQ.a2DateFilterSql,
+    "a3_point_lookup"   -> RQ.a3PointLookupSql,
+    "a4_in_filter"      -> RQ.a4InFilterSql,
+    "a5_max_agg"        -> RQ.a5MaxAggSql,
+    "a6_filtered_minmax" -> RQ.a6FilteredMinMaxSql,
+    "a9_latest_wins"    -> RQ.a9LatestWinsSql,
+    "a11_count"         -> RQ.a11CountSql,
+    "b6_anti_join"      -> RQ.b6AntiJoinSql,
+    "b7_case_transition" -> RQ.b7CaseTransitionSql,
+    "b8_group_collect_set" -> RQ.b8GroupCollectSetSql,
+    "b10_topk"          -> RQ.b10TopKSql,
+    "set_except"        -> RQ.setExceptSql,
+    "set_union"         -> RQ.setUnionSql,
+    "f_string_ops"      -> RQ.fStringOpsSql,
+    "f_date_ops"        -> RQ.fDateOpsSql,
+    "f_json_extract"    -> RQ.fJsonExtractSql,
+    "f_numeric_format"  -> RQ.fNumericFormatSql,
+    "q1_pricing_summary" -> AQ.q1PricingSummarySql,
+    "q3_shipping_priority" -> AQ.q3ShippingPrioritySql,
+    "q5_local_supplier" -> AQ.q5LocalSupplierSql,
+    "w_running_sum"     -> AQ.wRunningSumSql,
+    "w_rank"            -> AQ.wRankSql,
+    "w_time_bucket_ohlc" -> AQ.wTimeBucketOhlcSql,
+    "g_rollup"          -> AQ.gRollupSql,
+    "g_distinct_agg"    -> AQ.gDistinctAggSql,
+    "d_exact_dedup"     -> DedupOps.exactDedupSql,
+    "d_ngram_jaccard"   -> DedupOps.ngramJaccardSql,
+    "d_minhash_lsh"     -> DedupOps.minhashLshSql,
+    "d_simhash"         -> DedupOps.simhashSql,
+    // d_simhash_pairs: rows-only check (banded self-join not oracle-SQL'd)
+    "s_cosine_neardup"  -> SimilarityOps.cosineNearDupSql,
+    "s_ann_brute"       -> SimilarityOps.annBruteForceSql,
+    "s_ann_lsh"         -> SimilarityOps.annLshSql,
+    "t_langid"          -> TextOps.langIdSql,
+    "t_quality"         -> TextOps.qualitySql,
+    "t_token_count"     -> TextOps.tokenCountSql,
+    "t_fingerprint"     -> TextOps.fingerprintSql,
+    "m_binary_meta"     -> MultimodalOps.binaryMetaSql,
+  )
 }

@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for the training-data pipeline surface: language
+  * ID (n-gram/marker heuristic), quality scoring, token counting, document
+  * fingerprinting. All pure `functions._` column expressions — fully
+  * codegen'd, no UDFs, no shuffle (per-row projections), so they scale
+  * linearly to 100 TB of documents.
+  */
+object TextOps {
+
+  /** Whitespace tokens of the trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** 3-word shingles (guarded: Spark's `sequence(1,0)` would DESCEND, so
+    * short docs map to an empty array explicitly).
+    */
+  def shingles3(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  private val enMarkers = Seq("the", "a", "of", "and", "in", "to", "is")
+  private val esMarkers = Seq("el", "la", "de", "y", "en", "que", "los")
+  private val deMarkers = Seq("der", "die", "das", "und", "in", "von", "zu")
+
+  private def hits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(markers)))
+
+  /** Language ID by marker-token voting (a compact stand-in for char-n-gram
+    * profiles; same plan shape — per-row array ops, no shuffle).
+    */
+  def langIdDf(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        hits(t, enMarkers).as("en_hits"),
+        hits(t, esMarkers).as("es_hits"),
+        hits(t, deMarkers).as("de_hits"))
+      .withColumn("lang_pred",
+        when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits"), "en")
+          .when(col("es_hits") >= col("de_hits"), "es")
+          .otherwise("de"))
+      .orderBy("doc_id")
+  }
+  val langIdSql: String =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       |h AS (SELECT doc_id,
+       |  len(list_filter(toks, x -> x IN (${enMarkers.map("'" + _ + "'").mkString(",")}))) AS en_hits,
+       |  len(list_filter(toks, x -> x IN (${esMarkers.map("'" + _ + "'").mkString(",")}))) AS es_hits,
+       |  len(list_filter(toks, x -> x IN (${deMarkers.map("'" + _ + "'").mkString(",")}))) AS de_hits
+       |FROM t)
+       |SELECT doc_id, en_hits, es_hits, de_hits,
+       |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+       |       WHEN es_hits >= de_hits THEN 'es' ELSE 'de' END AS lang_pred
+       |FROM h ORDER BY doc_id""".stripMargin
+
+  private val stopwords =
+    Seq("the", "a", "of", "and", "in", "to", "is", "on", "for", "with")
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean token
+    * length. Ratios are exact integer divisions cast to double + rounded, so
+    * the DuckDB oracle hashes identically.
+    */
+  def qualityDf(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), length(trim(col("text"))).as("n_chars_t"), t.as("toks"))
+      .select(
+        col("doc_id"),
+        col("n_chars_t"),
+        size(col("toks")).as("n_tokens"),
+        length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).as("n_punct"),
+        size(filter(col("toks"), x => x.isInCollection(stopwords))).as("n_stop"))
+      .withColumn("punct_ratio",
+        round(col("n_punct").cast("double") / greatest(col("n_chars_t"), lit(1)), 4))
+      .withColumn("stop_ratio",
+        round(col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1)), 4))
+      .withColumn("mean_tok_len",
+        round((col("n_chars_t") - (col("n_tokens") - 1)).cast("double") /
+          greatest(col("n_tokens"), lit(1)), 4))
+      .orderBy("doc_id")
+  }
+  val qualitySql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, length(trim(text)) AS n_chars_t,
+       |    regexp_split_to_array(trim(text), '\\s+') AS toks,
+       |    length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct
+       |  FROM documents)
+       |SELECT doc_id, n_chars_t, len(toks) AS n_tokens, n_punct,
+       |  len(list_filter(toks, x -> x IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS n_stop,
+       |  round(n_punct * 1.0 / greatest(n_chars_t, 1), 4) AS punct_ratio,
+       |  round(len(list_filter(toks, x -> x IN (${stopwords.map("'" + _ + "'").mkString(",")}))) * 1.0 / greatest(len(toks), 1), 4) AS stop_ratio,
+       |  round((n_chars_t - (len(toks) - 1)) * 1.0 / greatest(len(toks), 1), 4) AS mean_tok_len
+       |FROM b ORDER BY doc_id""".stripMargin
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation count
+    * (letter runs / digit runs / single other non-space = one token each —
+    * the usual pre-tokenizer upper bound on BPE piece count).
+    */
+  def tokenCountDf(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("ws_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("bpeish_tokens"))
+      .orderBy("doc_id")
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpeish_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprinting: md5 of whitespace-normalized text (exact-dup
+    * key) + min-shingle hash (a 1-perm MinHash, the winnowing-style content
+    * fingerprint — stable under local edits).
+    */
+  def fingerprintDf(s: SparkSession, d: String): DataFrame = {
+    val norm = regexp_replace(trim(col("text")), "\\s+", " ")
+    val sh = shingles3(tokens(col("text")))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        md5(norm).as("fp_exact"),
+        array_min(transform(sh, x => md5(x))).as("fp_min_shingle"))
+      .orderBy("doc_id")
+  }
+  val fingerprintSql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+      |  md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp_exact FROM documents)
+      |SELECT doc_id, fp_exact,
+      |  list_min(list_transform(
+      |    CASE WHEN len(toks) >= 3 THEN
+      |      list_transform(generate_series(1, len(toks)-2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |    ELSE [] END, x -> md5(x))) AS fp_min_shingle
+      |FROM t ORDER BY doc_id""".stripMargin
+}

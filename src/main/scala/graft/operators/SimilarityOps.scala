@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (`Array[Float]` column):
+  * brute-force cosine top-k as the exact baseline, plus two sub-quadratic
+  * scale paths — label-blocked near-dup and random-hyperplane LSH bucketing.
+  *
+  * Determinism: all dot products fold the 64-dim lists left-to-right after
+  * widening each element to double (identical op order in the DuckDB oracle
+  * SQL), and every reported similarity is rounded before it is used for
+  * ordering, so cross-engine ranking ties break identically on vec_id.
+  *
+  * 100 TB design: brute force is O(n·q) and only the baseline; the LSH path
+  * buckets both sides (one shuffle on bucket id, candidate set ≪ n), which is
+  * the shape that survives a billion-vector corpus. The per-vector norm is
+  * computed once and joined, not recomputed per pair.
+  */
+object SimilarityOps {
+
+  val Dim = 64
+
+  /** Left-to-right Σ a[i]·b[i] with double widening — matches the oracle. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Exact cosine near-duplicates within label blocks (embedding-cosine
+    * near-dup; label is the blocking key, standing in for any cheap
+    * pre-cluster at scale).
+    */
+  def cosineNearDup(s: SparkSession, d: String, threshold: Double = 0.35): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("a_id"), col("label"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b_id"), col("label"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("label")).filter(col("a_id") < col("b_id"))
+      .withColumn("cos", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id", "label", "cos")
+      .orderBy("a_id", "b_id")
+  }
+  val cosineNearDupSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding,
+      |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
+      |  round(list_sum(list_transform(generate_series(1, 64),
+      |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm), 4) AS cos
+      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE round(list_sum(list_transform(generate_series(1, 64),
+      |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm), 4) >= 0.35
+      |ORDER BY a_id, b_id""".stripMargin
+
+  val NumQueries = 8
+  val TopK = 10
+
+  /** Brute-force cosine top-k: query set = vec_id < [[NumQueries]], ranked by
+    * (rounded cosine desc, candidate id asc). Exact baseline for recall
+    * evaluation of the LSH variant.
+    */
+  def annBruteForce(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("eq"), col("nrm").as("nq"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ec"), col("nrm").as("nc"))
+    val scored = q.crossJoin(c).filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", round(dot(col("eq"), col("ec")) / (col("nq") * col("nc")), 4))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select("q_id", "rnk", "c_id", "cos")
+      .orderBy("q_id", "rnk")
+  }
+  val annBruteForceSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    round(list_sum(list_transform(generate_series(1, 64),
+       |          i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm), 4) AS cos
+       |  FROM e q JOIN e c ON q.vec_id < $NumQueries AND q.vec_id <> c.vec_id),
+       |ranked AS (SELECT q_id, c_id, cos,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk FROM scored)
+       |SELECT q_id, rnk, c_id, cos FROM ranked WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
+
+  val NumPlanes = 6
+
+  /** Fixed ±1 hyperplanes shared verbatim with the oracle SQL (no RNG — a
+    * deterministic odd/even lattice; at scale these would be seeded Gaussian
+    * planes shipped as a broadcast literal the same way).
+    */
+  def planeWeight(p: Int, j: Int): Int = if (((j + 1) * 31 + p * 17) % 3 % 2 == 0) 1 else -1
+
+  private def planeDot(emb: Column, p: Int): Column =
+    aggregate(
+      zip_with(emb, array((0 until Dim).map(j => lit(planeWeight(p, j).toDouble)): _*),
+        (x, w) => x.cast("double") * w),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** LSH-bucketed ANN: [[NumPlanes]]-bit sign bucket per vector; candidates
+    * share the query's bucket; exact cosine re-ranking within the bucket.
+    * Recall < 1 by construction (documented trade; multi-probe at scale).
+    */
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    val bucketBits = (0 until NumPlanes).map(p =>
+      when(planeDot(col("embedding"), p) > 0, lit(1 << p)).otherwise(lit(0)))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+        bucketBits.reduce(_ + _).as("bucket"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("eq"),
+        col("nrm").as("nq"), col("bucket"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ec"),
+      col("nrm").as("nc"), col("bucket"))
+    val scored = q.join(c, Seq("bucket")).filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", round(dot(col("eq"), col("ec")) / (col("nq") * col("nc")), 4))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select("q_id", "rnk", "c_id", "cos")
+      .orderBy("q_id", "rnk")
+  }
+  def annLshSql: String = {
+    val planes = (0 until NumPlanes).map { p =>
+      val ws = (0 until Dim).map(j => planeWeight(p, j)).mkString("[", ",", "]")
+      s"CASE WHEN list_sum(list_transform(generate_series(1, $Dim), i -> embedding[i]::DOUBLE * ($ws)[i])) > 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm,
+       |  $planes AS bucket
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    round(list_sum(list_transform(generate_series(1, 64),
+       |          i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm), 4) AS cos
+       |  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id < $NumQueries AND q.vec_id <> c.vec_id),
+       |ranked AS (SELECT q_id, c_id, cos,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk FROM scored)
+       |SELECT q_id, rnk, c_id, cos FROM ranked WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
+  }
+}

@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** The analytics query surface (SURVEY §7.1 step 7): the Grafana-facing
+  * aggregations the reference delegates to ClickHouse, re-stated natively over
+  * the harness tables, plus the classic join/agg shapes a 100 TB engine must
+  * plan well.
+  *
+  * Float determinism: cross-engine (Spark vs DuckDB oracle) sums of doubles
+  * are order-sensitive, so money aggregates are computed in DECIMAL (exact,
+  * order-insensitive) and cast to double at the end. Both engines produce
+  * bit-identical results that way.
+  */
+object AnalyticsQueries {
+
+  private val D = DecimalType(18, 2)
+  private def dec(c: Column): Column = c.cast(D)
+
+  /** TPC-H Q1 shape: big scan + group-by aggregation. At scale: partial
+    * (map-side) aggregation on 4 groups makes the shuffle ~constant-size per
+    * partition regardless of input rows — the canonical 100 TB-safe agg.
+    */
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(BigDecimal(1)).cast(D) - dec(col("l_discount"))))
+          .cast(DoubleType).as("sum_disc_price"),
+        (sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  val q1PricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3 shape: selective filters + 3-way join + agg + top-k.
+    * At scale: customer filter first (pushed to scan), customer side broadcast
+    * if small enough, orders⋈lineitem shuffle on the shared orderkey; final
+    * TakeOrderedAndProject avoids a global sort.
+    */
+  def q3ShippingPriority(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("1995-03-15"))
+    val l = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1995-03-15"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(BigDecimal(1)).cast(D) - dec(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+  val q3ShippingPrioritySql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 shape: 6-way snowflake join. At scale: region/nation/supplier
+    * are dimension tables → broadcast; only orders⋈lineitem shuffles.
+    */
+  def q5LocalSupplier(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).filter(col("r_name") === "EUROPE")
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    val sup = Tables.supplier(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1998-01-01") && col("o_orderdate") < lit("2000-01-01"))
+    val l = Tables.lineitem(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(c),
+        o("o_custkey") === c("c_custkey") && c("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(BigDecimal(1)).cast(D) - dec(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+  val q5LocalSupplierSql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'EUROPE'
+      |  AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Window — running per-key cumulative sum (the per-user "account balance
+    * over time" Grafana shape). At scale: one shuffle on user_id; within each
+    * partition the running frame is streaming (no buffering beyond the frame).
+    */
+  def wRunningSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("running_value", sum(dec(col("value"))).over(w).cast(DoubleType))
+      .select("event_id", "user_id", "running_value")
+      .orderBy("event_id")
+  }
+  val wRunningSumSql: String =
+    """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events)
+      |SELECT event_id, user_id,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+      |FROM ev ORDER BY event_id""".stripMargin
+
+  /** Window — rank within group (top event per type by value). */
+  def wRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id"))
+    Tables.events(s, d)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("event_type", "rnk", "event_id", "value")
+      .orderBy("event_type", "rnk")
+  }
+  val wRankSql: String =
+    """SELECT event_type, rnk, event_id, value FROM (
+      |  SELECT event_type, event_id, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk
+      |  FROM events) WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin
+
+  /** Time-bucketed OHLC — the flagship Grafana/ClickHouse query shape over the
+    * event stream (SURVEY §7.1 step 7: `window($"transactionTime", ...)`
+    * analog). Hourly open/high/low/close/volume per event_type. At scale:
+    * map-side combinable agg (min_by/max_by/min/max/count), one shuffle on
+    * (bucket, type) — safe at any row count; bucket count bounds state.
+    */
+  def wTimeBucketOhlc(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max("value").as("high"),
+        min("value").as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("volume"))
+      .orderBy("bucket", "event_type")
+  val wTimeBucketOhlcSql: String =
+    """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+      |w AS (SELECT date_trunc('hour', ts) AS bucket, event_type, value,
+      |  first_value(value) OVER (PARTITION BY date_trunc('hour', ts), event_type
+      |    ORDER BY ts, event_id) AS o,
+      |  last_value(value) OVER (PARTITION BY date_trunc('hour', ts), event_type
+      |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
+      |  FROM ev)
+      |SELECT bucket, event_type, min(o) AS open, max(value) AS high,
+      |  min(value) AS low, min(c) AS close, count(*) AS volume
+      |FROM w GROUP BY bucket, event_type
+      |ORDER BY bucket, event_type""".stripMargin
+
+  /** Grouping sets / rollup — subtotal lattice over orders (SURVEY §2.3 notes
+    * the reference lacks these; a complete engine surface includes them).
+    */
+  def gRollup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(dec(col("o_totalprice"))).cast(DoubleType).as("total"),
+           count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  val gRollupSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  count(*) AS n
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** Distinct + approximate distinct. The exact count is the oracle-checked
+    * column; HLL (`approx_count_distinct`) is exercised in tests (not
+    * cross-engine hash-stable by construction).
+    */
+  def gDistinctAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("distinct_parts"),
+           count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  val gDistinctAggSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts, count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+}
