@@ -1,0 +1,109 @@
+package graft.app
+
+import java.sql.Timestamp
+import java.time.LocalDate
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+import graft.ingest.TickerIngest
+import graft.journal.TickerFileJournal
+import graft.pipeline.Lifecycle
+import graft.schema.FileStatus
+import graft.streaming.Discovery
+
+/** The wired application (SURVEY §7.1 step 8) — replaces the reference's
+  * `MainApplication.java:54-91` four-flow bootstrap with one SparkSession
+  * running the discovery stream plus the scheduled lifecycle jobs.
+  *
+  * Usage: `PipelineApp <dataRoot> <journalDir> <warehouseDir> [--demo]`.
+  * `--demo` seeds a temp fixture tree, runs one cycle of every flow
+  * synchronously, prints a report, and exits — the smoke-runnable form.
+  * Without it, the discovery stream and the lifecycle cycles run
+  * continuously on their reference cadences (15 s trigger / 20 s / 30 s /
+  * 3 h — `application.origin.yaml:30-43`).
+  */
+object PipelineApp {
+  def main(args: Array[String]): Unit = {
+    val demo = args.contains("--demo")
+    val rest = args.filterNot(_ == "--demo")
+    val (root, journalDir, warehouseDir) =
+      if (rest.length >= 3) (rest(0), rest(1), rest(2))
+      else {
+        require(demo, "non-demo mode needs <dataRoot> <journalDir> <warehouseDir>")
+        (tmp("root"), tmp("journal"), tmp("warehouse"))
+      }
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val journal = new TickerFileJournal(spark, journalDir)
+    if (demo) runDemo(spark, journal, root, warehouseDir)
+    else runContinuous(spark, journal, root, warehouseDir)
+    spark.stop()
+  }
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$p").toString
+
+  private def now(): Timestamp = new Timestamp(System.currentTimeMillis())
+
+  /** One synchronous cycle of all four flows over a seeded fixture tree. */
+  private def runDemo(spark: SparkSession, journal: TickerFileJournal,
+      root: String, warehouseDir: String): Unit = {
+    val line = "AVA-USDT,1,0.61,15.2,0.62,100.0,0.60,80.5,2024-03-14T12:34:56.123"
+    val today = LocalDate.now()
+    def put(date: LocalDate, name: String, lines: Seq[String]): Unit = {
+      new java.io.File(s"$root/$date").mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/$date/$name"), lines.mkString("\n").getBytes)
+      ()
+    }
+    put(today.minusDays(3), s"AVA-USDT_PST_${today.minusDays(3)}", Seq(line, line, line))
+    put(today.minusDays(2), s"BTC-USDT_PST_${today.minusDays(2)}", Seq(line, "MALFORMED,2"))
+    put(today, s"ETH-USDT_PST_$today", Seq(line))
+
+    // Flow 1 — one streaming discovery micro-batch
+    val q = Discovery.stream(spark, journal, root, tmp("ckpt"),
+      trigger = Trigger.ProcessingTime(0))
+    q.processAllAvailable(); q.stop()
+    println(s"[demo] discovered=${journal.countFiles()}")
+    // Flow 2
+    val (down, ready) = Lifecycle.advanceStatuses(journal, today, now())
+    println(s"[demo] advance: toDownloading=$down toReady=$ready")
+    // Flow 3
+    val rep = Lifecycle.processReady(spark, journal, root, warehouseDir, now())
+    println(s"[demo] process: claimed=${rep.claimed} finished=${rep.finished} " +
+      s"rows=${rep.rows} corrupt=${rep.corruptRows}")
+    println(s"[demo] warehouse rows=${TickerIngest.warehouse(spark, warehouseDir).count()}")
+    // Flow 4 (guards will skip — finished dates are within the backup window)
+    val cl = Lifecycle.cleanup(journal, root, today)
+    println(s"[demo] cleanup: skipped=${cl.skipped} deleted=${cl.deletedFiles}")
+    println(s"[demo] statuses: " + FileStatus.all.map(s =>
+      s"${s.name}=${journal.byStatus(s).count()}").mkString(" "))
+  }
+
+  /** Continuous mode — reference cadences (B5). */
+  private def runContinuous(spark: SparkSession, journal: TickerFileJournal,
+      root: String, warehouseDir: String): Unit = {
+    Discovery.catchUp(spark, journal, root, LocalDate.now(), now())
+    val q = Discovery.stream(spark, journal, root, s"$warehouseDir/_discovery_ckpt")
+    val sched = java.util.concurrent.Executors.newScheduledThreadPool(2)
+    sched.scheduleWithFixedDelay(() =>
+      Lifecycle.advanceStatuses(journal, LocalDate.now(), now()),
+      20, 20, java.util.concurrent.TimeUnit.SECONDS)
+    sched.scheduleWithFixedDelay(() =>
+      Lifecycle.processReady(spark, journal, root, warehouseDir, now()),
+      30, 30, java.util.concurrent.TimeUnit.SECONDS)
+    sched.scheduleWithFixedDelay(() =>
+      Lifecycle.cleanup(journal, root, LocalDate.now()),
+      3 * 3600, 3 * 3600, java.util.concurrent.TimeUnit.SECONDS)
+    q.awaitTermination()
+  }
+}

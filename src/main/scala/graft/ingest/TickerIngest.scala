@@ -1,0 +1,92 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.schema.Schemas
+
+/** Per-file ingest outcome: loaded row count + quarantined (malformed) count.
+  * This is the Spark-native replacement for the reference's per-file
+  * FINISHED/ERROR attribution inside its hand-built upload pipeline
+  * (`/root/reference/MainService/src/main/java/com/crypto/service/data/TickersDataLoader.java:60-171`).
+  */
+case class FileOutcome(filename: String, rows: Long, corrupt_rows: Long)
+
+case class IngestReport(outcomes: Seq[FileOutcome], totalRows: Long, totalCorrupt: Long)
+
+/** The bulk-load hot path (SURVEY §3.3), Spark-first: the reference's 32-way
+  * chunking + piped GZIP + HTTP streaming (B11/B13) collapses into one
+  * declarative read→validate→write plan — input-split parallelism replaces
+  * the thread pools, whole-stage codegen replaces the pipe, the Parquet
+  * writer replaces the HTTP stream, task re-attempts replace the retry loop.
+  *
+  * 100 TB design: files are read with an explicit schema (no inference scan),
+  * validation is a codegen'd filter ahead of the exchange, output is
+  * partitioned by file_date so every downstream date-ranged query
+  * partition-prunes. maxPartitionBytes governs split sizing; no collect of
+  * data rows ever happens (per-file counts are a metadata-sized aggregate).
+  */
+object TickerIngest {
+
+  /** Read ticker CSVs (PERMISSIVE + corrupt-record quarantine — B12,
+    * `CompressionHandler.java:43-46` validates arity only; we type-check
+    * every field) and derive `filename` / `ticker` / `file_date` from the
+    * path (`README.md:7-8` convention `AVA-USDT_PST_2024-03-14`).
+    */
+  def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val raw = spark.read
+      .schema(Schemas.tickerWithCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(paths: _*)
+    raw
+      .withColumn("filename", element_at(split(input_file_name(), "/"), -1))
+      .withColumn("ticker_from_name", regexp_extract(col("filename"), "^([^_]+)_", 1))
+      .withColumn("file_date",
+        to_date(regexp_extract(col("filename"), "(\\d{4}-\\d{2}-\\d{2})", 1)))
+  }
+
+  /** Valid rows only (quarantine dropped). */
+  def validRows(df: DataFrame): DataFrame =
+    df.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+
+  /** Quarantined rows (kept, not silently dropped — the reference logs them;
+    * we preserve them for reprocessing).
+    */
+  def corruptRows(df: DataFrame): DataFrame =
+    df.filter(col("_corrupt_record").isNotNull)
+      .select("filename", "file_date", "_corrupt_record")
+
+  /** Load `paths` into the warehouse (parquet partitioned by file_date) and
+    * report per-file outcomes. One job: the write is the barrier (B14), the
+    * group-by on filename is the per-file outcome attribution.
+    */
+  def ingest(spark: SparkSession, paths: Seq[String], warehouseDir: String,
+      quarantineDir: Option[String] = None): IngestReport = {
+    import spark.implicits._
+    if (paths.isEmpty) return IngestReport(Nil, 0L, 0L)
+    val df = read(spark, paths).cache()
+    try {
+      validRows(df)
+        .write.mode(SaveMode.Append)
+        .partitionBy("file_date")
+        .parquet(warehouseDir)
+      quarantineDir.foreach(q =>
+        corruptRows(df).write.mode(SaveMode.Append).parquet(q))
+      val outcomes = df.groupBy("filename")
+        .agg(
+          sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("rows"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("corrupt_rows"))
+        .as[FileOutcome].collect().toSeq
+      IngestReport(outcomes, outcomes.map(_.rows).sum, outcomes.map(_.corrupt_rows).sum)
+    } finally { df.unpersist(); () }
+  }
+
+  /** The loaded warehouse as a DataFrame (partition-pruned on file_date). */
+  def warehouse(spark: SparkSession, warehouseDir: String): DataFrame =
+    spark.read.schema(
+      Schemas.ticker
+        .add("filename", org.apache.spark.sql.types.StringType)
+        .add("ticker_from_name", org.apache.spark.sql.types.StringType)
+        .add("file_date", org.apache.spark.sql.types.DateType))
+      .parquet(warehouseDir)
+}

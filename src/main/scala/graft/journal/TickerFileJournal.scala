@@ -1,0 +1,170 @@
+package graft.journal
+
+import java.sql.{Date, Timestamp}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.schema.{FileStatus, Schemas}
+
+/** The metadata journal — our native replacement for the reference's
+  * ClickHouse `ticker_files` table and its 11 DAO query shapes
+  * (`/root/reference/MainService/src/main/java/com/crypto/service/dao/ClickHouseDAO.java:31-202`).
+  *
+  * The reference mutates rows in place (`ALTER TABLE ... UPDATE`,
+  * `ClickHouseDAO.java:169-182`). A file-backed Spark table has no mutation,
+  * so the journal is **append-only events + a latest-wins view**
+  * (SURVEY §2.1 op 9): every status change appends
+  * `(filename, create_date, status, updated_at, batch_seq)` and [[current]]
+  * resolves per-filename latest by `(updated_at, batch_seq)`.
+  *
+  * Concurrency contract (SURVEY §7.4 hard part 1): single writer — exactly
+  * like the reference, where one scheduler thread per flow step owns the
+  * journal write. Idempotence: re-appending an identical transition batch
+  * changes nothing observable (latest-wins picks the same status).
+  *
+  * 100 TB design: the journal is metadata (one row per *file*, not per data
+  * row) — millions of rows at worst. The latest-wins window shuffles once on
+  * filename; [[compact]] bounds event-log growth exactly like delta-log
+  * checkpointing, so the view never scans unbounded history.
+  */
+class TickerFileJournal(spark: SparkSession, dir: String) {
+  import spark.implicits._
+
+  private def dirHasData: Boolean = {
+    val d = new java.io.File(dir)
+    d.exists && d.listFiles != null && d.listFiles.exists(f =>
+      f.getName.endsWith(".parquet") || f.getName.startsWith("part-"))
+  }
+
+  private val eventSchema = Schemas.tickerFile
+    .add(org.apache.spark.sql.types.StructField("batch_seq", org.apache.spark.sql.types.LongType))
+
+  /** All journal events (empty-safe). */
+  def events: DataFrame =
+    if (dirHasData) spark.read.schema(eventSchema).parquet(dir)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], eventSchema)
+
+  private def nextBatchSeq(): Long =
+    if (dirHasData) events.agg(coalesce(max("batch_seq"), lit(0L))).as[Long].head() + 1L
+    else 1L
+
+  private def append(df: DataFrame): Unit =
+    df.select("filename", "create_date", "status", "updated_at", "batch_seq")
+      .coalesce(1) // journal batches are tiny metadata; one file per batch
+      .write.mode(SaveMode.Append).parquet(dir)
+
+  /** Latest-wins view — one row per filename with its current status. */
+  def current: DataFrame = {
+    val w = Window.partitionBy("filename")
+      .orderBy(col("updated_at").desc, col("batch_seq").desc)
+    events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "batch_seq")
+  }
+
+  /** B6 — journal the unseen subset of `candidates(filename, create_date)`
+    * as DISCOVERED (anti-join dedup,
+    * `SaveNewFilesToDbFlow.java:216-248`). Returns inserted count.
+    */
+  def appendDiscovered(candidates: DataFrame, now: Timestamp): Long = {
+    val fresh = candidates
+      .select("filename", "create_date").distinct()
+      .join(events.select("filename").distinct(), Seq("filename"), "left_anti")
+      .withColumn("status", lit(FileStatus.Discovered.name))
+      .withColumn("updated_at", lit(now))
+      .withColumn("batch_seq", lit(nextBatchSeq()))
+      .cache()
+    val n = fresh.count()
+    if (n > 0) append(fresh)
+    fresh.unpersist()
+    n
+  }
+
+  /** A9 — transition the named files to `to`. Illegal transitions (per
+    * [[FileStatus.legal]]) are skipped, mirroring the reference's UPDATEs
+    * which are already filtered to the eligible set by the caller.
+    */
+  def transition(filenames: Seq[String], to: FileStatus, now: Timestamp): Long =
+    transitionWhere(col("filename").isin(filenames: _*), to, now)
+
+  /** A9 with an arbitrary predicate over the [[current]] view. */
+  def transitionWhere(cond: org.apache.spark.sql.Column, to: FileStatus,
+      now: Timestamp): Long = {
+    val legalFrom = FileStatus.all.filter(f => FileStatus.canTransition(f, to) && f != to)
+      .map(_.name)
+    val hit = current.filter(cond && col("status").isin(legalFrom: _*))
+      .withColumn("status", lit(to.name))
+      .withColumn("updated_at", lit(now))
+      .withColumn("batch_seq", lit(nextBatchSeq()))
+      .cache()
+    val n = hit.count()
+    if (n > 0) append(hit)
+    hit.unpersist()
+    n
+  }
+
+  /** Claim step (`UploadTickerFilesStatusAndDataFlow.java:83-94`): flip
+    * READY_FOR_PROCESSING → IN_PROGRESS and return the claimed set — the
+    * flip-before-processing is what prevents double-processing across cycles.
+    */
+  def claimReady(now: Timestamp): Seq[(String, Date)] = {
+    val ready = current.filter(col("status") === FileStatus.ReadyForProcessing.name)
+      .select("filename", "create_date").as[(String, Date)].collect().toSeq
+    if (ready.nonEmpty) transition(ready.map(_._1), FileStatus.InProgress, now)
+    ready
+  }
+
+  // ---- Plane-A read surface (SURVEY §2.1) ----
+
+  /** A1 — filenames already journaled among `names`. */
+  def knownAmong(names: Seq[String]): Seq[String] =
+    current.filter(col("filename").isin(names: _*))
+      .select("filename").as[String].collect().toSeq
+
+  /** A2 — all current rows for one date. */
+  def onDate(d: Date): DataFrame = current.filter(col("create_date") === lit(d))
+
+  /** A3 — point status lookup. */
+  def statusOf(filename: String): Option[FileStatus] =
+    current.filter(col("filename") === filename)
+      .select("status").as[String].collect().headOption.map(FileStatus.fromName)
+
+  /** A4 — current rows whose status ∈ set. */
+  def byStatus(statuses: FileStatus*): DataFrame =
+    current.filter(col("status").isin(statuses.map(_.name): _*))
+
+  /** A5 — latest create_date ever journaled (catch-up start point). */
+  def maxCreateDate: Option[Date] =
+    events.agg(max("create_date")).as[Option[Date]].head()
+
+  /** A6 — MIN or MAX create_date over one status. */
+  def minMaxDateForStatus(fn: String, status: FileStatus): Option[Date] = {
+    require(fn == "MIN" || fn == "MAX", s"fn must be MIN or MAX, got $fn")
+    byStatus(status).agg(expr(s"$fn(create_date)")).as[Option[Date]].head()
+  }
+
+  /** A11 — current file count. */
+  def countFiles(): Long = current.count()
+
+  /** A10 — truncate. */
+  def truncate(): Unit = {
+    val d = new java.io.File(dir)
+    if (d.exists) { d.listFiles.foreach(deleteRec); () }
+  }
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles.foreach(deleteRec)
+    f.delete(); ()
+  }
+
+  /** Checkpoint the event log down to the current view (delta-log-style
+    * compaction — keeps the latest-wins scan bounded as transitions
+    * accumulate).
+    */
+  def compact(now: Timestamp): Unit = {
+    val snapshot = current.withColumn("batch_seq", lit(0L)).collect()
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(snapshot.toIndexedSeq, 1), eventSchema)
+    truncate()
+    append(df)
+  }
+}

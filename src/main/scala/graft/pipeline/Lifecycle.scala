@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import java.sql.{Date, Timestamp}
+import java.time.LocalDate
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ingest.{IngestReport, TickerIngest}
+import graft.journal.TickerFileJournal
+import graft.schema.FileStatus
+
+case class ProcessReport(claimed: Int, finished: Int, errored: Int,
+                         rows: Long, corruptRows: Long)
+case class CleanupReport(skipped: Boolean, deletedFiles: Int, keptErrorFiles: Int,
+                         deletedDirs: Seq[String])
+
+/** The reference's four scheduled flows re-stated as three idempotent batch
+  * jobs over the journal + warehouse (Flow 1, discovery, lives in
+  * [[graft.streaming.Discovery]]).
+  *
+  * Flow 2 (`ProceedFilesStatusFlow.java:74-111`) → [[advanceStatuses]];
+  * Flow 3 (`UploadTickerFilesStatusAndDataFlow.java:64-207`) → [[processReady]];
+  * Flow 4 (`CleanupUploadedFilesFlow.java:64-188`) → [[cleanup]].
+  *
+  * Scheduling (B5): the reference re-arms each flow on a fixed delay (20 s /
+  * 30 s / 3 h). Call these from any scheduler — each run is a self-contained
+  * Spark batch job; state lives entirely in the journal, so restarts are
+  * safe (at-least-once with ERROR quarantine, SURVEY §7.4).
+  */
+object Lifecycle {
+
+  /** Flow 2 — B7 conditional status advance:
+    * same-day ∧ DISCOVERED → DOWNLOADING; past-day (DISCOVERED|DOWNLOADING)
+    * → READY_FOR_PROCESSING; everything else untouched.
+    */
+  def advanceStatuses(journal: TickerFileJournal, today: LocalDate,
+      now: Timestamp): (Long, Long) = {
+    val t = Date.valueOf(today)
+    val toReady = journal.transitionWhere(
+      col("create_date") < lit(t) &&
+        col("status").isin(FileStatus.Discovered.name, FileStatus.Downloading.name),
+      FileStatus.ReadyForProcessing, now)
+    val toDownloading = journal.transitionWhere(
+      col("create_date") === lit(t) && col("status") === FileStatus.Discovered.name,
+      FileStatus.Downloading, now)
+    (toDownloading, toReady)
+  }
+
+  /** Flow 3 — claim → ingest → finalize. The claim flip (IN_PROGRESS before
+    * any data is read) prevents double-processing across cycles; on ingest
+    * failure the whole claimed set goes ERROR (the reference's
+    * partition-wide quarantine, `TickersDataLoader.java:160-169`) and stays
+    * re-ingestable (ERROR → READY_FOR_PROCESSING is a legal transition).
+    */
+  def processReady(spark: SparkSession, journal: TickerFileJournal,
+      dataRoot: String, warehouseDir: String, now: Timestamp,
+      quarantineDir: Option[String] = None): ProcessReport = {
+    val claimed = journal.claimReady(now)
+    if (claimed.isEmpty) return ProcessReport(0, 0, 0, 0L, 0L)
+    // B8/B9 path resolution: <root>/<yyyy-MM-dd>/<filename>, sorted (B10)
+    val paths = claimed.map { case (f, d) => s"$dataRoot/$d/$f" }.sorted
+    try {
+      val report: IngestReport =
+        TickerIngest.ingest(spark, paths, warehouseDir, quarantineDir)
+      // B14 finalize: the write action was the barrier; all claimed files
+      // that survived it are FINISHED (a file with only corrupt rows still
+      // finishes — mirror of the reference, which quarantines rows, not files)
+      journal.transition(claimed.map(_._1), FileStatus.Finished, now)
+      ProcessReport(claimed.size, claimed.size, 0, report.totalRows, report.totalCorrupt)
+    } catch {
+      case e: Exception =>
+        journal.transition(claimed.map(_._1), FileStatus.Error, now)
+        ProcessReport(claimed.size, 0, claimed.size, 0L, 0L)
+    }
+  }
+
+  /** Flow 4 — retention GC with the reference's three guard conditions
+    * (`CleanupUploadedFilesFlow.java:102-112`): skip the whole pass when
+    * minFinished == maxFinished (still loading same day), minFinished ==
+    * today (still uploading), or minFinished + 1 == today (1-day backup
+    * window). Then delete FINISHED files in dirs where dirDate + 1 <
+    * maxFinished, keep ERROR files, remove emptied dirs.
+    * Driver-side filesystem job by design — it deletes source files, which
+    * is inherently not a distributed dataflow.
+    */
+  def cleanup(journal: TickerFileJournal, dataRoot: String, today: LocalDate): CleanupReport = {
+    val minF = journal.minMaxDateForStatus("MIN", FileStatus.Finished).map(_.toLocalDate)
+    val maxF = journal.minMaxDateForStatus("MAX", FileStatus.Finished).map(_.toLocalDate)
+    (minF, maxF) match {
+      case (Some(lo), Some(hi))
+          if !(lo.isEqual(hi) || lo.isEqual(today) || lo.plusDays(1).isEqual(today)) =>
+        val root = new java.io.File(dataRoot)
+        val dateDirs = Option(root.listFiles).getOrElse(Array.empty)
+          .filter(_.isDirectory)
+          .filter(d => scala.util.Try(LocalDate.parse(d.getName)).isSuccess)
+        var deleted = 0
+        var kept = 0
+        val deletedDirs = scala.collection.mutable.ArrayBuffer[String]()
+        val statuses = journal.current
+          .select("filename", "status")
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        dateDirs.foreach { dir =>
+          val dirDate = LocalDate.parse(dir.getName)
+          if (dirDate.plusDays(1).isBefore(hi)) {
+            Option(dir.listFiles).getOrElse(Array.empty).filter(_.isFile).foreach { f =>
+              statuses.get(f.getName) match {
+                case Some(s) if s == FileStatus.Finished.name => f.delete(); deleted += 1
+                case Some(s) if s == FileStatus.Error.name => kept += 1
+                case _ => () // unknown to the journal: leave untouched
+              }
+            }
+            if (Option(dir.listFiles).getOrElse(Array.empty).isEmpty) {
+              deletedDirs += dir.getName
+              dir.delete()
+            }
+          }
+        }
+        CleanupReport(skipped = false, deleted, kept, deletedDirs.toSeq)
+      case _ => CleanupReport(skipped = true, 0, 0, Nil)
+    }
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.journal.TickerFileJournal
+import graft.schema.FileStatus
+
+/** Journal semantics — mirrors the reference's dedup fixture
+  * (`SaveNewFilesToDbFlowTest.java:216-250`) and the A1–A6/A9/A11 query
+  * shapes it answers.
+  */
+class JournalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshJournal() = new TickerFileJournal(spark, tmpDir("journal"))
+
+  private def candidates(names: (String, String)*) =
+    names.toSeq.toDF("filename", "cd")
+      .select(col("filename"), col("cd").cast("date").as("create_date"))
+
+  test("B6 dedup: buffer {A,B,C} vs journal {C,X} inserts only {A,B}") {
+    val j = freshJournal()
+    j.appendDiscovered(candidates("0000C" -> "2024-08-08", "0000X" -> "2024-08-08"), ts("2024-08-08 10:00:00"))
+    val n = j.appendDiscovered(
+      candidates("0000A" -> "2024-08-08", "0000B" -> "2024-08-08", "0000C" -> "2024-08-08"),
+      ts("2024-08-08 10:01:00"))
+    assert(n == 2)
+    val cur = j.current.select("filename", "status").as[(String, String)].collect().toMap
+    assert(cur.keySet == Set("0000A", "0000B", "0000C", "0000X"))
+    assert(cur.values.toSet == Set(FileStatus.Discovered.name))
+  }
+
+  test("A9 latest-wins: transition updates status; illegal transitions skipped") {
+    val j = freshJournal()
+    j.appendDiscovered(candidates("f1" -> "2024-08-08", "f2" -> "2024-08-08"), ts("2024-08-08 10:00:00"))
+    val n = j.transition(Seq("f1"), FileStatus.ReadyForProcessing, ts("2024-08-08 10:01:00"))
+    assert(n == 1)
+    assert(j.statusOf("f1").contains(FileStatus.ReadyForProcessing))
+    assert(j.statusOf("f2").contains(FileStatus.Discovered))
+    // DISCOVERED -> FINISHED is illegal: no-op
+    assert(j.transition(Seq("f2"), FileStatus.Finished, ts("2024-08-08 10:02:00")) == 0)
+    assert(j.statusOf("f2").contains(FileStatus.Discovered))
+  }
+
+  test("idempotence: re-applying a transition is a no-op on the view") {
+    val j = freshJournal()
+    j.appendDiscovered(candidates("f1" -> "2024-08-08"), ts("2024-08-08 10:00:00"))
+    j.transition(Seq("f1"), FileStatus.ReadyForProcessing, ts("2024-08-08 10:01:00"))
+    j.transition(Seq("f1"), FileStatus.ReadyForProcessing, ts("2024-08-08 10:01:00"))
+    assert(j.current.count() == 1)
+    assert(j.statusOf("f1").contains(FileStatus.ReadyForProcessing))
+  }
+
+  test("claimReady flips READY->IN_PROGRESS exactly once") {
+    val j = freshJournal()
+    j.appendDiscovered(candidates("f1" -> "2024-08-07", "f2" -> "2024-08-07"), ts("2024-08-08 10:00:00"))
+    j.transition(Seq("f1", "f2"), FileStatus.ReadyForProcessing, ts("2024-08-08 10:01:00"))
+    val claimed = j.claimReady(ts("2024-08-08 10:02:00"))
+    assert(claimed.map(_._1).toSet == Set("f1", "f2"))
+    assert(j.byStatus(FileStatus.InProgress).count() == 2)
+    // second claim finds nothing (double-processing prevention)
+    assert(j.claimReady(ts("2024-08-08 10:03:00")).isEmpty)
+  }
+
+  test("A2/A3/A4/A5/A6/A11 read surface") {
+    val j = freshJournal()
+    j.appendDiscovered(
+      candidates("a" -> "2024-08-06", "b" -> "2024-08-07", "c" -> "2024-08-08"),
+      ts("2024-08-08 10:00:00"))
+    j.transition(Seq("a"), FileStatus.ReadyForProcessing, ts("2024-08-08 10:01:00"))
+    j.transition(Seq("a"), FileStatus.InProgress, ts("2024-08-08 10:02:00"))
+    j.transition(Seq("a"), FileStatus.Finished, ts("2024-08-08 10:03:00"))
+    assert(j.onDate(dt("2024-08-07")).count() == 1)                     // A2
+    assert(j.statusOf("a").contains(FileStatus.Finished))               // A3
+    assert(j.statusOf("zzz").isEmpty)
+    assert(j.byStatus(FileStatus.Discovered).count() == 2)              // A4
+    assert(j.maxCreateDate.contains(dt("2024-08-08")))                  // A5
+    assert(j.minMaxDateForStatus("MIN", FileStatus.Finished).contains(dt("2024-08-06"))) // A6
+    assert(j.countFiles() == 3)                                         // A11
+  }
+
+  test("knownAmong (A1) returns the already-journaled subset") {
+    val j = freshJournal()
+    j.appendDiscovered(candidates("a" -> "2024-08-08", "b" -> "2024-08-08"), ts("2024-08-08 10:00:00"))
+    assert(j.knownAmong(Seq("a", "c")).toSet == Set("a"))
+  }
+
+  test("compact preserves the current view and truncates history") {
+    val j = freshJournal()
+    j.appendDiscovered(candidates("a" -> "2024-08-06"), ts("2024-08-08 10:00:00"))
+    j.transition(Seq("a"), FileStatus.ReadyForProcessing, ts("2024-08-08 10:01:00"))
+    val before = j.current.collect().toSeq
+    j.compact(ts("2024-08-08 11:00:00"))
+    assert(j.events.count() == 1) // history collapsed to the snapshot
+    assert(j.current.collect().toSeq == before)
+  }
+}
