@@ -24,6 +24,15 @@ object Tables {
       df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     else df
 
+  /** Spread a small single-file scan across all cores before a CPU-heavy
+    * per-row projection (hashing, shingling, vector math). Locally a small
+    * table arrives as ONE input split, so without this the projection runs
+    * single-threaded; at scale the source has many splits and this exchange
+    * is a metadata-sized no-op relative to the work it parallelizes.
+    */
+  def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")

@@ -1,0 +1,200 @@
+package graft.catalyst
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared md5-hex helper for the hash expressions (thread-confined digest —
+  * Spark evaluates expressions single-threaded per task).
+  */
+object HashUtil {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val hex = "0123456789abcdef".toCharArray
+
+  def md5Hex(bytes: Array[Byte]): String = {
+    val d = digest.get()
+    d.reset()
+    val out = d.digest(bytes)
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < out.length) {
+      sb.append(hex((out(i) >> 4) & 0xf)); sb.append(hex(out(i) & 0xf)); i += 1
+    }
+    sb.toString
+  }
+
+  def hexVal(c: Char): Int =
+    if (c <= '9') c - '0' else c - 'a' + 10
+
+  /** 32-bit SimHash of a token multiset: each token votes ±1 per bit of
+    * md5(token)[0:8] (hex-char p/4, bit p%4 — identical to the SQL oracle
+    * formulation in [[graft.operators.DedupOps.simhashSql]]).
+    */
+  def simhash32(tokens: ArrayData): Long = {
+    val votes = new Array[Int](32)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h8 = md5Hex(tokens.getUTF8String(i).getBytes)
+      var p = 0
+      while (p < 32) {
+        val v = hexVal(h8.charAt(p / 4))
+        votes(p) += (((v >> (p % 4)) & 1) * 2) - 1
+        p += 1
+      }
+      i += 1
+    }
+    var acc = 0L
+    var p = 0
+    while (p < 32) { if (votes(p) > 0) acc |= (1L << p); p += 1 }
+    acc
+  }
+
+  /** k-component MinHash signature: component i = min over shingles of
+    * md5(i + "|" + shingle) — lexicographic min over identical hex strings
+    * in Spark and DuckDB, so the oracle agrees byte-for-byte.
+    */
+  def minhashSig(shingles: ArrayData, k: Int): ArrayData = {
+    val mins = new Array[UTF8String](k)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val s = shingles.getUTF8String(i).toString
+      var seed = 0
+      while (seed < k) {
+        val h = UTF8String.fromString(md5Hex((seed.toString + "|" + s).getBytes("UTF-8")))
+        if (mins(seed) == null || h.compareTo(mins(seed)) < 0) mins(seed) = h
+        seed += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.asInstanceOf[Array[Any]])
+  }
+
+  /** Compiled 3-word shingling of a token array. */
+  def shingles3(toks: ArrayData, distinct: Boolean): ArrayData = {
+    val n = toks.numElements()
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[UTF8String](n - 2)
+    val seen = if (distinct) new java.util.HashSet[UTF8String]() else null
+    var i = 0
+    while (i < n - 2) {
+      val s = UTF8String.concatWs(UTF8String.fromString(" "),
+        toks.getUTF8String(i), toks.getUTF8String(i + 1), toks.getUTF8String(i + 2))
+      if (seen == null || seen.add(s)) out.add(s)
+      i += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  /** Compiled i<j pair enumeration of a (doc_id: long, n: int) posting list,
+    * sorted by doc_id so a_id < b_id canonically.
+    */
+  def pairCombos(ds: ArrayData): ArrayData = {
+    val k = ds.numElements()
+    val ids = new Array[Long](k)
+    val ns = new Array[Int](k)
+    var i = 0
+    while (i < k) {
+      val st = ds.getStruct(i, 2)
+      ids(i) = st.getLong(0); ns(i) = st.getInt(1); i += 1
+    }
+    // insertion sort by id (posting lists are capped and small)
+    i = 1
+    while (i < k) {
+      val idv = ids(i); val nv = ns(i); var j = i - 1
+      while (j >= 0 && ids(j) > idv) { ids(j + 1) = ids(j); ns(j + 1) = ns(j); j -= 1 }
+      ids(j + 1) = idv; ns(j + 1) = nv; i += 1
+    }
+    val out = new Array[Any](k * (k - 1) / 2)
+    var idx = 0
+    var a = 0
+    while (a < k) {
+      var b = a + 1
+      while (b < k) {
+        out(idx) = InternalRow(ids(a), ids(b), ns(a), ns(b)); idx += 1; b += 1
+      }
+      a += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native 32-bit SimHash over an array<string> token column. One projection
+  * replaces the explode(tokens)×explode(32)→2×groupBy plan — no shuffle at
+  * all. Codegen calls straight into [[HashUtil.simhash32]], keeping the
+  * expression inside the whole-stage-codegen span.
+  */
+case class SimHash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(tokens: Any): Any =
+    HashUtil.simhash32(tokens.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.catalyst.HashUtil.simhash32($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+/** Native k-wide MinHash signature over an array<string> shingle column. */
+case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullSafeEval(shingles: Any): Any =
+    HashUtil.minhashSig(shingles.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.catalyst.HashUtil.minhashSig($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+object HashFunctions {
+  import org.apache.spark.sql.GraftColumnBridge
+  def simhash32(c: Column): Column =
+    GraftColumnBridge.column(SimHash32(GraftColumnBridge.expression(c)))
+  def minhash_signature(c: Column, k: Int): Column =
+    GraftColumnBridge.column(MinHashSignature(GraftColumnBridge.expression(c), k))
+  def shingles3(c: Column, distinct: Boolean = false): Column =
+    GraftColumnBridge.column(Shingles3(GraftColumnBridge.expression(c), distinct))
+  def pair_combos(c: Column): Column =
+    GraftColumnBridge.column(PairCombos(GraftColumnBridge.expression(c)))
+}
+
+/** Native 3-word shingle expression over an array<string> token column:
+  * one compiled pass (vs `transform(sequence…element_at…)`, which evaluates
+  * interpreted lambdas per element and is re-inlined by filter pushdown).
+  * `distinct = true` keeps first occurrences (order feeds only min/groupBy).
+  */
+case class Shingles3(child: Expression, distinct: Boolean) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(toks: Any): Any =
+    HashUtil.shingles3(toks.asInstanceOf[ArrayData], distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.catalyst.HashUtil.shingles3($c, $distinct)")
+  override protected def withNewChildInternal(newChild: Expression): Shingles3 =
+    copy(child = newChild)
+}
+
+/** Native i<j pair enumeration of an array<struct<doc_id:long,n:int>>
+  * posting list (sorted by doc_id internally): emits
+  * array<struct<a_id,b_id,na,nb>> in one compiled pass — the interpreted
+  * nested-transform/slice formulation costs O(k²) array copies in lambda
+  * interpreters.
+  */
+case class PairCombos(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("a_id", LongType), StructField("b_id", LongType),
+    StructField("na", IntegerType), StructField("nb", IntegerType))),
+    containsNull = false)
+  override def nullSafeEval(ds: Any): Any =
+    HashUtil.pairCombos(ds.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.catalyst.HashUtil.pairCombos($c)")
+  override protected def withNewChildInternal(newChild: Expression): PairCombos =
+    copy(child = newChild)
+}

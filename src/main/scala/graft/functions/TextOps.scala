@@ -15,14 +15,13 @@ object TextOps {
   /** Whitespace tokens of the trimmed text. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** 3-word shingles (guarded: Spark's `sequence(1,0)` would DESCEND, so
-    * short docs map to an empty array explicitly).
+  /** 3-word shingles — the native compiled expression
+    * ([[graft.catalyst.Shingles3]]); the equivalent
+    * `transform(sequence…element_at…)` formulation pays interpreted-lambda
+    * cost per element and gets re-inlined wholesale by filter pushdown.
     */
   def shingles3(toks: Column): Column =
-    when(size(toks) >= 3,
-      transform(sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
-      .otherwise(array().cast("array<string>"))
+    graft.catalyst.HashFunctions.shingles3(toks)
 
   private val enMarkers = Seq("the", "a", "of", "and", "in", "to", "is")
   private val esMarkers = Seq("el", "la", "de", "y", "en", "que", "los")
@@ -36,7 +35,7 @@ object TextOps {
     */
   def langIdDf(s: SparkSession, d: String): DataFrame = {
     val t = tokens(col("text"))
-    Tables.documents(s, d)
+    Tables.fanOut(Tables.documents(s, d))
       .select(
         col("doc_id"),
         hits(t, enMarkers).as("en_hits"),
@@ -69,7 +68,7 @@ object TextOps {
     */
   def qualityDf(s: SparkSession, d: String): DataFrame = {
     val t = tokens(col("text"))
-    Tables.documents(s, d)
+    Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), col("text"), length(trim(col("text"))).as("n_chars_t"), t.as("toks"))
       .select(
         col("doc_id"),
@@ -104,7 +103,7 @@ object TextOps {
     * the usual pre-tokenizer upper bound on BPE piece count).
     */
   def tokenCountDf(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.fanOut(Tables.documents(s, d))
       .select(
         col("doc_id"),
         size(tokens(col("text"))).as("ws_tokens"),
@@ -123,7 +122,7 @@ object TextOps {
   def fingerprintDf(s: SparkSession, d: String): DataFrame = {
     val norm = regexp_replace(trim(col("text")), "\\s+", " ")
     val sh = shingles3(tokens(col("text")))
-    Tables.documents(s, d)
+    Tables.fanOut(Tables.documents(s, d))
       .select(
         col("doc_id"),
         md5(norm).as("fp_exact"),

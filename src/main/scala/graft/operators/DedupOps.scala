@@ -3,22 +3,25 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.catalyst.HashFunctions
 import graft.functions.TextOps
 
 /** Deduplication operators for the training-data pipeline: exact
-  * (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash. All are expressed as
-  * declarative DataFrame plans (explode → hash-agg → join) so Catalyst keeps
-  * map-side partial aggregation and AQE handles skewed shingles.
+  * (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Per-document signatures (MinHash, SimHash) are native Catalyst
+  * expressions ([[graft.catalyst.SimHash32]], [[graft.catalyst.MinHashSignature]])
+  * — one codegen'd projection per doc, zero shuffles — instead of
+  * explode→groupBy pyramids. Only the genuinely pairwise steps shuffle.
   *
   * Cross-engine determinism: every hash is md5 (identical hex in Spark and
-  * DuckDB); MinHash uses min-over-md5(seed||shingle) which is a lexicographic
-  * min on identical strings in both engines; similarity scores are exact
-  * integer ratios.
+  * DuckDB); MinHash components are lexicographic mins of identical strings;
+  * similarity scores are exact integer ratios.
   *
-  * 100 TB design notes: the O(n²) step only ever runs on LSH/band candidates,
-  * never the full corpus; the shingle→doc lists are bounded by dropping
-  * ultra-frequent shingles (stop-shingle cap) in [[ngramJaccardPairs]], which
-  * is what keeps the shingle join from exploding on boilerplate text.
+  * 100 TB design notes: the O(n²) step only ever runs on band/bucket
+  * candidates, never the full corpus; shingle fan-out is capped by dropping
+  * ultra-frequent shingles ([[StopShingleCap]]) — a shingle in k docs emits
+  * k²/2 pairs, so boilerplate text would otherwise explode the join.
   */
 object DedupOps {
 
@@ -38,42 +41,43 @@ object DedupOps {
       |  min(doc_id) AS keep_id, count(*) AS dup_count
       |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
 
-  /** Exploded distinct (doc_id, shingle) pairs. */
-  private def shingleDf(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), explode(TextOps.shingles3(TextOps.tokens(col("text")))).as("s"))
-      .distinct()
-
-  /** Max docs a shingle may appear in before it is dropped as a stop-shingle.
-    * Bounds the per-shingle join fan-out (a shingle in k docs contributes
-    * k² candidate pairs) — at 100 TB this cap is what makes the self-join
-    * survivable; near-dup pairs share many shingles so dropping the global
-    * boilerplate ones loses ~nothing.
+  /** Max docs a shingle may appear in before it is dropped as a
+    * stop-shingle (bounds candidate-pair fan-out at scale).
     */
   val StopShingleCap = 1000
 
-  /** N-gram Jaccard near-dup: 3-word shingles, self-join on shingle, exact
-    * Jaccard = |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold.
+  /** Per-doc distinct shingle arrays — computed in one projection (no
+    * explode/distinct shuffle; `n` rides along for the Jaccard denominator).
     */
-  def ngramJaccardPairs(s: SparkSession, d: String, threshold: Double = 0.8): DataFrame = {
-    val sh = shingleDf(s, d).cache()
-    val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= StopShingleCap)
-    val shF = sh.join(freq.select("s"), Seq("s"))
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = shF.select(col("doc_id").as("a_id"), col("s"))
-    val b = shF.select(col("doc_id").as("b_id"), col("s"))
-    val common = a.join(b, Seq("s")).filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
-    common
-      .join(counts.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), Seq("a_id"))
-      .join(counts.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), Seq("b_id"))
+  private def shingleDocs(s: SparkSession, d: String): DataFrame =
+    Tables.fanOut(Tables.documents(s, d))
+      // materialize the token array in its own projection: the shingle
+      // lambda's element_at calls then read an attribute instead of
+      // re-running the regex split per shingle element (CollapseProject
+      // keeps multi-use non-cheap expressions un-inlined)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), HashFunctions.shingles3(col("toks"), distinct = true).as("sh"))
+      .withColumn("n", size(col("sh")))
+
+  /** N-gram Jaccard near-dup: 3-word shingles, group docs per shingle, emit
+    * candidate pairs from each (capped) posting list, count shared shingles,
+    * exact Jaccard = |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold.
+    * Exactly two shuffles: groupBy(shingle), groupBy(pair).
+    */
+  def ngramJaccardPairs(s: SparkSession, d: String, threshold: Double = 0.8): DataFrame =
+    shingleDocs(s, d)
+      .select(struct(col("doc_id"), col("n")).as("dn"), explode(col("sh")).as("s"))
+      .groupBy("s").agg(collect_list(col("dn")).as("ds"))
+      .filter(size(col("ds")) >= 2 && size(col("ds")) <= StopShingleCap)
+      .select(explode(HashFunctions.pair_combos(col("ds"))).as("p"))
+      .select(col("p.a_id"), col("p.b_id"), col("p.na"), col("p.nb"))
+      .groupBy("a_id", "b_id", "na", "nb")
+      .agg(count(lit(1)).as("common"))
       .withColumn("jaccard",
         round(col("common").cast("double") / (col("na") + col("nb") - col("common")), 4))
       .filter(col("common").cast("double") / (col("na") + col("nb") - col("common")) >= threshold)
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
-  }
   val ngramJaccardSql: String =
     s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
@@ -91,34 +95,33 @@ object DedupOps {
   val MinHashK = 8      // signature length (seeds 0..7)
   val BandRows = 2      // rows per band → 4 bands; P(cand | j=0.99) ≈ 1-(1-0.98)⁴
 
-  /** MinHash signatures + banded LSH candidates + signature-estimated
-    * similarity. Per seed i, the component is min(md5(i||'|'||shingle)) —
-    * a deterministic min-wise independent permutation family shared with the
-    * oracle. Bands of [[BandRows]] components are concatenated into bucket
-    * keys; only same-bucket pairs are compared. At scale: the bucket join is
-    * the only pairwise step and bucket sizes are bounded by real similarity.
+  /** Per-doc MinHash signature via the native expression — one projection. */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    shingleDocs(s, d)
+      .select(col("doc_id"),
+        HashFunctions.minhash_signature(col("sh"), MinHashK).as("sig"))
+
+  /** MinHash+LSH: band the signature into [[MinHashK]]/[[BandRows]] bucket
+    * keys, self-join on (band, key), estimate similarity as the matching
+    * signature fraction. The only pairwise work is within buckets.
     */
   def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleDf(s, d)
-    val seeds = explode(sequence(lit(0), lit(MinHashK - 1))).as("seed")
-    val mh = sh.select(col("doc_id"), col("s"), seeds)
-      .groupBy("doc_id", "seed")
-      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("s")))).as("mh"))
-    val bands = mh
-      .withColumn("band", (col("seed") / BandRows).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(array_join(transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
-        x => x.getField("mh")), ",").as("key"))
-    val aB = bands.select(col("doc_id").as("a_id"), col("band"), col("key"))
-    val bB = bands.select(col("doc_id").as("b_id"), col("band"), col("key"))
-    val cand = aB.join(bB, Seq("band", "key")).filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    val aM = mh.select(col("doc_id").as("a_id"), col("seed"), col("mh").as("ma"))
-    val bM = mh.select(col("doc_id").as("b_id"), col("seed"), col("mh").as("mb"))
-    cand.join(aM, Seq("a_id")).join(bM, Seq("b_id", "seed"))
-      .groupBy("a_id", "b_id")
-      .agg(round(sum(when(col("ma") === col("mb"), 1).otherwise(0)).cast("double") / MinHashK, 4)
-        .as("est_sim"))
+    val sig = minhashSignatures(s, d)
+    val nBands = MinHashK / BandRows
+    val bands = sig.select(col("doc_id"), col("sig"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"),
+          array_join(slice(col("sig"), b * BandRows + 1, BandRows), ",").as("key"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
+    val a = bands.select(col("doc_id").as("a_id"), col("sig").as("sa"), col("band"), col("key"))
+    val b = bands.select(col("doc_id").as("b_id"), col("sig").as("sb"), col("band"), col("key"))
+    a.join(b, Seq("band", "key")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), p => p))
+          .cast("double") / MinHashK).as("raw"))
+      .distinct()
+      .select(col("a_id"), col("b_id"), round(col("raw"), 4).as("est_sim"))
       .orderBy("a_id", "b_id")
   }
   val minhashLshSql: String =
@@ -138,35 +141,21 @@ object DedupOps {
 
   val SimHashBits = 32  // from the first 8 hex chars of md5(token)
 
-  /** Per-doc 32-bit SimHash: each token votes ±1 on each bit of
-    * md5(token)[0:8]; bit set where the vote sum is positive. Term frequency
-    * weighting comes from keeping token multiplicity.
+  /** Per-doc 32-bit SimHash via the native [[graft.catalyst.SimHash32]]
+    * expression: each token votes ±1 on each bit of md5(token)[0:8]; bit set
+    * where the vote sum is positive. Term-frequency weighting comes from
+    * token multiplicity. One shuffle-free projection per doc.
     */
-  def simhash(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-      .withColumn("h8", substring(md5(col("tok")), 1, 8))
-    val bits = toks
-      .select(col("doc_id"), col("h8"), explode(sequence(lit(0), lit(SimHashBits - 1))).as("p"))
-      .withColumn("v", conv(col("h8").substr((col("p") / 4).cast("int") + 1, lit(1)), 16, 10).cast("int"))
-      .withColumn("bit",
-        when(pmod(col("p"), lit(4)) === 0, pmod(col("v"), lit(2)))
-          .when(pmod(col("p"), lit(4)) === 1, pmod(expr("v div 2"), lit(2)))
-          .when(pmod(col("p"), lit(4)) === 2, pmod(expr("v div 4"), lit(2)))
-          .otherwise(pmod(expr("v div 8"), lit(2))))
-    bits.groupBy("doc_id", "p")
-      .agg(sum(col("bit") * 2 - 1).as("vote"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("vote") > 0, pow(lit(2.0), col("p")).cast("long")).otherwise(0L))
-        .as("simhash"))
+  def simhash(s: SparkSession, d: String): DataFrame =
+    Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"),
+        HashFunctions.simhash32(TextOps.tokens(col("text"))).as("simhash"))
       .orderBy("doc_id")
-  }
   val simhashSql: String =
     s"""WITH toks AS (SELECT doc_id, substr(md5(unnest(regexp_split_to_array(trim(text), '\\s+'))), 1, 8) AS h8
        |             FROM documents),
        |bits AS (
        |  SELECT doc_id, p,
-       |    strpos('0123456789abcdef', substr(h8, (p // 4) + 1, 1)) - 1 AS v,
        |    CASE p % 4 WHEN 0 THEN (strpos('0123456789abcdef', substr(h8, (p // 4) + 1, 1)) - 1) % 2
        |               WHEN 1 THEN ((strpos('0123456789abcdef', substr(h8, (p // 4) + 1, 1)) - 1) // 2) % 2
        |               WHEN 2 THEN ((strpos('0123456789abcdef', substr(h8, (p // 4) + 1, 1)) - 1) // 4) % 2
@@ -177,14 +166,17 @@ object DedupOps {
        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** SimHash near-dup pairs: band on the 4 bytes of the signature (a pair
-    * within Hamming distance 7 of a 32-bit hash must agree on ≥1 byte), then
-    * verify `bit_count(xor) <= maxHamming` on candidates only.
+    * within small Hamming distance must agree on ≥1 byte by pigeonhole up to
+    * distance 7), then verify `bit_count(xor) <= maxHamming` on candidates.
     */
   def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 6): DataFrame = {
-    val sh = simhash(s, d)
+    val sh = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"),
+        HashFunctions.simhash32(TextOps.tokens(col("text"))).as("simhash"))
     val chunks = sh.select(col("doc_id"), col("simhash"),
-        explode(sequence(lit(0), lit(3))).as("c"))
-      .withColumn("chunk", pmod(expr("simhash div cast(pow(2, c * 8) as bigint)"), lit(256)))
+      explode(array((0 until 4).map(c => struct(lit(c).as("c"),
+        shiftright(col("simhash"), c * 8).bitwiseAND(lit(255L)).as("chunk"))): _*)).as("x"))
+      .select(col("doc_id"), col("simhash"), col("x.c"), col("x.chunk"))
     val a = chunks.select(col("doc_id").as("a_id"), col("simhash").as("ha"), col("c"), col("chunk"))
     val b = chunks.select(col("doc_id").as("b_id"), col("simhash").as("hb"), col("c"), col("chunk"))
     a.join(b, Seq("c", "chunk")).filter(col("a_id") < col("b_id"))

@@ -45,7 +45,7 @@ object MultimodalOps {
     * (real deployments read `binaryFile` / blob parquet the same way).
     */
   def mediaCorpus(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
 
   /** Decode / feature-extract over the blob column. Per-partition batch

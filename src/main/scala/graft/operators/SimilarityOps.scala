@@ -35,7 +35,7 @@ object SimilarityOps {
     * pre-cluster at scale).
     */
   def cosineNearDup(s: SparkSession, d: String, threshold: Double = 0.35): DataFrame = {
-    val e = Tables.embeddings(s, d)
+    val e = Tables.fanOut(Tables.embeddings(s, d))
       .select(col("vec_id"), col("label"), col("embedding"),
         norm(col("embedding")).as("nrm"))
     val a = e.select(col("vec_id").as("a_id"), col("label"),
@@ -68,7 +68,7 @@ object SimilarityOps {
     * evaluation of the LSH variant.
     */
   def annBruteForce(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+    val e = Tables.fanOut(Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("eq"), col("nrm").as("nq"))
@@ -115,7 +115,7 @@ object SimilarityOps {
   def annLsh(s: SparkSession, d: String): DataFrame = {
     val bucketBits = (0 until NumPlanes).map(p =>
       when(planeDot(col("embedding"), p) > 0, lit(1 << p)).otherwise(lit(0)))
-    val e = Tables.embeddings(s, d)
+    val e = Tables.fanOut(Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
         bucketBits.reduce(_ + _).as("bucket"))
     val q = e.filter(col("vec_id") < NumQueries)
