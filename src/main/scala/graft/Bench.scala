@@ -15,6 +15,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session once (scan init, codegen compiler, shuffle setup) so
+    // per-query timings measure the query, not JVM warmup order.
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     // noop sink forces FULL materialization of every output column —
     // count() would let Catalyst prune the projections being measured
     val results = SparkEntry.queries.map { case (name, fn) =>

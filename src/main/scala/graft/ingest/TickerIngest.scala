@@ -64,21 +64,36 @@ object TickerIngest {
       quarantineDir: Option[String] = None): IngestReport = {
     import spark.implicits._
     if (paths.isEmpty) return IngestReport(Nil, 0L, 0L)
-    val df = read(spark, paths).cache()
-    try {
-      validRows(df)
-        .write.mode(SaveMode.Append)
-        .partitionBy("file_date")
-        .parquet(warehouseDir)
-      quarantineDir.foreach(q =>
-        corruptRows(df).write.mode(SaveMode.Append).parquet(q))
-      val outcomes = df.groupBy("filename")
+    // No cache: at 100 TB the input never fits in storage memory, and a
+    // second CSV parse for the metadata-sized outcome aggregate is cheaper
+    // than materializing the full dataset (measured locally too).
+    val df = read(spark, paths)
+    validRows(df)
+      .write.mode(SaveMode.Append)
+      .partitionBy("file_date")
+      .parquet(warehouseDir)
+    quarantineDir.foreach(q =>
+      corruptRows(df).write.mode(SaveMode.Append).parquet(q))
+    // PERMISSIVE corrupt detection only sees type errors in columns the
+    // scan actually parses; with pruning the outcome agg would parse just
+    // one column and under-count corrupt rows. Disable CSV-parser pruning
+    // for this one eager collect (full-row validation, like the write).
+    val pruneKey = "spark.sql.csv.parser.columnPruning.enabled"
+    val oldPrune = spark.conf.get(pruneKey, "true")
+    spark.conf.set(pruneKey, "false")
+    // the `ticker` reference satisfies the QUERY_ONLY_CORRUPT_RECORD_COLUMN
+    // analysis check (it fires whenever _corrupt_record is the only data
+    // column referenced); with pruning disabled the parser still validates
+    // the full row, so the counts match the write's validation
+    val outcomes =
+      try df.filter(col("ticker").isNotNull || col("ticker").isNull)
+        .groupBy("filename")
         .agg(
           sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("rows"),
           sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("corrupt_rows"))
         .as[FileOutcome].collect().toSeq
-      IngestReport(outcomes, outcomes.map(_.rows).sum, outcomes.map(_.corrupt_rows).sum)
-    } finally { df.unpersist(); () }
+      finally spark.conf.set(pruneKey, oldPrune)
+    IngestReport(outcomes, outcomes.map(_.rows).sum, outcomes.map(_.corrupt_rows).sum)
   }
 
   /** The loaded warehouse as a DataFrame (partition-pruned on file_date). */

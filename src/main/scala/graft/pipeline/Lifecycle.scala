@@ -68,6 +68,8 @@ object Lifecycle {
       ProcessReport(claimed.size, claimed.size, 0, report.totalRows, report.totalCorrupt)
     } catch {
       case e: Exception =>
+        // at-least-once contract: quarantine the claimed set, keep running
+        System.err.println(s"[lifecycle] ingest failed, marking ${claimed.size} files ERROR: $e")
         journal.transition(claimed.map(_._1), FileStatus.Error, now)
         ProcessReport(claimed.size, 0, claimed.size, 0L, 0L)
     }

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import graft.schema.Schemas
+
+/** The streaming analytics surface (SURVEY §2.3 "Streaming"): the reference
+  * has only crude micro-batching (B3) with no event-time semantics; a
+  * complete engine exposes watermarked event-time windows and streaming
+  * ingest. Both queries here run on any streaming source; tests drive them
+  * with file sources over fixture dirs.
+  *
+  * 100 TB / always-on design: state is bounded by the watermark (late data
+  * beyond 10 min is dropped, window state evicted), aggregation state is
+  * per (window, key) — independent of input rate; checkpointing gives
+  * exactly-once output into the parquet sink.
+  */
+object StreamingAnalytics {
+
+  /** Watermarked tumbling-window OHLC over a ticker stream — the streaming
+    * twin of [[graft.queries.AnalyticsQueries.wTimeBucketOhlc]] and the
+    * flagship Grafana shape the reference delegates to ClickHouse.
+    */
+  def windowedOhlc(ticks: DataFrame,
+      window_ : String = "1 minute", watermark: String = "10 minutes"): DataFrame =
+    ticks
+      .withWatermark("transactionTime", watermark)
+      .groupBy(window(col("transactionTime"), window_), col("ticker"))
+      .agg(
+        min_by(col("price"), col("transactionTime")).as("open"),
+        max("price").as("high"),
+        min("price").as("low"),
+        max_by(col("price"), col("transactionTime")).as("close"),
+        count(lit(1)).as("n_ticks"),
+        sum("size").as("volume"))
+      .select(col("window.start").as("bucket_start"), col("ticker"),
+        col("open"), col("high"), col("low"), col("close"), col("n_ticks"), col("volume"))
+
+  /** Streaming CSV ingest: the always-on twin of the batch hot path
+    * (`TickerIngest`) — file-source discovery of ticker CSVs under
+    * `root/<date>/`, schema-validated, appended to the warehouse parquet
+    * exactly-once via the checkpoint. maxFilesPerTrigger mirrors the
+    * reference's 8192-file flush cap (B3).
+    */
+  def ingestStream(spark: SparkSession, dataRoot: String, warehouseDir: String,
+      checkpointDir: String, maxFilesPerTrigger: Int = 8192,
+      trigger: Trigger = Trigger.ProcessingTime("15 seconds")): StreamingQuery = {
+    val ticks = spark.readStream
+      .schema(Schemas.tickerWithCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .csv(s"$dataRoot/*/")
+      .withColumn("filename", element_at(split(input_file_name(), "/"), -1))
+      .withColumn("file_date",
+        to_date(regexp_extract(col("filename"), "(\\d{4}-\\d{2}-\\d{2})", 1)))
+    ticks.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("file_date")
+      .trigger(trigger)
+      .format("parquet")
+      .option("path", warehouseDir)
+      .outputMode(OutputMode.Append)
+      .start()
+  }
+
+  /** Run a windowed OHLC query over a ticker stream into a parquet sink
+    * (append mode: windows finalize when the watermark passes).
+    */
+  def ohlcStream(spark: SparkSession, dataRoot: String, outDir: String,
+      checkpointDir: String, window_ : String = "1 minute",
+      watermark: String = "10 minutes",
+      trigger: Trigger = Trigger.ProcessingTime("15 seconds")): StreamingQuery = {
+    val ticks = spark.readStream
+      .schema(Schemas.ticker)
+      .option("mode", "DROPMALFORMED")
+      .csv(s"$dataRoot/*/")
+    windowedOhlc(ticks, window_, watermark)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .format("parquet")
+      .option("path", outDir)
+      .outputMode(OutputMode.Append)
+      .start()
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.StreamingAnalytics
+
+/** Streaming ingest + watermarked windowed aggregation e2e over file-source
+  * fixtures (the always-on twins of the batch hot path and OHLC query).
+  */
+class StreamingAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeTicks(root: String, date: String, name: String,
+      lines: Seq[String]): Unit = {
+    val dir = new java.io.File(s"$root/$date"); dir.mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/$date/$name"),
+      lines.mkString("\n").getBytes)
+    ()
+  }
+
+  private def tick(ticker: String, seq: Long, price: Double, t: String): String =
+    s"$ticker,$seq,$price,10.0,${price + 0.01},100.0,${price - 0.01},80.5,$t"
+
+  test("streaming ingest appends validated rows into the partitioned warehouse") {
+    val root = tmpDir("singest")
+    val wh = tmpDir("swh")
+    writeTicks(root, "2024-03-14", "AVA-USDT_PST_2024-03-14", Seq(
+      tick("AVA-USDT", 1, 0.61, "2024-03-14T12:00:01.000"),
+      "BROKEN,LINE",
+      tick("AVA-USDT", 2, 0.62, "2024-03-14T12:00:02.000")))
+    val q = StreamingAnalytics.ingestStream(spark, root, wh, tmpDir("sck"),
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      val got = spark.read.parquet(wh)
+      assert(got.count() == 2) // corrupt line dropped
+      assert(got.select("file_date").distinct().as[java.sql.Date].head() == dt("2024-03-14"))
+      // new file in a new date dir arrives → exactly-once append
+      writeTicks(root, "2024-03-15", "AVA-USDT_PST_2024-03-15",
+        Seq(tick("AVA-USDT", 3, 0.63, "2024-03-15T09:00:00.000")))
+      q.processAllAvailable()
+      assert(spark.read.parquet(wh).count() == 3)
+      q.processAllAvailable() // no new files → no duplicates
+      assert(spark.read.parquet(wh).count() == 3)
+    } finally q.stop()
+  }
+
+  test("watermarked windowed OHLC finalizes windows as the watermark advances") {
+    val root = tmpDir("sohlc")
+    val out = tmpDir("sohlcOut")
+    writeTicks(root, "2024-03-14", "batch1", Seq(
+      tick("AVA-USDT", 1, 0.50, "2024-03-14T12:00:05.000"),
+      tick("AVA-USDT", 2, 0.70, "2024-03-14T12:00:20.000"),
+      tick("AVA-USDT", 3, 0.60, "2024-03-14T12:00:50.000"),
+      tick("BTC-USDT", 4, 100.0, "2024-03-14T12:00:30.000")))
+    val q = StreamingAnalytics.ohlcStream(spark, root, out, tmpDir("sohlcCk"),
+      window_ = "1 minute", watermark = "0 seconds", trigger = Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      // second batch far in the future pushes the watermark past 12:01 →
+      // the 12:00 windows finalize and emit
+      writeTicks(root, "2024-03-14", "batch2",
+        Seq(tick("AVA-USDT", 5, 0.99, "2024-03-14T13:00:00.000")))
+      q.processAllAvailable()
+      val got = spark.read.parquet(out)
+      val ava = got.filter(col("ticker") === "AVA-USDT" &&
+        col("bucket_start") === ts("2024-03-14 12:00:00")).collect()
+      assert(ava.length == 1)
+      val r = ava.head
+      assert(r.getAs[Double]("open") == 0.50)
+      assert(r.getAs[Double]("high") == 0.70)
+      assert(r.getAs[Double]("low") == 0.50)
+      assert(r.getAs[Double]("close") == 0.60)
+      assert(r.getAs[Long]("n_ticks") == 3)
+      assert(got.filter(col("ticker") === "BTC-USDT").count() == 1)
+    } finally q.stop()
+  }
+}
