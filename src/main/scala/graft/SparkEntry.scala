@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsQueries => AQ, RelationalQueries => RQ}
+import graft.queries.{AnalyticsQueries => AQ, RelationalQueries => RQ, SqlQueries => SQ}
 import graft.operators.{DedupOps, MultimodalOps, SimilarityOps}
 import graft.functions.TextOps
 
@@ -47,6 +47,11 @@ object SparkEntry {
     "w_time_bucket_ohlc" -> (AQ.wTimeBucketOhlc _),
     "g_rollup"          -> (AQ.gRollup _),
     "g_distinct_agg"    -> (AQ.gDistinctAgg _),
+    // SQL-string entry surface (parser -> Catalyst path)
+    "sql_q6"            -> (SQ.sqlQ6 _),
+    "sql_set_intersect" -> (SQ.sqlIntersect _),
+    "sql_exists"        -> (SQ.sqlExists _),
+    "sql_having"        -> (SQ.sqlHaving _),
     // Training-data pipeline: dedup
     "d_exact_dedup"     -> (DedupOps.exactDedup _),
     "d_ngram_jaccard"   -> ((s, d) => DedupOps.ngramJaccardPairs(s, d)),
@@ -93,6 +98,10 @@ object SparkEntry {
     "w_time_bucket_ohlc" -> AQ.wTimeBucketOhlcSql,
     "g_rollup"          -> AQ.gRollupSql,
     "g_distinct_agg"    -> AQ.gDistinctAggSql,
+    "sql_q6"            -> SQ.sqlQ6Sql,
+    "sql_set_intersect" -> SQ.sqlIntersectSql,
+    "sql_exists"        -> SQ.sqlExistsSql,
+    "sql_having"        -> SQ.sqlHavingSql,
     "d_exact_dedup"     -> DedupOps.exactDedupSql,
     "d_ngram_jaccard"   -> DedupOps.ngramJaccardSql,
     "d_minhash_lsh"     -> DedupOps.minhashLshSql,

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.sinks.{ExternalSink, JdbcSink, JdbcSinkConfig, ParquetSink}
+
+/** ExternalSink contract through the testable ParquetSink (the JDBC impl
+  * shares the trait; no DB server exists in this harness, so its append path
+  * is compile-checked and its config mirrors the reference's DatabaseConfig).
+  */
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("A7/A10/A11 passthroughs: append, count, truncate") {
+    val sink: ExternalSink = new ParquetSink(tmpDir("sink"))
+    assert(sink.count(spark) == 0)
+    sink.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    sink.append(Seq((3L, "c")).toDF("id", "v"))
+    assert(sink.count(spark) == 3)
+    sink.truncate(spark)
+    assert(sink.count(spark) == 0)
+  }
+
+  test("streamFrom attaches the sink to a stream exactly-once") {
+    val root = tmpDir("sinkStream")
+    new java.io.File(s"$root/d").mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/d/f1.csv"), "1,x\n2,y".getBytes)
+    val sink = new ParquetSink(tmpDir("sinkOut"))
+    val stream = spark.readStream
+      .schema("id LONG, v STRING")
+      .csv(s"$root/*/")
+    val q = sink.streamFrom(stream, tmpDir("sinkCk"), Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      assert(sink.count(spark) == 2)
+      q.processAllAvailable() // no new data, no dups
+      assert(sink.count(spark) == 2)
+    } finally q.stop()
+  }
+
+  test("JdbcSink config carries the reference's tuning shape") {
+    val cfg = JdbcSinkConfig("jdbc:clickhouse://localhost:8123/db", "tickers_data", "u", "p")
+    assert(cfg.batchSize == 100000 && cfg.numPartitions == 32)
+    new JdbcSink(cfg) // constructible; wire path needs a live server
+  }
+}
