@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{AnalyticsQueries => AQ, RelationalQueries => RQ, SqlQueries => SQ}
-import graft.operators.{DedupOps, MultimodalOps, SimilarityOps}
+import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TimeSeriesOps}
 import graft.functions.TextOps
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
@@ -47,6 +47,9 @@ object SparkEntry {
     "w_time_bucket_ohlc" -> (AQ.wTimeBucketOhlc _),
     "g_rollup"          -> (AQ.gRollup _),
     "g_distinct_agg"    -> (AQ.gDistinctAgg _),
+    // Time-series extensions (as-of join, sessionization)
+    "ts_asof_join"      -> (TimeSeriesOps.asofQuery _),
+    "ts_sessionize"     -> ((s, d) => TimeSeriesOps.sessionize(s, d)),
     // SQL-string entry surface (parser -> Catalyst path)
     "sql_q6"            -> (SQ.sqlQ6 _),
     "sql_set_intersect" -> (SQ.sqlIntersect _),
@@ -98,6 +101,8 @@ object SparkEntry {
     "w_time_bucket_ohlc" -> AQ.wTimeBucketOhlcSql,
     "g_rollup"          -> AQ.gRollupSql,
     "g_distinct_agg"    -> AQ.gDistinctAggSql,
+    "ts_asof_join"      -> TimeSeriesOps.asofQuerySql,
+    "ts_sessionize"     -> TimeSeriesOps.sessionizeSql(),
     "sql_q6"            -> SQ.sqlQ6Sql,
     "sql_set_intersect" -> SQ.sqlIntersectSql,
     "sql_exists"        -> SQ.sqlExistsSql,

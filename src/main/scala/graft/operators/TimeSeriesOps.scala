@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Time-series operators beyond the reference's surface — the shapes a
+  * ticker engine is actually queried with (SURVEY §2.3 notes the reference
+  * has no as-of/range joins; a complete engine provides them).
+  *
+  * [[asofJoin]] uses the union-and-carry-forward plan: tag both sides, sort
+  * within key by (time, side-order), carry the right side's last values
+  * forward with a running window. ONE shuffle on the key — same cost as a
+  * plain equi-join — versus the naive range-join + per-row top-1 which is
+  * O(n·m) per key. This is the standard Spark-native as-of strategy; a
+  * custom SparkPlan could fuse the sort, but the window formulation already
+  * gets codegen + a single exchange, so it stays declarative.
+  */
+object TimeSeriesOps {
+
+  /** Generic as-of join: for each left row, attach the most recent right row
+    * with the same key and `rightTime <= leftTime`.
+    *
+    * @param left      probe side (e.g. trades)
+    * @param right     reference side (e.g. quotes); columns other than
+    *                  key/time are carried over (null when no match yet)
+    * @param key       equi-join key column name (present on both sides)
+    * @param leftTime  event-time column on `left`
+    * @param rightTime event-time column on `right`
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    val carried = right.columns.filter(c => c != key && c != rightTime)
+    val l = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(1))
+      .withColumns(carried.map(c => s"_r_$c" -> lit(null).cast(right.schema(c).dataType)).toMap)
+      .withColumn("_rt", lit(null).cast(right.schema(rightTime).dataType))
+    val r = right
+      .withColumn("_t", col(rightTime))
+      .withColumn("_side", lit(0))
+      .withColumns(carried.map(c => s"_r_$c" -> col(c)).toMap)
+      .withColumn("_rt", col(rightTime))
+      .drop(right.columns.filter(_ != key): _*)
+    val unioned = l.select(
+      (Seq(col(key), col("_t"), col("_side"), col("_rt")) ++
+        left.columns.filterNot(_ == key).map(col) ++
+        carried.map(c => col(s"_r_$c"))): _*)
+      .unionByName(r.select(
+        (Seq(col(key), col("_t"), col("_side"), col("_rt")) ++
+          left.columns.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          carried.map(c => col(s"_r_$c"))): _*))
+    // right rows (side 0) sort before left rows at the same timestamp → a
+    // quote at exactly the trade's time matches (<=, like DuckDB ASOF)
+    val w = Window.partitionBy(key).orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCarry = carried.foldLeft(
+      unioned.withColumn("_asof_t", last(when(col("_side") === 0, col("_rt")), ignoreNulls = true).over(w))
+    ) { (df, c) =>
+      df.withColumn(s"_r_$c", last(when(col("_side") === 0, col(s"_r_$c")), ignoreNulls = true).over(w))
+    }
+    withCarry.filter(col("_side") === 1)
+      .select(
+        (Seq(col(key)) ++
+          left.columns.filterNot(_ == key).map(col) ++
+          Seq(col("_asof_t").as(s"asof_$rightTime")) ++
+          carried.map(c => col(s"_r_$c").as(s"asof_$c"))): _*)
+  }
+
+  /** Oracle-checked as-of query over `events`: for each 'purchase' event,
+    * the user's most recent prior (or simultaneous) 'click' event. DuckDB
+    * verifies with its native ASOF JOIN.
+    */
+  def asofQuery(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    asofJoin(purchases, clicks, "user_id", "ts", "click_ts")
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("asof_click_id").as("click_id"))
+      .orderBy("event_id")
+  }
+  val asofQuerySql: String =
+    """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
+      |p AS (SELECT user_id, event_id, ts, value FROM ev WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts AS click_ts, event_id AS click_id FROM ev WHERE event_type = 'click')
+      |SELECT p.user_id, p.event_id, p.value, c.click_id
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+      |ORDER BY p.event_id""".stripMargin
+
+  /** Sessionization: split each user's event stream into sessions at
+    * inactivity gaps > `gapMinutes`. The lag + running-sum-of-boundaries
+    * plan is one shuffle on user_id; session_window() is the streaming twin.
+    */
+  def sessionize(s: SparkSession, d: String, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("_prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("_new_session",
+        when(col("_prev").isNull ||
+          col("ts").cast("long") - col("_prev").cast("long") > gapMinutes * 60L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("_new_session")).over(run))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_seq")
+  }
+  def sessionizeSql(gapMinutes: Int = 30): String =
+    s"""WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+       |lagged AS (SELECT user_id, event_id, ts,
+       |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM ev),
+       |marked AS (SELECT user_id, event_id, ts,
+       |  CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > ${gapMinutes * 60}
+       |       THEN 1 ELSE 0 END AS new_session FROM lagged),
+       |numbered AS (SELECT user_id, event_id, ts,
+       |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM marked)
+       |SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
+       |  count(*) AS n_events
+       |FROM numbered GROUP BY user_id, session_seq
+       |ORDER BY user_id, session_seq""".stripMargin
+}
