@@ -47,6 +47,8 @@ object SparkEntry {
     "w_time_bucket_ohlc" -> (AQ.wTimeBucketOhlc _),
     "g_rollup"          -> (AQ.gRollup _),
     "g_distinct_agg"    -> (AQ.gDistinctAgg _),
+    "g_cube"            -> (AQ.gCube _),
+    "g_pivot"           -> (AQ.gPivot _),
     // Time-series extensions (as-of join, sessionization)
     "ts_asof_join"      -> (TimeSeriesOps.asofQuery _),
     "ts_sessionize"     -> ((s, d) => TimeSeriesOps.sessionize(s, d)),
@@ -101,6 +103,8 @@ object SparkEntry {
     "w_time_bucket_ohlc" -> AQ.wTimeBucketOhlcSql,
     "g_rollup"          -> AQ.gRollupSql,
     "g_distinct_agg"    -> AQ.gDistinctAggSql,
+    "g_cube"            -> AQ.gCubeSql,
+    "g_pivot"           -> AQ.gPivotSql,
     "ts_asof_join"      -> TimeSeriesOps.asofQuerySql,
     "ts_sessionize"     -> TimeSeriesOps.sessionizeSql(),
     "sql_q6"            -> SQ.sqlQ6Sql,

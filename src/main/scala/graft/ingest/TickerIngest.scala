@@ -53,7 +53,10 @@ object TickerIngest {
     * we preserve them for reprocessing).
     */
   def corruptRows(df: DataFrame): DataFrame =
-    df.filter(col("_corrupt_record").isNotNull)
+    // the tautological ticker reference defeats QUERY_ONLY_CORRUPT_RECORD_COLUMN
+    // (the analysis check fires when _corrupt_record is the only data column)
+    df.filter(col("_corrupt_record").isNotNull &&
+        (col("ticker").isNull || col("ticker").isNotNull))
       .select("filename", "file_date", "_corrupt_record")
 
   /** Load `paths` into the warehouse (parquet partitioned by file_date) and
@@ -68,32 +71,32 @@ object TickerIngest {
     // second CSV parse for the metadata-sized outcome aggregate is cheaper
     // than materializing the full dataset (measured locally too).
     val df = read(spark, paths)
-    validRows(df)
-      .write.mode(SaveMode.Append)
-      .partitionBy("file_date")
-      .parquet(warehouseDir)
-    quarantineDir.foreach(q =>
-      corruptRows(df).write.mode(SaveMode.Append).parquet(q))
-    // PERMISSIVE corrupt detection only sees type errors in columns the
-    // scan actually parses; with pruning the outcome agg would parse just
-    // one column and under-count corrupt rows. Disable CSV-parser pruning
-    // for this one eager collect (full-row validation, like the write).
+    // PERMISSIVE corrupt detection only sees type errors in columns the scan
+    // actually parses; under column pruning the quarantine write and outcome
+    // agg would parse 1-2 columns and under-detect corruption. Disable CSV
+    // parser pruning for the whole ingest (the main write reads every column
+    // anyway, so it loses nothing).
     val pruneKey = "spark.sql.csv.parser.columnPruning.enabled"
     val oldPrune = spark.conf.get(pruneKey, "true")
     spark.conf.set(pruneKey, "false")
-    // the `ticker` reference satisfies the QUERY_ONLY_CORRUPT_RECORD_COLUMN
-    // analysis check (it fires whenever _corrupt_record is the only data
-    // column referenced); with pruning disabled the parser still validates
-    // the full row, so the counts match the write's validation
-    val outcomes =
-      try df.filter(col("ticker").isNotNull || col("ticker").isNull)
+    try {
+      validRows(df)
+        .write.mode(SaveMode.Append)
+        .partitionBy("file_date")
+        .parquet(warehouseDir)
+      quarantineDir.foreach(q =>
+        corruptRows(df).write.mode(SaveMode.Append).parquet(q))
+      // the tautological `ticker` reference satisfies the
+      // QUERY_ONLY_CORRUPT_RECORD_COLUMN analysis check (it fires whenever
+      // _corrupt_record is the only data column referenced)
+      val outcomes = df.filter(col("ticker").isNotNull || col("ticker").isNull)
         .groupBy("filename")
         .agg(
           sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("rows"),
           sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("corrupt_rows"))
         .as[FileOutcome].collect().toSeq
-      finally spark.conf.set(pruneKey, oldPrune)
-    IngestReport(outcomes, outcomes.map(_.rows).sum, outcomes.map(_.corrupt_rows).sum)
+      IngestReport(outcomes, outcomes.map(_.rows).sum, outcomes.map(_.corrupt_rows).sum)
+    } finally spark.conf.set(pruneKey, oldPrune)
   }
 
   /** The loaded warehouse as a DataFrame (partition-pruned on file_date). */
