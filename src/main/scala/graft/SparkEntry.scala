@@ -31,6 +31,7 @@ object SparkEntry {
     "b7_case_transition" -> (RQ.b7CaseTransition _),
     "b8_group_collect_set" -> (RQ.b8GroupCollectSet _),
     "b10_topk"          -> (RQ.b10TopK _),
+    "j_full_outer"      -> (RQ.jFullOuter _),
     "set_except"        -> (RQ.setExcept _),
     "set_union"         -> (RQ.setUnion _),
     // Scalar function surface (SURVEY §2.3)
@@ -89,6 +90,7 @@ object SparkEntry {
     "b7_case_transition" -> RQ.b7CaseTransitionSql,
     "b8_group_collect_set" -> RQ.b8GroupCollectSetSql,
     "b10_topk"          -> RQ.b10TopKSql,
+    "j_full_outer"      -> RQ.jFullOuterSql,
     "set_except"        -> RQ.setExceptSql,
     "set_union"         -> RQ.setUnionSql,
     "f_string_ops"      -> RQ.fStringOpsSql,

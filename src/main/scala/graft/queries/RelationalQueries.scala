@@ -293,4 +293,23 @@ object RelationalQueries {
       |    CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * 100 + 0.5) AS BIGINT) // 100,
       |    CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * 100 + 0.5) AS BIGINT) % 100) AS net_price
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Outer-join family completion: customers FULL OUTER their big-order
+    * counts (left-only rows = customers without a 400k+ order; the operator
+    * exercises both null sides even where referential integrity empties one).
+    */
+  def jFullOuter(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+    val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_big"))
+    c.join(big, c("c_custkey") === big("o_custkey"), "full_outer")
+      .select(col("c_custkey"), col("c_name"), col("n_big"))
+      .orderBy(col("c_custkey").asc_nulls_first)
+  }
+  val jFullOuterSql: String =
+    """SELECT c_custkey, c_name, n_big FROM customer
+      |FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_big FROM orders
+      |                 WHERE o_totalprice > 400000 GROUP BY o_custkey) b
+      |ON c_custkey = b.o_custkey
+      |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin
 }
