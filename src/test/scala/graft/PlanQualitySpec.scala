@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.queries.{AnalyticsQueries, RelationalQueries}
+
+/** Plan-quality regressions: these assertions pin the physical-plan
+  * properties that make the queries scale (filter pushdown to parquet,
+  * column pruning, broadcast of dimension sides, top-k without global sort,
+  * whole-stage codegen) — if a refactor silently loses one, this suite
+  * fails even though results stay correct.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private def physicalPlan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("filters are pushed into the parquet scan (a2, a3)") {
+    val p = formatted(RelationalQueries.a3PointLookup(spark, sf0001))
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("EqualTo(o_orderkey,42)"), p)
+  }
+
+  test("column pruning: q1 reads only the 5 needed lineitem columns") {
+    val p = formatted(AnalyticsQueries.q1PricingSummary(spark, sf0001))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_returnflag") && read.contains("l_quantity"))
+    assert(!read.contains("l_orderkey") && !read.contains("l_partkey"), read)
+  }
+
+  test("q3/q5 join dimension sides by broadcast") {
+    assert(physicalPlan(AnalyticsQueries.q3ShippingPriority(spark, sf0001))
+      .contains("BroadcastHashJoin"))
+    assert(physicalPlan(AnalyticsQueries.q5LocalSupplier(spark, sf0001))
+      .contains("BroadcastHashJoin"))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    assert(physicalPlan(RelationalQueries.b10TopK(spark, sf0001))
+      .contains("TakeOrderedAndProject"))
+  }
+
+  test("semi/anti joins plan as join semantics, not materialized subqueries") {
+    val semi = physicalPlan(RelationalQueries.a1SemiJoin(spark, sf0001))
+    assert(semi.contains("LeftSemi"), semi)
+    val anti = physicalPlan(RelationalQueries.b6AntiJoin(spark, sf0001))
+    assert(anti.contains("LeftAnti"), anti)
+  }
+
+  test("q1 aggregation is covered by whole-stage codegen") {
+    // AQE finalizes the plan only on execution
+    val df = AnalyticsQueries.q1PricingSummary(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // AQE wraps materialized stages so WholeStageCodegenExec nodes don't
+    // surface via collect(); the *(n) markers in the plan string are the
+    // codegen span ids
+    assert(plan.toString.contains("*("), plan.toString)
+  }
+
+  test("partitioned warehouse prunes partitions on file_date") {
+    import spark.implicits._
+    val wh = tmpDir("prune") + "/data"
+    Seq(("A", "2024-03-14"), ("B", "2024-03-15"), ("C", "2024-03-16"))
+      .toDF("ticker", "fd")
+      .select(col("ticker"), col("fd").cast("date").as("file_date"))
+      .write.partitionBy("file_date").parquet(wh)
+    val pruned = spark.read.parquet(wh)
+      .filter(col("file_date") === lit(dt("2024-03-15")))
+    val scan = formatted(pruned)
+    val pf = scan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("file_date"), scan) // pruning predicate reached the scan
+    // and the executed scan reads exactly one of the three partition dirs
+    pruned.collect()
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numFiles")).map(_.value).sum
+    assert(scanned == 1, s"scanned $scanned files")
+  }
+
+  test("bucketed co-located join needs no shuffle exchange") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // a previously-failed run can leave orphan managed-table dirs behind
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      def rec(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rec)
+        f.delete(); ()
+      }
+      if (dir.exists) rec(dir)
+    }
+    Tables.orders(spark, sf0001)
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("b_orders")
+    Tables.lineitem(spark, sf0001)
+      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("b_lineitem")
+    // force the shuffle-join path (tiny test tables would auto-broadcast)
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, "-1")
+    try {
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      val p = physicalPlan(joined)
+      // bucketing co-locates both sides: the join runs as SMJ with no
+      // shuffle exchange on either key (only the final agg exchanges)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey"), p)
+      assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p)
+      assert(joined.collect().nonEmpty)
+    } finally spark.conf.set(thresholdKey, old)
+  }
+}
