@@ -3,7 +3,6 @@ package graft.journal
 import java.sql.{Date, Timestamp}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.schema.{FileStatus, Schemas}
 
 /** The metadata journal — our native replacement for the reference's
@@ -53,14 +52,21 @@ class TickerFileJournal(spark: SparkSession, dir: String) {
       .coalesce(1) // journal batches are tiny metadata; one file per batch
       .write.mode(SaveMode.Append).parquet(dir)
 
-  /** Latest-wins view — one row per filename with its current status. */
-  def current: DataFrame = {
-    val w = Window.partitionBy("filename")
-      .orderBy(col("updated_at").desc, col("batch_seq").desc)
-    events.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn", "batch_seq")
-  }
+  /** Latest-wins view — one row per filename with its current status.
+    * Formulated as max_by over (updated_at, batch_seq) rather than a
+    * row_number window: an aggregate gets map-side partial combine, so the
+    * shuffle carries one row per file per map task instead of the full
+    * event history — the difference between O(events) and O(files) shuffle
+    * bytes as history accumulates between [[compact]]s.
+    */
+  def current: DataFrame =
+    events
+      .groupBy("filename")
+      .agg(max_by(
+        struct(col("create_date"), col("status"), col("updated_at")),
+        struct(col("updated_at"), col("batch_seq"))).as("_latest"))
+      .select(col("filename"), col("_latest.create_date"),
+        col("_latest.status"), col("_latest.updated_at"))
 
   /** B6 — journal the unseen subset of `candidates(filename, create_date)`
     * as DISCOVERED (anti-join dedup,
