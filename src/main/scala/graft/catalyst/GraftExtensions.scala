@@ -1,0 +1,45 @@
+package graft.catalyst
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registers the native expressions as SQL functions, making the text
+  * surface (`spark.sql("SELECT simhash32(...)")`) first-class.
+  *
+  * Two entry points:
+  *  - `spark.sql.extensions=graft.catalyst.GraftExtensions` at session build
+  *    (the SparkSessionExtensions path, for clusters);
+  *  - [[GraftExtensions.register]] on a live session (for libraries/tests).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.catalyst.HashExpressions", null, name, usage, "")
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("simhash32",
+      info("simhash32", "simhash32(tokens) - 32-bit SimHash of an array<string>"),
+      (es: Seq[Expression]) => SimHash32(es.head)),
+    ("minhash_signature",
+      info("minhash_signature", "minhash_signature(shingles, k) - k-wide md5 MinHash signature"),
+      (es: Seq[Expression]) => MinHashSignature(es.head,
+        es(1).eval().asInstanceOf[Number].intValue())),
+    ("shingles3",
+      info("shingles3", "shingles3(tokens) - distinct 3-word shingles"),
+      (es: Seq[Expression]) => Shingles3(es.head, distinct = true)),
+  )
+
+  /** Runtime registration on an existing session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}

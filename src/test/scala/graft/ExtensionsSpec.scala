@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.catalyst.{GraftExtensions, HashFunctions}
+import graft.journal.TickerFileJournal
+import graft.schema.FileStatus
+
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native expressions answer from SQL text after registration") {
+    GraftExtensions.register(spark)
+    Seq("the quick brown fox", "the quick brown dog")
+      .toDF("text").createOrReplaceTempView("ext_docs")
+    val sql = spark.sql(
+      """SELECT simhash32(split(text, ' ')) AS sh,
+        |       minhash_signature(shingles3(split(text, ' ')), 4) AS sig
+        |FROM ext_docs""".stripMargin).collect()
+    // must equal the Column-API form exactly
+    val api = Seq("the quick brown fox", "the quick brown dog").toDF("text")
+      .select(HashFunctions.simhash32(split(col("text"), " ")).as("sh"),
+        HashFunctions.minhash_signature(
+          HashFunctions.shingles3(split(col("text"), " "), distinct = true), 4).as("sig"))
+      .collect()
+    assert(sql.map(_.getLong(0)).toSeq == api.map(_.getLong(0)).toSeq)
+    assert(sql.map(_.getSeq[String](1)).toSeq == api.map(_.getSeq[String](1)).toSeq)
+    // near-identical docs differ in few simhash bits
+    val Seq(a, b) = sql.map(_.getLong(0)).toSeq
+    assert(java.lang.Long.bitCount(a ^ b) <= 16)
+  }
+
+  test("extensions class builds a session with the functions injected") {
+    // verify the SparkSessionExtensions path composes (builder-level config)
+    val ext = new GraftExtensions
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    ext(e) // no-throw: all three functions inject
+  }
+
+  test("journal survives a process restart (new instance, same dir)") {
+    val dir = tmpDir("restartJournal")
+    val j1 = new TickerFileJournal(spark, dir)
+    j1.appendDiscovered(
+      Seq(("f1", "2024-08-07")).toDF("filename", "cd")
+        .select(col("filename"), col("cd").cast("date").as("create_date")),
+      ts("2024-08-08 10:00:00"))
+    j1.transition(Seq("f1"), FileStatus.ReadyForProcessing, ts("2024-08-08 10:01:00"))
+    // "restart": a fresh instance over the same directory
+    val j2 = new TickerFileJournal(spark, dir)
+    assert(j2.statusOf("f1").contains(FileStatus.ReadyForProcessing))
+    // transitions continue with monotonic batch_seq across instances
+    j2.transition(Seq("f1"), FileStatus.InProgress, ts("2024-08-08 10:02:00"))
+    assert(j2.statusOf("f1").contains(FileStatus.InProgress))
+    assert(j2.countFiles() == 1)
+  }
+}
