@@ -68,6 +68,7 @@ object SparkEntry {
     "s_cosine_neardup"  -> ((s, d) => SimilarityOps.cosineNearDup(s, d)),
     "s_ann_brute"       -> (SimilarityOps.annBruteForce _),
     "s_ann_lsh"         -> (SimilarityOps.annLsh _),
+    "s_ann_ivf"         -> (SimilarityOps.annIvf _),
     // Training-data pipeline: text analysis
     "t_langid"          -> (TextOps.langIdDf _),
     "t_quality"         -> (TextOps.qualityDf _),
@@ -121,6 +122,7 @@ object SparkEntry {
     "s_cosine_neardup"  -> SimilarityOps.cosineNearDupSql,
     "s_ann_brute"       -> SimilarityOps.annBruteForceSql,
     "s_ann_lsh"         -> SimilarityOps.annLshSql,
+    "s_ann_ivf"         -> SimilarityOps.annIvfSql,
     "t_langid"          -> TextOps.langIdSql,
     "t_quality"         -> TextOps.qualitySql,
     "t_token_count"     -> TextOps.tokenCountSql,

@@ -149,4 +149,86 @@ object SimilarityOps {
        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk FROM scored)
        |SELECT q_id, rnk, c_id, cos FROM ranked WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
   }
+
+  val IvfProbes = 2
+
+  /** Per-cell centroids with exact cross-engine arithmetic: each component is
+    * CAST(sum(decimal(20,8)) AS DOUBLE)/count — order-insensitive, so Spark's
+    * partial aggregation and DuckDB's single-threaded sum agree bitwise.
+    * `label` is the coarse-quantizer cell assignment (at scale: k-means run
+    * offline, assignments stored exactly like this column).
+    */
+  private def centroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("j", "x")))
+      .groupBy("label", "j")
+      .agg((sum(col("x").cast("decimal(20,8)")).cast("double") / count(lit(1))).as("c"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("c")))),
+        e => e.getField("c")).as("centroid"))
+
+  /** IVF ANN: rank the [[IvfProbes]] nearest cells by query→centroid cosine,
+    * then exact-search only those cells' members. The classic two-level
+    * index: centroid table is tiny (broadcast), per-query work is
+    * O(cells + probed members) instead of O(n).
+    */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.fanOut(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("eq"), col("nrm").as("nq"))
+    val cent = centroids(s, d)
+      .select(col("label"), col("centroid"),
+        sqrt(aggregate(transform(col("centroid"), x => x * x), lit(0.0), (a, x) => a + x))
+          .as("cnorm"))
+    // probe selection: top cells per query by rounded centroid cosine
+    val qc = q.crossJoin(broadcast(cent))
+      .withColumn("ccos", round(
+        aggregate(zip_with(col("eq"), col("centroid"), (x, w) => x.cast("double") * w),
+          lit(0.0), (a, x) => a + x) / (col("nq") * col("cnorm")), 4))
+    val wCell = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("label"))
+    val probes = qc.withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= IvfProbes)
+      .select(col("q_id"), col("eq"), col("nq"), col("label"))
+    // exact search within probed cells only
+    val c = e.select(col("vec_id").as("c_id"), col("label"),
+      col("embedding").as("ec"), col("nrm").as("nc"))
+    val scored = probes.join(c, Seq("label")).filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", round(dot(col("eq"), col("ec")) / (col("nq") * col("nc")), 4))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select("q_id", "rnk", "c_id", "cos")
+      .orderBy("q_id", "rnk")
+  }
+  def annIvfSql: String =
+    s"""WITH cent AS (
+       |  SELECT label, list(c ORDER BY j) AS centroid FROM (
+       |    SELECT label, j, CAST(sum(CAST(embedding[j] AS DECIMAL(20,8))) AS DOUBLE) / count(*) AS c
+       |    FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS j)
+       |    GROUP BY label, j)
+       |  GROUP BY label),
+       |cn AS (SELECT label, centroid,
+       |  sqrt(list_sum(list_transform(centroid, x -> x * x))) AS cnorm FROM cent),
+       |e AS (SELECT vec_id, label, embedding,
+       |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS eq, nrm AS nq FROM e WHERE vec_id < $NumQueries),
+       |qc AS (SELECT q_id, eq, nq, cn.label,
+       |  round(list_sum(list_transform(generate_series(1, $Dim),
+       |        i -> eq[i]::DOUBLE * centroid[i])) / (nq * cnorm), 4) AS ccos
+       |  FROM q CROSS JOIN cn),
+       |probes AS (SELECT q_id, eq, nq, label FROM (
+       |  SELECT q_id, eq, nq, label,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY ccos DESC, label) AS cell_rank
+       |  FROM qc) WHERE cell_rank <= $IvfProbes),
+       |scored AS (
+       |  SELECT p.q_id, e.vec_id AS c_id,
+       |    round(list_sum(list_transform(generate_series(1, $Dim),
+       |          i -> p.eq[i]::DOUBLE * e.embedding[i]::DOUBLE)) / (p.nq * e.nrm), 4) AS cos
+       |  FROM probes p JOIN e ON p.label = e.label AND p.q_id <> e.vec_id),
+       |ranked AS (SELECT q_id, c_id, cos,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk FROM scored)
+       |SELECT q_id, rnk, c_id, cos FROM ranked WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
 }
