@@ -118,7 +118,7 @@ object SparkEntry {
     "d_ngram_jaccard"   -> DedupOps.ngramJaccardSql,
     "d_minhash_lsh"     -> DedupOps.minhashLshSql,
     "d_simhash"         -> DedupOps.simhashSql,
-    // d_simhash_pairs: rows-only check (banded self-join not oracle-SQL'd)
+    "d_simhash_pairs"   -> DedupOps.simhashPairsSql,
     "s_cosine_neardup"  -> SimilarityOps.cosineNearDupSql,
     "s_ann_brute"       -> SimilarityOps.annBruteForceSql,
     "s_ann_lsh"         -> SimilarityOps.annLshSql,

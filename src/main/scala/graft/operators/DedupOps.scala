@@ -165,6 +165,27 @@ object DedupOps {
        |SELECT doc_id, sum(CASE WHEN vote > 0 THEN CAST(2 ** p AS BIGINT) ELSE 0 END) AS simhash
        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  val simhashPairsSql: String =
+    s"""WITH toks AS (SELECT doc_id, substr(md5(unnest(regexp_split_to_array(trim(text), '\\s+'))), 1, 8) AS h8
+       |             FROM documents),
+       |bits AS (
+       |  SELECT doc_id, p,
+       |    CASE p % 4 WHEN 0 THEN (strpos('0123456789abcdef', substr(h8, (p // 4) + 1, 1)) - 1) % 2
+       |               WHEN 1 THEN ((strpos('0123456789abcdef', substr(h8, (p // 4) + 1, 1)) - 1) // 2) % 2
+       |               WHEN 2 THEN ((strpos('0123456789abcdef', substr(h8, (p // 4) + 1, 1)) - 1) // 4) % 2
+       |               ELSE ((strpos('0123456789abcdef', substr(h8, (p // 4) + 1, 1)) - 1) // 8) % 2 END AS bit
+       |  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, ${SimHashBits - 1})) AS p)),
+       |votes AS (SELECT doc_id, p, sum(bit * 2 - 1) AS vote FROM bits GROUP BY 1, 2),
+       |sh AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN CAST(2 ** p AS BIGINT) ELSE 0 END) AS simhash
+       |       FROM votes GROUP BY doc_id),
+       |chunks AS (SELECT doc_id, simhash, c,
+       |  (simhash // CAST(2 ** (c * 8) AS BIGINT)) % 256 AS chunk
+       |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |  FROM chunks a JOIN chunks b ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 6 ORDER BY a_id, b_id""".stripMargin
+
   /** SimHash near-dup pairs: band on the 4 bytes of the signature (a pair
     * within small Hamming distance must agree on ≥1 byte by pigeonhole up to
     * distance 7), then verify `bit_count(xor) <= maxHamming` on candidates.
