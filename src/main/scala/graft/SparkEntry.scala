@@ -53,6 +53,7 @@ object SparkEntry {
     // Time-series extensions (as-of join, sessionization)
     "ts_asof_join"      -> (TimeSeriesOps.asofQuery _),
     "ts_sessionize"     -> ((s, d) => TimeSeriesOps.sessionize(s, d)),
+    "ts_range_join"     -> (TimeSeriesOps.rangeJoin _),
     // SQL-string entry surface (parser -> Catalyst path)
     "sql_q6"            -> (SQ.sqlQ6 _),
     "sql_set_intersect" -> (SQ.sqlIntersect _),
@@ -110,6 +111,7 @@ object SparkEntry {
     "g_pivot"           -> AQ.gPivotSql,
     "ts_asof_join"      -> TimeSeriesOps.asofQuerySql,
     "ts_sessionize"     -> TimeSeriesOps.sessionizeSql(),
+    "ts_range_join"     -> TimeSeriesOps.rangeJoinSql,
     "sql_q6"            -> SQ.sqlQ6Sql,
     "sql_set_intersect" -> SQ.sqlIntersectSql,
     "sql_exists"        -> SQ.sqlExistsSql,

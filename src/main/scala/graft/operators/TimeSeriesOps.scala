@@ -127,4 +127,31 @@ object TimeSeriesOps {
        |  count(*) AS n_events
        |FROM numbered GROUP BY user_id, session_seq
        |ORDER BY user_id, session_seq""".stripMargin
+
+  /** Range (interval) join: purchases matched to the same user's clicks in
+    * the following hour. Plans as an equi-join on user_id with the time
+    * range as a post-join filter — the right shape when the equi-key is
+    * selective; for key-free interval joins, sort-merge on binned time
+    * (bucket join on floor(ts/width)) is the scale path.
+    */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    p.join(c, Seq("user_id"))
+      .filter(col("c_ts") >= col("p_ts") &&
+        col("c_ts") < col("p_ts") + expr("INTERVAL 1 HOUR"))
+      .select("user_id", "purchase_id", "click_id")
+      .orderBy("purchase_id", "click_id")
+  }
+  val rangeJoinSql: String =
+    """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
+      |p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts FROM ev WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, event_id AS click_id, ts AS c_ts FROM ev WHERE event_type = 'click')
+      |SELECT p.user_id, purchase_id, click_id
+      |FROM p JOIN c ON p.user_id = c.user_id
+      | AND c_ts >= p_ts AND c_ts < p_ts + INTERVAL 1 HOUR
+      |ORDER BY purchase_id, click_id""".stripMargin
 }

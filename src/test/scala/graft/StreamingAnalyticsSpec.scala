@@ -75,4 +75,46 @@ class StreamingAnalyticsSpec extends SparkSpec {
       assert(got.filter(col("ticker") === "BTC-USDT").count() == 1)
     } finally q.stop()
   }
+
+  test("stream-stream interval join with watermarks (trade ↔ prior quote)") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val root = tmpDir("ssj")
+    writeTicks(root, "2024-03-14", "trades", Seq(
+      tick("AVA-USDT", 100, 0.61, "2024-03-14T12:00:30.000")))
+    writeTicks(root, "2024-03-14", "quotes", Seq(
+      tick("AVA-USDT", 1, 0.60, "2024-03-14T12:00:10.000"),
+      tick("AVA-USDT", 2, 0.605, "2024-03-14T12:00:25.000"),
+      tick("AVA-USDT", 3, 0.62, "2024-03-14T12:05:00.000"))) // after the trade: no match
+    def src(name: String) = spark.readStream
+      .schema(graft.schema.Schemas.ticker)
+      .option("pathGlobFilter", name)
+      .csv(s"$root/*/")
+    val trades = src("trades")
+      .select(col("ticker"), col("sequence").as("trade_seq"),
+        col("price").as("trade_px"), col("transactionTime").as("t_time"))
+      .withWatermark("t_time", "0 seconds")
+    val quotes = src("quotes")
+      .select(col("ticker").as("q_ticker"), col("sequence").as("quote_seq"),
+        col("price").as("quote_px"), col("transactionTime").as("q_time"))
+      .withWatermark("q_time", "0 seconds")
+    // each trade joins quotes from the preceding minute (interval condition
+    // bounds both watermarked state stores)
+    val joined = trades.join(quotes,
+      col("ticker") === col("q_ticker") &&
+        col("q_time") <= col("t_time") &&
+        col("q_time") > col("t_time") - org.apache.spark.sql.functions.expr("INTERVAL 1 MINUTE"))
+    val out = tmpDir("ssjOut")
+    val q = joined.writeStream
+      .option("checkpointLocation", tmpDir("ssjCk"))
+      .format("parquet").option("path", out)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.read.parquet(out)
+      assert(got.count() == 2) // quotes 1 and 2 match; quote 3 is after the trade
+      assert(got.select("quote_seq").as[Long].collect().toSet == Set(1L, 2L))
+    } finally q.stop()
+  }
 }
