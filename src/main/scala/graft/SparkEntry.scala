@@ -50,6 +50,7 @@ object SparkEntry {
     "g_distinct_agg"    -> (AQ.gDistinctAgg _),
     "g_cube"            -> (AQ.gCube _),
     "g_pivot"           -> (AQ.gPivot _),
+    "g_profile"         -> (AQ.gProfile _),
     // Time-series extensions (as-of join, sessionization)
     "ts_asof_join"      -> (TimeSeriesOps.asofQuery _),
     "ts_sessionize"     -> ((s, d) => TimeSeriesOps.sessionize(s, d)),
@@ -109,6 +110,7 @@ object SparkEntry {
     "g_distinct_agg"    -> AQ.gDistinctAggSql,
     "g_cube"            -> AQ.gCubeSql,
     "g_pivot"           -> AQ.gPivotSql,
+    "g_profile"         -> AQ.gProfileSql,
     "ts_asof_join"      -> TimeSeriesOps.asofQuerySql,
     "ts_sessionize"     -> TimeSeriesOps.sessionizeSql(),
     "ts_range_join"     -> TimeSeriesOps.rangeJoinSql,

@@ -230,4 +230,28 @@ object AnalyticsQueries {
       |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
       |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Column profiling — the data-quality summary every training pipeline
+    * runs before ingest: per-column counts, null counts, min/max, exact
+    * decimal means. One map-side-combinable aggregation pass over the table.
+    */
+  def gProfile(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("qty_nulls"),
+        min("l_quantity").as("qty_min"),
+        max("l_quantity").as("qty_max"),
+        (sum(dec(col("l_quantity"))).cast(DoubleType) / count(col("l_quantity"))).as("qty_mean"),
+        min("l_shipdate").as("ship_min"),
+        max("l_shipdate").as("ship_max"),
+        countDistinct(col("l_returnflag")).as("flag_distinct"))
+  val gProfileSql: String =
+    """SELECT count(*) AS n_rows,
+      |  sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS qty_nulls,
+      |  min(l_quantity) AS qty_min, max(l_quantity) AS qty_max,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS qty_mean,
+      |  min(l_shipdate) AS ship_min, max(l_shipdate) AS ship_max,
+      |  count(DISTINCT l_returnflag) AS flag_distinct
+      |FROM lineitem""".stripMargin
 }
