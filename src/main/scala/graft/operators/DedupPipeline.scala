@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextOps
+
+case class PipelineReport(input: Long, afterExact: Long, afterNearDup: Long,
+                          afterQuality: Long, clusters: Long)
+
+/** The end of the dedup story: near-dup PAIRS → duplicate CLUSTERS →
+  * a deduplicated corpus, composed with quality filtering into the full
+  * training-data preparation pipeline.
+  *
+  * Clustering is min-label propagation to a fixpoint (connected components):
+  * each doc repeatedly adopts the smallest id among itself and its
+  * neighbors. Iterations are driver-bounded (component diameter, log-ish
+  * with doubling via self-join of the mapping); near-dup components are
+  * tiny (pairs/triples), so 2–3 iterations close at any corpus size. Each
+  * iteration is one shuffle join — the standard Spark connected-components
+  * loop without bringing in a graph library.
+  */
+object DedupPipeline {
+
+  /** Connected components over an undirected pair list
+    * `(a_id, b_id)` → `(doc_id, cluster_id)` with cluster_id = min member id.
+    * Only docs that appear in some pair are returned.
+    */
+  def clusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col("a_id"), col("b_id"))
+      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .distinct()
+      .cache()
+    // label(x) = min neighbor (or self) — then propagate
+    var labels = edges.groupBy(col("a_id").as("doc_id"))
+      .agg(least(min(col("b_id")), first(col("a_id"))).as("cluster_id"))
+      .cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // adopt the least of: own label, neighbors' labels, and the label OF
+      // the label (pointer jumping — doubles propagation distance per
+      // iteration, so convergence is log(diameter), not diameter)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "b_id")
+          .withColumnRenamed("cluster_id", "nb_label"), Seq("b_id"))
+        .groupBy(col("a_id").as("doc_id"))
+        .agg(min(col("nb_label")).as("nb_min"))
+      val viaJump = labels
+        .join(labels.select(col("doc_id").as("cluster_id"), col("cluster_id").as("jump")),
+          Seq("cluster_id"))
+        .select(col("doc_id"), col("jump"))
+      // localCheckpoint truncates lineage: without it each iteration's plan
+      // embeds all previous ones and the query plan grows exponentially
+      // (the canonical iterative-Spark failure mode)
+      val next = labels
+        .join(viaNeighbors, Seq("doc_id"), "left")
+        .join(viaJump, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"),
+            coalesce(col("nb_min"), col("cluster_id")),
+            coalesce(col("jump"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(eager = true)
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Remove near-duplicates: keep the minimum doc_id of each cluster, keep
+    * every unpaired doc. `pairs` is any near-dup pair source (Jaccard,
+    * MinHash-LSH, SimHash, cosine).
+    */
+  def removeNearDups(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val cl = clusters(pairs)
+    docs.join(cl, Seq("doc_id"), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .drop("cluster_id")
+  }
+
+  /** The composed training-data pipeline over `documents`:
+    * exact dedup → n-gram near-dup removal → quality filter → report.
+    * Returns (cleaned corpus, report). Each stage is the already-verified
+    * operator; this wires them in the order a 100 TB run uses (cheapest
+    * filter first).
+    */
+  def prepare(s: SparkSession, d: String,
+      jaccardThreshold: Double = 0.8,
+      minTokens: Int = 5, maxStopRatio: Double = 0.9): (DataFrame, PipelineReport) = {
+    val docs = Tables.documents(s, d)
+    val input = docs.count()
+
+    // 1. exact dedup (hash groupBy — cheapest, run first)
+    val keepExact = DedupOps.exactDedup(s, d).select(col("keep_id").as("doc_id"))
+    val exactDeduped = docs.join(keepExact, Seq("doc_id"), "left_semi")
+    val afterExact = exactDeduped.count()
+
+    // 2. near-dup removal via Jaccard pairs → clusters → canonical keeper
+    val pairs = DedupOps.ngramJaccardPairs(s, d, jaccardThreshold)
+    val nClusters = clusters(pairs).select("cluster_id").distinct().count()
+    val nearDeduped = removeNearDups(exactDeduped, pairs)
+    val afterNearDup = nearDeduped.count()
+
+    // 3. quality filter (per-row projections, no shuffle)
+    val toks = TextOps.tokens(col("text"))
+    val quality = nearDeduped
+      .withColumn("_n_tokens", size(toks))
+      .withColumn("_n_stop", size(filter(toks,
+        t => t.isInCollection(Seq("the", "a", "of", "and", "in", "to", "is")))))
+      .filter(col("_n_tokens") >= minTokens &&
+        col("_n_stop").cast("double") / greatest(col("_n_tokens"), lit(1)) <= maxStopRatio)
+      .drop("_n_tokens", "_n_stop")
+    val afterQuality = quality.count()
+
+    (quality, PipelineReport(input, afterExact, afterNearDup, afterQuality, nClusters))
+  }
+}
