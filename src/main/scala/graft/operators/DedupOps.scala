@@ -162,7 +162,7 @@ object DedupOps {
        |               ELSE ((strpos('0123456789abcdef', substr(h8, (p // 4) + 1, 1)) - 1) // 8) % 2 END AS bit
        |  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, ${SimHashBits - 1})) AS p)),
        |votes AS (SELECT doc_id, p, sum(bit * 2 - 1) AS vote FROM bits GROUP BY 1, 2)
-       |SELECT doc_id, sum(CASE WHEN vote > 0 THEN CAST(2 ** p AS BIGINT) ELSE 0 END) AS simhash
+       |SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN CAST(2 ** p AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val simhashPairsSql: String =

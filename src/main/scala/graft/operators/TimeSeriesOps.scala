@@ -121,8 +121,8 @@ object TimeSeriesOps {
        |  CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > ${gapMinutes * 60}
        |       THEN 1 ELSE 0 END AS new_session FROM lagged),
        |numbered AS (SELECT user_id, event_id, ts,
-       |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM marked)
+       |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM marked)
        |SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
        |  count(*) AS n_events
        |FROM numbered GROUP BY user_id, session_seq

@@ -18,11 +18,18 @@ for t in ("region nation customer supplier part orders lineitem events "
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 declared = set(oracle)
 
+import numpy as np
+
 def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v): return "NaN"
-        return v
-    return v
+    # Type-strict: int64 5 vs float64 5.0 must FAIL (the driver hashes string
+    # forms, so DuckDB HUGEINT->float64 conversions break parity even when
+    # Python == would accept them).
+    if isinstance(v, (bool, np.bool_)): return ("b", bool(v))
+    if isinstance(v, (int, np.integer)): return ("i", int(v))
+    if isinstance(v, (float, np.floating)):
+        if math.isnan(v): return ("f", "NaN")
+        return ("f", float(v))
+    return ("o", str(v))
 
 fails, passes = [], []
 for name in sorted(oracle):
