@@ -2,7 +2,7 @@ package graft.catalyst
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -125,6 +125,45 @@ object HashUtil {
     }
     new GenericArrayData(out)
   }
+
+  /** Left-to-right Σ a[i]·b[i] with per-element double widening of float
+    * inputs — bit-identical to the interpreted
+    * `aggregate(zip_with(a, b, (x,y) => double(x)*double(y)), 0.0, _+_)`
+    * fold and to the DuckDB `list_sum(list_transform(...))` oracle, but one
+    * compiled loop instead of per-element lambda interpretation.
+    */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  def dotD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  /** Mixed float-left / double-right operands (e.g. embedding · centroid). */
+  def dotFD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  def dotDF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
 }
 
 /** Native 32-bit SimHash over an array<string> token column. One projection
@@ -153,6 +192,39 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native dot product over two array<float>/array<double> columns; same
+  * left-to-right double-widened fold as the lambda formulation (identical
+  * IEEE result), kept inside whole-stage codegen — the hot inner loop of
+  * every similarity/ANN query.
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  private def fn: String = (isFloat(left), isFloat(right)) match {
+    case (true, true)   => "dotF"
+    case (true, false)  => "dotFD"
+    case (false, true)  => "dotDF"
+    case (false, false) => "dotD"
+  }
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    fn match {
+      case "dotF"  => HashUtil.dotF(x, y)
+      case "dotFD" => HashUtil.dotFD(x, y)
+      case "dotDF" => HashUtil.dotDF(x, y)
+      case _       => HashUtil.dotD(x, y)
+    }
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.catalyst.HashUtil.$fn($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 object HashFunctions {
   import org.apache.spark.sql.GraftColumnBridge
   def simhash32(c: Column): Column =
@@ -163,6 +235,9 @@ object HashFunctions {
     GraftColumnBridge.column(Shingles3(GraftColumnBridge.expression(c), distinct))
   def pair_combos(c: Column): Column =
     GraftColumnBridge.column(PairCombos(GraftColumnBridge.expression(c)))
+  def dot_product(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      DotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }
 
 /** Native 3-word shingle expression over an array<string> token column:

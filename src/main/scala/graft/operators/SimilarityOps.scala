@@ -23,10 +23,13 @@ object SimilarityOps {
 
   val Dim = 64
 
-  /** Left-to-right Σ a[i]·b[i] with double widening — matches the oracle. */
+  /** Left-to-right Σ a[i]·b[i] with double widening — matches the oracle.
+    * Native codegen'd expression ([[graft.catalyst.DotProduct]]): the
+    * interpreted `aggregate(zip_with(...))` lambda fold costs ~10× on the
+    * pair-scoring inner loops.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.catalyst.HashFunctions.dot_product(a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -103,10 +106,7 @@ object SimilarityOps {
   def planeWeight(p: Int, j: Int): Int = if (((j + 1) * 31 + p * 17) % 3 % 2 == 0) 1 else -1
 
   private def planeDot(emb: Column, p: Int): Column =
-    aggregate(
-      zip_with(emb, array((0 until Dim).map(j => lit(planeWeight(p, j).toDouble)): _*),
-        (x, w) => x.cast("double") * w),
-      lit(0.0), (acc, x) => acc + x)
+    dot(emb, array((0 until Dim).map(j => lit(planeWeight(p, j).toDouble)): _*))
 
   /** LSH-bucketed ANN: [[NumPlanes]]-bit sign bucket per vector; candidates
     * share the query's bucket; exact cosine re-ranking within the bucket.
@@ -180,13 +180,11 @@ object SimilarityOps {
       .select(col("vec_id").as("q_id"), col("embedding").as("eq"), col("nrm").as("nq"))
     val cent = centroids(s, d)
       .select(col("label"), col("centroid"),
-        sqrt(aggregate(transform(col("centroid"), x => x * x), lit(0.0), (a, x) => a + x))
-          .as("cnorm"))
+        sqrt(dot(col("centroid"), col("centroid"))).as("cnorm"))
     // probe selection: top cells per query by rounded centroid cosine
     val qc = q.crossJoin(broadcast(cent))
       .withColumn("ccos", round(
-        aggregate(zip_with(col("eq"), col("centroid"), (x, w) => x.cast("double") * w),
-          lit(0.0), (a, x) => a + x) / (col("nq") * col("cnorm")), 4))
+        dot(col("eq"), col("centroid")) / (col("nq") * col("cnorm")), 4))
     val wCell = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("label"))
     val probes = qc.withColumn("cell_rank", row_number().over(wCell))
       .filter(col("cell_rank") <= IvfProbes)

@@ -279,13 +279,18 @@ object RelationalQueries {
     val net = col("l_extendedprice").cast(dec2) *
       (lit(BigDecimal(1)).cast(dec2) - col("l_discount").cast(dec2))
     val cents = floor(net * 100 + lit(BigDecimal(0.5))).cast("long")
+    // Sort BEFORE the string projection: the range partitioner samples the
+    // sort's child, so formatting above the sort runs the expensive
+    // format_string once (post-shuffle) instead of twice, and the exchange
+    // moves 8-byte longs instead of strings.
     Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), cents.as("_cents"))
+      .orderBy("l_orderkey", "l_linenumber")
       .select(
         col("l_orderkey"),
         col("l_linenumber"),
-        format_string("%d.%02d", (cents / 100).cast("long"), pmod(cents, lit(100L)))
-          .as("net_price"))
-      .orderBy("l_orderkey", "l_linenumber")
+        format_string("%d.%02d", (col("_cents") / 100).cast("long"),
+          pmod(col("_cents"), lit(100L))).as("net_price"))
   }
   val fNumericFormatSql: String =
     """SELECT l_orderkey, l_linenumber,
