@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsQueries => AQ, RelationalQueries => RQ, SqlQueries => SQ}
+import graft.queries.{AnalyticsQueries => AQ, PipelineQueries => PQ, RelationalQueries => RQ, SqlQueries => SQ}
 import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TimeSeriesOps}
 import graft.functions.TextOps
 
@@ -78,6 +78,22 @@ object SparkEntry {
     "t_fingerprint"     -> (TextOps.fingerprintDf _),
     // Training-data pipeline: multimodal binary columns
     "m_binary_meta"     -> (MultimodalOps.binaryMetaDf _),
+    // Round 2: correlated-subquery TPC-H shapes
+    "q17_small_qty"     -> (PQ.q17SmallQty _),
+    "q14_promo"         -> (PQ.q14Promo _),
+    // Round 2: corpus statistics / text pipeline
+    "t_term_topk"       -> (PQ.termTopK _),
+    "t_pii_scrub"       -> (PQ.piiScrub _),
+    "t_contamination"   -> (PQ.contamination _),
+    "d_lev_fuzzy"       -> (PQ.levFuzzy _),
+    // Round 2: deterministic splits / sampling / balancing
+    "p_train_split"     -> (PQ.trainSplit _),
+    "p_stratified_sample" -> (PQ.stratifiedSample _),
+    "p_class_balance"   -> (PQ.classBalance _),
+    // Round 2: window / grouping completions
+    "w_lead_delta"      -> (PQ.leadDelta _),
+    "g_grouping_sets"   -> (PQ.groupingSets _),
+    "g_exact_median"    -> (PQ.exactMedian _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -132,5 +148,17 @@ object SparkEntry {
     "t_token_count"     -> TextOps.tokenCountSql,
     "t_fingerprint"     -> TextOps.fingerprintSql,
     "m_binary_meta"     -> MultimodalOps.binaryMetaSql,
+    "q17_small_qty"     -> PQ.q17SmallQtySql,
+    "q14_promo"         -> PQ.q14PromoSql,
+    "t_term_topk"       -> PQ.termTopKSql,
+    "t_pii_scrub"       -> PQ.piiScrubSql,
+    "t_contamination"   -> PQ.contaminationSql,
+    "d_lev_fuzzy"       -> PQ.levFuzzySql,
+    "p_train_split"     -> PQ.trainSplitSql,
+    "p_stratified_sample" -> PQ.stratifiedSampleSql,
+    "p_class_balance"   -> PQ.classBalanceSql,
+    "w_lead_delta"      -> PQ.leadDeltaSql,
+    "g_grouping_sets"   -> PQ.groupingSetsSql,
+    "g_exact_median"    -> PQ.exactMedianSql,
   )
 }

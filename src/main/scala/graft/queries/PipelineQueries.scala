@@ -1,0 +1,324 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.functions.TextOps
+
+/** Round-2 widening of the query surface: the relational shapes a
+  * training-data pipeline adds on top of the reference's ETL queries
+  * (SURVEY §2.3 + builder brief) — correlated-subquery TPC-H shapes,
+  * corpus statistics, deterministic splits/sampling, PII scrubbing,
+  * benchmark-contamination checks, fuzzy matching, grouping sets and
+  * exact medians.
+  *
+  * Cross-engine determinism rules (see Scaladoc on [[RelationalQueries]]):
+  * money/quantity sums run in DECIMAL and are cast to DOUBLE at the end;
+  * every integer SUM in oracle SQL is CAST to BIGINT (DuckDB HUGEINT would
+  * come back as float64 through pandas); every output is deterministically
+  * ordered with unique-key tiebreaks.
+  */
+object PipelineQueries {
+
+  private val D2 = DecimalType(18, 2)
+  private def dec2(c: Column): Column = c.cast(D2)
+
+  // ---------------------------------------------------------------------
+  // TPC-H shapes with correlated aggregates
+  // ---------------------------------------------------------------------
+
+  /** TPC-H Q17 shape: revenue from orders of less than 20% of a part's
+    * average quantity, for one brand.
+    *
+    * Scale shape: the brand filter reduces `part` to ~4% — broadcast it,
+    * restrict lineitem FIRST, and compute the per-part average only over
+    * the restricted rows (the per-part partition makes the early filter
+    * semantics-preserving). Both the dimension and the per-part aggregate
+    * broadcast, so the fact table is scanned once and never shuffled.
+    */
+  def q17SmallQty(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).filter(col("p_brand") === "Brand#23").select("p_partkey")
+    val lb = Tables.lineitem(s, d)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val pa = lb.groupBy(col("l_partkey").as("pk"))
+      .agg((sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
+    lb.join(broadcast(pa), col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(
+        (sum(dec2(col("l_extendedprice"))).cast("double") / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n"))
+  }
+  val q17SmallQtySql: String =
+    """WITH pa AS (
+      |  SELECT l_partkey AS pk,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE p_brand = 'Brand#23' GROUP BY l_partkey)
+      |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+      |       count(*) AS n
+      |FROM lineitem JOIN part ON p_partkey = l_partkey JOIN pa ON pk = l_partkey
+      |WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * avg_qty""".stripMargin
+
+  /** TPC-H Q14 shape: promo revenue share for one ship month. Exact decimal
+    * revenue sums, one double division at the end.
+    */
+  def q14Promo(s: SparkSession, d: String): DataFrame = {
+    val rev = dec2(col("l_extendedprice")) * (lit(BigDecimal(1)).cast(D2) - dec2(col("l_discount")))
+    val p = Tables.part(s, d).select("p_partkey", "p_type")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-03-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(lit(BigDecimal(0)).cast(DecimalType(18, 4)))).cast("double") /
+          sum(rev).cast("double")).as("promo_pct"),
+        count(lit(1)).as("n"))
+  }
+  val q14PromoSql: String =
+    """SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+      |         THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_pct,
+      |       count(*) AS n
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Corpus statistics / text analysis
+  // ---------------------------------------------------------------------
+
+  /** Corpus term frequency top-k: explode(tokens) → count → top 50.
+    * The generator (UDTF surface) + partial-agg path: map-side combine
+    * means the shuffle moves one row per (partition, token), not per token
+    * occurrence — the only plan that survives a 100 TB corpus.
+    */
+  def termTopK(s: SparkSession, d: String): DataFrame =
+    Tables.fanOut(Tables.documents(s, d))
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+  val termTopKSql: String =
+    """SELECT t AS token, count(*) AS n
+      |FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents)
+      |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin
+
+  /** PII scrubbing: emails then digit runs replaced; output a stable
+    * signature (md5 + length) instead of the full scrubbed text. Pure
+    * projection — no shuffle, scales linearly.
+    */
+  def piiScrub(s: SparkSession, d: String): DataFrame =
+    Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"), "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+          "[0-9]+", "<NUM>").as("scrub"))
+      .select(col("doc_id"), md5(col("scrub")).as("scrub_sig"),
+        length(col("scrub")).as("scrub_len"))
+      .orderBy("doc_id")
+  val piiScrubSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g')) AS scrub_sig,
+      |  CAST(length(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g')) AS INT) AS scrub_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Benchmark-contamination check: corpus documents sharing ≥3 distinct
+    * 3-gram shingles with any "benchmark" document (stand-in set:
+    * doc_id % 50 = 0). The shingle-join is the contamination shape used on
+    * real eval sets; at scale the benchmark side is tiny and broadcast.
+    */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(graft.catalyst.HashFunctions.shingles3(col("toks"))).as("s"))
+      .distinct()
+    val bench = sh.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("bench_id"), col("s"))
+    val corpus = sh.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id").as("corpus_id"), col("s"))
+    corpus.join(broadcast(bench), Seq("s"))
+      .groupBy("corpus_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy("corpus_id", "bench_id")
+  }
+  val contaminationSql: String =
+    """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks WHERE len(t) >= 3)),
+      |b AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 50 = 0),
+      |c AS (SELECT doc_id AS corpus_id, s FROM sh WHERE doc_id % 50 <> 0)
+      |SELECT corpus_id, bench_id, count(*) AS n_shared
+      |FROM c JOIN b USING (s) GROUP BY 1, 2 HAVING count(*) >= 3
+      |ORDER BY corpus_id, bench_id""".stripMargin
+
+  /** Fuzzy near-match via blocked Levenshtein: candidate pairs share
+    * (lang, n_chars) — a cheap deterministic blocking key — and are scored
+    * on their 60-char prefixes. The block join caps the quadratic term the
+    * way real fuzzy-dedup blocks (sorted-neighborhood / LSH) do at scale.
+    */
+  def levFuzzy(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        substring(col("text"), 1, 60).as("pfx"))
+    val a = doc.select(col("doc_id").as("a_id"), col("lang"), col("n_chars"),
+      col("pfx").as("pa"))
+    val b = doc.select(col("doc_id").as("b_id"), col("lang"), col("n_chars"),
+      col("pfx").as("pb"))
+    a.join(b, Seq("lang", "n_chars")).filter(col("a_id") < col("b_id"))
+      .withColumn("lev", levenshtein(col("pa"), col("pb")))
+      .filter(col("lev") <= 30)
+      .select("a_id", "b_id", "lev")
+      .orderBy("a_id", "b_id")
+  }
+  val levFuzzySql: String =
+    """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  CAST(levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) AS INT) AS lev
+      |FROM documents a JOIN documents b
+      |  ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+      |WHERE levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) <= 30
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Deterministic splits / sampling / balancing
+  // ---------------------------------------------------------------------
+
+  /** Deterministic train/test split on a hash of the stable key: two hex
+    * chars of md5(doc_id) → v ∈ [0, 256); v < 205 ≈ 80% train. The split is
+    * reproducible under re-runs, repartitions and appends — the property
+    * random() sampling loses — and pure projection + one tiny agg.
+    */
+  def trainSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("m", md5(col("doc_id").cast("string")))
+      .withColumn("v",
+        expr("(instr('0123456789abcdef', substring(m, 31, 1)) - 1) * 16 + " +
+          "instr('0123456789abcdef', substring(m, 32, 1)) - 1"))
+      .withColumn("split", when(col("v") < 205, "train").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars").cast("long")).as("total_chars"))
+      .orderBy("split")
+  val trainSplitSql: String =
+    """WITH v AS (SELECT n_chars,
+      |  (instr('0123456789abcdef', substring(md5(doc_id::VARCHAR), 31, 1)) - 1) * 16 +
+      |   instr('0123456789abcdef', substring(md5(doc_id::VARCHAR), 32, 1)) - 1 AS v
+      |  FROM documents)
+      |SELECT CASE WHEN v < 205 THEN 'train' ELSE 'test' END AS split,
+      |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM v GROUP BY 1 ORDER BY split""".stripMargin
+
+  /** Stratified sample: deterministic top-20-per-language by hash order
+    * (md5 of the key, doc_id tiebreak). One shuffle on the stratum key;
+    * rank-k per group is the scale-safe "sample N per class" primitive.
+    */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select("lang", "rn", "doc_id")
+      .orderBy("lang", "rn")
+  }
+  val stratifiedSampleSql: String =
+    """SELECT lang, rn, doc_id FROM (
+      |  SELECT lang, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS INT) AS rn
+      |  FROM documents)
+      |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
+
+  /** Inverse-frequency class weights (training-set balancing):
+    * weight(label) = total / (n_labels · n_label). The per-label counts are
+    * one partial-aggregated pass; the global totals ride a broadcast-sized
+    * window over the tiny aggregate, never over the data.
+    */
+  def classBalance(s: SparkSession, d: String): DataFrame = {
+    val all = Window.partitionBy()
+    Tables.embeddings(s, d)
+      .groupBy("label").agg(count(lit(1)).as("n"))
+      .withColumn("weight",
+        sum(col("n")).over(all).cast("double") /
+          (count(lit(1)).over(all) * col("n")))
+      .select("label", "n", "weight")
+      .orderBy("label")
+  }
+  val classBalanceSql: String =
+    """WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1)
+      |SELECT label, n,
+      |  CAST((SELECT sum(n) FROM c) AS DOUBLE) / ((SELECT count(*) FROM c) * n) AS weight
+      |FROM c ORDER BY label""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Window / grouping completions
+  // ---------------------------------------------------------------------
+
+  /** lead/lag deltas: per-user inter-event gap (seconds) and the next event
+    * type — the feature-engineering window shape (one shuffle on user_id).
+    */
+  def leadDelta(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("gap_s", col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .select("event_id", "user_id", "gap_s", "next_type")
+      .orderBy("event_id")
+  }
+  val leadDeltaSql: String =
+    """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events)
+      |SELECT event_id, user_id,
+      |  CAST(date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS BIGINT) AS gap_s,
+      |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |FROM ev ORDER BY event_id""".stripMargin
+
+  /** GROUPING SETS with grouping() markers — the explicit multi-level
+    * aggregate (rollup/cube's general form), one pass with partial aggs.
+    * Identical SQL text runs on both engines.
+    */
+  private val groupingSetsText: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+      |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(groupingSetsText)
+  }
+  val groupingSetsSql: String = groupingSetsText
+
+  /** Exact per-group median without interpolation ambiguity: middle
+    * element(s) by row_number over a total order with unique tiebreaks,
+    * averaged exactly (decimal sum → one double division) — bit-identical
+    * across engines, unlike percentile/quantile interpolation.
+    */
+  def exactMedian(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    val cw = Window.partitionBy("l_returnflag")
+    Tables.lineitem(s, d)
+      .select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(cw))
+      .filter(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("(n + 2) div 2"))
+      .groupBy("l_returnflag")
+      .agg((sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("median_qty"))
+      .orderBy("l_returnflag")
+  }
+  val exactMedianSql: String =
+    """WITH o AS (SELECT l_returnflag, l_quantity,
+      |  row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+      |  count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem)
+      |SELECT l_returnflag,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS median_qty
+      |FROM o WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+}
