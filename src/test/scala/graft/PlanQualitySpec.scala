@@ -67,6 +67,35 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.toString.contains("*("), plan.toString)
   }
 
+  test("q17 plans both the dimension and the per-part aggregate as broadcasts") {
+    val p = physicalPlan(graft.queries.PipelineQueries.q17SmallQty(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("term top-k: partial (map-side) aggregation below the shuffle, top-k without global sort") {
+    val p = physicalPlan(graft.queries.PipelineQueries.termTopK(spark, sf0001))
+    assert(p.contains("partial_count"), p) // map-side combine before exchange
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("contamination joins the benchmark side by broadcast") {
+    val p = physicalPlan(graft.queries.PipelineQueries.contamination(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("similarity scoring uses the native codegen'd DotProduct (no interpreted lambda fold)") {
+    val p = physicalPlan(graft.operators.SimilarityOps.cosineNearDup(spark, sf0001))
+    assert(p.toLowerCase.contains("dotproduct"), p)
+    assert(!p.contains("aggregate(zip_with"), p)
+  }
+
+  test("pii scrub is a pure projection: no exchange except the output sort") {
+    val p = physicalPlan(graft.queries.PipelineQueries.piiScrub(spark, sf0001))
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"$exchanges exchanges:\n$p") // fanOut + rangepartition for sort
+  }
+
   test("partitioned warehouse prunes partitions on file_date") {
     import spark.implicits._
     val wh = tmpDir("prune") + "/data"
