@@ -10,6 +10,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // MIN/MAX/COUNT answered from parquet footer stats (SURVEY §4's
+      // aggregate-pushdown nicety is a config flag in Spark 4, not code)
+      .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")

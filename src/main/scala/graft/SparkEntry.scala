@@ -94,6 +94,13 @@ object SparkEntry {
     "w_lead_delta"      -> (PQ.leadDelta _),
     "g_grouping_sets"   -> (PQ.groupingSets _),
     "g_exact_median"    -> (PQ.exactMedian _),
+    "w_ntile_pctrank"   -> (PQ.ntilePctRank _),
+    "w_first_last"      -> (PQ.firstLast _),
+    "f_array_ops"       -> (PQ.arrayOps _),
+    "f_map_ops"         -> (PQ.mapOps _),
+    "sql_window_range"  -> (PQ.windowRange _),
+    // Sketches: approximate by design -> rows-only check (no oracle)
+    "x_approx_sketches" -> (PQ.approxSketches _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -160,5 +167,10 @@ object SparkEntry {
     "w_lead_delta"      -> PQ.leadDeltaSql,
     "g_grouping_sets"   -> PQ.groupingSetsSql,
     "g_exact_median"    -> PQ.exactMedianSql,
+    "w_ntile_pctrank"   -> PQ.ntilePctRankSql,
+    "w_first_last"      -> PQ.firstLastSql,
+    "f_array_ops"       -> PQ.arrayOpsSql,
+    "f_map_ops"         -> PQ.mapOpsSql,
+    "sql_window_range"  -> PQ.windowRangeSql,
   )
 }

@@ -321,4 +321,131 @@ object PipelineQueries {
       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS median_qty
       |FROM o WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** ntile / percent_rank / cume_dist — the ranking-family completion.
+    * percent_rank = (rank-1)/(N-1) and cume_dist = peers/N are exact double
+    * divisions, identical across engines; the unique (acctbal, custkey)
+    * order makes every rank deterministic.
+    *
+    * Scale note: an un-partitioned ranking window is a single-reducer sort;
+    * at 100 TB rank within strata (or pre-aggregate to the quantile grid)
+    * instead. The shape is still part of the query surface.
+    */
+  def ntilePctRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .select("c_custkey", "quartile", "pct_rank", "cume")
+      .orderBy("c_custkey")
+  }
+  val ntilePctRankSql: String =
+    """SELECT c_custkey,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM customer
+      |WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** first_value / nth_value / last_value with explicit frames, one ship
+    * month. last_value needs the full-partition frame (the default frame
+    * ends at CURRENT ROW — a classic cross-engine footgun, pinned here).
+    */
+  def firstLast(s: SparkSession, d: String): DataFrame = {
+    val ord = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-02-01 00:00:00")))
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+      .withColumn("first_qty", first(col("l_quantity")).over(run))
+      .withColumn("third_qty", nth_value(col("l_quantity"), 3).over(run))
+      .withColumn("last_qty", last(col("l_quantity")).over(full))
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "first_qty", "third_qty", "last_qty")
+      .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+  }
+  val firstLastSql: String =
+    """SELECT l_returnflag, l_orderkey, l_linenumber,
+      |  first_value(l_quantity) OVER w AS first_qty,
+      |  nth_value(l_quantity, 3) OVER w AS third_qty,
+      |  last_value(l_quantity) OVER (PARTITION BY l_returnflag
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_qty
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+      |WINDOW w AS (PARTITION BY l_returnflag
+      |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin
+
+  /** Array function surface: sort, slice, membership, join — over the token
+    * array (pure projection; generator-free).
+    */
+  def arrayOps(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_toks"),
+        concat_ws(" ", slice(sort_array(col("toks")), 1, 3)).as("first3_sorted"),
+        array_contains(col("toks"), "spark").as("has_spark"))
+      .orderBy("doc_id")
+  val arrayOpsSql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(toks) AS INT) AS n_toks,
+      |  array_to_string(list_sort(toks)[1:3], ' ') AS first3_sorted,
+      |  list_contains(toks, 'spark') AS has_spark
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Map (MapType) surface: construction, lookup, key enumeration. The
+    * oracle checks the VALUES (DuckDB maps have different physical
+    * semantics); the Spark plan exercises MapType end-to-end.
+    */
+  def mapOps(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        map(lit("type"), col("event_type"), lit("user"), col("user_id").cast("string")).as("m"))
+      .select(
+        col("event_id"),
+        element_at(col("m"), "type").as("etype"),
+        size(col("m")).as("n_keys"),
+        concat_ws(",", map_keys(col("m"))).as("keys"))
+      .orderBy("event_id")
+  val mapOpsSql: String =
+    """SELECT event_id, event_type AS etype, CAST(2 AS INT) AS n_keys,
+      |  'type,user' AS keys
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** RANGE window frame (value-based, not row-based): orders within 1000.0
+    * of the current total price. Peer handling is frame-defined, so the
+    * count is deterministic under ties. SQL-text path (frame grammar).
+    */
+  private val windowRangeText: String =
+    """SELECT o_orderkey,
+      |  count(*) OVER (ORDER BY o_totalprice
+      |    RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_near
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+  def windowRange(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(windowRangeText)
+  }
+  val windowRangeSql: String = windowRangeText
+
+  /** Sketch aggregates — HLL distinct and quantile sketch. Approximate by
+    * design, so there is no DuckDB oracle (driver records a rows-only
+    * check); the spec pins the error envelope against exact values.
+    */
+  def approxSketches(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("apx_parts"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("apx_median_qty"),
+        count(lit(1)).as("n"))
 }

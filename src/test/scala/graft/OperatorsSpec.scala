@@ -114,4 +114,16 @@ class OperatorsSpec extends SparkSpec {
     val js = sink.asJson(got).as[String].collect().mkString
     assert(js.contains("compression_rate"))
   }
+
+  test("approx sketches: HLL distinct within 5% of exact, quantile sketch near exact median") {
+    val row = graft.queries.PipelineQueries.approxSketches(spark, sf0001).collect()(0)
+    val li = Tables.lineitem(spark, sf0001)
+    val exactParts = li.select("l_partkey").distinct().count()
+    val apx = row.getAs[Long]("apx_parts")
+    assert(math.abs(apx - exactParts).toDouble / exactParts <= 0.05,
+      s"HLL $apx vs exact $exactParts")
+    val apxMed = row.getAs[Double]("apx_median_qty")
+    val qs = li.stat.approxQuantile("l_quantity", Array(0.4, 0.6), 0.001)
+    assert(apxMed >= qs(0) && apxMed <= qs(1), s"median sketch $apxMed outside [${qs(0)}, ${qs(1)}]")
+  }
 }
