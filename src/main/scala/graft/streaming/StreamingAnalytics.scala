@@ -37,6 +37,47 @@ object StreamingAnalytics {
       .select(col("window.start").as("bucket_start"), col("ticker"),
         col("open"), col("high"), col("low"), col("close"), col("n_ticks"), col("volume"))
 
+  /** Sliding-window tick statistics: window(width, slide) emits one row per
+    * overlapping bucket — the moving-average shape. State per (window, key)
+    * is still watermark-bounded; a slide of width/k multiplies state by k,
+    * which is the knob to watch at scale.
+    */
+  def slidingStats(ticks: DataFrame, width: String = "1 minute",
+      slide: String = "30 seconds", watermark: String = "10 minutes"): DataFrame =
+    ticks
+      .withWatermark("transactionTime", watermark)
+      .groupBy(window(col("transactionTime"), width, slide), col("ticker"))
+      .agg(avg("price").as("avg_price"), count(lit(1)).as("n_ticks"))
+      .select(col("window.start").as("bucket_start"), col("ticker"),
+        col("avg_price"), col("n_ticks"))
+
+  /** Event-time sessionization as a stream: session_window merges rows
+    * within `gap` of each other per user — the streaming twin of
+    * [[graft.operators.TimeSeriesOps.sessionize]]'s lag/running-sum batch
+    * plan. Sessions emit when the watermark passes their close.
+    */
+  def sessionizedEvents(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  /** Streaming exact dedup with bounded state:
+    * dropDuplicatesWithinWatermark keeps each key's state only until the
+    * watermark passes — the always-on twin of
+    * [[graft.operators.DedupOps.exactDedup]] (unbounded-state
+    * dropDuplicates would OOM an always-on pipeline).
+    */
+  def dedupStream(rows: DataFrame, eventTimeCol: String, watermark: String,
+      keys: Seq[String]): DataFrame =
+    rows
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Streaming CSV ingest: the always-on twin of the batch hot path
     * (`TickerIngest`) — file-source discovery of ticker CSVs under
     * `root/<date>/`, schema-validated, appended to the warehouse parquet

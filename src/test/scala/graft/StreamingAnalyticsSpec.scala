@@ -76,6 +76,52 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window stream: inactivity gap splits sessions, sessions emit past watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val events = in.toDF().toDF("ts", "user_id")
+    val q = StreamingAnalytics.sessionizedEvents(events, gap = "10 minutes", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        (ts("2024-03-14 12:00:00"), 1L), (ts("2024-03-14 12:05:00"), 1L), // session A
+        (ts("2024-03-14 12:30:00"), 1L)) // >10 min gap → session B
+      q.processAllAvailable()
+      in.addData((ts("2024-03-14 15:00:00"), 99L)) // advance watermark → emit
+      q.processAllAvailable()
+      val got = spark.table("sessions").filter(col("user_id") === 1L).collect()
+      assert(got.length == 2, got.mkString("; "))
+      val bySize = got.map(r => (r.getAs[Long]("n_events"),
+        r.getAs[java.sql.Timestamp]("session_start"))).sortBy(_._2.getTime)
+      assert(bySize(0)._1 == 2 && bySize(1)._1 == 1)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups across micro-batches with bounded state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val rows = in.toDF().toDF("ts", "filename")
+    val out = tmpDir("sdedupOut")
+    val q = StreamingAnalytics.dedupStream(rows, "ts", "10 minutes", Seq("filename"))
+      .writeStream.option("checkpointLocation", tmpDir("sdedupCk"))
+      .format("parquet").option("path", out)
+      .outputMode(OutputMode.Append).trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData((ts("2024-03-14 12:00:00"), "f1"), (ts("2024-03-14 12:00:01"), "f1"))
+      q.processAllAvailable()
+      in.addData((ts("2024-03-14 12:00:02"), "f1"), (ts("2024-03-14 12:00:03"), "f2"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(out)
+      assert(got.count() == 2) // f1 once (within watermark), f2 once
+      assert(got.select("filename").as[String].collect().toSet == Set("f1", "f2"))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join with watermarks (trade ↔ prior quote)") {
     import org.apache.spark.sql.streaming.OutputMode
     val root = tmpDir("ssj")
