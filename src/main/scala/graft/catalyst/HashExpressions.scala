@@ -148,6 +148,18 @@ object HashUtil {
     acc
   }
 
+  /** Positions where two string arrays agree (MinHash signature overlap). */
+  def eqCount(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      if (a.getUTF8String(i).compareTo(b.getUTF8String(i)) == 0) acc += 1
+      i += 1
+    }
+    acc
+  }
+
   /** Mixed float-left / double-right operands (e.g. embedding · centroid). */
   def dotFD(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -238,6 +250,25 @@ object HashFunctions {
   def dot_product(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       DotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def eq_count(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      EqCount(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}
+
+/** Native positional-equality count over two array<string> columns — the
+  * MinHash signature-agreement inner loop (the
+  * `size(filter(zip_with(...)))` formulation interprets two lambdas per
+  * candidate pair).
+  */
+case class EqCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashUtil.eqCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.catalyst.HashUtil.eqCount($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): EqCount =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Native 3-word shingle expression over an array<string> token column:

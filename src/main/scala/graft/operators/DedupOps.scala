@@ -108,18 +108,22 @@ object DedupOps {
   def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
     val sig = minhashSignatures(s, d)
     val nBands = MinHashK / BandRows
+    // Eager localCheckpoint: the banded-signature table feeds BOTH sides of
+    // the self-join; without materialization each side re-runs the k·|sh|
+    // md5 signature pass. ~4 rows/doc, so the materialized side is tiny.
+    // (At multi-node scale: persist(MEMORY_AND_DISK) — same intent.)
     val bands = sig.select(col("doc_id"), col("sig"),
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"),
           array_join(slice(col("sig"), b * BandRows + 1, BandRows), ",").as("key"))): _*))
         .as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
+      .localCheckpoint(true)
     val a = bands.select(col("doc_id").as("a_id"), col("sig").as("sa"), col("band"), col("key"))
     val b = bands.select(col("doc_id").as("b_id"), col("sig").as("sb"), col("band"), col("key"))
     a.join(b, Seq("band", "key")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        (size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), p => p))
-          .cast("double") / MinHashK).as("raw"))
+        (HashFunctions.eq_count(col("sa"), col("sb")).cast("double") / MinHashK).as("raw"))
       .distinct()
       .select(col("a_id"), col("b_id"), round(col("raw"), 4).as("est_sim"))
       .orderBy("a_id", "b_id")
@@ -194,10 +198,13 @@ object DedupOps {
     val sh = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"),
         HashFunctions.simhash32(TextOps.tokens(col("text"))).as("simhash"))
+    // materialize once — both self-join sides read the checkpoint instead
+    // of re-hashing every document (see minhashLshPairs)
     val chunks = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c => struct(lit(c).as("c"),
         shiftright(col("simhash"), c * 8).bitwiseAND(lit(255L)).as("chunk"))): _*)).as("x"))
       .select(col("doc_id"), col("simhash"), col("x.c"), col("x.chunk"))
+      .localCheckpoint(true)
     val a = chunks.select(col("doc_id").as("a_id"), col("simhash").as("ha"), col("c"), col("chunk"))
     val b = chunks.select(col("doc_id").as("b_id"), col("simhash").as("hb"), col("c"), col("chunk"))
     a.join(b, Seq("c", "chunk")).filter(col("a_id") < col("b_id"))

@@ -38,9 +38,12 @@ object SimilarityOps {
     * pre-cluster at scale).
     */
   def cosineNearDup(s: SparkSession, d: String, threshold: Double = 0.35): DataFrame = {
+    // materialized once: both self-join sides read the checkpoint instead
+    // of re-scanning + re-norming (persist(MEMORY_AND_DISK) at multi-node)
     val e = Tables.fanOut(Tables.embeddings(s, d))
       .select(col("vec_id"), col("label"), col("embedding"),
         norm(col("embedding")).as("nrm"))
+      .localCheckpoint(true)
     val a = e.select(col("vec_id").as("a_id"), col("label"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("b_id"), col("label"),
@@ -73,6 +76,7 @@ object SimilarityOps {
   def annBruteForce(s: SparkSession, d: String): DataFrame = {
     val e = Tables.fanOut(Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .localCheckpoint(true)
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("eq"), col("nrm").as("nq"))
     val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ec"), col("nrm").as("nc"))
@@ -118,6 +122,7 @@ object SimilarityOps {
     val e = Tables.fanOut(Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
         bucketBits.reduce(_ + _).as("bucket"))
+      .localCheckpoint(true)
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("eq"),
         col("nrm").as("nq"), col("bucket"))
@@ -176,6 +181,7 @@ object SimilarityOps {
     val e = Tables.fanOut(Tables.embeddings(s, d))
       .select(col("vec_id"), col("label"), col("embedding"),
         norm(col("embedding")).as("nrm"))
+      .localCheckpoint(true)
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("eq"), col("nrm").as("nq"))
     val cent = centroids(s, d)
