@@ -30,12 +30,22 @@ object TextOps {
   private def hits(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(markers)))
 
+  /** Fanned-out doc scan already sorted by doc_id, BEFORE the per-doc
+    * projections: the range partitioner's reservoir sampler consumes the
+    * sort child's full iterator, so any regex/md5 projection placed below
+    * the sort is evaluated twice. Sorting the raw (doc_id, text) rows
+    * first runs each heavy projection exactly once, post-shuffle.
+    */
+  private def docsSorted(s: SparkSession, d: String): DataFrame =
+    Tables.fanOut(Tables.documents(s, d).select("doc_id", "text"))
+      .orderBy("doc_id")
+
   /** Language ID by marker-token voting (a compact stand-in for char-n-gram
     * profiles; same plan shape — per-row array ops, no shuffle).
     */
   def langIdDf(s: SparkSession, d: String): DataFrame = {
     val t = tokens(col("text"))
-    Tables.fanOut(Tables.documents(s, d))
+    docsSorted(s, d)
       .select(
         col("doc_id"),
         hits(t, enMarkers).as("en_hits"),
@@ -45,7 +55,6 @@ object TextOps {
         when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits"), "en")
           .when(col("es_hits") >= col("de_hits"), "es")
           .otherwise("de"))
-      .orderBy("doc_id")
   }
   val langIdSql: String =
     s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
@@ -68,7 +77,7 @@ object TextOps {
     */
   def qualityDf(s: SparkSession, d: String): DataFrame = {
     val t = tokens(col("text"))
-    Tables.fanOut(Tables.documents(s, d))
+    docsSorted(s, d)
       .select(col("doc_id"), col("text"), length(trim(col("text"))).as("n_chars_t"), t.as("toks"))
       .select(
         col("doc_id"),
@@ -83,7 +92,6 @@ object TextOps {
       .withColumn("mean_tok_len",
         round((col("n_chars_t") - (col("n_tokens") - 1)).cast("double") /
           greatest(col("n_tokens"), lit(1)), 4))
-      .orderBy("doc_id")
   }
   val qualitySql: String =
     s"""WITH b AS (
@@ -103,12 +111,11 @@ object TextOps {
     * the usual pre-tokenizer upper bound on BPE piece count).
     */
   def tokenCountDf(s: SparkSession, d: String): DataFrame =
-    Tables.fanOut(Tables.documents(s, d))
+    docsSorted(s, d)
       .select(
         col("doc_id"),
         size(tokens(col("text"))).as("ws_tokens"),
         regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("bpeish_tokens"))
-      .orderBy("doc_id")
   val tokenCountSql: String =
     """SELECT doc_id,
       |  len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
@@ -122,12 +129,11 @@ object TextOps {
   def fingerprintDf(s: SparkSession, d: String): DataFrame = {
     val norm = regexp_replace(trim(col("text")), "\\s+", " ")
     val sh = shingles3(tokens(col("text")))
-    Tables.fanOut(Tables.documents(s, d))
+    docsSorted(s, d)
       .select(
         col("doc_id"),
         md5(norm).as("fp_exact"),
         array_min(transform(sh, x => md5(x))).as("fp_min_shingle"))
-      .orderBy("doc_id")
   }
   val fingerprintSql: String =
     """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,

@@ -151,10 +151,13 @@ object DedupOps {
     * token multiplicity. One shuffle-free projection per doc.
     */
   def simhash(s: SparkSession, d: String): DataFrame =
-    Tables.fanOut(Tables.documents(s, d))
+    // sort the raw rows first: a projection below the range sort is
+    // evaluated twice (the partitioner's reservoir sampler drains the
+    // child iterator), and simhash32 is the expensive part of this query
+    Tables.fanOut(Tables.documents(s, d).select("doc_id", "text"))
+      .orderBy("doc_id")
       .select(col("doc_id"),
         HashFunctions.simhash32(TextOps.tokens(col("text"))).as("simhash"))
-      .orderBy("doc_id")
   val simhashSql: String =
     s"""WITH toks AS (SELECT doc_id, substr(md5(unnest(regexp_split_to_array(trim(text), '\\s+'))), 1, 8) AS h8
        |             FROM documents),

@@ -111,14 +111,16 @@ object PipelineQueries {
     * projection — no shuffle, scales linearly.
     */
   def piiScrub(s: SparkSession, d: String): DataFrame =
-    Tables.fanOut(Tables.documents(s, d))
+    // sort first on the key, scrub after: the regex chain runs once
+    // post-shuffle instead of also being evaluated by the sort's sampler
+    Tables.fanOut(Tables.documents(s, d).select("doc_id", "text"))
+      .orderBy("doc_id")
       .select(col("doc_id"),
         regexp_replace(
           regexp_replace(col("text"), "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
           "[0-9]+", "<NUM>").as("scrub"))
       .select(col("doc_id"), md5(col("scrub")).as("scrub_sig"),
         length(col("scrub")).as("scrub_len"))
-      .orderBy("doc_id")
   val piiScrubSql: String =
     """SELECT doc_id,
       |  md5(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), '[0-9]+', '<NUM>', 'g')) AS scrub_sig,
@@ -131,11 +133,15 @@ object PipelineQueries {
     * real eval sets; at scale the benchmark side is tiny and broadcast.
     */
   def contamination(s: SparkSession, d: String): DataFrame = {
+    // materialized once — the benchmark and corpus sides both derive from
+    // this shingle table; without the checkpoint each side re-runs the
+    // tokenize→shingle→distinct pipeline
     val sh = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(graft.catalyst.HashFunctions.shingles3(col("toks"))).as("s"))
       .distinct()
+      .localCheckpoint(true)
     val bench = sh.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("bench_id"), col("s"))
     val corpus = sh.filter(col("doc_id") % 50 =!= 0)

@@ -258,11 +258,14 @@ object RelationalQueries {
     * `LogMsgLayout.json` round-trip). `props` holds `{"k": <int>}`.
     */
   def fJsonExtract(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
+    // fan out (single-row-group scan = one task) and parse AFTER the sort:
+    // the range partitioner samples the sort's child, so a projection below
+    // the sort would run the JSON parse twice
+    Tables.fanOut(Tables.events(s, d).select("event_id", "props"))
+      .orderBy("event_id")
       .select(
         col("event_id"),
         get_json_object(col("props"), "$.k").as("k_value"))
-      .orderBy("event_id")
   val fJsonExtractSql: String =
     """SELECT event_id, json_extract_string(props, '$.k') AS k_value
       |FROM events ORDER BY event_id""".stripMargin
