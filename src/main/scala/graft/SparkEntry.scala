@@ -99,6 +99,9 @@ object SparkEntry {
     "f_array_ops"       -> (PQ.arrayOps _),
     "f_map_ops"         -> (PQ.mapOps _),
     "sql_window_range"  -> (PQ.windowRange _),
+    "f_date_extra"      -> (PQ.dateExtra _),
+    "f_string_extra"    -> (PQ.stringExtra _),
+    "f_cond_ops"        -> (PQ.condOps _),
     // Sketches: approximate by design -> rows-only check (no oracle)
     "x_approx_sketches" -> (PQ.approxSketches _),
   )
@@ -172,5 +175,8 @@ object SparkEntry {
     "f_array_ops"       -> PQ.arrayOpsSql,
     "f_map_ops"         -> PQ.mapOpsSql,
     "sql_window_range"  -> PQ.windowRangeSql,
+    "f_date_extra"      -> PQ.dateExtraSql,
+    "f_string_extra"    -> PQ.stringExtraSql,
+    "f_cond_ops"        -> PQ.condOpsSql,
   )
 }

@@ -444,6 +444,75 @@ object PipelineQueries {
   }
   val windowRangeSql: String = windowRangeText
 
+  /** Date-function surface beyond arithmetic: truncation to month/quarter,
+    * end-of-month, day-of-week, calendar fields, month-add with end-of-month
+    * clamping (both engines clamp Jan 31 + 1 month to Feb end).
+    */
+  def dateExtra(s: SparkSession, d: String): DataFrame = {
+    val od = to_date(col("o_orderdate"))
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        trunc(od, "month").as("month_start"),
+        trunc(od, "quarter").as("qtr_start"),
+        last_day(od).as("month_end"),
+        dayofweek(od).as("dow1"),
+        year(od).as("y"),
+        quarter(od).as("q"),
+        add_months(od, 1).as("plus_m"))
+      .orderBy("o_orderkey")
+  }
+  val dateExtraSql: String =
+    """SELECT o_orderkey,
+      |  CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+      |  CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE) AS qtr_start,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(extract(dow FROM CAST(o_orderdate AS DATE)) AS INT) + 1 AS dow1,
+      |  CAST(extract(year FROM o_orderdate) AS INT) AS y,
+      |  CAST(extract(quarter FROM o_orderdate) AS INT) AS q,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_m
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** String-function surface beyond split/concat: padding, reversal,
+    * character translation, regexp_extract_all (+ element access).
+    */
+  def stringExtra(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        lpad(col("c_name"), 25, "*").as("padded"),
+        reverse(col("c_name")).as("rev"),
+        translate(col("c_name"), "#0", "_O").as("tr"),
+        size(regexp_extract_all(col("c_name"), lit("[0-9]+"), lit(0))).as("n_runs"),
+        element_at(regexp_extract_all(col("c_name"), lit("[0-9]+"), lit(0)), 1).as("first_num"))
+      .orderBy("c_custkey")
+  val stringExtraSql: String =
+    """SELECT c_custkey,
+      |  lpad(c_name, 25, '*') AS padded,
+      |  reverse(c_name) AS rev,
+      |  translate(c_name, '#0', '_O') AS tr,
+      |  CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS INT) AS n_runs,
+      |  regexp_extract_all(c_name, '[0-9]+')[1] AS first_num
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** Conditional-expression surface: coalesce/nullif/greatest/least — the
+    * null-handling idioms every ETL layer leans on.
+    */
+  def condOps(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        coalesce(nullif(col("l_returnflag"), lit("N")), lit("X")).as("flag_or_x"),
+        greatest(col("l_quantity"), col("l_discount") * 100).as("g"),
+        least(col("l_quantity"), col("l_tax") * 100).as("l"))
+      .orderBy("l_orderkey", "l_linenumber")
+  val condOpsSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  coalesce(nullif(l_returnflag, 'N'), 'X') AS flag_or_x,
+      |  greatest(l_quantity, l_discount * 100) AS g,
+      |  least(l_quantity, l_tax * 100) AS l
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   /** Sketch aggregates — HLL distinct and quantile sketch. Approximate by
     * design, so there is no DuckDB oracle (driver records a rows-only
     * check); the spec pins the error envelope against exact values.
