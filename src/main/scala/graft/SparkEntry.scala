@@ -81,6 +81,9 @@ object SparkEntry {
     // Round 2: correlated-subquery TPC-H shapes
     "q17_small_qty"     -> (PQ.q17SmallQty _),
     "q14_promo"         -> (PQ.q14Promo _),
+    "q10_returned"      -> (PQ.q10Returned _),
+    "q18_large_orders"  -> (PQ.q18LargeOrders _),
+    "q22_no_orders"     -> (PQ.q22NoOrders _),
     // Round 2: corpus statistics / text pipeline
     "t_term_topk"       -> (PQ.termTopK _),
     "t_pii_scrub"       -> (PQ.piiScrub _),
@@ -160,6 +163,9 @@ object SparkEntry {
     "m_binary_meta"     -> MultimodalOps.binaryMetaSql,
     "q17_small_qty"     -> PQ.q17SmallQtySql,
     "q14_promo"         -> PQ.q14PromoSql,
+    "q10_returned"      -> PQ.q10ReturnedSql,
+    "q18_large_orders"  -> PQ.q18LargeOrdersSql,
+    "q22_no_orders"     -> PQ.q22NoOrdersSql,
     "t_term_topk"       -> PQ.termTopKSql,
     "t_pii_scrub"       -> PQ.piiScrubSql,
     "t_contamination"   -> PQ.contaminationSql,

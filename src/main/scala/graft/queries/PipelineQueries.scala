@@ -86,6 +86,91 @@ object PipelineQueries {
       |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
       |  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'""".stripMargin
 
+  /** TPC-H Q10 shape: revenue lost to returned items, top 20 customers.
+    * Fact-fact join (orders × lineitem) shuffles on the key; the customer
+    * and nation dimensions broadcast; top-k is a TakeOrderedAndProject.
+    */
+  def q10Returned(s: SparkSession, d: String): DataFrame = {
+    val rev = dec2(col("l_extendedprice")) * (lit(BigDecimal(1)).cast(D2) - dec2(col("l_discount")))
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+    val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_nationkey")
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum(rev).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+  val q10ReturnedSql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    * (aggregate-then-join: the HAVING keys are a tiny set, so the join back
+    * to orders/customer broadcasts the aggregate — never the facts).
+    */
+  def q18LargeOrders(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("lk"))
+      .agg(sum(dec2(col("l_quantity"))).cast("double").as("total_qty"))
+      .filter(col("total_qty") > 300.0)
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val c = Tables.customer(s, d).select("c_custkey", "c_name")
+    o.join(broadcast(big), col("o_orderkey") === col("lk"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select("c_name", "c_custkey", "o_orderkey", "o_totalprice", "total_qty")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+  val q18LargeOrdersSql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey AS lk, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300.0)
+      |SELECT c_name, c_custkey, o_orderkey, o_totalprice, total_qty
+      |FROM orders JOIN big ON o_orderkey = lk JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** TPC-H Q22 shape: customers with above-average balance and no orders —
+    * scalar subquery (broadcast single row) + broadcast anti-join.
+    */
+  def q22NoOrders(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val avgBal = c.filter(col("c_acctbal") > 0.0)
+      .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1))).as("ab"))
+    val o = Tables.orders(s, d).select("o_custkey")
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), sum(dec2(col("c_acctbal"))).cast("double").as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+  val q22NoOrdersSql: String =
+    """WITH ab AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS ab
+      |            FROM customer WHERE c_acctbal > 0.0)
+      |SELECT c_mktsegment, count(*) AS n_cust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer, ab
+      |WHERE c_acctbal > ab
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // ---------------------------------------------------------------------
   // Corpus statistics / text analysis
   // ---------------------------------------------------------------------
