@@ -107,6 +107,10 @@ object SparkEntry {
     "f_cond_ops"        -> (PQ.condOps _),
     // Sketches: approximate by design -> rows-only check (no oracle)
     "x_approx_sketches" -> (PQ.approxSketches _),
+    // Multimodal frame sampling: fake-decode stub is JVM-side by design
+    // (no codecs in-container) -> rows-only check
+    "m_frame_sample"    -> ((s, d) =>
+      MultimodalOps.sampleFrames(s, d).toDF().orderBy("doc_id", "frame_idx")),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -13,10 +13,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - [[GraftExtensions.register]] on a live session (for libraries/tests).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    e.injectOptimizerRule(_ => HoistExpensiveProjectAboveSort)
+  }
 }
 
 object GraftExtensions {
@@ -37,9 +39,13 @@ object GraftExtensions {
   )
 
   /** Runtime registration on an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    if (!spark.experimental.extraOptimizations.contains(HoistExpensiveProjectAboveSort))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ HoistExpensiveProjectAboveSort
+  }
 }

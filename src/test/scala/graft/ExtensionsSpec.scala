@@ -33,7 +33,45 @@ class ExtensionsSpec extends SparkSpec {
     // verify the SparkSessionExtensions path composes (builder-level config)
     val ext = new GraftExtensions
     val e = new org.apache.spark.sql.SparkSessionExtensions
-    ext(e) // no-throw: all three functions inject
+    ext(e) // no-throw: all three functions + the optimizer rule inject
+  }
+
+  test("HoistExpensiveProjectAboveSort moves md5 projection above a global sort, results unchanged") {
+    GraftExtensions.register(spark)
+    val df = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), md5(col("text")).as("sig"))
+      .orderBy("doc_id")
+    val optimized = df.queryExecution.optimizedPlan
+    // after the rewrite the Sort's child carries the raw columns; the md5
+    // projection sits on top
+    import org.apache.spark.sql.catalyst.plans.logical.{Project, Sort}
+    val sortsBelowProject = optimized.collect {
+      case p: Project if p.child.isInstanceOf[Sort] &&
+        p.projectList.exists(_.toString.toLowerCase.contains("md5")) => p
+    }
+    assert(sortsBelowProject.nonEmpty, optimized.toString)
+    // and no Sort keeps an md5 projection below it
+    val bad = optimized.collect {
+      case s: Sort if s.child.toString.toLowerCase.contains("md5(") => s
+    }
+    assert(bad.isEmpty, optimized.toString)
+    // results identical to the unoptimized formulation + still key-sorted
+    val rows = df.collect()
+    assert(rows.length == 500)
+    assert(rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).sorted.toSeq)
+    val direct = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), md5(col("text")).as("sig")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows.forall(r => direct(r.getLong(0)) == r.getString(1)))
+  }
+
+  test("hoist rule leaves ORDER BY on a computed alias untouched") {
+    GraftExtensions.register(spark)
+    val df = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), md5(col("text")).as("sig"))
+      .orderBy("sig") // sort references the projected alias → must not move
+    val rows = df.collect()
+    assert(rows.map(_.getString(1)).toSeq == rows.map(_.getString(1)).toSeq.sorted)
   }
 
   test("journal survives a process restart (new instance, same dir)") {
