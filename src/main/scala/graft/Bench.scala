@@ -18,6 +18,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.catalyst.GraftExtensions.register(spark)
     // Warm the session once (scan init, codegen compiler, shuffle setup) so
     // per-query timings measure the query, not JVM warmup order.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()

@@ -55,6 +55,7 @@ object SparkEntry {
     "ts_asof_join"      -> (TimeSeriesOps.asofQuery _),
     "ts_sessionize"     -> ((s, d) => TimeSeriesOps.sessionize(s, d)),
     "ts_range_join"     -> (TimeSeriesOps.rangeJoin _),
+    "ts_gap_fill"       -> (TimeSeriesOps.gapFill _),
     // SQL-string entry surface (parser -> Catalyst path)
     "sql_q6"            -> (SQ.sqlQ6 _),
     "sql_set_intersect" -> (SQ.sqlIntersect _),
@@ -147,6 +148,7 @@ object SparkEntry {
     "ts_asof_join"      -> TimeSeriesOps.asofQuerySql,
     "ts_sessionize"     -> TimeSeriesOps.sessionizeSql(),
     "ts_range_join"     -> TimeSeriesOps.rangeJoinSql,
+    "ts_gap_fill"       -> TimeSeriesOps.gapFillSql,
     "sql_q6"            -> SQ.sqlQ6Sql,
     "sql_set_intersect" -> SQ.sqlIntersectSql,
     "sql_exists"        -> SQ.sqlExistsSql,

@@ -154,4 +154,49 @@ object TimeSeriesOps {
       |FROM p JOIN c ON p.user_id = c.user_id
       | AND c_ts >= p_ts AND c_ts < p_ts + INTERVAL 1 HOUR
       |ORDER BY purchase_id, click_id""".stripMargin
+
+  /** Gap filling / resampling: one row per (user, day) on a dense calendar
+    * grid, last observed value carried forward across missing days — the
+    * standard time-series regularization before feature windows.
+    *
+    * Scale shape: the grid is users × days (generated, never shuffled as
+    * data); the observation reduction is a partial-aggregable per-(user,day)
+    * latest-wins; the only wide operation is the per-user carry-forward
+    * window. The global min/max bounds ride a broadcast single row.
+    */
+  def gapFill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("day", to_date(col("ts")))
+    val latest = Window.partitionBy("user_id", "day")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val obs = ev.withColumn("rn", row_number().over(latest))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("value").as("day_val"))
+    val bounds = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = ev.select("user_id").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val carry = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("user_id", "day"), "left")
+      .withColumn("fill", last(col("day_val"), ignoreNulls = true).over(carry))
+      .select("user_id", "day", "fill")
+      .orderBy("user_id", "day")
+  }
+  val gapFillSql: String =
+    """WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+      |obs AS (SELECT user_id, day, value AS day_val FROM (
+      |  SELECT user_id, day, value,
+      |    row_number() OVER (PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM ev) WHERE rn = 1),
+      |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      |grid AS (SELECT u.user_id, CAST(unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |         FROM (SELECT DISTINCT user_id FROM ev) u, b)
+      |SELECT g.user_id, g.day,
+      |  last_value(o.day_val IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill
+      |FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.day = g.day
+      |ORDER BY g.user_id, g.day""".stripMargin
 }
