@@ -96,6 +96,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges <= 2, s"$exchanges exchanges:\n$p") // fanOut + rangepartition for sort
   }
 
+  test("q10 broadcasts both dimensions and plans top-k without a global sort") {
+    val p = physicalPlan(graft.queries.PipelineQueries.q10Returned(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q18 joins the HAVING aggregate back by broadcast (facts never reshuffle)") {
+    val p = physicalPlan(graft.queries.PipelineQueries.q18LargeOrders(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("partitioned warehouse prunes partitions on file_date") {
     import spark.implicits._
     val wh = tmpDir("prune") + "/data"
