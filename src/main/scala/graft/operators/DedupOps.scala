@@ -213,8 +213,10 @@ object DedupOps {
     a.join(b, Seq("c", "chunk")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is per-row computable, so the
+      // threshold drops most candidates before the dedup shuffle
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy("a_id", "b_id")
   }
 }

@@ -385,22 +385,38 @@ object PipelineQueries {
   }
   val groupingSetsSql: String = groupingSetsText
 
-  /** Exact per-group median without interpolation ambiguity: middle
-    * element(s) by row_number over a total order with unique tiebreaks,
-    * averaged exactly (decimal sum → one double division) — bit-identical
-    * across engines, unlike percentile/quantile interpolation.
+  /** Exact per-group median without interpolation ambiguity — computed by
+    * COUNTING, not sorting rows: quantities are discrete, so the per-group
+    * value histogram is tiny. Cumulative ranks over the histogram locate the
+    * two middle elements; their exact-decimal mean is one double division.
+    *
+    * This is the plan that survives 100 TB: the only wide operation is a
+    * partial-aggregable groupBy(group, value); the rank window runs over
+    * the ~|distinct values| histogram rows, never the data. (A row_number
+    * over rows would range-sort the entire fact table into one reducer per
+    * group.) Result is bit-identical to the oracle's middle-rank
+    * formulation: (v1+v2) is exact in decimal→double, and /2 is the same
+    * IEEE operation both sides.
     */
   def exactMedian(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("l_returnflag")
-      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
-    val cw = Window.partitionBy("l_returnflag")
-    Tables.lineitem(s, d)
-      .select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(cw))
-      .filter(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("(n + 2) div 2"))
+    val hist = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("c"))
+    val byVal = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grp = Window.partitionBy("l_returnflag")
+    hist
+      .withColumn("hi", sum(col("c")).over(byVal))
+      .withColumn("lo", col("hi") - col("c") + 1)
+      .withColumn("n", sum(col("c")).over(grp))
+      .withColumn("m1", expr("(n + 1) div 2"))
+      .withColumn("m2", expr("(n + 2) div 2"))
+      .withColumn("cov",
+        when(col("m1").between(col("lo"), col("hi")), 1).otherwise(0) +
+          when(col("m2").between(col("lo"), col("hi")), 1).otherwise(0))
+      .filter(col("cov") > 0)
       .groupBy("l_returnflag")
-      .agg((sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("median_qty"))
+      .agg((sum(dec2(col("l_quantity")) * col("cov")).cast("double") / 2.0).as("median_qty"))
       .orderBy("l_returnflag")
   }
   val exactMedianSql: String =
