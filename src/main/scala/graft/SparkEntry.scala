@@ -90,6 +90,9 @@ object SparkEntry {
     "t_pii_scrub"       -> (PQ.piiScrub _),
     "t_contamination"   -> (PQ.contamination _),
     "d_lev_fuzzy"       -> (PQ.levFuzzy _),
+    "t_doc_freq"        -> (PQ.docFreq _),
+    "d_cluster_canon"   -> ((s, d) => graft.operators.DedupPipeline
+      .clusters(DedupOps.ngramJaccardPairs(s, d)).orderBy("doc_id")),
     // Round 2: deterministic splits / sampling / balancing
     "p_train_split"     -> (PQ.trainSplit _),
     "p_stratified_sample" -> (PQ.stratifiedSample _),
@@ -176,6 +179,8 @@ object SparkEntry {
     "t_pii_scrub"       -> PQ.piiScrubSql,
     "t_contamination"   -> PQ.contaminationSql,
     "d_lev_fuzzy"       -> PQ.levFuzzySql,
+    "t_doc_freq"        -> PQ.docFreqSql,
+    "d_cluster_canon"   -> DedupOps.clusterCanonSql,
     "p_train_split"     -> PQ.trainSplitSql,
     "p_stratified_sample" -> PQ.stratifiedSampleSql,
     "p_class_balance"   -> PQ.classBalanceSql,

@@ -78,19 +78,45 @@ object DedupOps {
       .filter(col("common").cast("double") / (col("na") + col("nb") - col("common")) >= threshold)
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
-  val ngramJaccardSql: String =
-    s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+  /** Shared CTE chain producing the thresholded Jaccard pair list — reused
+    * by the pair oracle and the connected-components oracle.
+    */
+  private val ngramPairsCtes: String =
+    s"""toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
        |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks WHERE len(t) >= 3)),
        |freq AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $StopShingleCap),
        |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN freq USING (s)),
        |c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
-       |      FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |      FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+  val ngramJaccardSql: String =
+    s"""WITH $ngramPairsCtes
        |SELECT a_id, b_id, round(common * 1.0 / (ca.n + cb.n - common), 4) AS jaccard
        |FROM p JOIN c ca ON ca.doc_id = a_id JOIN c cb ON cb.doc_id = b_id
        |WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.8
        |ORDER BY a_id, b_id""".stripMargin
+
+  /** Oracle for [[DedupPipeline.clusters]] over the Jaccard pairs: a
+    * recursive label-propagation CTE — every label reachable along
+    * (undirected) edges accumulates per node; min(reachable) = component
+    * minimum, exactly the cluster_id the pointer-jumping Spark loop
+    * converges to.
+    */
+  val clusterCanonSql: String =
+    s"""WITH RECURSIVE $ngramPairsCtes,
+       |pairs AS (
+       |  SELECT a_id, b_id
+       |  FROM p JOIN c ca ON ca.doc_id = a_id JOIN c cb ON cb.doc_id = b_id
+       |  WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.8),
+       |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |          UNION SELECT b_id, a_id FROM pairs),
+       |cc(node, lbl) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.u, cc.lbl FROM cc JOIN edges e ON cc.node = e.v)
+       |SELECT node AS doc_id, min(lbl) AS cluster_id
+       |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin
 
   val MinHashK = 8      // signature length (seeds 0..7)
   val BandRows = 2      // rows per band → 4 bands; P(cand | j=0.99) ≈ 1-(1-0.98)⁴

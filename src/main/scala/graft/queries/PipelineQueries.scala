@@ -191,6 +191,28 @@ object PipelineQueries {
       |FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents)
       |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin
 
+  /** Document-frequency table — the IDF building block, kept to exact
+    * counts (no cross-engine log()): per-token df over DISTINCT per-doc
+    * tokens + the corpus share. Partial-aggregable, one shuffle of
+    * (token, partial df) rows.
+    */
+  def docFreq(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, d))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    docs.select(explode(array_distinct(TextOps.tokens(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(total))
+      .withColumn("df_ratio", col("df").cast("double") / col("n_docs"))
+      .orderBy("token")
+  }
+  val docFreqSql: String =
+    """WITH t AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS token
+      |           FROM documents),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT token, count(*) AS df, n_docs,
+      |  CAST(count(*) AS DOUBLE) / n_docs AS df_ratio
+      |FROM t, n GROUP BY token, n_docs ORDER BY token""".stripMargin
+
   /** PII scrubbing: emails then digit runs replaced; output a stable
     * signature (md5 + length) instead of the full scrubbed text. Pure
     * projection — no shuffle, scales linearly.
