@@ -21,6 +21,33 @@ class SinksSpec extends SparkSpec {
     assert(sink.count(spark) == 0)
   }
 
+  test("format matrix: orc / json-lines / tsv round-trip losslessly") {
+    val df = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+    val n = df.count()
+
+    val orc = tmpDir("fmtOrc")
+    df.write.mode("overwrite").orc(orc)
+    assert(spark.read.orc(orc).count() == n)
+    assert(spark.read.orc(orc).schema == df.schema)
+
+    val json = tmpDir("fmtJson")
+    df.write.mode("overwrite").json(json)
+    val back = spark.read.schema(df.schema).json(json)
+    assert(back.count() == n)
+
+    val tsv = tmpDir("fmtTsv")
+    df.write.mode("overwrite").option("sep", "\t").option("header", "true").csv(tsv)
+    val tback = spark.read.option("sep", "\t").option("header", "true")
+      .schema(df.schema).csv(tsv)
+    assert(tback.count() == n)
+    // values survive the round-trip (sum over an exact decimal cast)
+    val sumIn = df.agg(sum(col("l_quantity").cast("decimal(18,2)"))).head.getDecimal(0)
+    val sumOut = tback.agg(sum(col("l_quantity").cast("decimal(18,2)"))).head.getDecimal(0)
+    assert(sumIn == sumOut)
+  }
+
   test("streamFrom attaches the sink to a stream exactly-once") {
     val root = tmpDir("sinkStream")
     new java.io.File(s"$root/d").mkdirs()
