@@ -28,8 +28,12 @@ object DedupPipeline {
     */
   def clusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
     val spark = pairs.sparkSession
-    val edges = pairs.select(col("a_id"), col("b_id"))
-      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    // materialize the pair source ONCE: the undirected-edge union embeds
+    // the (often expensive — shingling, LSH) pair plan twice, and the cache
+    // below would execute both branches
+    val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
+    val edges = p
+      .union(p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .distinct()
       .cache()
     // label(x) = min neighbor (or self) — then propagate
