@@ -65,6 +65,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows.forall(r => direct(r.getLong(0)) == r.getString(1)))
   }
 
+  test("hoist rule preserves results across seeded projection/sort-key combinations") {
+    GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(42)
+    val heavyExprs: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "h_md5" -> md5(col("text")),
+      "h_re" -> regexp_replace(col("text"), "[aeiou]+", "_"),
+      "h_lev" -> levenshtein(col("text"), reverse(col("text"))),
+      "h_hof" -> size(filter(split(col("text"), " "), t => length(t) > 3)))
+    val sortKeys = Seq(col("doc_id").asc, col("doc_id").desc,
+      col("lang").asc, col("n_chars").desc)
+    for (_ <- 1 to 8) {
+      val picked = rnd.shuffle(heavyExprs).take(1 + rnd.nextInt(3))
+      val keys = rnd.shuffle(sortKeys).take(1 + rnd.nextInt(2)) :+ col("doc_id").asc
+      val df = Tables.documents(spark, sf0001)
+        .select(Seq(col("doc_id"), col("lang"), col("n_chars")) ++
+          picked.map { case (n, c) => c.as(n) }: _*)
+        .orderBy(keys: _*)
+      val got = df.collect().map(r => r.getLong(0) -> r.toSeq.drop(3)).toMap
+      // ground truth: same projections, no sort, no rule interaction
+      val want = Tables.documents(spark, sf0001)
+        .select(Seq(col("doc_id")) ++ picked.map { case (n, c) => c.as(n) }: _*)
+        .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      assert(got.size == want.size)
+      got.foreach { case (k, v) => assert(v == want(k), s"doc $k: $v != ${want(k)}") }
+    }
+  }
+
   test("hoist rule leaves ORDER BY on a computed alias untouched") {
     GraftExtensions.register(spark)
     val df = Tables.documents(spark, sf0001)
