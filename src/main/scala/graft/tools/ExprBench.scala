@@ -1,0 +1,82 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.catalyst.HashFunctions
+import graft.functions.TextOps
+
+/** Micro-benchmark: native codegen'd expressions vs their interpreted
+  * higher-order-lambda formulations, on the real test tables. Prints one
+  * line per pair — the evidence behind the `catalyst/` expression layer
+  * (lambda interpreters pay per-element dispatch; `doGenCode` → one
+  * compiled loop).
+  *
+  * Usage: runMain graft.tools.ExprBench [sfDir] [reps]
+  */
+object ExprBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def bench(tag: String)(df: => DataFrame): Double = {
+      df.write.format("noop").mode("overwrite").save() // warm
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      times.min
+    }
+
+    val docs = Tables.fanOut(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .localCheckpoint(true)
+    val emb = Tables.fanOut(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    val pairs = emb.limit(500)
+      .crossJoin(emb.limit(500).select(col("embedding").as("e2")))
+      .localCheckpoint(true)
+
+    val results = Seq(
+      ("dot_product",
+        bench("native") { pairs.select(HashFunctions.dot_product(col("embedding"), col("e2")).as("d")) },
+        bench("lambda") { pairs.select(aggregate(zip_with(col("embedding"), col("e2"),
+          (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, x) => a + x).as("d")) }),
+      ("shingles3",
+        bench("native") { docs.select(HashFunctions.shingles3(col("toks")).as("s")) },
+        bench("lambda") { docs.select(
+          when(size(col("toks")) >= 3,
+            transform(sequence(lit(0), size(col("toks")) - 3),
+              i => concat_ws(" ", element_at(col("toks"), i + 1),
+                element_at(col("toks"), i + 2), element_at(col("toks"), i + 3))))
+            .otherwise(array()).as("s")) }),
+      ("simhash32",
+        bench("native") { docs.select(HashFunctions.simhash32(col("toks")).as("h")) },
+        Double.NaN), // no tractable lambda formulation (2 shuffles in SQL form)
+      ("minhash_signature(k=8)",
+        bench("native") { docs.select(HashFunctions.minhash_signature(
+          HashFunctions.shingles3(col("toks"), distinct = true), 8).as("sig")) },
+        bench("lambda") { docs.select(transform(sequence(lit(0), lit(7)), seed =>
+          array_min(transform(HashFunctions.shingles3(col("toks"), distinct = true),
+            sh => md5(concat(seed.cast("string"), lit("|"), sh))))).as("sig")) })
+    )
+    println(f"${"expression"}%-24s ${"native_s"}%10s ${"lambda_s"}%10s ${"speedup"}%8s")
+    results.foreach { case (name, nat, lam) =>
+      val sp = if (lam.isNaN) "n/a" else f"${lam / nat}%.1fx"
+      println(f"$name%-24s $nat%10.3f ${if (lam.isNaN) "n/a" else f"$lam%.3f"}%10s $sp%8s")
+    }
+    spark.stop()
+  }
+}
