@@ -57,20 +57,21 @@ object DedupPipeline {
         .select(col("doc_id"), col("jump"))
       // localCheckpoint truncates lineage: without it each iteration's plan
       // embeds all previous ones and the query plan grows exponentially
-      // (the canonical iterative-Spark failure mode)
+      // (the canonical iterative-Spark failure mode). The change flag rides
+      // the same pass, so convergence detection is one tiny aggregation
+      // over the checkpoint, not a second join over the inputs.
+      val newLabel = least(col("cluster_id"),
+        coalesce(col("nb_min"), col("cluster_id")),
+        coalesce(col("jump"), col("cluster_id")))
       val next = labels
         .join(viaNeighbors, Seq("doc_id"), "left")
         .join(viaJump, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"),
-            coalesce(col("nb_min"), col("cluster_id")),
-            coalesce(col("jump"), col("cluster_id")))
-            .as("cluster_id"))
+        .select(col("doc_id"), newLabel.as("cluster_id"),
+          (newLabel =!= col("cluster_id")).cast("long").as("chg"))
         .localCheckpoint(eager = true)
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("old")).count()
+      val changed = next.agg(sum(col("chg"))).head.getLong(0)
       labels.unpersist()
-      labels = next
+      labels = next.select("doc_id", "cluster_id")
       converged = changed == 0
       i += 1
     }
