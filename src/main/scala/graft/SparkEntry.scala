@@ -101,6 +101,7 @@ object SparkEntry {
     "w_lead_delta"      -> (PQ.leadDelta _),
     "g_grouping_sets"   -> (PQ.groupingSets _),
     "g_exact_median"    -> (PQ.exactMedian _),
+    "g_corr_stats"      -> (PQ.corrStats _),
     "w_ntile_pctrank"   -> (PQ.ntilePctRank _),
     "w_first_last"      -> (PQ.firstLast _),
     "f_array_ops"       -> (PQ.arrayOps _),
@@ -187,6 +188,7 @@ object SparkEntry {
     "w_lead_delta"      -> PQ.leadDeltaSql,
     "g_grouping_sets"   -> PQ.groupingSetsSql,
     "g_exact_median"    -> PQ.exactMedianSql,
+    "g_corr_stats"      -> PQ.corrStatsSql,
     "w_ntile_pctrank"   -> PQ.ntilePctRankSql,
     "w_first_last"      -> PQ.firstLastSql,
     "f_array_ops"       -> PQ.arrayOpsSql,

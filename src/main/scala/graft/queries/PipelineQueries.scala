@@ -451,6 +451,48 @@ object PipelineQueries {
       |FROM o WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Moment statistics (mean/variance/stddev/correlation) from EXACT
+    * decimal moment sums with the closed-form double formula at the end.
+    * Built-in corr()/stddev() use streaming one-pass updates whose result
+    * depends on partial-aggregation order — not reproducible across
+    * engines or even across partitionings; exact sums are order-free, so
+    * this formulation is bit-stable anywhere (and still one partial-agg
+    * pass over the data).
+    */
+  def corrStats(s: SparkSession, d: String): DataFrame = {
+    val x = dec2(col("l_quantity"))
+    val y = dec2(col("l_extendedprice"))
+    Tables.lineitem(s, d)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"),
+        sum(x * y).cast("double").as("sxy"))
+      .select(
+        col("n"),
+        (col("sx") / col("n")).as("mean_qty"),
+        (col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")))
+          .as("var_qty"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"))
+  }
+  val corrStatsSql: String =
+    """WITH m AS (SELECT count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      |  FROM lineitem)
+      |SELECT n, sx / n AS mean_qty,
+      |  sxx / n - (sx / n) * (sx / n) AS var_qty,
+      |  (n * sxy - sx * sy) /
+      |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+      |FROM m""".stripMargin
+
   /** ntile / percent_rank / cume_dist — the ranking-family completion.
     * percent_rank = (rank-1)/(N-1) and cume_dist = peers/N are exact double
     * divisions, identical across engines; the unique (acctbal, custkey)
