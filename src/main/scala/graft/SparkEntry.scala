@@ -110,6 +110,8 @@ object SparkEntry {
     "f_date_extra"      -> (PQ.dateExtra _),
     "f_string_extra"    -> (PQ.stringExtra _),
     "f_cond_ops"        -> (PQ.condOps _),
+    "f_json_struct"     -> (PQ.jsonStruct _),
+    "f_posexplode"      -> (PQ.posExplode _),
     // Sketches: approximate by design -> rows-only check (no oracle)
     "x_approx_sketches" -> (PQ.approxSketches _),
     // Multimodal frame sampling: fake-decode stub is JVM-side by design
@@ -197,5 +199,7 @@ object SparkEntry {
     "f_date_extra"      -> PQ.dateExtraSql,
     "f_string_extra"    -> PQ.stringExtraSql,
     "f_cond_ops"        -> PQ.condOpsSql,
+    "f_json_struct"     -> PQ.jsonStructSql,
+    "f_posexplode"      -> PQ.posExplodeSql,
   )
 }

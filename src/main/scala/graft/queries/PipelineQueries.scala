@@ -451,6 +451,31 @@ object PipelineQueries {
       |FROM o WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** from_json → typed struct → field access: the schema-full JSON path
+    * (JsonToStructs), complementing get_json_object's schema-less probe.
+    */
+  def jsonStruct(s: SparkSession, d: String): DataFrame =
+    Tables.fanOut(Tables.events(s, d).select("event_id", "props"))
+      .orderBy("event_id")
+      .select(col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k STRING"))
+          .getField("k").as("k_typed"))
+  val jsonStructSql: String =
+    """SELECT event_id, json_extract_string(props, '$.k') AS k_typed
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** posexplode — generator with ordinality (position-aware flattening). */
+  def posExplode(s: SparkSession, d: String): DataFrame =
+    Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "token")))
+      .orderBy("doc_id", "pos")
+  val posExplodeSql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+      |SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS token
+      |FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t)
+      |ORDER BY doc_id, pos""".stripMargin
+
   /** Moment statistics (mean/variance/stddev/correlation) from EXACT
     * decimal moment sums with the closed-form double formula at the end.
     * Built-in corr()/stddev() use streaming one-pass updates whose result
