@@ -76,6 +76,31 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingest stream restarts from its checkpoint exactly-once (stop → new files → new query)") {
+    val root = tmpDir("restartIngest")
+    val wh = tmpDir("restartWh")
+    val ck = tmpDir("restartCk")
+    writeTicks(root, "2024-03-14", "AVA-USDT_PST_2024-03-14",
+      Seq(tick("AVA-USDT", 1, 0.61, "2024-03-14T12:00:01.000")))
+    val q1 = StreamingAnalytics.ingestStream(spark, root, wh, ck,
+      trigger = Trigger.ProcessingTime(0))
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(spark.read.parquet(wh).count() == 1)
+    // files arriving while the query is DOWN...
+    writeTicks(root, "2024-03-14", "BTC-USDT_PST_2024-03-14",
+      Seq(tick("BTC-USDT", 2, 0.62, "2024-03-14T12:00:02.000")))
+    // ...are picked up by a NEW query on the same checkpoint; f1 is not
+    // re-ingested (the checkpointed seen-file map survives the restart)
+    val q2 = StreamingAnalytics.ingestStream(spark, root, wh, ck,
+      trigger = Trigger.ProcessingTime(0))
+    try {
+      q2.processAllAvailable()
+      val got = spark.read.parquet(wh)
+      assert(got.count() == 2)
+      assert(got.select("sequence").as[Long].collect().toSet == Set(1L, 2L))
+    } finally q2.stop()
+  }
+
   test("session_window stream: inactivity gap splits sessions, sessions emit past watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
