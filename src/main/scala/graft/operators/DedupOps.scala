@@ -63,10 +63,17 @@ object DedupOps {
     * candidate pairs from each (capped) posting list, count shared shingles,
     * exact Jaccard = |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold.
     * Exactly two shuffles: groupBy(shingle), groupBy(pair).
+    *
+    * The posting groupBy keys on xxhash64(shingle), not the string: the
+    * shuffle moves 8-byte keys instead of ~20-char text, and counts are
+    * unchanged barring a 64-bit collision between two distinct shingles of
+    * the same corpus (P ≈ n²/2⁶⁵ — ~10⁻⁸ even at a billion shingles; the
+    * oracle gate would flag one).
     */
   def ngramJaccardPairs(s: SparkSession, d: String, threshold: Double = 0.8): DataFrame =
     shingleDocs(s, d)
-      .select(struct(col("doc_id"), col("n")).as("dn"), explode(col("sh")).as("s"))
+      .select(struct(col("doc_id"), col("n")).as("dn"), explode(col("sh")).as("s0"))
+      .select(col("dn"), xxhash64(col("s0")).as("s"))
       .groupBy("s").agg(collect_list(col("dn")).as("ds"))
       .filter(size(col("ds")) >= 2 && size(col("ds")) <= StopShingleCap)
       .select(explode(HashFunctions.pair_combos(col("ds"))).as("p"))
