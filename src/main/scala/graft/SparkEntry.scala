@@ -56,6 +56,9 @@ object SparkEntry {
     "ts_sessionize"     -> ((s, d) => TimeSeriesOps.sessionize(s, d)),
     "ts_range_join"     -> (TimeSeriesOps.rangeJoin _),
     "ts_gap_fill"       -> (TimeSeriesOps.gapFill _),
+    // same query through the custom LogicalPlan/SparkStrategy/SparkPlan
+    // as-of operator (graft.plans.AsOfJoinExec)
+    "ts_asof_native"    -> (TimeSeriesOps.asofQueryNative _),
     // SQL-string entry surface (parser -> Catalyst path)
     "sql_q6"            -> (SQ.sqlQ6 _),
     "sql_set_intersect" -> (SQ.sqlIntersect _),
@@ -155,6 +158,7 @@ object SparkEntry {
     "ts_sessionize"     -> TimeSeriesOps.sessionizeSql(),
     "ts_range_join"     -> TimeSeriesOps.rangeJoinSql,
     "ts_gap_fill"       -> TimeSeriesOps.gapFillSql,
+    "ts_asof_native"    -> TimeSeriesOps.asofQuerySql,
     "sql_q6"            -> SQ.sqlQ6Sql,
     "sql_set_intersect" -> SQ.sqlIntersectSql,
     "sql_exists"        -> SQ.sqlExistsSql,

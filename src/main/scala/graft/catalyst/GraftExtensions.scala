@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
     e.injectOptimizerRule(_ => HoistExpensiveProjectAboveSort)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
@@ -47,5 +48,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(HoistExpensiveProjectAboveSort))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ HoistExpensiveProjectAboveSort
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
   }
 }

@@ -83,6 +83,23 @@ object TimeSeriesOps {
         col("asof_click_id").as("click_id"))
       .orderBy("event_id")
   }
+  /** The same as-of query through the NATIVE operator
+    * ([[graft.plans.AsOfJoinExec]] — one merge pass, no union/window):
+    * oracle-gated against the identical DuckDB ASOF JOIN SQL.
+    */
+  def asofQueryNative(s: SparkSession, d: String): DataFrame = {
+    graft.catalyst.GraftExtensions.register(s)
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    graft.plans.NativeAsOf.asofJoin(purchases, clicks, "user_id", "ts", "click_ts")
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("asof_click_id").as("click_id"))
+      .orderBy("event_id")
+  }
+
   val asofQuerySql: String =
     """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
       |p AS (SELECT user_id, event_id, ts, value FROM ev WHERE event_type = 'purchase'),

@@ -1,0 +1,169 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftPlanBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, Ascending, Attribute, Expression, GenericInternalRow, JoinedRow,
+  RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native as-of join — the whole-operator Catalyst extension path
+  * (logical node → strategy → physical sort-merge pass), for the one
+  * time-series operator Spark lacks as a built-in.
+  *
+  * Semantics: for each left row, attach the most recent right row with the
+  * same key and `rightTime <= leftTime` (backward as-of, ties match —
+  * DuckDB `ASOF JOIN` semantics; null right side when no match).
+  *
+  * Physical shape: both children hash-partitioned on the key and sorted by
+  * (key, time) — exactly a sort-merge join's requirements — then ONE
+  * streaming merge pass per partition with O(1) state (the last matching
+  * right row). Versus the composed union+window formulation
+  * ([[graft.operators.TimeSeriesOps.asofJoin]]): no union of padded
+  * schemas, no window state, one pass.
+  *
+  * At 100 TB this plans like any co-partitioned merge join: one exchange
+  * per side (none if the sources are bucketed by key), sort spills via
+  * UnsafeExternalSorter, and the merge itself is pipelined.
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeysB = leftKeys
+    val rKeysB = rightKeys
+    val lTimeB = leftTime
+    val rTimeB = rightTime
+    val outB = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyGen = UnsafeProjection.create(lKeysB, lOut)
+      val rKeyGen = UnsafeProjection.create(rKeysB, rOut)
+      val lTimeGen = UnsafeProjection.create(Seq(lTimeB), lOut)
+      val rTimeGen = UnsafeProjection.create(Seq(rTimeB), rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeysB.map(_.dataType))
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTimeB.dataType))
+      // bind against a nullable view of the right side: the merge emits an
+      // all-null right row on no-match, so reads must keep their null checks
+      // even when the child attribute is non-nullable
+      val resultProj = UnsafeProjection.create(outB, lOut ++ rOut.map(_.withNullability(true)))
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.size)
+      new Iterator[InternalRow] {
+        private var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
+        // O(1) merge state: the latest right row whose (key, time) is <= the
+        // current left frontier, plus its key for the final equality check
+        private var lastMatch: InternalRow = null
+        private var lastMatchKey: InternalRow = null
+        override def hasNext: Boolean = lIter.hasNext
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lKey = lKeyGen(l).copy()
+          val lTime = lTimeGen(l).copy()
+          var scanning = rRow != null
+          while (scanning) {
+            val rk = rKeyGen(rRow)
+            val c = keyOrd.compare(rk, lKey)
+            if (c < 0) {
+              // right rows for keys already passed — no future left row can
+              // match them (left is key-sorted too); drop through
+              rRow = if (rIter.hasNext) rIter.next() else null
+              scanning = rRow != null
+            } else if (c == 0 && timeOrd.compare(rTimeGen(rRow), lTime) <= 0) {
+              lastMatch = rRow.copy()
+              lastMatchKey = rk.copy()
+              rRow = if (rIter.hasNext) rIter.next() else null
+              scanning = rRow != null
+            } else scanning = false
+          }
+          val rSide =
+            if (lastMatchKey != null && keyOrd.compare(lastMatchKey, lKey) == 0) lastMatch
+            else nullRight
+          resultProj(joined(l, rSide))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinNode]] as [[AsOfJoinExec]]; injected by
+  * [[graft.catalyst.GraftExtensions]].
+  */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Public API over the native operator, mirroring
+  * [[graft.operators.TimeSeriesOps.asofJoin]]'s output contract:
+  * key + left columns + `asof_<rightTime>` + `asof_<carried right cols>`.
+  */
+object NativeAsOf {
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    val lPlan = GraftPlanBridge.analyzed(left)
+    // Re-alias every right column at the top of the right subtree: if both
+    // sides derive from the same relation, the analyzer's
+    // DeduplicateRelations re-ids the right subtree's internals — the
+    // fresh Alias exprIds here stay stable, so the node's key/time
+    // expressions keep resolving (referencing right.output directly would
+    // leave them pointing at the LEFT side's ids after dedup).
+    val rAnalyzed = GraftPlanBridge.analyzed(right)
+    val rAliases = rAnalyzed.output.map(a => Alias(a, a.name)())
+    val rPlan = Project(rAliases, rAnalyzed)
+    val rAttrs = rAliases.map(_.toAttribute)
+    def lAttr(name: String): Attribute =
+      lPlan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found in ${lPlan.output.map(_.name)}"))
+    def rAttr(name: String): Attribute =
+      rAttrs.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found in ${rAttrs.map(_.name)}"))
+    val node = AsOfJoinNode(lPlan, rPlan,
+      Seq(lAttr(key)), Seq(rAttr(key)), lAttr(leftTime), rAttr(rightTime))
+    val carried = rAttrs.filter(a => a.name != key && a.name != rightTime)
+    val proj = Project(
+      lPlan.output.map(a => Alias(a, a.name)()) ++
+        Seq(Alias(rAttr(rightTime).withNullability(true), s"asof_$rightTime")()) ++
+        carried.map(a => Alias(a.withNullability(true), s"asof_${a.name}")()),
+      node)
+    GraftPlanBridge.ofRows(spark, proj)
+  }
+}

@@ -11,3 +11,16 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 }
+
+/** Same pattern for LogicalPlan↔DataFrame: custom logical operators (e.g.
+  * [[graft.plans.AsOfJoinNode]]) need the analyzed child plans and a way to
+  * wrap a hand-built plan back into a DataFrame — both `private[sql]` in
+  * Spark 4's classic Dataset.
+  */
+object GraftPlanBridge {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+}

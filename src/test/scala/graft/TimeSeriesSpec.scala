@@ -45,4 +45,47 @@ class TimeSeriesSpec extends SparkSpec {
       assert(!r.getTimestamp(2).after(r.getTimestamp(3)))
     }
   }
+
+  test("native AsOfJoinExec matches the composed union+window as-of exactly") {
+    graft.catalyst.GraftExtensions.register(spark)
+    val ev = Tables.events(spark, sf0001)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val native = graft.plans.NativeAsOf
+      .asofJoin(purchases, clicks, "user_id", "ts", "click_ts")
+    // the physical plan runs the custom operator
+    val phys = native.queryExecution.executedPlan.toString
+    assert(phys.contains("AsOfJoin"), phys)
+    val composed = TimeSeriesOps
+      .asofJoin(purchases, clicks, "user_id", "ts", "click_ts")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "user_id", "value", "asof_click_ts", "asof_click_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.get(2), r.get(3), r.get(4)))
+        .sortBy(_._1)
+    val n = norm(native)
+    val c = norm(composed)
+    assert(n.length == c.length && n.length > 0)
+    n.zip(c).foreach { case (a, b) => assert(a == b, s"native=$a composed=$b") }
+  }
+
+  test("native as-of: ties match and missing keys produce null right side") {
+    graft.catalyst.GraftExtensions.register(spark)
+    import spark.implicits._
+    val l = Seq((1L, ts("2024-03-14 12:00:10"), "t1"),
+      (1L, ts("2024-03-14 12:00:20"), "t2"),
+      (2L, ts("2024-03-14 12:00:05"), "t3")) // key 2 has no right rows
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, ts("2024-03-14 12:00:10"), 9.9), // tie with t1 → matches
+      (1L, ts("2024-03-14 12:00:15"), 8.8))
+      .toDF("k", "rt", "px")
+    val got = graft.plans.NativeAsOf.asofJoin(l, r, "k", "t", "rt")
+      .orderBy("tag").collect()
+    assert(got.length == 3)
+    assert(got(0).getAs[Double]("asof_px") == 9.9)   // t1: tie matched
+    assert(got(1).getAs[Double]("asof_px") == 8.8)   // t2: latest ≤ 12:00:20
+    assert(got(2).isNullAt(got(2).fieldIndex("asof_px"))) // t3: no match
+  }
 }
