@@ -105,6 +105,7 @@ object SparkEntry {
     "g_grouping_sets"   -> (PQ.groupingSets _),
     "g_exact_median"    -> (PQ.exactMedian _),
     "g_corr_stats"      -> (PQ.corrStats _),
+    "g_salted_distinct" -> (PQ.saltedDistinct _),
     "w_ntile_pctrank"   -> (PQ.ntilePctRank _),
     "w_first_last"      -> (PQ.firstLast _),
     "f_array_ops"       -> (PQ.arrayOps _),
@@ -195,6 +196,7 @@ object SparkEntry {
     "g_grouping_sets"   -> PQ.groupingSetsSql,
     "g_exact_median"    -> PQ.exactMedianSql,
     "g_corr_stats"      -> PQ.corrStatsSql,
+    "g_salted_distinct" -> PQ.saltedDistinctSql,
     "w_ntile_pctrank"   -> PQ.ntilePctRankSql,
     "w_first_last"      -> PQ.firstLastSql,
     "f_array_ops"       -> PQ.arrayOpsSql,

@@ -26,6 +26,19 @@ object SkewOps {
       .groupBy(col(key))
       .agg(flatten(collect_list(col("_partial"))).as(s"${value}_list"))
 
+  /** Salted two-phase DISTINCT collect: like [[saltedCollectList]] but the
+    * result is the distinct value set, returned sorted so the output is
+    * deterministic (and oracle-comparable) regardless of salt layout.
+    */
+  def saltedCollectSet(df: DataFrame, key: String, value: String,
+      saltBuckets: Int): DataFrame =
+    df.withColumn("_salt", pmod(spark_partition_id() + hash(col(value)), lit(saltBuckets)))
+      .groupBy(col(key), col("_salt"))
+      .agg(collect_set(col(value)).as("_partial"))
+      .groupBy(col(key))
+      .agg(array_sort(array_distinct(flatten(collect_list(col("_partial")))))
+        .as(s"${value}_set"))
+
   /** Salted equi-join: the big (skewed) side gets a uniform salt in
     * [0, saltBuckets); the small side is replicated once per salt value;
     * the join key becomes (key, salt). Turns one hot reducer into

@@ -451,6 +451,27 @@ object PipelineQueries {
       |FROM o WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Skew-safe holistic aggregation, oracle-gated: distinct ship months per
+    * return flag via [[graft.operators.SkewOps.saltedCollectSet]]. The key
+    * has 3 values over 600k rows — exactly the shape where an unsalted
+    * collect funnels everything into 3 reducers; the two-phase salted plan
+    * spreads phase 1 over `salt` buckets and merges tiny partials in
+    * phase 2, with a result identical to the direct formulation.
+    */
+  def saltedDistinct(s: SparkSession, d: String): DataFrame =
+    graft.operators.SkewOps.saltedCollectSet(
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), trunc(to_date(col("l_shipdate")), "month").as("m")),
+      key = "l_returnflag", value = "m", saltBuckets = 16)
+      .withColumn("months", concat_ws(",", col("m_set").cast("array<string>")))
+      .select("l_returnflag", "months")
+      .orderBy("l_returnflag")
+  val saltedDistinctSql: String =
+    """SELECT l_returnflag,
+      |  array_to_string(list_sort(list(DISTINCT
+      |    CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE)::VARCHAR)), ',') AS months
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** from_json → typed struct → field access: the schema-full JSON path
     * (JsonToStructs), complementing get_json_object's schema-less probe.
     */
