@@ -106,6 +106,7 @@ object SparkEntry {
     "g_exact_median"    -> (PQ.exactMedian _),
     "g_corr_stats"      -> (PQ.corrStats _),
     "g_salted_distinct" -> (PQ.saltedDistinct _),
+    "g_deciles"         -> (PQ.deciles _),
     "w_ntile_pctrank"   -> (PQ.ntilePctRank _),
     "w_first_last"      -> (PQ.firstLast _),
     "f_array_ops"       -> (PQ.arrayOps _),
@@ -197,6 +198,7 @@ object SparkEntry {
     "g_exact_median"    -> PQ.exactMedianSql,
     "g_corr_stats"      -> PQ.corrStatsSql,
     "g_salted_distinct" -> PQ.saltedDistinctSql,
+    "g_deciles"         -> PQ.decilesSql,
     "w_ntile_pctrank"   -> PQ.ntilePctRankSql,
     "w_first_last"      -> PQ.firstLastSql,
     "f_array_ops"       -> PQ.arrayOpsSql,

@@ -539,6 +539,40 @@ object PipelineQueries {
       |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
       |FROM m""".stripMargin
 
+  /** Exact decile grid per group, by the same count-histogram technique as
+    * [[exactMedian]]: decile k = the value covering rank ⌈n·k/10⌉. All rank
+    * arithmetic is integral — no interpolation, no cross-engine float risk —
+    * and the only wide operation is the partial-aggregable histogram
+    * groupBy; the rank windows run over histogram rows.
+    */
+  def deciles(s: SparkSession, d: String): DataFrame = {
+    val hist = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("c"))
+    val byVal = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grp = Window.partitionBy("l_returnflag")
+    hist
+      .withColumn("hi", sum(col("c")).over(byVal))
+      .withColumn("lo", col("hi") - col("c") + 1)
+      .withColumn("n", sum(col("c")).over(grp))
+      .select(col("l_returnflag"), col("l_quantity"), col("lo"), col("hi"), col("n"),
+        explode(sequence(lit(1), lit(9))).as("k"))
+      .filter(expr("(n * CAST(k AS BIGINT) + 9) div 10").between(col("lo"), col("hi")))
+      .select(col("l_returnflag"), col("k").as("decile"), col("l_quantity").as("dec_val"))
+      .orderBy("l_returnflag", "decile")
+  }
+  val decilesSql: String =
+    """WITH h AS (SELECT l_returnflag, l_quantity, count(*) AS c FROM lineitem GROUP BY 1, 2),
+      |w AS (SELECT l_returnflag, l_quantity,
+      |  sum(c) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS hi,
+      |  sum(c) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) - c + 1 AS lo,
+      |  sum(c) OVER (PARTITION BY l_returnflag) AS n FROM h),
+      |ks AS (SELECT unnest(generate_series(1, 9)) AS k)
+      |SELECT l_returnflag, CAST(k AS INT) AS decile, l_quantity AS dec_val
+      |FROM w, ks WHERE (n * k + 9) // 10 BETWEEN lo AND hi
+      |ORDER BY l_returnflag, decile""".stripMargin
+
   /** ntile / percent_rank / cume_dist — the ranking-family completion.
     * percent_rank = (rank-1)/(N-1) and cume_dist = peers/N are exact double
     * divisions, identical across engines; the unique (acctbal, custkey)
