@@ -17,6 +17,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * Semantics: for each left row, attach the most recent right row with the
   * same key and `rightTime <= leftTime` (backward as-of, ties match —
   * DuckDB `ASOF JOIN` semantics; null right side when no match).
+  * Two RIGHT rows with identical (key, time) are resolved by sort order,
+  * which is not total over the remaining columns — like every as-of
+  * implementation, callers needing determinism under such ties must make
+  * the right time unique (e.g. add a sequence tiebreak to the time).
   *
   * Physical shape: both children hash-partitioned on the key and sorted by
   * (key, time) — exactly a sort-merge join's requirements — then ONE
