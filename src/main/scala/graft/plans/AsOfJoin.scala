@@ -92,8 +92,11 @@ case class AsOfJoinExec(
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val l = lIter.next()
-          val lKey = lKeyGen(l).copy()
-          val lTime = lTimeGen(l).copy()
+          // no copies: each UnsafeProjection owns its buffer, so lKey/lTime
+          // stay valid until the NEXT left row — the only rows that outlive
+          // this call (lastMatch/lastMatchKey) are copied below
+          val lKey = lKeyGen(l)
+          val lTime = lTimeGen(l)
           var scanning = rRow != null
           while (scanning) {
             val rk = rKeyGen(rRow)
