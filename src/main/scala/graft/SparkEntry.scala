@@ -107,6 +107,8 @@ object SparkEntry {
     "g_corr_stats"      -> (PQ.corrStats _),
     "g_salted_distinct" -> (PQ.saltedDistinct _),
     "g_deciles"         -> (PQ.deciles _),
+    // native bounded-heap grouped top-k (graft.plans.TopKPerGroupExec)
+    "w_topk_native"     -> (PQ.topkNative _),
     "w_ntile_pctrank"   -> (PQ.ntilePctRank _),
     "w_first_last"      -> (PQ.firstLast _),
     "f_array_ops"       -> (PQ.arrayOps _),
@@ -199,6 +201,7 @@ object SparkEntry {
     "g_corr_stats"      -> PQ.corrStatsSql,
     "g_salted_distinct" -> PQ.saltedDistinctSql,
     "g_deciles"         -> PQ.decilesSql,
+    "w_topk_native"     -> PQ.topkNativeSql,
     "w_ntile_pctrank"   -> PQ.ntilePctRankSql,
     "w_first_last"      -> PQ.firstLastSql,
     "f_array_ops"       -> PQ.arrayOpsSql,

@@ -451,6 +451,32 @@ object PipelineQueries {
       |FROM o WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Grouped top-k through the native bounded-heap operator
+    * ([[graft.plans.TopKPerGroupExec]]): top-3 orders per priority by
+    * price. The heap pass reduces 150k rows to 15 BEFORE the ranking
+    * window runs (over 15 rows) — versus the window-only plan that fully
+    * sorts every group. Oracle: the equivalent row_number formulation.
+    */
+  def topkNative(s: SparkSession, d: String): DataFrame = {
+    graft.catalyst.GraftExtensions.register(s)
+    val top = graft.plans.NativeTopK.perGroup(
+      Tables.orders(s, d).select("o_orderpriority", "o_orderkey", "o_totalprice"),
+      Seq("o_orderpriority"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    top.withColumn("rnk", row_number().over(w))
+      .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "rnk")
+  }
+  val topkNativeSql: String =
+    """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+      |  FROM orders)
+      |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin
+
   /** Skew-safe holistic aggregation, oracle-gated: distinct ship months per
     * return flag via [[graft.operators.SkewOps.saltedCollectSet]]. The key
     * has 3 values over 600k rows — exactly the shape where an unsalted
