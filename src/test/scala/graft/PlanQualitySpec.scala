@@ -117,6 +117,18 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("native grouped top-k plans one exchange and no sort of the data") {
+    graft.catalyst.GraftExtensions.register(spark)
+    val df = graft.plans.NativeTopK.perGroup(
+      Tables.orders(spark, sf0001).select("o_orderpriority", "o_orderkey", "o_totalprice"),
+      Seq("o_orderpriority"), Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+    val p = physicalPlan(df)
+    assert(p.contains("TopKPerGroup"), p)
+    assert("Exchange".r.findAllIn(p).length <= 1, p)
+    assert(!p.contains("Sort "), p) // heap pass, not a sort
+    assert(df.count() == 15) // 5 priorities x 3
+  }
+
   test("partitioned warehouse prunes partitions on file_date") {
     import spark.implicits._
     val wh = tmpDir("prune") + "/data"
