@@ -69,6 +69,22 @@ object SimilarityOps {
   val NumQueries = 8
   val TopK = 10
 
+  /** Per-query top-k of scored candidates through the native bounded-heap
+    * operator ([[graft.plans.TopKPerGroupExec]]), then rank the ≤ q·k
+    * survivors with a window — the reduce-before-rank shape: the heap pass
+    * keeps k rows per query with no per-group sort of the candidate set.
+    */
+  private def rankTopK(s: SparkSession, scored: DataFrame): DataFrame = {
+    graft.catalyst.GraftExtensions.register(s)
+    val top = graft.plans.NativeTopK.perGroup(
+      scored.select("q_id", "c_id", "cos"),
+      Seq("q_id"), Seq("cos" -> false, "c_id" -> true), TopK)
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    top.withColumn("rnk", row_number().over(w))
+      .select("q_id", "rnk", "c_id", "cos")
+      .orderBy("q_id", "rnk")
+  }
+
   /** Brute-force cosine top-k: query set = vec_id < [[NumQueries]], ranked by
     * (rounded cosine desc, candidate id asc). Exact baseline for recall
     * evaluation of the LSH variant.
@@ -82,11 +98,7 @@ object SimilarityOps {
     val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ec"), col("nrm").as("nc"))
     val scored = q.crossJoin(c).filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", round(dot(col("eq"), col("ec")) / (col("nq") * col("nc")), 4))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= TopK)
-      .select("q_id", "rnk", "c_id", "cos")
-      .orderBy("q_id", "rnk")
+    rankTopK(s, scored)
   }
   val annBruteForceSql: String =
     s"""WITH e AS (SELECT vec_id, embedding,
@@ -130,11 +142,7 @@ object SimilarityOps {
       col("nrm").as("nc"), col("bucket"))
     val scored = q.join(c, Seq("bucket")).filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", round(dot(col("eq"), col("ec")) / (col("nq") * col("nc")), 4))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= TopK)
-      .select("q_id", "rnk", "c_id", "cos")
-      .orderBy("q_id", "rnk")
+    rankTopK(s, scored)
   }
   def annLshSql: String = {
     val planes = (0 until NumPlanes).map { p =>
@@ -200,11 +208,7 @@ object SimilarityOps {
       col("embedding").as("ec"), col("nrm").as("nc"))
     val scored = probes.join(c, Seq("label")).filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", round(dot(col("eq"), col("ec")) / (col("nq") * col("nc")), 4))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= TopK)
-      .select("q_id", "rnk", "c_id", "cos")
-      .orderBy("q_id", "rnk")
+    rankTopK(s, scored)
   }
   def annIvfSql: String =
     s"""WITH cent AS (
