@@ -530,6 +530,11 @@ object PipelineQueries {
     * engines or even across partitionings; exact sums are order-free, so
     * this formulation is bit-stable anywhere (and still one partial-agg
     * pass over the data).
+    *
+    * The oracle converts each sum decimal→VARCHAR→DOUBLE: above ~2⁶³
+    * internal units DuckDB's int128→double split-conversion can land 1 ulp
+    * off the correctly-rounded value Spark's BigDecimal.doubleValue
+    * produces; both engines' string→double parses are correctly rounded.
     */
   def corrStats(s: SparkSession, d: String): DataFrame = {
     val x = dec2(col("l_quantity"))
@@ -553,11 +558,11 @@ object PipelineQueries {
   }
   val corrStatsSql: String =
     """WITH m AS (SELECT count(*) AS n,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sy,
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS syy,
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxy
       |  FROM lineitem)
       |SELECT n, sx / n AS mean_qty,
       |  sxx / n - (sx / n) * (sx / n) AS var_qty,
