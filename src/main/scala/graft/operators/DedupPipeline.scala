@@ -25,13 +25,22 @@ object DedupPipeline {
   /** Connected components over an undirected pair list
     * `(a_id, b_id)` → `(doc_id, cluster_id)` with cluster_id = min member id.
     * Only docs that appear in some pair are returned.
+    *
+    * Hybrid execution, same reasoning as broadcast joins: near-dup edge
+    * sets are usually tiny relative to the corpus (pairs of near-identical
+    * docs), so up to [[clusters]]' `localThreshold` edges the components
+    * are solved with a driver-side union-find — one collect, zero iterative
+    * jobs. Above it, the distributed pointer-jumping loop runs (each
+    * iteration one shuffle join, lineage truncated per step).
     */
-  def clusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def clusters(pairs: DataFrame, maxIters: Int = 10,
+      localThreshold: Long = 100000): DataFrame = {
     val spark = pairs.sparkSession
     // materialize the pair source ONCE: the undirected-edge union embeds
     // the (often expensive — shingling, LSH) pair plan twice, and the cache
     // below would execute both branches
     val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
+    if (p.count() <= localThreshold) return localClusters(spark, p)
     val edges = p
       .union(p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .distinct()
@@ -77,6 +86,37 @@ object DedupPipeline {
     }
     edges.unpersist()
     labels
+  }
+
+  /** Driver-side union-find for edge sets under the local threshold:
+    * path-halving find + union by min, then one pass to resolve every
+    * member to its component minimum.
+    */
+  private def localClusters(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val edges = pairs.select(col("a_id").cast("long"), col("b_id").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) {
+        val p = parent(r)
+        parent(r) = parent.getOrElse(p, p) // path halving
+        r = parent(r)
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val byRoot = parent.keys.toSeq.groupBy(find)
+    val out = byRoot.iterator.flatMap { case (_, members) =>
+      val m = members.min
+      members.map(x => (x, m))
+    }.toSeq
+    out.toDF("doc_id", "cluster_id").repartition(1)
   }
 
   /** Remove near-duplicates: keep the minimum doc_id of each cluster, keep

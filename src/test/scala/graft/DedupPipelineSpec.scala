@@ -20,6 +20,19 @@ class DedupPipelineSpec extends SparkSpec {
     assert(got.forall(_._2 == 0L), got.mkString(","))
   }
 
+  test("distributed pointer-jumping path agrees with the driver union-find fast path") {
+    // chain + star + two singleton pairs: exercises propagation depth and
+    // merge-by-min on both paths
+    val pairs = ((0L until 15L).map(i => (i, i + 1)) ++
+      Seq((100L, 103L), (100L, 101L), (102L, 100L), (200L, 201L)))
+      .toDF("a_id", "b_id")
+    val local = DedupPipeline.clusters(pairs).as[(Long, Long)].collect().toMap
+    val dist = DedupPipeline.clusters(pairs, localThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist, s"local=$local dist=$dist")
+    assert(local(103L) == 100L && local(201L) == 200L && local(15L) == 0L)
+  }
+
   test("removeNearDups keeps one canonical doc per planted near-dup cluster") {
     val docs = Tables.documents(spark, sf0001)
     val pairs = DedupOps.ngramJaccardPairs(spark, sf0001, 0.8)
