@@ -25,7 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   private def info(name: String, usage: String) =
-    new ExpressionInfo("graft.catalyst.HashExpressions", null, name, usage, "")
+    new ExpressionInfo("graft.catalyst.HashExpressions", null, name, usage,
+      "", "", "", "misc_funcs", "", "", "built-in")
 
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("simhash32",

@@ -78,7 +78,7 @@ object DedupPipeline {
         .select(col("doc_id"), newLabel.as("cluster_id"),
           (newLabel =!= col("cluster_id")).cast("long").as("chg"))
         .localCheckpoint(eager = true)
-      val changed = next.agg(sum(col("chg"))).head.getLong(0)
+      val changed = next.agg(sum(col("chg"))).head().getLong(0)
       labels.unpersist()
       labels = next.select("doc_id", "cluster_id")
       converged = changed == 0

@@ -42,7 +42,7 @@ object TimeSeriesOps {
       .withColumn("_side", lit(0))
       .withColumns(carried.map(c => s"_r_$c" -> col(c)).toMap)
       .withColumn("_rt", col(rightTime))
-      .drop(right.columns.filter(_ != key): _*)
+      .drop(right.columns.filter(_ != key).toIndexedSeq: _*)
     val unioned = l.select(
       (Seq(col(key), col("_t"), col("_side"), col("_rt")) ++
         left.columns.filterNot(_ == key).map(col) ++
