@@ -51,7 +51,7 @@ class TicksTable(rows: Long, partitions: Int, tickers: Int)
   override def name(): String = s"graft_ticks($rows)"
   override def schema(): StructType = TicksTable.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TicksScanBuilder(rows, partitions, tickers)
 }
@@ -86,7 +86,49 @@ class TicksScanBuilder(rows: Long, partitions: Int, tickers: Int)
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new TicksReaderFactory(required, tickers, tickerEq)
+    // streaming half: the row-index space is the offset log — each
+    // micro-batch reads one [start, end) slice, replayable by offset range,
+    // so checkpoint recovery is exactly-once for free (the reference's
+    // watcher+journal contract, as a connector)
+    override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+      new TicksMicroBatchStream(rows, partitions, tickers, required, tickerEq,
+        maxRowsPerBatch = 25000)
   }
+}
+
+class TicksMicroBatchStream(rows: Long, partitions: Int, tickers: Int,
+    required: StructType, tickerEq: Option[String], maxRowsPerBatch: Long)
+    extends streaming.MicroBatchStream with streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+  case class TicksOffset(idx: Long) extends Offset {
+    override def json(): String = idx.toString
+  }
+  override def initialOffset(): Offset = TicksOffset(0L)
+  // admission control: each micro-batch admits at most maxRowsPerBatch rows
+  // (rate limiting belongs HERE — capping inside planInputPartitions would
+  // silently skip the offset gap)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxRowsPerBatch)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    TicksOffset(math.min(rows, start.asInstanceOf[TicksOffset].idx + maxRowsPerBatch))
+  override def reportLatestOffset(): Offset = TicksOffset(rows)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("admission-control variant is used")
+  override def deserializeOffset(json: String): Offset = TicksOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[TicksOffset].idx
+    val e = end.asInstanceOf[TicksOffset].idx
+    if (e <= s) return Array.empty
+    val per = (e - s + partitions - 1) / partitions
+    (0 until partitions).flatMap { p =>
+      val ps = s + p * per
+      val pe = math.min(ps + per, e)
+      if (pe > ps) Some(TicksPartition(ps, pe): InputPartition) else None
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TicksReaderFactory(required, tickers, tickerEq)
 }
 
 case class TicksPartition(start: Long, end: Long) extends InputPartition

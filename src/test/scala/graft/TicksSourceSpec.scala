@@ -45,4 +45,26 @@ class TicksSourceSpec extends SparkSpec {
     assert(mixed.count() ==
       ticks().collect().count(r => r.getString(0) == "TCK3-USDT" && r.getDouble(2) > 0.6))
   }
+
+  test("micro-batch stream: admission control paces batches, offsets cover every row once") {
+    val out = tmpDir("ticksStreamOut")
+    val q = spark.readStream.format("graft.sources.TicksSourceProvider")
+      .option("rows", 100000).option("partitions", 4).option("tickers", 8)
+      .load()
+      .writeStream
+      .option("checkpointLocation", tmpDir("ticksStreamCk"))
+      .format("parquet").option("path", out)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.read.parquet(out)
+      assert(got.count() == 100000)
+      // exactly-once: every index exactly one row
+      assert(got.select("sequence").distinct().count() == 100000)
+      // admission control: 25k-row batches → at least 4 micro-batches ran
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+        q.recentProgress.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+  }
 }
