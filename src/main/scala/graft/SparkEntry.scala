@@ -109,6 +109,8 @@ object SparkEntry {
     "g_deciles"         -> (PQ.deciles _),
     // native bounded-heap grouped top-k (graft.plans.TopKPerGroupExec)
     "w_topk_native"     -> (PQ.topkNative _),
+    // DSv2 connector scan with pushed filter, oracled via generate_series
+    "x_dsv2_scan"       -> (PQ.dsv2Scan _),
     "w_ntile_pctrank"   -> (PQ.ntilePctRank _),
     "w_first_last"      -> (PQ.firstLast _),
     "f_array_ops"       -> (PQ.arrayOps _),
@@ -202,6 +204,7 @@ object SparkEntry {
     "g_salted_distinct" -> PQ.saltedDistinctSql,
     "g_deciles"         -> PQ.decilesSql,
     "w_topk_native"     -> PQ.topkNativeSql,
+    "x_dsv2_scan"       -> PQ.dsv2ScanSql,
     "w_ntile_pctrank"   -> PQ.ntilePctRankSql,
     "w_first_last"      -> PQ.firstLastSql,
     "f_array_ops"       -> PQ.arrayOpsSql,

@@ -789,6 +789,28 @@ object PipelineQueries {
       |  least(l_quantity, l_tax * 100) AS l
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** The custom DataSource V2 connector under the oracle gate: scan the
+    * deterministic ticker source with a PUSHED ticker filter and aggregate.
+    * The oracle replays the same pure index functions with
+    * generate_series — proving scan, pushdown and value generation against
+    * an independent engine.
+    */
+  def dsv2Scan(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.TicksSourceProvider")
+      .option("rows", 100000).option("partitions", 8).option("tickers", 16)
+      .load()
+      .filter(col("ticker") === "TCK3-USDT") // pushed into the source
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("sequence")).as("sum_seq"),
+        (sum(col("price").cast(DecimalType(18, 4))).cast("double") / count(lit(1)))
+          .as("avg_price"))
+  val dsv2ScanSql: String =
+    """SELECT count(*) AS n,
+      |  CAST(sum(i) AS BIGINT) AS sum_seq,
+      |  CAST(sum(CAST(0.5 + (i % 9000) / 10000.0 AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price
+      |FROM generate_series(0, 99999) t(i) WHERE i % 16 = 3""".stripMargin
+
   /** Sketch aggregates — HLL distinct and quantile sketch. Approximate by
     * design, so there is no DuckDB oracle (driver records a rows-only
     * check); the spec pins the error envelope against exact values.
