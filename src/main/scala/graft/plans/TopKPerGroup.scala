@@ -89,7 +89,9 @@ object NativeTopK {
     * pairs, built directly as catalyst SortOrders (Spark 4's `Column.desc`
     * produces an internal AST node that must not leak into a physical
     * operator). Output keeps the child schema; rank the (tiny) survivors
-    * downstream if a rank column is needed.
+    * downstream if a rank column is needed. Supply a TOTAL order (unique
+    * tiebreak column) — under ties at the k-boundary the heap keeps
+    * whichever row arrived first, which is partitioning-dependent.
     */
   def perGroup(df: DataFrame, groupCols: Seq[String],
       orderSpecs: Seq[(String, Boolean)], k: Int): DataFrame = {
