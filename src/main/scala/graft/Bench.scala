@@ -9,7 +9,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE on by default (the cluster-correct setting: runtime join
+      // selection, skew splits, partition coalescing); SPARK_GRAFT_AQE=false
+      // measures the low-latency local profile without per-stage replanning
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // MIN/MAX/COUNT answered from parquet footer stats (SURVEY §4's
       // aggregate-pushdown nicety is a config flag in Spark 4, not code)
       .config("spark.sql.parquet.aggregatePushdown", "true")
