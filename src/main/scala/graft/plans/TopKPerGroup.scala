@@ -1,13 +1,16 @@
 package graft.plans
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, GraftPlanBridge}
+import org.apache.spark.sql.{DataFrame, GraftPlanBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+  Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode, UnsafeExternalRowSorter}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
 
 /** Grouped top-k as a first-class physical operator.
   *
@@ -21,54 +24,128 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * none if the source is bucketed); per-partition state is the k-row heap
   * per resident group — independent of group size, the property the window
   * formulation lacks when a group is hot.
+  *
+  * Spill safety: the resident heap map is capped at `maxGroups` groups per
+  * partition. Rows of groups that arrive after the cap is hit are diverted
+  * to an [[UnsafeExternalRowSorter]] ordered by (group key, ordering) —
+  * Spark's spillable sorter, the same machinery SortExec uses — and their
+  * top-k is taken by a streaming first-k-per-key pass over the sorted run.
+  * A group is therefore handled EITHER by a heap OR by the sorter, never
+  * both, so results are exact. Memory is O(maxGroups × k) rows plus the
+  * sorter's spillable pages; pathological group cardinality degrades to
+  * the sort-based plan instead of OOMing.
   */
 case class TopKPerGroupNode(child: LogicalPlan, groupExprs: Seq[Expression],
-    ordering: Seq[SortOrder], k: Int) extends UnaryNode {
+    ordering: Seq[SortOrder], k: Int, maxGroups: Int) extends UnaryNode {
   require(k > 0, s"k must be positive, got $k")
+  require(maxGroups > 0, s"maxGroups must be positive, got $maxGroups")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupNode =
     copy(child = newChild)
 }
 
 case class TopKPerGroupExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder],
-    k: Int, child: SparkPlan) extends UnaryExecNode {
+    k: Int, maxGroups: Int, child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(groupExprs) :: Nil
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "spilledRows" -> SQLMetrics.createMetric(sparkContext,
+      "rows diverted to spillable sort (over-cap groups)"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val out = child.output
+    val schema = DataTypeUtils.fromAttributes(out)
     val groupB = groupExprs
     val orderB = ordering
     val kB = k
+    val capB = maxGroups
+    val spilledRows = longMetric("spilledRows")
     child.execute().mapPartitions({ iter =>
       val keyGen = UnsafeProjection.create(groupB, out)
       val rowOrd = RowOrdering.create(orderB, out)
       // max-heap under the requested ordering: head = WORST of the kept k,
       // evicted when a better row arrives
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      var sorter: UnsafeExternalRowSorter = null
+      var toUnsafe: UnsafeProjection = null
       while (iter.hasNext) {
         val row = iter.next()
         val key = keyGen(row)
         var heap = heaps.get(key)
-        if (heap == null) {
+        if (heap == null && heaps.size() < capB) {
           heap = new java.util.PriorityQueue[InternalRow](kB + 1, rowOrd.reverse)
           heaps.put(key.copy(), heap)
         }
-        if (heap.size < kB) heap.add(row.copy())
-        else if (rowOrd.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.add(row.copy())
+        if (heap != null) {
+          if (heap.size < kB) heap.add(row.copy())
+          else if (rowOrd.compare(row, heap.peek()) < 0) {
+            heap.poll(); heap.add(row.copy())
+          }
+        } else {
+          // over-cap group: divert to the spillable sorter, ordered by
+          // (group, ordering) so top-k falls out of a streaming scan
+          if (sorter == null) {
+            val fullOrd = RowOrdering.create(
+              groupB.map(SortOrder(_, Ascending)) ++ orderB, out)
+            val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+              private val zero = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+              override def computePrefix(r: InternalRow) = { zero.value = 0L; zero.isNull = false; zero }
+            }
+            sorter = UnsafeExternalRowSorter.create(schema, fullOrd,
+              PrefixComparators.LONG, prefixComputer, 4L * 1024 * 1024,
+              /* canUseRadixSort = */ false)
+            toUnsafe = UnsafeProjection.create(out, out)
+          }
+          sorter.insertRow(row match {
+            case u: UnsafeRow => u
+            case other => toUnsafe(other)
+          })
+          spilledRows += 1
         }
       }
-      val outRows = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-      heaps.values.forEach { h =>
-        val arr = h.toArray(new Array[InternalRow](h.size))
-        java.util.Arrays.sort(arr, rowOrd)
-        outRows ++= arr
+      // lazy emit: sort each heap only when the consumer reaches it — no
+      // ArrayBuffer of every surviving row, peak memory stays one group
+      val heapIter = heaps.values().iterator()
+      val resident: Iterator[InternalRow] = new Iterator[InternalRow] {
+        private var cur: Iterator[InternalRow] = Iterator.empty
+        override def hasNext: Boolean = {
+          while (!cur.hasNext && heapIter.hasNext) {
+            val h = heapIter.next()
+            val arr = h.toArray(new Array[InternalRow](h.size))
+            java.util.Arrays.sort(arr, rowOrd)
+            cur = arr.iterator
+          }
+          cur.hasNext
+        }
+        override def next(): InternalRow = { hasNext; cur.next() }
       }
-      outRows.iterator
+      val overflow: Iterator[InternalRow] =
+        if (sorter == null) Iterator.empty
+        else {
+          val sorted = sorter.sort() // cleanup is on the task-completion listener
+          new Iterator[InternalRow] {
+            private var prevKey: UnsafeRow = null
+            private var kept = 0
+            private var pending: InternalRow = null
+            private def advance(): Unit = {
+              while (pending == null && sorted.hasNext) {
+                val row = sorted.next()
+                val key = keyGen(row)
+                if (prevKey == null || key != prevKey) { prevKey = key.copy(); kept = 0 }
+                if (kept < kB) { kept += 1; pending = row }
+              }
+            }
+            override def hasNext: Boolean = { advance(); pending != null }
+            override def next(): InternalRow = {
+              advance(); val r = pending; pending = null; r
+            }
+          }
+        }
+      resident ++ overflow
     }, preservesPartitioning = true)
   }
 
@@ -78,13 +155,18 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder
 
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroupNode(child, g, o, k) =>
-      TopKPerGroupExec(g, o, k, planLater(child)) :: Nil
+    case TopKPerGroupNode(child, g, o, k, cap) =>
+      TopKPerGroupExec(g, o, k, cap, planLater(child)) :: Nil
     case _ => Nil
   }
 }
 
 object NativeTopK {
+  /** Session conf: resident-group cap per partition before the operator
+    * diverts further groups to a spillable sort. */
+  val MaxGroupsConf = "spark.graft.topk.maxGroupsPerPartition"
+  val MaxGroupsDefault = 1 << 18
+
   /** Top `k` rows per group, ordered by `orderSpecs` — (column, ascending?)
     * pairs, built directly as catalyst SortOrders (Spark 4's `Column.desc`
     * produces an internal AST node that must not leak into a physical
@@ -95,7 +177,6 @@ object NativeTopK {
     */
   def perGroup(df: DataFrame, groupCols: Seq[String],
       orderSpecs: Seq[(String, Boolean)], k: Int): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending}
     val plan = GraftPlanBridge.analyzed(df)
     def attr(n: String): Attribute = plan.output.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(s"column $n not found"))
@@ -103,6 +184,7 @@ object NativeTopK {
     val order = orderSpecs.map { case (n, asc) =>
       SortOrder(attr(n), if (asc) Ascending else Descending)
     }
-    GraftPlanBridge.ofRows(df.sparkSession, TopKPerGroupNode(plan, groupExprs, order, k))
+    val cap = df.sparkSession.conf.get(MaxGroupsConf, MaxGroupsDefault.toString).toInt
+    GraftPlanBridge.ofRows(df.sparkSession, TopKPerGroupNode(plan, groupExprs, order, k, cap))
   }
 }
