@@ -26,7 +26,7 @@ import graft.schema.{FileStatus, Schemas}
   * filename; [[compact]] bounds event-log growth exactly like delta-log
   * checkpointing, so the view never scans unbounded history.
   */
-class TickerFileJournal(spark: SparkSession, dir: String) {
+class TickerFileJournal(spark: SparkSession, val dir: String) {
   import spark.implicits._
 
   private def dirHasData: Boolean = {
@@ -43,9 +43,23 @@ class TickerFileJournal(spark: SparkSession, dir: String) {
     if (dirHasData) spark.read.schema(eventSchema).parquet(dir)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], eventSchema)
 
-  private def nextBatchSeq(): Long =
-    if (dirHasData) events.agg(coalesce(max("batch_seq"), lit(0L))).as[Long].head() + 1L
-    else 1L
+  /** Cached max batch_seq — valid under the single-writer contract. Without
+    * the cache every transition scans the full event log for max(batch_seq):
+    * O(events) per append between compactions.
+    */
+  private var cachedMaxSeq: Option[Long] = None
+
+  private def nextBatchSeq(): Long = cachedMaxSeq match {
+    case Some(s) => s + 1L
+    case None =>
+      val s =
+        if (dirHasData) events.agg(coalesce(max("batch_seq"), lit(0L))).as[Long].head()
+        else 0L
+      cachedMaxSeq = Some(s)
+      s + 1L
+  }
+
+  private def noteAppended(seq: Long): Unit = cachedMaxSeq = Some(seq)
 
   private def append(df: DataFrame): Unit =
     df.select("filename", "create_date", "status", "updated_at", "batch_seq")
@@ -73,15 +87,16 @@ class TickerFileJournal(spark: SparkSession, dir: String) {
     * `SaveNewFilesToDbFlow.java:216-248`). Returns inserted count.
     */
   def appendDiscovered(candidates: DataFrame, now: Timestamp): Long = {
+    val seq = nextBatchSeq()
     val fresh = candidates
       .select("filename", "create_date").distinct()
       .join(events.select("filename").distinct(), Seq("filename"), "left_anti")
       .withColumn("status", lit(FileStatus.Discovered.name))
       .withColumn("updated_at", lit(now))
-      .withColumn("batch_seq", lit(nextBatchSeq()))
+      .withColumn("batch_seq", lit(seq))
       .cache()
     val n = fresh.count()
-    if (n > 0) append(fresh)
+    if (n > 0) { append(fresh); noteAppended(seq) }
     fresh.unpersist()
     n
   }
@@ -98,13 +113,14 @@ class TickerFileJournal(spark: SparkSession, dir: String) {
       now: Timestamp): Long = {
     val legalFrom = FileStatus.all.filter(f => FileStatus.canTransition(f, to) && f != to)
       .map(_.name)
+    val seq = nextBatchSeq()
     val hit = current.filter(cond && col("status").isin(legalFrom: _*))
       .withColumn("status", lit(to.name))
       .withColumn("updated_at", lit(now))
-      .withColumn("batch_seq", lit(nextBatchSeq()))
+      .withColumn("batch_seq", lit(seq))
       .cache()
     val n = hit.count()
-    if (n > 0) append(hit)
+    if (n > 0) { append(hit); noteAppended(seq) }
     hit.unpersist()
     n
   }
@@ -156,6 +172,7 @@ class TickerFileJournal(spark: SparkSession, dir: String) {
   def truncate(): Unit = {
     val d = new java.io.File(dir)
     if (d.exists) { d.listFiles.foreach(deleteRec); () }
+    cachedMaxSeq = Some(0L)
   }
   private def deleteRec(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles.foreach(deleteRec)
@@ -165,12 +182,26 @@ class TickerFileJournal(spark: SparkSession, dir: String) {
   /** Checkpoint the event log down to the current view (delta-log-style
     * compaction — keeps the latest-wins scan bounded as transitions
     * accumulate).
+    *
+    * Fully distributed: the snapshot is written executor-side to a sibling
+    * temp directory and the part files are then swapped in — the current
+    * view never passes through the driver, so compacting a journal of 100M
+    * files costs a shuffle, not a multi-GB driver collect.
     */
   def compact(now: Timestamp): Unit = {
-    val snapshot = current.withColumn("batch_seq", lit(0L)).collect()
-    val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(snapshot.toIndexedSeq, 1), eventSchema)
+    val tmp = dir.stripSuffix("/") + ".compact-tmp"
+    val tmpDir = new java.io.File(tmp)
+    if (tmpDir.exists) deleteRec(tmpDir)
+    current.withColumn("batch_seq", lit(0L))
+      .select("filename", "create_date", "status", "updated_at", "batch_seq")
+      .write.mode(SaveMode.Overwrite).parquet(tmp) // executes BEFORE the swap
     truncate()
-    append(df)
+    val target = new java.io.File(dir)
+    if (!target.exists) target.mkdirs()
+    tmpDir.listFiles.filter(f => f.getName.startsWith("part-")).foreach { f =>
+      java.nio.file.Files.move(f.toPath, new java.io.File(target, f.getName).toPath)
+    }
+    deleteRec(tmpDir)
+    cachedMaxSeq = Some(0L)
   }
 }

@@ -97,9 +97,19 @@ object Lifecycle {
         var deleted = 0
         var kept = 0
         val deletedDirs = scala.collection.mutable.ArrayBuffer[String]()
-        val statuses = journal.current
-          .select("filename", "status")
-          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        // Collect only the statuses of files in GC-eligible date dirs: the
+        // create_date IN-filter keeps the driver collect proportional to the
+        // dirs being deleted (and partition-prunes when the journal is
+        // date-partitioned), not to the whole journal.
+        val eligibleDates = dateDirs.map(d => LocalDate.parse(d.getName))
+          .filter(_.plusDays(1).isBefore(hi))
+          .map(Date.valueOf)
+        val statuses =
+          if (eligibleDates.isEmpty) Map.empty[String, String]
+          else journal.current
+            .filter(col("create_date").isin(eligibleDates.toIndexedSeq: _*))
+            .select("filename", "status")
+            .collect().map(r => r.getString(0) -> r.getString(1)).toMap
         dateDirs.foreach { dir =>
           val dirDate = LocalDate.parse(dir.getName)
           if (dirDate.plusDays(1).isBefore(hi)) {

@@ -93,4 +93,42 @@ class JournalSpec extends SparkSpec {
     assert(j.events.count() == 1) // history collapsed to the snapshot
     assert(j.current.collect().toSeq == before)
   }
+
+  test("compact at scale is distributed (multi-file snapshot, no driver collect)") {
+    val j = freshJournal()
+    // one DISCOVERED batch of 5k files + 3 transition batches = 4 appends,
+    // 12.5k events; large enough that the snapshot write fans out
+    val names = (1 to 5000).map(i => f"tick$i%05d")
+    j.appendDiscovered(
+      names.toDF("filename").withColumn("create_date", lit("2024-08-06").cast("date")),
+      ts("2024-08-08 10:00:00"))
+    j.transition(names.take(2500), FileStatus.ReadyForProcessing, ts("2024-08-08 10:01:00"))
+    j.transition(names.take(2500), FileStatus.InProgress, ts("2024-08-08 10:02:00"))
+    j.transition(names.take(2500), FileStatus.Finished, ts("2024-08-08 10:03:00"))
+    val before = j.current.collect().map(_.toString).sorted
+    j.compact(ts("2024-08-08 11:00:00"))
+    assert(j.events.count() == 5000)
+    assert(j.events.agg(max("batch_seq")).as[Long].head() == 0L)
+    assert(j.current.collect().map(_.toString).sorted.sameElements(before))
+    // appends after compaction restart the sequence above the snapshot's 0
+    j.transition(names.slice(2500, 2600), FileStatus.ReadyForProcessing, ts("2024-08-08 11:01:00"))
+    assert(j.events.agg(max("batch_seq")).as[Long].head() == 1L)
+    assert(j.byStatus(FileStatus.ReadyForProcessing).count() == 100)
+  }
+
+  test("cached batch_seq stays strictly increasing across many appends") {
+    val j = freshJournal()
+    j.appendDiscovered(candidates("a" -> "2024-08-06", "b" -> "2024-08-06"), ts("2024-08-08 10:00:00"))
+    val cycle = Seq(FileStatus.ReadyForProcessing, FileStatus.InProgress,
+      FileStatus.Error, FileStatus.ReadyForProcessing, FileStatus.InProgress)
+    cycle.zipWithIndex.foreach { case (to, i) =>
+      j.transition(Seq("a"), to, ts(s"2024-08-08 10:0${i + 1}:00"))
+    }
+    val seqs = j.events.select("batch_seq").as[Long].collect().toSet
+    assert(seqs == (1L to 6L).toSet, s"got $seqs")
+    // a second journal instance over the same dir re-derives the cache
+    val j2 = new TickerFileJournal(spark, j.dir)
+    j2.transition(Seq("b"), FileStatus.ReadyForProcessing, ts("2024-08-08 10:09:00"))
+    assert(j2.events.agg(max("batch_seq")).as[Long].head() == 7L)
+  }
 }
