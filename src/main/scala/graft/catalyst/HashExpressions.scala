@@ -2,6 +2,7 @@ package graft.catalyst
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -176,6 +177,67 @@ object HashUtil {
     while (i < n) { acc += a.getDouble(i) * b.getFloat(i).toDouble; i += 1 }
     acc
   }
+
+  // Null-skipping twins, selected at plan time only when the input schema
+  // admits null elements (containsNull) — the common containsNull=false
+  // path keeps the branch-free loops above. A null position contributes
+  // nothing to the dot product / never matches in eqCount.
+  def dotFSafe(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i))
+        acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  def dotDSafe(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  def dotFDSafe(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) acc += a.getFloat(i).toDouble * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  def dotDFSafe(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) acc += a.getDouble(i) * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  def eqCountSafe(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) &&
+        a.getUTF8String(i).compareTo(b.getUTF8String(i)) == 0) acc += 1
+      i += 1
+    }
+    acc
+  }
 }
 
 /** Native 32-bit SimHash over an array<string> token column. One projection
@@ -208,26 +270,48 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
   * left-to-right double-widened fold as the lambda formulation (identical
   * IEEE result), kept inside whole-stage codegen — the hot inner loop of
   * every similarity/ANN query.
+  *
+  * Null ELEMENTS are skipped (contribute 0) when the input schema admits
+  * them — a documented divergence from the `aggregate(zip_with(...))`
+  * lambda, which nulls the whole sum. Schemas with containsNull=false keep
+  * the branch-free loop.
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"dot_product requires array<float>/array<double> inputs, got ${l.sql} and ${r.sql}")
+  }
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _                       => false
   }
-  private def fn: String = (isFloat(left), isFloat(right)) match {
-    case (true, true)   => "dotF"
-    case (true, false)  => "dotFD"
-    case (false, true)  => "dotDF"
-    case (false, false) => "dotD"
+  private def anyNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _                => true
+  })
+  private def fn: String = {
+    val base = (isFloat(left), isFloat(right)) match {
+      case (true, true)   => "dotF"
+      case (true, false)  => "dotFD"
+      case (false, true)  => "dotDF"
+      case (false, false) => "dotD"
+    }
+    if (anyNullable) base + "Safe" else base
   }
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     fn match {
-      case "dotF"  => HashUtil.dotF(x, y)
-      case "dotFD" => HashUtil.dotFD(x, y)
-      case "dotDF" => HashUtil.dotDF(x, y)
-      case _       => HashUtil.dotD(x, y)
+      case "dotF"      => HashUtil.dotF(x, y)
+      case "dotFD"     => HashUtil.dotFD(x, y)
+      case "dotDF"     => HashUtil.dotDF(x, y)
+      case "dotD"      => HashUtil.dotD(x, y)
+      case "dotFSafe"  => HashUtil.dotFSafe(x, y)
+      case "dotFDSafe" => HashUtil.dotFDSafe(x, y)
+      case "dotDFSafe" => HashUtil.dotDFSafe(x, y)
+      case _           => HashUtil.dotDSafe(x, y)
     }
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -262,10 +346,25 @@ object HashFunctions {
   */
 case class EqCount(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = IntegerType
-  override def nullSafeEval(a: Any, b: Any): Any =
-    HashUtil.eqCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"eq_count requires array<string> inputs, got ${l.sql} and ${r.sql}")
+  }
+  private def fn: String = {
+    val nullable = Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, cn) => cn
+      case _                => true
+    })
+    if (nullable) "eqCountSafe" else "eqCount"
+  }
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (fn == "eqCountSafe") HashUtil.eqCountSafe(x, y) else HashUtil.eqCount(x, y)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.catalyst.HashUtil.eqCount($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) => s"graft.catalyst.HashUtil.$fn($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): EqCount =
     copy(left = newLeft, right = newRight)

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 import graft.Tables
 import graft.functions.TextOps
 
@@ -31,7 +32,10 @@ object DedupPipeline {
     * docs), so up to [[clusters]]' `localThreshold` edges the components
     * are solved with a driver-side union-find — one collect, zero iterative
     * jobs. Above it, the distributed pointer-jumping loop runs (each
-    * iteration one shuffle join, lineage truncated per step).
+    * iteration one shuffle join, lineage truncated per step). The local
+    * fast path decodes ids as longs, so it is taken only for integral id
+    * columns — any other id type routes to the distributed loop, which is
+    * type-generic (min/least over the natural ordering).
     */
   def clusters(pairs: DataFrame, maxIters: Int = 10,
       localThreshold: Long = 100000): DataFrame = {
@@ -40,7 +44,11 @@ object DedupPipeline {
     // the (often expensive — shingling, LSH) pair plan twice, and the cache
     // below would execute both branches
     val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
-    if (p.count() <= localThreshold) return localClusters(spark, p)
+    val integralIds = p.schema.fields.forall(_.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _                                             => false
+    })
+    if (integralIds && p.count() <= localThreshold) return localClusters(spark, p)
     val edges = p
       .union(p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .distinct()

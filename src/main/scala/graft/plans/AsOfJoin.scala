@@ -16,7 +16,9 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *
   * Semantics: for each left row, attach the most recent right row with the
   * same key and `rightTime <= leftTime` (backward as-of, ties match —
-  * DuckDB `ASOF JOIN` semantics; null right side when no match).
+  * DuckDB `ASOF JOIN` semantics; null right side when no match). NULL keys
+  * never match (SQL join semantics): a null-keyed left row gets the
+  * null-padded right side, null-keyed right rows are skipped.
   * Two RIGHT rows with identical (key, time) are resolved by sort order,
   * which is not total over the remaining columns — like every as-of
   * implementation, callers needing determinism under such ties must make
@@ -96,22 +98,31 @@ case class AsOfJoinExec(
           // stay valid until the NEXT left row — the only rows that outlive
           // this call (lastMatch/lastMatchKey) are copied below
           val lKey = lKeyGen(l)
+          // SQL join semantics: NULL keys never match — null-padded right
+          if (lKey.anyNull) return resultProj(joined(l, nullRight))
           val lTime = lTimeGen(l)
           var scanning = rRow != null
           while (scanning) {
             val rk = rKeyGen(rRow)
-            val c = keyOrd.compare(rk, lKey)
-            if (c < 0) {
-              // right rows for keys already passed — no future left row can
-              // match them (left is key-sorted too); drop through
+            if (rk.anyNull) {
+              // null-keyed right rows can never match any left row — skip
+              // (they sort first under the natural ascending ordering)
               rRow = if (rIter.hasNext) rIter.next() else null
               scanning = rRow != null
-            } else if (c == 0 && timeOrd.compare(rTimeGen(rRow), lTime) <= 0) {
-              lastMatch = rRow.copy()
-              lastMatchKey = rk.copy()
-              rRow = if (rIter.hasNext) rIter.next() else null
-              scanning = rRow != null
-            } else scanning = false
+            } else {
+              val c = keyOrd.compare(rk, lKey)
+              if (c < 0) {
+                // right rows for keys already passed — no future left row can
+                // match them (left is key-sorted too); drop through
+                rRow = if (rIter.hasNext) rIter.next() else null
+                scanning = rRow != null
+              } else if (c == 0 && timeOrd.compare(rTimeGen(rRow), lTime) <= 0) {
+                lastMatch = rRow.copy()
+                lastMatchKey = rk.copy()
+                rRow = if (rIter.hasNext) rIter.next() else null
+                scanning = rRow != null
+              } else scanning = false
+            }
           }
           val rSide =
             if (lastMatchKey != null && keyOrd.compare(lastMatchKey, lKey) == 0) lastMatch

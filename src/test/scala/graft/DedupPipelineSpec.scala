@@ -33,6 +33,14 @@ class DedupPipelineSpec extends SparkSpec {
     assert(local(103L) == 100L && local(201L) == 200L && local(15L) == 0L)
   }
 
+  test("clusters with non-integral (string) ids routes to the distributed path") {
+    // the long-decoding driver fast path must not claim these — string ids
+    // go through the type-generic pointer-jumping loop even under threshold
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("a_id", "b_id")
+    val got = DedupPipeline.clusters(pairs).as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
   test("removeNearDups keeps one canonical doc per planted near-dup cluster") {
     val docs = Tables.documents(spark, sf0001)
     val pairs = DedupOps.ngramJaccardPairs(spark, sf0001, 0.8)

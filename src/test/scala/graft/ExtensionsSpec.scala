@@ -29,6 +29,35 @@ class ExtensionsSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(a ^ b) <= 16)
   }
 
+  test("dot_product/eq_count: typed rejection + null-element skip semantics") {
+    // wrong element type is an analysis-time error, not silent byte reinterpretation
+    val bad = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(HashFunctions.dot_product(col("a"), col("b"))).collect()
+    }
+    assert(e1.getMessage.contains("dot_product"), e1.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(HashFunctions.eq_count(col("a"), col("b"))).collect()
+    }
+    assert(e2.getMessage.contains("eq_count"), e2.getMessage)
+    // null elements are skipped, not read as garbage / NPE
+    val nd = Seq((Seq(Option(1.0), None, Option(3.0)),
+      Seq(Option(2.0), Option(5.0), Option(4.0)))).toDF("a", "b")
+    val dot = nd.select(HashFunctions.dot_product(col("a"), col("b")).as("d"))
+      .head().getDouble(0)
+    assert(dot == 1.0 * 2.0 + 3.0 * 4.0)
+    val ns = Seq((Seq(Option("x"), None), Seq(Option("x"), Option("x"))))
+      .toDF("a", "b")
+    assert(ns.select(HashFunctions.eq_count(col("a"), col("b"))).head().getInt(0) == 1)
+    // non-null float arrays still agree with the lambda formulation
+    val f = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    val native = f.select(HashFunctions.dot_product(col("a"), col("b"))).head().getDouble(0)
+    val lambda = f.select(aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v))
+      .head().getDouble(0)
+    assert(native == lambda)
+  }
+
   test("extensions class builds a session with the functions injected") {
     // verify the SparkSessionExtensions path composes (builder-level config)
     val ext = new GraftExtensions

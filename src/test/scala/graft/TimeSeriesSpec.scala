@@ -88,4 +88,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(1).getAs[Double]("asof_px") == 8.8)   // t2: latest ≤ 12:00:20
     assert(got(2).isNullAt(got(2).fieldIndex("asof_px"))) // t3: no match
   }
+
+  test("native as-of: NULL keys never match (SQL join semantics)") {
+    graft.catalyst.GraftExtensions.register(spark)
+    import spark.implicits._
+    val l = Seq(
+      (Option(1L), ts("2024-03-14 12:00:10"), "t1"),
+      (None: Option[Long], ts("2024-03-14 12:00:10"), "tn"))
+      .toDF("k", "t", "tag")
+    val r = Seq(
+      (Option(1L), ts("2024-03-14 12:00:05"), 1.1),
+      // a null-keyed right row must match NOTHING — not even a null left key
+      (None: Option[Long], ts("2024-03-14 12:00:01"), 666.0))
+      .toDF("k", "rt", "px")
+    val got = graft.plans.NativeAsOf.asofJoin(l, r, "k", "t", "rt")
+      .orderBy("tag").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Double]("asof_px") == 1.1)        // t1: normal match
+    assert(got(1).isNullAt(got(1).fieldIndex("asof_px"))) // tn: null key → no match
+  }
 }
