@@ -121,10 +121,10 @@ object SparkEntry {
     "f_cond_ops"        -> (PQ.condOps _),
     "f_json_struct"     -> (PQ.jsonStruct _),
     "f_posexplode"      -> (PQ.posExplode _),
-    // Sketches: approximate by design -> rows-only check (no oracle)
+    // Sketches under the oracle via in-query error-bound booleans
     "x_approx_sketches" -> (PQ.approxSketches _),
-    // Multimodal frame sampling: fake-decode stub is JVM-side by design
-    // (no codecs in-container) -> rows-only check
+    // Multimodal frame sampling: decode stub is a deterministic fake (no
+    // codecs in-container) designed to be DuckDB-replayable end to end
     "m_frame_sample"    -> ((s, d) =>
       MultimodalOps.sampleFrames(s, d).toDF().orderBy("doc_id", "frame_idx")),
   )
@@ -215,5 +215,7 @@ object SparkEntry {
     "f_cond_ops"        -> PQ.condOpsSql,
     "f_json_struct"     -> PQ.jsonStructSql,
     "f_posexplode"      -> PQ.posExplodeSql,
+    "x_approx_sketches" -> PQ.approxSketchesSql,
+    "m_frame_sample"    -> MultimodalOps.frameSampleSql,
   )
 }

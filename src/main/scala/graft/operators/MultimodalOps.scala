@@ -27,13 +27,16 @@ object MultimodalOps {
 
   /** STUB decoder — deterministic fake standing in for a real image/audio
     * decode (no codec libraries in this container). Derives pseudo-metadata
-    * from the blob bytes only, so tests are reproducible.
+    * from the blob bytes only, so tests are reproducible. The frame count is
+    * deliberately a pure function of the byte length so the frame-sampling
+    * operator is replayable in the DuckDB oracle (`octet_length` +
+    * `generate_series`); width/height stay hash-derived.
     */
   def fakeDecode(bytes: Array[Byte]): (Int, Int, Int) = {
     val h = java.util.Arrays.hashCode(bytes)
     val width = 64 + math.floorMod(h, 960)          // 64..1023 "pixels"
     val height = 64 + math.floorMod(h >> 10, 960)
-    val frames = 1 + math.floorMod(h >> 20, 64)     // 1..64 "frames"
+    val frames = 1 + bytes.length % 64              // 1..64 "frames"
     (width, height, frames)
   }
 
@@ -73,15 +76,35 @@ object MultimodalOps {
 
   /** Frame-sampling stub: every `stride`-th frame index of the fake-decoded
     * frame count, with a per-frame hash (real impl: decoded frame bytes).
+    * The hash is md5 over `blob ++ ":" ++ idx` — byte-identical to DuckDB's
+    * `md5(text || ':' || i)`, which makes the whole operator oracle-checkable.
     */
   def sampleFrames(s: SparkSession, d: String, stride: Int = 8): Dataset[FrameRef] = {
     import s.implicits._
     mediaCorpus(s, d).select(col("doc_id").as[Long], col("blob").as[Array[Byte]])
       .flatMap { case (id, blob) =>
         val (_, _, frames) = fakeDecode(blob)
-        (0 until frames by stride).map(i => FrameRef(id, i, md5Hex(blob ++ Array(i.toByte))))
+        (0 until frames by stride).map(i => FrameRef(id, i,
+          md5Hex(blob ++ s":$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))))
       }
   }
+
+  /** DuckDB replay of [[sampleFrames]] (stride 8): frame count from byte
+    * length, frame indices from a lateral generate_series, hash from the
+    * same UTF-8 byte stream.
+    */
+  val frameSampleSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, text, 1 + (octet_length(encode(text)) % 64) AS n_frames
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, text,
+      |         unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 8)) AS i
+      |  FROM f
+      |)
+      |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+      |       md5(text || ':' || CAST(i AS VARCHAR)) AS frame_hash
+      |FROM s ORDER BY doc_id, frame_idx""".stripMargin
 
   /** The oracle-checkable slice of the multimodal surface: byte length and
     * content hash of the blob (pure SQL in both engines; the fake decode

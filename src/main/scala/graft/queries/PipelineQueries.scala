@@ -811,14 +811,30 @@ object PipelineQueries {
       |  CAST(sum(CAST(0.5 + (i % 9000) / 10000.0 AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price
       |FROM generate_series(0, 99999) t(i) WHERE i % 16 = 3""".stripMargin
 
-  /** Sketch aggregates — HLL distinct and quantile sketch. Approximate by
-    * design, so there is no DuckDB oracle (driver records a rows-only
-    * check); the spec pins the error envelope against exact values.
+  /** Sketch aggregates — HLL distinct and quantile sketch — under the full
+    * oracle gate: the sketch values themselves are engine-specific, so the
+    * query emits the EXACT answers plus in-query error-bound booleans
+    * (|HLL − exact|/exact ≤ 0.1 = 2×rsd; approx median within the exact
+    * p49–p51 band). The DuckDB oracle expects TRUE for both — a sketch
+    * drifting out of its documented envelope hash-mismatches the gate.
+    * The spec additionally pins the raw 5% envelope at sf0.001.
     */
   def approxSketches(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .agg(
-        approx_count_distinct(col("l_partkey")).as("apx_parts"),
-        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("apx_median_qty"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey")).as("_apx"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("_apxmed"),
+        expr("percentile(l_quantity, 0.49)").as("_lo"),
+        expr("percentile(l_quantity, 0.51)").as("_hi"))
+      .select(col("n"), col("exact_parts"),
+        (abs(col("_apx") - col("exact_parts")).cast("double") / col("exact_parts") <= 0.1)
+          .as("parts_ok"),
+        (col("_apxmed") >= col("_lo") && col("_apxmed") <= col("_hi")).as("median_ok"))
+  val approxSketchesSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |  TRUE AS parts_ok, TRUE AS median_ok
+      |FROM lineitem""".stripMargin
 }

