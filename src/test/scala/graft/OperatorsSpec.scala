@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.operators.{DedupOps, MultimodalOps, SimilarityOps}
 import graft.functions.TextOps
-import graft.streaming.LogSink
+import graft.streaming.{LogAppenderBridge, LogSink}
 import graft.schema.LogRecord
 
 /** Invariant specs for the training-data operators at sf0.001 (the oracle
@@ -113,6 +113,34 @@ class OperatorsSpec extends SparkSpec {
       .as[String].head() == "java.io.IOException")
     val js = sink.asJson(got).as[String].collect().mkString
     assert(js.contains("compression_rate"))
+  }
+
+  test("log appender bridge: real log4j2 events land in tickers_logs with layout fields") {
+    import org.apache.logging.log4j.{LogManager, ThreadContext}
+    val sink = new LogSink(spark)
+    val appender = LogAppenderBridge.install(sink, "graft.testbridge")
+    try {
+      // emit through the REAL logging runtime, not sink.enqueue
+      ThreadContext.put("flow", "discovery")
+      val logger = LogManager.getLogger("graft.testbridge.inner")
+      logger.warn("disk almost full")
+      logger.error("ingest failed", new java.io.IOException("pipe closed"))
+      ThreadContext.clearAll()
+      val out = tmpDir("logbridge")
+      val q = sink.start(out, tmpDir("logbridgeckpt"),
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.read.parquet(out)
+      assert(got.count() == 2)
+      val warn = got.filter(col("severity") === "WARN").collect()(0)
+      assert(warn.getAs[String]("message") == "disk almost full")
+      assert(warn.getAs[String]("thread").nonEmpty)
+      assert(warn.getAs[Map[String, String]]("mdc_fields") == Map("flow" -> "discovery"))
+      val err = got.filter(col("severity") === "ERROR").collect()(0)
+      assert(err.getAs[String]("exception_class") == "java.io.IOException")
+      assert(err.getAs[String]("exception_message") == "pipe closed")
+      assert(err.getAs[Map[String, String]]("mdc_fields") == Map("flow" -> "discovery"))
+    } finally LogAppenderBridge.uninstall(appender, "graft.testbridge")
   }
 
   test("approx sketches: HLL distinct within 5% of exact, quantile sketch near exact median") {
