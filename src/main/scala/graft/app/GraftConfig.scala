@@ -1,0 +1,115 @@
+package graft.app
+
+import scala.jdk.CollectionConverters._
+
+import graft.pipeline.RetryPolicy
+
+/** Discovery flow knobs (`application.origin.yaml:23-27`). */
+case class DiscoveryConf(filesBufferSize: Int, flushTimeoutSec: Int, retry: RetryPolicy)
+
+/** One scheduled flow: cadence + retry (`application.origin.yaml:29-43`). */
+case class FlowConf(workCycleSec: Int, retry: RetryPolicy)
+
+/** Ingest/upload knobs (`application.origin.yaml:13-21`). */
+case class IngestConf(maxFlushAttempts: Int, fanOutParts: Int, dataPath: String,
+                      sleepOnRetryMs: Long, compressionBufferSize: Int)
+
+/** The engine's configuration tree — one case-class object mirroring the
+  * reference's `application.origin.yaml:1-43` (same section and key names,
+  * so a reference deployment's config carries over), loaded by
+  * [[PipelineApp]] via `--config <path>`. The `DatabaseConfig` section is
+  * connection material for a ClickHouse server this engine replaces with
+  * parquet/JDBC sinks — unknown keys are simply ignored, so it may remain
+  * in the file.
+  */
+case class GraftConfig(
+    discovery: DiscoveryConf,
+    proceedStatus: FlowConf,
+    uploadData: FlowConf,
+    cleanup: FlowConf,
+    ingest: IngestConf)
+
+object GraftConfig {
+
+  /** The reference's shipped values (`application.origin.yaml`). */
+  val default: GraftConfig = GraftConfig(
+    discovery = DiscoveryConf(filesBufferSize = 8192, flushTimeoutSec = 15,
+      retry = RetryPolicy(3, 3000)),
+    proceedStatus = FlowConf(20, RetryPolicy(3, 3000)),
+    uploadData = FlowConf(30, RetryPolicy(3, 3000)),
+    cleanup = FlowConf(3 * 3600, RetryPolicy(3, 3000)),
+    ingest = IngestConf(maxFlushAttempts = 3, fanOutParts = 32, dataPath = "",
+      sleepOnRetryMs = 500, compressionBufferSize = 131072))
+
+  def load(path: String): GraftConfig =
+    fromYaml(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Parse the reference-shaped YAML; any missing key falls back to
+    * [[default]] (the reference's Jackson binding behaves the same way for
+    * absent primitives).
+    */
+  def fromYaml(text: String): GraftConfig = {
+    val root = Option(new org.yaml.snakeyaml.Yaml().load[java.util.Map[String, Object]](text))
+      .map(_.asScala.toMap).getOrElse(Map.empty[String, Object])
+
+    def section(m: Map[String, Object], key: String): Map[String, Object] =
+      m.get(key) match {
+        case Some(sub: java.util.Map[_, _]) =>
+          sub.asScala.map { case (k, v) => k.toString -> v.asInstanceOf[Object] }.toMap
+        case _ => Map.empty
+      }
+    def int(m: Map[String, Object], key: String, dflt: Int): Int =
+      m.get(key) match {
+        case Some(n: Number) => n.intValue
+        case Some(s: String) if s.trim.nonEmpty => s.trim.toInt
+        case _ => dflt
+      }
+    def long(m: Map[String, Object], key: String, dflt: Long): Long =
+      m.get(key) match {
+        case Some(n: Number) => n.longValue
+        case Some(s: String) if s.trim.nonEmpty => s.trim.toLong
+        case _ => dflt
+      }
+    def str(m: Map[String, Object], key: String, dflt: String): String =
+      m.get(key) match {
+        case Some(null) => dflt
+        case Some(v)    => v.toString
+        case None       => dflt
+      }
+    def retry(m: Map[String, Object], dflt: RetryPolicy): RetryPolicy = RetryPolicy(
+      int(m, "maxReconnectAttempts", dflt.maxAttempts),
+      long(m, "sleepOnReconnectMs", dflt.sleepMs))
+
+    val flows = section(root, "MainFlowsConfig")
+    val disc = section(flows, "DiscoverNewFilesConfig")
+    val proceed = section(flows, "ProceedFilesStatusConfig")
+    val upload = section(flows, "UploadTickersDataConfig")
+    val cleanup = section(flows, "CleanupUploadedFilesConfig")
+    val data = section(root, "TickersDataConfig")
+    val uploader = section(data, "TickersDataUploaderConfig")
+    val compression = section(data, "CompressionHandlerConfig")
+    val d = default
+
+    GraftConfig(
+      discovery = DiscoveryConf(
+        int(disc, "filesBufferSize", d.discovery.filesBufferSize),
+        int(disc, "flushDiscoveredFilesTimeoutSec", d.discovery.flushTimeoutSec),
+        retry(disc, d.discovery.retry)),
+      proceedStatus = FlowConf(
+        int(proceed, "workCycleTimeSec", d.proceedStatus.workCycleSec),
+        retry(proceed, d.proceedStatus.retry)),
+      uploadData = FlowConf(
+        int(upload, "workCycleTimeSec", d.uploadData.workCycleSec),
+        retry(upload, d.uploadData.retry)),
+      cleanup = FlowConf(
+        int(cleanup, "workCycleTimeHours", d.cleanup.workCycleSec / 3600) * 3600,
+        retry(cleanup, d.cleanup.retry)),
+      ingest = IngestConf(
+        int(uploader, "maxFlushDataAttempts", d.ingest.maxFlushAttempts),
+        int(uploader, "divideDataPartsQuantity", d.ingest.fanOutParts),
+        str(uploader, "tickersDataPath", d.ingest.dataPath),
+        long(uploader, "sleepOnReconnectMs", d.ingest.sleepOnRetryMs),
+        int(compression, "compressionBufferSize", d.ingest.compressionBufferSize)))
+  }
+}

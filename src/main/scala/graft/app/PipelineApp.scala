@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.Trigger
 import graft.ingest.TickerIngest
 import graft.journal.TickerFileJournal
-import graft.pipeline.Lifecycle
+import graft.pipeline.{Lifecycle, Retry}
 import graft.schema.FileStatus
 import graft.streaming.Discovery
 
@@ -14,17 +14,26 @@ import graft.streaming.Discovery
   * `MainApplication.java:54-91` four-flow bootstrap with one SparkSession
   * running the discovery stream plus the scheduled lifecycle jobs.
   *
-  * Usage: `PipelineApp <dataRoot> <journalDir> <warehouseDir> [--demo]`.
-  * `--demo` seeds a temp fixture tree, runs one cycle of every flow
-  * synchronously, prints a report, and exits — the smoke-runnable form.
-  * Without it, the discovery stream and the lifecycle cycles run
-  * continuously on their reference cadences (15 s trigger / 20 s / 30 s /
-  * 3 h — `application.origin.yaml:30-43`).
+  * Usage: `PipelineApp <dataRoot> <journalDir> <warehouseDir> [--demo]
+  * [--config <yaml>]`. `--demo` seeds a temp fixture tree, runs one cycle of
+  * every flow synchronously, prints a report, and exits — the smoke-runnable
+  * form. Without it, the discovery stream and the lifecycle cycles run
+  * continuously on the cadences from the config (defaults = the reference's
+  * shipped values: 15 s trigger / 20 s / 30 s / 3 h —
+  * `application.origin.yaml:30-43`). `--config` points at a
+  * reference-shaped YAML file ([[GraftConfig]]).
   */
 object PipelineApp {
   def main(args: Array[String]): Unit = {
     val demo = args.contains("--demo")
-    val rest = args.filterNot(_ == "--demo")
+    val cfg = args.indexOf("--config") match {
+      case -1 => GraftConfig.default
+      case i  => GraftConfig.load(args(i + 1))
+    }
+    val rest = args.zipWithIndex.collect {
+      case (a, i) if a != "--demo" && a != "--config" &&
+        !(i > 0 && args(i - 1) == "--config") => a
+    }
     val (root, journalDir, warehouseDir) =
       if (rest.length >= 3) (rest(0), rest(1), rest(2))
       else {
@@ -46,8 +55,8 @@ object PipelineApp {
     spark.sparkContext.setLogLevel("WARN")
 
     val journal = new TickerFileJournal(spark, journalDir)
-    if (demo) runDemo(spark, journal, root, warehouseDir)
-    else runContinuous(spark, journal, root, warehouseDir)
+    if (demo) runDemo(spark, journal, root, warehouseDir, cfg)
+    else runContinuous(spark, journal, root, warehouseDir, cfg)
     spark.stop()
   }
 
@@ -58,7 +67,7 @@ object PipelineApp {
 
   /** One synchronous cycle of all four flows over a seeded fixture tree. */
   private def runDemo(spark: SparkSession, journal: TickerFileJournal,
-      root: String, warehouseDir: String): Unit = {
+      root: String, warehouseDir: String, cfg: GraftConfig): Unit = {
     val line = "AVA-USDT,1,0.61,15.2,0.62,100.0,0.60,80.5,2024-03-14T12:34:56.123"
     val today = LocalDate.now()
     def put(date: LocalDate, name: String, lines: Seq[String]): Unit = {
@@ -73,6 +82,7 @@ object PipelineApp {
 
     // Flow 1 — one streaming discovery micro-batch
     val q = Discovery.stream(spark, journal, root, tmp("ckpt"),
+      maxFilesPerTrigger = cfg.discovery.filesBufferSize,
       trigger = Trigger.ProcessingTime(0))
     q.processAllAvailable(); q.stop()
     println(s"[demo] discovered=${journal.countFiles()}")
@@ -80,7 +90,8 @@ object PipelineApp {
     val (down, ready) = Lifecycle.advanceStatuses(journal, today, now())
     println(s"[demo] advance: toDownloading=$down toReady=$ready")
     // Flow 3
-    val rep = Lifecycle.processReady(spark, journal, root, warehouseDir, now())
+    val rep = Lifecycle.processReady(spark, journal, root, warehouseDir, now(),
+      retry = cfg.uploadData.retry)
     println(s"[demo] process: claimed=${rep.claimed} finished=${rep.finished} " +
       s"rows=${rep.rows} corrupt=${rep.corruptRows}")
     println(s"[demo] warehouse rows=${TickerIngest.warehouse(spark, warehouseDir).count()}")
@@ -91,21 +102,33 @@ object PipelineApp {
       s"${s.name}=${journal.byStatus(s).count()}").mkString(" "))
   }
 
-  /** Continuous mode — reference cadences (B5). */
+  /** Continuous mode — config-driven cadences (B5), defaults = reference's. */
   private def runContinuous(spark: SparkSession, journal: TickerFileJournal,
-      root: String, warehouseDir: String): Unit = {
+      root: String, warehouseDir: String, cfg: GraftConfig): Unit = {
     Discovery.catchUp(spark, journal, root, LocalDate.now(), now())
-    val q = Discovery.stream(spark, journal, root, s"$warehouseDir/_discovery_ckpt")
+    val q = Discovery.stream(spark, journal, root, s"$warehouseDir/_discovery_ckpt",
+      maxFilesPerTrigger = cfg.discovery.filesBufferSize,
+      trigger = Trigger.ProcessingTime(s"${cfg.discovery.flushTimeoutSec} seconds"))
     val sched = java.util.concurrent.Executors.newScheduledThreadPool(2)
-    sched.scheduleWithFixedDelay(() =>
-      Lifecycle.advanceStatuses(journal, LocalDate.now(), now()),
-      20, 20, java.util.concurrent.TimeUnit.SECONDS)
-    sched.scheduleWithFixedDelay(() =>
-      Lifecycle.processReady(spark, journal, root, warehouseDir, now()),
-      30, 30, java.util.concurrent.TimeUnit.SECONDS)
-    sched.scheduleWithFixedDelay(() =>
-      Lifecycle.cleanup(journal, root, LocalDate.now()),
-      3 * 3600, 3 * 3600, java.util.concurrent.TimeUnit.SECONDS)
+    def every(sec: Long)(op: => Unit): Unit = {
+      sched.scheduleWithFixedDelay(() => op, sec, sec,
+        java.util.concurrent.TimeUnit.SECONDS)
+      ()
+    }
+    every(cfg.proceedStatus.workCycleSec) {
+      Retry(cfg.proceedStatus.retry, "advanceStatuses") {
+        Lifecycle.advanceStatuses(journal, LocalDate.now(), now())
+      }
+    }
+    every(cfg.uploadData.workCycleSec) {
+      Lifecycle.processReady(spark, journal, root, warehouseDir, now(),
+        retry = cfg.uploadData.retry)
+    }
+    every(cfg.cleanup.workCycleSec) {
+      Retry(cfg.cleanup.retry, "cleanup") {
+        Lifecycle.cleanup(journal, root, LocalDate.now())
+      }
+    }
     q.awaitTermination()
   }
 }

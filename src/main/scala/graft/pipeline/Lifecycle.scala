@@ -46,21 +46,31 @@ object Lifecycle {
   }
 
   /** Flow 3 — claim → ingest → finalize. The claim flip (IN_PROGRESS before
-    * any data is read) prevents double-processing across cycles; on ingest
-    * failure the whole claimed set goes ERROR (the reference's
-    * partition-wide quarantine, `TickersDataLoader.java:160-169`) and stays
-    * re-ingestable (ERROR → READY_FOR_PROCESSING is a legal transition).
+    * any data is read) prevents double-processing across cycles. The ingest
+    * is wrapped in the reference's bounded flow retry
+    * (`FlowsUtil.java:25-49`, knobs from `application.origin.yaml:15,38-39`
+    * via [[RetryPolicy]]); only when every attempt fails does the whole
+    * claimed set go ERROR (the reference's partition-wide quarantine,
+    * `TickersDataLoader.java:160-169`) and stay re-ingestable
+    * (ERROR → READY_FOR_PROCESSING is a legal transition).
+    *
+    * `ingestFn` is injectable for failure-injection tests; production use
+    * is the default [[TickerIngest.ingest]].
     */
   def processReady(spark: SparkSession, journal: TickerFileJournal,
       dataRoot: String, warehouseDir: String, now: Timestamp,
-      quarantineDir: Option[String] = None): ProcessReport = {
+      quarantineDir: Option[String] = None,
+      retry: RetryPolicy = RetryPolicy(1, 0L),
+      ingestFn: (SparkSession, Seq[String], String, Option[String]) => IngestReport =
+        TickerIngest.ingest): ProcessReport = {
     val claimed = journal.claimReady(now)
     if (claimed.isEmpty) return ProcessReport(0, 0, 0, 0L, 0L)
     // B8/B9 path resolution: <root>/<yyyy-MM-dd>/<filename>, sorted (B10)
     val paths = claimed.map { case (f, d) => s"$dataRoot/$d/$f" }.sorted
     try {
-      val report: IngestReport =
-        TickerIngest.ingest(spark, paths, warehouseDir, quarantineDir)
+      val report: IngestReport = Retry(retry, "processReady.ingest") {
+        ingestFn(spark, paths, warehouseDir, quarantineDir)
+      }
       // B14 finalize: the write action was the barrier; all claimed files
       // that survived it are FINISHED (a file with only corrupt rows still
       // finishes — mirror of the reference, which quarantines rows, not files)

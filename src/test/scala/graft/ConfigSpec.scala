@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.app.GraftConfig
+import graft.pipeline.{Retry, RetryPolicy}
+
+/** Config tree + retry loop semantics — mirrors the reference's Jackson
+  * binding of `application.origin.yaml:1-43` (`MainApplication.java:33-49`,
+  * `config/ApplicationConfig.java:5-15`) and `FlowsUtil.java:25-49`.
+  */
+class ConfigSpec extends AnyFunSuite {
+
+  test("reference-shaped YAML binds every section; unknown keys ignored") {
+    val yaml =
+      """DatabaseConfig:
+        |  host: example
+        |  ssl: true
+        |  customHttpParams: async_insert=1, wait_for_async_insert=1
+        |
+        |TickersDataConfig:
+        |  TickersDataUploaderConfig:
+        |    maxFlushDataAttempts: 5
+        |    divideDataPartsQuantity: 16
+        |    tickersDataPath: /data/ticks
+        |    sleepOnReconnectMs: 250
+        |  CompressionHandlerConfig:
+        |    compressionBufferSize: 65536
+        |
+        |MainFlowsConfig:
+        |  DiscoverNewFilesConfig:
+        |    filesBufferSize: 4096
+        |    flushDiscoveredFilesTimeoutSec: 10
+        |    sleepOnReconnectMs: 1000
+        |    maxReconnectAttempts: 4
+        |  ProceedFilesStatusConfig:
+        |    workCycleTimeSec: 25
+        |    sleepOnReconnectMs: 2000
+        |    maxReconnectAttempts: 2
+        |  UploadTickersDataConfig:
+        |    workCycleTimeSec: 45
+        |    sleepOnReconnectMs: 3000
+        |    maxReconnectAttempts: 3
+        |  CleanupUploadedFilesConfig:
+        |    workCycleTimeHours: 6
+        |    sleepOnReconnectMs: 3000
+        |    maxReconnectAttempts: 3
+        |""".stripMargin
+    val c = GraftConfig.fromYaml(yaml)
+    assert(c.discovery.filesBufferSize == 4096)
+    assert(c.discovery.flushTimeoutSec == 10)
+    assert(c.discovery.retry == RetryPolicy(4, 1000))
+    assert(c.proceedStatus.workCycleSec == 25)
+    assert(c.proceedStatus.retry == RetryPolicy(2, 2000))
+    assert(c.uploadData.workCycleSec == 45)
+    assert(c.cleanup.workCycleSec == 6 * 3600)
+    assert(c.ingest.maxFlushAttempts == 5)
+    assert(c.ingest.fanOutParts == 16)
+    assert(c.ingest.dataPath == "/data/ticks")
+    assert(c.ingest.sleepOnRetryMs == 250)
+    assert(c.ingest.compressionBufferSize == 65536)
+  }
+
+  test("missing keys / empty file fall back to the reference's shipped defaults") {
+    val partial = GraftConfig.fromYaml(
+      """MainFlowsConfig:
+        |  UploadTickersDataConfig:
+        |    workCycleTimeSec: 99
+        |""".stripMargin)
+    assert(partial.uploadData.workCycleSec == 99)
+    assert(partial.uploadData.retry == RetryPolicy(3, 3000))   // default
+    assert(partial.discovery.filesBufferSize == 8192)          // default
+    assert(GraftConfig.fromYaml("") == GraftConfig.default)
+    assert(GraftConfig.default.cleanup.workCycleSec == 3 * 3600)
+  }
+
+  test("load() round-trips through a file") {
+    val f = java.nio.file.Files.createTempFile("graft-cfg", ".yaml")
+    java.nio.file.Files.write(f,
+      "MainFlowsConfig:\n  ProceedFilesStatusConfig:\n    workCycleTimeSec: 7\n".getBytes)
+    assert(GraftConfig.load(f.toString).proceedStatus.workCycleSec == 7)
+  }
+
+  test("Retry: succeeds on a later attempt; exhaustion rethrows the last failure") {
+    var n = 0
+    val out = Retry(RetryPolicy(3, 0L), "t") { n += 1; if (n < 3) sys.error(s"fail $n"); n }
+    assert(out == 3 && n == 3)
+    var m = 0
+    val ex = intercept[RuntimeException] {
+      Retry(RetryPolicy(2, 0L), "t") { m += 1; sys.error(s"fail $m") }
+    }
+    assert(m == 2 && ex.getMessage == "fail 2")
+    intercept[IllegalArgumentException] { RetryPolicy(0, 0L) }
+  }
+}

@@ -99,6 +99,34 @@ class LifecycleSpec extends SparkSpec {
     assert(j.transition(Seq("ghost"), FileStatus.ReadyForProcessing, ts("2024-08-08 10:03:00")) == 1)
   }
 
+  test("Flow3 retry: two transient failures succeed on attempt 3; exhaustion quarantines") {
+    // mirrors FlowsUtil.java:25-49 manageRetryOperation, knob-driven via RetryPolicy
+    val root = tmpDir("dataRoot")
+    val wh = tmpDir("wh")
+    writeCsv(root, "2024-08-06", "AVA-USDT_PST_2024-08-06", Seq(goodLine))
+    val j = journalWith(("AVA-USDT_PST_2024-08-06", "2024-08-06", FileStatus.ReadyForProcessing))
+    var calls = 0
+    val flaky: (org.apache.spark.sql.SparkSession, Seq[String], String, Option[String]) => graft.ingest.IngestReport =
+      (s, p, w, q) => {
+        calls += 1
+        if (calls < 3) throw new RuntimeException(s"transient #$calls")
+        TickerIngest.ingest(s, p, w, q)
+      }
+    val rep = Lifecycle.processReady(spark, j, root, wh, ts("2024-08-08 10:02:00"),
+      retry = graft.pipeline.RetryPolicy(maxAttempts = 3, sleepMs = 0L), ingestFn = flaky)
+    assert(calls == 3 && rep.finished == 1 && rep.errored == 0)
+    assert(j.statusOf("AVA-USDT_PST_2024-08-06").contains(FileStatus.Finished))
+
+    // exhaustion: always-failing ingest burns all attempts then quarantines
+    val j2 = journalWith(("AVA-USDT_PST_2024-08-06", "2024-08-06", FileStatus.ReadyForProcessing))
+    var calls2 = 0
+    val rep2 = Lifecycle.processReady(spark, j2, root, wh, ts("2024-08-08 10:03:00"),
+      retry = graft.pipeline.RetryPolicy(maxAttempts = 2, sleepMs = 0L),
+      ingestFn = (_, _, _, _) => { calls2 += 1; throw new RuntimeException("always") })
+    assert(calls2 == 2 && rep2.errored == 1)
+    assert(j2.statusOf("AVA-USDT_PST_2024-08-06").contains(FileStatus.Error))
+  }
+
   test("Flow4 guards: same-day / today / yesterday windows skip the pass") {
     // min==max finished date → skip
     val j1 = journalWith(("a", "2024-08-01", FileStatus.Finished))
