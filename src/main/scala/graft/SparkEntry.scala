@@ -111,6 +111,8 @@ object SparkEntry {
     "w_topk_native"     -> (PQ.topkNative _),
     // DSv2 connector scan with pushed filter, oracled via generate_series
     "x_dsv2_scan"       -> (PQ.dsv2Scan _),
+    // DSv2 aggregate pushdown: COUNT/MIN/MAX answered by the source itself
+    "x_dsv2_agg_pushdown" -> (PQ.dsv2AggPushdown _),
     "w_ntile_pctrank"   -> (PQ.ntilePctRank _),
     "w_first_last"      -> (PQ.firstLast _),
     "f_array_ops"       -> (PQ.arrayOps _),
@@ -205,6 +207,7 @@ object SparkEntry {
     "g_deciles"         -> PQ.decilesSql,
     "w_topk_native"     -> PQ.topkNativeSql,
     "x_dsv2_scan"       -> PQ.dsv2ScanSql,
+    "x_dsv2_agg_pushdown" -> PQ.dsv2AggPushdownSql,
     "w_ntile_pctrank"   -> PQ.ntilePctRankSql,
     "w_first_last"      -> PQ.firstLastSql,
     "f_array_ops"       -> PQ.arrayOpsSql,

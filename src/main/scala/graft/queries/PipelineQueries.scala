@@ -811,6 +811,33 @@ object PipelineQueries {
       |  CAST(sum(CAST(0.5 + (i % 9000) / 10000.0 AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price
       |FROM generate_series(0, 99999) t(i) WHERE i % 16 = 3""".stripMargin
 
+  /** The connector's AGGREGATE pushdown under the oracle gate: COUNT/MIN/MAX
+    * grouped by ticker are answered by the source itself in closed form over
+    * the deterministic index space (`SupportsPushDownAggregates` with
+    * complete pushdown — no aggregate node survives in the plan; see
+    * TicksSourceSpec for the plan assertion and the trillion-row instant
+    * answer). The oracle recomputes the same aggregates from
+    * generate_series.
+    */
+  def dsv2AggPushdown(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.TicksSourceProvider")
+      .option("rows", 100000).option("partitions", 8).option("tickers", 16)
+      .load()
+      .groupBy(col("ticker"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("sequence")).as("min_seq"), max(col("sequence")).as("max_seq"),
+        min(col("price")).as("min_price"), max(col("price")).as("max_price"))
+      .orderBy("ticker")
+  val dsv2AggPushdownSql: String =
+    """SELECT concat('TCK', i % 16, '-USDT') AS ticker,
+      |  count(*) AS n,
+      |  CAST(min(i) AS BIGINT) AS min_seq,
+      |  CAST(max(i) AS BIGINT) AS max_seq,
+      |  min(0.5 + (i % 9000) / 10000.0) AS min_price,
+      |  max(0.5 + (i % 9000) / 10000.0) AS max_price
+      |FROM generate_series(0, 99999) t(i) GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Sketch aggregates — HLL distinct and quantile sketch — under the full
     * oracle gate: the sketch values themselves are engine-specific, so the
     * query emits the EXACT answers plus in-query error-bound booleans

@@ -3,7 +3,8 @@ package graft.sources
 import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter}
 import org.apache.spark.sql.types._
@@ -57,9 +58,12 @@ class TicksTable(rows: Long, partitions: Int, tickers: Int)
 }
 
 class TicksScanBuilder(rows: Long, partitions: Int, tickers: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var required: StructType = TicksTable.schema
   private var tickerEq: Option[String] = None
+  private var limit: Option[Int] = None
+  private var pushedAgg: Option[TicksAgg.Pushed] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -75,14 +79,43 @@ class TicksScanBuilder(rows: Long, partitions: Int, tickers: Int)
   override def pushedFilters(): Array[Filter] =
     tickerEq.map(v => EqualTo("ticker", v): Filter).toArray
 
+  // LIMIT pushdown: the index space is deterministic, so the scan can stop
+  // at exactly the index that yields the limit-th (filter-surviving) row —
+  // a LIMIT 5 over a trillion-row table touches ≤ 5×tickers indices.
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = false // scan emits EXACTLY n rows
+
+  // Aggregate pushdown: COUNT(*/col) / MIN / MAX, globally or grouped by
+  // ticker, are closed-form over the arithmetic progression of matching
+  // indices (values are pure functions of `i`), so the "scan" answers them
+  // in O(value-cycle) — no per-row work at any scale. This is the DSv2
+  // analogue of a source-side statistics/index lookup.
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    TicksAgg.translate(aggregation, TicksTable.schema).isDefined
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    TicksAgg.translate(aggregation, TicksTable.schema) match {
+      case some @ Some(_) => pushedAgg = some; true
+      case None => false
+    }
+
   override def build(): Scan = new Scan with Batch {
-    override def readSchema(): StructType = required
+    override def readSchema(): StructType =
+      pushedAgg.map(_.schema).getOrElse(required)
     override def toBatch: Batch = this
-    override def planInputPartitions(): Array[InputPartition] = {
-      val per = (rows + partitions - 1) / partitions
-      (0 until partitions).map { p =>
-        TicksPartition(p * per, math.min((p + 1) * per, rows)): InputPartition
-      }.toArray
+    override def planInputPartitions(): Array[InputPartition] = pushedAgg match {
+      case Some(agg) => // driver computes the closed-form rows; one tiny partition
+        Array(AggResultPartition(TicksAgg.evaluate(agg, rows, tickers, tickerEq)))
+      case None =>
+        val end = limit match {
+          case Some(n) => TicksAgg.indexBoundForLimit(n, rows, tickers, tickerEq)
+          case None    => rows
+        }
+        val parts = if (limit.isDefined) 1 else partitions
+        val per = (end + parts - 1) / parts
+        (0 until parts).flatMap { p =>
+          val s = p * per; val e = math.min((p + 1) * per, end)
+          if (e > s) Some(TicksPartition(s, e): InputPartition) else None
+        }.toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new TicksReaderFactory(required, tickers, tickerEq)
@@ -133,10 +166,179 @@ class TicksMicroBatchStream(rows: Long, partitions: Int, tickers: Int,
 
 case class TicksPartition(start: Long, end: Long) extends InputPartition
 
+/** Pre-computed (on the driver, closed-form) aggregate result rows; values
+  * are plain JVM types (String/Long/Double/null), converted to Catalyst
+  * form by the reader.
+  */
+case class AggResultPartition(rowValues: Seq[Seq[Any]]) extends InputPartition
+
+/** Closed-form aggregate evaluation over the deterministic index space.
+  *
+  * The matching indices of a scan (optionally ticker-filtered) form an
+  * arithmetic progression `start + j*step, j < count`; every column value is
+  * a periodic pure function of the index, so COUNT is the progression
+  * length and MIN/MAX need only one period-cycle of residues — O(period),
+  * independent of `rows`.
+  */
+object TicksAgg {
+  sealed trait Func
+  case object CountStarF extends Func
+  final case class CountColF(col: String) extends Func // all cols non-null ⇒ = COUNT(*)
+  final case class MinF(col: String) extends Func
+  final case class MaxF(col: String) extends Func
+
+  /** groupByTicker=false → one global row; true → one row per present ticker. */
+  final case class Pushed(groupByTicker: Boolean, funcs: Seq[Func], schema: StructType)
+
+  private def fieldOf(e: Expression): Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+    case _ => None
+  }
+
+  /** Accept COUNT(*) / COUNT(col) / MIN(col) / MAX(col), optionally grouped
+    * by ticker; anything else stays un-pushed (Spark falls back to a normal
+    * scan + aggregate).
+    */
+  def translate(agg: Aggregation, table: StructType): Option[Pushed] = {
+    val groupBy = agg.groupByExpressions()
+    val grouped = groupBy.length match {
+      case 0 => false
+      case 1 if fieldOf(groupBy(0)).contains("ticker") => true
+      case _ => return None
+    }
+    val funcs = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => CountStarF
+      case c: Count if !c.isDistinct =>
+        fieldOf(c.column).filter(table.fieldNames.contains) match {
+          case Some(f) => CountColF(f)
+          case None => return None
+        }
+      case m: Min =>
+        fieldOf(m.column).filter(table.fieldNames.contains) match {
+          case Some(f) => MinF(f)
+          case None => return None
+        }
+      case m: Max =>
+        fieldOf(m.column).filter(table.fieldNames.contains) match {
+          case Some(f) => MaxF(f)
+          case None => return None
+        }
+      case _: AggregateFunc => return None
+    }
+    val groupFields =
+      if (grouped) Seq(StructField("ticker", StringType, nullable = false)) else Nil
+    val aggFields = funcs.map {
+      case CountStarF | CountColF(_) => StructField("count", LongType, nullable = false)
+      case MinF(c) => StructField(s"min_$c", table(c).dataType, nullable = true)
+      case MaxF(c) => StructField(s"max_$c", table(c).dataType, nullable = true)
+    }
+    Some(Pushed(grouped, funcs, StructType(groupFields ++ aggFields)))
+  }
+
+  /** Matching indices as a progression: all rows, or one ticker's stripe. */
+  private final case class Prog(start: Long, step: Long, count: Long)
+
+  private def tickerIdx(t: String, tickers: Int): Option[Int] =
+    (0 until tickers).find(k => TicksTable.tickerOf(k, tickers) == t)
+
+  private def progFor(rows: Long, tickers: Int, k: Option[Int]): Prog = k match {
+    case Some(kk) =>
+      if (kk >= rows) Prog(kk, tickers, 0L)
+      else Prog(kk, tickers, (rows - 1 - kk) / tickers + 1)
+    case None => Prog(0L, 1L, rows)
+  }
+
+  @annotation.tailrec
+  private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+
+  /** One value-cycle of `(start + j*step) % period` — ≤ period elements. */
+  private def residues(p: Prog, period: Long): Iterator[Long] = {
+    val cycle = period / gcd(p.step % period, period)
+    (0L until math.min(p.count, cycle)).iterator
+      .map(j => (p.start + j * p.step) % period)
+  }
+
+  private def minMaxOf(col: String, p: Prog, tickers: Int): (Any, Any) = {
+    if (p.count == 0) return (null, null)
+    col match {
+      case "sequence" => (p.start, p.start + (p.count - 1) * p.step)
+      case "price" => // TicksTable.priceOf: monotonic in i % 9000
+        val rs = residues(p, 9000L)
+        val (lo, hi) = rs.foldLeft((Long.MaxValue, Long.MinValue)) {
+          case ((l, h), r) => (math.min(l, r), math.max(h, r)) }
+        (TicksTable.priceOf(lo), TicksTable.priceOf(hi))
+      case "size" => // monotonic in i % 50
+        val rs = residues(p, 50L)
+        val (lo, hi) = rs.foldLeft((Long.MaxValue, Long.MinValue)) {
+          case ((l, h), r) => (math.min(l, r), math.max(h, r)) }
+        (TicksTable.sizeOf(lo), TicksTable.sizeOf(hi))
+      case "ticker" => // lexicographic over the present symbol names
+        val names = residues(p, tickers.toLong).map(TicksTable.tickerOf(_, tickers))
+        val seq = names.toSeq
+        (seq.min, seq.max)
+    }
+  }
+
+  def evaluate(agg: Pushed, rows: Long, tickers: Int,
+      tickerEq: Option[String]): Seq[Seq[Any]] = {
+    val filterK = tickerEq.map(t => tickerIdx(t, tickers))
+    def funcsRow(p: Prog): Seq[Any] = agg.funcs.map {
+      case CountStarF | CountColF(_) => p.count
+      case MinF(c) => minMaxOf(c, p, tickers)._1
+      case MaxF(c) => minMaxOf(c, p, tickers)._2
+    }
+    if (!agg.groupByTicker) {
+      val p = filterK match {
+        case Some(None)    => Prog(0L, 1L, 0L) // filter matches no symbol
+        case Some(Some(k)) => progFor(rows, tickers, Some(k))
+        case None          => progFor(rows, tickers, None)
+      }
+      Seq(funcsRow(p))
+    } else {
+      val ks = filterK match {
+        case Some(None)    => Seq.empty[Int]
+        case Some(Some(k)) => Seq(k)
+        case None          => (0 until tickers).filter(_ < rows)
+      }
+      ks.map { k =>
+        TicksTable.tickerOf(k, tickers) +:
+          funcsRow(progFor(rows, tickers, Some(k)))
+      }
+    }
+  }
+
+  /** Smallest index bound such that [0, bound) contains exactly
+    * min(n, available) filter-surviving rows.
+    */
+  def indexBoundForLimit(n: Int, rows: Long, tickers: Int,
+      tickerEq: Option[String]): Long = tickerEq match {
+    case None => math.min(rows, n.toLong)
+    case Some(t) => tickerIdx(t, tickers) match {
+      case Some(k) if k < rows => math.min(rows, k + (n.toLong - 1) * tickers + 1)
+      case _ => 0L
+    }
+  }
+}
+
 class TicksReaderFactory(required: StructType, tickers: Int,
     tickerEq: Option[String]) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val TicksPartition(start, end) = partition.asInstanceOf[TicksPartition]
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = partition match {
+    case AggResultPartition(rowValues) =>
+      new PartitionReader[InternalRow] {
+        private val it = rowValues.iterator
+        private var cur: Seq[Any] = _
+        override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+        override def get(): InternalRow = InternalRow.fromSeq(cur.map {
+          case s: String => UTF8String.fromString(s)
+          case v => v
+        }.toIndexedSeq)
+        override def close(): Unit = ()
+      }
+    case tp: TicksPartition => createRowReader(tp)
+  }
+
+  private def createRowReader(partition: TicksPartition): PartitionReader[InternalRow] = {
+    val TicksPartition(start, end) = partition
     val cols = required.fieldNames
     new PartitionReader[InternalRow] {
       private var i = start - 1

@@ -46,6 +46,63 @@ class TicksSourceSpec extends SparkSpec {
       ticks().collect().count(r => r.getString(0) == "TCK3-USDT" && r.getDouble(2) > 0.6))
   }
 
+  test("aggregate pushdown: COUNT/MIN/MAX answered by the source, no agg node in the plan") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    // global aggregate, with a pushed filter underneath
+    val global = ticks().filter(col("ticker") === "TCK3-USDT")
+      .agg(count(lit(1)).as("n"), min("sequence").as("mn"), max("sequence").as("mx"),
+        min("price").as("pmin"), max("price").as("pmax"))
+    assert(global.queryExecution.optimizedPlan.collect { case a: Aggregate => a }.isEmpty,
+      global.queryExecution.optimizedPlan.toString)
+    val g = global.head()
+    assert(g.getLong(0) == 1250 && g.getLong(1) == 3L && g.getLong(2) == 9995L)
+    // oracle the min/max price against the brute-force scan
+    val brute = ticks().filter(col("ticker") === "TCK3-USDT")
+      .selectExpr("min(price)", "max(price)").head()
+    assert(g.getDouble(3) == brute.getDouble(0) && g.getDouble(4) == brute.getDouble(1))
+
+    // grouped by ticker: complete pushdown, one row per symbol
+    val grouped = ticks().groupBy("ticker").agg(count(lit(1)).as("n"), max("size").as("s"))
+    assert(grouped.queryExecution.optimizedPlan.collect { case a: Aggregate => a }.isEmpty)
+    val rows = grouped.collect()
+    assert(rows.length == 8 && rows.map(_.getLong(1)).sum == 10000)
+
+    // SUM is not translatable -> graceful fallback to scan + aggregate
+    val sumDf = ticks().agg(sum("sequence"))
+    assert(sumDf.queryExecution.optimizedPlan.collect { case a: Aggregate => a }.nonEmpty)
+    assert(sumDf.head().getLong(0) == 10000L * 9999 / 2)
+  }
+
+  test("pushed aggregate over a TRILLION-row table answers instantly (closed form)") {
+    val t = spark.read.format("graft.sources.TicksSourceProvider")
+      .option("rows", 1000000000000L).option("partitions", 8).option("tickers", 16).load()
+    val start = System.nanoTime()
+    val r = t.filter(col("ticker") === "TCK7-USDT")
+      .agg(count(lit(1)).as("n"), max("sequence").as("mx"), max("price").as("p")).head()
+    val elapsedMs = (System.nanoTime() - start) / 1e6
+    assert(r.getLong(0) == 62500000000L) // 10^12 / 16
+    assert(r.getLong(1) == 999999999991L) // last index ≡ 7 (mod 16)
+    assert(r.getDouble(2) == 0.5 + 8999 / 10000.0) // full price cycle present
+    assert(elapsedMs < 30000, s"closed-form aggregate took ${elapsedMs} ms")
+  }
+
+  test("limit pushdown: scan emits exactly n rows, bounded index walk at any scale") {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit}
+    val t = spark.read.format("graft.sources.TicksSourceProvider")
+      .option("rows", 1000000000000L).option("partitions", 8).option("tickers", 16).load()
+    val limited = t.filter(col("ticker") === "TCK5-USDT").limit(5)
+    // fully pushed: no Limit survives in the optimized plan
+    val lp = limited.queryExecution.optimizedPlan
+    assert(lp.collect { case l @ (_: GlobalLimit | _: LocalLimit) => l }.isEmpty, lp.toString)
+    val out = limited.collect()
+    assert(out.length == 5)
+    assert(out.map(_.getLong(1)).toSeq == Seq(5L, 21L, 37L, 53L, 69L))
+    // limit larger than the (filtered) table: all rows, no phantom padding
+    val tiny = ticks(rows = 7, partitions = 2, tickers = 16)
+      .filter(col("ticker") === "TCK5-USDT").limit(99)
+    assert(tiny.collect().map(_.getLong(1)).toSeq == Seq(5L))
+  }
+
   test("micro-batch stream: admission control paces batches, offsets cover every row once") {
     val out = tmpDir("ticksStreamOut")
     val q = spark.readStream.format("graft.sources.TicksSourceProvider")
