@@ -58,21 +58,38 @@ object HashUtil {
     acc
   }
 
-  /** k-component MinHash signature: component i = min over shingles of
-    * md5(i + "|" + shingle) — lexicographic min over identical hex strings
-    * in Spark and DuckDB, so the oracle agrees byte-for-byte.
+  /** k-component MinHash signature with digest slicing: one md5 yields FOUR
+    * independent 32-bit components (8 hex chars each), so k components cost
+    * ⌈k/4⌉ digests per shingle instead of k. Component j = min over shingles
+    * of `substr(md5((j/4) + "|" + shingle), (j%4)*8+1, 8)` — lexicographic
+    * min over identical hex strings in Spark and DuckDB
+    * ([[graft.operators.DedupOps.minhashLshSql]] computes the exact same
+    * slices), so the oracle agrees byte-for-byte. k ≤ 40 (single-digit
+    * digest tag).
     */
   def minhashSig(shingles: ArrayData, k: Int): ArrayData = {
+    require(k <= 40, s"minhash_signature supports k <= 40, got $k")
+    val nDig = (k + 3) / 4
     val mins = new Array[UTF8String](k)
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
-      val s = shingles.getUTF8String(i).toString
-      var seed = 0
-      while (seed < k) {
-        val h = UTF8String.fromString(md5Hex((seed.toString + "|" + s).getBytes("UTF-8")))
-        if (mins(seed) == null || h.compareTo(mins(seed)) < 0) mins(seed) = h
-        seed += 1
+      val sBytes = shingles.getUTF8String(i).getBytes
+      var d = 0
+      while (d < nDig) {
+        val buf = new Array[Byte](sBytes.length + 2)
+        buf(0) = ('0' + d).toByte
+        buf(1) = '|'
+        System.arraycopy(sBytes, 0, buf, 2, sBytes.length)
+        val hexStr = md5Hex(buf)
+        var c = 0
+        while (c < 4 && d * 4 + c < k) {
+          val j = d * 4 + c
+          val h = UTF8String.fromString(hexStr.substring(c * 8, c * 8 + 8))
+          if (mins(j) == null || h.compareTo(mins(j)) < 0) mins(j) = h
+          c += 1
+        }
+        d += 1
       }
       i += 1
     }
@@ -96,7 +113,10 @@ object HashUtil {
   }
 
   /** Compiled i<j pair enumeration of a (doc_id: long, n: int) posting list,
-    * sorted by doc_id so a_id < b_id canonically.
+    * sorted by doc_id so a_id < b_id canonically. The two shingle counts ride
+    * along packed into ONE long (na<<32 | nb — counts are positive ints), so
+    * a pair row shuffles as three 8-byte words instead of 2 longs + 2 ints
+    * with padding; the downstream aggregation unpacks after grouping.
     */
   def pairCombos(ds: ArrayData): ArrayData = {
     val k = ds.numElements()
@@ -120,7 +140,9 @@ object HashUtil {
     while (a < k) {
       var b = a + 1
       while (b < k) {
-        out(idx) = InternalRow(ids(a), ids(b), ns(a), ns(b)); idx += 1; b += 1
+        out(idx) = InternalRow(ids(a), ids(b),
+          (ns(a).toLong << 32) | (ns(b).toLong & 0xffffffffL))
+        idx += 1; b += 1
       }
       a += 1
     }
@@ -387,14 +409,14 @@ case class Shingles3(child: Expression, distinct: Boolean) extends UnaryExpressi
 
 /** Native i<j pair enumeration of an array<struct<doc_id:long,n:int>>
   * posting list (sorted by doc_id internally): emits
-  * array<struct<a_id,b_id,na,nb>> in one compiled pass — the interpreted
-  * nested-transform/slice formulation costs O(k²) array copies in lambda
-  * interpreters.
+  * array<struct<a_id,b_id,nn>> in one compiled pass (nn = the two shingle
+  * counts packed into one long) — the interpreted nested-transform/slice
+  * formulation costs O(k²) array copies in lambda interpreters.
   */
 case class PairCombos(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("a_id", LongType), StructField("b_id", LongType),
-    StructField("na", IntegerType), StructField("nb", IntegerType))),
+    StructField("nn", LongType))),
     containsNull = false)
   override def nullSafeEval(ds: Any): Any =
     HashUtil.pairCombos(ds.asInstanceOf[ArrayData])

@@ -77,12 +77,17 @@ object DedupOps {
       .groupBy("s").agg(collect_list(col("dn")).as("ds"))
       .filter(size(col("ds")) >= 2 && size(col("ds")) <= StopShingleCap)
       .select(explode(HashFunctions.pair_combos(col("ds"))).as("p"))
-      .select(col("p.a_id"), col("p.b_id"), col("p.na"), col("p.nb"))
-      .groupBy("a_id", "b_id", "na", "nb")
-      .agg(count(lit(1)).as("common"))
+      .select(col("p.a_id"), col("p.b_id"), col("p.nn"))
+      // group on the two ids only; the packed size pair is constant per
+      // group so FIRST carries it through the partial agg (8 bytes instead
+      // of two more grouping columns in every shuffle row)
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("common"), first(col("nn")).as("nn"))
+      .withColumn("nsum",
+        shiftrightunsigned(col("nn"), 32) + col("nn").bitwiseAND(lit(0xffffffffL)))
       .withColumn("jaccard",
-        round(col("common").cast("double") / (col("na") + col("nb") - col("common")), 4))
-      .filter(col("common").cast("double") / (col("na") + col("nb") - col("common")) >= threshold)
+        round(col("common").cast("double") / (col("nsum") - col("common")), 4))
+      .filter(col("common").cast("double") / (col("nsum") - col("common")) >= threshold)
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
   /** Shared CTE chain producing the thresholded Jaccard pair list — reused
@@ -125,7 +130,7 @@ object DedupOps {
        |SELECT node AS doc_id, min(lbl) AS cluster_id
        |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin
 
-  val MinHashK = 8      // signature length (seeds 0..7)
+  val MinHashK = 8      // signature length: 2 md5 digests × 4 sliced 32-bit components
   val BandRows = 2      // rows per band → 4 bands; P(cand | j=0.99) ≈ 1-(1-0.98)⁴
 
   /** Per-doc MinHash signature via the native expression — one projection. */
@@ -165,7 +170,8 @@ object DedupOps {
     s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
        |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks WHERE len(t) >= 3)),
-       |mh AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || s)) AS mh
+       |mh AS (SELECT doc_id, seed,
+       |         min(substr(md5((seed // 4)::VARCHAR || '|' || s), (seed % 4) * 8 + 1, 8)) AS mh
        |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, ${MinHashK - 1})) AS seed) GROUP BY 1, 2),
        |bands AS (SELECT doc_id, seed // $BandRows AS band, string_agg(mh, ',' ORDER BY seed) AS key
        |          FROM mh GROUP BY 1, 2),

@@ -70,7 +70,8 @@ object ExprBench {
           HashFunctions.shingles3(col("toks"), distinct = true), 8).as("sig")) },
         bench("lambda") { docs.select(transform(sequence(lit(0), lit(7)), seed =>
           array_min(transform(HashFunctions.shingles3(col("toks"), distinct = true),
-            sh => md5(concat(seed.cast("string"), lit("|"), sh))))).as("sig")) })
+            sh => md5(concat((seed / 4).cast("int").cast("string"), lit("|"), sh))
+              .substr(lit(1) + (seed % 4) * 8, lit(8))))).as("sig")) })
     )
     println(f"${"expression"}%-24s ${"native_s"}%10s ${"lambda_s"}%10s ${"speedup"}%8s")
     results.foreach { case (name, nat, lam) =>
