@@ -80,6 +80,8 @@ object SparkEntry {
     "t_quality"         -> (TextOps.qualityDf _),
     "t_token_count"     -> (TextOps.tokenCountDf _),
     "t_fingerprint"     -> (TextOps.fingerprintDf _),
+    // native one-pass repetition stats (Gopher-style quality filtering)
+    "t_repetition"      -> (TextOps.repetitionDf _),
     // Training-data pipeline: multimodal binary columns
     "m_binary_meta"     -> (MultimodalOps.binaryMetaDf _),
     // Round 2: correlated-subquery TPC-H shapes
@@ -184,6 +186,7 @@ object SparkEntry {
     "t_quality"         -> TextOps.qualitySql,
     "t_token_count"     -> TextOps.tokenCountSql,
     "t_fingerprint"     -> TextOps.fingerprintSql,
+    "t_repetition"      -> TextOps.repetitionSql,
     "m_binary_meta"     -> MultimodalOps.binaryMetaSql,
     "q17_small_qty"     -> PQ.q17SmallQtySql,
     "q14_promo"         -> PQ.q14PromoSql,

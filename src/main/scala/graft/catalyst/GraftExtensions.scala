@@ -39,6 +39,10 @@ object GraftExtensions {
     ("shingles3",
       info("shingles3", "shingles3(tokens) - distinct 3-word shingles"),
       (es: Seq[Expression]) => Shingles3(es.head, distinct = true)),
+    ("repetition_stats",
+      info("repetition_stats",
+        "repetition_stats(tokens) - struct(top_word_frac, top_bigram_frac, ttr)"),
+      (es: Seq[Expression]) => RepetitionStats(es.head)),
   )
 
   /** Runtime registration on an existing session. */

@@ -96,6 +96,41 @@ object HashUtil {
     new GenericArrayData(mins.asInstanceOf[Array[Any]])
   }
 
+  /** Gopher-style repetition statistics of a token array in one compiled
+    * pass: fraction of tokens taken by the most frequent word, fraction of
+    * bigrams taken by the most frequent bigram, and type-token ratio
+    * (distinct/total words). High top-fractions or a low TTR flag the
+    * degenerate repeated-boilerplate documents a training-data filter drops.
+    */
+  def repetitionStats(toks: ArrayData): InternalRow = {
+    val n = toks.numElements()
+    if (n == 0) return InternalRow(0.0, 0.0, 0.0)
+    val wc = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var topW = 0
+    var i = 0
+    while (i < n) {
+      val c = wc.merge(toks.getUTF8String(i), 1, Integer.sum(_, _))
+      if (c > topW) topW = c
+      i += 1
+    }
+    var topB = 0
+    if (n >= 2) {
+      val bc = new java.util.HashMap[UTF8String, Integer](n * 2)
+      val sp = UTF8String.fromString(" ")
+      i = 0
+      while (i < n - 1) {
+        val b = UTF8String.concatWs(sp, toks.getUTF8String(i), toks.getUTF8String(i + 1))
+        val c = bc.merge(b, 1, Integer.sum(_, _))
+        if (c > topB) topB = c
+        i += 1
+      }
+    }
+    InternalRow(
+      topW.toDouble / n,
+      if (n >= 2) topB.toDouble / (n - 1) else 0.0,
+      wc.size.toDouble / n)
+  }
+
   /** Compiled 3-word shingling of a token array. */
   def shingles3(toks: ArrayData, distinct: Boolean): ArrayData = {
     val n = toks.numElements()
@@ -288,6 +323,30 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native per-document repetition statistics over an array<string> token
+  * column: struct(top_word_frac, top_bigram_frac, ttr) in ONE compiled pass
+  * with two local hash maps — the built-in formulation explodes words AND
+  * bigrams through two groupBy shuffles; this is a per-row projection, so
+  * repetition filtering scales linearly with the corpus.
+  */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("top_word_frac", DoubleType, nullable = false),
+    StructField("top_bigram_frac", DoubleType, nullable = false),
+    StructField("ttr", DoubleType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, false) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"repetition_stats requires array<string> with non-null elements, got ${t.sql}")
+  }
+  override def nullSafeEval(tokens: Any): Any =
+    HashUtil.repetitionStats(tokens.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.catalyst.HashUtil.repetitionStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
 /** Native dot product over two array<float>/array<double> columns; same
   * left-to-right double-widened fold as the lambda formulation (identical
   * IEEE result), kept inside whole-stage codegen — the hot inner loop of
@@ -359,6 +418,8 @@ object HashFunctions {
   def eq_count(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       EqCount(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def repetition_stats(c: Column): Column =
+    GraftColumnBridge.column(RepetitionStats(GraftColumnBridge.expression(c)))
 }
 
 /** Native positional-equality count over two array<string> columns — the

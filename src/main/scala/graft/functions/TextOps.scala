@@ -122,6 +122,36 @@ object TextOps {
       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpeish_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style repetition filter signals, via the native
+    * [[graft.catalyst.RepetitionStats]] expression: most-frequent-word
+    * fraction, most-frequent-bigram fraction, type-token ratio — one
+    * compiled per-row pass (two local hash maps), zero shuffles, vs. the
+    * two explode→groupBy pyramids the declarative formulation needs (the
+    * oracle SQL below is exactly that pyramid).
+    */
+  def repetitionDf(s: SparkSession, d: String): DataFrame =
+    docsSorted(s, d)
+      .select(col("doc_id"),
+        graft.catalyst.HashFunctions.repetition_stats(tokens(col("text"))).as("r"))
+      .select(col("doc_id"), col("r.top_word_frac"), col("r.top_bigram_frac"), col("r.ttr"))
+  val repetitionSql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      |w AS (SELECT doc_id, unnest(toks) AS w FROM t),
+      |wagg AS (SELECT doc_id, CAST(max(c) AS DOUBLE) AS topw, CAST(count(*) AS DOUBLE) AS dw,
+      |                CAST(sum(c) AS DOUBLE) AS n
+      |         FROM (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2) GROUP BY 1),
+      |b AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+      |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i
+      |            FROM t WHERE len(toks) >= 2)),
+      |bagg AS (SELECT doc_id, CAST(max(c) AS DOUBLE) AS topb, CAST(sum(c) AS DOUBLE) AS nb
+      |         FROM (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(topw / n, 0.0) AS top_word_frac,
+      |  coalesce(topb / nb, 0.0) AS top_bigram_frac,
+      |  coalesce(dw / n, 0.0) AS ttr
+      |FROM documents d LEFT JOIN wagg USING (doc_id) LEFT JOIN bagg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** Document fingerprinting: md5 of whitespace-normalized text (exact-dup
     * key) + min-shingle hash (a 1-perm MinHash, the winnowing-style content
     * fingerprint — stable under local edits).

@@ -58,6 +58,34 @@ class ExtensionsSpec extends SparkSpec {
     assert(native == lambda)
   }
 
+  test("repetition_stats: hand-checked fractions, degenerate inputs, typed rejection") {
+    import graft.catalyst.HashFunctions
+    // "a b a b a" -> top word a:3/5, bigrams [a b, b a, a b, b a] -> 2/4, ttr 2/5
+    val df = Seq("a b a b a", "x", "").toDF("text")
+      .select(HashFunctions.repetition_stats(split(trim(col("text")), "\\s+")).as("r"))
+      .select("r.top_word_frac", "r.top_bigram_frac", "r.ttr")
+    val rows = df.collect()
+    assert(rows(0).getDouble(0) == 3.0 / 5 && rows(0).getDouble(1) == 2.0 / 4 &&
+      rows(0).getDouble(2) == 2.0 / 5)
+    // single token: no bigrams
+    assert(rows(1).getDouble(0) == 1.0 && rows(1).getDouble(1) == 0.0 && rows(1).getDouble(2) == 1.0)
+    // empty text -> split yields [""] (one empty token), same as the oracle's
+    // regexp_split_to_array behavior
+    assert(rows(2).getDouble(0) == 1.0 && rows(2).getDouble(2) == 1.0)
+    // wrong input type is an analysis error
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Seq(1, 2)).toDF("a").select(HashFunctions.repetition_stats(col("a"))).collect()
+    }
+    assert(e.getMessage.contains("repetition_stats"), e.getMessage)
+    // registered SQL form agrees with the Column form
+    graft.catalyst.GraftExtensions.register(spark)
+    Seq("p q p q p q").toDF("text").createOrReplaceTempView("rep_docs")
+    val viaSql = spark.sql(
+      "SELECT repetition_stats(split(trim(text), '\\\\s+')) AS r FROM rep_docs")
+      .select("r.top_bigram_frac").head().getDouble(0)
+    assert(viaSql == 3.0 / 5)
+  }
+
   test("extensions class builds a session with the functions injected") {
     // verify the SparkSessionExtensions path composes (builder-level config)
     val ext = new GraftExtensions
