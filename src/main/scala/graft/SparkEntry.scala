@@ -75,6 +75,8 @@ object SparkEntry {
     "s_ann_brute"       -> (SimilarityOps.annBruteForce _),
     "s_ann_lsh"         -> (SimilarityOps.annLsh _),
     "s_ann_ivf"         -> (SimilarityOps.annIvf _),
+    // semantic clustering: quantized k-means, map-only assignment
+    "s_kmeans"          -> (SimilarityOps.kmeans(_, _)),
     // Training-data pipeline: text analysis
     "t_langid"          -> (TextOps.langIdDf _),
     "t_quality"         -> (TextOps.qualityDf _),
@@ -182,6 +184,7 @@ object SparkEntry {
     "s_ann_brute"       -> SimilarityOps.annBruteForceSql,
     "s_ann_lsh"         -> SimilarityOps.annLshSql,
     "s_ann_ivf"         -> SimilarityOps.annIvfSql,
+    "s_kmeans"          -> SimilarityOps.kmeansSql,
     "t_langid"          -> TextOps.langIdSql,
     "t_quality"         -> TextOps.qualitySql,
     "t_token_count"     -> TextOps.tokenCountSql,

@@ -239,4 +239,103 @@ object SimilarityOps {
        |ranked AS (SELECT q_id, c_id, cos,
        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk FROM scored)
        |SELECT q_id, rnk, c_id, cos FROM ranked WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
+
+  val KmeansK = 4
+
+  /** Semantic clustering: k-means (two Lloyd iterations) over int-quantized
+    * embeddings — the cluster-then-sample/cluster-then-dedup primitive of a
+    * curation pipeline.
+    *
+    * Quantization (`floor(x·1000 + 0.5)` per element, the int16-style vector
+    * quantization ANN stores use) makes iteration 1 pure integer arithmetic
+    * and iteration 2 a deterministic function of exact integers, so the
+    * DuckDB oracle matches bit-for-bit with no float-order caveats.
+    *
+    * 100 TB shape: ASSIGNMENT IS MAP-ONLY — centroids ride into the plan as
+    * literals (k·dim values), each vector computes its k distances and
+    * argmin in one projection, no join, no shuffle. Only the centroid
+    * update aggregates, and that shuffle carries k·dim cells after partial
+    * aggregation, independent of corpus size. Ties go to the lowest
+    * centroid id in both engines.
+    */
+  def kmeans(s: SparkSession, d: String, k: Int = KmeansK): DataFrame = {
+    val quant = Tables.fanOut(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000 + 0.5).cast("long")).as("qe"))
+      .localCheckpoint(true) // three passes (init + 2 assignments) read this
+
+    // deterministic seeding: the k lowest vec_ids
+    val init: Array[Array[Long]] = quant.orderBy("vec_id").limit(k).collect()
+      .map(_.getSeq[Long](1).toArray)
+
+    // map-only argmin assignment; `cents` must be ordered by ascending cid
+    // so the first-minimum position IS the lowest-cid tie-break
+    def assign(dists: Column, cids: Seq[Int]): Column =
+      element_at(array(cids.map(lit): _*),
+        array_position(dists, array_min(dists)).cast("int"))
+
+    val a1 = quant.withColumn("cid", assign(
+      transform(
+        array(init.map(c => array(c.map(lit): _*)): _*),
+        cvec => aggregate(zip_with(col("qe"), cvec, (x, y) => (x - y) * (x - y)),
+          lit(0L), _ + _)),
+      0 until k))
+
+    // centroid update: k·dim cells, map-side partial agg, tiny collect
+    val meanRows = a1
+      .select(col("cid"), posexplode(col("qe")).as(Seq("pos", "v")))
+      .groupBy("cid", "pos")
+      .agg(sum("v").as("sv"), count(lit(1)).as("c"))
+      .collect()
+    val cents2: Seq[(Int, Array[Double])] = meanRows
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (cid, rows) =>
+        val mu = new Array[Double](Dim)
+        rows.foreach(r => mu(r.getInt(1)) = r.getLong(2).toDouble / r.getLong(3))
+        cid -> mu
+      }
+
+    val a2 = quant.withColumn("cid", assign(
+      transform(
+        array(cents2.map { case (_, mu) => array(mu.map(lit): _*) }: _*),
+        cvec => aggregate(
+          zip_with(col("qe"), cvec, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), _ + _)),
+      cents2.map(_._1)))
+
+    val sums = s.createDataFrame(
+      cents2.map { case (cid, mu) => (cid, mu.foldLeft(0.0)(_ + _)) })
+      .toDF("cid", "c_sum")
+    a2.groupBy("cid").agg(count(lit(1)).as("n"))
+      .join(broadcast(sums), Seq("cid"))
+      .select("cid", "n", "c_sum")
+      .orderBy("cid")
+  }
+  val kmeansSql: String =
+    s"""WITH q AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe
+       |  FROM embeddings),
+       |init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qe AS c
+       |         FROM (SELECT * FROM q ORDER BY vec_id LIMIT $KmeansK)),
+       |a1 AS (SELECT vec_id, qe, cid FROM (
+       |         SELECT q.vec_id, q.qe, init.cid,
+       |           list_sum(list_transform(generate_series(1, len(q.qe)),
+       |             i -> (q.qe[i] - init.c[i]) * (q.qe[i] - init.c[i]))) AS dist
+       |         FROM q CROSS JOIN init)
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+       |m AS (SELECT cid, i, CAST(sum(v) AS DOUBLE) / count(*) AS mu
+       |      FROM (SELECT cid, unnest(generate_series(1, len(qe))) AS i, unnest(qe) AS v FROM a1)
+       |      GROUP BY 1, 2),
+       |c2 AS (SELECT cid, list(mu ORDER BY i) AS c FROM m GROUP BY 1),
+       |a2 AS (SELECT vec_id, cid FROM (
+       |         SELECT q.vec_id, c2.cid,
+       |           list_sum(list_transform(generate_series(1, len(q.qe)),
+       |             i -> (CAST(q.qe[i] AS DOUBLE) - c2.c[i]) * (CAST(q.qe[i] AS DOUBLE) - c2.c[i]))) AS dist
+       |         FROM q CROSS JOIN c2)
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+       |cs AS (SELECT cid, list_sum(c) AS c_sum FROM c2)
+       |SELECT f.cid, f.n, cs.c_sum
+       |FROM (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM a2 GROUP BY 1) f
+       |JOIN cs USING (cid) ORDER BY cid""".stripMargin
 }

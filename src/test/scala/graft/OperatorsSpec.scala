@@ -158,4 +158,18 @@ class OperatorsSpec extends SparkSpec {
     assert(row.getAs[Boolean]("parts_ok") && row.getAs[Boolean]("median_ok"))
     assert(row.getAs[Long]("exact_parts") == exactParts)
   }
+
+  test("kmeans: partitions the corpus, deterministic, assignment improves over seeding") {
+    val out = SimilarityOps.kmeans(spark, sf0001).collect()
+    assert(out.length == SimilarityOps.KmeansK)
+    assert(out.map(_.getLong(1)).sum == 500) // every vector assigned exactly once
+    assert(out.map(_.getInt(0)).toSeq == (0 until SimilarityOps.KmeansK))
+    // pure function of the input: a second run is identical
+    val again = SimilarityOps.kmeans(spark, sf0001).collect()
+    assert(out.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      again.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq)
+    // Lloyd iterations should spread mass off the seed clusters: no cluster
+    // holds everything (seeds are 4 arbitrary vectors, data has >=4 labels)
+    assert(out.map(_.getLong(1)).max < 500)
+  }
 }

@@ -96,6 +96,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges <= 2, s"$exchanges exchanges:\n$p") // fanOut + rangepartition for sort
   }
 
+  test("kmeans assignment is map-only: centroids as literals, no join, no data shuffle") {
+    val p = physicalPlan(graft.operators.SimilarityOps.kmeans(spark, sf0001))
+    // the only joins allowed are broadcasts of the k-row centroid-sum side
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    // final plan: k-row groupBy + broadcast join + k-row sort — the vector
+    // table itself is never exchanged for the assignment
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q10 broadcasts both dimensions and plans top-k without a global sort") {
     val p = physicalPlan(graft.queries.PipelineQueries.q10Returned(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"), p)
