@@ -77,6 +77,64 @@ class NativePlanPropertySpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.NativeTopK.MaxGroupsConf)
   }
 
+  test("minhash_signature (digest slicing) == declarative substr(md5) fold on random docs") {
+    import graft.catalyst.HashFunctions
+    val rnd = new scala.util.Random(11)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val docs = (0 until 40).map { _ =>
+      (0 until (3 + rnd.nextInt(30))).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    }
+    val df = docs.toDF("text")
+      .select(HashFunctions.shingles3(split(col("text"), " "), distinct = true).as("sh"))
+    val native = df.select(HashFunctions.minhash_signature(col("sh"), 8).as("sig"))
+      .as[Seq[String]].collect().toSeq
+    // independent formulation: per-component lambda over the same slices
+    val declarative = df.select(transform(sequence(lit(0), lit(7)), j =>
+      array_min(transform(col("sh"), s =>
+        md5(concat((j / 4).cast("int").cast("string"), lit("|"), s))
+          .substr(lit(1) + (j % 4) * 8, lit(8))))).as("sig"))
+      .as[Seq[String]].collect().toSeq
+    assert(native == declarative)
+    native.foreach(sig => assert(sig.length == 8 && sig.forall(c => c == null || c.length == 8)))
+  }
+
+  test("repetition_stats == explode/groupBy pyramid on random docs") {
+    import graft.catalyst.HashFunctions
+    val rnd = new scala.util.Random(13)
+    val words = Vector("a", "b", "c", "dd", "ee")
+    val docs = (0 until 60).map { i =>
+      (i.toLong, (0 until (1 + rnd.nextInt(40))).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text").cache()
+    val native = df
+      .select(col("doc_id"), HashFunctions.repetition_stats(split(col("text"), " ")).as("r"))
+      .select(col("doc_id"), col("r.top_word_frac"), col("r.top_bigram_frac"), col("r.ttr"))
+      .as[(Long, Double, Double, Double)].collect().toMap2
+    val toks = df.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val wordAgg = toks.select(col("doc_id"), explode(col("t")).as("w"))
+      .groupBy("doc_id", "w").count()
+      .groupBy("doc_id").agg(max("count").as("topw"), count(lit(1)).as("dw"), sum("count").as("n"))
+    val bigAgg = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(zip_with(col("t"), slice(col("t"), 2, 100000),
+        (x, y) => concat_ws(" ", x, y))).as("bg"))
+      .filter(size(split(col("bg"), " ")) === 2)
+      .groupBy("doc_id", "bg").count()
+      .groupBy("doc_id").agg(max("count").as("topb"), sum("count").as("nb"))
+    val declarative = wordAgg.join(bigAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("topw").cast("double") / col("n")).as("twf"),
+        coalesce(col("topb").cast("double") / col("nb"), lit(0.0)).as("tbf"),
+        (col("dw").cast("double") / col("n")).as("ttr"))
+      .as[(Long, Double, Double, Double)].collect().toMap2
+    assert(native.keySet == declarative.keySet)
+    native.foreach { case (id, v) => assert(v == declarative(id), s"doc $id: $v vs ${declarative(id)}") }
+  }
+
+  private implicit class Tup4Ops(rows: Array[(Long, Double, Double, Double)]) {
+    def toMap2: Map[Long, (Double, Double, Double)] =
+      rows.map { case (a, b, c, d) => a -> (b, c, d) }.toMap
+  }
+
   test("driver union-find == distributed pointer jumping on random graphs") {
     val rnd = new scala.util.Random(11)
     for (trial <- 1 to 4) {
