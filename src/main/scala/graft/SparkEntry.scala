@@ -77,6 +77,8 @@ object SparkEntry {
     "s_ann_ivf"         -> (SimilarityOps.annIvf _),
     // semantic clustering: quantized k-means, map-only assignment
     "s_kmeans"          -> (SimilarityOps.kmeans(_, _)),
+    // cluster-then-dedup composition: k-means cells as the blocking key
+    "s_cluster_neardup" -> (SimilarityOps.clusterNearDup(_, _)),
     // Training-data pipeline: text analysis
     "t_langid"          -> (TextOps.langIdDf _),
     "t_quality"         -> (TextOps.qualityDf _),
@@ -185,6 +187,7 @@ object SparkEntry {
     "s_ann_lsh"         -> SimilarityOps.annLshSql,
     "s_ann_ivf"         -> SimilarityOps.annIvfSql,
     "s_kmeans"          -> SimilarityOps.kmeansSql,
+    "s_cluster_neardup" -> SimilarityOps.clusterNearDupSql,
     "t_langid"          -> TextOps.langIdSql,
     "t_quality"         -> TextOps.qualitySql,
     "t_token_count"     -> TextOps.tokenCountSql,

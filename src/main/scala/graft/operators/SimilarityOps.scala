@@ -258,15 +258,35 @@ object SimilarityOps {
     * aggregation, independent of corpus size. Ties go to the lowest
     * centroid id in both engines.
     */
+  /** Final (iteration-2) cluster assignment with the original embedding
+    * riding along: (vec_id, cid, embedding). The blocking key source for
+    * [[clusterNearDup]] and the row source for [[kmeans]]'s summary.
+    */
+  def kmeansAssignments(s: SparkSession, d: String, k: Int = KmeansK): DataFrame =
+    kmeansInternal(s, d, k)._1
+
   def kmeans(s: SparkSession, d: String, k: Int = KmeansK): DataFrame = {
+    val (a2, cents2) = kmeansInternal(s, d, k)
+    val sums = s.createDataFrame(
+      cents2.map { case (cid, mu) => (cid, mu.foldLeft(0.0)(_ + _)) })
+      .toDF("cid", "c_sum")
+    a2.groupBy("cid").agg(count(lit(1)).as("n"))
+      .join(broadcast(sums), Seq("cid"))
+      .select("cid", "n", "c_sum")
+      .orderBy("cid")
+  }
+
+  private def kmeansInternal(s: SparkSession, d: String,
+      k: Int): (DataFrame, Seq[(Int, Array[Double])]) = {
     val quant = Tables.fanOut(Tables.embeddings(s, d))
-      .select(col("vec_id"),
+      .select(col("vec_id"), col("embedding"),
         transform(col("embedding"),
           x => floor(x.cast("double") * 1000 + 0.5).cast("long")).as("qe"))
       .localCheckpoint(true) // three passes (init + 2 assignments) read this
 
     // deterministic seeding: the k lowest vec_ids
-    val init: Array[Array[Long]] = quant.orderBy("vec_id").limit(k).collect()
+    val init: Array[Array[Long]] = quant.select("vec_id", "qe")
+      .orderBy("vec_id").limit(k).collect()
       .map(_.getSeq[Long](1).toArray)
 
     // map-only argmin assignment; `cents` must be ordered by ascending cid
@@ -304,14 +324,61 @@ object SimilarityOps {
           lit(0.0), _ + _)),
       cents2.map(_._1)))
 
-    val sums = s.createDataFrame(
-      cents2.map { case (cid, mu) => (cid, mu.foldLeft(0.0)(_ + _)) })
-      .toDF("cid", "c_sum")
-    a2.groupBy("cid").agg(count(lit(1)).as("n"))
-      .join(broadcast(sums), Seq("cid"))
-      .select("cid", "n", "c_sum")
-      .orderBy("cid")
+    (a2.select("vec_id", "cid", "embedding"), cents2)
   }
+
+  /** Cluster-blocked cosine near-dup: [[cosineNearDup]] with the LEARNED
+    * k-means cell as the blocking key instead of the label column — the
+    * full semantic-dedup composition (cluster, then pair only within
+    * cells). All-pairs is O(n²); this is O(Σ n_c²) with cells shrinking as
+    * k grows — the shape that survives a billion-vector corpus.
+    */
+  def clusterNearDup(s: SparkSession, d: String, threshold: Double = 0.35): DataFrame = {
+    val e = kmeansAssignments(s, d)
+      .select(col("vec_id"), col("cid"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+      .localCheckpoint(true) // both self-join sides read this
+    val a = e.select(col("vec_id").as("a_id"), col("cid"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b_id"), col("cid"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("cid")).filter(col("a_id") < col("b_id"))
+      .withColumn("cos", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id", "cid", "cos")
+      .orderBy("a_id", "b_id")
+  }
+  val clusterNearDupSql: String =
+    s"""WITH q AS (SELECT vec_id, embedding,
+       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe
+       |  FROM embeddings),
+       |init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qe AS c
+       |         FROM (SELECT * FROM q ORDER BY vec_id LIMIT $KmeansK)),
+       |a1 AS (SELECT vec_id, qe, cid FROM (
+       |         SELECT q.vec_id, q.qe, init.cid,
+       |           list_sum(list_transform(generate_series(1, len(q.qe)),
+       |             i -> (q.qe[i] - init.c[i]) * (q.qe[i] - init.c[i]))) AS dist
+       |         FROM q CROSS JOIN init)
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+       |m AS (SELECT cid, i, CAST(sum(v) AS DOUBLE) / count(*) AS mu
+       |      FROM (SELECT cid, unnest(generate_series(1, len(qe))) AS i, unnest(qe) AS v FROM a1)
+       |      GROUP BY 1, 2),
+       |c2 AS (SELECT cid, list(mu ORDER BY i) AS c FROM m GROUP BY 1),
+       |a2 AS (SELECT vec_id, cid FROM (
+       |         SELECT q.vec_id, c2.cid,
+       |           list_sum(list_transform(generate_series(1, len(q.qe)),
+       |             i -> (CAST(q.qe[i] AS DOUBLE) - c2.c[i]) * (CAST(q.qe[i] AS DOUBLE) - c2.c[i]))) AS dist
+       |         FROM q CROSS JOIN c2)
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+       |e AS (SELECT q.vec_id, a2.cid, q.embedding,
+       |        sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |      FROM q JOIN a2 USING (vec_id)),
+       |pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cid,
+       |    round(list_sum(list_transform(generate_series(1, $Dim),
+       |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm), 4) AS cos
+       |  FROM e a JOIN e b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+       |SELECT a_id, b_id, cid, cos FROM pairs WHERE cos >= 0.35
+       |ORDER BY a_id, b_id""".stripMargin
   val kmeansSql: String =
     s"""WITH q AS (SELECT vec_id,
        |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe
