@@ -43,6 +43,10 @@ object GraftExtensions {
       info("repetition_stats",
         "repetition_stats(tokens) - struct(top_word_frac, top_bigram_frac, ttr)"),
       (es: Seq[Expression]) => RepetitionStats(es.head)),
+    ("shingle_hashes3",
+      info("shingle_hashes3",
+        "shingle_hashes3(tokens) - distinct 3-word shingle keys as 64-bit hashes"),
+      (es: Seq[Expression]) => ShingleHashes3(es.head)),
   )
 
   /** Runtime registration on an existing session. */

@@ -147,6 +147,47 @@ object HashUtil {
     new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
 
+  private def mix64(z0: Long): Long = { // splitmix64 finalizer
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Distinct 3-word shingles as 64-bit hashes WITHOUT materializing the
+    * shingle strings: each token's bytes are hashed once, then triples are
+    * combined with a splitmix64 chain. The hash is an INTERNAL posting-list
+    * key (the oracle groups by the shingle string): distinct-by-hash equals
+    * distinct-by-string barring a 64-bit collision within one corpus
+    * (P ≈ n²/2⁶⁵), identical to the xxhash64(shingle) contract this
+    * replaces — minus one string allocation + re-hash per shingle.
+    */
+  def shingleHashes3(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = toks.getUTF8String(i)
+      // token-level 64-bit: splitmix over the utf8 bytes
+      var h = 0x9e3779b97f4a7c15L
+      val bytes = s.getBytes
+      var j = 0
+      while (j < bytes.length) { h = mix64(h ^ (bytes(j) & 0xffL)); j += 1 }
+      th(i) = mix64(h ^ bytes.length)
+      i += 1
+    }
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new java.util.ArrayList[Any](n - 2)
+    i = 0
+    while (i < n - 2) {
+      val h = mix64(mix64(mix64(th(i)) ^ th(i + 1)) ^ th(i + 2))
+      if (seen.add(h)) out.add(h)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Compiled i<j pair enumeration of a (doc_id: long, n: int) posting list,
     * sorted by doc_id so a_id < b_id canonically. The two shingle counts ride
     * along packed into ONE long (na<<32 | nb — counts are positive ints), so
@@ -420,6 +461,8 @@ object HashFunctions {
       EqCount(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   def repetition_stats(c: Column): Column =
     GraftColumnBridge.column(RepetitionStats(GraftColumnBridge.expression(c)))
+  def shingle_hashes3(c: Column): Column =
+    GraftColumnBridge.column(ShingleHashes3(GraftColumnBridge.expression(c)))
 }
 
 /** Native positional-equality count over two array<string> columns — the
@@ -465,6 +508,24 @@ case class Shingles3(child: Expression, distinct: Boolean) extends UnaryExpressi
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.catalyst.HashUtil.shingles3($c, $distinct)")
   override protected def withNewChildInternal(newChild: Expression): Shingles3 =
+    copy(child = newChild)
+}
+
+/** Native distinct-3-word-shingle hashing (no shingle string ever built) —
+  * the posting-list key generator of the n-gram dedup pipeline.
+  */
+case class ShingleHashes3(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, false) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes3 requires array<string> with non-null elements, got ${t.sql}")
+  }
+  override def nullSafeEval(toks: Any): Any =
+    HashUtil.shingleHashes3(toks.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.catalyst.HashUtil.shingleHashes3($c)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes3 =
     copy(child = newChild)
 }
 

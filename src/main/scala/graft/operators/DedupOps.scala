@@ -59,21 +59,33 @@ object DedupOps {
       .select(col("doc_id"), HashFunctions.shingles3(col("toks"), distinct = true).as("sh"))
       .withColumn("n", size(col("sh")))
 
+  /** Hash-only twin of [[shingleDocs]] for the pipelines that never need the
+    * shingle text: distinct 64-bit shingle keys straight from the token
+    * array (native [[graft.catalyst.ShingleHashes3]] — no shingle string is
+    * ever materialized).
+    */
+  private def shingleHashDocs(s: SparkSession, d: String): DataFrame =
+    Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), HashFunctions.shingle_hashes3(col("toks")).as("sh"))
+      .withColumn("n", size(col("sh")))
+
   /** N-gram Jaccard near-dup: 3-word shingles, group docs per shingle, emit
     * candidate pairs from each (capped) posting list, count shared shingles,
     * exact Jaccard = |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold.
     * Exactly two shuffles: groupBy(shingle), groupBy(pair).
     *
-    * The posting groupBy keys on xxhash64(shingle), not the string: the
-    * shuffle moves 8-byte keys instead of ~20-char text, and counts are
-    * unchanged barring a 64-bit collision between two distinct shingles of
-    * the same corpus (P ≈ n²/2⁶⁵ — ~10⁻⁸ even at a billion shingles; the
-    * oracle gate would flag one).
+    * The posting groupBy keys on a 64-bit shingle hash, not the string: the
+    * shuffle moves 8-byte keys instead of ~20-char text — and the hashes
+    * come straight off the token array (native [[graft.catalyst.ShingleHashes3]],
+    * no shingle string built at all). Counts are unchanged barring a 64-bit
+    * collision between two distinct shingles of the same corpus
+    * (P ≈ n²/2⁶⁵ — ~10⁻⁸ even at a billion shingles; the oracle gate would
+    * flag one).
     */
   def ngramJaccardPairs(s: SparkSession, d: String, threshold: Double = 0.8): DataFrame =
-    shingleDocs(s, d)
-      .select(struct(col("doc_id"), col("n")).as("dn"), explode(col("sh")).as("s0"))
-      .select(col("dn"), xxhash64(col("s0")).as("s"))
+    shingleHashDocs(s, d)
+      .select(struct(col("doc_id"), col("n")).as("dn"), explode(col("sh")).as("s"))
       .groupBy("s").agg(collect_list(col("dn")).as("ds"))
       .filter(size(col("ds")) >= 2 && size(col("ds")) <= StopShingleCap)
       .select(explode(HashFunctions.pair_combos(col("ds"))).as("p"))

@@ -98,6 +98,34 @@ class NativePlanPropertySpec extends SparkSpec {
     native.foreach(sig => assert(sig.length == 8 && sig.forall(c => c == null || c.length == 8)))
   }
 
+  test("shingle_hashes3: same distinct counts as string shingles, injective per doc") {
+    import graft.catalyst.HashFunctions
+    val rnd = new scala.util.Random(17)
+    val words = Vector("w1", "w2", "w3", "w4", "w5", "w6")
+    val docs = (0 until 50).map { _ =>
+      (0 until rnd.nextInt(40)).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    }
+    val df = docs.toDF("text").select(split(col("text"), " ").as("t"))
+    val rows = df.select(
+      size(HashFunctions.shingle_hashes3(col("t"))).as("nh"),
+      size(HashFunctions.shingles3(col("t"), distinct = true)).as("ns"),
+      HashFunctions.shingle_hashes3(col("t")).as("h"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), s"hash count ${r.getInt(0)} vs string ${r.getInt(1)}")
+      val hs = r.getSeq[Long](2)
+      assert(hs.distinct.size == hs.size) // emitted keys are already distinct
+    }
+    // cross-doc consistency: equal shingle strings -> equal hashes
+    val h1 = Seq("a b c d").toDF("text")
+      .select(HashFunctions.shingle_hashes3(split(col("text"), " ")).as("h"))
+      .as[Seq[Long]].head()
+    val h2 = Seq("x a b c d".split(" ").drop(1).mkString(" ")).toDF("text")
+      .select(HashFunctions.shingle_hashes3(split(col("text"), " ")).as("h"))
+      .as[Seq[Long]].head()
+    assert(h1 == h2)
+  }
+
   test("repetition_stats == explode/groupBy pyramid on random docs") {
     import graft.catalyst.HashFunctions
     val rnd = new scala.util.Random(13)
