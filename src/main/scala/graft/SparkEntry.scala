@@ -86,6 +86,8 @@ object SparkEntry {
     "t_fingerprint"     -> (TextOps.fingerprintDf _),
     // native one-pass repetition stats (Gopher-style quality filtering)
     "t_repetition"      -> (TextOps.repetitionDf _),
+    // per-source quota through the native grouped top-k
+    "t_source_cap"      -> (PQ.sourceCap _),
     // Training-data pipeline: multimodal binary columns
     "m_binary_meta"     -> (MultimodalOps.binaryMetaDf _),
     // Round 2: correlated-subquery TPC-H shapes
@@ -193,6 +195,7 @@ object SparkEntry {
     "t_token_count"     -> TextOps.tokenCountSql,
     "t_fingerprint"     -> TextOps.fingerprintSql,
     "t_repetition"      -> TextOps.repetitionSql,
+    "t_source_cap"      -> PQ.sourceCapSql,
     "m_binary_meta"     -> MultimodalOps.binaryMetaSql,
     "q17_small_qty"     -> PQ.q17SmallQtySql,
     "q14_promo"         -> PQ.q14PromoSql,

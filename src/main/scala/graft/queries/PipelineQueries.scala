@@ -191,6 +191,25 @@ object PipelineQueries {
       |FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents)
       |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin
 
+  /** Per-source document cap — the common-crawl-style per-domain quota: keep
+    * the top 5 docs of every source by length (doc_id tiebreak = a total
+    * order, so the boundary is deterministic), through the native
+    * bounded-heap grouped top-k ([[graft.plans.TopKPerGroupExec]]) — one
+    * exchange on source, O(sources × 5) state, no sort of the corpus. The
+    * oracle is the row_number window formulation.
+    */
+  def sourceCap(s: SparkSession, d: String): DataFrame =
+    graft.plans.NativeTopK.perGroup(
+      Tables.fanOut(Tables.documents(s, d)).select("doc_id", "source", "n_chars"),
+      Seq("source"), Seq("n_chars" -> false, "doc_id" -> true), k = 5)
+      .orderBy(col("source"), col("n_chars").desc, col("doc_id"))
+  val sourceCapSql: String =
+    """SELECT doc_id, source, n_chars FROM (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 5 ORDER BY source, n_chars DESC, doc_id""".stripMargin
+
   /** Document-frequency table — the IDF building block, kept to exact
     * counts (no cross-engine log()): per-token df over DISTINCT per-doc
     * tokens + the corpus share. Partial-aggregable, one shuffle of
