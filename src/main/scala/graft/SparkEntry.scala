@@ -88,6 +88,8 @@ object SparkEntry {
     "t_repetition"      -> (TextOps.repetitionDf _),
     // per-source quota through the native grouped top-k
     "t_source_cap"      -> (PQ.sourceCap _),
+    // duplicated-shingle span fraction (RefinedWeb/Gopher dedup signal)
+    "d_dup_span_frac"   -> (DedupOps.dupSpanFrac _),
     // Training-data pipeline: multimodal binary columns
     "m_binary_meta"     -> (MultimodalOps.binaryMetaDf _),
     // Round 2: correlated-subquery TPC-H shapes
@@ -196,6 +198,7 @@ object SparkEntry {
     "t_fingerprint"     -> TextOps.fingerprintSql,
     "t_repetition"      -> TextOps.repetitionSql,
     "t_source_cap"      -> PQ.sourceCapSql,
+    "d_dup_span_frac"   -> DedupOps.dupSpanFracSql,
     "m_binary_meta"     -> MultimodalOps.binaryMetaSql,
     "q17_small_qty"     -> PQ.q17SmallQtySql,
     "q14_promo"         -> PQ.q14PromoSql,

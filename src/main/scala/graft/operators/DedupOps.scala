@@ -142,6 +142,37 @@ object DedupOps {
        |SELECT node AS doc_id, min(lbl) AS cluster_id
        |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin
 
+  /** Duplicated-span fraction per document (the RefinedWeb/Gopher
+    * "characters in duplicated n-grams" signal, at 3-word-shingle
+    * granularity): the share of a doc's distinct shingles that appear in at
+    * least one OTHER document. Plan: hash-shingle projection → posting
+    * count per 64-bit key (partial-aggregable) → join back on the 8-byte
+    * key → per-doc ratio. Two shuffles and a key-join, no strings moved.
+    * Docs with fewer than 3 tokens have no shingles and no row (same set in
+    * the oracle).
+    */
+  def dupSpanFrac(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleHashDocs(s, d)
+      .select(col("doc_id"), explode(col("sh")).as("sk"))
+      .localCheckpoint(true) // feeds both the posting count and the join back
+    val df = sh.groupBy("sk").agg(count(lit(1)).as("c"))
+    sh.join(df, Seq("sk"))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("c") > 1, 1).otherwise(0)).cast("double").as("dup"),
+        count(lit(1)).cast("double").as("n"))
+      .select(col("doc_id"), (col("dup") / col("n")).as("dup_span_frac"))
+      .orderBy("doc_id")
+  }
+  val dupSpanFracSql: String =
+    """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks WHERE len(t) >= 3)),
+      |df AS (SELECT s, count(*) AS c FROM sh GROUP BY 1)
+      |SELECT doc_id,
+      |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_span_frac
+      |FROM sh JOIN df USING (s) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val MinHashK = 8      // signature length: 2 md5 digests × 4 sliced 32-bit components
   val BandRows = 2      // rows per band → 4 bands; P(cand | j=0.99) ≈ 1-(1-0.98)⁴
 
