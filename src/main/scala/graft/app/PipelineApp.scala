@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.Trigger
 import graft.ingest.TickerIngest
 import graft.journal.TickerFileJournal
-import graft.pipeline.{Lifecycle, Retry}
+import graft.pipeline.{Lifecycle, Retry, RetryPolicy}
 import graft.schema.FileStatus
 import graft.streaming.Discovery
 
@@ -44,8 +44,14 @@ object PipelineApp {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-pipeline")
+      // the reference's divideDataPartsQuantity (32-way fan-out) is, in
+      // Spark terms, the shuffle/write parallelism; env overrides config
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", cfg.ingest.fanOutParts.toString))
+      // CompressionHandlerConfig.compressionBufferSize: the engine's
+      // compression buffer is the shuffle codec block size
+      .config("spark.io.compression.lz4.blockSize",
+        s"${math.max(cfg.ingest.compressionBufferSize, 4096)}b")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.optimizer.excludedRules",
@@ -91,7 +97,7 @@ object PipelineApp {
     println(s"[demo] advance: toDownloading=$down toReady=$ready")
     // Flow 3
     val rep = Lifecycle.processReady(spark, journal, root, warehouseDir, now(),
-      retry = cfg.uploadData.retry)
+      retry = RetryPolicy(cfg.ingest.maxFlushAttempts, cfg.ingest.sleepOnRetryMs))
     println(s"[demo] process: claimed=${rep.claimed} finished=${rep.finished} " +
       s"rows=${rep.rows} corrupt=${rep.corruptRows}")
     println(s"[demo] warehouse rows=${TickerIngest.warehouse(spark, warehouseDir).count()}")
@@ -121,8 +127,13 @@ object PipelineApp {
       }
     }
     every(cfg.uploadData.workCycleSec) {
-      Lifecycle.processReady(spark, journal, root, warehouseDir, now(),
-        retry = cfg.uploadData.retry)
+      // two retry layers, as in the reference: the uploader's flush retry
+      // (maxFlushDataAttempts/sleepOnReconnectMs) around the ingest itself,
+      // the flow's retry around the whole cycle
+      Retry(cfg.uploadData.retry, "uploadFlow") {
+        Lifecycle.processReady(spark, journal, root, warehouseDir, now(),
+          retry = RetryPolicy(cfg.ingest.maxFlushAttempts, cfg.ingest.sleepOnRetryMs))
+      }
     }
     every(cfg.cleanup.workCycleSec) {
       Retry(cfg.cleanup.retry, "cleanup") {
