@@ -865,19 +865,27 @@ object PipelineQueries {
     * drifting out of its documented envelope hash-mismatches the gate.
     * The spec additionally pins the raw 5% envelope at sf0.001.
     */
-  def approxSketches(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+  def approxSketches(s: SparkSession, d: String): DataFrame = {
+    // countDistinct in the same Aggregate as the sketches would plan an
+    // Expand (input × aggregate-group multiplier) over the whole fact
+    // table; computed as its own two-phase distinct agg and cross-joined
+    // (both sides are one row), the scan runs twice but nothing expands —
+    // measurably cheaper at sf0.1 and the winning shape at 100 TB
+    val sketches = Tables.lineitem(s, d)
       .agg(
         count(lit(1)).as("n"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
         approx_count_distinct(col("l_partkey")).as("_apx"),
         percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("_apxmed"),
         expr("percentile(l_quantity, 0.49)").as("_lo"),
         expr("percentile(l_quantity, 0.51)").as("_hi"))
+    val exact = Tables.lineitem(s, d)
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    sketches.crossJoin(broadcast(exact))
       .select(col("n"), col("exact_parts"),
         (abs(col("_apx") - col("exact_parts")).cast("double") / col("exact_parts") <= 0.1)
           .as("parts_ok"),
         (col("_apxmed") >= col("_lo") && col("_apxmed") <= col("_hi")).as("median_ok"))
+  }
   val approxSketchesSql: String =
     """SELECT CAST(count(*) AS BIGINT) AS n,
       |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
