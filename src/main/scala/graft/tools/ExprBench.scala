@@ -71,7 +71,14 @@ object ExprBench {
         bench("lambda") { docs.select(transform(sequence(lit(0), lit(7)), seed =>
           array_min(transform(HashFunctions.shingles3(col("toks"), distinct = true),
             sh => md5(concat((seed / 4).cast("int").cast("string"), lit("|"), sh))
-              .substr(lit(1) + (seed % 4) * 8, lit(8))))).as("sig")) })
+              .substr(lit(1) + (seed % 4) * 8, lit(8))))).as("sig")) }),
+      ("shingle_hashes3",
+        bench("native") { docs.select(HashFunctions.shingle_hashes3(col("toks")).as("h")) },
+        bench("lambda") { docs.select(transform(
+          HashFunctions.shingles3(col("toks"), distinct = true), sh => xxhash64(sh)).as("h")) }),
+      ("repetition_stats",
+        bench("native") { docs.select(HashFunctions.repetition_stats(col("toks")).as("r")) },
+        Double.NaN) // declarative form needs two explode->groupBy shuffles
     )
     println(f"${"expression"}%-24s ${"native_s"}%10s ${"lambda_s"}%10s ${"speedup"}%8s")
     results.foreach { case (name, nat, lam) =>
