@@ -193,16 +193,20 @@ object DedupOps {
     // the self-join; without materialization each side re-runs the k·|sh|
     // md5 signature pass. ~4 rows/doc, so the materialized side is tiny.
     // (At multi-node scale: persist(MEMORY_AND_DISK) — same intent.)
+    // band key = xxhash64 of (band | its signature slice): an 8-byte join
+    // key instead of a ~17-char string. The oracle builds the same candidate
+    // set from its string keys; the two sets differ only on a 64-bit
+    // collision between distinct (band, slice) pairs (P ≈ rows²/2⁶⁵ — the
+    // same contract as the posting-list keys, and the gate would flag one).
     val bands = sig.select(col("doc_id"), col("sig"),
       explode(array((0 until nBands).map(b =>
-        struct(lit(b).as("band"),
-          array_join(slice(col("sig"), b * BandRows + 1, BandRows), ",").as("key"))): _*))
+        xxhash64(lit(b), array_join(slice(col("sig"), b * BandRows + 1, BandRows), ","))): _*))
         .as("bk"))
-      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
+      .select(col("doc_id"), col("sig"), col("bk"))
       .localCheckpoint(true)
-    val a = bands.select(col("doc_id").as("a_id"), col("sig").as("sa"), col("band"), col("key"))
-    val b = bands.select(col("doc_id").as("b_id"), col("sig").as("sb"), col("band"), col("key"))
-    a.join(b, Seq("band", "key")).filter(col("a_id") < col("b_id"))
+    val a = bands.select(col("doc_id").as("a_id"), col("sig").as("sa"), col("bk"))
+    val b = bands.select(col("doc_id").as("b_id"), col("sig").as("sb"), col("bk"))
+    a.join(b, Seq("bk")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         (HashFunctions.eq_count(col("sa"), col("sb")).cast("double") / MinHashK).as("raw"))
       .distinct()
