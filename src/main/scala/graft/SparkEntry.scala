@@ -59,6 +59,8 @@ object SparkEntry {
     // same query through the custom LogicalPlan/SparkStrategy/SparkPlan
     // as-of operator (graft.plans.AsOfJoinExec)
     "ts_asof_native"    -> (TimeSeriesOps.asofQueryNative _),
+    // native as-of with merge_asof-style tolerance (stale match veto)
+    "ts_asof_tolerance" -> (TimeSeriesOps.asofToleranceNative _),
     // SQL-string entry surface (parser -> Catalyst path)
     "sql_q6"            -> (SQ.sqlQ6 _),
     "sql_set_intersect" -> (SQ.sqlIntersect _),
@@ -177,6 +179,7 @@ object SparkEntry {
     "ts_range_join"     -> TimeSeriesOps.rangeJoinSql,
     "ts_gap_fill"       -> TimeSeriesOps.gapFillSql,
     "ts_asof_native"    -> TimeSeriesOps.asofQuerySql,
+    "ts_asof_tolerance" -> TimeSeriesOps.asofToleranceSql,
     "sql_q6"            -> SQ.sqlQ6Sql,
     "sql_set_intersect" -> SQ.sqlIntersectSql,
     "sql_exists"        -> SQ.sqlExistsSql,

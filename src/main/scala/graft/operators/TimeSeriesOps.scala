@@ -108,6 +108,35 @@ object TimeSeriesOps {
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** The native as-of with a pandas merge_asof-style TOLERANCE: the nearest
+    * prior click attributes the purchase only if it is at most 1 hour old —
+    * a staler nearest match is vetoed (nulled), not replaced by an even
+    * older row. The oracle applies the same veto on top of DuckDB's ASOF.
+    */
+  def asofToleranceNative(s: SparkSession, d: String): DataFrame = {
+    graft.catalyst.GraftExtensions.register(s)
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    graft.plans.NativeAsOf.asofJoin(purchases, clicks, "user_id", "ts", "click_ts",
+        toleranceUnits = Some(3600L * 1000000L)) // 1 h in µs
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("asof_click_id").as("click_id"))
+      .orderBy("event_id")
+  }
+  val asofToleranceSql: String =
+    """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events),
+      |p AS (SELECT user_id, event_id, ts, value FROM ev WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts AS click_ts, event_id AS click_id FROM ev WHERE event_type = 'click'),
+      |j AS (SELECT p.user_id, p.event_id, p.value, p.ts, c.click_ts, c.click_id
+      |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts)
+      |SELECT user_id, event_id, value,
+      |  CASE WHEN click_ts IS NOT NULL AND epoch_us(ts) - epoch_us(click_ts) <= 3600000000
+      |       THEN click_id END AS click_id
+      |FROM j ORDER BY event_id""".stripMargin
+
   /** Sessionization: split each user's event stream into sessions at
     * inactivity gaps > `gapMinutes`. The lag + running-sum-of-boundaries
     * plan is one shuffle on user_id; session_window() is the streaming twin.

@@ -38,7 +38,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    toleranceUnits: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -46,9 +47,18 @@ case class AsOfJoinNode(
     copy(left = newLeft, right = newRight)
 }
 
+/** `toleranceUnits`: pandas merge_asof-style max staleness, in the time
+  * column's NATIVE units (µs for timestamps, raw for integral times). When
+  * set, the nearest prior match is emitted only if
+  * `leftTime - matchTime <= tolerance`; a staler match becomes the
+  * null-padded right side (no fallback to even older rows — as-of matches
+  * the nearest, tolerance only vetoes it). Requires a non-null,
+  * long-backed time column (timestamp/long).
+  */
 case class AsOfJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
+    toleranceUnits: Option[Long],
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -71,6 +81,7 @@ case class AsOfJoinExec(
     val rKeysB = rightKeys
     val lTimeB = leftTime
     val rTimeB = rightTime
+    val tolB = toleranceUnits
     val outB = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyGen = UnsafeProjection.create(lKeysB, lOut)
@@ -91,6 +102,8 @@ case class AsOfJoinExec(
         // current left frontier, plus its key for the final equality check
         private var lastMatch: InternalRow = null
         private var lastMatchKey: InternalRow = null
+        private var lastMatchTime: Long = 0L
+        private var lastMatchTimeNull: Boolean = false
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val l = lIter.next()
@@ -119,13 +132,22 @@ case class AsOfJoinExec(
               } else if (c == 0 && timeOrd.compare(rTimeGen(rRow), lTime) <= 0) {
                 lastMatch = rRow.copy()
                 lastMatchKey = rk.copy()
+                val rt = rTimeGen(rRow)
+                lastMatchTimeNull = rt.isNullAt(0)
+                if (!lastMatchTimeNull) lastMatchTime = rt.getLong(0)
                 rRow = if (rIter.hasNext) rIter.next() else null
                 scanning = rRow != null
               } else scanning = false
             }
           }
           val rSide =
-            if (lastMatchKey != null && keyOrd.compare(lastMatchKey, lKey) == 0) lastMatch
+            if (lastMatchKey != null && keyOrd.compare(lastMatchKey, lKey) == 0 &&
+              (tolB match {
+                case None => true
+                case Some(tol) => // null time or null left time never passes a tolerance
+                  !lastMatchTimeNull && !lTime.isNullAt(0) &&
+                    lTime.getLong(0) - lastMatchTime <= tol
+              })) lastMatch
             else nullRight
           resultProj(joined(l, rSide))
         }
@@ -143,8 +165,8 @@ case class AsOfJoinExec(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -154,8 +176,12 @@ object AsOfJoinStrategy extends SparkStrategy {
   * key + left columns + `asof_<rightTime>` + `asof_<carried right cols>`.
   */
 object NativeAsOf {
+  /** `toleranceUnits`: optional max staleness in the time column's native
+    * units (µs for timestamps) — see [[AsOfJoinExec]].
+    */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      toleranceUnits: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     val lPlan = GraftPlanBridge.analyzed(left)
     // Re-alias every right column at the top of the right subtree: if both
@@ -174,8 +200,16 @@ object NativeAsOf {
     def rAttr(name: String): Attribute =
       rAttrs.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found in ${rAttrs.map(_.name)}"))
+    toleranceUnits.foreach { t =>
+      require(t >= 0, s"tolerance must be non-negative, got $t")
+      val dt = rAttr(rightTime).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+        dt.isInstanceOf[org.apache.spark.sql.types.LongType],
+        s"tolerance needs a timestamp/long time column, got $dt")
+    }
     val node = AsOfJoinNode(lPlan, rPlan,
-      Seq(lAttr(key)), Seq(rAttr(key)), lAttr(leftTime), rAttr(rightTime))
+      Seq(lAttr(key)), Seq(rAttr(key)), lAttr(leftTime), rAttr(rightTime),
+      toleranceUnits)
     val carried = rAttrs.filter(a => a.name != key && a.name != rightTime)
     val proj = Project(
       lPlan.output.map(a => Alias(a, a.name)()) ++

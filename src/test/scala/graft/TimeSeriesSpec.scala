@@ -89,6 +89,37 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(2).isNullAt(got(2).fieldIndex("asof_px"))) // t3: no match
   }
 
+  test("native as-of tolerance: boundary inclusive, stale match vetoed not replaced") {
+    graft.catalyst.GraftExtensions.register(spark)
+    import spark.implicits._
+    val l = Seq(
+      (1L, ts("2024-03-14 12:00:30"), "exact"),   // nearest is exactly 30 s old
+      (1L, ts("2024-03-14 12:01:31"), "stale"),   // nearest is 31 s old -> vetoed
+      (2L, ts("2024-03-14 12:00:10"), "fresh"))   // 5 s old
+      .toDF("k", "t", "tag")
+    val r = Seq(
+      (1L, ts("2024-03-14 12:00:00"), 1.0), // 30 s before "exact"
+      (1L, ts("2024-03-14 12:01:00"), 2.0), // 31 s before "stale" — and an older
+      //  in-tolerance-of-nothing row must NOT be used as fallback
+      (2L, ts("2024-03-14 12:00:05"), 3.0))
+      .toDF("k", "rt", "px")
+    val got = graft.plans.NativeAsOf
+      .asofJoin(l, r, "k", "t", "rt", toleranceUnits = Some(30L * 1000000L))
+      .orderBy("tag").collect()
+    val byTag = got.map(row => row.getAs[String]("tag") ->
+      (if (row.isNullAt(row.fieldIndex("asof_px"))) None else Some(row.getAs[Double]("asof_px")))).toMap
+    assert(byTag("exact").contains(1.0)) // <= is inclusive
+    assert(byTag("stale").isEmpty)       // vetoed, NOT replaced by the 12:00:00 row
+    assert(byTag("fresh").contains(3.0))
+    // wrong time type is rejected up front
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.NativeAsOf.asofJoin(
+        l.withColumn("t", col("tag")), r.withColumn("rt", lit("x")), "k", "t", "rt",
+        toleranceUnits = Some(1L))
+    }
+    assert(e.getMessage.contains("tolerance"), e.getMessage)
+  }
+
   test("native as-of: NULL keys never match (SQL join semantics)") {
     graft.catalyst.GraftExtensions.register(spark)
     import spark.implicits._
