@@ -86,6 +86,39 @@ class TicksSourceSpec extends SparkSpec {
     assert(elapsedMs < 30000, s"closed-form aggregate took ${elapsedMs} ms")
   }
 
+  test("aggregate pushdown property: closed form == brute force on random configs") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 8) {
+      val rows = 1 + rnd.nextInt(20000)
+      val tickers = 1 + rnd.nextInt(40)
+      val parts = 1 + rnd.nextInt(8)
+      val t = ticks(rows, parts, tickers)
+      val filt = rnd.nextInt(3) match {
+        case 0 => t
+        case 1 => t.filter(col("ticker") === s"TCK${rnd.nextInt(tickers * 2)}-USDT")
+        case _ => t.filter(col("ticker") === "NOPE") // matches nothing
+      }
+      val all = filt.select("ticker", "sequence", "price", "size").collect()
+      val g = filt.agg(count(lit(1)), min("sequence"), max("sequence"),
+        min("price"), max("price"), min("size"), max("size"), min("ticker"), max("ticker"))
+        .head()
+      assert(g.getLong(0) == all.length, s"trial $trial count")
+      if (all.nonEmpty) {
+        assert(g.getLong(1) == all.map(_.getLong(1)).min && g.getLong(2) == all.map(_.getLong(1)).max)
+        assert(g.getDouble(3) == all.map(_.getDouble(2)).min && g.getDouble(4) == all.map(_.getDouble(2)).max)
+        assert(g.getDouble(5) == all.map(_.getDouble(3)).min && g.getDouble(6) == all.map(_.getDouble(3)).max)
+        assert(g.getString(7) == all.map(_.getString(0)).min && g.getString(8) == all.map(_.getString(0)).max)
+      } else assert(g.isNullAt(1) && g.isNullAt(3) && g.isNullAt(7), s"trial $trial empty-set nulls")
+      // grouped: per-ticker count/min/max equal the brute groupings
+      val grouped = filt.groupBy("ticker")
+        .agg(count(lit(1)).as("n"), min("sequence").as("mn"), max("price").as("mp"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      val brute = all.groupBy(_.getString(0)).map { case (k, rs) =>
+        k -> ((rs.length.toLong, rs.map(_.getLong(1)).min, rs.map(_.getDouble(2)).max)) }
+      assert(grouped == brute, s"trial $trial grouped")
+    }
+  }
+
   test("limit pushdown: scan emits exactly n rows, bounded index walk at any scale") {
     import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit}
     val t = spark.read.format("graft.sources.TicksSourceProvider")
