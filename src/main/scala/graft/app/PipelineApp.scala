@@ -28,7 +28,9 @@ object PipelineApp {
     val demo = args.contains("--demo")
     val cfg = args.indexOf("--config") match {
       case -1 => GraftConfig.default
-      case i  => GraftConfig.load(args(i + 1))
+      case i =>
+        require(i + 1 < args.length, "--config needs a path argument")
+        GraftConfig.load(args(i + 1))
     }
     val rest = args.zipWithIndex.collect {
       case (a, i) if a != "--demo" && a != "--config" &&
@@ -116,17 +118,25 @@ object PipelineApp {
       maxFilesPerTrigger = cfg.discovery.filesBufferSize,
       trigger = Trigger.ProcessingTime(s"${cfg.discovery.flushTimeoutSec} seconds"))
     val sched = java.util.concurrent.Executors.newScheduledThreadPool(2)
-    def every(sec: Long)(op: => Unit): Unit = {
-      sched.scheduleWithFixedDelay(() => op, sec, sec,
-        java.util.concurrent.TimeUnit.SECONDS)
+    // the outer catch is load-bearing: ScheduledExecutorService silently
+    // cancels a task forever once one execution throws, so retry EXHAUSTION
+    // must be logged-and-swallowed here or one bad burst kills the flow for
+    // the rest of the process lifetime
+    def every(name: String, sec: Long)(op: => Unit): Unit = {
+      sched.scheduleWithFixedDelay(() =>
+        try op catch {
+          case e: Exception =>
+            System.err.println(s"[flow] $name cycle failed after retries " +
+              s"(next cycle in $sec s): $e")
+        }, sec, sec, java.util.concurrent.TimeUnit.SECONDS)
       ()
     }
-    every(cfg.proceedStatus.workCycleSec) {
+    every("proceedStatus", cfg.proceedStatus.workCycleSec) {
       Retry(cfg.proceedStatus.retry, "advanceStatuses") {
         Lifecycle.advanceStatuses(journal, LocalDate.now(), now())
       }
     }
-    every(cfg.uploadData.workCycleSec) {
+    every("uploadData", cfg.uploadData.workCycleSec) {
       // two retry layers, as in the reference: the uploader's flush retry
       // (maxFlushDataAttempts/sleepOnReconnectMs) around the ingest itself,
       // the flow's retry around the whole cycle
@@ -135,7 +145,7 @@ object PipelineApp {
           retry = RetryPolicy(cfg.ingest.maxFlushAttempts, cfg.ingest.sleepOnRetryMs))
       }
     }
-    every(cfg.cleanup.workCycleSec) {
+    every("cleanup", cfg.cleanup.workCycleSec) {
       Retry(cfg.cleanup.retry, "cleanup") {
         Lifecycle.cleanup(journal, root, LocalDate.now())
       }

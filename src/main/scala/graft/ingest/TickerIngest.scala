@@ -59,18 +59,34 @@ object TickerIngest {
         (col("ticker").isNull || col("ticker").isNotNull))
       .select("filename", "file_date", "_corrupt_record")
 
-  /** Load `paths` into the warehouse (parquet partitioned by file_date) and
-    * report per-file outcomes. One job: the write is the barrier (B14), the
-    * group-by on filename is the per-file outcome attribution.
+  /** A fully-written but uncommitted ingest: every fallible step (read,
+    * validate, both writes, the outcome aggregate) has already happened into
+    * `_staging/<uuid>` directories (underscore-prefixed, so readers never
+    * see them); [[commit]] renames the data files into place. Retrying
+    * [[stage]] after a failure is safe — nothing public was touched and an
+    * abandoned staging dir is invisible garbage.
     */
-  def ingest(spark: SparkSession, paths: Seq[String], warehouseDir: String,
-      quarantineDir: Option[String] = None): IngestReport = {
+  case class StagedIngest(report: IngestReport,
+      stagingWh: String, warehouseDir: String,
+      stagingQr: Option[String], quarantineDir: Option[String])
+
+  /** The fallible phase of the load — safe to retry. Writes valid rows
+    * (partitioned by file_date) and quarantine rows into fresh staging
+    * dirs and computes the per-file outcome aggregate (B14: the staged
+    * write is the barrier, the filename group-by the attribution).
+    */
+  def stage(spark: SparkSession, paths: Seq[String], warehouseDir: String,
+      quarantineDir: Option[String] = None): StagedIngest = {
     import spark.implicits._
-    if (paths.isEmpty) return IngestReport(Nil, 0L, 0L)
+    if (paths.isEmpty)
+      return StagedIngest(IngestReport(Nil, 0L, 0L), "", warehouseDir, None, quarantineDir)
     // No cache: at 100 TB the input never fits in storage memory, and a
     // second CSV parse for the metadata-sized outcome aggregate is cheaper
     // than materializing the full dataset (measured locally too).
     val df = read(spark, paths)
+    val token = java.util.UUID.randomUUID().toString
+    val stagingWh = s"$warehouseDir/_staging/$token"
+    val stagingQr = quarantineDir.map(q => s"$q/_staging/$token")
     // PERMISSIVE corrupt detection only sees type errors in columns the scan
     // actually parses; under column pruning the quarantine write and outcome
     // agg would parse 1-2 columns and under-detect corruption. Disable CSV
@@ -83,8 +99,8 @@ object TickerIngest {
       validRows(df)
         .write.mode(SaveMode.Append)
         .partitionBy("file_date")
-        .parquet(warehouseDir)
-      quarantineDir.foreach(q =>
+        .parquet(stagingWh)
+      stagingQr.foreach(q =>
         corruptRows(df).write.mode(SaveMode.Append).parquet(q))
       // the tautological `ticker` reference satisfies the
       // QUERY_ONLY_CORRUPT_RECORD_COLUMN analysis check (it fires whenever
@@ -95,8 +111,54 @@ object TickerIngest {
           sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("rows"),
           sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("corrupt_rows"))
         .as[FileOutcome].collect().toSeq
-      IngestReport(outcomes, outcomes.map(_.rows).sum, outcomes.map(_.corrupt_rows).sum)
+      StagedIngest(
+        IngestReport(outcomes, outcomes.map(_.rows).sum, outcomes.map(_.corrupt_rows).sum),
+        stagingWh, warehouseDir, stagingQr, quarantineDir)
     } finally spark.conf.set(pruneKey, oldPrune)
+  }
+
+  /** The commit phase: rename the staged data files into the public
+    * directories. Renames only — run it OUTSIDE any retry loop (re-running
+    * [[stage]] after a partially-applied commit would duplicate rows; a
+    * commit failure quarantines the claimed files instead).
+    */
+  def commit(spark: SparkSession, staged: StagedIngest): Unit = {
+    if (staged.stagingWh.nonEmpty) moveTree(spark, staged.stagingWh, staged.warehouseDir)
+    for (s <- staged.stagingQr; q <- staged.quarantineDir) moveTree(spark, s, q)
+  }
+
+  private def moveTree(spark: SparkSession, src: String, dst: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val srcPath = new Path(src)
+    val fs = srcPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val dstPath = new Path(dst)
+    fs.mkdirs(dstPath)
+    if (!fs.exists(srcPath)) return
+    val srcPrefix = srcPath.toUri.getPath.stripSuffix("/") + "/"
+    val it = fs.listFiles(srcPath, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+        val rel = f.getPath.toUri.getPath.stripPrefix(srcPrefix)
+        val dest = new Path(dstPath, rel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(f.getPath, dest))
+          throw new java.io.IOException(s"rename failed: ${f.getPath} -> $dest")
+      }
+    }
+    fs.delete(srcPath, true) // drop the staging skeleton (_SUCCESS etc.)
+    ()
+  }
+
+  /** Stage + commit in one call — the single-attempt form (specs, benches,
+    * callers without a retry loop).
+    */
+  def ingest(spark: SparkSession, paths: Seq[String], warehouseDir: String,
+      quarantineDir: Option[String] = None): IngestReport = {
+    val staged = stage(spark, paths, warehouseDir, quarantineDir)
+    commit(spark, staged)
+    staged.report
   }
 
   /** The loaded warehouse as a DataFrame (partition-pruned on file_date). */

@@ -46,31 +46,38 @@ object Lifecycle {
   }
 
   /** Flow 3 — claim → ingest → finalize. The claim flip (IN_PROGRESS before
-    * any data is read) prevents double-processing across cycles. The ingest
-    * is wrapped in the reference's bounded flow retry
-    * (`FlowsUtil.java:25-49`, knobs from `application.origin.yaml:15,38-39`
-    * via [[RetryPolicy]]); only when every attempt fails does the whole
-    * claimed set go ERROR (the reference's partition-wide quarantine,
+    * any data is read) prevents double-processing across cycles. Only the
+    * STAGING phase of the ingest — every fallible step, but nothing public —
+    * sits inside the reference's bounded flow retry (`FlowsUtil.java:25-49`,
+    * knobs from `application.origin.yaml:15,38-39` via [[RetryPolicy]]): a
+    * failed attempt leaves an invisible `_staging` dir behind, never
+    * half-appended warehouse rows, so the automatic in-cycle retry is
+    * exactly-once. The commit (renames only) runs OUTSIDE the retry. Only
+    * when every attempt (or the commit) fails does the whole claimed set go
+    * ERROR (the reference's partition-wide quarantine,
     * `TickersDataLoader.java:160-169`) and stay re-ingestable
-    * (ERROR → READY_FOR_PROCESSING is a legal transition).
+    * (ERROR → READY_FOR_PROCESSING is a legal transition — that manual
+    * path, like the reference's, is at-least-once).
     *
     * `ingestFn` is injectable for failure-injection tests; production use
-    * is the default [[TickerIngest.ingest]].
+    * is the default [[TickerIngest.stage]].
     */
   def processReady(spark: SparkSession, journal: TickerFileJournal,
       dataRoot: String, warehouseDir: String, now: Timestamp,
       quarantineDir: Option[String] = None,
       retry: RetryPolicy = RetryPolicy(1, 0L),
-      ingestFn: (SparkSession, Seq[String], String, Option[String]) => IngestReport =
-        TickerIngest.ingest): ProcessReport = {
+      ingestFn: (SparkSession, Seq[String], String, Option[String]) => TickerIngest.StagedIngest =
+        TickerIngest.stage): ProcessReport = {
     val claimed = journal.claimReady(now)
     if (claimed.isEmpty) return ProcessReport(0, 0, 0, 0L, 0L)
     // B8/B9 path resolution: <root>/<yyyy-MM-dd>/<filename>, sorted (B10)
     val paths = claimed.map { case (f, d) => s"$dataRoot/$d/$f" }.sorted
     try {
-      val report: IngestReport = Retry(retry, "processReady.ingest") {
+      val staged = Retry(retry, "processReady.stage") {
         ingestFn(spark, paths, warehouseDir, quarantineDir)
       }
+      TickerIngest.commit(spark, staged) // renames only — never retried
+      val report: IngestReport = staged.report
       // B14 finalize: the write action was the barrier; all claimed files
       // that survived it are FINISHED (a file with only corrupt rows still
       // finishes — mirror of the reference, which quarantines rows, not files)

@@ -69,12 +69,12 @@ class TicksScanBuilder(rows: Long, partitions: Int, tickers: Int)
     required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (pushed, rest) = filters.partition {
-      case EqualTo("ticker", _: String) => true
-      case _ => false
-    }
-    tickerEq = pushed.collectFirst { case EqualTo(_, v: String) => v }
-    rest // everything else stays a post-scan filter
+    // claim ONLY the first ticker equality; a second, conflicting equality
+    // must stay a post-scan filter or `ticker = A AND ticker = B` would
+    // return A's rows (Catalyst does not fold contradictory equalities)
+    val first = filters.collectFirst { case f @ EqualTo("ticker", _: String) => f }
+    tickerEq = first.collect { case EqualTo(_, v: String) => v }
+    filters.filter(f => !first.contains(f)) // all others stay post-scan
   }
   override def pushedFilters(): Array[Filter] =
     tickerEq.map(v => EqualTo("ticker", v): Filter).toArray
@@ -82,7 +82,11 @@ class TicksScanBuilder(rows: Long, partitions: Int, tickers: Int)
   // LIMIT pushdown: the index space is deterministic, so the scan can stop
   // at exactly the index that yields the limit-th (filter-surviving) row —
   // a LIMIT 5 over a trillion-row table touches ≤ 5×tickers indices.
-  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  // NOT accepted on top of a pushed aggregate: the aggregate branch emits
+  // every group, so claiming the limit (which isPartiallyPushed=false would
+  // delete from the plan) would return all groups instead of n.
+  override def pushLimit(n: Int): Boolean =
+    if (pushedAgg.isDefined) false else { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = false // scan emits EXACTLY n rows
 
   // Aggregate pushdown: COUNT(*/col) / MIN / MAX, globally or grouped by

@@ -106,16 +106,34 @@ class LifecycleSpec extends SparkSpec {
     writeCsv(root, "2024-08-06", "AVA-USDT_PST_2024-08-06", Seq(goodLine))
     val j = journalWith(("AVA-USDT_PST_2024-08-06", "2024-08-06", FileStatus.ReadyForProcessing))
     var calls = 0
-    val flaky: (org.apache.spark.sql.SparkSession, Seq[String], String, Option[String]) => graft.ingest.IngestReport =
+    val flaky: (org.apache.spark.sql.SparkSession, Seq[String], String, Option[String]) => TickerIngest.StagedIngest =
       (s, p, w, q) => {
         calls += 1
         if (calls < 3) throw new RuntimeException(s"transient #$calls")
-        TickerIngest.ingest(s, p, w, q)
+        TickerIngest.stage(s, p, w, q)
       }
     val rep = Lifecycle.processReady(spark, j, root, wh, ts("2024-08-08 10:02:00"),
       retry = graft.pipeline.RetryPolicy(maxAttempts = 3, sleepMs = 0L), ingestFn = flaky)
     assert(calls == 3 && rep.finished == 1 && rep.errored == 0)
     assert(j.statusOf("AVA-USDT_PST_2024-08-06").contains(FileStatus.Finished))
+
+    // no-duplication: an attempt that fails AFTER its staged write (the
+    // dangerous case for a plain append) leaves only invisible staging
+    // garbage — the retry's rows appear exactly once in the warehouse
+    val wh2 = tmpDir("wh2")
+    val j3 = journalWith(("AVA-USDT_PST_2024-08-06", "2024-08-06", FileStatus.ReadyForProcessing))
+    var calls3 = 0
+    val postWriteFlaky: (org.apache.spark.sql.SparkSession, Seq[String], String, Option[String]) => TickerIngest.StagedIngest =
+      (s, p, w, q) => {
+        calls3 += 1
+        val staged = TickerIngest.stage(s, p, w, q) // full staged write happens
+        if (calls3 == 1) throw new RuntimeException("failure after the write")
+        staged
+      }
+    val rep3 = Lifecycle.processReady(spark, j3, root, wh2, ts("2024-08-08 10:04:00"),
+      retry = graft.pipeline.RetryPolicy(maxAttempts = 2, sleepMs = 0L), ingestFn = postWriteFlaky)
+    assert(calls3 == 2 && rep3.finished == 1)
+    assert(TickerIngest.warehouse(spark, wh2).count() == 1) // NOT 2: no double append
 
     // exhaustion: always-failing ingest burns all attempts then quarantines
     val j2 = journalWith(("AVA-USDT_PST_2024-08-06", "2024-08-06", FileStatus.ReadyForProcessing))

@@ -86,6 +86,25 @@ class TicksSourceSpec extends SparkSpec {
     assert(elapsedMs < 30000, s"closed-form aggregate took ${elapsedMs} ms")
   }
 
+  test("regression: limit over a pushed grouped aggregate keeps the Limit semantics") {
+    // pushLimit must refuse when an aggregate is already pushed — accepting
+    // it (with isPartiallyPushed=false) would delete the Limit node while
+    // the aggregate branch emits every group
+    val df = ticks().groupBy("ticker").agg(count(lit(1)).as("n")).limit(2)
+    assert(df.collect().length == 2)
+  }
+
+  test("regression: conflicting ticker equalities return the empty set") {
+    // only the FIRST equality may be claimed as pushed; the second must
+    // stay a post-scan filter (Catalyst does not fold A='x' AND A='y')
+    val both = ticks().filter(col("ticker") === "TCK1-USDT" && col("ticker") === "TCK2-USDT")
+    assert(both.count() == 0)
+    assert(both.agg(count(lit(1))).head().getLong(0) == 0) // through the agg path too
+    // duplicate identical equalities still work
+    assert(ticks().filter(col("ticker") === "TCK1-USDT" && col("ticker") === "TCK1-USDT")
+      .count() == 1250)
+  }
+
   test("aggregate pushdown property: closed form == brute force on random configs") {
     val rnd = new scala.util.Random(23)
     for (trial <- 1 to 8) {
