@@ -92,6 +92,8 @@ object SparkEntry {
     "t_source_cap"      -> (PQ.sourceCap _),
     // duplicated-shingle span fraction (RefinedWeb/Gopher dedup signal)
     "d_dup_span_frac"   -> (DedupOps.dupSpanFrac _),
+    // per-source mixture sampling (deterministic data-mixing weights)
+    "t_mixture_sample"  -> (PQ.mixtureSample _),
     // Training-data pipeline: multimodal binary columns
     "m_binary_meta"     -> (MultimodalOps.binaryMetaDf _),
     // Round 2: correlated-subquery TPC-H shapes
@@ -202,6 +204,7 @@ object SparkEntry {
     "t_repetition"      -> TextOps.repetitionSql,
     "t_source_cap"      -> PQ.sourceCapSql,
     "d_dup_span_frac"   -> DedupOps.dupSpanFracSql,
+    "t_mixture_sample"  -> PQ.mixtureSampleSql,
     "m_binary_meta"     -> MultimodalOps.binaryMetaSql,
     "q17_small_qty"     -> PQ.q17SmallQtySql,
     "q14_promo"         -> PQ.q14PromoSql,

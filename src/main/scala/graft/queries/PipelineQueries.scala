@@ -198,11 +198,13 @@ object PipelineQueries {
     * exchange on source, O(sources × 5) state, no sort of the corpus. The
     * oracle is the row_number window formulation.
     */
-  def sourceCap(s: SparkSession, d: String): DataFrame =
+  def sourceCap(s: SparkSession, d: String): DataFrame = {
+    graft.catalyst.GraftExtensions.register(s) // TopKPerGroupStrategy
     graft.plans.NativeTopK.perGroup(
       Tables.fanOut(Tables.documents(s, d)).select("doc_id", "source", "n_chars"),
       Seq("source"), Seq("n_chars" -> false, "doc_id" -> true), k = 5)
       .orderBy(col("source"), col("n_chars").desc, col("doc_id"))
+  }
   val sourceCapSql: String =
     """SELECT doc_id, source, n_chars FROM (
       |  SELECT doc_id, source, n_chars,
@@ -342,6 +344,39 @@ object PipelineQueries {
       |SELECT CASE WHEN v < 205 THEN 'train' ELSE 'test' END AS split,
       |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM v GROUP BY 1 ORDER BY split""".stripMargin
+
+  /** Source-mixture sampling — the data-mixing step of a training corpus
+    * (each source kept at its own rate, e.g. up-weighted wiki, down-weighted
+    * web crawl): deterministic per-doc byte from md5(doc_id), per-source
+    * keep-threshold in 0..256 space (no float rounding anywhere), so the
+    * sample is reproducible row-for-row on any engine. Map-side filter +
+    * one partial-aggregated groupBy — the 100 TB mixing shape.
+    */
+  def mixtureSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("m", md5(col("doc_id").cast("string")))
+      .withColumn("v",
+        expr("(instr('0123456789abcdef', substring(m, 31, 1)) - 1) * 16 + " +
+          "instr('0123456789abcdef', substring(m, 32, 1)) - 1"))
+      .withColumn("thr",
+        when(col("source") === "src0", 256)    // keep all
+          .when(col("source") === "src1", 64)  // 25%
+          .when(col("source") === "src2", 128) // 50%
+          .otherwise(205))                     // ~80% default
+      .filter(col("v") < col("thr"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars").cast("long")).as("kept_chars"))
+      .orderBy("source")
+  val mixtureSampleSql: String =
+    """WITH v AS (SELECT source, n_chars,
+      |  (instr('0123456789abcdef', substring(md5(doc_id::VARCHAR), 31, 1)) - 1) * 16 +
+      |   instr('0123456789abcdef', substring(md5(doc_id::VARCHAR), 32, 1)) - 1 AS v
+      |  FROM documents)
+      |SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
+      |FROM v
+      |WHERE v < CASE source WHEN 'src0' THEN 256 WHEN 'src1' THEN 64
+      |                      WHEN 'src2' THEN 128 ELSE 205 END
+      |GROUP BY source ORDER BY source""".stripMargin
 
   /** Stratified sample: deterministic top-20-per-language by hash order
     * (md5 of the key, doc_id tiebreak). One shuffle on the stratum key;

@@ -105,6 +105,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("source cap runs through TopKPerGroupExec with one exchange and no window") {
+    val p = physicalPlan(graft.queries.PipelineQueries.sourceCap(spark, sf0001))
+    assert(p.contains("TopKPerGroup"), p)
+    assert(!p.contains("Window"), p) // the declarative formulation would sort every group
+  }
+
+  test("dup-span fraction: partial aggregation below the posting shuffle, long keys only") {
+    val p = physicalPlan(graft.operators.DedupOps.dupSpanFrac(spark, sf0001))
+    assert(p.contains("partial_count") || p.contains("partial"), p) // map-side combine
+    assert(!p.toLowerCase.contains("cartesian"), p)
+  }
+
+  test("mixture sampling is a map-side filter ahead of one aggregation exchange") {
+    val p = physicalPlan(graft.queries.PipelineQueries.mixtureSample(spark, sf0001))
+    // filter must run before the exchange (no shuffle of dropped rows) and
+    // nothing but the groupBy + output sort may exchange
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"$exchanges exchanges:\n$p")
+    assert(p.indexOf("Filter") > p.indexOf("Exchange"), // plan prints top-down
+      s"filter should be below (after in text) the exchange:\n$p")
+  }
+
   test("q10 broadcasts both dimensions and plans top-k without a global sort") {
     val p = physicalPlan(graft.queries.PipelineQueries.q10Returned(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"), p)
