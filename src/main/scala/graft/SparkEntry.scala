@@ -61,6 +61,8 @@ object SparkEntry {
     "ts_asof_native"    -> (TimeSeriesOps.asofQueryNative _),
     // native as-of with merge_asof-style tolerance (stale match veto)
     "ts_asof_tolerance" -> (TimeSeriesOps.asofToleranceNative _),
+    // SMA/Bollinger/RSI window indicators from exact decimal sums
+    "ts_indicators"     -> (TimeSeriesOps.indicators _),
     // SQL-string entry surface (parser -> Catalyst path)
     "sql_q6"            -> (SQ.sqlQ6 _),
     "sql_set_intersect" -> (SQ.sqlIntersect _),
@@ -182,6 +184,7 @@ object SparkEntry {
     "ts_gap_fill"       -> TimeSeriesOps.gapFillSql,
     "ts_asof_native"    -> TimeSeriesOps.asofQuerySql,
     "ts_asof_tolerance" -> TimeSeriesOps.asofToleranceSql,
+    "ts_indicators"     -> TimeSeriesOps.indicatorsSql,
     "sql_q6"            -> SQ.sqlQ6Sql,
     "sql_set_intersect" -> SQ.sqlIntersectSql,
     "sql_exists"        -> SQ.sqlExistsSql,

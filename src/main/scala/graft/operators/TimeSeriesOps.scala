@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 
 /** Time-series operators beyond the reference's surface — the shapes a
@@ -136,6 +137,73 @@ object TimeSeriesOps {
       |  CASE WHEN click_ts IS NOT NULL AND epoch_us(ts) - epoch_us(click_ts) <= 3600000000
       |       THEN click_id END AS click_id
       |FROM j ORDER BY event_id""".stripMargin
+
+  /** Technical indicators over each user's value series — the reference's
+    * ticker domain expressed as window aggregates: 20-row SMA, Bollinger
+    * bands (±2σ), and simple 14-row RSI. Every accumulation is an EXACT
+    * DECIMAL window sum cast to double at the end (the [[ corrStats ]]
+    * moment idiom), so the floats are a deterministic function of exact
+    * sums and the DuckDB oracle matches bit-for-bit. One shuffle on
+    * user_id; all three indicators share the same window sort.
+    */
+  def indicators(s: SparkSession, d: String): DataFrame = {
+    val w20 = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-19, 0)
+    val w14 = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-13, 0)
+    val lagW = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val dec = col("value").cast(DecimalType(18, 2))
+    Tables.events(s, d)
+      .withColumn("d", dec)
+      .withColumn("delta", col("d") - lag(col("d"), 1).over(lagW))
+      .withColumn("gain", when(col("delta") > 0, col("delta")).otherwise(lit(0).cast(DecimalType(19, 2))))
+      .withColumn("loss", when(col("delta") < 0, -col("delta")).otherwise(lit(0).cast(DecimalType(19, 2))))
+      .withColumn("n", count(lit(1)).over(w20))
+      .withColumn("s1", sum(col("d")).over(w20).cast("double"))
+      .withColumn("s2", sum(col("d") * col("d")).over(w20).cast("double"))
+      .withColumn("ag", sum(col("gain")).over(w14).cast("double"))
+      .withColumn("al", sum(col("loss")).over(w14).cast("double"))
+      .select(
+        col("user_id"), col("event_id"),
+        (col("s1") / col("n")).as("sma20"),
+        when(col("n") > 1,
+          (col("s1") / col("n")) + lit(2) * sqrt(
+            (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)))
+          .as("boll_up"),
+        when(col("n") > 1,
+          (col("s1") / col("n")) - lit(2) * sqrt(
+            (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)))
+          .as("boll_dn"),
+        when(coalesce(col("al"), lit(0.0)) === 0.0, lit(100.0))
+          .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + col("ag") / col("al")))
+          .as("rsi14"))
+      .orderBy("user_id", "event_id")
+  }
+  val indicatorsSql: String =
+    """WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |  CAST(value AS DECIMAL(18,2)) AS d FROM events),
+      |x AS (SELECT user_id, event_id, ts, d,
+      |  d - lag(d, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta FROM ev),
+      |y AS (SELECT user_id, event_id, ts, d,
+      |  CASE WHEN delta > 0 THEN delta ELSE CAST(0 AS DECIMAL(19,2)) END AS gain,
+      |  CASE WHEN delta < 0 THEN -delta ELSE CAST(0 AS DECIMAL(19,2)) END AS loss
+      |  FROM x),
+      |z AS (SELECT user_id, event_id,
+      |  count(*) OVER w20 AS n,
+      |  CAST(CAST(sum(d) OVER w20 AS VARCHAR) AS DOUBLE) AS s1,
+      |  CAST(CAST(sum(d * d) OVER w20 AS VARCHAR) AS DOUBLE) AS s2,
+      |  CAST(CAST(sum(gain) OVER w14 AS VARCHAR) AS DOUBLE) AS ag,
+      |  CAST(CAST(sum(loss) OVER w14 AS VARCHAR) AS DOUBLE) AS al
+      |  FROM y
+      |  WINDOW w20 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+      |         w14 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+      |SELECT user_id, event_id,
+      |  s1 / n AS sma20,
+      |  CASE WHEN n > 1 THEN s1 / n + 2 * sqrt((s2 - s1 * s1 / n) / (n - 1)) END AS boll_up,
+      |  CASE WHEN n > 1 THEN s1 / n - 2 * sqrt((s2 - s1 * s1 / n) / (n - 1)) END AS boll_dn,
+      |  CASE WHEN coalesce(al, 0) = 0 THEN 100.0
+      |       ELSE 100.0 - 100.0 / (1.0 + ag / al) END AS rsi14
+      |FROM z ORDER BY user_id, event_id""".stripMargin
 
   /** Sessionization: split each user's event stream into sessions at
     * inactivity gaps > `gapMinutes`. The lag + running-sum-of-boundaries
