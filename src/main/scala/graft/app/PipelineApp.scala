@@ -121,13 +121,15 @@ object PipelineApp {
     // the outer catch is load-bearing: ScheduledExecutorService silently
     // cancels a task forever once one execution throws, so retry EXHAUSTION
     // must be logged-and-swallowed here or one bad burst kills the flow for
-    // the rest of the process lifetime
+    // the rest of the process lifetime. Throwable, not Exception: an OOM or
+    // LinkageError escaping would cancel the schedule by the same mechanism
+    // — log it too (if the JVM is truly dying nothing here matters anyway).
     def every(name: String, sec: Long)(op: => Unit): Unit = {
       sched.scheduleWithFixedDelay(() =>
         try op catch {
-          case e: Exception =>
+          case t: Throwable =>
             System.err.println(s"[flow] $name cycle failed after retries " +
-              s"(next cycle in $sec s): $e")
+              s"(next cycle in $sec s): $t")
         }, sec, sec, java.util.concurrent.TimeUnit.SECONDS)
       ()
     }
@@ -150,6 +152,9 @@ object PipelineApp {
         Lifecycle.cleanup(journal, root, LocalDate.now())
       }
     }
-    q.awaitTermination()
+    // shut the (non-daemon) scheduler down however the stream ends, or its
+    // threads keep a half-dead JVM alive running flows against a stopped app
+    try q.awaitTermination()
+    finally sched.shutdownNow()
   }
 }

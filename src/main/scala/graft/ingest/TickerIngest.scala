@@ -125,13 +125,31 @@ object TickerIngest {
   def commit(spark: SparkSession, staged: StagedIngest): Unit = {
     if (staged.stagingWh.nonEmpty) moveTree(spark, staged.stagingWh, staged.warehouseDir)
     for (s <- staged.stagingQr; q <- staged.quarantineDir) moveTree(spark, s, q)
+    // GC abandoned attempts: under the single-writer contract (one
+    // processReady cycle stages at a time — same assumption the journal
+    // makes), every _staging entry still present after a successful commit
+    // is a failed earlier attempt's leak; without this sweep each transient
+    // failure would leave a full staged copy of its batch on disk forever
+    if (staged.stagingWh.nonEmpty) sweepStaging(spark, staged.warehouseDir)
+    staged.quarantineDir.foreach(q => sweepStaging(spark, q))
+  }
+
+  private def sweepStaging(spark: SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir, "_staging")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(root)) { fs.delete(root, true); () }
   }
 
   private def moveTree(spark: SparkSession, src: String, dst: String): Unit = {
     import org.apache.hadoop.fs.Path
-    val srcPath = new Path(src)
-    val fs = srcPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val dstPath = new Path(dst)
+    val fs = new Path(src).getFileSystem(spark.sessionState.newHadoopConf())
+    // qualify BEFORE computing the strip prefix: listFiles returns fully
+    // qualified paths, so an unqualified (e.g. relative) src would fail to
+    // strip, the file would "rename" onto its own absolute path, and the
+    // staging delete below would destroy the only copy of the rows
+    val srcPath = fs.makeQualified(new Path(src))
+    val dstPath = fs.makeQualified(new Path(dst))
     fs.mkdirs(dstPath)
     if (!fs.exists(srcPath)) return
     val srcPrefix = srcPath.toUri.getPath.stripSuffix("/") + "/"
@@ -141,6 +159,7 @@ object TickerIngest {
       val name = f.getPath.getName
       if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) {
         val rel = f.getPath.toUri.getPath.stripPrefix(srcPrefix)
+        require(!rel.startsWith("/"), s"unexpected staging layout: $rel outside $srcPrefix")
         val dest = new Path(dstPath, rel)
         fs.mkdirs(dest.getParent)
         if (!fs.rename(f.getPath, dest))

@@ -166,13 +166,16 @@ object TimeSeriesOps {
       .select(
         col("user_id"), col("event_id"),
         (col("s1") / col("n")).as("sma20"),
+        // clamp at 0: s1*s1/n can round ABOVE s2 for a constant window
+        // (catastrophic cancellation) — sqrt of the ~-1e-18 residue would be
+        // NaN here and a hard error in the DuckDB oracle
         when(col("n") > 1,
-          (col("s1") / col("n")) + lit(2) * sqrt(
-            (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)))
+          (col("s1") / col("n")) + lit(2) * sqrt(greatest(lit(0.0),
+            (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))))
           .as("boll_up"),
         when(col("n") > 1,
-          (col("s1") / col("n")) - lit(2) * sqrt(
-            (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)))
+          (col("s1") / col("n")) - lit(2) * sqrt(greatest(lit(0.0),
+            (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))))
           .as("boll_dn"),
         when(coalesce(col("al"), lit(0.0)) === 0.0, lit(100.0))
           .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + col("ag") / col("al")))
@@ -199,8 +202,8 @@ object TimeSeriesOps {
       |         w14 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
       |SELECT user_id, event_id,
       |  s1 / n AS sma20,
-      |  CASE WHEN n > 1 THEN s1 / n + 2 * sqrt((s2 - s1 * s1 / n) / (n - 1)) END AS boll_up,
-      |  CASE WHEN n > 1 THEN s1 / n - 2 * sqrt((s2 - s1 * s1 / n) / (n - 1)) END AS boll_dn,
+      |  CASE WHEN n > 1 THEN s1 / n + 2 * sqrt(greatest(0.0, (s2 - s1 * s1 / n) / (n - 1))) END AS boll_up,
+      |  CASE WHEN n > 1 THEN s1 / n - 2 * sqrt(greatest(0.0, (s2 - s1 * s1 / n) / (n - 1))) END AS boll_dn,
       |  CASE WHEN coalesce(al, 0) = 0 THEN 100.0
       |       ELSE 100.0 - 100.0 / (1.0 + ag / al) END AS rsi14
       |FROM z ORDER BY user_id, event_id""".stripMargin

@@ -43,6 +43,35 @@ class IngestSpec extends SparkSpec {
     assert(quarantined.select("_corrupt_record").as[String].head() == "not,a,valid,row")
   }
 
+  test("commit survives a RELATIVE warehouse path and sweeps abandoned staging") {
+    // regression 1: with an unqualified destination, the staged file would
+    // "rename" onto its own absolute path and the staging delete would
+    // destroy the only copy of the rows (silent data loss behind FINISHED)
+    val root = tmpDir("rel")
+    new java.io.File(s"$root/2024-03-14").mkdirs()
+    val path = s"$root/2024-03-14/AVA-USDT_PST_2024-03-14"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), good.getBytes)
+    val relWh = s"target/tmp-relwh-${java.util.UUID.randomUUID()}"
+    try {
+      // regression 2: a failed earlier attempt's staging must be GC'd by the
+      // next successful commit, not leak a staged copy forever
+      val abandoned = new java.io.File(s"$relWh/_staging/deadbeef/file_date=2024-03-13")
+      abandoned.mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"${abandoned.getPath}/part-leak.parquet"), "junk".getBytes)
+
+      val report = TickerIngest.ingest(spark, Seq(path), relWh)
+      assert(report.totalRows == 1)
+      assert(TickerIngest.warehouse(spark, relWh).count() == 1) // rows survived the move
+      assert(!new java.io.File(s"$relWh/_staging").exists())    // all staging swept
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(relWh))
+    }
+  }
+
   test("typed schema: price/size parse as doubles, transactionTime as timestamp") {
     val root = tmpDir("ty")
     new java.io.File(s"$root/2024-03-14").mkdirs()

@@ -113,18 +113,25 @@ class PlanQualitySpec extends SparkSpec {
 
   test("dup-span fraction: partial aggregation below the posting shuffle, long keys only") {
     val p = physicalPlan(graft.operators.DedupOps.dupSpanFrac(spark, sf0001))
-    assert(p.contains("partial_count") || p.contains("partial"), p) // map-side combine
+    // the partial (map-side) aggregate must sit BELOW the shuffle: in the
+    // top-down plan text, a partial_count appears after the last Exchange
+    val partialIdx = p.lastIndexOf("partial_count")
+    assert(partialIdx >= 0, p)
+    // the deepest partial aggregate must sit below the deepest shuffle
+    assert(partialIdx > p.lastIndexOf("Exchange"), s"no map-side combine below the shuffle:\n$p")
     assert(!p.toLowerCase.contains("cartesian"), p)
   }
 
   test("mixture sampling is a map-side filter ahead of one aggregation exchange") {
     val p = physicalPlan(graft.queries.PipelineQueries.mixtureSample(spark, sf0001))
-    // filter must run before the exchange (no shuffle of dropped rows) and
+    // filter must run before EVERY exchange (no shuffle of dropped rows) and
     // nothing but the groupBy + output sort may exchange
     val exchanges = "Exchange".r.findAllIn(p).length
     assert(exchanges <= 2, s"$exchanges exchanges:\n$p")
-    assert(p.indexOf("Filter") > p.indexOf("Exchange"), // plan prints top-down
-      s"filter should be below (after in text) the exchange:\n$p")
+    val filterIdx = p.indexOf("Filter")
+    assert(filterIdx >= 0 && p.contains("Exchange"), p)
+    assert(filterIdx > p.lastIndexOf("Exchange"), // plan prints top-down
+      s"filter should be below (after in text) the LAST exchange:\n$p")
   }
 
   test("q10 broadcasts both dimensions and plans top-k without a global sort") {
