@@ -117,7 +117,11 @@ object PipelineApp {
     val q = Discovery.stream(spark, journal, root, s"$warehouseDir/_discovery_ckpt",
       maxFilesPerTrigger = cfg.discovery.filesBufferSize,
       trigger = Trigger.ProcessingTime(s"${cfg.discovery.flushTimeoutSec} seconds"))
-    val sched = java.util.concurrent.Executors.newScheduledThreadPool(2)
+    // one thread per flow: with only 2 threads a stuck uploadData cycle
+    // (retry sleeps can be seconds per attempt) plus proceedStatus would
+    // starve cleanup arbitrarily long
+    val flowCount = 3
+    val sched = java.util.concurrent.Executors.newScheduledThreadPool(flowCount)
     // the outer catch is load-bearing: ScheduledExecutorService silently
     // cancels a task forever once one execution throws, so retry EXHAUSTION
     // must be logged-and-swallowed here or one bad burst kills the flow for

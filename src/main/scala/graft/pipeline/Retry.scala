@@ -15,6 +15,12 @@ case class RetryPolicy(maxAttempts: Int = 3, sleepMs: Long = 0L) {
   * [[Lifecycle.processReady]] quarantines the claimed set as ERROR.
   */
 object Retry {
+  // Log4j2, not stderr: the engine's log-appender bridge
+  // ([[graft.streaming.LogAppenderBridge]]) captures the `graft` hierarchy
+  // into the `tickers_logs` table, so retries become queryable rows — the
+  // reference logs its reconnect attempts the same way.
+  private val log = org.apache.logging.log4j.LogManager.getLogger(getClass)
+
   def apply[T](policy: RetryPolicy, label: String)(op: => T): T = {
     var attempt = 0
     var last: Exception = null
@@ -24,7 +30,7 @@ object Retry {
         case e: Exception =>
           attempt += 1
           last = e
-          System.err.println(
+          log.warn(
             s"[retry] $label failed (attempt $attempt/${policy.maxAttempts}), " +
               s"retrying in ${policy.sleepMs} ms: $e")
           if (attempt < policy.maxAttempts && policy.sleepMs > 0)

@@ -202,10 +202,14 @@ object NativeAsOf {
         throw new IllegalArgumentException(s"column $name not found in ${rAttrs.map(_.name)}"))
     toleranceUnits.foreach { t =>
       require(t >= 0, s"tolerance must be non-negative, got $t")
-      val dt = rAttr(rightTime).dataType
-      require(dt.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
-        dt.isInstanceOf[org.apache.spark.sql.types.LongType],
-        s"tolerance needs a timestamp/long time column, got $dt")
+      // the tolerance path reads BOTH time columns as raw longs
+      // (AsOfJoinExec getLong) — validate both, not just the right side
+      Seq(leftTime -> lAttr(leftTime).dataType,
+          rightTime -> rAttr(rightTime).dataType).foreach { case (name, dt) =>
+        require(dt.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+          dt.isInstanceOf[org.apache.spark.sql.types.LongType],
+          s"tolerance needs a timestamp/long time column, got $dt for $name")
+      }
     }
     val node = AsOfJoinNode(lPlan, rPlan,
       Seq(lAttr(key)), Seq(rAttr(key)), lAttr(leftTime), rAttr(rightTime),

@@ -301,7 +301,9 @@ object TicksAgg {
     } else {
       val ks = filterK match {
         case Some(None)    => Seq.empty[Int]
-        case Some(Some(k)) => Seq(k)
+        // A symbol whose first index k lies beyond the table has zero rows; a
+        // grouped aggregate must emit no group for it (unlike the global case).
+        case Some(Some(k)) => Seq(k).filter(_ < rows)
         case None          => (0 until tickers).filter(_ < rows)
       }
       ks.map { k =>

@@ -105,6 +105,20 @@ class TicksSourceSpec extends SparkSpec {
       .count() == 1250)
   }
 
+  test("regression: grouped agg + pushed equality on an empty ticker stripe emits no group") {
+    // rows < tickers leaves the high symbols with zero rows; a pushed
+    // ticker-equality on such a symbol must produce NO group, not a phantom
+    // (ticker, 0, null, null) row — matching vanilla groupBy-over-nothing
+    val t = ticks(rows = 7, partitions = 2, tickers = 16)
+    val empty = t.filter(col("ticker") === "TCK9-USDT") // k=9 >= rows=7
+      .groupBy("ticker").agg(count(lit(1)).as("n"), min("sequence").as("mn"))
+    assert(empty.collect().isEmpty, empty.collect().mkString(","))
+    // a populated stripe under the same config still answers
+    val one = t.filter(col("ticker") === "TCK5-USDT")
+      .groupBy("ticker").agg(count(lit(1)).as("n")).collect()
+    assert(one.length == 1 && one(0).getLong(1) == 1L)
+  }
+
   test("aggregate pushdown property: closed form == brute force on random configs") {
     val rnd = new scala.util.Random(23)
     for (trial <- 1 to 8) {

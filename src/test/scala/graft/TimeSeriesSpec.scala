@@ -118,6 +118,15 @@ class TimeSeriesSpec extends SparkSpec {
         toleranceUnits = Some(1L))
     }
     assert(e.getMessage.contains("tolerance"), e.getMessage)
+    // ...including a bad LEFT time with a good right time: the tolerance path
+    // reads both sides as raw longs, so an int left column must fail the
+    // require, not get silently misread through getLong
+    val eLeft = intercept[IllegalArgumentException] {
+      graft.plans.NativeAsOf.asofJoin(
+        l.withColumn("t", lit(7)), r, "k", "t", "rt", toleranceUnits = Some(1L))
+    }
+    assert(eLeft.getMessage.contains("tolerance") && eLeft.getMessage.contains("t"),
+      eLeft.getMessage)
   }
 
   test("native as-of: NULL keys never match (SQL join semantics)") {
