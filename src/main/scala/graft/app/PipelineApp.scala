@@ -128,11 +128,15 @@ object PipelineApp {
     // the rest of the process lifetime. Throwable, not Exception: an OOM or
     // LinkageError escaping would cancel the schedule by the same mechanism
     // — log it too (if the JVM is truly dying nothing here matters anyway).
+    // log4j in the graft hierarchy, not stderr: retry EXHAUSTION killing a
+    // whole cycle must land in the tickers_logs table via the
+    // LogAppenderBridge, queryable next to the per-attempt Retry warnings
+    val flowLog = org.apache.logging.log4j.LogManager.getLogger(getClass)
     def every(name: String, sec: Long)(op: => Unit): Unit = {
       sched.scheduleWithFixedDelay(() =>
         try op catch {
           case t: Throwable =>
-            System.err.println(s"[flow] $name cycle failed after retries " +
+            flowLog.error(s"[flow] $name cycle failed after retries " +
               s"(next cycle in $sec s): $t")
         }, sec, sec, java.util.concurrent.TimeUnit.SECONDS)
       ()

@@ -200,6 +200,14 @@ object NativeAsOf {
     def rAttr(name: String): Attribute =
       rAttrs.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found in ${rAttrs.map(_.name)}"))
+    // timeOrd is built from the LEFT time type and the tolerance subtraction
+    // compares the two raw values directly, so a mixed pair (Timestamp in µs
+    // vs raw Long units) would silently mis-match — demand identical types
+    // always, not just when a tolerance is set
+    require(lAttr(leftTime).dataType == rAttr(rightTime).dataType,
+      s"as-of time columns must have the same type, got " +
+        s"${lAttr(leftTime).dataType} for $leftTime vs " +
+        s"${rAttr(rightTime).dataType} for $rightTime")
     toleranceUnits.foreach { t =>
       require(t >= 0, s"tolerance must be non-negative, got $t")
       // the tolerance path reads BOTH time columns as raw longs

@@ -118,15 +118,30 @@ class TimeSeriesSpec extends SparkSpec {
         toleranceUnits = Some(1L))
     }
     assert(e.getMessage.contains("tolerance"), e.getMessage)
-    // ...including a bad LEFT time with a good right time: the tolerance path
-    // reads both sides as raw longs, so an int left column must fail the
-    // require, not get silently misread through getLong
+    // ...including a bad LEFT time with a good right time: an int left vs
+    // timestamp right is a MIXED pair, rejected by the unconditional
+    // same-type require before the tolerance check ever runs
     val eLeft = intercept[IllegalArgumentException] {
       graft.plans.NativeAsOf.asofJoin(
         l.withColumn("t", lit(7)), r, "k", "t", "rt", toleranceUnits = Some(1L))
     }
-    assert(eLeft.getMessage.contains("tolerance") && eLeft.getMessage.contains("t"),
+    assert(eLeft.getMessage.contains("same type") && eLeft.getMessage.contains("t"),
       eLeft.getMessage)
+    // both sides int: same type, so it's the tolerance check that rejects
+    val eBoth = intercept[IllegalArgumentException] {
+      graft.plans.NativeAsOf.asofJoin(
+        l.withColumn("t", lit(7)), r.withColumn("rt", lit(8)), "k", "t", "rt",
+        toleranceUnits = Some(1L))
+    }
+    assert(eBoth.getMessage.contains("tolerance"), eBoth.getMessage)
+    // a mixed Timestamp-vs-Long pair is rejected even WITHOUT a tolerance:
+    // timeOrd is built from the left type only, so µs-vs-raw-units would
+    // silently mis-order instead of erroring
+    val eMixed = intercept[IllegalArgumentException] {
+      graft.plans.NativeAsOf.asofJoin(
+        l, r.withColumn("rt", lit(1234567890123L)), "k", "t", "rt")
+    }
+    assert(eMixed.getMessage.contains("same type"), eMixed.getMessage)
   }
 
   test("native as-of: NULL keys never match (SQL join semantics)") {
