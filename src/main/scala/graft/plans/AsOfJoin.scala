@@ -5,10 +5,11 @@ import org.apache.spark.sql.{DataFrame, GraftPlanBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   Alias, Ascending, Attribute, Expression, GenericInternalRow, JoinedRow,
-  RowOrdering, SortOrder, UnsafeProjection}
+  RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 
 /** Native as-of join — the whole-operator Catalyst extension path
   * (logical node → strategy → physical sort-merge pass), for the one
@@ -55,11 +56,92 @@ case class AsOfJoinNode(
   * the nearest, tolerance only vetoes it). Requires a non-null,
   * long-backed time column (timestamp/long).
   */
+/** Per-partition merge state for [[AsOfJoinExec]] — one instance per task,
+  * advanced one LEFT row at a time by either the interpreted `doExecute`
+  * iterator or the generated whole-stage produce loop (the
+  * SortMergeJoin-style split: the outer loop and downstream pipeline are
+  * codegen'd, the O(1) merge state machine stays a JVM object).
+  */
+final class AsOfMerger(lOut: Seq[Attribute], rOut: Seq[Attribute],
+    lKeys: Seq[Expression], rKeys: Seq[Expression],
+    lTime: Expression, rTime: Expression, tol: Option[Long],
+    out: Seq[Attribute], rIter: Iterator[InternalRow]) {
+  private val lKeyGen = UnsafeProjection.create(lKeys, lOut)
+  private val rKeyGen = UnsafeProjection.create(rKeys, rOut)
+  private val lTimeGen = UnsafeProjection.create(Seq(lTime), lOut)
+  private val rTimeGen = UnsafeProjection.create(Seq(rTime), rOut)
+  private val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeys.map(_.dataType))
+  private val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTime.dataType))
+  // bind against a nullable view of the right side: the merge emits an
+  // all-null right row on no-match, so reads must keep their null checks
+  // even when the child attribute is non-nullable
+  private val resultProj = UnsafeProjection.create(out, lOut ++ rOut.map(_.withNullability(true)))
+  private val joined = new JoinedRow
+  private val nullRight = new GenericInternalRow(rOut.size)
+  private var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
+  // O(1) merge state: the latest right row whose (key, time) is <= the
+  // current left frontier, plus its key for the final equality check
+  private var lastMatch: InternalRow = null
+  private var lastMatchKey: InternalRow = null
+  private var lastMatchTime: Long = 0L
+  private var lastMatchTimeNull: Boolean = false
+
+  /** Result row for one left row; the returned UnsafeRow's buffer is reused
+    * across calls (callers buffer → copy; `needCopyResult` in the codegen
+    * path).
+    */
+  def joinedFor(l: InternalRow): UnsafeRow = {
+    // no copies: each UnsafeProjection owns its buffer, so lKey/lTime
+    // stay valid until the NEXT left row — the only rows that outlive
+    // this call (lastMatch/lastMatchKey) are copied below
+    val lKey = lKeyGen(l)
+    // SQL join semantics: NULL keys never match — null-padded right
+    if (lKey.anyNull) return resultProj(joined(l, nullRight))
+    val lTimeRow = lTimeGen(l)
+    var scanning = rRow != null
+    while (scanning) {
+      val rk = rKeyGen(rRow)
+      if (rk.anyNull) {
+        // null-keyed right rows can never match any left row — skip
+        // (they sort first under the natural ascending ordering)
+        rRow = if (rIter.hasNext) rIter.next() else null
+        scanning = rRow != null
+      } else {
+        val c = keyOrd.compare(rk, lKey)
+        if (c < 0) {
+          // right rows for keys already passed — no future left row can
+          // match them (left is key-sorted too); drop through
+          rRow = if (rIter.hasNext) rIter.next() else null
+          scanning = rRow != null
+        } else if (c == 0 && timeOrd.compare(rTimeGen(rRow), lTimeRow) <= 0) {
+          lastMatch = rRow.copy()
+          lastMatchKey = rk.copy()
+          val rt = rTimeGen(rRow)
+          lastMatchTimeNull = rt.isNullAt(0)
+          if (!lastMatchTimeNull) lastMatchTime = rt.getLong(0)
+          rRow = if (rIter.hasNext) rIter.next() else null
+          scanning = rRow != null
+        } else scanning = false
+      }
+    }
+    val rSide =
+      if (lastMatchKey != null && keyOrd.compare(lastMatchKey, lKey) == 0 &&
+        (tol match {
+          case None => true
+          case Some(t) => // null time or null left time never passes a tolerance
+            !lastMatchTimeNull && !lTimeRow.isNullAt(0) &&
+              lTimeRow.getLong(0) - lastMatchTime <= t
+        })) lastMatch
+      else nullRight
+    resultProj(joined(l, rSide))
+  }
+}
+
 case class AsOfJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     toleranceUnits: Option[Long],
-    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -74,85 +156,51 @@ case class AsOfJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+  /** Called once per task from generated code or `doExecute`. */
+  def createMerger(rIter: Iterator[InternalRow]): AsOfMerger =
+    new AsOfMerger(left.output, right.output, leftKeys, rightKeys,
+      leftTime, rightTime, toleranceUnits, output, rIter)
+
   override protected def doExecute(): RDD[InternalRow] = {
-    val lOut = left.output
-    val rOut = right.output
-    val lKeysB = leftKeys
-    val rKeysB = rightKeys
-    val lTimeB = leftTime
-    val rTimeB = rightTime
-    val tolB = toleranceUnits
-    val outB = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lKeyGen = UnsafeProjection.create(lKeysB, lOut)
-      val rKeyGen = UnsafeProjection.create(rKeysB, rOut)
-      val lTimeGen = UnsafeProjection.create(Seq(lTimeB), lOut)
-      val rTimeGen = UnsafeProjection.create(Seq(rTimeB), rOut)
-      val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeysB.map(_.dataType))
-      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTimeB.dataType))
-      // bind against a nullable view of the right side: the merge emits an
-      // all-null right row on no-match, so reads must keep their null checks
-      // even when the child attribute is non-nullable
-      val resultProj = UnsafeProjection.create(outB, lOut ++ rOut.map(_.withNullability(true)))
-      val joined = new JoinedRow
-      val nullRight = new GenericInternalRow(rOut.size)
-      new Iterator[InternalRow] {
-        private var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
-        // O(1) merge state: the latest right row whose (key, time) is <= the
-        // current left frontier, plus its key for the final equality check
-        private var lastMatch: InternalRow = null
-        private var lastMatchKey: InternalRow = null
-        private var lastMatchTime: Long = 0L
-        private var lastMatchTimeNull: Boolean = false
-        override def hasNext: Boolean = lIter.hasNext
-        override def next(): InternalRow = {
-          val l = lIter.next()
-          // no copies: each UnsafeProjection owns its buffer, so lKey/lTime
-          // stay valid until the NEXT left row — the only rows that outlive
-          // this call (lastMatch/lastMatchKey) are copied below
-          val lKey = lKeyGen(l)
-          // SQL join semantics: NULL keys never match — null-padded right
-          if (lKey.anyNull) return resultProj(joined(l, nullRight))
-          val lTime = lTimeGen(l)
-          var scanning = rRow != null
-          while (scanning) {
-            val rk = rKeyGen(rRow)
-            if (rk.anyNull) {
-              // null-keyed right rows can never match any left row — skip
-              // (they sort first under the natural ascending ordering)
-              rRow = if (rIter.hasNext) rIter.next() else null
-              scanning = rRow != null
-            } else {
-              val c = keyOrd.compare(rk, lKey)
-              if (c < 0) {
-                // right rows for keys already passed — no future left row can
-                // match them (left is key-sorted too); drop through
-                rRow = if (rIter.hasNext) rIter.next() else null
-                scanning = rRow != null
-              } else if (c == 0 && timeOrd.compare(rTimeGen(rRow), lTime) <= 0) {
-                lastMatch = rRow.copy()
-                lastMatchKey = rk.copy()
-                val rt = rTimeGen(rRow)
-                lastMatchTimeNull = rt.isNullAt(0)
-                if (!lastMatchTimeNull) lastMatchTime = rt.getLong(0)
-                rRow = if (rIter.hasNext) rIter.next() else null
-                scanning = rRow != null
-              } else scanning = false
-            }
-          }
-          val rSide =
-            if (lastMatchKey != null && keyOrd.compare(lastMatchKey, lKey) == 0 &&
-              (tolB match {
-                case None => true
-                case Some(tol) => // null time or null left time never passes a tolerance
-                  !lastMatchTimeNull && !lTime.isNullAt(0) &&
-                    lTime.getLong(0) - lastMatchTime <= tol
-              })) lastMatch
-            else nullRight
-          resultProj(joined(l, rSide))
-        }
-      }
+      val merger = createMerger(rIter)
+      lIter.map(merger.joinedFor)
     }
+  }
+
+  // ---- whole-stage codegen (the SortMergeJoin stage-root shape): this node
+  // drives the generated loop over the two sorted child iterators; the O(1)
+  // merge advance stays in AsOfMerger, and everything DOWNSTREAM (projects,
+  // filters, aggregates) fuses into this stage instead of paying an
+  // iterator boundary per joined row.
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // joinedFor's output buffer is reused across rows — parents that buffer
+  // (sort, agg hash map) must copy
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "leftInput",
+      v => s"$v = inputs[0];", forceInline = true)
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "rightInput",
+      v => s"$v = inputs[1];", forceInline = true)
+    val thisPlan = ctx.addReferenceObj("plan", this)
+    val merger = ctx.addMutableState(classOf[AsOfMerger].getName, "asofMerger",
+      v => s"$v = $thisPlan.createMerger((scala.collection.Iterator) $rightInput);",
+      forceInline = true)
+    val leftRow = ctx.freshName("asofLeftRow")
+    val outRow = ctx.freshName("asofOutRow")
+    s"""
+       |while ($limitNotReachedCond $leftInput.hasNext()) {
+       |  org.apache.spark.sql.catalyst.InternalRow $leftRow =
+       |    (org.apache.spark.sql.catalyst.InternalRow) $leftInput.next();
+       |  org.apache.spark.sql.catalyst.expressions.UnsafeRow $outRow =
+       |    $merger.joinedFor($leftRow);
+       |  ${consume(ctx, null, outRow)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
   }
 
   override protected def withNewChildrenInternal(

@@ -5,10 +5,14 @@ import org.apache.spark.sql.{DataFrame, GraftPlanBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
   Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator}
+import org.apache.spark.sql.catalyst.expressions.codegen.ExprCode
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.types.DataTypeUtils
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode, UnsafeExternalRowSorter}
+import org.apache.spark.sql.execution.{
+  BlockingOperatorWithCodegen, CodegenSupport, SparkPlan, SparkStrategy, UnaryExecNode,
+  UnsafeExternalRowSorter}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
 
@@ -44,8 +48,104 @@ case class TopKPerGroupNode(child: LogicalPlan, groupExprs: Seq[Expression],
     copy(child = newChild)
 }
 
+/** Per-partition accumulation state for [[TopKPerGroupExec]] — one instance
+  * per task, driven row-at-a-time by either the interpreted `doExecute`
+  * loop or the generated whole-stage code (the [[SortExec]]-style split:
+  * pipeline fusion and row access are codegen'd, the heap/sorter state
+  * machine stays a JVM object the generated loop calls into).
+  */
+final class TopKPartitionState(out: Seq[Attribute], groupExprs: Seq[Expression],
+    ordering: Seq[SortOrder], k: Int, maxGroups: Int, spilledRows: SQLMetric) {
+  private val keyGen = UnsafeProjection.create(groupExprs, out)
+  private val rowOrd = RowOrdering.create(ordering, out)
+  // max-heap under the requested ordering: head = WORST of the kept k,
+  // evicted when a better row arrives
+  private val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+  private var sorter: UnsafeExternalRowSorter = null
+  private var toUnsafe: UnsafeProjection = null
+
+  def insert(row: InternalRow): Unit = {
+    val key = keyGen(row)
+    var heap = heaps.get(key)
+    if (heap == null && heaps.size() < maxGroups) {
+      heap = new java.util.PriorityQueue[InternalRow](k + 1, rowOrd.reverse)
+      heaps.put(key.copy(), heap)
+    }
+    if (heap != null) {
+      if (heap.size < k) heap.add(row.copy())
+      else if (rowOrd.compare(row, heap.peek()) < 0) {
+        heap.poll(); heap.add(row.copy())
+      }
+    } else {
+      // over-cap group: divert to the spillable sorter, ordered by
+      // (group, ordering) so top-k falls out of a streaming scan
+      if (sorter == null) {
+        val fullOrd = RowOrdering.create(
+          groupExprs.map(SortOrder(_, Ascending)) ++ ordering, out)
+        val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+          private val zero = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+          override def computePrefix(r: InternalRow) = { zero.value = 0L; zero.isNull = false; zero }
+        }
+        sorter = UnsafeExternalRowSorter.create(DataTypeUtils.fromAttributes(out), fullOrd,
+          PrefixComparators.LONG, prefixComputer, 4L * 1024 * 1024,
+          /* canUseRadixSort = */ false)
+        toUnsafe = UnsafeProjection.create(out, out)
+      }
+      sorter.insertRow(row match {
+        case u: UnsafeRow => u
+        case other => toUnsafe(other)
+      })
+      spilledRows += 1
+    }
+  }
+
+  /** Drain: call once after the last [[insert]]. */
+  def iterator(): Iterator[InternalRow] = {
+    // lazy emit: sort each heap only when the consumer reaches it — no
+    // ArrayBuffer of every surviving row, peak memory stays one group
+    val heapIter = heaps.values().iterator()
+    val resident: Iterator[InternalRow] = new Iterator[InternalRow] {
+      private var cur: Iterator[InternalRow] = Iterator.empty
+      override def hasNext: Boolean = {
+        while (!cur.hasNext && heapIter.hasNext) {
+          val h = heapIter.next()
+          val arr = h.toArray(new Array[InternalRow](h.size))
+          java.util.Arrays.sort(arr, rowOrd)
+          cur = arr.iterator
+        }
+        cur.hasNext
+      }
+      override def next(): InternalRow = { hasNext; cur.next() }
+    }
+    val overflow: Iterator[InternalRow] =
+      if (sorter == null) Iterator.empty
+      else {
+        val sorted = sorter.sort() // cleanup is on the task-completion listener
+        new Iterator[InternalRow] {
+          private var prevKey: UnsafeRow = null
+          private var kept = 0
+          private var pending: InternalRow = null
+          private def advance(): Unit = {
+            while (pending == null && sorted.hasNext) {
+              val row = sorted.next()
+              val key = keyGen(row)
+              if (prevKey == null || key != prevKey) { prevKey = key.copy(); kept = 0 }
+              if (kept < k) { kept += 1; pending = row }
+            }
+          }
+          override def hasNext: Boolean = { advance(); pending != null }
+          override def next(): InternalRow = {
+            advance(); val r = pending; pending = null; r
+          }
+        }
+      }
+    resident ++ overflow
+  }
+}
+
 case class TopKPerGroupExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder],
-    k: Int, maxGroups: Int, child: SparkPlan) extends UnaryExecNode {
+    k: Int, maxGroups: Int, child: SparkPlan)
+  extends UnaryExecNode with BlockingOperatorWithCodegen {
 
   override def output: Seq[Attribute] = child.output
   override def requiredChildDistribution: Seq[Distribution] =
@@ -56,97 +156,65 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder
     "spilledRows" -> SQLMetrics.createMetric(sparkContext,
       "rows diverted to spillable sort (over-cap groups)"))
 
+  /** Called once per task, from generated code or `doExecute`. */
+  def createState(): TopKPartitionState =
+    new TopKPartitionState(child.output, groupExprs, ordering, k, maxGroups,
+      longMetric("spilledRows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
-    val out = child.output
-    val schema = DataTypeUtils.fromAttributes(out)
-    val groupB = groupExprs
-    val orderB = ordering
-    val kB = k
-    val capB = maxGroups
-    val spilledRows = longMetric("spilledRows")
     child.execute().mapPartitions({ iter =>
-      val keyGen = UnsafeProjection.create(groupB, out)
-      val rowOrd = RowOrdering.create(orderB, out)
-      // max-heap under the requested ordering: head = WORST of the kept k,
-      // evicted when a better row arrives
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      var sorter: UnsafeExternalRowSorter = null
-      var toUnsafe: UnsafeProjection = null
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyGen(row)
-        var heap = heaps.get(key)
-        if (heap == null && heaps.size() < capB) {
-          heap = new java.util.PriorityQueue[InternalRow](kB + 1, rowOrd.reverse)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap != null) {
-          if (heap.size < kB) heap.add(row.copy())
-          else if (rowOrd.compare(row, heap.peek()) < 0) {
-            heap.poll(); heap.add(row.copy())
-          }
-        } else {
-          // over-cap group: divert to the spillable sorter, ordered by
-          // (group, ordering) so top-k falls out of a streaming scan
-          if (sorter == null) {
-            val fullOrd = RowOrdering.create(
-              groupB.map(SortOrder(_, Ascending)) ++ orderB, out)
-            val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
-              private val zero = new UnsafeExternalRowSorter.PrefixComputer.Prefix
-              override def computePrefix(r: InternalRow) = { zero.value = 0L; zero.isNull = false; zero }
-            }
-            sorter = UnsafeExternalRowSorter.create(schema, fullOrd,
-              PrefixComparators.LONG, prefixComputer, 4L * 1024 * 1024,
-              /* canUseRadixSort = */ false)
-            toUnsafe = UnsafeProjection.create(out, out)
-          }
-          sorter.insertRow(row match {
-            case u: UnsafeRow => u
-            case other => toUnsafe(other)
-          })
-          spilledRows += 1
-        }
-      }
-      // lazy emit: sort each heap only when the consumer reaches it — no
-      // ArrayBuffer of every surviving row, peak memory stays one group
-      val heapIter = heaps.values().iterator()
-      val resident: Iterator[InternalRow] = new Iterator[InternalRow] {
-        private var cur: Iterator[InternalRow] = Iterator.empty
-        override def hasNext: Boolean = {
-          while (!cur.hasNext && heapIter.hasNext) {
-            val h = heapIter.next()
-            val arr = h.toArray(new Array[InternalRow](h.size))
-            java.util.Arrays.sort(arr, rowOrd)
-            cur = arr.iterator
-          }
-          cur.hasNext
-        }
-        override def next(): InternalRow = { hasNext; cur.next() }
-      }
-      val overflow: Iterator[InternalRow] =
-        if (sorter == null) Iterator.empty
-        else {
-          val sorted = sorter.sort() // cleanup is on the task-completion listener
-          new Iterator[InternalRow] {
-            private var prevKey: UnsafeRow = null
-            private var kept = 0
-            private var pending: InternalRow = null
-            private def advance(): Unit = {
-              while (pending == null && sorted.hasNext) {
-                val row = sorted.next()
-                val key = keyGen(row)
-                if (prevKey == null || key != prevKey) { prevKey = key.copy(); kept = 0 }
-                if (kept < kB) { kept += 1; pending = row }
-              }
-            }
-            override def hasNext: Boolean = { advance(); pending != null }
-            override def next(): InternalRow = {
-              advance(); val r = pending; pending = null; r
-            }
-          }
-        }
-      resident ++ overflow
+      val state = createState()
+      while (iter.hasNext) state.insert(iter.next())
+      state.iterator()
     }, preservesPartitioning = true)
+  }
+
+  // ---- whole-stage codegen (the SortExec blocking-operator shape):
+  // upstream pipeline is generated into addToTopK() feeding doConsume's
+  // insert calls; this node then drives the downstream pipeline from the
+  // drained iterator, so both sides of the barrier stay fused.
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    child.asInstanceOf[CodegenSupport].inputRDDs()
+
+  private var stateVariable: String = _
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val needToProcess = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "needToProcess",
+      v => s"$v = true;")
+    val thisPlan = ctx.addReferenceObj("plan", this)
+    stateVariable = ctx.addMutableState(classOf[TopKPartitionState].getName, "topkState",
+      v => s"$v = $thisPlan.createState();", forceInline = true)
+    val outputIter = ctx.addMutableState(
+      "scala.collection.Iterator<org.apache.spark.sql.catalyst.InternalRow>",
+      "topkOutputIter", forceInline = true)
+    val addToState = ctx.freshName("addToTopK")
+    val addToStateFunc = ctx.addNewFunction(addToState,
+      s"""
+         |private void $addToState() throws java.io.IOException {
+         |  ${child.asInstanceOf[CodegenSupport].produce(ctx, this)}
+         |}
+       """.stripMargin.trim)
+    val row = ctx.freshName("topkRow")
+    s"""
+       |if ($needToProcess) {
+       |  $addToStateFunc();
+       |  $outputIter = $stateVariable.iterator();
+       |  $needToProcess = false;
+       |}
+       |while ($limitNotReachedCond $outputIter.hasNext()) {
+       |  org.apache.spark.sql.catalyst.InternalRow $row =
+       |    (org.apache.spark.sql.catalyst.InternalRow) $outputIter.next();
+       |  ${consume(ctx, null, row)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode], row: ExprCode): String = {
+    s"""
+       |${row.code}
+       |$stateVariable.insert((org.apache.spark.sql.catalyst.expressions.UnsafeRow) ${row.value});
+     """.stripMargin
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =

@@ -164,7 +164,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TopKPerGroup"), p)
     assert("Exchange".r.findAllIn(p).length <= 1, p)
     assert(!p.contains("Sort "), p) // heap pass, not a sort
-    assert(df.count() == 15) // 5 priorities x 3
+    // collect() (not count(), which plans its OWN QueryExecution) so this
+    // df's adaptive plan finalizes and codegen stages become readable
+    assert(df.collect().length == 15) // 5 priorities x 3
+    // whole-stage codegen fence: the operator must be INSIDE a codegen span
+    // (a `*(id)` prefix), not an iterator island between two generated stages
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) TopKPerGroup""".r.findFirstIn(finalPlan).isDefined,
+      s"TopKPerGroupExec not fused into whole-stage codegen:\n$finalPlan")
+  }
+
+  test("native as-of join fuses into whole-stage codegen") {
+    graft.catalyst.GraftExtensions.register(spark)
+    val ticks = Tables.events(spark, sf0001)
+      .selectExpr("user_id as k", "ts as t", "event_type as tag")
+    val marks = Tables.events(spark, sf0001)
+      .selectExpr("user_id as k", "ts as rt", "value as px")
+    val df = graft.plans.NativeAsOf.asofJoin(ticks, marks, "k", "t", "rt")
+    assert(df.collect().nonEmpty)
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) AsOfJoin""".r.findFirstIn(finalPlan).isDefined,
+      s"AsOfJoinExec not fused into whole-stage codegen:\n$finalPlan")
   }
 
   test("partitioned warehouse prunes partitions on file_date") {
