@@ -145,6 +145,9 @@ object SparkEntry {
     // codecs in-container) designed to be DuckDB-replayable end to end
     "m_frame_sample"    -> ((s, d) =>
       MultimodalOps.sampleFrames(s, d).toDF().orderBy("doc_id", "frame_idx")),
+    // REAL image decode: deterministic PNGs decoded through javax.imageio,
+    // dims + raster checksum oracled via a lossless closed-form replay
+    "m_decode"          -> (MultimodalOps.decodeImagesDf _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -244,5 +247,6 @@ object SparkEntry {
     "f_posexplode"      -> PQ.posExplodeSql,
     "x_approx_sketches" -> PQ.approxSketchesSql,
     "m_frame_sample"    -> MultimodalOps.frameSampleSql,
+    "m_decode"          -> MultimodalOps.decodeSql,
   )
 }

@@ -11,11 +11,18 @@ case class MediaMeta(doc_id: Long, byte_len: Int, width: Int, height: Int,
 /** A sampled frame reference (video frame-sampling output shape). */
 case class FrameRef(doc_id: Long, frame_idx: Int, frame_hash: String)
 
+/** Output of the REAL image decode: dimensions and a position-weighted
+  * pixel checksum read from the decoded raster.
+  */
+case class DecodedImage(doc_id: Long, width: Int, height: Int, px_checksum: Long)
+
 /** Multimodal-column plumbing: image/audio/video travel as opaque `binary`
-  * columns with typed metadata. The decode step is a clearly-marked
-  * deterministic FAKE (this container has no image/audio codecs — see the
-  * builder brief); everything Spark-side — schema, batch iteration via
-  * `mapPartitions`, partitioning, result typing — is real and tested.
+  * columns with typed metadata. IMAGE decode is REAL — PNG through
+  * `javax.imageio` (pure JVM), see [[decodeImages]], oracle-checked via a
+  * lossless closed-form pixel replay. Audio/video decode remains a
+  * clearly-marked deterministic fake (no such codecs in this container);
+  * everything Spark-side — schema, batch iteration via `mapPartitions`,
+  * partitioning, result typing — is real and tested.
   *
   * 100 TB design: blobs never pass through a shuffle (metadata is extracted
   * per-partition at scan locality, then only the small typed columns move);
@@ -105,6 +112,101 @@ object MultimodalOps {
       |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
       |       md5(text || ':' || CAST(i AS VARCHAR)) AS frame_hash
       |FROM s ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ---------------------------------------------------------------- real
+  // image decode: PNG via javax.imageio — pure JVM, no native codecs needed.
+  // The corpus is generated deterministically per doc (dimensions and a
+  // gray value that are closed-form functions of doc_id/x/y), encoded to
+  // REAL PNG bytes, then decoded back through ImageIO.read. Because PNG is
+  // lossless, the decoded raster equals the generated pixels — so a DuckDB
+  // replay of the closed form matches ONLY if the decode actually ran
+  // correctly (dimension extraction + full raster read), which makes the
+  // decoder itself oracle-checkable without shipping binary fixtures.
+
+  /** Deterministic per-doc image dims: 8..16 × 8..14 — small enough that
+    * the oracle's generate_series replay stays cheap, varied enough that a
+    * hardcoded-dimension bug fails the hash.
+    */
+  private[graft] def dims(docId: Long): (Int, Int) =
+    ((8 + docId % 9).toInt, (8 + (docId * 3) % 7).toInt)
+
+  /** Deterministic gray value at (x, y). */
+  private[graft] def gray(docId: Long, x: Int, y: Int): Int =
+    ((docId * 7 + x * 31 + y * 17) % 256).toInt
+
+  /** doc_id + real PNG bytes (8-bit grayscale, losslessly roundtrippable). */
+  def pngCorpus(s: SparkSession, d: String): Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id").as[Long]).mapPartitions { it =>
+      it.map { id =>
+        val (w, h) = dims(id)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, gray(id, x, y)); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL decode over the PNG blob column: `ImageIO.read` per blob
+    * (per-partition batch iteration — decoder plugin lookup amortized),
+    * dimensions from the decoded header, checksum from the decoded raster.
+    * Every pixel is weighted by its position (1 + x + w·y) so transposed,
+    * truncated, or re-ordered rasters fail the oracle hash.
+    */
+  def decodeImages(s: SparkSession, d: String): Dataset[DecodedImage] = {
+    import s.implicits._
+    pngCorpus(s, d).mapPartitions { it =>
+      it.map { case (id, blob) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+        require(img != null, s"not a decodable image: doc $id")
+        val w = img.getWidth
+        val h = img.getHeight
+        val raster = img.getRaster
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            sum += raster.getSample(x, y, 0).toLong * (1 + x + w * y)
+            x += 1
+          }
+          y += 1
+        }
+        DecodedImage(id, w, h, sum)
+      }
+    }
+  }
+
+  def decodeImagesDf(s: SparkSession, d: String): DataFrame =
+    decodeImages(s, d).toDF().orderBy("doc_id")
+
+  /** DuckDB replay of [[decodeImagesDf]]: same dims, same gray closed form,
+    * same position weights — over generate_series instead of a decoded
+    * raster. Integer arithmetic end to end (no float parity traps).
+    */
+  val decodeSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id,
+      |         CAST(8 + (doc_id % 9) AS BIGINT) AS w,
+      |         CAST(8 + ((doc_id * 3) % 7) AS BIGINT) AS h
+      |  FROM documents
+      |), px AS (
+      |  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS p
+      |  FROM dims
+      |)
+      |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |       CAST(SUM(((doc_id * 7 + (p % w) * 31 + (p // w) * 17) % 256)
+      |                * (1 + p)) AS BIGINT) AS px_checksum
+      |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
 
   /** The oracle-checkable slice of the multimodal surface: byte length and
     * content hash of the blob (pure SQL in both engines; the fake decode
