@@ -148,6 +148,8 @@ object SparkEntry {
     // REAL image decode: deterministic PNGs decoded through javax.imageio,
     // dims + raster checksum oracled via a lossless closed-form replay
     "m_decode"          -> (MultimodalOps.decodeImagesDf _),
+    // native expressions reached through the SQL-TEXT path (FunctionRegistry)
+    "sql_native_fns"    -> (PQ.sqlNativeFns _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -248,5 +250,6 @@ object SparkEntry {
     "x_approx_sketches" -> PQ.approxSketchesSql,
     "m_frame_sample"    -> MultimodalOps.frameSampleSql,
     "m_decode"          -> MultimodalOps.decodeSql,
+    "sql_native_fns"    -> PQ.sqlNativeFnsSql,
   )
 }

@@ -47,6 +47,9 @@ object GraftExtensions {
       info("shingle_hashes3",
         "shingle_hashes3(tokens) - distinct 3-word shingle keys as 64-bit hashes"),
       (es: Seq[Expression]) => ShingleHashes3(es.head)),
+    ("dot",
+      info("dot", "dot(a, b) - double dot product of two float arrays"),
+      (es: Seq[Expression]) => DotProduct(es.head, es(1))),
   )
 
   /** Runtime registration on an existing session. */

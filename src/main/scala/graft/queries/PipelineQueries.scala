@@ -926,4 +926,49 @@ object PipelineQueries {
       |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
       |  TRUE AS parts_ok, TRUE AS median_ok
       |FROM lineitem""".stripMargin
+
+  /** The SQL-TEXT path to the native Catalyst expressions: `simhash32`,
+    * `repetition_stats` and `dot` called by name from `spark.sql(...)`,
+    * resolved through the session [[graft.catalyst.GraftExtensions]]
+    * registration (FunctionRegistry), not the Column DSL. Oracled by
+    * composing the already-proven DuckDB replays of each expression
+    * (simhash bit pyramid, word-count TTR, list_sum self-dot).
+    */
+  def sqlNativeFns(s: SparkSession, d: String): DataFrame = {
+    graft.catalyst.GraftExtensions.register(s)
+    Tables.documents(s, d).createOrReplaceTempView("documents")
+    Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
+    s.sql("""
+      SELECT d.doc_id,
+             simhash32(split(trim(d.text), '\\s+')) AS simhash,
+             repetition_stats(split(trim(d.text), '\\s+')).ttr AS ttr,
+             round(dot(e.embedding, e.embedding), 4) AS self_dot
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+      ORDER BY d.doc_id""")
+  }
+  val sqlNativeFnsSql: String =
+    s"""WITH toks AS (SELECT doc_id, substr(md5(unnest(regexp_split_to_array(trim(text), '\\s+'))), 1, 8) AS h8
+       |             FROM documents),
+       |bits AS (
+       |  SELECT doc_id, p,
+       |    CASE p % 4 WHEN 0 THEN (strpos('0123456789abcdef', substr(h8, (p // 4) + 1, 1)) - 1) % 2
+       |               WHEN 1 THEN ((strpos('0123456789abcdef', substr(h8, (p // 4) + 1, 1)) - 1) // 2) % 2
+       |               WHEN 2 THEN ((strpos('0123456789abcdef', substr(h8, (p // 4) + 1, 1)) - 1) // 4) % 2
+       |               ELSE ((strpos('0123456789abcdef', substr(h8, (p // 4) + 1, 1)) - 1) // 8) % 2 END AS bit
+       |  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, ${graft.operators.DedupOps.SimHashBits - 1})) AS p)),
+       |votes AS (SELECT doc_id, p, sum(bit * 2 - 1) AS vote FROM bits GROUP BY 1, 2),
+       |sh AS (SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN CAST(2 ** p AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+       |       FROM votes GROUP BY doc_id),
+       |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       |w AS (SELECT doc_id, unnest(toks) AS w FROM t),
+       |wagg AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dw, CAST(sum(c) AS DOUBLE) AS n
+       |         FROM (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2) GROUP BY 1)
+       |SELECT d.doc_id, sh.simhash,
+       |  coalesce(dw / n, 0.0) AS ttr,
+       |  round(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)), 4) AS self_dot
+       |FROM documents d
+       |JOIN sh USING (doc_id)
+       |LEFT JOIN wagg USING (doc_id)
+       |JOIN embeddings e ON e.vec_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 }
