@@ -206,6 +206,55 @@ class PlanQualitySpec extends SparkSpec {
     assert(scanned == 1, s"scanned $scanned files")
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    import spark.implicits._
+    // the 100× scan-pruning story for the analytics layer: the fact is
+    // partitioned by file_date, the filter arrives on a DIMENSION attribute
+    // (not the partition column), and DPP must translate it into a runtime
+    // partition filter on the fact scan via the reused broadcast
+    val wh = tmpDir("dpp") + "/fact"
+    val dates = (1 to 10).map(i => f"2024-03-$i%02d")
+    dates.flatMap(fd => (1 to 20).map(i => (i, fd)))
+      .toDF("v", "fd")
+      .select(col("v"), col("fd").cast("date").as("file_date"))
+      .coalesce(1) // one file per partition → numFiles counts partitions
+      .write.partitionBy("file_date").parquet(wh)
+    // the dim must be a real (file-backed) relation: an in-memory Seq
+    // constant-folds the filter into a LocalTableScan, and without a
+    // surviving selective Filter node the PartitionPruning rule bails
+    val dimPath = tmpDir("dpp") + "/dim"
+    dates.map(fd => (fd, if (fd == "2024-03-03") "hot" else "cold"))
+      .toDF("fd", "temp")
+      .select(col("fd").cast("date").as("file_date"), col("temp"))
+      .write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = spark.read.parquet(wh)
+      .join(broadcast(dim).filter(col("temp") === "hot"), Seq("file_date"))
+    assert(joined.collect().length == 20) // one hot date × 20 fact rows
+    val finalPlan = joined.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("dynamicpruning"),
+      s"no dynamic-pruning predicate on the fact scan:\n$finalPlan")
+    // runtime proof: the fact scan read exactly ONE of the ten partitions.
+    // AdaptiveSparkPlanExec and QueryStageExec are leaf wrappers — recurse
+    // through them explicitly or collectLeaves never reaches the scans
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    // the fact side is the partitioned scan (it carries a numPartitions
+    // metric; the dim scan does not)
+    val fact = scans(joined.queryExecution.executedPlan)
+      .filter(_.metrics.contains("numPartitions"))
+    assert(fact.nonEmpty, "no partitioned fact scan found in the final plan")
+    assert(fact.head.metrics("staticFilesNum").value == 10, "fixture should have 10 files")
+    val scanned = fact.head.metrics("numFiles").value
+    assert(scanned == 1, s"DPP did not prune: scanned $scanned of 10 partition files")
+  }
+
   test("bucketed co-located join needs no shuffle exchange") {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS b_orders")
