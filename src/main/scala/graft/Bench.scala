@@ -77,13 +77,16 @@ object Bench {
     // Stdout line: slowest-first, 2-decimal, capped so line + sbt suffix fit
     // the driver's 2000-char tail with margin.
     val budget = 1700
+    // Locale.ROOT: under a comma-decimal default locale f"%.2f" would emit
+    // "1,23" and break the JSON line.
+    def fmt2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val sb = new StringBuilder
     var n = 0
     results.toSeq.sortBy(-_._2).foreach { case (k, v) =>
-      val entry = (if (n == 0) "" else ",") + "\"" + k + "\":" + f"$v%.2f"
+      val entry = (if (n == 0) "" else ",") + "\"" + k + "\":" + fmt2(v)
       if (sb.length + entry.length <= budget) { sb.append(entry); n += 1 }
     }
-    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n":${results.size},"shown":$n,"queries":{${sb.result()}},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","n":${results.size},"shown":$n,"queries":{${sb.result()}},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -28,28 +28,45 @@ object GraftExtensions {
     new ExpressionInfo("graft.catalyst.HashExpressions", null, name, usage,
       "", "", "", "misc_funcs", "", "", "built-in")
 
+  // Wrong-arg-count calls must surface as an analysis error naming the
+  // function, not an IndexOutOfBoundsException from `es(1)`.
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression = {
+    es =>
+      if (es.length != n) {
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> name,
+            "expectedNum" -> n.toString,
+            "actualNum" -> es.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }
+      build(es)
+  }
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("simhash32",
       info("simhash32", "simhash32(tokens) - 32-bit SimHash of an array<string>"),
-      (es: Seq[Expression]) => SimHash32(es.head)),
+      arity("simhash32", 1)(es => SimHash32(es.head))),
     ("minhash_signature",
       info("minhash_signature", "minhash_signature(shingles, k) - k-wide md5 MinHash signature"),
-      (es: Seq[Expression]) => MinHashSignature(es.head,
-        es(1).eval().asInstanceOf[Number].intValue())),
+      arity("minhash_signature", 2)(es => MinHashSignature(es.head,
+        es(1).eval().asInstanceOf[Number].intValue()))),
     ("shingles3",
       info("shingles3", "shingles3(tokens) - distinct 3-word shingles"),
-      (es: Seq[Expression]) => Shingles3(es.head, distinct = true)),
+      arity("shingles3", 1)(es => Shingles3(es.head, distinct = true))),
     ("repetition_stats",
       info("repetition_stats",
         "repetition_stats(tokens) - struct(top_word_frac, top_bigram_frac, ttr)"),
-      (es: Seq[Expression]) => RepetitionStats(es.head)),
+      arity("repetition_stats", 1)(es => RepetitionStats(es.head))),
     ("shingle_hashes3",
       info("shingle_hashes3",
         "shingle_hashes3(tokens) - distinct 3-word shingle keys as 64-bit hashes"),
-      (es: Seq[Expression]) => ShingleHashes3(es.head)),
+      arity("shingle_hashes3", 1)(es => ShingleHashes3(es.head))),
     ("dot",
       info("dot", "dot(a, b) - double dot product of two float arrays"),
-      (es: Seq[Expression]) => DotProduct(es.head, es(1))),
+      arity("dot", 2)(es => DotProduct(es.head, es(1)))),
   )
 
   /** Runtime registration on an existing session. */

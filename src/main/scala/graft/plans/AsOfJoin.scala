@@ -180,6 +180,12 @@ case class AsOfJoinExec(
   // (sort, agg hash map) must copy
   override def needCopyResult: Boolean = true
 
+  // This node is the stage root driving its own produce loop (the
+  // SortMergeJoinExec shape), so checking limitNotReachedCond here is
+  // legal; without this Spark's guard logs a warning per compile and
+  // throws under spark.testing.
+  override def canCheckLimitNotReached: Boolean = true
+
   override protected def doProduce(ctx: CodegenContext): String = {
     val leftInput = ctx.addMutableState("scala.collection.Iterator", "leftInput",
       v => s"$v = inputs[0];", forceInline = true)

@@ -176,6 +176,12 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder
   override def inputRDDs(): Seq[RDD[InternalRow]] =
     child.asInstanceOf[CodegenSupport].inputRDDs()
 
+  // Blocking node (drains its child before emitting), so driving the
+  // output loop off limitNotReachedCond is legal — same override
+  // SortExec/HashAggregateExec use. Without it Spark logs a warning per
+  // compile and throws under spark.testing.
+  override def canCheckLimitNotReached: Boolean = true
+
   private var stateVariable: String = _
 
   override protected def doProduce(ctx: CodegenContext): String = {

@@ -29,6 +29,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(a ^ b) <= 16)
   }
 
+  test("SQL registration rejects wrong arg counts as analysis errors") {
+    GraftExtensions.register(spark)
+    Seq("x y z").toDF("text").createOrReplaceTempView("ext_arity_docs")
+    for (q <- Seq(
+      "SELECT dot(split(text, ' ')) FROM ext_arity_docs",
+      "SELECT simhash32(split(text, ' '), 2) FROM ext_arity_docs",
+      "SELECT minhash_signature(split(text, ' ')) FROM ext_arity_docs")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] { spark.sql(q).collect() }
+      assert(e.getMessage.toLowerCase.contains("wrong_num_args") ||
+        e.getMessage.toLowerCase.contains("argument"), s"$q => ${e.getMessage}")
+    }
+  }
+
   test("dot_product/eq_count: typed rejection + null-element skip semantics") {
     // wrong element type is an analysis-time error, not silent byte reinterpretation
     val bad = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
