@@ -128,10 +128,21 @@ class TickerFileJournal(spark: SparkSession, val dir: String) {
   /** Claim step (`UploadTickerFilesStatusAndDataFlow.java:83-94`): flip
     * READY_FOR_PROCESSING → IN_PROGRESS and return the claimed set — the
     * flip-before-processing is what prevents double-processing across cycles.
+    *
+    * `limit` bounds the claim to the `limit` OLDEST ready files
+    * (create_date, then filename): the collect, the transition in-list and
+    * the caller's processing batch all stay O(limit) no matter how many
+    * files are journaled — at 100M ready files an unbounded claim would be
+    * a multi-GB driver collect. Unlimited claims plan a top-k
+    * (TakeOrderedAndProject) only when bounded, a plain collect otherwise.
     */
-  def claimReady(now: Timestamp): Seq[(String, Date)] = {
-    val ready = current.filter(col("status") === FileStatus.ReadyForProcessing.name)
-      .select("filename", "create_date").as[(String, Date)].collect().toSeq
+  def claimReady(now: Timestamp, limit: Int = Int.MaxValue): Seq[(String, Date)] = {
+    val readyView = current.filter(col("status") === FileStatus.ReadyForProcessing.name)
+      .select("filename", "create_date")
+    val bounded =
+      if (limit == Int.MaxValue) readyView
+      else readyView.sort(col("create_date"), col("filename")).limit(limit)
+    val ready = bounded.as[(String, Date)].collect().toSeq
     if (ready.nonEmpty) transition(ready.map(_._1), FileStatus.InProgress, now)
     ready
   }

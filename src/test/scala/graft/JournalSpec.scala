@@ -131,4 +131,36 @@ class JournalSpec extends SparkSpec {
     j2.transition(Seq("b"), FileStatus.ReadyForProcessing, ts("2024-08-08 10:09:00"))
     assert(j2.events.agg(max("batch_seq")).as[Long].head() == 7L)
   }
+
+  test("journal at 1M files: bounded claim, oldest-first, compact in budget") {
+    val j = freshJournal()
+    val n = 1000000L
+    // 1M files spread over 365 create_dates — a year of the reference's
+    // per-ticker-per-day layout at ~2.7k tickers
+    val cand = spark.range(n).select(
+      format_string("t%07d", col("id")).as("filename"),
+      date_add(lit("2024-01-01").cast("date"), (col("id") % 365).cast("int")).as("create_date"))
+    assert(j.appendDiscovered(cand, ts("2024-08-08 10:00:00")) == n)
+    assert(j.transitionWhere(lit(true), FileStatus.ReadyForProcessing,
+      ts("2024-08-08 10:01:00")) == n)
+    // bounded claim: exactly the 1000 OLDEST (create_date, filename) — only
+    // 1000 rows ever reach the driver, regardless of journal size
+    val claimed = j.claimReady(ts("2024-08-08 10:02:00"), limit = 1000)
+    assert(claimed.size == 1000)
+    // ids ≡ 0 (mod 365) land on 2024-01-01; the 1000 smallest filenames
+    // among them are t0000000, t0000365, … (zero-padded → lexicographic
+    // order IS numeric order)
+    val expected = (0 until 1000).map(i => f"t${i * 365}%07d")
+    assert(claimed.map(_._1) == expected)
+    assert(claimed.forall(_._2.toString == "2024-01-01"))
+    assert(j.byStatus(FileStatus.InProgress).count() == 1000)
+    assert(j.byStatus(FileStatus.ReadyForProcessing).count() == n - 1000)
+    // compaction collapses 3M events to the 1M-row snapshot, executor-side
+    j.compact(ts("2024-08-08 11:00:00"))
+    assert(j.events.count() == n)
+    assert(j.countFiles() == n)
+    // the view is still answerable post-compact
+    assert(j.statusOf("t0000000").contains(FileStatus.InProgress))
+    assert(j.statusOf("t0000001").contains(FileStatus.ReadyForProcessing))
+  }
 }
