@@ -55,23 +55,40 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // noop sink forces FULL materialization of every output column —
     // count() would let Catalyst prune the projections being measured
+    // A failed run must never masquerade as a fast run: round 6 committed a
+    // BENCH_FULL.json where five late queries died with the SparkContext and
+    // were recorded at ~5 ms. Keep only SUCCESSFUL run times for the median;
+    // a query with zero successful runs reports the sentinel -1 and lands in
+    // the `failed` map with its error, so the artifact carries the failure
+    // signal instead of a bogus 100x speedup.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        val runs = (1 to repeat).map { _ =>
+        var lastErr: Throwable = null
+        val ok = (1 to repeat).flatMap { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-          catch { case _: Throwable => () }
-          (System.nanoTime() - t0) / 1e9
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case t: Throwable => lastErr = t; None }
         }.sorted
-        name -> runs(runs.length / 2)
+        if (ok.isEmpty) {
+          failed(name) = Option(lastErr).map(t =>
+            (t.getClass.getSimpleName + ": " + Option(t.getMessage).getOrElse(""))
+              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)).getOrElse("unknown")
+          name -> -1.0
+        } else name -> ok(ok.length / 2)
       }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val succeeded = results.filter(_._2 >= 0)
+    val total = if (succeeded.nonEmpty) succeeded.values.sum else 0.0
     // Full-precision map for the judge (stdout tail can't hold all 96 names).
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,"failed":$failedJson,"queries":$fullQs,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("BENCH_FULL.json", "UTF-8")
       try w.println(fullLine) finally w.close()
@@ -88,7 +105,7 @@ object Bench {
       val entry = (if (n == 0) "" else ",") + "\"" + k + "\":" + fmt2(v)
       if (sb.length + entry.length <= budget) { sb.append(entry); n += 1 }
     }
-    println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","n":${results.size},"shown":$n,"queries":{${sb.result()}},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","n":${results.size},"shown":$n,"failed":${failed.size},"queries":{${sb.result()}},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

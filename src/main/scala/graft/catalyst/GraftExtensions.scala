@@ -45,6 +45,24 @@ object GraftExtensions {
       build(es)
   }
 
+  // A parameter that must be a non-null foldable integer (e.g. the `k` of
+  // minhash_signature). `eval()` on a non-foldable expression throws an
+  // unhelpful internal error and a NULL literal NPEs — both must instead be
+  // an analysis error naming the function and position.
+  private def foldableInt(name: String, pos: Int, e: Expression): Int = {
+    val value = if (e.foldable) e.eval() else null
+    value match {
+      case n: Number => n.intValue()
+      case _ =>
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "NON_FOLDABLE_ARGUMENT",
+          messageParameters = Map(
+            "funcName" -> name,
+            "paramName" -> s"argument ${pos + 1}",
+            "paramType" -> "a non-null integer literal"))
+    }
+  }
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("simhash32",
       info("simhash32", "simhash32(tokens) - 32-bit SimHash of an array<string>"),
@@ -52,7 +70,7 @@ object GraftExtensions {
     ("minhash_signature",
       info("minhash_signature", "minhash_signature(shingles, k) - k-wide md5 MinHash signature"),
       arity("minhash_signature", 2)(es => MinHashSignature(es.head,
-        es(1).eval().asInstanceOf[Number].intValue()))),
+        foldableInt("minhash_signature", 1, es(1))))),
     ("shingles3",
       info("shingles3", "shingles3(tokens) - distinct 3-word shingles"),
       arity("shingles3", 1)(es => Shingles3(es.head, distinct = true))),

@@ -133,16 +133,18 @@ class TickerFileJournal(spark: SparkSession, val dir: String) {
     * (create_date, then filename): the collect, the transition in-list and
     * the caller's processing batch all stay O(limit) no matter how many
     * files are journaled — at 100M ready files an unbounded claim would be
-    * a multi-GB driver collect. Unlimited claims plan a top-k
-    * (TakeOrderedAndProject) only when bounded, a plain collect otherwise.
+    * a multi-GB driver collect. The default is therefore a conservative
+    * batch ([[TickerFileJournal.DefaultClaimLimit]]), NOT unbounded:
+    * draining more than one batch per cycle is a caller loop, and an
+    * unbounded claim is deliberately not expressible through this API.
     */
-  def claimReady(now: Timestamp, limit: Int = Int.MaxValue): Seq[(String, Date)] = {
-    val readyView = current.filter(col("status") === FileStatus.ReadyForProcessing.name)
+  def claimReady(now: Timestamp,
+      limit: Int = TickerFileJournal.DefaultClaimLimit): Seq[(String, Date)] = {
+    require(limit > 0, s"claimReady limit must be positive, got $limit")
+    val ready = current.filter(col("status") === FileStatus.ReadyForProcessing.name)
       .select("filename", "create_date")
-    val bounded =
-      if (limit == Int.MaxValue) readyView
-      else readyView.sort(col("create_date"), col("filename")).limit(limit)
-    val ready = bounded.as[(String, Date)].collect().toSeq
+      .sort(col("create_date"), col("filename")).limit(limit)
+      .as[(String, Date)].collect().toSeq
     if (ready.nonEmpty) transition(ready.map(_._1), FileStatus.InProgress, now)
     ready
   }
@@ -215,4 +217,13 @@ class TickerFileJournal(spark: SparkSession, val dir: String) {
     deleteRec(tmpDir)
     cachedMaxSeq = Some(0L)
   }
+}
+
+object TickerFileJournal {
+  /** Default [[TickerFileJournal.claimReady]] batch: bounds the driver
+    * collect and the downstream processing batch regardless of how many
+    * files are ready. Matches the reference's per-cycle processing scale
+    * (a day of per-ticker files is O(100s)) with generous headroom.
+    */
+  val DefaultClaimLimit: Int = 10000
 }

@@ -42,6 +42,19 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("minhash_signature rejects non-foldable / NULL k as an analysis error") {
+    GraftExtensions.register(spark)
+    Seq(("x y z", 4)).toDF("text", "k").createOrReplaceTempView("ext_fold_docs")
+    for (q <- Seq(
+      // column reference: not foldable
+      "SELECT minhash_signature(split(text, ' '), k) FROM ext_fold_docs",
+      // NULL literal: foldable but evaluates to null
+      "SELECT minhash_signature(split(text, ' '), NULL) FROM ext_fold_docs")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] { spark.sql(q).collect() }
+      assert(e.getMessage.contains("minhash_signature"), s"$q => ${e.getMessage}")
+    }
+  }
+
   test("dot_product/eq_count: typed rejection + null-element skip semantics") {
     // wrong element type is an analysis-time error, not silent byte reinterpretation
     val bad = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
