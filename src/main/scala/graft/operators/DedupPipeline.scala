@@ -40,15 +40,26 @@ object DedupPipeline {
   def clusters(pairs: DataFrame, maxIters: Int = 10,
       localThreshold: Long = 100000): DataFrame = {
     val spark = pairs.sparkSession
-    // materialize the pair source ONCE: the undirected-edge union embeds
-    // the (often expensive — shingling, LSH) pair plan twice, and the cache
-    // below would execute both branches
-    val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
-    val integralIds = p.schema.fields.forall(_.dataType match {
+    val sel = pairs.select(col("a_id"), col("b_id"))
+    val integralIds = sel.schema.fields.forall(_.dataType match {
       case ByteType | ShortType | IntegerType | LongType => true
       case _                                             => false
     })
-    if (integralIds && p.count() <= localThreshold) return localClusters(spark, p)
+    if (integralIds) {
+      // Probe with ONE job: pull at most threshold+1 edges. Near-dup edge
+      // sets are tiny relative to the corpus, so the common path executes
+      // the (often expensive — shingling, LSH) pair plan exactly once, with
+      // no checkpoint materialization and nothing left cached. Only an
+      // over-threshold edge set pays a second execution below.
+      import spark.implicits._
+      val probe = sel.select(col("a_id").cast("long"), col("b_id").cast("long"))
+        .limit(localThreshold.toInt + 1).as[(Long, Long)].collect()
+      if (probe.length <= localThreshold) return localClusters(spark, probe)
+    }
+    // materialize the pair source ONCE for the iterative path: the
+    // undirected-edge union embeds the pair plan twice, and the cache
+    // below would execute both branches
+    val p = sel.localCheckpoint(true)
     val edges = p
       .union(p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .distinct()
@@ -100,10 +111,8 @@ object DedupPipeline {
     * path-halving find + union by min, then one pass to resolve every
     * member to its component minimum.
     */
-  private def localClusters(spark: SparkSession, pairs: DataFrame): DataFrame = {
+  private def localClusters(spark: SparkSession, edges: Array[(Long, Long)]): DataFrame = {
     import spark.implicits._
-    val edges = pairs.select(col("a_id").cast("long"), col("b_id").cast("long"))
-      .as[(Long, Long)].collect()
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x

@@ -134,10 +134,16 @@ object MultimodalOps {
   private[graft] def gray(docId: Long, x: Int, y: Int): Int =
     ((docId * 7 + x * 31 + y * 17) % 256).toInt
 
-  /** doc_id + real PNG bytes (8-bit grayscale, losslessly roundtrippable). */
+  /** doc_id + real PNG bytes (8-bit grayscale, losslessly roundtrippable).
+    * One PNG writer per PARTITION (plugin lookup amortized) and an
+    * in-memory image output stream: `ImageIO.write`'s default path spools
+    * every image through a temp-file cache, which dominates small-image
+    * encode time.
+    */
   def pngCorpus(s: SparkSession, d: String): Dataset[(Long, Array[Byte])] = {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id").as[Long]).mapPartitions { it =>
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
       it.map { id =>
         val (w, h) = dims(id)
         val img = new java.awt.image.BufferedImage(
@@ -150,7 +156,10 @@ object MultimodalOps {
           y += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(img)
+        ios.close()
         (id, bos.toByteArray)
       }
     }
@@ -165,8 +174,15 @@ object MultimodalOps {
   def decodeImages(s: SparkSession, d: String): Dataset[DecodedImage] = {
     import s.implicits._
     pngCorpus(s, d).mapPartitions { it =>
+      // one reader per partition + in-memory input stream: ImageIO.read's
+      // per-call plugin scan and temp-file cache dominate small-image decode
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
       it.map { case (id, blob) =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(blob))
+        reader.setInput(iis, true, true)
+        val img = reader.read(0)
+        iis.close()
         require(img != null, s"not a decodable image: doc $id")
         val w = img.getWidth
         val h = img.getHeight
