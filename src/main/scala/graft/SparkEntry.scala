@@ -150,6 +150,11 @@ object SparkEntry {
     "m_decode"          -> (MultimodalOps.decodeImagesDf _),
     // native expressions reached through the SQL-TEXT path (FunctionRegistry)
     "sql_native_fns"    -> (PQ.sqlNativeFns _),
+    // Round 7: embedding-pipeline prep + layout/runtime-pruning operators
+    "t_chunk"           -> ((s, d) => graft.functions.TextOps.chunkDf(s, d)),
+    "s_quantize_int8"   -> (graft.operators.SimilarityOps.quantizeInt8 _),
+    "j_bloom_semi"      -> (graft.operators.JoinOps.bloomSemiQuery _),
+    "x_zorder_layout"   -> (graft.operators.LayoutOps.zorderLayout _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -251,5 +256,9 @@ object SparkEntry {
     "m_frame_sample"    -> MultimodalOps.frameSampleSql,
     "m_decode"          -> MultimodalOps.decodeSql,
     "sql_native_fns"    -> PQ.sqlNativeFnsSql,
+    "t_chunk"           -> graft.functions.TextOps.chunkSql(),
+    "s_quantize_int8"   -> graft.operators.SimilarityOps.quantizeInt8Sql,
+    "j_bloom_semi"      -> graft.operators.JoinOps.bloomSemiSql,
+    "x_zorder_layout"   -> graft.operators.LayoutOps.zorderLayoutSql,
   )
 }

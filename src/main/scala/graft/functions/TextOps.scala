@@ -152,6 +152,38 @@ object TextOps {
       |FROM documents d LEFT JOIN wagg USING (doc_id) LEFT JOIN bagg USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Document chunking for embedding pipelines: fixed token windows
+    * (`chunkTokens` wide) advancing by `stride` (< chunkTokens ⇒ overlap),
+    * one row per (doc, chunk) with a stable content hash. This is the shape
+    * every RAG / embedding-training prep runs before the encoder; at 100 TB
+    * it is a pure per-row explode — no shuffle, chunk count bounded by
+    * ceil(n_tokens / stride), and the source text column is dropped before
+    * anything wide happens downstream.
+    */
+  def chunkDf(s: SparkSession, d: String,
+      chunkTokens: Int = 64, stride: Int = 48): DataFrame =
+    docsSorted(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(stride))).as("start"))
+      .select(
+        col("doc_id"),
+        (col("start") / stride).cast("int").as("chunk_idx"),
+        least(col("n") - col("start"), lit(chunkTokens)).as("chunk_tokens"),
+        md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(chunkTokens))))
+          .as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  def chunkSql(chunkTokens: Int = 64, stride: Int = 48): String =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       |c AS (SELECT doc_id, toks, len(toks) AS n,
+       |        unnest(generate_series(0, len(toks) - 1, $stride)) AS start
+       |      FROM t)
+       |SELECT doc_id, CAST(start // $stride AS INTEGER) AS chunk_idx,
+       |  CAST(least(n - start, $chunkTokens) AS INTEGER) AS chunk_tokens,
+       |  md5(array_to_string(toks[start + 1 : start + $chunkTokens], ' ')) AS chunk_hash
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Document fingerprinting: md5 of whitespace-normalized text (exact-dup
     * key) + min-shingle hash (a 1-perm MinHash, the winnowing-style content
     * fingerprint — stable under local edits).

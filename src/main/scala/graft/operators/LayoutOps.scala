@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Data-layout operators: z-order (Morton) interleaving of two bounded
+  * dimensions into one sort key. Writing 100 TB clustered by z-key gives
+  * every file a small HYPER-RECTANGLE of the (x, y) space, so parquet
+  * min/max footer stats prune scans on EITHER dimension — the multi-column
+  * generalization of partition-by-date, without exploding directory counts.
+  * The interleave is the closed-form bit-spread (shift/mask magic; public
+  * Morton-code folklore, same constants as every Delta/Hudi/graphics
+  * implementation) — pure codegen'd integer ops, no UDF.
+  */
+object LayoutOps {
+
+  /** Spread the low 16 bits of `v` so bit i lands at position 2i:
+    * 0b1111 → 0b01010101. Input must be non-negative and < 2^16.
+    */
+  def spreadBits16(v: Column): Column = {
+    val s1 = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+    s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Morton key of two 16-bit dimensions: x on even bits, y on odd. */
+  def zkey(x: Column, y: Column): Column =
+    spreadBits16(x).bitwiseOR(shiftleft(spreadBits16(y), 1))
+
+  /** Layout demonstration over `events`: dimensions x = user_id mod 1024,
+    * y = value in cents mod 1024 (exact via the DECIMAL(18,2) rounding both
+    * engines share); rows are tiled into "files" of 1024 consecutive
+    * z-cells (a 32×32 tile each). The per-file min/max of BOTH dimensions —
+    * exactly what parquet footers would store — stay within the 32-wide
+    * tile, which is the pruning guarantee the oracle pins.
+    */
+  def zorderLayout(s: SparkSession, d: String): DataFrame = {
+    val x = col("user_id") % 1024
+    val y = (col("value").cast(DecimalType(18, 2)) * 100).cast("long") % 1024
+    Tables.events(s, d)
+      .select(x.as("x"), y.as("y"))
+      .withColumn("zkey", zkey(col("x"), col("y")))
+      .withColumn("file_bucket", shiftrightunsigned(col("zkey"), 10))
+      .groupBy("file_bucket")
+      .agg(
+        count(lit(1)).as("n"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+      .orderBy("file_bucket")
+  }
+  val zorderLayoutSql: String =
+    """WITH b AS (
+      |  SELECT user_id % 1024 AS x,
+      |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 1024 AS y
+      |  FROM events),
+      |s1 AS (SELECT x, y,
+      |         (x | (x << 8)) & 16711935 AS xs1, (y | (y << 8)) & 16711935 AS ys1 FROM b),
+      |s2 AS (SELECT x, y,
+      |         (xs1 | (xs1 << 4)) & 252645135 AS xs2, (ys1 | (ys1 << 4)) & 252645135 AS ys2 FROM s1),
+      |s3 AS (SELECT x, y,
+      |         (xs2 | (xs2 << 2)) & 858993459 AS xs3, (ys2 | (ys2 << 2)) & 858993459 AS ys3 FROM s2),
+      |s4 AS (SELECT x, y,
+      |         (xs3 | (xs3 << 1)) & 1431655765 AS xs4, (ys3 | (ys3 << 1)) & 1431655765 AS ys4 FROM s3),
+      |z AS (SELECT x, y, (xs4 | (ys4 << 1)) AS zkey FROM s4)
+      |SELECT zkey >> 10 AS file_bucket, CAST(count(*) AS BIGINT) AS n,
+      |       min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+      |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+}

@@ -405,4 +405,44 @@ object SimilarityOps {
        |SELECT f.cid, f.n, cs.c_sum
        |FROM (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM a2 GROUP BY 1) f
        |JOIN cs USING (cid) ORDER BY cid""".stripMargin
+
+  /** Symmetric int8 scalar quantization of the embedding column — the
+    * standard 4× compression before ANN index build (FAISS SQ8 shape).
+    * Per-vector scale = max|x| / 127; each component is rounded
+    * half-away-from-zero via the explicit `floor(x/scale + 0.5)` form, so
+    * both engines run the identical IEEE op sequence (float→double widening
+    * is exact, division and floor are correctly rounded — no rounding-mode
+    * ambiguity). A zero vector quantizes to zeros with scale 0.
+    *
+    * 100 TB design: pure per-row projection (no shuffle); emits the int8
+    * codes plus an exact integer L1 checksum so the oracle gate pins every
+    * component without comparing float-formatted arrays.
+    */
+  def quantizeInt8(s: SparkSession, d: String): DataFrame = {
+    val dv = transform(col("embedding"), x => x.cast("double"))
+    Tables.fanOut(Tables.embeddings(s, d))
+      .select(col("vec_id"), dv.as("dv"))
+      .withColumn("scale", array_max(transform(col("dv"), x => abs(x))) / lit(127.0))
+      .select(
+        col("vec_id"), col("scale"),
+        when(col("scale") === 0.0, transform(col("dv"), _ => lit(0)))
+          .otherwise(transform(col("dv"),
+            x => floor(x / col("scale") + lit(0.5)).cast("int"))).as("q"))
+      .withColumn("q_l1",
+        aggregate(col("q"), lit(0L), (acc, x) => acc + abs(x).cast("long")))
+      .orderBy("vec_id")
+  }
+  val quantizeInt8Sql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+      |           FROM embeddings),
+      |m AS (SELECT vec_id, dv,
+      |        list_max(list_transform(dv, x -> abs(x))) / 127.0 AS scale FROM e),
+      |qq AS (SELECT vec_id, scale,
+      |         CASE WHEN scale = 0 THEN list_transform(dv, x -> 0)
+      |              ELSE list_transform(dv, x -> CAST(floor(x / scale + 0.5) AS INTEGER))
+      |         END AS q
+      |       FROM m)
+      |SELECT vec_id, scale, q,
+      |  CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1
+      |FROM qq ORDER BY vec_id""".stripMargin
 }

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.operators.{JoinOps, LayoutOps, SimilarityOps}
+
+/** Round-7 operator surface: document chunking, int8 embedding
+  * quantization, Bloom-pruned semi-join, z-order layout keys.
+  */
+class Round7OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunking tiles every document: stride starts, bounded sizes, stable hashes") {
+    val chunks = TextOps.chunkDf(spark, sf0001, chunkTokens = 64, stride = 48).collect()
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(chunks.nonEmpty)
+    val byDoc = chunks.groupBy(_.getLong(0))
+    assert(byDoc.keySet == docs.keySet) // every doc chunked, none invented
+    for ((id, cs) <- byDoc) {
+      val n = docs(id).length
+      val sorted = cs.sortBy(_.getInt(1))
+      // chunk indexes are 0..k-1 with starts 0, 48, 96, ... covering n tokens
+      assert(sorted.map(_.getInt(1)).toSeq == sorted.indices.toSeq)
+      assert(sorted.size == (n - 1) / 48 + 1) // starts at 0, 48, ... <= n-1
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val start = i * 48
+        val expectLen = math.min(64, n - start)
+        assert(r.getInt(2) == expectLen, s"doc $id chunk $i")
+        val slice = docs(id).slice(start, start + 64).mkString(" ")
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(slice.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(r.getString(3) == md, s"doc $id chunk $i hash")
+      }
+    }
+  }
+
+  test("int8 quantization: codes in range, dequant error <= scale/2, zero-safe") {
+    val rows = SimilarityOps.quantizeInt8(spark, sf0001).collect()
+    assert(rows.length == 500)
+    val orig = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect().toMap
+    rows.foreach { r =>
+      val (id, scale, q) = (r.getLong(0), r.getDouble(1), r.getSeq[Int](2))
+      val v = orig(id).map(_.toDouble)
+      assert(q.length == v.length)
+      assert(q.forall(c => c >= -127 && c <= 127), s"vec $id code range")
+      if (scale == 0.0) assert(q.forall(_ == 0))
+      else v.zip(q).foreach { case (x, c) =>
+        assert(math.abs(c * scale - x) <= scale / 2 + 1e-12, s"vec $id")
+      }
+      assert(r.getLong(3) == q.map(c => math.abs(c).toLong).sum)
+    }
+  }
+
+  test("bloom-pruned semi-join == plain semi-join; bloom filter sits below the join") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+    val urgent = Tables.load(spark, sf0001, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val pruned = JoinOps.bloomPrunedSemiJoin(li, "l_orderkey", urgent, "o_orderkey")
+    val plain = li.join(urgent.select(col("o_orderkey").as("l_orderkey")),
+      Seq("l_orderkey"), "left_semi")
+    assert(pruned.count() == plain.count())
+    assert(pruned.select(sum("l_orderkey")).head().getLong(0) ==
+      plain.select(sum("l_orderkey")).head().getLong(0))
+    // the Bloom predicate must be a pre-join Filter on the probe side
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+    val filterIdx = plan.indexOf("might_contain")
+    val joinIdx = plan.indexOf("LeftSemi")
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      "bloom filter should appear below (after, in tree print) the semi-join")
+  }
+
+  test("bloom-pruned semi-join with an empty build side is empty, not an error") {
+    val li = Tables.load(spark, sf0001, "lineitem")
+    val none = Tables.load(spark, sf0001, "orders")
+      .filter(col("o_orderpriority") === "no-such-priority").select("o_orderkey")
+    assert(JoinOps.bloomPrunedSemiJoin(li, "l_orderkey", none, "o_orderkey").count() == 0)
+  }
+
+  test("z-order: spread-bits closed form, key bijective on a 32x32 grid, tiles local") {
+    // spread(0xFFFF) = 0x55555555; spread(0) = 0
+    val sp = Seq(0L, 0xFFFFL, 1L, 2L, 0x00FFL).toDF("v")
+      .select(LayoutOps.spreadBits16(col("v")).as("s")).as[Long].collect()
+    assert(sp.toSeq == Seq(0L, 0x55555555L, 1L, 4L, 0x5555L))
+    // bijective on the grid: 1024 distinct keys for 1024 distinct (x, y)
+    val grid = (for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val keys = grid.select(LayoutOps.zkey(col("x"), col("y")).as("z"))
+    assert(keys.distinct().count() == 1024)
+    assert(keys.agg(max("z")).head().getLong(0) == 1023) // 32x32 fills 0..1023
+    // layout query: every "file" tile spans <= 32 values in EACH dimension
+    val stats = graft.operators.LayoutOps.zorderLayout(spark, sf0001).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) <= 31, s"x span in bucket ${r.getLong(0)}")
+      assert(r.getLong(5) - r.getLong(4) <= 31, s"y span in bucket ${r.getLong(0)}")
+    }
+  }
+}
