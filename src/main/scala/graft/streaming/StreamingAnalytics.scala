@@ -93,9 +93,13 @@ object StreamingAnalytics {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .csv(s"$dataRoot/*/")
-      .withColumn("filename", element_at(split(input_file_name(), "/"), -1))
+      // filename from the tail of the path, file_date from the date DIRECTORY
+      // (the layout contract): two substring_index calls per row instead of a
+      // regexp + array split — this projection runs once per ingested row, so
+      // it is the hottest scalar code in the engine
+      .withColumn("filename", substring_index(input_file_name(), "/", -1))
       .withColumn("file_date",
-        to_date(regexp_extract(col("filename"), "(\\d{4}-\\d{2}-\\d{2})", 1)))
+        to_date(substring_index(substring_index(input_file_name(), "/", -2), "/", 1)))
     ticks.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
       .writeStream
       .option("checkpointLocation", checkpointDir)
