@@ -21,11 +21,7 @@ object Bench {
     // re-bench by hand; the median rejects those. Warmup below removes the
     // cold-start skew.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt.max(1)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val spark = Sessions.localBuilder(cpus)
       // AQE on by default (the cluster-correct setting: runtime join
       // selection, skew splits, partition coalescing); SPARK_GRAFT_AQE=false
       // measures the low-latency local profile without per-stage replanning
@@ -35,7 +31,6 @@ object Bench {
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.catalyst.GraftExtensions.register(spark)
@@ -75,8 +70,10 @@ object Bench {
         }.sorted
         if (ok.isEmpty) {
           failed(name) = Option(lastErr).map(t =>
+            // strip quote/backslash and EVERY control char — one raw \b or
+            // ANSI escape in a Spark message would corrupt the JSON artifact
             (t.getClass.getSimpleName + ": " + Option(t.getMessage).getOrElse(""))
-              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)).getOrElse("unknown")
+              .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(160)).getOrElse("unknown")
           name -> -1.0
         } else name -> ok(ok.length / 2)
       }

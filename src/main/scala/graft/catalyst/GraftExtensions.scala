@@ -50,16 +50,25 @@ object GraftExtensions {
   // unhelpful internal error and a NULL literal NPEs — both must instead be
   // an analysis error naming the function and position.
   private def foldableInt(name: String, pos: Int, e: Expression): Int = {
-    val value = if (e.foldable) e.eval() else null
-    value match {
+    if (!e.foldable) {
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "NON_FOLDABLE_ARGUMENT",
+        messageParameters = Map(
+          "funcName" -> name,
+          "paramName" -> s"argument ${pos + 1}",
+          "paramType" -> "an integer literal"))
+    }
+    e.eval() match {
       case n: Number => n.intValue()
       case _ =>
+        // foldable but NULL (or a non-numeric literal): a different diagnosis
+        // than non-foldable — NON_FOLDABLE_ARGUMENT's template would tell the
+        // user to pass the literal they already passed
         throw new org.apache.spark.sql.AnalysisException(
-          errorClass = "NON_FOLDABLE_ARGUMENT",
+          errorClass = "INVALID_PARAMETER_VALUE.NULL",
           messageParameters = Map(
-            "funcName" -> name,
-            "paramName" -> s"argument ${pos + 1}",
-            "paramType" -> "a non-null integer literal"))
+            "parameter" -> s"argument ${pos + 1}",
+            "functionName" -> name))
     }
   }
 

@@ -163,6 +163,10 @@ object TextOps {
   def chunkDf(s: SparkSession, d: String,
       chunkTokens: Int = 64, stride: Int = 48): DataFrame =
     docsSorted(s, d)
+      // a NULL text chunks to NOTHING (matches the oracle, where the
+      // generate_series over a NULL length unnests to zero rows — Spark's
+      // size(null) = -1 would otherwise fabricate one junk chunk)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
       .select(col("doc_id"), col("toks"), col("n"),
@@ -173,7 +177,11 @@ object TextOps {
         least(col("n") - col("start"), lit(chunkTokens)).as("chunk_tokens"),
         md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(chunkTokens))))
           .as("chunk_hash"))
-      .orderBy("doc_id", "chunk_idx")
+      // NO trailing orderBy: docsSorted already emits doc order and the
+      // explode preserves it — a re-sort here would double-evaluate the
+      // md5/explode projection through the range partitioner's sampling
+      // pass (see the docsSorted scaladoc) for an ordering the rows
+      // already have
   def chunkSql(chunkTokens: Int = 64, stride: Int = 48): String =
     s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
        |c AS (SELECT doc_id, toks, len(toks) AS n,

@@ -46,15 +46,19 @@ object DedupPipeline {
       case _                                             => false
     })
     if (integralIds) {
-      // Probe with ONE job: pull at most threshold+1 edges. Near-dup edge
-      // sets are tiny relative to the corpus, so the common path executes
-      // the (often expensive — shingling, LSH) pair plan exactly once, with
-      // no checkpoint materialization and nothing left cached. Only an
-      // over-threshold edge set pays a second execution below.
+      // Probe with ONE job: pull at most cap+1 edges. Near-dup edge sets
+      // are tiny relative to the corpus, so the common path executes the
+      // (often expensive — shingling, LSH) pair plan exactly once, with no
+      // checkpoint materialization and nothing left cached. Only an
+      // over-cap edge set pays a second execution below. The cap clamps
+      // Long thresholds to what a driver collect can hold — a threshold
+      // beyond Int range routes to the distributed loop instead of
+      // silently clustering a truncated edge sample.
       import spark.implicits._
+      val cap = math.min(localThreshold, (Int.MaxValue - 1).toLong).toInt
       val probe = sel.select(col("a_id").cast("long"), col("b_id").cast("long"))
-        .limit(localThreshold.toInt + 1).as[(Long, Long)].collect()
-      if (probe.length <= localThreshold) return localClusters(spark, probe)
+        .limit(cap + 1).as[(Long, Long)].collect()
+      if (probe.length <= cap) return localClusters(spark, probe)
     }
     // materialize the pair source ONCE for the iterative path: the
     // undirected-edge union embeds the pair plan twice, and the cache

@@ -408,11 +408,13 @@ object SimilarityOps {
 
   /** Symmetric int8 scalar quantization of the embedding column — the
     * standard 4× compression before ANN index build (FAISS SQ8 shape).
-    * Per-vector scale = max|x| / 127; each component is rounded
-    * half-away-from-zero via the explicit `floor(x/scale + 0.5)` form, so
-    * both engines run the identical IEEE op sequence (float→double widening
-    * is exact, division and floor are correctly rounded — no rounding-mode
-    * ambiguity). A zero vector quantizes to zeros with scale 0.
+    * Per-vector scale = max|x| / 127; each component is rounded HALF-UP
+    * (toward +∞: −2.5 → −2) via the explicit `floor(x/scale + 0.5)` form,
+    * so both engines run the identical IEEE op sequence (float→double
+    * widening is exact, division and floor are correctly rounded — no
+    * rounding-mode ambiguity). Note this differs from half-away-from-zero
+    * references on exactly-half NEGATIVE components, by design: the
+    * explicit form is what both engines reproduce bit-identically. A zero vector quantizes to zeros with scale 0.
     *
     * 100 TB design: pure per-row projection (no shuffle); emits the int8
     * codes plus an exact integer L1 checksum so the oracle gate pins every

@@ -149,8 +149,13 @@ object TimeSeriesOps {
     * oracle holds because each derived double (cents/100, cents²-sum/10⁴)
     * is the correctly-rounded double of the same exact rational the
     * decimal-string path parses, and all downstream float ops are
-    * identical. Overflow headroom: |cents| ≤ 2^31 keeps a 20-row Σcents²
-    * below 2^53 (exact in double); events values are ≤ 10⁶ by contract.
+    * identical. That argument needs every intermediate EXACT: the binding
+    * constraint is the 20-row Σcents² staying under 2^53 (so its long→
+    * double cast is lossless and the /10⁴ is the ONLY rounding, exactly
+    * like the oracle's single decimal→double conversion), which requires
+    * |cents| ≤ √(2^53/20) ≈ 2.12e7 — i.e. |value| ≤ ~$212k, comfortable
+    * for per-event ticker magnitudes. The guard below turns a violation
+    * into a loud error instead of a silent 1-ulp oracle divergence.
     * One shuffle on user_id; all three indicators share the window sort.
     */
   def indicators(s: SparkSession, d: String): DataFrame = {
@@ -160,8 +165,14 @@ object TimeSeriesOps {
       .rowsBetween(-13, 0)
     val lagW = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     // HALF_UP to 2 decimals exactly like CAST(value AS DECIMAL(18,2)),
-    // then exact integer cents
-    val cents = (col("value").cast(DecimalType(18, 2)) * lit(100)).cast("long")
+    // then exact integer cents; one comparison per row enforces the
+    // exactness precondition above
+    val MaxCents = 21000000L
+    val rounded = (col("value").cast(DecimalType(18, 2)) * lit(100)).cast("long")
+    val cents = when(abs(rounded) <= MaxCents, rounded)
+      .otherwise(raise_error(concat(
+        lit(s"indicators: |value| exceeds the exact-arithmetic bound ($MaxCents cents): "),
+        col("value").cast("string"))))
     Tables.events(s, d)
       .withColumn("c", cents)
       .withColumn("delta", col("c") - lag(col("c"), 1).over(lagW))

@@ -19,13 +19,9 @@ object StreamIngestBench {
     val totalRows = args.headOption.map(_.toInt).getOrElse(4_000_000)
     val nFiles = args.lift(1).map(_.toInt).getOrElse(32)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
+    val spark = graft.Sessions.localBuilder(cpus)
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.files.openCostInBytes", "1m")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -38,8 +34,8 @@ object StreamIngestBench {
     // (this bench failed its row-count assert exactly that way before the
     // rename). Same contract as the reference's upload protocol and our
     // ingest staging: only complete files may become visible.
-    def writeWave(wave: Int): Unit = {
-      val staged = (0 until nFiles).map { f =>
+    def stageWave(wave: Int): Seq[(java.nio.file.Path, java.nio.file.Path)] =
+      (0 until nFiles).map { f =>
         val date = day.plusDays(f % 4)
         new java.io.File(s"$root/$date").mkdirs()
         val tmp = java.nio.file.Files.createTempFile("stream-stage", ".csv")
@@ -56,11 +52,12 @@ object StreamIngestBench {
         w.close()
         tmp -> java.nio.file.Paths.get(s"$root/$date/TCK$f-USDT_W${wave}_PST_$date")
       }
-      // all generation done; the renames land near-simultaneously
+    // all generation done before any rename; the renames land near-simultaneously
+    def publish(staged: Seq[(java.nio.file.Path, java.nio.file.Path)]): Unit =
       staged.foreach { case (tmp, dst) =>
         java.nio.file.Files.move(tmp, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
-    }
+    def writeWave(wave: Int): Unit = publish(stageWave(wave))
 
     val wh = java.nio.file.Files.createTempDirectory("stream-wh").toString
     val ck = java.nio.file.Files.createTempDirectory("stream-ck").toString
@@ -76,21 +73,26 @@ object StreamIngestBench {
     try {
       q.processAllAvailable()
       val coldSec = (System.nanoTime() - t0) / 1e9
-      writeWave(2)
-      println(s"[stream-bench] wrote wave 2: $nFiles files x $rowsPerFile rows")
+      val staged2 = stageWave(2)
+      println(s"[stream-bench] staged wave 2: $nFiles files x $rowsPerFile rows")
+      // the timer starts BEFORE the renames: the running Trigger(0) stream
+      // may begin processing as soon as the first file becomes visible, so
+      // starting the clock after publish() would undercount the work
       val t1 = System.nanoTime()
+      publish(staged2)
       q.processAllAvailable()
       val warmSec = (System.nanoTime() - t1) / 1e9
       q.recentProgress.foreach { p =>
         println(s"[stream-bench] batch ${p.batchId}: rows=${p.numInputRows} " +
           s"durations=${p.durationMs}")
       }
+      val waveRows = nFiles.toLong * rowsPerFile // actual rows, not the CLI ask
       val rows = spark.read.parquet(wh).count()
-      assert(rows == 2L * nFiles * rowsPerFile, s"row loss: $rows")
-      val coldRps = (totalRows / coldSec).toLong
-      val warmRps = (totalRows / warmSec).toLong
-      println(f"[stream-bench] cold (startup incl.): $totalRows%d rows in $coldSec%.2f s = $coldRps%d rows/sec; " +
-        f"steady-state: $totalRows%d rows in $warmSec%.2f s = $warmRps%d rows/sec " +
+      assert(rows == 2L * waveRows, s"row loss: $rows != ${2L * waveRows}")
+      val coldRps = (waveRows / coldSec).toLong
+      val warmRps = (waveRows / warmSec).toLong
+      println(f"[stream-bench] cold (startup incl.): $waveRows%d rows in $coldSec%.2f s = $coldRps%d rows/sec; " +
+        f"steady-state: $waveRows%d rows in $warmSec%.2f s = $warmRps%d rows/sec " +
         "(reference baseline: 300k-500k rows/sec to remote ClickHouse)")
       println(s"""{"metric":"stream_ingest_rows_per_sec","value":$warmRps,"unit":"rows/sec","cold":$coldRps,"rows":$rows,"cold_sec":$coldSec,"warm_sec":$warmSec}""")
     } finally q.stop()
