@@ -155,6 +155,8 @@ object SparkEntry {
     "s_quantize_int8"   -> (graft.operators.SimilarityOps.quantizeInt8 _),
     "j_bloom_semi"      -> (graft.operators.JoinOps.bloomSemiQuery _),
     "x_zorder_layout"   -> (graft.operators.LayoutOps.zorderLayout _),
+    "t_normalize"       -> (graft.functions.TextOps.normalizeDf _),
+    "ts_scd2"           -> (TimeSeriesOps.scd2History _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -260,5 +262,7 @@ object SparkEntry {
     "s_quantize_int8"   -> graft.operators.SimilarityOps.quantizeInt8Sql,
     "j_bloom_semi"      -> graft.operators.JoinOps.bloomSemiSql,
     "x_zorder_layout"   -> graft.operators.LayoutOps.zorderLayoutSql,
+    "t_normalize"       -> graft.functions.TextOps.normalizeSql,
+    "ts_scd2"           -> TimeSeriesOps.scd2HistorySql,
   )
 }

@@ -94,6 +94,9 @@ object GraftExtensions {
     ("dot",
       info("dot", "dot(a, b) - double dot product of two float arrays"),
       arity("dot", 2)(es => DotProduct(es.head, es(1)))),
+    ("nfc_normalize",
+      info("nfc_normalize", "nfc_normalize(str) - Unicode NFC normalization"),
+      arity("nfc_normalize", 1)(es => NfcNormalize(es.head))),
   )
 
   /** Runtime registration on an existing session. */

@@ -336,6 +336,22 @@ object HashUtil {
     }
     acc
   }
+
+  /** NFC-normalize a UTF8String. Pure-ASCII input (every byte < 0x80) IS
+    * already NFC — returned untouched, no String materialization.
+    */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < bytes.length) { if (bytes(i) < 0) ascii = false; i += 1 }
+    if (ascii) s
+    else {
+      val str = s.toString
+      val norm = java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC)
+      if (norm.equals(str)) s else UTF8String.fromString(norm)
+    }
+  }
 }
 
 /** Native 32-bit SimHash over an array<string> token column. One projection
@@ -463,6 +479,8 @@ object HashFunctions {
     GraftColumnBridge.column(RepetitionStats(GraftColumnBridge.expression(c)))
   def shingle_hashes3(c: Column): Column =
     GraftColumnBridge.column(ShingleHashes3(GraftColumnBridge.expression(c)))
+  def nfc_normalize(c: Column): Column =
+    GraftColumnBridge.column(NfcNormalize(GraftColumnBridge.expression(c)))
 }
 
 /** Native positional-equality count over two array<string> columns — the
@@ -545,5 +563,25 @@ case class PairCombos(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.catalyst.HashUtil.pairCombos($c)")
   override protected def withNewChildInternal(newChild: Expression): PairCombos =
+    copy(child = newChild)
+}
+
+/** Unicode NFC normalization — Spark has no built-in; DuckDB's
+  * `nfc_normalize` is the oracle twin. Codegen'd with an ASCII fast path
+  * (ASCII is NFC by definition — the common web-corpus case returns the
+  * input UTF8String untouched, no JVM String round-trip).
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize requires string, got ${t.sql}")
+  }
+  override def nullSafeEval(s: Any): Any =
+    HashUtil.nfcNormalize(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.catalyst.HashUtil.nfcNormalize($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
 }

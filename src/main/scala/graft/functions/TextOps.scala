@@ -192,6 +192,31 @@ object TextOps {
        |  md5(array_to_string(toks[start + 1 : start + $chunkTokens], ' ')) AS chunk_hash
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Text normalization — the first stage of every web-corpus pipeline:
+    * Unicode NFC (native [[graft.catalyst.NfcNormalize]] expression with an
+    * ASCII fast path; Spark has no built-in, DuckDB's `nfc_normalize` is
+    * the oracle twin), control characters to spaces, whitespace collapsed,
+    * trimmed. Pure per-row projection, fully codegen'd — linear to 100 TB.
+    * The control-char class is spelled as explicit hex ranges because Java
+    * regex and RE2 disagree on the \\p{Cntrl} shorthand.
+    */
+  def normalizeDf(s: SparkSession, d: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(graft.catalyst.HashFunctions.nfc_normalize(col("text")),
+        "[\\x00-\\x1F\\x7F]", " "),
+      "\\s+", " "))
+    docsSorted(s, d)
+      .select(col("doc_id"), norm.as("norm_text"))
+      .withColumn("n_chars_norm", length(col("norm_text")))
+  }
+  val normalizeSql: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(nfc_normalize(text),
+      |    '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text,
+      |  length(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+      |    '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g'))) AS n_chars_norm
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Document fingerprinting: md5 of whitespace-normalized text (exact-dup
     * key) + min-shingle hash (a 1-perm MinHash, the winnowing-style content
     * fingerprint — stable under local edits).

@@ -265,6 +265,53 @@ object TimeSeriesOps {
        |FROM numbered GROUP BY user_id, session_seq
        |ORDER BY user_id, session_seq""".stripMargin
 
+  /** SCD2 (slowly-changing-dimension type 2) history build from an event
+    * stream — the warehouse-side CDC shape: consecutive events with the
+    * same tracked attribute collapse into one versioned interval row
+    * `[valid_from, valid_to)` with `is_current` on the open interval. Plan:
+    * change flags via lag, run ids via running sum (one shuffle on the
+    * entity key, both windows share the sort), partial-aggregable run
+    * collapse, then a second tiny window over one row per run. At 100 TB
+    * the run-collapse groupBy is the only wide op over full data.
+    */
+  def scd2History(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byVer = Window.partitionBy("user_id").orderBy("version")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("_prev", lag(col("event_type"), 1).over(w))
+      .withColumn("_chg",
+        when(col("_prev").isNull || col("_prev") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("_chg")).over(run))
+      .groupBy(col("user_id"), col("version"))
+      .agg(
+        min(col("event_type")).as("event_type"), // constant within a run
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byVer))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("user_id", "version")
+  }
+  val scd2HistorySql: String =
+    """WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      |l AS (SELECT user_id, event_id, ts, event_type,
+      |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM ev),
+      |m AS (SELECT user_id, event_id, ts, event_type,
+      |        CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END AS chg FROM l),
+      |r AS (SELECT user_id, ts, event_type,
+      |        CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version FROM m),
+      |g AS (SELECT user_id, version, min(event_type) AS event_type,
+      |        min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+      |      FROM r GROUP BY 1, 2)
+      |SELECT user_id, version, event_type, valid_from,
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL AS is_current,
+      |  n_events
+      |FROM g ORDER BY user_id, version""".stripMargin
+
   /** Range (interval) join: purchases matched to the same user's clicks in
     * the following hour. Plans as an equi-join on user_id with the time
     * range as a post-join filter — the right shape when the equi-key is

@@ -80,6 +80,67 @@ class Round7OpsSpec extends SparkSpec {
     assert(JoinOps.bloomPrunedSemiJoin(li, "l_orderkey", none, "o_orderkey").count() == 0)
   }
 
+  test("nfc_normalize: composes decomposed sequences, ASCII untouched, SQL-reachable") {
+    graft.catalyst.GraftExtensions.register(spark)
+    import graft.catalyst.HashFunctions
+    val df = Seq(
+      "éclair",          // decomposed e + COMBINING ACUTE -> é
+      "éclair",           // precomposed — already NFC
+      "plain ascii",
+      "Å",               // A + COMBINING RING -> Å
+      "").toDF("s").select(HashFunctions.nfc_normalize(col("s")).as("n"))
+    val got = df.as[String].collect().toSeq
+    assert(got == Seq("éclair", "éclair", "plain ascii", "Å", ""))
+    // null propagates, SQL text path agrees
+    assert(Seq(Option.empty[String]).toDF("s")
+      .select(HashFunctions.nfc_normalize(col("s"))).head().isNullAt(0))
+    Seq("é").toDF("s").createOrReplaceTempView("nfc_docs")
+    assert(spark.sql("SELECT nfc_normalize(s) FROM nfc_docs").head().getString(0) == "é")
+    // wrong input type is an analysis error naming the function
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1).toDF("x").select(HashFunctions.nfc_normalize(col("x"))).collect()
+    }
+    assert(e.getMessage.contains("nfc_normalize"), e.getMessage)
+  }
+
+  test("scd2 history: runs collapse, intervals tile, open interval is current") {
+    import graft.operators.TimeSeriesOps
+    val rows = TimeSeriesOps.scd2History(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getLong(0))
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)].collect()
+      .groupBy(_._1).map { case (u, es) =>
+        u -> es.sortBy(e => (e._2.getTime, e._3)).map(_._4).toSeq
+      }
+    for ((u, history) <- byUser) {
+      val sorted = history.sortBy(_.getLong(1))
+      // versions are 1..k
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq, s"user $u")
+      // consecutive rows never share a type (otherwise they were one run)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getString(2) != b.getString(2), s"user $u")
+        case _ =>
+      }
+      // schema: user_id(0), version(1), event_type(2), valid_from(3),
+      // n_events(4), valid_to(5), is_current(6)
+      // intervals tile: valid_to == next valid_from; only the last is open/current
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getTimestamp(5) == b.getTimestamp(3), s"user $u tiling")
+        case _ =>
+      }
+      assert(sorted.init.forall(!_.getBoolean(6)) && sorted.last.getBoolean(6))
+      // run-length encoding of the raw type sequence matches (type, count) runs
+      val rle = ev(u).foldLeft(List.empty[(String, Long)]) {
+        case ((t, c) :: rest, x) if t == x => (t, c + 1) :: rest
+        case (acc, x) => (x, 1L) :: acc
+      }.reverse
+      assert(sorted.map(r => (r.getString(2), r.getLong(4))).toSeq == rle, s"user $u rle")
+    }
+  }
+
   test("z-order: spread-bits closed form, key bijective on a 32x32 grid, tiles local") {
     // spread(0xFFFF) = 0x55555555; spread(0) = 0
     val sp = Seq(0L, 0xFFFFL, 1L, 2L, 0x00FFL).toDF("v")
