@@ -144,12 +144,17 @@ object DedupPipeline {
     * every unpaired doc. `pairs` is any near-dup pair source (Jaccard,
     * MinHash-LSH, SimHash, cosine).
     */
-  def removeNearDups(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val cl = clusters(pairs)
+  def removeNearDups(docs: DataFrame, pairs: DataFrame): DataFrame =
+    removeByClusters(docs, clusters(pairs))
+
+  /** [[removeNearDups]] over an already-computed `(doc_id, cluster_id)`
+    * mapping — lets a caller that also needs the clusters themselves (e.g.
+    * [[prepare]]'s report) run the expensive pair plan exactly once.
+    */
+  def removeByClusters(docs: DataFrame, cl: DataFrame): DataFrame =
     docs.join(cl, Seq("doc_id"), "left")
       .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
       .drop("cluster_id")
-  }
 
   /** The composed training-data pipeline over `documents`:
     * exact dedup → n-gram near-dup removal → quality filter → report.
@@ -169,9 +174,11 @@ object DedupPipeline {
     val afterExact = exactDeduped.count()
 
     // 2. near-dup removal via Jaccard pairs → clusters → canonical keeper
+    // (clusters computed ONCE — the pair plan is the expensive part)
     val pairs = DedupOps.ngramJaccardPairs(s, d, jaccardThreshold)
-    val nClusters = clusters(pairs).select("cluster_id").distinct().count()
-    val nearDeduped = removeNearDups(exactDeduped, pairs)
+    val cl = clusters(pairs)
+    val nClusters = cl.select("cluster_id").distinct().count()
+    val nearDeduped = removeByClusters(exactDeduped, cl)
     val afterNearDup = nearDeduped.count()
 
     // 3. quality filter (per-row projections, no shuffle)

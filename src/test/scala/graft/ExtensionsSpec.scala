@@ -116,7 +116,7 @@ class ExtensionsSpec extends SparkSpec {
     // verify the SparkSessionExtensions path composes (builder-level config)
     val ext = new GraftExtensions
     val e = new org.apache.spark.sql.SparkSessionExtensions
-    ext(e) // no-throw: all three functions + the optimizer rule inject
+    ext(e) // no-throw: every registered function + the optimizer rule inject
   }
 
   test("HoistExpensiveProjectAboveSort moves md5 projection above a global sort, results unchanged") {

@@ -292,4 +292,32 @@ class PlanQualitySpec extends SparkSpec {
       assert(joined.collect().nonEmpty)
     } finally spark.conf.set(thresholdKey, old)
   }
+
+  test("scd2: one hash exchange serves both windows AND the run collapse") {
+    val p = physicalPlan(graft.operators.TimeSeriesOps.scd2History(spark, sf0001))
+    // hash(user_id) is established once; the lag/sum windows, the
+    // (user_id, version) aggregation and the lead window all reuse it —
+    // a second hash exchange would mean the run collapse re-shuffled
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1, p)
+    // partial aggregation below the (already partitioned) final agg
+    assert(p.contains("partial_min"), p)
+  }
+
+  test("chunking and normalization stay map-side above the doc sort") {
+    // the explode/md5 (chunk) and regexp/NFC (normalize) projections must
+    // sit ABOVE the range sort — below it the range partitioner's sampling
+    // pass would evaluate them twice — and add no exchange of their own
+    for (df <- Seq(graft.functions.TextOps.chunkDf(spark, sf0001),
+        graft.functions.TextOps.normalizeDf(spark, sf0001))) {
+      val p = physicalPlan(df)
+      val exchanges = "Exchange ".r.findAllIn(p).length
+      assert(exchanges == 2, p) // fanOut round-robin + the doc_id range sort
+      val sortIdx = p.indexOf("Sort [doc_id")
+      assert(sortIdx >= 0, p)
+      val heavyIdx = math.max(p.indexOf("md5"), p.indexOf("nfcnormalize"))
+      assert(heavyIdx >= 0 && heavyIdx < sortIdx,
+        "heavy projection should print above (before) the sort\n" + p)
+    }
+  }
 }
