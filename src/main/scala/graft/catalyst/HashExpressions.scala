@@ -341,10 +341,12 @@ object HashUtil {
     * already NFC — returned untouched, no String materialization.
     */
   def nfcNormalize(s: UTF8String): UTF8String = {
-    val bytes = s.getBytes
+    // getByte over numBytes, NOT getBytes: row-backed UTF8Strings would
+    // copy their whole buffer just to be scanned for a high bit
+    val n = s.numBytes()
     var i = 0
     var ascii = true
-    while (ascii && i < bytes.length) { if (bytes(i) < 0) ascii = false; i += 1 }
+    while (ascii && i < n) { if (s.getByte(i) < 0) ascii = false; i += 1 }
     if (ascii) s
     else {
       val str = s.toString

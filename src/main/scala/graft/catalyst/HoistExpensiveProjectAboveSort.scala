@@ -38,7 +38,7 @@ object HoistExpensiveProjectAboveSort extends Rule[LogicalPlan] {
     case _: ScalaUDF                                             => true
     case _: SimHash32 | _: MinHashSignature | _: Shingles3       => true
     case _: PairCombos | _: DotProduct | _: EqCount              => true
-    case _: RepetitionStats | _: ShingleHashes3                  => true
+    case _: RepetitionStats | _: ShingleHashes3 | _: NfcNormalize => true
     // regexp_count / get_json_object live in version-shuffled packages;
     // match by name so the allowlist survives Spark refactors
     case other =>

@@ -210,12 +210,13 @@ object TextOps {
       .withColumn("n_chars_norm", length(col("norm_text")))
   }
   val normalizeSql: String =
-    """SELECT doc_id,
-      |  trim(regexp_replace(regexp_replace(nfc_normalize(text),
-      |    '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text,
-      |  length(trim(regexp_replace(regexp_replace(nfc_normalize(text),
-      |    '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g'))) AS n_chars_norm
-      |FROM documents ORDER BY doc_id""".stripMargin
+    """WITH n AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+      |      '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text
+      |  FROM documents)
+      |SELECT doc_id, norm_text, length(norm_text) AS n_chars_norm
+      |FROM n ORDER BY doc_id""".stripMargin
 
   /** Document fingerprinting: md5 of whitespace-normalized text (exact-dup
     * key) + min-shingle hash (a 1-perm MinHash, the winnowing-style content

@@ -83,19 +83,21 @@ class Round7OpsSpec extends SparkSpec {
   test("nfc_normalize: composes decomposed sequences, ASCII untouched, SQL-reachable") {
     graft.catalyst.GraftExtensions.register(spark)
     import graft.catalyst.HashFunctions
+    // all non-ASCII spelled as \u escapes: a tool that NFC-normalizes the
+    // source file would otherwise silently reduce this test to ASCII identity
     val df = Seq(
-      "éclair",          // decomposed e + COMBINING ACUTE -> é
-      "éclair",           // precomposed — already NFC
+      "e\u0301clair",   // decomposed e + COMBINING ACUTE -> e-acute
+      "\u00e9clair",    // precomposed - already NFC
       "plain ascii",
-      "Å",               // A + COMBINING RING -> Å
+      "A\u030a",        // A + COMBINING RING -> A-ring
       "").toDF("s").select(HashFunctions.nfc_normalize(col("s")).as("n"))
     val got = df.as[String].collect().toSeq
-    assert(got == Seq("éclair", "éclair", "plain ascii", "Å", ""))
+    assert(got == Seq("\u00e9clair", "\u00e9clair", "plain ascii", "\u00c5", ""))
     // null propagates, SQL text path agrees
     assert(Seq(Option.empty[String]).toDF("s")
       .select(HashFunctions.nfc_normalize(col("s"))).head().isNullAt(0))
-    Seq("é").toDF("s").createOrReplaceTempView("nfc_docs")
-    assert(spark.sql("SELECT nfc_normalize(s) FROM nfc_docs").head().getString(0) == "é")
+    Seq("e\u0301").toDF("s").createOrReplaceTempView("nfc_docs")
+    assert(spark.sql("SELECT nfc_normalize(s) FROM nfc_docs").head().getString(0) == "\u00e9")
     // wrong input type is an analysis error naming the function
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       Seq(1).toDF("x").select(HashFunctions.nfc_normalize(col("x"))).collect()
@@ -114,6 +116,9 @@ class Round7OpsSpec extends SparkSpec {
       .groupBy(_._1).map { case (u, es) =>
         u -> es.sortBy(e => (e._2.getTime, e._3)).map(_._4).toSeq
       }
+    // every user with events has history — a plan regression that drops
+    // whole users must fail here, not slip past the per-user checks
+    assert(byUser.keySet == ev.keySet)
     for ((u, history) <- byUser) {
       val sorted = history.sortBy(_.getLong(1))
       // versions are 1..k
