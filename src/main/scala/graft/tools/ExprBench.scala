@@ -48,6 +48,8 @@ object ExprBench {
     val pairs = emb.limit(500)
       .crossJoin(emb.limit(500).select(col("embedding").as("e2")))
       .localCheckpoint(true)
+    val texts = Tables.fanOut(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
 
     val results = Seq(
       ("dot_product",
@@ -78,7 +80,17 @@ object ExprBench {
           HashFunctions.shingles3(col("toks"), distinct = true), sh => xxhash64(sh)).as("h")) }),
       ("repetition_stats",
         bench("native") { docs.select(HashFunctions.repetition_stats(col("toks")).as("r")) },
-        Double.NaN) // declarative form needs two explode->groupBy shuffles
+        Double.NaN), // declarative form needs two explode->groupBy shuffles
+      ("nfc_normalize (vs UDF)", {
+        bench("native") { texts.select(HashFunctions.nfc_normalize(col("text")).as("n")) }
+      }, {
+        // the non-native alternative is a ScalaUDF: codegen fence + per-row
+        // UTF8String->String->UTF8String conversion even for ASCII rows
+        val nfcUdf = udf((s: String) =>
+          if (s == null) null
+          else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+        bench("udf") { texts.select(nfcUdf(col("text")).as("n")) }
+      })
     )
     println(f"${"expression"}%-24s ${"native_s"}%10s ${"lambda_s"}%10s ${"speedup"}%8s")
     results.foreach { case (name, nat, lam) =>
