@@ -157,6 +157,7 @@ object SparkEntry {
     "x_zorder_layout"   -> (graft.operators.LayoutOps.zorderLayout _),
     "t_normalize"       -> (graft.functions.TextOps.normalizeDf _),
     "ts_scd2"           -> (TimeSeriesOps.scd2History _),
+    "d_incremental"     -> (DedupOps.incrementalDedupQuery _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -264,5 +265,6 @@ object SparkEntry {
     "x_zorder_layout"   -> graft.operators.LayoutOps.zorderLayoutSql,
     "t_normalize"       -> graft.functions.TextOps.normalizeSql,
     "ts_scd2"           -> TimeSeriesOps.scd2HistorySql,
+    "d_incremental"     -> DedupOps.incrementalDedupSql,
   )
 }

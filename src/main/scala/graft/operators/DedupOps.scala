@@ -41,6 +41,63 @@ object DedupOps {
       |  min(doc_id) AS keep_id, count(*) AS dup_count
       |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
 
+  /** Incremental dedup — the operational shape of every continuously-fed
+    * corpus: a NEW batch is admitted against the HISTORICAL corpus, dropping
+    * new docs whose exact fingerprint (whitespace-normalized md5) or
+    * near-dup fingerprint (min-shingle hash, a 1-perm MinHash) already
+    * exists in history. Two left-anti joins on md5 keys — at 100 TB the
+    * historical side is a pre-computed fingerprint table (bucketed on the
+    * hash for a co-located anti-join), NOT a rescan of the corpus; the new
+    * batch is a day's data, orders of magnitude smaller.
+    *
+    * The harness query splits `documents` by doc_id parity: even = history,
+    * odd = the arriving batch.
+    */
+  def incrementalDedup(newDocs: DataFrame, histFingerprints: DataFrame): DataFrame =
+    newDocs
+      .join(histFingerprints.select(col("fp_exact")), Seq("fp_exact"), "left_anti")
+      .join(histFingerprints.select(col("fp_min_shingle")).where(col("fp_min_shingle").isNotNull),
+        Seq("fp_min_shingle"), "left_anti")
+
+  private def fingerprinted(docs: DataFrame): DataFrame = {
+    val norm = regexp_replace(trim(col("text")), "\\s+", " ")
+    val sh = HashFunctions.shingles3(TextOps.tokens(col("text")))
+    docs.select(
+      col("doc_id"),
+      md5(norm).as("fp_exact"),
+      array_min(transform(sh, x => md5(x))).as("fp_min_shingle"))
+  }
+
+  /** Oracle-gated incremental-dedup query: odd doc_ids admitted against the
+    * even-id history; returns the admitted ids with their fingerprints.
+    */
+  def incrementalDedupQuery(s: SparkSession, d: String): DataFrame = {
+    val fps = fingerprinted(Tables.fanOut(Tables.documents(s, d)))
+    val hist = fps.filter(col("doc_id") % 2 === 0)
+    val fresh = fps.filter(col("doc_id") % 2 === 1)
+    incrementalDedup(fresh, hist)
+      .select("doc_id", "fp_exact", "fp_min_shingle")
+      .orderBy("doc_id")
+  }
+  val incrementalDedupSql: String =
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |    md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp_exact,
+      |    list_min(list_transform(
+      |      CASE WHEN len(toks) >= 3 THEN
+      |        list_transform(generate_series(1, len(toks)-2),
+      |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |      ELSE [] END, x -> md5(x))) AS fp_min_shingle
+      |  FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
+      |        FROM documents)),
+      |hist AS (SELECT * FROM fp WHERE doc_id % 2 = 0),
+      |fresh AS (SELECT * FROM fp WHERE doc_id % 2 = 1)
+      |SELECT doc_id, fp_exact, fp_min_shingle FROM fresh f
+      |WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp_exact = f.fp_exact)
+      |  AND NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp_min_shingle = f.fp_min_shingle
+      |                  AND f.fp_min_shingle IS NOT NULL)
+      |ORDER BY doc_id""".stripMargin
+
   /** Max docs a shingle may appear in before it is dropped as a
     * stop-shingle (bounds candidate-pair fan-out at scale).
     */

@@ -165,4 +165,49 @@ class Round7OpsSpec extends SparkSpec {
       assert(r.getLong(5) - r.getLong(4) <= 31, s"y span in bucket ${r.getLong(0)}")
     }
   }
+
+  test("z-order key inverts exactly for random 16-bit pairs") {
+    // software inverse: collect every even/odd bit back into its dimension
+    def unspread(z: Long): Long = {
+      var v = 0L
+      var i = 0
+      while (i < 16) { v |= ((z >> (2 * i)) & 1L) << i; i += 1 }
+      v
+    }
+    val rnd = new scala.util.Random(7)
+    val xs = Seq.fill(500)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = xs.toDF("x", "y")
+      .select(col("x"), col("y"), LayoutOps.zkey(col("x"), col("y")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) =>
+      assert(unspread(z) == x && unspread(z >> 1) == y, s"($x, $y) -> $z")
+    }
+  }
+
+  test("incremental dedup: exact and near-dup collisions drop, fresh docs admitted") {
+    import graft.operators.DedupOps
+    // hand corpus: hist (even ids) and a new batch (odd ids) with one exact
+    // dup, one whitespace-variant dup, one unique, and one short doc whose
+    // min-shingle fingerprint is null (must be admitted, not dropped by the
+    // null key)
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six"),
+      (1L, "alpha beta gamma delta epsilon"),   // exact dup of 0 -> dropped
+      (3L, "one  two   three four five six"),   // ws-variant of 2 -> dropped (norm + shingles)
+      (5L, "completely fresh document text here"), // admitted
+      (7L, "hi")                                  // < 3 tokens: null min-shingle -> admitted
+    ).toDF("doc_id", "text")
+    val norm = regexp_replace(trim(col("text")), "\\s+", " ")
+    val sh = graft.catalyst.HashFunctions.shingles3(TextOps.tokens(col("text")))
+    val fps = docs.select(col("doc_id"), md5(norm).as("fp_exact"),
+      array_min(transform(sh, x => md5(x))).as("fp_min_shingle"))
+    val admitted = DedupOps.incrementalDedup(
+      fps.filter(col("doc_id") % 2 === 1), fps.filter(col("doc_id") % 2 === 0))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(admitted == Seq(5L, 7L))
+    // the oracle-gated query runs end to end on the real corpus
+    val q = DedupOps.incrementalDedupQuery(spark, sf0001).collect()
+    assert(q.nonEmpty && q.forall(_.getLong(0) % 2 == 1))
+  }
 }
