@@ -41,15 +41,18 @@ object JoinOps {
       small: DataFrame, smallKey: String,
       expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     // Spark's stat.bloomFilter NPEs on an EMPTY build side (the aggregate
-    // yields null); an empty build side also makes the semi-join empty, so
-    // the degenerate pre-filter is simply `false`.
+    // yields null). Test emptiness explicitly — catching the NPE would also
+    // swallow genuine failures from the same code path and silently turn a
+    // broken filter build into an empty (wrong) join result. An empty build
+    // side makes the semi-join empty, so the degenerate pre-filter is `false`.
     val bloomPre =
-      try {
+      if (small.select(smallKey).limit(1).isEmpty) lit(false)
+      else {
         val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
         val bos = new java.io.ByteArrayOutputStream()
         bf.writeTo(bos)
         mightContain(bos.toByteArray, col(bigKey))
-      } catch { case _: NullPointerException => lit(false) }
+      }
     big.filter(bloomPre)
       .join(small.select(col(smallKey).as(bigKey)), Seq(bigKey), "left_semi")
   }

@@ -418,7 +418,11 @@ object SimilarityOps {
     *
     * 100 TB design: pure per-row projection (no shuffle); emits the int8
     * codes plus an exact integer L1 checksum so the oracle gate pins every
-    * component without comparing float-formatted arrays.
+    * component without comparing float-formatted arrays. The codes column is
+    * canonicalized to a comma-joined STRING (`q_csv`) — the gate's comparator
+    * sorts result frames, and raw array cells are unsortable there; the
+    * string form pins every component exactly (integers format identically
+    * in both engines), mirroring `b8_group_collect_set` / `f_array_ops`.
     */
   def quantizeInt8(s: SparkSession, d: String): DataFrame = {
     val dv = transform(col("embedding"), x => x.cast("double"))
@@ -430,8 +434,10 @@ object SimilarityOps {
         when(col("scale") === 0.0, transform(col("dv"), _ => lit(0)))
           .otherwise(transform(col("dv"),
             x => floor(x / col("scale") + lit(0.5)).cast("int"))).as("q"))
-      .withColumn("q_l1",
-        aggregate(col("q"), lit(0L), (acc, x) => acc + abs(x).cast("long")))
+      .select(
+        col("vec_id"), col("scale"),
+        concat_ws(",", transform(col("q"), x => x.cast("string"))).as("q_csv"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + abs(x).cast("long")).as("q_l1"))
       .orderBy("vec_id")
   }
   val quantizeInt8Sql: String =
@@ -444,7 +450,8 @@ object SimilarityOps {
       |              ELSE list_transform(dv, x -> CAST(floor(x / scale + 0.5) AS INTEGER))
       |         END AS q
       |       FROM m)
-      |SELECT vec_id, scale, q,
+      |SELECT vec_id, scale,
+      |  array_to_string(q, ',') AS q_csv,
       |  CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1
       |FROM qq ORDER BY vec_id""".stripMargin
 }

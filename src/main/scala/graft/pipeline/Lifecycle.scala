@@ -8,8 +8,14 @@ import graft.ingest.{IngestReport, TickerIngest}
 import graft.journal.TickerFileJournal
 import graft.schema.FileStatus
 
+/** `remainingReady` is the READY backlog left after this cycle: claimReady
+  * caps each claim at [[TickerFileJournal.DefaultClaimLimit]], so a burst
+  * larger than one batch is NOT drained in one call — without this signal a
+  * capped claim is indistinguishable from a drained journal and the backlog
+  * looks stalled. Callers loop (or re-arm sooner) while it is > 0.
+  */
 case class ProcessReport(claimed: Int, finished: Int, errored: Int,
-                         rows: Long, corruptRows: Long)
+                         rows: Long, corruptRows: Long, remainingReady: Long = 0L)
 case class CleanupReport(skipped: Boolean, deletedFiles: Int, keptErrorFiles: Int,
                          deletedDirs: Seq[String])
 
@@ -70,6 +76,10 @@ object Lifecycle {
         TickerIngest.stage): ProcessReport = {
     val claimed = journal.claimReady(now)
     if (claimed.isEmpty) return ProcessReport(0, 0, 0, 0L, 0L)
+    // A capped claim must be visible to the caller: count what stayed READY
+    // so a burst bigger than one batch reads as backlog, not as a stall.
+    def remainingReady: Long =
+      journal.byStatus(FileStatus.ReadyForProcessing).count()
     // B8/B9 path resolution: <root>/<yyyy-MM-dd>/<filename>, sorted (B10)
     val paths = claimed.map { case (f, d) => s"$dataRoot/$d/$f" }.sorted
     try {
@@ -82,13 +92,14 @@ object Lifecycle {
       // that survived it are FINISHED (a file with only corrupt rows still
       // finishes — mirror of the reference, which quarantines rows, not files)
       journal.transition(claimed.map(_._1), FileStatus.Finished, now)
-      ProcessReport(claimed.size, claimed.size, 0, report.totalRows, report.totalCorrupt)
+      ProcessReport(claimed.size, claimed.size, 0, report.totalRows,
+        report.totalCorrupt, remainingReady)
     } catch {
       case e: Exception =>
         // at-least-once contract: quarantine the claimed set, keep running
         System.err.println(s"[lifecycle] ingest failed, marking ${claimed.size} files ERROR: $e")
         journal.transition(claimed.map(_._1), FileStatus.Error, now)
-        ProcessReport(claimed.size, 0, claimed.size, 0L, 0L)
+        ProcessReport(claimed.size, 0, claimed.size, 0L, 0L, remainingReady)
     }
   }
 

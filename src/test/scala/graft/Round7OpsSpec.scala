@@ -42,7 +42,9 @@ class Round7OpsSpec extends SparkSpec {
     val orig = Tables.embeddings(spark, sf0001)
       .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect().toMap
     rows.foreach { r =>
-      val (id, scale, q) = (r.getLong(0), r.getDouble(1), r.getSeq[Int](2))
+      val (id, scale) = (r.getLong(0), r.getDouble(1))
+      // codes are canonicalized to a comma-joined string for the oracle gate
+      val q = r.getString(2).split(",").map(_.toInt).toSeq
       val v = orig(id).map(_.toDouble)
       assert(q.length == v.length)
       assert(q.forall(c => c >= -127 && c <= 127), s"vec $id code range")
