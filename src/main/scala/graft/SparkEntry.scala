@@ -77,8 +77,8 @@ object SparkEntry {
     // Training-data pipeline: similarity search
     "s_cosine_neardup"  -> ((s, d) => SimilarityOps.cosineNearDup(s, d)),
     "s_ann_brute"       -> (SimilarityOps.annBruteForce _),
-    "s_ann_lsh"         -> (SimilarityOps.annLsh _),
-    "s_ann_ivf"         -> (SimilarityOps.annIvf _),
+    "s_ann_lsh"         -> ((s, d) => SimilarityOps.annLsh(s, d)),
+    "s_ann_ivf"         -> ((s, d) => SimilarityOps.annIvf(s, d)),
     // semantic clustering: quantized k-means, map-only assignment
     "s_kmeans"          -> (SimilarityOps.kmeans(_, _)),
     // cluster-then-dedup composition: k-means cells as the blocking key
@@ -134,6 +134,8 @@ object SparkEntry {
     "f_array_ops"       -> (PQ.arrayOps _),
     "f_map_ops"         -> (PQ.mapOps _),
     "sql_window_range"  -> (PQ.windowRange _),
+    // same frame, scale-safe bucketed-join form (no single-partition window)
+    "w_range_bucketed"  -> (PQ.windowRangeScaled _),
     "f_date_extra"      -> (PQ.dateExtra _),
     "f_string_extra"    -> (PQ.stringExtra _),
     "f_cond_ops"        -> (PQ.condOps _),
@@ -250,6 +252,7 @@ object SparkEntry {
     "f_array_ops"       -> PQ.arrayOpsSql,
     "f_map_ops"         -> PQ.mapOpsSql,
     "sql_window_range"  -> PQ.windowRangeSql,
+    "w_range_bucketed"  -> PQ.windowRangeScaledSql,
     "f_date_extra"      -> PQ.dateExtraSql,
     "f_string_extra"    -> PQ.stringExtraSql,
     "f_cond_ops"        -> PQ.condOpsSql,

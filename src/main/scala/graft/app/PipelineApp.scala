@@ -113,6 +113,11 @@ object PipelineApp {
   /** Continuous mode — config-driven cadences (B5), defaults = reference's. */
   private def runContinuous(spark: SparkSession, journal: TickerFileJournal,
       root: String, warehouseDir: String, cfg: GraftConfig): Unit = {
+    // crash recovery before anything claims: files a dead predecessor left
+    // IN_PROGRESS go back to READY (their staged-but-uncommitted data was
+    // never visible, so the re-ingest is exactly-once — see LifecycleSpec)
+    val orphans = Lifecycle.recoverOrphaned(journal, now())
+    if (orphans > 0) println(s"[recover] re-queued $orphans orphaned IN_PROGRESS files")
     Discovery.catchUp(spark, journal, root, LocalDate.now(), now())
     val q = Discovery.stream(spark, journal, root, s"$warehouseDir/_discovery_ckpt",
       maxFilesPerTrigger = cfg.discovery.filesBufferSize,
@@ -151,8 +156,15 @@ object PipelineApp {
       // (maxFlushDataAttempts/sleepOnReconnectMs) around the ingest itself,
       // the flow's retry around the whole cycle
       Retry(cfg.uploadData.retry, "uploadFlow") {
-        Lifecycle.processReady(spark, journal, root, warehouseDir, now(),
+        // each claim is capped (DefaultClaimLimit); drain the READY backlog
+        // within the cycle while batches keep SUCCEEDING — an erroring batch
+        // breaks out so the flow's retry/backoff governs, not a hot loop
+        var rep = Lifecycle.processReady(spark, journal, root, warehouseDir, now(),
           retry = RetryPolicy(cfg.ingest.maxFlushAttempts, cfg.ingest.sleepOnRetryMs))
+        while (rep.finished > 0 && rep.errored == 0 && rep.remainingReady > 0) {
+          rep = Lifecycle.processReady(spark, journal, root, warehouseDir, now(),
+            retry = RetryPolicy(cfg.ingest.maxFlushAttempts, cfg.ingest.sleepOnRetryMs))
+        }
       }
     }
     every("cleanup", cfg.cleanup.workCycleSec) {

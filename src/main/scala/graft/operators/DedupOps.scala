@@ -48,7 +48,10 @@ object DedupOps {
     * exists in history. Two left-anti joins on md5 keys — at 100 TB the
     * historical side is a pre-computed fingerprint table (bucketed on the
     * hash for a co-located anti-join), NOT a rescan of the corpus; the new
-    * batch is a day's data, orders of magnitude smaller.
+    * batch is a day's data, orders of magnitude smaller. The persisted,
+    * prefix-partitioned form of that table — with the probe's scan
+    * partition-pruned to the batch's own prefixes — is
+    * [[FingerprintStore]].
     *
     * The harness query splits `documents` by doc_id parity: even = history,
     * odd = the arriving batch.

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent fingerprint history for incremental dedup — the table a
+  * 100 TB daily-ingest pipeline probes most often (see
+  * [[DedupOps.incrementalDedup]] for the in-memory join shape).
+  *
+  * Layout: one row per historical fingerprint, hive-partitioned by the
+  * first two hex chars of the hash (`fp_prefix`, 256 balanced buckets —
+  * md5 is uniform, so each holds 1/256 of history). The admit probe then
+  * filters the scan to the prefixes actually PRESENT in the incoming
+  * batch, which partition-prunes at the file listing — a targeted recheck
+  * (one source, one shard, one backfill window) touches a handful of
+  * buckets and reads 1/256th of history per bucket instead of the whole
+  * store. A full daily batch naturally covers all 256 prefixes; for that
+  * shape the same layout still bounds every anti-join task's build side to
+  * one bucket and keeps compaction per-bucket (256 independent rewrite
+  * units instead of one monolithic table).
+  *
+  * The prefix set is collected driver-side but is bounded by construction
+  * (≤ 256 two-hex-char values) — a metadata-sized collect, never data.
+  */
+object FingerprintStore {
+
+  val PrefixCol = "fp_prefix"
+
+  private def prefixOf(fpCol: String) = substring(col(fpCol), 1, 2)
+
+  /** Append a batch of fingerprints to the store at `dir`. The
+    * pre-shuffle `repartition` on the prefix keeps the file count bounded
+    * (each writing task owns whole buckets) — without it every task writes
+    * into every partition dir and the store fragments into
+    * tasks × 256 small files per day.
+    */
+  def append(fps: DataFrame, fpCol: String, dir: String): Unit =
+    fps.select(col(fpCol)).filter(col(fpCol).isNotNull)
+      .withColumn(PrefixCol, prefixOf(fpCol))
+      .repartition(col(PrefixCol))
+      .write.mode("append").partitionBy(PrefixCol).parquet(dir)
+
+  /** Rows of `newDocs` whose `fpCol` has no match in the store. The store
+    * scan is partition-pruned to the batch's own prefixes; null
+    * fingerprints are always admitted (an anti-join null key matches
+    * nothing), mirroring [[DedupOps.incrementalDedup]].
+    */
+  def admit(spark: SparkSession, newDocs: DataFrame, fpCol: String, dir: String): DataFrame = {
+    import spark.implicits._
+    val prefixes = newDocs.select(prefixOf(fpCol).as("p"))
+      .filter(col("p").isNotNull).distinct().as[String].collect().toSeq
+    if (prefixes.isEmpty) return newDocs
+    val hist = spark.read.parquet(dir)
+      .filter(col(PrefixCol).isin(prefixes: _*))
+      .select(col(fpCol))
+    newDocs.join(hist, Seq(fpCol), "left_anti")
+  }
+}

@@ -117,20 +117,29 @@ object SimilarityOps {
 
   /** Fixed ±1 hyperplanes shared verbatim with the oracle SQL (no RNG — a
     * deterministic odd/even lattice; at scale these would be seeded Gaussian
-    * planes shipped as a broadcast literal the same way).
+    * planes shipped as a broadcast literal the same way). `seed` selects a
+    * different deterministic family (seed 0 = the oracle's); for a fixed
+    * seed the families are NESTED — plane p is the same regardless of how
+    * many planes are in use — which is what makes recall monotone in the
+    * plane count (NativePlanPropertySpec pins that property).
     */
-  def planeWeight(p: Int, j: Int): Int = if (((j + 1) * 31 + p * 17) % 3 % 2 == 0) 1 else -1
+  def planeWeight(p: Int, j: Int): Int = planeWeight(p, j, 0)
+  def planeWeight(p: Int, j: Int, seed: Int): Int =
+    if (((j + 1) * 31 + p * 17 + seed * 13) % 3 % 2 == 0) 1 else -1
 
-  private def planeDot(emb: Column, p: Int): Column =
-    dot(emb, array((0 until Dim).map(j => lit(planeWeight(p, j).toDouble)): _*))
+  private def planeDot(emb: Column, p: Int, seed: Int): Column =
+    dot(emb, array((0 until Dim).map(j => lit(planeWeight(p, j, seed).toDouble)): _*))
 
-  /** LSH-bucketed ANN: [[NumPlanes]]-bit sign bucket per vector; candidates
+  /** LSH-bucketed ANN: `numPlanes`-bit sign bucket per vector; candidates
     * share the query's bucket; exact cosine re-ranking within the bucket.
     * Recall < 1 by construction (documented trade; multi-probe at scale).
+    * Defaults reproduce the oracled `s_ann_lsh` query exactly.
     */
-  def annLsh(s: SparkSession, d: String): DataFrame = {
-    val bucketBits = (0 until NumPlanes).map(p =>
-      when(planeDot(col("embedding"), p) > 0, lit(1 << p)).otherwise(lit(0)))
+  def annLsh(s: SparkSession, d: String,
+      numPlanes: Int = NumPlanes, seed: Int = 0): DataFrame = {
+    require(numPlanes >= 1, s"numPlanes must be >= 1, got $numPlanes")
+    val bucketBits = (0 until numPlanes).map(p =>
+      when(planeDot(col("embedding"), p, seed) > 0, lit(1 << p)).otherwise(lit(0)))
     val e = Tables.fanOut(Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
         bucketBits.reduce(_ + _).as("bucket"))
@@ -180,12 +189,15 @@ object SimilarityOps {
       .agg(transform(array_sort(collect_list(struct(col("j"), col("c")))),
         e => e.getField("c")).as("centroid"))
 
-  /** IVF ANN: rank the [[IvfProbes]] nearest cells by query→centroid cosine,
+  /** IVF ANN: rank the `probes` nearest cells by query→centroid cosine,
     * then exact-search only those cells' members. The classic two-level
     * index: centroid table is tiny (broadcast), per-query work is
-    * O(cells + probed members) instead of O(n).
+    * O(cells + probed members) instead of O(n). Probing EVERY cell
+    * degenerates to the brute-force search (recall exactly 1) — the anchor
+    * NativePlanPropertySpec uses. Defaults reproduce the oracled
+    * `s_ann_ivf` query exactly.
     */
-  def annIvf(s: SparkSession, d: String): DataFrame = {
+  def annIvf(s: SparkSession, d: String, probes: Int = IvfProbes): DataFrame = {
     val e = Tables.fanOut(Tables.embeddings(s, d))
       .select(col("vec_id"), col("label"), col("embedding"),
         norm(col("embedding")).as("nrm"))
@@ -200,13 +212,13 @@ object SimilarityOps {
       .withColumn("ccos", round(
         dot(col("eq"), col("centroid")) / (col("nq") * col("cnorm")), 4))
     val wCell = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("label"))
-    val probes = qc.withColumn("cell_rank", row_number().over(wCell))
-      .filter(col("cell_rank") <= IvfProbes)
+    val probed = qc.withColumn("cell_rank", row_number().over(wCell))
+      .filter(col("cell_rank") <= probes)
       .select(col("q_id"), col("eq"), col("nq"), col("label"))
     // exact search within probed cells only
     val c = e.select(col("vec_id").as("c_id"), col("label"),
       col("embedding").as("ec"), col("nrm").as("nc"))
-    val scored = probes.join(c, Seq("label")).filter(col("q_id") =!= col("c_id"))
+    val scored = probed.join(c, Seq("label")).filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", round(dot(col("eq"), col("ec")) / (col("nq") * col("nc")), 4))
     rankTopK(s, scored)
   }

@@ -103,6 +103,28 @@ object Lifecycle {
     }
   }
 
+  /** Crash recovery — run once at startup, before the first [[processReady]]
+    * cycle. A claim-holder that died mid-cycle (after the claim flip,
+    * before finalize) leaves its files IN_PROGRESS forever: the flip is
+    * exactly what stops any other cycle from touching them. Route the
+    * orphans back along legal edges (IN_PROGRESS → ERROR →
+    * READY_FOR_PROCESSING; both appended under the same timestamp, the
+    * journal's batch_seq tie-break keeps them ordered). Data safety needs
+    * no filesystem action here: a crash before [[TickerIngest.commit]]
+    * left only underscore-prefixed staging dirs — invisible to every
+    * reader and swept by the next successful commit — so the re-ingest
+    * after recovery is still exactly-once.
+    */
+  def recoverOrphaned(journal: TickerFileJournal, now: Timestamp): Long = {
+    val orphaned = journal.byStatus(FileStatus.InProgress)
+      .select("filename").collect().map(_.getString(0)).toSeq
+    if (orphaned.isEmpty) 0L
+    else {
+      journal.transition(orphaned, FileStatus.Error, now)
+      journal.transition(orphaned, FileStatus.ReadyForProcessing, now)
+    }
+  }
+
   /** Flow 4 — retention GC with the reference's three guard conditions
     * (`CleanupUploadedFilesFlow.java:102-112`): skip the whole pass when
     * minFinished == maxFinished (still loading same day), minFinished ==

@@ -762,6 +762,12 @@ object PipelineQueries {
   /** RANGE window frame (value-based, not row-based): orders within 1000.0
     * of the current total price. Peer handling is frame-defined, so the
     * count is deterministic under ties. SQL-text path (frame grammar).
+    *
+    * SCALE WARNING: the un-partitioned ORDER BY plans a SINGLE-PARTITION
+    * window — fine as a parser/grammar demo at bench scale, wrong at 100 TB.
+    * The pattern to copy for a global value-range frame over big data is
+    * [[windowRangeScaled]], which computes the identical result with a
+    * bucketed self-join and no Window operator at all.
     */
   private val windowRangeText: String =
     """SELECT o_orderkey,
@@ -773,6 +779,42 @@ object PipelineQueries {
     s.sql(windowRangeText)
   }
   val windowRangeSql: String = windowRangeText
+
+  /** Scale-safe twin of [[windowRange]]: the same global value-range count
+    * (rows with `o_totalprice` in `[p − 1000, p]` for each row) WITHOUT a
+    * single-partition Window. Prices are bucketed by `floor(p / w)` with
+    * bucket width w equal to the frame width, so every row's frame spans at
+    * most two buckets: explode each probe row to its two candidate buckets,
+    * join on the bucket key (a normal shuffled equi-join that scales out),
+    * and count the in-range values per row. All arithmetic is the same
+    * double ops the window frame computes, so the result is bit-identical.
+    *
+    * 100 TB posture: work is O(n · avg bucket size) spread over all
+    * executors — no global sort, no single partition. The bucket width is
+    * the skew knob: narrow it (and probe proportionally more buckets) if
+    * one price band dominates. The oracle is the window-form SQL itself,
+    * so equivalence with the grammar demo is machine-checked.
+    */
+  def windowRangeScaled(s: SparkSession, d: String): DataFrame = {
+    val w = 1000.0
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    val buckets = orders
+      .groupBy(floor(col("o_totalprice") / w).cast("long").as("bucket"))
+      .agg(collect_list(col("o_totalprice")).as("vals"))
+    orders
+      .withColumn("b", floor(col("o_totalprice") / w).cast("long"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        explode(array(col("b") - 1, col("b"))).as("bucket"))
+      .join(buckets, Seq("bucket"), "left")
+      .select(col("o_orderkey"),
+        coalesce(size(filter(col("vals"),
+          v => v >= col("o_totalprice") - w && v <= col("o_totalprice"))), lit(0))
+          .cast("long").as("c"))
+      .groupBy("o_orderkey")
+      .agg(sum("c").as("n_near"))
+      .orderBy("o_orderkey")
+  }
+  val windowRangeScaledSql: String = windowRangeText
 
   /** Date-function surface beyond arithmetic: truncation to month/quarter,
     * end-of-month, day-of-week, calendar fields, month-add with end-of-month

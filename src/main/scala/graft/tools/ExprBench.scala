@@ -97,6 +97,38 @@ object ExprBench {
       val sp = if (lam.isNaN) "n/a" else f"${lam / nat}%.1fx"
       println(f"$name%-24s $nat%10.3f ${if (lam.isNaN) "n/a" else f"$lam%.3f"}%10s $sp%8s")
     }
+
+    // Bloom-pruned vs plain semi-join A/B. The local wall-clock delta is
+    // modest (single-JVM shuffles are cheap and the Bloom build is an extra
+    // pass over the small side); the number that scales is the probe-side
+    // SHUFFLE RECORD count, which is what a 1000-executor exchange pays for.
+    // AQE off so the executed plan is traversable for metrics; broadcast off
+    // so the join shuffles its probe side as it would when neither side fits
+    // in an executor (the 100 TB regime this operator exists for).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def semiAgg(pruned: Boolean): DataFrame = {
+      val li = Tables.load(spark, sfDir, "lineitem")
+      val urgent = Tables.load(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+      val joined =
+        if (pruned) graft.operators.JoinOps.bloomPrunedSemiJoin(li, "l_orderkey", urgent, "o_orderkey")
+        else li.join(urgent.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_semi")
+      joined.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    }
+    def shuffleRecords(df: DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
+      }.sum
+    }
+    val tBloom = bench("bloom") { semiAgg(pruned = true) }
+    val tPlain = bench("plain") { semiAgg(pruned = false) }
+    val (rBloom, rPlain) = (shuffleRecords(semiAgg(pruned = true)),
+      shuffleRecords(semiAgg(pruned = false)))
+    println(f"${"bloom_semi (vs plain)"}%-24s $tBloom%10.3f $tPlain%10.3f ${f"${tPlain / tBloom}%.1fx"}%8s" +
+      f"   shuffle_records: bloom=$rBloom plain=$rPlain (${rPlain.toDouble / rBloom}%.1fx fewer)")
     spark.stop()
   }
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import graft.operators.FingerprintStore
+
+/** The bucketed incremental-dedup history at (small-machine) scale: a
+  * million historical fingerprints, a targeted probe batch, and the
+  * assertion that the anti-join's store scan is PARTITION-PRUNED to the
+  * probe's own hash prefixes — the property that keeps the most-frequent
+  * production operation (daily admit / targeted recheck) from rescanning
+  * the whole history.
+  */
+class FingerprintStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("1M-fingerprint store: probe prunes to its prefix partitions, dups dropped") {
+    val dir = tmpDir("fpstore")
+    FingerprintStore.append(
+      spark.range(1000000).select(md5(col("id").cast("string")).as("fp_exact")),
+      "fp_exact", dir)
+    // all 256 hive buckets exist on disk
+    val buckets = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .count(_.getName.startsWith(FingerprintStore.PrefixCol + "="))
+    assert(buckets == 256)
+
+    // targeted probe: known dups (fps of history ids) + genuinely fresh
+    // fps, restricted to 4 of the 256 prefixes (the "recheck one shard"
+    // shape). doc_id ranges mark provenance.
+    val pset = Seq("00", "01", "02", "03")
+    val dups = spark.range(0, 5000)
+      .select((col("id") + 10000000L).as("doc_id"), md5(col("id").cast("string")).as("fp_exact"))
+    val fresh = spark.range(1000000, 1005000)
+      .select((col("id") + 20000000L).as("doc_id"), md5(col("id").cast("string")).as("fp_exact"))
+    val probe = dups.union(fresh)
+      .filter(substring(col("fp_exact"), 1, 2).isin(pset: _*))
+      .localCheckpoint(true)
+    val nFresh = probe.filter(col("doc_id") >= 20000000L).count()
+    assert(nFresh > 0 && probe.count() > nFresh) // both kinds present
+
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // traversable plan
+    try {
+      val admitted = FingerprintStore.admit(spark, probe, "fp_exact", dir)
+      val got = admitted.collect()
+      // every fresh row admitted, every dup dropped
+      assert(got.length.toLong == nFresh)
+      assert(got.forall(_.getAs[Long]("doc_id") >= 20000000L))
+
+      // the store scan read exactly the probe's 4 prefix partitions
+      val scans = admitted.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("fpstore")) => f
+      }
+      assert(scans.nonEmpty, admitted.queryExecution.executedPlan.toString)
+      val scan = scans.head
+      assert(scan.partitionFilters.nonEmpty, scan.toString)
+      val partsRead = scan.metrics.get("numPartitions").map(_.value)
+      assert(partsRead.contains(4L),
+        s"expected 4 of 256 partitions read, got $partsRead")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+}

@@ -145,6 +145,47 @@ class LifecycleSpec extends SparkSpec {
     assert(j2.statusOf("AVA-USDT_PST_2024-08-06").contains(FileStatus.Error))
   }
 
+  test("chaos: kill after staging, before commit — restart re-ingests exactly once") {
+    val root = tmpDir("dataRoot")
+    val wh = tmpDir("warehouse")
+    writeCsv(root, "2024-08-06", "AVA-USDT_PST_2024-08-06", Seq(goodLine, goodLine))
+    writeCsv(root, "2024-08-07", "BTC-USDT_PST_2024-08-07", Seq(goodLine))
+    val j = journalWith(
+      ("AVA-USDT_PST_2024-08-06", "2024-08-06", FileStatus.ReadyForProcessing),
+      ("BTC-USDT_PST_2024-08-07", "2024-08-07", FileStatus.ReadyForProcessing))
+
+    // ---- first run, killed mid-batch: claim flips, the FULL staged write
+    // completes, and then the process dies before the rename-commit. That is
+    // the worst crash point for a plain append (all data written twice on
+    // retry); here the staged copy must stay invisible.
+    val claimed = j.claimReady(ts("2024-08-08 10:02:00"))
+    assert(claimed.size == 2)
+    val paths = claimed.map { case (f, d) => s"$root/$d/$f" }.sorted
+    TickerIngest.stage(spark, paths, wh) // staged rows on disk...
+    // ...and then the JVM "dies": the StagedIngest is dropped, no commit.
+
+    // journal shows the wedge; the warehouse shows NOTHING (staging dirs
+    // are underscore-prefixed, invisible to readers)
+    assert(j.byStatus(FileStatus.InProgress).count() == 2)
+    assert(TickerIngest.warehouse(spark, wh).count() == 0)
+
+    // ---- restart: recovery routes the orphaned claims back to READY,
+    // then a normal cycle processes them
+    assert(Lifecycle.recoverOrphaned(j, ts("2024-08-08 10:10:00")) == 2)
+    assert(j.byStatus(FileStatus.ReadyForProcessing).count() == 2)
+    val rep = Lifecycle.processReady(spark, j, root, wh, ts("2024-08-08 10:11:00"))
+    assert(rep.claimed == 2 && rep.finished == 2 && rep.errored == 0)
+
+    // exactly-once: 3 rows, not 6 — the killed run's staged copy never
+    // became public and was swept by the successful commit
+    assert(TickerIngest.warehouse(spark, wh).count() == 3)
+    assert(!new java.io.File(s"$wh/_staging").exists)
+    assert(j.byStatus(FileStatus.Finished).count() == 2)
+
+    // recovery on a healthy journal is a no-op
+    assert(Lifecycle.recoverOrphaned(j, ts("2024-08-08 10:20:00")) == 0)
+  }
+
   test("Flow4 guards: same-day / today / yesterday windows skip the pass") {
     // min==max finished date → skip
     val j1 = journalWith(("a", "2024-08-01", FileStatus.Finished))

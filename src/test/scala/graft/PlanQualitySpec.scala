@@ -320,4 +320,16 @@ class PlanQualitySpec extends SparkSpec {
         "heavy projection should print above (before) the sort\n" + p)
     }
   }
+
+  test("bucketed range-frame count plans NO window operator (scale-safe twin)") {
+    // sql_window_range is the grammar demo — its un-partitioned ORDER BY
+    // plans a single-partition Window by construction. The pattern users
+    // should copy at scale is windowRangeScaled: same result through a
+    // bucketed equi-join, with no Window node anywhere in the plan.
+    val p = physicalPlan(graft.queries.PipelineQueries.windowRangeScaled(spark, sf0001))
+    assert(!p.contains("Window"), p)
+    // and the work distributes: the join is a real shuffled equi-join on the
+    // bucket key, not a broadcast of the whole dataset to one task
+    assert(p.contains("bucket"), p)
+  }
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FilterExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import graft.operators.JoinOps
+
+/** Round-8 quantitative assertions: the Bloom-pruned semi-join's win is
+  * measured in SQL metrics (exchange row counts), not inferred from plan
+  * shape.
+  */
+class Round8OpsSpec extends SparkSpec {
+
+  /** Run with AQE off (so executed plans are directly traversable — AQE
+    * wraps materialized stages in leaf QueryStageExec nodes) and broadcast
+    * joins off (so the semi-join actually shuffles its probe side, as it
+    * would at 100 TB where neither side broadcasts).
+    */
+  private def withShuffledJoins[T](body: => T): T = {
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+    }
+  }
+
+  private def probeShuffleRecords(df: DataFrame): (Long, Long) = {
+    val rows = df.collect().length.toLong
+    // the probe-side exchange is the one whose subtree scans lineitem
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec if e.toString.contains("lineitem") =>
+        e.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
+    }
+    assert(exchanges.nonEmpty, df.queryExecution.executedPlan.toString)
+    (rows, exchanges.max)
+  }
+
+  test("bloom prune is quantitative: probe-side shuffle records collapse to ~matching") {
+    withShuffledJoins {
+      val li = Tables.load(spark, sf0001, "lineitem")
+      val urgent = Tables.load(spark, sf0001, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+      val fpp = 0.01
+      val big = li.count()
+
+      val pruned = JoinOps.bloomPrunedSemiJoin(li, "l_orderkey", urgent, "o_orderkey",
+        fpp = fpp)
+      val (matching, prunedShuffled) = probeShuffleRecords(pruned)
+      val plain = li.join(urgent.select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_semi")
+      val (plainRows, plainShuffled) = probeShuffleRecords(plain)
+
+      // identical results; the plain probe shuffles the WHOLE big side
+      assert(matching == plainRows)
+      assert(plainShuffled == big)
+      // the pruned probe shuffles only matching rows + the Bloom filter's
+      // false positives — bounded by 3x the configured fpp over |big|
+      assert(prunedShuffled >= matching)
+      assert(prunedShuffled <= matching + (3 * fpp * big).toLong + 1,
+        s"pruned=$prunedShuffled matching=$matching big=$big")
+      // and the headline: materially less shuffle volume than the plain join
+      assert(prunedShuffled < big / 2,
+        s"pruned=$prunedShuffled should be well under big=$big")
+
+      // the pre-shuffle Filter carrying might_contain reports the same count
+      // (the prune happens map-side, BEFORE the exchange)
+      val filterOut = pruned.queryExecution.executedPlan.collect {
+        case f: FilterExec if f.condition.toString.contains("might_contain") =>
+          f.metrics("numOutputRows").value
+      }
+      assert(filterOut.nonEmpty)
+      assert(filterOut.head == prunedShuffled,
+        s"filter=${filterOut.head} shuffled=$prunedShuffled")
+    }
+  }
+}
