@@ -97,6 +97,10 @@ object GraftExtensions {
     ("nfc_normalize",
       info("nfc_normalize", "nfc_normalize(str) - Unicode NFC normalization"),
       arity("nfc_normalize", 1)(es => NfcNormalize(es.head))),
+    ("count_between",
+      info("count_between",
+        "count_between(arr, lo, hi) - elements of a double array in [lo, hi]"),
+      arity("count_between", 3)(es => CountInRange(es.head, es(1), es(2)))),
   )
 
   /** Runtime registration on an existing session. */

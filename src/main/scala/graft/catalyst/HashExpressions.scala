@@ -3,7 +3,7 @@ package graft.catalyst
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -247,6 +247,24 @@ object HashUtil {
     acc
   }
 
+  /** Count of array elements x with lo <= x <= hi (null elements skipped).
+    * One compiled loop replacing the interpreted
+    * `size(filter(arr, v -> lo <= v AND v <= hi))` HOF pyramid.
+    */
+  def countBetween(a: ArrayData, lo: Double, hi: Double): Long = {
+    val n = a.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = a.getDouble(i)
+        if (x >= lo && x <= hi) c += 1L
+      }
+      i += 1
+    }
+    c
+  }
+
   /** Positions where two string arrays agree (MinHash signature overlap). */
   def eqCount(a: ArrayData, b: ArrayData): Int = {
     val n = math.min(a.numElements(), b.numElements())
@@ -416,6 +434,37 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
   * lambda, which nulls the whole sum. Schemas with containsNull=false keep
   * the branch-free loop.
   */
+/** `count_between(arr, lo, hi)` — count of elements in the closed interval.
+  * The inner loop of the bucketed range-frame rewrite
+  * ([[graft.queries.PipelineQueries.windowRangeScaled]]): per probe row it
+  * scans the joined bucket's value array, so the interpreted HOF form pays
+  * per-element lambda dispatch on the hottest path of the query (measured:
+  * the r8 bench had the HOF form at 8.1 s vs sub-second with this
+  * expression). Codegen'd via [[HashUtil.countBetween]].
+  */
+case class CountInRange(arr: Expression, lo: Expression, hi: Expression)
+    extends TernaryExpression {
+  override def first: Expression = arr
+  override def second: Expression = lo
+  override def third: Expression = hi
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (arr.dataType, lo.dataType, hi.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType, DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, l, h) => TypeCheckResult.TypeCheckFailure(
+        s"count_between requires (array<double>, double, double), got ${a.sql}, ${l.sql}, ${h.sql}")
+    }
+  override def nullSafeEval(a: Any, l: Any, h: Any): Any =
+    HashUtil.countBetween(a.asInstanceOf[ArrayData],
+      l.asInstanceOf[Double], h.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, l, h) => s"graft.catalyst.HashUtil.countBetween($a, $l, $h)")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): CountInRange =
+    copy(arr = newFirst, lo = newSecond, hi = newThird)
+}
+
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
@@ -474,6 +523,10 @@ object HashFunctions {
   def dot_product(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       DotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def count_between(arr: Column, lo: Column, hi: Column): Column =
+    GraftColumnBridge.column(
+      CountInRange(GraftColumnBridge.expression(arr),
+        GraftColumnBridge.expression(lo), GraftColumnBridge.expression(hi)))
   def eq_count(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       EqCount(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))

@@ -807,9 +807,12 @@ object PipelineQueries {
         explode(array(col("b") - 1, col("b"))).as("bucket"))
       .join(buckets, Seq("bucket"), "left")
       .select(col("o_orderkey"),
-        coalesce(size(filter(col("vals"),
-          v => v >= col("o_totalprice") - w && v <= col("o_totalprice"))), lit(0))
-          .cast("long").as("c"))
+        // native codegen'd interval count ([[graft.catalyst.CountInRange]]):
+        // this is the query's inner loop (every probe row scans its joined
+        // bucket array), and the interpreted size(filter(...)) form paid
+        // per-element lambda dispatch — 8.1 s vs sub-second at sf0.1
+        coalesce(graft.catalyst.HashFunctions.count_between(col("vals"),
+          col("o_totalprice") - w, col("o_totalprice")), lit(0L)).as("c"))
       .groupBy("o_orderkey")
       .agg(sum("c").as("n_near"))
       .orderBy("o_orderkey")

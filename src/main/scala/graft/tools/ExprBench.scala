@@ -50,6 +50,9 @@ object ExprBench {
       .localCheckpoint(true)
     val texts = Tables.fanOut(Tables.documents(spark, sfDir))
       .select(col("doc_id"), col("text")).localCheckpoint(true)
+    val dvecs = emb
+      .select(transform(col("embedding"), x => x.cast("double")).as("dv"))
+      .localCheckpoint(true)
 
     val results = Seq(
       ("dot_product",
@@ -81,6 +84,13 @@ object ExprBench {
       ("repetition_stats",
         bench("native") { docs.select(HashFunctions.repetition_stats(col("toks")).as("r")) },
         Double.NaN), // declarative form needs two explode->groupBy shuffles
+      ("count_between", {
+        bench("native") { dvecs.select(
+          HashFunctions.count_between(col("dv"), lit(-0.5), lit(0.5)).as("c")) }
+      }, {
+        bench("lambda") { dvecs.select(size(filter(col("dv"),
+          x => x >= lit(-0.5) && x <= lit(0.5))).cast("long").as("c")) }
+      }),
       ("nfc_normalize (vs UDF)", {
         bench("native") { texts.select(HashFunctions.nfc_normalize(col("text")).as("n")) }
       }, {

@@ -81,7 +81,19 @@ object IngestBench {
     val rps = (report.totalRows / sec).toLong
     println(f"[ingest-bench] loaded ${report.totalRows} rows (${report.totalCorrupt} corrupt) " +
       f"in $sec%.2f s = $rps rows/sec (reference baseline: 300k-500k rows/sec to remote ClickHouse)")
-    println(s"""{"metric":"ingest_rows_per_sec","value":$rps,"unit":"rows/sec","rows":${report.totalRows},"sec":$sec}""")
+    // z-order A/B: same load with write-path clustering on — the honest cost
+    // of the layout (one extra range shuffle + in-task sort) against the
+    // plain append, so the pruning win (ZOrderIngestSpec) has a price tag
+    spark.conf.set("spark.graft.ingest.zorder", "true")
+    val whZ = java.nio.file.Files.createTempDirectory("ingest-whz").toString
+    val tz0 = System.nanoTime()
+    val reportZ = TickerIngest.ingest(spark, paths, whZ)
+    val zsec = (System.nanoTime() - tz0) / 1e9
+    spark.conf.set("spark.graft.ingest.zorder", "false")
+    val zrps = (reportZ.totalRows / zsec).toLong
+    println(f"[ingest-bench] z-ordered load: ${reportZ.totalRows} rows in $zsec%.2f s = " +
+      f"$zrps rows/sec (${sec / zsec * 100}%.0f%% of plain throughput)")
+    println(s"""{"metric":"ingest_rows_per_sec","value":$rps,"unit":"rows/sec","rows":${report.totalRows},"sec":$sec,"zorder_rows_per_sec":$zrps}""")
     spark.stop()
   }
 }

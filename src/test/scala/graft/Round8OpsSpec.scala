@@ -78,4 +78,33 @@ class Round8OpsSpec extends SparkSpec {
         s"filter=${filterOut.head} shuffled=$prunedShuffled")
     }
   }
+
+  test("count_between: closed interval, null element/array handling, SQL path, type check") {
+    import spark.implicits._
+    graft.catalyst.GraftExtensions.register(spark)
+    import graft.catalyst.HashFunctions.count_between
+    val df = Seq(
+      (1L, Seq[Option[Double]](Some(1.0), Some(2.0), Some(3.0), None, Some(2.0))),
+      (2L, Seq.empty[Option[Double]])
+    ).toDF("id", "vals")
+    val got = df.select(col("id"),
+      count_between(col("vals"), lit(2.0), lit(3.0)).as("c"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 0L)) // inclusive bounds, nulls skipped
+    // null array/bounds propagate
+    val row = Seq((Option.empty[Seq[Double]], Option.empty[Double]))
+      .toDF("vals", "lo")
+      .select(count_between(col("vals"), lit(0.0), lit(1.0)),
+        count_between(array(lit(1.0)), col("lo"), lit(1.0))).head()
+    assert(row.isNullAt(0) && row.isNullAt(1))
+    // SQL-reachable
+    df.createOrReplaceTempView("cb_t")
+    assert(spark.sql("SELECT count_between(vals, 2.0D, 3.0D) FROM cb_t WHERE id = 1")
+      .head().getLong(0) == 3L)
+    // wrong input type is an analysis error naming the function
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1).toDF("x").select(count_between(col("x"), lit(0.0), lit(1.0))).collect()
+    }
+    assert(e.getMessage.contains("count_between"), e.getMessage)
+  }
 }
