@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persistent fingerprint history for incremental dedup — the table a
@@ -28,14 +28,24 @@ object FingerprintStore {
 
   private def prefixOf(fpCol: String) = substring(col(fpCol), 1, 2)
 
-  /** Append a batch of fingerprints to the store at `dir`. The
+  private def hasData(dir: String): Boolean = {
+    val d = new java.io.File(dir)
+    d.exists && Option(d.listFiles()).exists(_.exists(f =>
+      f.getName.startsWith(PrefixCol + "=")))
+  }
+
+  /** Append a batch of fingerprints to the store at `dir` — every column of
+    * `fps` is kept (callers may carry provenance such as a `batch_id`). The
     * pre-shuffle `repartition` on the prefix keeps the file count bounded
     * (each writing task owns whole buckets) — without it every task writes
     * into every partition dir and the store fragments into
-    * tasks × 256 small files per day.
+    * tasks × 256 small files per day. Duplicate fingerprint ROWS are
+    * harmless by design: the store is semantically a set (the admit
+    * anti-join is multiplicity-blind), which is what lets streaming callers
+    * re-append on replay without corrupting anything.
     */
   def append(fps: DataFrame, fpCol: String, dir: String): Unit =
-    fps.select(col(fpCol)).filter(col(fpCol).isNotNull)
+    fps.filter(col(fpCol).isNotNull)
       .withColumn(PrefixCol, prefixOf(fpCol))
       .repartition(col(PrefixCol))
       .write.mode("append").partitionBy(PrefixCol).parquet(dir)
@@ -43,14 +53,21 @@ object FingerprintStore {
   /** Rows of `newDocs` whose `fpCol` has no match in the store. The store
     * scan is partition-pruned to the batch's own prefixes; null
     * fingerprints are always admitted (an anti-join null key matches
-    * nothing), mirroring [[DedupOps.incrementalDedup]].
+    * nothing), mirroring [[DedupOps.incrementalDedup]]. An empty or absent
+    * store admits everything (the first batch of a fresh corpus).
+    * `histFilter` restricts which store rows count as history — streaming
+    * callers pass `batch_id < currentBatch` so a replayed batch excludes
+    * its own earlier append and recomputes the identical admitted set.
     */
-  def admit(spark: SparkSession, newDocs: DataFrame, fpCol: String, dir: String): DataFrame = {
+  def admit(spark: SparkSession, newDocs: DataFrame, fpCol: String, dir: String,
+      histFilter: Column = lit(true)): DataFrame = {
     import spark.implicits._
+    if (!hasData(dir)) return newDocs
     val prefixes = newDocs.select(prefixOf(fpCol).as("p"))
       .filter(col("p").isNotNull).distinct().as[String].collect().toSeq
     if (prefixes.isEmpty) return newDocs
     val hist = spark.read.parquet(dir)
+      .filter(histFilter)
       .filter(col(PrefixCol).isin(prefixes: _*))
       .select(col(fpCol))
     newDocs.join(hist, Seq(fpCol), "left_anti")
