@@ -170,6 +170,11 @@ object PipelineApp {
     every("cleanup", cfg.cleanup.workCycleSec) {
       Retry(cfg.cleanup.retry, "cleanup") {
         Lifecycle.cleanup(journal, root, LocalDate.now())
+        // delta-log-style checkpoint on the GC cadence (3 h default): the
+        // event log otherwise grows without bound and every latest-wins
+        // view scans the full history; journal mutators are synchronized,
+        // so the compaction swap cannot lose a concurrent append
+        journal.compact(now())
       }
     }
     // shut the (non-daemon) scheduler down however the stream ends, or its

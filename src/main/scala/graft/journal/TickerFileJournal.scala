@@ -85,8 +85,19 @@ class TickerFileJournal(spark: SparkSession, val dir: String) {
   /** B6 — journal the unseen subset of `candidates(filename, create_date)`
     * as DISCOVERED (anti-join dedup,
     * `SaveNewFilesToDbFlow.java:216-248`). Returns inserted count.
+    *
+    * Mutators (`appendDiscovered` / `transitionWhere` / `claimReady` /
+    * [[compact]] / [[truncate]]) are synchronized on the journal instance:
+    * in [[graft.app.PipelineApp]] the three lifecycle flows and the
+    * discovery stream each run on their own thread against one journal, so
+    * an unsynchronized interleave could collide batch_seq values or — worse
+    * — land an append between compact's snapshot and its truncate, deleting
+    * the only copy of those events. Mutations are metadata-sized (seconds
+    * at worst), so serializing them costs nothing observable. Lazy READERS
+    * racing a compact's file swap can throw transiently; every flow already
+    * catches-and-retries next cycle, which makes that self-healing.
     */
-  def appendDiscovered(candidates: DataFrame, now: Timestamp): Long = {
+  def appendDiscovered(candidates: DataFrame, now: Timestamp): Long = this.synchronized {
     val seq = nextBatchSeq()
     val fresh = candidates
       .select("filename", "create_date").distinct()
@@ -110,7 +121,7 @@ class TickerFileJournal(spark: SparkSession, val dir: String) {
 
   /** A9 with an arbitrary predicate over the [[current]] view. */
   def transitionWhere(cond: org.apache.spark.sql.Column, to: FileStatus,
-      now: Timestamp): Long = {
+      now: Timestamp): Long = this.synchronized {
     val legalFrom = FileStatus.all.filter(f => FileStatus.canTransition(f, to) && f != to)
       .map(_.name)
     val seq = nextBatchSeq()
@@ -139,7 +150,7 @@ class TickerFileJournal(spark: SparkSession, val dir: String) {
     * unbounded claim is deliberately not expressible through this API.
     */
   def claimReady(now: Timestamp,
-      limit: Int = TickerFileJournal.DefaultClaimLimit): Seq[(String, Date)] = {
+      limit: Int = TickerFileJournal.DefaultClaimLimit): Seq[(String, Date)] = this.synchronized {
     require(limit > 0, s"claimReady limit must be positive, got $limit")
     val ready = current.filter(col("status") === FileStatus.ReadyForProcessing.name)
       .select("filename", "create_date")
@@ -182,7 +193,7 @@ class TickerFileJournal(spark: SparkSession, val dir: String) {
   def countFiles(): Long = current.count()
 
   /** A10 — truncate. */
-  def truncate(): Unit = {
+  def truncate(): Unit = this.synchronized {
     val d = new java.io.File(dir)
     if (d.exists) { d.listFiles.foreach(deleteRec); () }
     cachedMaxSeq = Some(0L)
@@ -201,7 +212,7 @@ class TickerFileJournal(spark: SparkSession, val dir: String) {
     * view never passes through the driver, so compacting a journal of 100M
     * files costs a shuffle, not a multi-GB driver collect.
     */
-  def compact(now: Timestamp): Unit = {
+  def compact(now: Timestamp): Unit = this.synchronized {
     val tmp = dir.stripSuffix("/") + ".compact-tmp"
     val tmpDir = new java.io.File(tmp)
     if (tmpDir.exists) deleteRec(tmpDir)

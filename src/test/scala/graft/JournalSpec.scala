@@ -163,4 +163,49 @@ class JournalSpec extends SparkSpec {
     assert(j.statusOf("t0000000").contains(FileStatus.InProgress))
     assert(j.statusOf("t0000001").contains(FileStatus.ReadyForProcessing))
   }
+
+  test("concurrent mutators + compactions lose nothing (PipelineApp thread model)") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    // 4 writer threads each own 25 disjoint files and walk them
+    // DISCOVERED -> READY -> IN_PROGRESS while a 5th thread compacts
+    // repeatedly — the exact interleave the app's flow scheduler + discovery
+    // stream produce. Synchronized mutators must make every transition and
+    // every compaction atomic: at the end all 100 files are IN_PROGRESS and
+    // the compacted log holds exactly one event per file.
+    val j = new TickerFileJournal(spark, tmpDir("journal-conc"))
+    val files = (0 until 100).map(i => f"c$i%03d")
+    j.appendDiscovered(
+      files.map((_, "2024-01-01")).toDF("filename", "cd")
+        .select(col("filename"), col("cd").cast("date").as("create_date")),
+      ts("2024-08-08 09:00:00"))
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(5)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writers = (0 until 4).map { t =>
+      pool.submit(new Runnable {
+        def run(): Unit = try {
+          start.await()
+          val mine = files.slice(t * 25, t * 25 + 25)
+          mine.foreach { f =>
+            j.transition(Seq(f), FileStatus.ReadyForProcessing, ts("2024-08-08 09:01:00"))
+            j.transition(Seq(f), FileStatus.InProgress, ts("2024-08-08 09:02:00"))
+          }
+        } catch { case e: Throwable => failures.add(e) }
+      })
+    }
+    val compactor = pool.submit(new Runnable {
+      def run(): Unit = try {
+        start.await()
+        (1 to 5).foreach { _ => j.compact(ts("2024-08-08 09:03:00")) }
+      } catch { case e: Throwable => failures.add(e) }
+    })
+    start.countDown()
+    (writers :+ compactor).foreach(_.get(300, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(failures.isEmpty, failures.toArray.mkString("; "))
+    assert(j.countFiles() == 100)
+    assert(j.byStatus(FileStatus.InProgress).count() == 100) // nothing lost
+    j.compact(ts("2024-08-08 09:04:00"))
+    assert(j.events.count() == 100) // compacted to one event per file
+  }
 }
