@@ -158,6 +158,8 @@ object SparkEntry {
     "j_bloom_semi"      -> (graft.operators.JoinOps.bloomSemiQuery _),
     "x_zorder_layout"   -> (graft.operators.LayoutOps.zorderLayout _),
     "t_normalize"       -> (graft.functions.TextOps.normalizeDf _),
+    // C4-style boilerplate span removal (frequent-window excision + rebuild)
+    "t_boilerplate"     -> (graft.functions.TextOps.boilerplateScrub _),
     "ts_scd2"           -> (TimeSeriesOps.scd2History _),
     "d_incremental"     -> (DedupOps.incrementalDedupQuery _),
   )
@@ -267,6 +269,7 @@ object SparkEntry {
     "j_bloom_semi"      -> graft.operators.JoinOps.bloomSemiSql,
     "x_zorder_layout"   -> graft.operators.LayoutOps.zorderLayoutSql,
     "t_normalize"       -> graft.functions.TextOps.normalizeSql,
+    "t_boilerplate"     -> graft.functions.TextOps.boilerplateScrubSql,
     "ts_scd2"           -> TimeSeriesOps.scd2HistorySql,
     "d_incremental"     -> DedupOps.incrementalDedupSql,
   )

@@ -218,6 +218,79 @@ object TextOps {
       |SELECT doc_id, norm_text, length(norm_text) AS n_chars_norm
       |FROM n ORDER BY doc_id""".stripMargin
 
+  /** Boilerplate window width (tokens) and the corpus-fraction document
+    * frequency above which a window counts as boilerplate. Fraction-based,
+    * not absolute, so the operator means the same thing at every corpus
+    * size ("appears in more than 7% of documents").
+    */
+  val BoilerplateWindow = 2
+  val BoilerplateDfFrac = 0.07
+
+  /** C4-style boilerplate span removal — the REMOVAL counterpart of the
+    * duplicated-span FRACTION ([[graft.operators.DedupOps]] d_dup_span_frac):
+    * token windows whose document frequency exceeds
+    * [[BoilerplateDfFrac]]·|corpus| ("terms of service" text, navigation
+    * chrome, license headers) are excised from every document, and the
+    * text is rebuilt from the surviving tokens.
+    *
+    * Plan shape at 100 TB: one posexplode over windows (row count ≈ token
+    * count), a partial-aggregable doc-frequency count, a semi-join of
+    * spans against the (small — boilerplate is by definition few distinct
+    * strings) frequent set, and one per-doc rebuild from a collected
+    * start-position set bounded by tokens/doc. No all-pairs anywhere; the
+    * only driver scalar is the corpus count.
+    */
+  def boilerplateScrub(s: SparkSession, d: String): DataFrame = {
+    val w = BoilerplateWindow
+    val total = Tables.documents(s, d).count()
+    val minDf = math.ceil(BoilerplateDfFrac * total).toLong
+    val t = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .localCheckpoint(true)
+    // 1-based window starts (matches the oracle's generate_series)
+    val spans = t.select(col("doc_id"),
+        posexplode(when(size(col("toks")) >= w,
+          transform(sequence(lit(1), size(col("toks")) - (w - 1)),
+            i => md5(concat_ws(" ", slice(col("toks"), i, lit(w))))))
+          .otherwise(array().cast("array<string>"))).as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).as("start"), col("h"))
+    val frequent = spans.groupBy("h")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= minDf)
+      .select("h")
+    val covered = spans.join(frequent, "h")
+      .groupBy("doc_id").agg(collect_set("start").as("starts"))
+    t.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(size(col("starts")), lit(0)).as("n_spans"),
+        concat_ws(" ", filter(col("toks"), (x, i) =>
+          !exists(coalesce(col("starts"), array().cast("array<int>")),
+            st => (i + 1) >= st && (i + 1) <= st + (w - 1)))).as("clean_text"))
+      .withColumn("n_tokens_kept",
+        when(col("clean_text") === "", lit(0))
+          .otherwise(size(tokens(col("clean_text")))))
+      .orderBy("doc_id")
+  }
+  val boilerplateScrubSql: String =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       |sp AS (SELECT doc_id, i AS start, md5(array_to_string(toks[i:i+${BoilerplateWindow - 1}], ' ')) AS h
+       |       FROM t CROSS JOIN UNNEST(generate_series(1, len(toks) - ${BoilerplateWindow - 1})) AS u(i)),
+       |f AS (SELECT h FROM sp GROUP BY h
+       |      HAVING count(DISTINCT doc_id) >= ceil($BoilerplateDfFrac * (SELECT count(*) FROM documents))),
+       |cov AS (SELECT doc_id, list(DISTINCT start) AS starts FROM sp JOIN f USING (h) GROUP BY doc_id),
+       |r AS (SELECT t.doc_id, t.toks, COALESCE(cov.starts, []) AS starts
+       |      FROM t LEFT JOIN cov USING (doc_id)),
+       |o AS (SELECT doc_id, CAST(len(starts) AS INT) AS n_spans,
+       |        array_to_string(list_transform(
+       |          list_filter(generate_series(1, len(toks)),
+       |            i -> len(list_filter(starts, st -> i >= st AND i <= st + ${BoilerplateWindow - 1})) = 0),
+       |          i -> toks[i]), ' ') AS clean_text
+       |      FROM r)
+       |SELECT doc_id, n_spans, clean_text,
+       |  CASE WHEN clean_text = '' THEN 0
+       |       ELSE CAST(len(regexp_split_to_array(clean_text, '\\s+')) AS INT) END AS n_tokens_kept
+       |FROM o ORDER BY doc_id""".stripMargin
+
   /** Document fingerprinting: md5 of whitespace-normalized text (exact-dup
     * key) + min-shingle hash (a 1-perm MinHash, the winnowing-style content
     * fingerprint — stable under local edits).
