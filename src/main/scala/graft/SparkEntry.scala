@@ -115,6 +115,8 @@ object SparkEntry {
     // Round 2: deterministic splits / sampling / balancing
     "p_train_split"     -> (PQ.trainSplit _),
     "p_stratified_sample" -> (PQ.stratifiedSample _),
+    // concat-and-chunk sequence packing via two-level distributed prefix sums
+    "p_seq_pack"        -> ((s, d) => PQ.sequencePack(s, d)),
     "p_class_balance"   -> (PQ.classBalance _),
     // Round 2: window / grouping completions
     "w_lead_delta"      -> (PQ.leadDelta _),
@@ -160,6 +162,8 @@ object SparkEntry {
     "t_normalize"       -> (graft.functions.TextOps.normalizeDf _),
     // C4-style boilerplate span removal (frequent-window excision + rebuild)
     "t_boilerplate"     -> (graft.functions.TextOps.boilerplateScrub _),
+    // quality-filter funnel: first-failing-rule drop attribution per doc
+    "t_filter_funnel"   -> (graft.functions.TextOps.filterFunnel _),
     "ts_scd2"           -> (TimeSeriesOps.scd2History _),
     "d_incremental"     -> (DedupOps.incrementalDedupQuery _),
   )
@@ -239,6 +243,7 @@ object SparkEntry {
     "d_cluster_canon"   -> DedupOps.clusterCanonSql,
     "p_train_split"     -> PQ.trainSplitSql,
     "p_stratified_sample" -> PQ.stratifiedSampleSql,
+    "p_seq_pack"        -> PQ.sequencePackSql,
     "p_class_balance"   -> PQ.classBalanceSql,
     "w_lead_delta"      -> PQ.leadDeltaSql,
     "g_grouping_sets"   -> PQ.groupingSetsSql,
@@ -270,6 +275,7 @@ object SparkEntry {
     "x_zorder_layout"   -> graft.operators.LayoutOps.zorderLayoutSql,
     "t_normalize"       -> graft.functions.TextOps.normalizeSql,
     "t_boilerplate"     -> graft.functions.TextOps.boilerplateScrubSql,
+    "t_filter_funnel"   -> graft.functions.TextOps.filterFunnelSql,
     "ts_scd2"           -> TimeSeriesOps.scd2HistorySql,
     "d_incremental"     -> DedupOps.incrementalDedupSql,
   )

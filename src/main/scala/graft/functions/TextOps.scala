@@ -218,6 +218,68 @@ object TextOps {
       |SELECT doc_id, norm_text, length(norm_text) AS n_chars_norm
       |FROM n ORDER BY doc_id""".stripMargin
 
+  /** Funnel thresholds (C4/Gopher-style): minimum document length,
+    * minimum stopword ratio ("is this natural language"), maximum
+    * top-word fraction ("is this degenerate repetition").
+    */
+  val FunnelMinTokens = 15
+  val FunnelMinStopRatio = 0.02
+  val FunnelMaxTopFrac = 0.12
+
+  /** Quality-filter funnel — the per-rule drop report every corpus
+    * curation run publishes: each document gets a FIRST-FAILING-rule
+    * verdict (cascade order: too short → too few stopwords → repetitive →
+    * pass), then one row per verdict with its document count. The cascade
+    * attribution means the stage counts sum to the corpus and each drop is
+    * charged to exactly one rule — the number a pipeline operator actually
+    * tunes against.
+    *
+    * Plan: one projection per doc (the repetition signal is the native
+    * codegen'd [[graft.catalyst.RepetitionStats]], not an explode pyramid)
+    * + one partial-aggregable groupBy over four verdict values. Scales
+    * trivially.
+    */
+  def filterFunnel(s: SparkSession, d: String): DataFrame = {
+    val perDoc = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        (size(filter(col("toks"), x => x.isInCollection(stopwords))).cast("double") /
+          greatest(size(col("toks")), lit(1))).as("stop_ratio"),
+        graft.catalyst.HashFunctions.repetition_stats(col("toks"))
+          .getField("top_word_frac").as("top_frac"))
+    perDoc
+      .withColumn("verdict",
+        when(col("n_tokens") < FunnelMinTokens, "drop_too_short")
+          .when(col("stop_ratio") < FunnelMinStopRatio, "drop_low_stopword")
+          .when(col("top_frac") > FunnelMaxTopFrac, "drop_repetitive")
+          .otherwise("pass"))
+      .groupBy("verdict").agg(count(lit(1)).as("n_docs"))
+      .withColumn("stage",
+        when(col("verdict") === "drop_too_short", 1)
+          .when(col("verdict") === "drop_low_stopword", 2)
+          .when(col("verdict") === "drop_repetitive", 3)
+          .otherwise(4))
+      .select("stage", "verdict", "n_docs")
+      .orderBy("stage")
+  }
+  val filterFunnelSql: String =
+    s"""WITH b AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       |m AS (SELECT doc_id, len(toks) AS n_tokens,
+       |  len(list_filter(toks, x -> x IN (${stopwords.map("'" + _ + "'").mkString(",")}))) * 1.0
+       |    / greatest(len(toks), 1) AS stop_ratio,
+       |  (SELECT max(cnt) FROM (SELECT count(*) AS cnt FROM UNNEST(toks) AS z(w) GROUP BY w)) * 1.0
+       |    / greatest(len(toks), 1) AS top_frac
+       |  FROM b),
+       |v AS (SELECT CASE WHEN n_tokens < $FunnelMinTokens THEN 'drop_too_short'
+       |                  WHEN stop_ratio < $FunnelMinStopRatio THEN 'drop_low_stopword'
+       |                  WHEN top_frac > $FunnelMaxTopFrac THEN 'drop_repetitive'
+       |                  ELSE 'pass' END AS verdict FROM m)
+       |SELECT CAST(CASE verdict WHEN 'drop_too_short' THEN 1 WHEN 'drop_low_stopword' THEN 2
+       |            WHEN 'drop_repetitive' THEN 3 ELSE 4 END AS INT) AS stage,
+       |  verdict, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM v GROUP BY verdict ORDER BY stage""".stripMargin
+
   /** Boilerplate window width (tokens) and the corpus-fraction document
     * frequency above which a window counts as boilerplate. Fraction-based,
     * not absolute, so the operator means the same thing at every corpus

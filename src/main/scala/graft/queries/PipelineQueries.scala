@@ -352,6 +352,58 @@ object PipelineQueries {
     * sample is reproducible row-for-row on any engine. Map-side filter +
     * one partial-aggregated groupBy — the 100 TB mixing shape.
     */
+  /** Sequence packing — the concat-and-chunk shape every pretraining
+    * pipeline runs: documents are laid end-to-end in doc_id order and cut
+    * into fixed `seqLen`-token training sequences; each document reports
+    * its global token offset and the sequence ids it spans.
+    *
+    * The global running sum is computed scale-safe, NOT with a
+    * single-partition window: docs are grouped into fixed blocks
+    * (`doc_id / blockSize`), a window partitioned BY BLOCK computes the
+    * within-block cumulative sum (data-scale work, fully parallel), and a
+    * second window runs only over the per-block TOTALS — n/blockSize rows,
+    * three orders of magnitude smaller; at extreme scale the same
+    * two-level construction recurses. This is the distributed prefix-sum
+    * pattern; the bucketed RANGE rewrite above ([[windowRangeScaled]]) is
+    * its value-domain sibling.
+    */
+  def sequencePack(s: SparkSession, d: String, seqLen: Int = 512,
+      blockSize: Int = 64): DataFrame = {
+    val t = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        (col("doc_id") / blockSize).cast("long").as("blk"))
+    // level 1: within-block exclusive prefix (window partitioned by block)
+    val wIn = Window.partitionBy("blk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inBlk = t.withColumn("in_off", coalesce(sum("n_tokens").over(wIn), lit(0L)))
+    // level 2: exclusive prefix over per-block totals (n/blockSize rows)
+    val wBlk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    val blkOff = t.groupBy("blk").agg(sum("n_tokens").as("bt"))
+      .withColumn("blk_off", coalesce(sum("bt").over(wBlk), lit(0L)))
+      .select("blk", "blk_off")
+    inBlk.join(broadcast(blkOff), "blk")
+      .withColumn("global_offset", col("blk_off") + col("in_off"))
+      .select(col("doc_id"), col("n_tokens"), col("global_offset"),
+        floor(col("global_offset") / seqLen).cast("long").as("seq_start"),
+        floor((col("global_offset") + col("n_tokens") - 1) / seqLen).cast("long").as("seq_end"),
+        (col("global_offset") % seqLen).as("off_in_seq"))
+      .orderBy("doc_id")
+  }
+  val sequencePackSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS global_offset
+      |  FROM t)
+      |SELECT doc_id, n_tokens, global_offset,
+      |  CAST(global_offset // 512 AS BIGINT) AS seq_start,
+      |  CAST((global_offset + n_tokens - 1) // 512 AS BIGINT) AS seq_end,
+      |  CAST(global_offset % 512 AS BIGINT) AS off_in_seq
+      |FROM c ORDER BY doc_id""".stripMargin
+
   def mixtureSample(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("m", md5(col("doc_id").cast("string")))

@@ -321,6 +321,15 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("sequence packing: data-scale window is partitioned by block, not global") {
+    // the only GLOBAL window in sequencePack runs over per-block totals
+    // (n/blockSize rows, post-aggregate); the window over the raw documents
+    // must hash-partition on blk — a plan regression to a single-partition
+    // data window would still be correct and this is what catches it
+    val p = physicalPlan(graft.queries.PipelineQueries.sequencePack(spark, sf0001))
+    assert(p.contains("hashpartitioning(blk"), p)
+  }
+
   test("bucketed range-frame count plans NO window operator (scale-safe twin)") {
     // sql_window_range is the grammar demo — its un-partitioned ORDER BY
     // plans a single-partition Window by construction. The pattern users
