@@ -79,6 +79,8 @@ object SparkEntry {
     "s_ann_brute"       -> (SimilarityOps.annBruteForce _),
     "s_ann_lsh"         -> ((s, d) => SimilarityOps.annLsh(s, d)),
     "s_ann_ivf"         -> ((s, d) => SimilarityOps.annIvf(s, d)),
+    // search in the quantized domain: int8 codes + per-vector scale (SQ8)
+    "s_ann_sq8"         -> (SimilarityOps.annSq8 _),
     // semantic clustering: quantized k-means, map-only assignment
     "s_kmeans"          -> (SimilarityOps.kmeans(_, _)),
     // cluster-then-dedup composition: k-means cells as the blocking key
@@ -219,6 +221,7 @@ object SparkEntry {
     "s_ann_brute"       -> SimilarityOps.annBruteForceSql,
     "s_ann_lsh"         -> SimilarityOps.annLshSql,
     "s_ann_ivf"         -> SimilarityOps.annIvfSql,
+    "s_ann_sq8"         -> SimilarityOps.annSq8Sql,
     "s_kmeans"          -> SimilarityOps.kmeansSql,
     "s_cluster_neardup" -> SimilarityOps.clusterNearDupSql,
     "t_langid"          -> TextOps.langIdSql,

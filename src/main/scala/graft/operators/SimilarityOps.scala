@@ -436,7 +436,10 @@ object SimilarityOps {
     * string form pins every component exactly (integers format identically
     * in both engines), mirroring `b8_group_collect_set` / `f_array_ops`.
     */
-  def quantizeInt8(s: SparkSession, d: String): DataFrame = {
+  /** (vec_id, scale, q: array<int>) — the raw quantized index, shared by
+    * the gate query below and the SQ8 search ([[annSq8]]).
+    */
+  private def quantized(s: SparkSession, d: String): DataFrame = {
     val dv = transform(col("embedding"), x => x.cast("double"))
     Tables.fanOut(Tables.embeddings(s, d))
       .select(col("vec_id"), dv.as("dv"))
@@ -446,12 +449,15 @@ object SimilarityOps {
         when(col("scale") === 0.0, transform(col("dv"), _ => lit(0)))
           .otherwise(transform(col("dv"),
             x => floor(x / col("scale") + lit(0.5)).cast("int"))).as("q"))
+  }
+
+  def quantizeInt8(s: SparkSession, d: String): DataFrame =
+    quantized(s, d)
       .select(
         col("vec_id"), col("scale"),
         concat_ws(",", transform(col("q"), x => x.cast("string"))).as("q_csv"),
         aggregate(col("q"), lit(0L), (acc, x) => acc + abs(x).cast("long")).as("q_l1"))
       .orderBy("vec_id")
-  }
   val quantizeInt8Sql: String =
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
       |           FROM embeddings),
@@ -466,4 +472,48 @@ object SimilarityOps {
       |  array_to_string(q, ',') AS q_csv,
       |  CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1
       |FROM qq ORDER BY vec_id""".stripMargin
+
+  /** ANN over the SQ8 index — the search half of [[quantizeInt8]]: scores
+    * are computed ENTIRELY in the quantized domain,
+    * `score ≈ ⟨a,b⟩ = sa·sb·Σ qa[i]·qb[i]`, so at 100 TB the index the
+    * executors scan is 4× smaller than the float corpus (int8 codes + one
+    * scale per vector) and the inner loop is integer multiply-adds. The
+    * integer dot is exact in both engines (≤64·127² fits a long); the
+    * single double multiply by `sa·sb` is the same IEEE op sequence in the
+    * oracle, and scores are rounded before ranking so ties break
+    * identically on candidate id. Same query set / top-k contract as the
+    * other ANN variants — recall vs [[annBruteForce]] is the quantization
+    * error, not a bucketing artifact.
+    */
+  def annSq8(s: SparkSession, d: String): DataFrame = {
+    graft.catalyst.GraftExtensions.register(s)
+    val e = quantized(s, d)
+      .select(col("vec_id"), col("scale"),
+        transform(col("q"), x => x.cast("double")).as("qd"))
+      .localCheckpoint(true)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("scale").as("sa"), col("qd").as("qa"))
+    val c = e.select(col("vec_id").as("c_id"), col("scale").as("sb"), col("qd").as("qb"))
+    val scored = q.crossJoin(c).filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", round(col("sa") * col("sb") *
+        graft.catalyst.HashFunctions.dot_product(col("qa"), col("qb")), 4))
+    rankTopK(s, scored)
+  }
+  val annSq8Sql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+       |           FROM embeddings),
+       |m AS (SELECT vec_id, dv, list_max(list_transform(dv, x -> abs(x))) / 127.0 AS scale FROM e),
+       |qq AS (SELECT vec_id, scale,
+       |         CASE WHEN scale = 0 THEN list_transform(dv, x -> CAST(0 AS DOUBLE))
+       |              ELSE list_transform(dv, x -> CAST(CAST(floor(x / scale + 0.5) AS INTEGER) AS DOUBLE))
+       |         END AS qd
+       |       FROM m),
+       |scored AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+       |    round(a.scale * b.scale * list_sum(list_transform(generate_series(1, $Dim),
+       |          i -> a.qd[i] * b.qd[i])), 4) AS cos
+       |  FROM qq a JOIN qq b ON a.vec_id < $NumQueries AND a.vec_id <> b.vec_id),
+       |ranked AS (SELECT q_id, c_id, cos,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk FROM scored)
+       |SELECT q_id, rnk, c_id, cos FROM ranked WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
 }

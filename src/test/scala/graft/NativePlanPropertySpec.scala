@@ -232,6 +232,13 @@ class NativePlanPropertySpec extends SparkSpec {
       case _ =>
     }
     assert(ivf.last == 1.0, s"full probe must equal brute force, got ${ivf.last}")
+    // SQ8: the only recall loss is int8 quantization error, no bucketing —
+    // near-exact by construction (scores differ from exact cosine by the
+    // rounding of each component to 1/127 of the vector max)
+    val sq8 = recall(topkSets(SimilarityOps.annSq8(spark, sf0001)))
+    assert(sq8 >= 0.9, s"SQ8 recall $sq8 below floor 0.9")
+    info(s"SQ8 recall vs brute: $sq8")
+
     // documented floor for the oracled default (2 of 4 cells), calibrated on
     // this corpus (observed 0.325 — the labels are not semantic clusters, so
     // centroid routing is weakly informative here; the monotone + exact-at-
