@@ -119,6 +119,8 @@ object SparkEntry {
     "p_stratified_sample" -> (PQ.stratifiedSample _),
     // concat-and-chunk sequence packing via two-level distributed prefix sums
     "p_seq_pack"        -> ((s, d) => PQ.sequencePack(s, d)),
+    // per-sequence manifest (the batch-materialization view of the packing)
+    "p_seq_manifest"    -> ((s, d) => PQ.packedSequences(s, d)),
     "p_class_balance"   -> (PQ.classBalance _),
     // Round 2: window / grouping completions
     "w_lead_delta"      -> (PQ.leadDelta _),
@@ -247,6 +249,7 @@ object SparkEntry {
     "p_train_split"     -> PQ.trainSplitSql,
     "p_stratified_sample" -> PQ.stratifiedSampleSql,
     "p_seq_pack"        -> PQ.sequencePackSql,
+    "p_seq_manifest"    -> PQ.packedSequencesSql,
     "p_class_balance"   -> PQ.classBalanceSql,
     "w_lead_delta"      -> PQ.leadDeltaSql,
     "g_grouping_sets"   -> PQ.groupingSetsSql,

@@ -404,6 +404,49 @@ object PipelineQueries {
       |  CAST(global_offset % 512 AS BIGINT) AS off_in_seq
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** The consumer-side view of [[sequencePack]]: one row per packed
+    * training sequence, with how many documents tile it, their exact
+    * token contribution, and the doc-id range — the manifest a training
+    * job reads to materialize batches. Every sequence carries exactly
+    * `seqLen` tokens except the last (the tiling invariant; the oracle
+    * pins it across the whole corpus). Pure explode + partial-aggregable
+    * groupBy on top of the prefix sums — nothing new shuffles at scale.
+    */
+  def packedSequences(s: SparkSession, d: String, seqLen: Int = 512): DataFrame =
+    sequencePack(s, d, seqLen)
+      .select(col("doc_id"), col("n_tokens"), col("global_offset"),
+        explode(sequence(col("seq_start"), col("seq_end"))).as("seq_id"))
+      .withColumn("piece_len",
+        least((col("seq_id") + 1) * seqLen, col("global_offset") + col("n_tokens")) -
+          greatest(col("seq_id") * seqLen, col("global_offset")))
+      .groupBy("seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("piece_len").as("n_seq_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("seq_id")
+  val packedSequencesSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS global_offset
+      |  FROM t),
+      |x AS (SELECT doc_id, n_tokens, global_offset,
+      |        CAST(global_offset // 512 AS BIGINT) AS seq_start,
+      |        CAST((global_offset + n_tokens - 1) // 512 AS BIGINT) AS seq_end FROM c),
+      |e AS (SELECT doc_id, n_tokens, global_offset, u.sq AS seq_id
+      |      FROM x CROSS JOIN UNNEST(generate_series(seq_start, seq_end)) AS u(sq)),
+      |p AS (SELECT seq_id, doc_id,
+      |        least((seq_id + 1) * 512, global_offset + n_tokens)
+      |          - greatest(seq_id * 512, global_offset) AS piece_len FROM e)
+      |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(piece_len) AS BIGINT) AS n_seq_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM p GROUP BY seq_id ORDER BY seq_id""".stripMargin
+
   def mixtureSample(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("m", md5(col("doc_id").cast("string")))
