@@ -156,6 +156,8 @@ object SparkEntry {
     // REAL image decode: deterministic PNGs decoded through javax.imageio,
     // dims + raster checksum oracled via a lossless closed-form replay
     "m_decode"          -> (MultimodalOps.decodeImagesDf _),
+    // real resize roundtrip: decode -> NN resample -> re-encode -> decode
+    "m_resize"          -> (MultimodalOps.resizeImagesDf _),
     // native expressions reached through the SQL-TEXT path (FunctionRegistry)
     "sql_native_fns"    -> (PQ.sqlNativeFns _),
     // Round 7: embedding-pipeline prep + layout/runtime-pruning operators
@@ -274,6 +276,7 @@ object SparkEntry {
     "x_approx_sketches" -> PQ.approxSketchesSql,
     "m_frame_sample"    -> MultimodalOps.frameSampleSql,
     "m_decode"          -> MultimodalOps.decodeSql,
+    "m_resize"          -> MultimodalOps.resizeSql,
     "sql_native_fns"    -> PQ.sqlNativeFnsSql,
     "t_chunk"           -> graft.functions.TextOps.chunkSql(),
     "s_quantize_int8"   -> graft.operators.SimilarityOps.quantizeInt8Sql,

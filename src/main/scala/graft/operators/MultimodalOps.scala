@@ -73,8 +73,11 @@ object MultimodalOps {
       }
   }
 
-  /** Resize stub: plumbing-real (binary in → binary out, metadata updated),
-    * decode/re-encode faked as a truncation of the blob.
+  /** Resize stub over ARBITRARY blobs: plumbing-real (binary in → binary
+    * out), decode/re-encode faked as a truncation. The REAL image path —
+    * decode, nearest-neighbor resample, re-encode, verify — is
+    * [[resizeImagesDf]] (oracled as `m_resize`); this stub remains only
+    * for media types with no in-container codec (audio/video).
     */
   def resize(ds: Dataset[(Long, Array[Byte])], maxBytes: Int): Dataset[(Long, Array[Byte])] = {
     implicit val enc = ds.encoder
@@ -223,6 +226,88 @@ object MultimodalOps {
       |       CAST(SUM(((doc_id * 7 + (p % w) * 31 + (p // w) * 17) % 256)
       |                * (1 + p)) AS BIGINT) AS px_checksum
       |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+
+  /** REAL image resize — the full production roundtrip, not a truncation
+    * stub: decode the PNG, nearest-neighbor resample to half dimensions
+    * (explicit raster loops with floor source mapping — no Graphics2D
+    * interpolation ambiguity), RE-ENCODE to PNG, decode the re-encoded
+    * bytes, and checksum the final raster. Because every step is exact
+    * integer arithmetic and PNG is lossless, the DuckDB closed-form replay
+    * (`resizeSql`) matches ONLY if decode → resample → encode → decode all
+    * ran correctly. Per-partition codec reuse as in [[decodeImages]].
+    */
+  def resizeImagesDf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pngCorpus(s, d).mapPartitions { it =>
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      def decode(blob: Array[Byte]): java.awt.image.BufferedImage = {
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(blob))
+        reader.setInput(iis, true, true)
+        val img = reader.read(0)
+        iis.close()
+        img
+      }
+      it.map { case (id, blob) =>
+        val src = decode(blob)
+        val (w, h) = (src.getWidth, src.getHeight)
+        val (rw, rh) = (math.max(4, w / 2), math.max(4, h / 2))
+        val out = new java.awt.image.BufferedImage(
+          rw, rh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val sr = src.getRaster
+        val or = out.getRaster
+        var y = 0
+        while (y < rh) {
+          var x = 0
+          while (x < rw) {
+            or.setSample(x, y, 0, sr.getSample(x * w / rw, y * h / rh, 0))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(out)
+        ios.close()
+        val round = decode(bos.toByteArray) // prove the re-encoded bytes decode
+        var sum = 0L
+        var yy = 0
+        while (yy < rh) {
+          var xx = 0
+          while (xx < rw) {
+            sum += round.getRaster.getSample(xx, yy, 0).toLong * (1 + xx + rw * yy)
+            xx += 1
+          }
+          yy += 1
+        }
+        DecodedImage(id, rw, rh, sum)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[resizeImagesDf]]: nearest-neighbor source mapping
+    * `sx = x'·w / rw` (floor) over the generated gray closed form.
+    */
+  val resizeSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id,
+      |         CAST(8 + (doc_id % 9) AS BIGINT) AS w,
+      |         CAST(8 + ((doc_id * 3) % 7) AS BIGINT) AS h
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id, w, h,
+      |         greatest(4, w // 2) AS rw, greatest(4, h // 2) AS rh
+      |  FROM dims
+      |), px AS (
+      |  SELECT doc_id, w, h, rw, rh, unnest(generate_series(0, rw * rh - 1)) AS p
+      |  FROM r
+      |)
+      |SELECT doc_id, CAST(rw AS INTEGER) AS width, CAST(rh AS INTEGER) AS height,
+      |       CAST(SUM(((doc_id * 7 + ((p % rw) * w // rw) * 31
+      |                 + ((p // rw) * h // rh) * 17) % 256) * (1 + p)) AS BIGINT) AS px_checksum
+      |FROM px GROUP BY doc_id, rw, rh ORDER BY doc_id""".stripMargin
 
   /** The oracle-checkable slice of the multimodal surface: byte length and
     * content hash of the blob (pure SQL in both engines; the fake decode
