@@ -118,6 +118,8 @@ object PipelineApp {
     // never visible, so the re-ingest is exactly-once — see LifecycleSpec)
     val orphans = Lifecycle.recoverOrphaned(journal, now())
     if (orphans > 0) println(s"[recover] re-queued $orphans orphaned IN_PROGRESS files")
+    val repaired = TickerIngest.recoverCompaction(warehouseDir)
+    if (repaired > 0) println(s"[recover] restored $repaired partitions from interrupted compactions")
     Discovery.catchUp(spark, journal, root, LocalDate.now(), now())
     val q = Discovery.stream(spark, journal, root, s"$warehouseDir/_discovery_ckpt",
       maxFilesPerTrigger = cfg.discovery.filesBufferSize,
@@ -175,6 +177,19 @@ object PipelineApp {
         // view scans the full history; journal mutators are synchronized,
         // so the compaction swap cannot lose a concurrent append
         journal.compact(now())
+        // warehouse small-files pass: partitions accumulate one file set
+        // per ingest cycle; rewrite any that fragmented past 8 files
+        // (maintenanceLock serializes against concurrent commits)
+        Option(new java.io.File(warehouseDir).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("file_date=") &&
+            !f.getName.contains(".__"))
+          .foreach { p =>
+            val nFiles = Option(p.listFiles()).getOrElse(Array.empty)
+              .count(f => f.isFile && f.getName.startsWith("part-"))
+            if (nFiles > 8)
+              TickerIngest.compactPartition(spark, warehouseDir,
+                java.sql.Date.valueOf(p.getName.stripPrefix("file_date=")))
+          }
       }
     }
     // shut the (non-daemon) scheduler down however the stream ends, or its

@@ -159,7 +159,18 @@ object TickerIngest {
     * [[stage]] after a partially-applied commit would duplicate rows; a
     * commit failure quarantines the claimed files instead).
     */
-  def commit(spark: SparkSession, staged: StagedIngest): Unit = {
+  /** Serializes everything that touches live partition dirs: [[commit]]
+    * (upload flow) vs [[compactPartition]]/[[recoverCompaction]] (cleanup
+    * flow) run on different scheduler threads in PipelineApp. Without it a
+    * commit landing a file in a partition between the compaction's
+    * snapshot and its swap would be silently thrown away with the `.__old`
+    * trash. Commits hold it only for renames (milliseconds); a compaction
+    * holds it across its rewrite — that partition's ingest pauses for the
+    * maintenance pass, exactly like a table-format compaction lock.
+    */
+  private val maintenanceLock = new Object
+
+  def commit(spark: SparkSession, staged: StagedIngest): Unit = maintenanceLock.synchronized {
     if (staged.stagingWh.nonEmpty) moveTree(spark, staged.stagingWh, staged.warehouseDir)
     for (s <- staged.stagingQr; q <- staged.quarantineDir) moveTree(spark, s, q)
     // GC abandoned attempts: under the single-writer contract (one
@@ -215,6 +226,75 @@ object TickerIngest {
     val staged = stage(spark, paths, warehouseDir, quarantineDir)
     commit(spark, staged)
     staged.report
+  }
+
+  /** Compact one date partition of the warehouse — the small-files
+    * maintenance pass: every [[commit]] appends one file set per batch, so
+    * a partition ingested in N cycles holds N× the files a scan wants
+    * (task-per-file scheduling, footer overhead). Rewrites the partition
+    * into `ceil(rows / targetRowsPerFile)` files.
+    *
+    * Crash-safe by DIRECTORY swap, not file shuffling: the compacted copy
+    * is built complete in `<partition>.__new`, then the swap is two
+    * directory renames (live → `.__old`, `.__new` → live) and a trash
+    * delete. A crash between the renames leaves the partition absent but
+    * its data intact in `.__old`; [[recoverCompaction]] — run at startup,
+    * before anything reads — restores it. Readers never see a partial mix
+    * of old and new files at any point.
+    *
+    * Returns (filesBefore, filesAfter).
+    */
+  def compactPartition(spark: SparkSession, warehouseDir: String,
+      date: java.sql.Date,
+      targetRowsPerFile: Long = 4000000L): (Int, Int) = maintenanceLock.synchronized {
+    val live = new java.io.File(s"$warehouseDir/file_date=$date")
+    def parts(d: java.io.File): Array[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+    val before = parts(live)
+    if (before.length <= 1) return (before.length, before.length)
+    val df = spark.read.parquet(live.getPath)
+    val rows = df.count()
+    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val newDir = new java.io.File(live.getPath + ".__new")
+    val oldDir = new java.io.File(live.getPath + ".__old")
+    if (newDir.exists) deleteTree(newDir) // abandoned previous attempt
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(newDir.getPath)
+    // verify the copy before touching the live dir — a short write must
+    // never replace good data
+    require(spark.read.parquet(newDir.getPath).count() == rows,
+      s"compaction verify failed for $live")
+    require(live.renameTo(oldDir), s"swap step 1 failed: $live -> $oldDir")
+    require(newDir.renameTo(live), s"swap step 2 failed: $newDir -> $live")
+    deleteTree(oldDir)
+    (before.length, parts(live).length)
+  }
+
+  /** Startup repair for [[compactPartition]]'s crash window: a
+    * `<partition>.__old` without a live partition dir means the crash hit
+    * between the two swap renames — restore it. A `.__old` WITH a live dir
+    * is a completed compaction's unfinished trash delete — drop it. A
+    * `.__new` left behind is an incomplete copy — drop it (the live dir
+    * was never touched). Returns the number of partitions restored.
+    */
+  def recoverCompaction(warehouseDir: String): Int = maintenanceLock.synchronized {
+    val root = new java.io.File(warehouseDir)
+    val entries = Option(root.listFiles()).getOrElse(Array.empty)
+    var restored = 0
+    entries.filter(_.getName.endsWith(".__new")).foreach(deleteTree)
+    entries.filter(_.getName.endsWith(".__old")).foreach { oldDir =>
+      val live = new java.io.File(oldDir.getPath.stripSuffix(".__old"))
+      if (!live.exists) {
+        require(oldDir.renameTo(live), s"restore failed: $oldDir -> $live")
+        restored += 1
+      } else deleteTree(oldDir)
+    }
+    restored
+  }
+
+  private def deleteTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
+    f.delete(); ()
   }
 
   /** The loaded warehouse as a DataFrame (partition-pruned on file_date). */
