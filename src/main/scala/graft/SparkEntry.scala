@@ -158,6 +158,8 @@ object SparkEntry {
     "m_decode"          -> (MultimodalOps.decodeImagesDf _),
     // real resize roundtrip: decode -> NN resample -> re-encode -> decode
     "m_resize"          -> (MultimodalOps.resizeImagesDf _),
+    // real feature extraction: exact intensity sum + 4-bin histogram
+    "m_features"        -> (MultimodalOps.imageFeaturesDf _),
     // native expressions reached through the SQL-TEXT path (FunctionRegistry)
     "sql_native_fns"    -> (PQ.sqlNativeFns _),
     // Round 7: embedding-pipeline prep + layout/runtime-pruning operators
@@ -277,6 +279,7 @@ object SparkEntry {
     "m_frame_sample"    -> MultimodalOps.frameSampleSql,
     "m_decode"          -> MultimodalOps.decodeSql,
     "m_resize"          -> MultimodalOps.resizeSql,
+    "m_features"        -> MultimodalOps.imageFeaturesSql,
     "sql_native_fns"    -> PQ.sqlNativeFnsSql,
     "t_chunk"           -> graft.functions.TextOps.chunkSql(),
     "s_quantize_int8"   -> graft.operators.SimilarityOps.quantizeInt8Sql,

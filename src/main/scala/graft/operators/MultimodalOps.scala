@@ -309,6 +309,73 @@ object MultimodalOps {
       |                 + ((p // rw) * h // rh) * 17) % 256) * (1 + p)) AS BIGINT) AS px_checksum
       |FROM px GROUP BY doc_id, rw, rh ORDER BY doc_id""".stripMargin
 
+  /** Per-image feature vector read from the decoded raster. Integer-exact
+    * end to end (pixel sum + count instead of a float mean; 4-bin intensity
+    * histogram) so the oracle has no float-parity traps.
+    */
+  case class ImageFeatures(doc_id: Long, n_px: Int, px_sum: Long,
+      h0: Int, h1: Int, h2: Int, h3: Int)
+
+  /** REAL feature extraction over the decoded raster — the third member of
+    * the decode / resize / feature-extract trio: pixel count, exact
+    * intensity sum (the mean as an exact ratio), and a 4-bin histogram
+    * (bins of 64). Per-partition decoder reuse as in [[decodeImages]];
+    * oracle replays the closed-form pixels, so a decode or binning bug
+    * fails the hash.
+    */
+  def imageFeaturesDf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pngCorpus(s, d).mapPartitions { it =>
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+      it.map { case (id, blob) =>
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(blob))
+        reader.setInput(iis, true, true)
+        val img = reader.read(0)
+        iis.close()
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        var sum = 0L
+        val bins = new Array[Int](4)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = raster.getSample(x, y, 0)
+            sum += v
+            bins(v / 64) += 1
+            x += 1
+          }
+          y += 1
+        }
+        ImageFeatures(id, w * h, sum, bins(0), bins(1), bins(2), bins(3))
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[imageFeaturesDf]] over the gray closed form. */
+  val imageFeaturesSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id,
+      |         CAST(8 + (doc_id % 9) AS BIGINT) AS w,
+      |         CAST(8 + ((doc_id * 3) % 7) AS BIGINT) AS h
+      |  FROM documents
+      |), px AS (
+      |  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS p
+      |  FROM dims
+      |), v AS (
+      |  SELECT doc_id, w, h,
+      |         (doc_id * 7 + (p % w) * 31 + (p // w) * 17) % 256 AS g
+      |  FROM px
+      |)
+      |SELECT doc_id, CAST(w * h AS INTEGER) AS n_px,
+      |       CAST(SUM(g) AS BIGINT) AS px_sum,
+      |       CAST(count(*) FILTER (WHERE g < 64) AS INTEGER) AS h0,
+      |       CAST(count(*) FILTER (WHERE g >= 64 AND g < 128) AS INTEGER) AS h1,
+      |       CAST(count(*) FILTER (WHERE g >= 128 AND g < 192) AS INTEGER) AS h2,
+      |       CAST(count(*) FILTER (WHERE g >= 192) AS INTEGER) AS h3
+      |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+
   /** The oracle-checkable slice of the multimodal surface: byte length and
     * content hash of the blob (pure SQL in both engines; the fake decode
     * stays out of the oracle on purpose).
