@@ -186,9 +186,12 @@ object PipelineApp {
           .foreach { p =>
             val nFiles = Option(p.listFiles()).getOrElse(Array.empty)
               .count(f => f.isFile && f.getName.startsWith("part-"))
-            if (nFiles > 8)
-              TickerIngest.compactPartition(spark, warehouseDir,
-                java.sql.Date.valueOf(p.getName.stripPrefix("file_date=")))
+            // Try: a non-date partition dir (__HIVE_DEFAULT_PARTITION__
+            // from a null file_date) must not wedge the cleanup cycle
+            val date = scala.util.Try(
+              java.sql.Date.valueOf(p.getName.stripPrefix("file_date=")))
+            if (nFiles > 8) date.foreach(dt =>
+              TickerIngest.compactPartition(spark, warehouseDir, dt))
           }
       }
     }
