@@ -139,15 +139,27 @@ object TickerIngest {
     * staged write (the price of clustering); the date partitioning above it
     * is unchanged.
     */
+  private def zorderEnabled(spark: SparkSession): Boolean =
+    spark.conf.get("spark.graft.ingest.zorder", "false").toBoolean
+
+  /** The warehouse's clustering key: Morton interleave of the
+    * order-preserving 2-char ticker prefix and minute-of-day (see the
+    * class doc of the z-order path). Shared by the ingest write and
+    * [[compactPartition]] so maintenance preserves the layout.
+    */
+  private def warehouseZkey: org.apache.spark.sql.Column = {
+    val zx = (coalesce(ascii(substring(col("ticker"), 1, 1)), lit(0)) * 256 +
+      coalesce(ascii(substring(col("ticker"), 2, 1)), lit(0))).cast("long")
+    val zy = (hour(col("transactionTime")) * 60 + minute(col("transactionTime"))).cast("long")
+    graft.operators.LayoutOps.zkey(zx, zy)
+  }
+
   private def zorderCluster(spark: SparkSession, valid: DataFrame): DataFrame = {
-    if (!spark.conf.get("spark.graft.ingest.zorder", "false").toBoolean) valid
+    if (!zorderEnabled(spark)) valid
     else {
       val n = spark.conf.get("spark.graft.ingest.zorder.partitions",
         spark.conf.get("spark.sql.shuffle.partitions", "32")).toInt
-      val zx = (coalesce(ascii(substring(col("ticker"), 1, 1)), lit(0)) * 256 +
-        coalesce(ascii(substring(col("ticker"), 2, 1)), lit(0))).cast("long")
-      val zy = (hour(col("transactionTime")) * 60 + minute(col("transactionTime"))).cast("long")
-      valid.withColumn("_zkey", graft.operators.LayoutOps.zkey(zx, zy))
+      valid.withColumn("_zkey", warehouseZkey)
         .repartitionByRange(n, col("file_date"), col("_zkey"))
         .sortWithinPartitions(col("file_date"), col("_zkey"))
         .drop("_zkey")
@@ -259,7 +271,17 @@ object TickerIngest {
     val newDir = new java.io.File(live.getPath + ".__new")
     val oldDir = new java.io.File(live.getPath + ".__old")
     if (newDir.exists) deleteTree(newDir) // abandoned previous attempt
-    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(newDir.getPath)
+    // a z-clustered warehouse must STAY z-clustered through maintenance —
+    // a plain repartition would scramble the layout the ingest paid a
+    // range shuffle for, silently killing file skipping on the next scan
+    val rewritten =
+      if (zorderEnabled(spark))
+        df.withColumn("_zkey", warehouseZkey)
+          .repartitionByRange(nFiles, col("_zkey"))
+          .sortWithinPartitions("_zkey")
+          .drop("_zkey")
+      else df.repartition(nFiles)
+    rewritten.write.mode(SaveMode.Overwrite).parquet(newDir.getPath)
     // verify the copy before touching the live dir — a short write must
     // never replace good data
     require(spark.read.parquet(newDir.getPath).count() == rows,

@@ -95,5 +95,27 @@ class ZOrderIngestSpec extends SparkSpec {
     }.map(_.getString(0)).toSet
     val touched = matches.select("f").distinct().collect().map(_.getString(0)).toSet
     assert(touched.nonEmpty && touched.subsetOf(candidateFiles))
+
+    // ---- maintenance must not undo the layout: fragment the partition
+    // with a second ingest cycle (two file sets), then compact with zorder
+    // still configured — the rewrite re-sorts by the same key at the same
+    // tile granularity, so pruning survives the merge
+    spark.conf.set("spark.graft.ingest.zorder", "true")
+    spark.conf.set("spark.graft.ingest.zorder.partitions", "16")
+    val (nb, na) = try {
+      TickerIngest.ingest(spark, Seq(csv.getAbsolutePath), whZ) // now 32 files
+      graft.ingest.TickerIngest.compactPartition(spark, whZ,
+        java.sql.Date.valueOf("2024-03-14"), targetRowsPerFile = 4000L)
+    } finally {
+      spark.conf.set("spark.graft.ingest.zorder", "false")
+      spark.conf.unset("spark.graft.ingest.zorder.partitions")
+    }
+    assert(nb == 32 && na == 16, s"expected 32 -> 16 files, got $nb -> $na")
+    assert(TickerIngest.warehouse(spark, whZ).count() == 64000) // content intact
+    val zc2 = fileStats(whZ)
+    assert(zc2.length == 16)
+    // pruning survives the rewrite: still at most a third of files candidate
+    assert(candidates(zc2) <= zc2.length / 3,
+      s"compaction scrambled the layout: ${candidates(zc2)} of ${zc2.length} candidates")
   }
 }
