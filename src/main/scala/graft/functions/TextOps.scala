@@ -301,6 +301,11 @@ object TextOps {
     * strings) frequent set, and one per-doc rebuild from a collected
     * start-position set bounded by tokens/doc. No all-pairs anywhere; the
     * only driver scalar is the corpus count.
+    *
+    * One-pass by design (like C4's): excision can make previously
+    * non-adjacent tokens adjacent, so the OUTPUT may contain windows that
+    * were frequent in the input — rerun the scrub for a fixed point if the
+    * downstream consumer needs one.
     */
   def boilerplateScrub(s: SparkSession, d: String): DataFrame = {
     val w = BoilerplateWindow
