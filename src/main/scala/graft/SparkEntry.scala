@@ -81,6 +81,8 @@ object SparkEntry {
     "s_ann_ivf"         -> ((s, d) => SimilarityOps.annIvf(s, d)),
     // search in the quantized domain: int8 codes + per-vector scale (SQ8)
     "s_ann_sq8"         -> (SimilarityOps.annSq8 _),
+    // majority label of the k nearest labeled neighbors (label propagation)
+    "s_knn_label"       -> (SimilarityOps.knnLabel _),
     // semantic clustering: quantized k-means, map-only assignment
     "s_kmeans"          -> (SimilarityOps.kmeans(_, _)),
     // cluster-then-dedup composition: k-means cells as the blocking key
@@ -228,6 +230,7 @@ object SparkEntry {
     "s_ann_lsh"         -> SimilarityOps.annLshSql,
     "s_ann_ivf"         -> SimilarityOps.annIvfSql,
     "s_ann_sq8"         -> SimilarityOps.annSq8Sql,
+    "s_knn_label"       -> SimilarityOps.knnLabelSql,
     "s_kmeans"          -> SimilarityOps.kmeansSql,
     "s_cluster_neardup" -> SimilarityOps.clusterNearDupSql,
     "t_langid"          -> TextOps.langIdSql,

@@ -172,6 +172,58 @@ object SimilarityOps {
        |SELECT q_id, rnk, c_id, cos FROM ranked WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** k-NN label propagation — the embedding-space classifier every corpus
+    * pipeline runs to spread a small labeled set over unlabeled data
+    * (quality labels, domain labels, dedup-cluster labels): each query
+    * takes the majority label of its [[TopK]] nearest labeled neighbors,
+    * ties broken deterministically (votes desc, label asc). Neighbor
+    * search here is the exact form; at 100 TB swap the scored CTE for the
+    * IVF/LSH/SQ8 candidate generation above — the vote is unchanged.
+    * The top-k pass runs through the native bounded-heap operator.
+    */
+  def knnLabel(s: SparkSession, d: String): DataFrame = {
+    graft.catalyst.GraftExtensions.register(s)
+    val e = Tables.fanOut(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+      .localCheckpoint(true)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("eq"), col("nrm").as("nq"))
+    // the labeled pool excludes the queries themselves (no self-votes)
+    val c = e.filter(col("vec_id") >= NumQueries)
+      .select(col("vec_id").as("c_id"), col("label"),
+        col("embedding").as("ec"), col("nrm").as("nc"))
+    val scored = q.crossJoin(c)
+      .withColumn("cos", round(dot(col("eq"), col("ec")) / (col("nq") * col("nc")), 4))
+      .select("q_id", "c_id", "label", "cos")
+    val top = graft.plans.NativeTopK.perGroup(
+      scored, Seq("q_id"), Seq("cos" -> false, "c_id" -> true), TopK)
+    val votes = top.groupBy("q_id", "label").agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("q_id").orderBy(col("votes").desc, col("label"))
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("q_id"), col("label").as("pred_label"), col("votes"))
+      .orderBy("q_id")
+  }
+  val knnLabelSql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding,
+       |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS eq, nrm AS nq FROM e WHERE vec_id < $NumQueries),
+       |c AS (SELECT vec_id AS c_id, label, embedding AS ec, nrm AS nc FROM e WHERE vec_id >= $NumQueries),
+       |scored AS (
+       |  SELECT q_id, c_id, label,
+       |    round(list_sum(list_transform(generate_series(1, $Dim),
+       |          i -> eq[i]::DOUBLE * ec[i]::DOUBLE)) / (nq * nc), 4) AS cos
+       |  FROM q CROSS JOIN c),
+       |top AS (SELECT q_id, label FROM (
+       |  SELECT q_id, label, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+       |  FROM scored) WHERE rnk <= $TopK),
+       |v AS (SELECT q_id, label, CAST(count(*) AS BIGINT) AS votes FROM top GROUP BY q_id, label)
+       |SELECT q_id, label AS pred_label, votes FROM (
+       |  SELECT q_id, label, votes,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label) AS rn FROM v)
+       |WHERE rn = 1 ORDER BY q_id""".stripMargin
+
   val IvfProbes = 2
 
   /** Per-cell centroids with exact cross-engine arithmetic: each component is
