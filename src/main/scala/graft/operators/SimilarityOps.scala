@@ -549,7 +549,9 @@ object SimilarityOps {
     val scored = q.crossJoin(c).filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", round(col("sa") * col("sb") *
         graft.catalyst.HashFunctions.dot_product(col("qa"), col("qb")), 4))
-    rankTopK(s, scored)
+    // honest naming: the ranking key is the approximate INNER PRODUCT
+    // (scales x integer dot), not a normalized cosine
+    rankTopK(s, scored).withColumnRenamed("cos", "score")
   }
   val annSq8Sql: String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
@@ -563,9 +565,9 @@ object SimilarityOps {
        |scored AS (
        |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
        |    round(a.scale * b.scale * list_sum(list_transform(generate_series(1, $Dim),
-       |          i -> a.qd[i] * b.qd[i])), 4) AS cos
+       |          i -> a.qd[i] * b.qd[i])), 4) AS score
        |  FROM qq a JOIN qq b ON a.vec_id < $NumQueries AND a.vec_id <> b.vec_id),
-       |ranked AS (SELECT q_id, c_id, cos,
-       |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk FROM scored)
-       |SELECT q_id, rnk, c_id, cos FROM ranked WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
+       |ranked AS (SELECT q_id, c_id, score,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rnk FROM scored)
+       |SELECT q_id, rnk, c_id, score FROM ranked WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
 }
