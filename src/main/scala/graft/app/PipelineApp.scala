@@ -159,8 +159,11 @@ object PipelineApp {
       // the flow's retry around the whole cycle
       Retry(cfg.uploadData.retry, "uploadFlow") {
         // each claim is capped (DefaultClaimLimit); drain the READY backlog
-        // within the cycle while batches keep SUCCEEDING — an erroring batch
-        // breaks out so the flow's retry/backoff governs, not a hot loop
+        // within the cycle while batches keep SUCCEEDING. An erroring batch
+        // just exits the loop (processReady reports errors rather than
+        // throwing, so the flow-level Retry does NOT engage here) — the
+        // quarantined set waits for manual ERROR->READY re-queue and the
+        // next fixed-delay cycle picks up the rest
         var rep = Lifecycle.processReady(spark, journal, root, warehouseDir, now(),
           retry = RetryPolicy(cfg.ingest.maxFlushAttempts, cfg.ingest.sleepOnRetryMs))
         while (rep.finished > 0 && rep.errored == 0 && rep.remainingReady > 0) {

@@ -309,8 +309,11 @@ object TextOps {
     */
   def boilerplateScrub(s: SparkSession, d: String): DataFrame = {
     val w = BoilerplateWindow
-    val total = Tables.documents(s, d).count()
-    val minDf = math.ceil(BoilerplateDfFrac * total).toLong
+    // corpus count folded into the plan (tiny cross join with a 1-row
+    // aggregate) — an eager driver-side count() here would run a job at
+    // DataFrame-CONSTRUCTION time, once per bench repeat, and make the
+    // query unexplainable without executing work
+    val totals = Tables.documents(s, d).agg(count(lit(1)).as("_corpus_n"))
     val t = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .localCheckpoint(true)
@@ -323,7 +326,8 @@ object TextOps {
       .select(col("doc_id"), (col("pos0") + 1).as("start"), col("h"))
     val frequent = spans.groupBy("h")
       .agg(countDistinct("doc_id").as("df"))
-      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(totals))
+      .filter(col("df") >= ceil(lit(BoilerplateDfFrac) * col("_corpus_n")))
       .select("h")
     val covered = spans.join(frequent, "h")
       .groupBy("doc_id").agg(collect_set("start").as("starts"))

@@ -148,8 +148,13 @@ object TickerIngest {
     * [[compactPartition]] so maintenance preserves the layout.
     */
   private def warehouseZkey: org.apache.spark.sql.Column = {
-    val zx = (coalesce(ascii(substring(col("ticker"), 1, 1)), lit(0)) * 256 +
-      coalesce(ascii(substring(col("ticker"), 2, 1)), lit(0))).cast("long")
+    // clamp each char to 0..255: ascii() returns the full CODEPOINT, and a
+    // non-ASCII leading char would push zx past spreadBits16's 2^16 input
+    // bound, silently scrambling the Morton key (the clamp stays
+    // order-preserving over the ASCII range tickers actually use)
+    def c(pos: Int) =
+      least(coalesce(ascii(substring(col("ticker"), pos, 1)), lit(0)), lit(255))
+    val zx = (c(1) * 256 + c(2)).cast("long")
     val zy = (hour(col("transactionTime")) * 60 + minute(col("transactionTime"))).cast("long")
     graft.operators.LayoutOps.zkey(zx, zy)
   }
@@ -271,6 +276,9 @@ object TickerIngest {
     val newDir = new java.io.File(live.getPath + ".__new")
     val oldDir = new java.io.File(live.getPath + ".__old")
     if (newDir.exists) deleteTree(newDir) // abandoned previous attempt
+    if (oldDir.exists) deleteTree(oldDir) // stale trash: live exists, so it
+    // is a completed compaction's unfinished delete — without this sweep
+    // step 1's rename-onto-existing-dir would fail here forever
     // a z-clustered warehouse must STAY z-clustered through maintenance —
     // a plain repartition would scramble the layout the ingest paid a
     // range shuffle for, silently killing file skipping on the next scan
@@ -287,7 +295,17 @@ object TickerIngest {
     require(spark.read.parquet(newDir.getPath).count() == rows,
       s"compaction verify failed for $live")
     require(live.renameTo(oldDir), s"swap step 1 failed: $live -> $oldDir")
-    require(newDir.renameTo(live), s"swap step 2 failed: $newDir -> $live")
+    if (!newDir.renameTo(live)) {
+      // NON-CRASH step-2 failure (permissions, open handle, NFS): roll the
+      // live dir back IMMEDIATELY. Leaving the partition absent until the
+      // next restart would let a subsequent commit recreate the live dir
+      // with only its own batch — and recoverCompaction would then read
+      // ".__old beside a live dir" as finished trash and delete the only
+      // copy of the pre-compaction rows. The rollback closes that path.
+      require(oldDir.renameTo(live), s"swap rollback ALSO failed: $oldDir -> $live " +
+        "(partition offline until recoverCompaction at restart)")
+      throw new java.io.IOException(s"swap step 2 failed: $newDir -> $live (rolled back)")
+    }
     deleteTree(oldDir)
     (before.length, parts(live).length)
   }

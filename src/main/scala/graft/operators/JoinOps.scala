@@ -40,19 +40,22 @@ object JoinOps {
   def bloomPrunedSemiJoin(big: DataFrame, bigKey: String,
       small: DataFrame, smallKey: String,
       expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    // Spark's stat.bloomFilter NPEs on an EMPTY build side (the aggregate
-    // yields null). Test emptiness explicitly — catching the NPE would also
-    // swallow genuine failures from the same code path and silently turn a
-    // broken filter build into an empty (wrong) join result. An empty build
-    // side makes the semi-join empty, so the degenerate pre-filter is `false`.
-    val bloomPre =
-      if (small.select(smallKey).limit(1).isEmpty) lit(false)
-      else {
-        val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
-        val bos = new java.io.ByteArrayOutputStream()
-        bf.writeTo(bos)
-        mightContain(bos.toByteArray, col(bigKey))
-      }
+    // Build the filter with ONE pass over the build side via treeAggregate
+    // (Spark's stat.bloomFilter NPEs on an empty input, and probing
+    // emptiness first would add a whole extra scan to an operator whose
+    // point is cutting I/O). An empty side yields a zero-insertion filter
+    // whose mightContain is false for every key — the degenerate pre-filter
+    // falls out with no special case, and genuine failures propagate.
+    val bloomPre = {
+      val bf = small.select(col(smallKey).cast("long")).na.drop()
+        .rdd.treeAggregate(
+          org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp))(
+          (f, row) => { f.putLong(row.getLong(0)); f },
+          (a, b) => { a.mergeInPlace(b); a })
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      mightContain(bos.toByteArray, col(bigKey))
+    }
     big.filter(bloomPre)
       .join(small.select(col(smallKey).as(bigKey)), Seq(bigKey), "left_semi")
   }

@@ -76,31 +76,35 @@ object Lifecycle {
         TickerIngest.stage): ProcessReport = {
     val claimed = journal.claimReady(now)
     if (claimed.isEmpty) return ProcessReport(0, 0, 0, 0L, 0L)
-    // A capped claim must be visible to the caller: count what stayed READY
-    // so a burst bigger than one batch reads as backlog, not as a stall.
-    def remainingReady: Long =
-      journal.byStatus(FileStatus.ReadyForProcessing).count()
     // B8/B9 path resolution: <root>/<yyyy-MM-dd>/<filename>, sorted (B10)
     val paths = claimed.map { case (f, d) => s"$dataRoot/$d/$f" }.sorted
-    try {
-      val staged = Retry(retry, "processReady.stage") {
-        ingestFn(spark, paths, warehouseDir, quarantineDir)
+    val base =
+      try {
+        val staged = Retry(retry, "processReady.stage") {
+          ingestFn(spark, paths, warehouseDir, quarantineDir)
+        }
+        TickerIngest.commit(spark, staged) // renames only — never retried
+        val report: IngestReport = staged.report
+        // B14 finalize: the write action was the barrier; all claimed files
+        // that survived it are FINISHED (a file with only corrupt rows still
+        // finishes — mirror of the reference, which quarantines rows, not files)
+        journal.transition(claimed.map(_._1), FileStatus.Finished, now)
+        ProcessReport(claimed.size, claimed.size, 0, report.totalRows, report.totalCorrupt)
+      } catch {
+        case e: Exception =>
+          // at-least-once contract: quarantine the claimed set, keep running
+          System.err.println(s"[lifecycle] ingest failed, marking ${claimed.size} files ERROR: $e")
+          journal.transition(claimed.map(_._1), FileStatus.Error, now)
+          ProcessReport(claimed.size, 0, claimed.size, 0L, 0L)
       }
-      TickerIngest.commit(spark, staged) // renames only — never retried
-      val report: IngestReport = staged.report
-      // B14 finalize: the write action was the barrier; all claimed files
-      // that survived it are FINISHED (a file with only corrupt rows still
-      // finishes — mirror of the reference, which quarantines rows, not files)
-      journal.transition(claimed.map(_._1), FileStatus.Finished, now)
-      ProcessReport(claimed.size, claimed.size, 0, report.totalRows,
-        report.totalCorrupt, remainingReady)
-    } catch {
-      case e: Exception =>
-        // at-least-once contract: quarantine the claimed set, keep running
-        System.err.println(s"[lifecycle] ingest failed, marking ${claimed.size} files ERROR: $e")
-        journal.transition(claimed.map(_._1), FileStatus.Error, now)
-        ProcessReport(claimed.size, 0, claimed.size, 0L, 0L, remainingReady)
-    }
+    // Backlog signal, computed OUTSIDE the try above: this read is not under
+    // the journal lock, so it can transiently fail racing a compact's file
+    // swap — inside the try that would have relabeled a fully successful
+    // batch as errored. Failing toward 0 merely defers the drain one cycle.
+    val remaining =
+      try journal.byStatus(FileStatus.ReadyForProcessing).count()
+      catch { case _: Exception => 0L }
+    base.copy(remainingReady = remaining)
   }
 
   /** Crash recovery — run once at startup, before the first [[processReady]]

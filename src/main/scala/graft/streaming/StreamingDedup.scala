@@ -52,8 +52,12 @@ object StreamingDedup {
   def processBatch(batch: DataFrame, batchId: Long,
       storeDir: String, corpusDir: String): Unit = {
     val spark = batch.sparkSession
+    // materialize the fingerprint shuffle ONCE: admit consumes it twice
+    // (driver-side prefix collect + the anti-join), which would otherwise
+    // recompute the groupBy per consumer on every micro-batch
+    val fps = fingerprinted(batch).localCheckpoint(true)
     val admitted = FingerprintStore.admit(
-      spark, fingerprinted(batch), "fp_exact", storeDir,
+      spark, fps, "fp_exact", storeDir,
       histFilter = col("batch_id") < batchId)
     // localCheckpoint: admitted feeds two writes; recomputing it after the
     // corpus write would re-scan the store under a state it just changed
