@@ -88,6 +88,11 @@ object PipelineApp {
     put(today.minusDays(2), s"BTC-USDT_PST_${today.minusDays(2)}", Seq(line, "MALFORMED,2"))
     put(today, s"ETH-USDT_PST_$today", Seq(line))
 
+    // startup recovery (no-ops on a fresh fixture, but the demo exercises
+    // the same entry points continuous mode runs)
+    println(s"[demo] recovery: orphans=${Lifecycle.recoverOrphaned(journal, now())} " +
+      s"restoredPartitions=${TickerIngest.recoverCompaction(warehouseDir)}")
+
     // Flow 1 — one streaming discovery micro-batch
     val q = Discovery.stream(spark, journal, root, tmp("ckpt"),
       maxFilesPerTrigger = cfg.discovery.filesBufferSize,
