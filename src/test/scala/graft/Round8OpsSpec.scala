@@ -91,6 +91,9 @@ class Round8OpsSpec extends SparkSpec {
       count_between(col("vals"), lit(2.0), lit(3.0)).as("c"))
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 3L, 2L -> 0L)) // inclusive bounds, nulls skipped
+    // inverted bounds: empty interval, not an error
+    assert(df.filter(col("id") === 1)
+      .select(count_between(col("vals"), lit(3.0), lit(2.0))).head().getLong(0) == 0L)
     // null array/bounds propagate
     val row = Seq((Option.empty[Seq[Double]], Option.empty[Double]))
       .toDF("vals", "lo")
