@@ -91,7 +91,7 @@ object PipelineApp {
     // startup recovery (no-ops on a fresh fixture, but the demo exercises
     // the same entry points continuous mode runs)
     println(s"[demo] recovery: orphans=${Lifecycle.recoverOrphaned(journal, now())} " +
-      s"restoredPartitions=${TickerIngest.recoverCompaction(warehouseDir)}")
+      s"restoredPartitions=${TickerIngest.recoverCompaction(spark, warehouseDir)}")
 
     // Flow 1 — one streaming discovery micro-batch
     val q = Discovery.stream(spark, journal, root, tmp("ckpt"),
@@ -123,7 +123,7 @@ object PipelineApp {
     // never visible, so the re-ingest is exactly-once — see LifecycleSpec)
     val orphans = Lifecycle.recoverOrphaned(journal, now())
     if (orphans > 0) println(s"[recover] re-queued $orphans orphaned IN_PROGRESS files")
-    val repaired = TickerIngest.recoverCompaction(warehouseDir)
+    val repaired = TickerIngest.recoverCompaction(spark, warehouseDir)
     if (repaired > 0) println(s"[recover] restored $repaired partitions from interrupted compactions")
     Discovery.catchUp(spark, journal, root, LocalDate.now(), now())
     val q = Discovery.stream(spark, journal, root, s"$warehouseDir/_discovery_ckpt",
@@ -188,19 +188,8 @@ object PipelineApp {
         // warehouse small-files pass: partitions accumulate one file set
         // per ingest cycle; rewrite any that fragmented past 8 files
         // (maintenanceLock serializes against concurrent commits)
-        Option(new java.io.File(warehouseDir).listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("file_date=") &&
-            !f.getName.contains(".__"))
-          .foreach { p =>
-            val nFiles = Option(p.listFiles()).getOrElse(Array.empty)
-              .count(f => f.isFile && f.getName.startsWith("part-"))
-            // Try: a non-date partition dir (__HIVE_DEFAULT_PARTITION__
-            // from a null file_date) must not wedge the cleanup cycle
-            val date = scala.util.Try(
-              java.sql.Date.valueOf(p.getName.stripPrefix("file_date=")))
-            if (nFiles > 8) date.foreach(dt =>
-              TickerIngest.compactPartition(spark, warehouseDir, dt))
-          }
+        TickerIngest.fragmentedPartitions(spark, warehouseDir, threshold = 8)
+          .foreach(dt => TickerIngest.compactPartition(spark, warehouseDir, dt))
       }
     }
     // shut the (non-daemon) scheduler down however the stream ends, or its

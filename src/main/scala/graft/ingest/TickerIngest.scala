@@ -245,6 +245,24 @@ object TickerIngest {
     staged.report
   }
 
+  /** The warehouse root's FileSystem + fully-qualified root path. All
+    * maintenance below goes through this abstraction (like [[moveTree]]),
+    * never `java.io.File`, so the same protocol runs unchanged on HDFS.
+    * Object stores without atomic directory rename need the caveat in
+    * SCALE.md ("Warehouse maintenance and the rename contract").
+    */
+  private def fsFor(spark: SparkSession, dir: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    (fs, fs.makeQualified(p))
+  }
+
+  private def partFileCount(fs: org.apache.hadoop.fs.FileSystem,
+      d: org.apache.hadoop.fs.Path): Int =
+    if (!fs.exists(d)) 0
+    else fs.listStatus(d).count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+
   /** Compact one date partition of the warehouse — the small-files
     * maintenance pass: every [[commit]] appends one file set per batch, so
     * a partition ingested in N cycles holds N× the files a scan wants
@@ -257,28 +275,29 @@ object TickerIngest {
     * delete. A crash between the renames leaves the partition absent but
     * its data intact in `.__old`; [[recoverCompaction]] — run at startup,
     * before anything reads — restores it. Readers never see a partial mix
-    * of old and new files at any point.
+    * of old and new files at any point. The swap relies on the Hadoop
+    * `FileSystem.rename` contract (atomic on HDFS and POSIX filesystems;
+    * see SCALE.md for the object-store caveat).
     *
     * Returns (filesBefore, filesAfter).
     */
   def compactPartition(spark: SparkSession, warehouseDir: String,
       date: java.sql.Date,
       targetRowsPerFile: Long = 4000000L): (Int, Int) = maintenanceLock.synchronized {
-    val live = new java.io.File(s"$warehouseDir/file_date=$date")
-    def parts(d: java.io.File): Array[java.io.File] =
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.startsWith("part-"))
-    val before = parts(live)
-    if (before.length <= 1) return (before.length, before.length)
-    val df = spark.read.parquet(live.getPath)
+    import org.apache.hadoop.fs.Path
+    val (fs, whPath) = fsFor(spark, warehouseDir)
+    val live = new Path(whPath, s"file_date=$date")
+    val before = partFileCount(fs, live)
+    if (before <= 1) return (before, before)
+    val df = spark.read.parquet(live.toString)
     val rows = df.count()
     val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    val newDir = new java.io.File(live.getPath + ".__new")
-    val oldDir = new java.io.File(live.getPath + ".__old")
-    if (newDir.exists) deleteTree(newDir) // abandoned previous attempt
-    if (oldDir.exists) deleteTree(oldDir) // stale trash: live exists, so it
-    // is a completed compaction's unfinished delete — without this sweep
-    // step 1's rename-onto-existing-dir would fail here forever
+    val newDir = live.suffix(".__new")
+    val oldDir = live.suffix(".__old")
+    if (fs.exists(newDir)) fs.delete(newDir, true) // abandoned previous attempt
+    if (fs.exists(oldDir)) fs.delete(oldDir, true) // stale trash: live exists,
+    // so it is a completed compaction's unfinished delete — without this
+    // sweep step 1's rename-onto-existing-dir would fail here forever
     // a z-clustered warehouse must STAY z-clustered through maintenance —
     // a plain repartition would scramble the layout the ingest paid a
     // range shuffle for, silently killing file skipping on the next scan
@@ -289,25 +308,25 @@ object TickerIngest {
           .sortWithinPartitions("_zkey")
           .drop("_zkey")
       else df.repartition(nFiles)
-    rewritten.write.mode(SaveMode.Overwrite).parquet(newDir.getPath)
+    rewritten.write.mode(SaveMode.Overwrite).parquet(newDir.toString)
     // verify the copy before touching the live dir — a short write must
     // never replace good data
-    require(spark.read.parquet(newDir.getPath).count() == rows,
+    require(spark.read.parquet(newDir.toString).count() == rows,
       s"compaction verify failed for $live")
-    require(live.renameTo(oldDir), s"swap step 1 failed: $live -> $oldDir")
-    if (!newDir.renameTo(live)) {
+    require(fs.rename(live, oldDir), s"swap step 1 failed: $live -> $oldDir")
+    if (!fs.rename(newDir, live)) {
       // NON-CRASH step-2 failure (permissions, open handle, NFS): roll the
       // live dir back IMMEDIATELY. Leaving the partition absent until the
       // next restart would let a subsequent commit recreate the live dir
       // with only its own batch — and recoverCompaction would then read
       // ".__old beside a live dir" as finished trash and delete the only
       // copy of the pre-compaction rows. The rollback closes that path.
-      require(oldDir.renameTo(live), s"swap rollback ALSO failed: $oldDir -> $live " +
+      require(fs.rename(oldDir, live), s"swap rollback ALSO failed: $oldDir -> $live " +
         "(partition offline until recoverCompaction at restart)")
       throw new java.io.IOException(s"swap step 2 failed: $newDir -> $live (rolled back)")
     }
-    deleteTree(oldDir)
-    (before.length, parts(live).length)
+    fs.delete(oldDir, true)
+    (before, partFileCount(fs, live))
   }
 
   /** Startup repair for [[compactPartition]]'s crash window: a
@@ -317,24 +336,43 @@ object TickerIngest {
     * `.__new` left behind is an incomplete copy — drop it (the live dir
     * was never touched). Returns the number of partitions restored.
     */
-  def recoverCompaction(warehouseDir: String): Int = maintenanceLock.synchronized {
-    val root = new java.io.File(warehouseDir)
-    val entries = Option(root.listFiles()).getOrElse(Array.empty)
-    var restored = 0
-    entries.filter(_.getName.endsWith(".__new")).foreach(deleteTree)
-    entries.filter(_.getName.endsWith(".__old")).foreach { oldDir =>
-      val live = new java.io.File(oldDir.getPath.stripSuffix(".__old"))
-      if (!live.exists) {
-        require(oldDir.renameTo(live), s"restore failed: $oldDir -> $live")
-        restored += 1
-      } else deleteTree(oldDir)
+  def recoverCompaction(spark: SparkSession, warehouseDir: String): Int =
+    maintenanceLock.synchronized {
+      import org.apache.hadoop.fs.Path
+      val (fs, root) = fsFor(spark, warehouseDir)
+      if (!fs.exists(root)) return 0
+      val entries = fs.listStatus(root)
+      var restored = 0
+      entries.filter(_.getPath.getName.endsWith(".__new"))
+        .foreach(s => fs.delete(s.getPath, true))
+      entries.filter(_.getPath.getName.endsWith(".__old")).foreach { s =>
+        val oldDir = s.getPath
+        val live = new Path(oldDir.getParent, oldDir.getName.stripSuffix(".__old"))
+        if (!fs.exists(live)) {
+          require(fs.rename(oldDir, live), s"restore failed: $oldDir -> $live")
+          restored += 1
+        } else { fs.delete(oldDir, true); () }
+      }
+      restored
     }
-    restored
-  }
 
-  private def deleteTree(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
-    f.delete(); ()
+  /** Date partitions currently fragmented past `threshold` part files —
+    * the cleanup flow's compaction work list. Goes through the Hadoop
+    * FileSystem like every other maintenance path; swap trash
+    * (`.__old`/`.__new`) and non-date dirs (`__HIVE_DEFAULT_PARTITION__`
+    * from a null file_date) are excluded so a maintenance pass can never
+    * wedge on them.
+    */
+  def fragmentedPartitions(spark: SparkSession, warehouseDir: String,
+      threshold: Int): Seq[java.sql.Date] = {
+    val (fs, root) = fsFor(spark, warehouseDir)
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("file_date=") &&
+        !s.getPath.getName.contains(".__"))
+      .filter(s => partFileCount(fs, s.getPath) > threshold)
+      .flatMap(s => scala.util.Try(
+        java.sql.Date.valueOf(s.getPath.getName.stripPrefix("file_date="))).toOption)
   }
 
   /** The loaded warehouse as a DataFrame (partition-pruned on file_date). */

@@ -28,10 +28,15 @@ object FingerprintStore {
 
   private def prefixOf(fpCol: String) = substring(col(fpCol), 1, 2)
 
-  private def hasData(dir: String): Boolean = {
-    val d = new java.io.File(dir)
-    d.exists && Option(d.listFiles()).exists(_.exists(f =>
-      f.getName.startsWith(PrefixCol + "=")))
+  /** Whether the store holds at least one hive bucket dir — through the
+    * Hadoop FileSystem API, so the store can live on HDFS/object storage,
+    * not just the local disk the specs use.
+    */
+  private def hasData(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && fs.listStatus(p).exists(
+      _.getPath.getName.startsWith(PrefixCol + "="))
   }
 
   /** Append a batch of fingerprints to the store at `dir` — every column of
@@ -58,11 +63,19 @@ object FingerprintStore {
     * `histFilter` restricts which store rows count as history — streaming
     * callers pass `batch_id < currentBatch` so a replayed batch excludes
     * its own earlier append and recomputes the identical admitted set.
+    *
+    * CONTRACT: `newDocs` must be deterministic and cheap to recompute —
+    * it is evaluated twice (once for the driver-side prefix set, once in
+    * the anti-join). A non-deterministic source could yield a prefix set
+    * inconsistent with the joined rows (a fingerprint whose prefix was
+    * never collected would skip its history probe and be over-admitted).
+    * Expensive or non-deterministic inputs: `localCheckpoint()` first, as
+    * [[graft.streaming.StreamingDedup]] does.
     */
   def admit(spark: SparkSession, newDocs: DataFrame, fpCol: String, dir: String,
       histFilter: Column = lit(true)): DataFrame = {
     import spark.implicits._
-    if (!hasData(dir)) return newDocs
+    if (!hasData(spark, dir)) return newDocs
     val prefixes = newDocs.select(prefixOf(fpCol).as("p"))
       .filter(col("p").isNotNull).distinct().as[String].collect().toSeq
     if (prefixes.isEmpty) return newDocs

@@ -44,6 +44,42 @@ class CompactionSpec extends SparkSpec {
       java.sql.Date.valueOf("2024-03-14")) == ((1, 1)))
   }
 
+  test("concurrent commits and compactions on one partition lose nothing") {
+    // The maintenanceLock contract, hammered: an ingest thread lands batch
+    // after batch into the partition while a maintenance thread compacts it
+    // over and over. Without the lock, a commit between the compaction's
+    // snapshot and its dir swap would vanish with the .__old trash.
+    val root = tmpDir("cmp3-src")
+    val wh = tmpDir("cmp3-wh")
+    val date = java.sql.Date.valueOf("2024-03-14")
+    (1 to 4).foreach(b => ingestBatch(root, wh, s"AVA-USDT_PST_2024-03-14_b$b", 25))
+
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val ingester = new Thread(() =>
+      try (5 to 12).foreach(b =>
+        ingestBatch(root, wh, s"AVA-USDT_PST_2024-03-14_b$b", 25))
+      catch { case t: Throwable => failures.add(t); () })
+    val compactor = new Thread(() =>
+      try (1 to 6).foreach { _ =>
+        TickerIngest.compactPartition(spark, wh, date, targetRowsPerFile = 1000000L)
+        Thread.sleep(30)
+      }
+      catch { case t: Throwable => failures.add(t); () })
+    ingester.start(); compactor.start()
+    ingester.join(120000); compactor.join(120000)
+    assert(failures.isEmpty, s"thread failures: ${failures.toArray.mkString("; ")}")
+
+    // no crash windows left behind, and a final compaction converges to 1 file
+    assert(TickerIngest.recoverCompaction(spark, wh) == 0)
+    TickerIngest.compactPartition(spark, wh, date, targetRowsPerFile = 1000000L)
+    assert(partFiles(wh).length == 1)
+    // every row of every batch survived, exactly once: batch b wrote
+    // sequences 1..25 — 12 batches of the same 25-key set, 300 rows total
+    val seqs = TickerIngest.warehouse(spark, wh).select("sequence").as[Long].collect()
+    assert(seqs.length == 300, s"expected 300 rows, got ${seqs.length}")
+    assert(seqs.groupBy(identity).forall(_._2.length == 12))
+  }
+
   test("crash between the swap renames is repaired at startup; leftovers cleaned") {
     val root = tmpDir("cmp2-src")
     val wh = tmpDir("cmp2-wh")
@@ -54,7 +90,7 @@ class CompactionSpec extends SparkSpec {
     // crash window: live was renamed to .__old, the new dir never landed
     val oldDir = new java.io.File(live.getPath + ".__old")
     assert(live.renameTo(oldDir))
-    assert(TickerIngest.recoverCompaction(wh) == 1)
+    assert(TickerIngest.recoverCompaction(spark, wh) == 1)
     assert(live.exists && !oldDir.exists)
     assert(contentKey(wh) == key) // nothing lost
 
@@ -65,7 +101,7 @@ class CompactionSpec extends SparkSpec {
     // and an abandoned half-written copy
     val newDir = new java.io.File(live.getPath + ".__new")
     newDir.mkdirs()
-    assert(TickerIngest.recoverCompaction(wh) == 0)
+    assert(TickerIngest.recoverCompaction(spark, wh) == 0)
     assert(!oldDir.exists && !newDir.exists && live.exists)
     assert(contentKey(wh) == key)
   }
