@@ -32,10 +32,18 @@ object JoinOps {
       GraftColumnBridge.expression(lit(bloomBytes)),
       GraftColumnBridge.expression(value)))
 
-  /** Semi-join `big ⋉ small` on a long key, with the probe side pre-pruned
-    * by a Bloom filter of the build side's keys. One extra pass over the
-    * (small) build side to construct the filter; the probe side's shuffle
-    * then carries ~selectivity·|big| rows instead of |big|.
+  /** Semi-join `big ⋉ small` on a key of ANY type, with the probe side
+    * pre-pruned by a Bloom filter of the build side's keys. One extra pass
+    * over the (small) build side to construct the filter; the probe side's
+    * shuffle then carries ~selectivity·|big| rows instead of |big|.
+    *
+    * Both sides meet the filter through `xxhash64` (codegen'd, 64-bit), so
+    * string/decimal/struct keys work identically to longs — round 8's
+    * `cast("long")` turned a string key into null → zero insertions → a
+    * silently EMPTY result, the worst failure mode a filter can have. Hash
+    * collisions (~2⁻⁶⁴) are removed by the exact join on top along with
+    * Bloom false positives, so the result stays bit-identical to the plain
+    * semi-join for every key type.
     */
   def bloomPrunedSemiJoin(big: DataFrame, bigKey: String,
       small: DataFrame, smallKey: String,
@@ -46,15 +54,19 @@ object JoinOps {
     // point is cutting I/O). An empty side yields a zero-insertion filter
     // whose mightContain is false for every key — the degenerate pre-filter
     // falls out with no special case, and genuine failures propagate.
+    // Build-side nulls are excluded (they can never match a semi-join);
+    // a probe-side null hashes to the xxhash64 seed and, if that value is
+    // in the filter, is dropped by the exact join like any false positive.
     val bloomPre = {
-      val bf = small.select(col(smallKey).cast("long")).na.drop()
+      val bf = small.filter(col(smallKey).isNotNull)
+        .select(xxhash64(col(smallKey)))
         .rdd.treeAggregate(
           org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp))(
           (f, row) => { f.putLong(row.getLong(0)); f },
           (a, b) => { a.mergeInPlace(b); a })
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)
-      mightContain(bos.toByteArray, col(bigKey))
+      mightContain(bos.toByteArray, xxhash64(col(bigKey)))
     }
     big.filter(bloomPre)
       .join(small.select(col(smallKey).as(bigKey)), Seq(bigKey), "left_semi")

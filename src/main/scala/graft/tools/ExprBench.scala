@@ -126,19 +126,26 @@ object ExprBench {
         else li.join(urgent.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_semi")
       joined.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
     }
+    // the PROBE-side exchange only — the one whose subtree scans lineitem.
+    // Summing every ShuffleExchangeExec would fold in the aggregation
+    // exchange and overstate the printed "probe shuffle" figure.
     def shuffleRecords(df: DataFrame): Long = {
       df.collect()
-      df.queryExecution.executedPlan.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+      val probe = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.toString.contains("lineitem") =>
           e.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
-      }.sum
+      }
+      if (probe.isEmpty) 0L else probe.max
     }
     val tBloom = bench("bloom") { semiAgg(pruned = true) }
     val tPlain = bench("plain") { semiAgg(pruned = false) }
     val (rBloom, rPlain) = (shuffleRecords(semiAgg(pruned = true)),
       shuffleRecords(semiAgg(pruned = false)))
+    // a fully-pruned probe (0 records) must print a finite figure
+    val fewer = if (rBloom == 0) "inf" else f"${rPlain.toDouble / rBloom}%.1f"
     println(f"${"bloom_semi (vs plain)"}%-24s $tBloom%10.3f $tPlain%10.3f ${f"${tPlain / tBloom}%.1fx"}%8s" +
-      f"   shuffle_records: bloom=$rBloom plain=$rPlain (${rPlain.toDouble / rBloom}%.1fx fewer)")
+      f"   probe_shuffle_records: bloom=$rBloom plain=$rPlain (${fewer}x fewer)")
     spark.stop()
   }
 }

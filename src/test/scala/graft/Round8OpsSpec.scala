@@ -79,6 +79,20 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("bloom-pruned semi-join on a STRING key matches the plain semi-join") {
+    // round 8's cast("long") silently emptied non-numeric keys; the
+    // xxhash64 build must instead prune correctly for any key type
+    withShuffledJoins {
+      val li = Tables.load(spark, sf0001, "lineitem")
+      val flags = li.select(col("l_returnflag")).distinct().limit(2)
+      val pruned = JoinOps.bloomPrunedSemiJoin(li, "l_returnflag", flags, "l_returnflag")
+      val plain = li.join(flags, Seq("l_returnflag"), "left_semi")
+      val n = pruned.count()
+      assert(n > 0, "string-key bloom semi-join must not be silently empty")
+      assert(n == plain.count())
+    }
+  }
+
   test("count_between: closed interval, null element/array handling, SQL path, type check") {
     import spark.implicits._
     graft.catalyst.GraftExtensions.register(spark)
