@@ -68,6 +68,33 @@ class SinksSpec extends SparkSpec {
   test("JdbcSink config carries the reference's tuning shape") {
     val cfg = JdbcSinkConfig("jdbc:clickhouse://localhost:8123/db", "tickers_data", "u", "p")
     assert(cfg.batchSize == 100000 && cfg.numPartitions == 32)
-    new JdbcSink(cfg) // constructible; wire path needs a live server
+    new JdbcSink(cfg) // constructible; ClickHouse wire path needs a live server
+  }
+
+  test("JdbcSink end-to-end against embedded Derby: append, count, truncate, count") {
+    // The real DriverManager path (reference: ClickHouseDAO.java:146-202)
+    // against the embedded Derby that ships on Spark's classpath — an
+    // in-process database, not a JDBC-shaped double. Uppercase table name:
+    // Spark's dialect quotes identifiers in its CREATE, and Derby folds the
+    // raw TRUNCATE/COUNT statements' unquoted names to uppercase — they
+    // must meet at the same catalog entry.
+    val cfg = JdbcSinkConfig("jdbc:derby:memory:graftSinkDb;create=true",
+      "GRAFT_TICKS", user = "", password = "", numPartitions = 2)
+    val sink: ExternalSink = new JdbcSink(cfg)
+    try {
+      sink.append(Seq((1L, "AVA-USDT", 0.61), (2L, "BTC-USDT", 64000.5))
+        .toDF("SEQ", "TICKER", "PRICE"))
+      sink.append(Seq((3L, "ETH-USDT", 3200.25)).toDF("SEQ", "TICKER", "PRICE"))
+      assert(sink.count(spark) == 3)
+      sink.truncate(spark)
+      assert(sink.count(spark) == 0)
+      // append after truncate lands in the (kept) table
+      sink.append(Seq((4L, "SOL-USDT", 180.0)).toDF("SEQ", "TICKER", "PRICE"))
+      assert(sink.count(spark) == 1)
+    } finally {
+      // embedded Derby: dropping the in-memory db signals via SQLException
+      try java.sql.DriverManager.getConnection("jdbc:derby:memory:graftSinkDb;drop=true")
+      catch { case _: java.sql.SQLException => () }
+    }
   }
 }
