@@ -115,40 +115,75 @@ object SimilarityOps {
 
   val NumPlanes = 6
 
-  /** Fixed ±1 hyperplanes shared verbatim with the oracle SQL (no RNG — a
-    * deterministic odd/even lattice; at scale these would be seeded Gaussian
-    * planes shipped as a broadcast literal the same way). `seed` selects a
-    * different deterministic family (seed 0 = the oracle's); for a fixed
-    * seed the families are NESTED — plane p is the same regardless of how
-    * many planes are in use — which is what makes recall monotone in the
-    * plane count (NativePlanPropertySpec pins that property).
+  /** Fixed ±1 hyperplanes shared verbatim with the oracle SQL (no RNG — the
+    * sign comes from an integer mix of (plane, dim, seed); at scale these
+    * would be seeded Gaussian planes shipped as a broadcast literal the same
+    * way). `seed` selects a different deterministic family (seed 0 = the
+    * oracle's); for a fixed seed the families are NESTED — plane p is the
+    * same regardless of how many planes are in use — which is what makes
+    * recall monotone in the plane count (NativePlanPropertySpec pins that).
+    *
+    * The mix must make planes pairwise distinct: an earlier variant reduced
+    * mod 3, which made plane p depend only on p mod 3 — planes 0/3, 1/4,
+    * 2/5 were identical, so bits p and p+3 always agreed and every
+    * Hamming-1 neighbor bucket was structurally EMPTY (multi-probe could
+    * never add a candidate). Standard avalanche mixing (fibonacci-hash
+    * constants + xor-shift) removes that degeneracy.
     */
   def planeWeight(p: Int, j: Int): Int = planeWeight(p, j, 0)
-  def planeWeight(p: Int, j: Int, seed: Int): Int =
-    if (((j + 1) * 31 + p * 17 + seed * 13) % 3 % 2 == 0) 1 else -1
+  def planeWeight(p: Int, j: Int, seed: Int): Int = {
+    var h = j * 0x9E3779B9 + p * 0x85EBCA6B + seed * 0xC2B2AE35
+    h ^= h >>> 16; h *= 0x45D9F3B; h ^= h >>> 13
+    if ((h & 1) == 0) 1 else -1
+  }
 
   private def planeDot(emb: Column, p: Int, seed: Int): Column =
     dot(emb, array((0 until Dim).map(j => lit(planeWeight(p, j, seed).toDouble)): _*))
 
   /** LSH-bucketed ANN: `numPlanes`-bit sign bucket per vector; candidates
     * share the query's bucket; exact cosine re-ranking within the bucket.
-    * Recall < 1 by construction (documented trade; multi-probe at scale).
-    * Defaults reproduce the oracled `s_ann_lsh` query exactly.
+    * Defaults reproduce the oracled `s_ann_lsh` query exactly (single
+    * probe, `probeBits = 0`).
+    *
+    * `probeBits` is the recall/cost dial: each query additionally probes
+    * that many Hamming-1 neighbor buckets — the buckets reached by
+    * flipping its LEAST-confident sign bits (smallest |plane·q|) first,
+    * the multi-probe heuristic of Lv et al., VLDB 2007 (public). A vector
+    * near a hyperplane is the one whose true neighbors fall on the other
+    * side, so those flips recover the most recall per probed bucket.
+    * Candidate sets are NESTED in `probeBits` (the per-query flip order is
+    * fixed), which makes recall monotone non-decreasing and lets the
+    * property spec pin it; cost is `probeBits + 1` bucket joins' worth of
+    * candidates per query. At `probeBits = numPlanes` the whole Hamming-1
+    * ball is probed regardless of confidence order.
     */
   def annLsh(s: SparkSession, d: String,
-      numPlanes: Int = NumPlanes, seed: Int = 0): DataFrame = {
+      numPlanes: Int = NumPlanes, seed: Int = 0, probeBits: Int = 0): DataFrame = {
     require(numPlanes >= 1, s"numPlanes must be >= 1, got $numPlanes")
+    require(probeBits >= 0 && probeBits <= numPlanes,
+      s"probeBits must be in [0, $numPlanes], got $probeBits")
     val bucketBits = (0 until numPlanes).map(p =>
       when(planeDot(col("embedding"), p, seed) > 0, lit(1 << p)).otherwise(lit(0)))
     val e = Tables.fanOut(Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
         bucketBits.reduce(_ + _).as("bucket"))
       .localCheckpoint(true)
+    // (|plane·q|, bit) per plane, ascending — array_sort on the struct is
+    // lexicographic, so ties break on the bit, deterministically
+    val planeConf = array((0 until numPlanes).map(p =>
+      struct(abs(planeDot(col("embedding"), p, seed)).as("conf"),
+        lit(1 << p).as("bit"))): _*)
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("eq"),
-        col("nrm").as("nq"), col("bucket"))
+        col("nrm").as("nq"),
+        explode(concat(
+          array(col("bucket")),
+          transform(slice(array_sort(planeConf), 1, probeBits),
+            st => col("bucket").bitwiseXOR(st("bit"))))).as("bucket"))
     val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ec"),
       col("nrm").as("nc"), col("bucket"))
+    // no (q_id, c_id) pair appears twice: probed buckets are pairwise
+    // distinct and every candidate lives in exactly one bucket
     val scored = q.join(c, Seq("bucket")).filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", round(dot(col("eq"), col("ec")) / (col("nq") * col("nc")), 4))
     rankTopK(s, scored)

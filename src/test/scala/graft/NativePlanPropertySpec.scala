@@ -221,6 +221,32 @@ class NativePlanPropertySpec extends SparkSpec {
       info(s"LSH seed $seed recalls (planes 2/4/6): ${rs.mkString(", ")}")
     }
 
+    // Multi-probe LSH: probing Hamming-1 neighbor buckets (least-confident
+    // planes first) only ADDS candidates, and the per-query flip order is
+    // fixed, so candidate sets are nested — recall is monotone
+    // non-decreasing in probeBits. probeBits=0 IS the single-probe query,
+    // row for row; probeBits=numPlanes probes the whole Hamming-1 ball.
+    {
+      val seed = rnd.nextInt(1000)
+      val single = SimilarityOps.annLsh(spark, sf0001, numPlanes = 6, seed = seed)
+      val probe0 = SimilarityOps.annLsh(spark, sf0001, numPlanes = 6, seed = seed,
+        probeBits = 0)
+      assert(single.collect().toSeq == probe0.collect().toSeq,
+        "probeBits=0 must reproduce the single-probe result exactly")
+      val mp = Seq(0, 2, 4, 6).map(pb =>
+        recall(topkSets(SimilarityOps.annLsh(spark, sf0001, numPlanes = 6, seed = seed,
+          probeBits = pb))))
+      mp.sliding(2).foreach {
+        case Seq(a, b) => assert(b >= a,
+          s"seed $seed: multi-probe recall not monotone: ${mp.mkString(", ")}")
+        case _ =>
+      }
+      assert(mp.last > mp.head,
+        s"seed $seed: probing the full Hamming-1 ball should add recall on this " +
+          s"corpus, got ${mp.mkString(", ")}")
+      info(s"multi-probe LSH seed $seed recalls (probeBits 0/2/4/6): ${mp.mkString(", ")}")
+    }
+
     // IVF: more probed cells = strictly larger candidate set per query, so
     // recall is monotone non-decreasing in the probe count; probing every
     // cell IS the brute-force search — recall exactly 1.
