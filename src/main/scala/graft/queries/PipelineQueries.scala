@@ -352,6 +352,54 @@ object PipelineQueries {
     * sample is reproducible row-for-row on any engine. Map-side filter +
     * one partial-aggregated groupBy — the 100 TB mixing shape.
     */
+  /** Exact floor division for the full long domain: `(c - pmod(c, n)) div n`.
+    * `(col / n).cast("long")` goes through DOUBLE (wrong above 2^53) and
+    * truncates toward zero (merges blocks -0/0 for negative keys); plain
+    * `div` also truncates toward zero. Subtracting the non-negative `pmod`
+    * first makes the dividend an exact multiple, so `div` IS floor. */
+  private def floorDiv(c: String, n: Int): Column =
+    expr(s"($c - pmod($c, $n)) div $n")
+
+  /** Exclusive prefix sum of `value` ordered by `key` (both integral),
+    * returned as (`key`, `off`) — the distributed prefix-sum recursion:
+    * while the level still holds more than `maxWindowRows` rows, block the
+    * keys (`key div blockSize`), compute the within-block prefix with a
+    * window PARTITIONED BY BLOCK (fully parallel), and recurse on the
+    * per-block totals — a frame `blockSize`× smaller. The recursion bottoms
+    * out in a global window over ≤ `maxWindowRows` rows, a bounded constant
+    * (never data-scale) by construction; depth is log_blockSize(n).
+    *
+    * `nRowsBound` is a caller-supplied UPPER BOUND on `df`'s row count,
+    * used only to pick the plan shape — passing a bound instead of calling
+    * `df.count()` here means plan construction never executes the (possibly
+    * expensive) upstream pipeline; an over-estimate merely adds a recursion
+    * level over an already-small frame. Each level's offset frame is
+    * broadcast to the join when its bound fits `maxWindowRows` (the totals
+    * of a data-scale level can be large — those join by shuffle and AQE may
+    * still elect a broadcast at runtime).
+    */
+  private def exclusivePrefix(df: DataFrame, key: String, value: String,
+      blockSize: Int, maxWindowRows: Long, nRowsBound: Long,
+      depth: Int = 1): DataFrame = {
+    if (nRowsBound <= maxWindowRows) {
+      val w = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, -1)
+      df.select(col(key), coalesce(sum(value).over(w), lit(0L)).as("off"))
+    } else {
+      val b = s"_blk$depth" // per-level name: the recursed key IS a block id
+      val t = df.withColumn(b, floorDiv(key, blockSize))
+      val wIn = Window.partitionBy(b).orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val inBlk = t.withColumn("_in_off", coalesce(sum(value).over(wIn), lit(0L)))
+      val totals = t.groupBy(b).agg(sum(value).cast("long").as("_bt"))
+      val totalsBound = (nRowsBound + blockSize - 1) / blockSize
+      val blkOff = exclusivePrefix(totals, b, "_bt", blockSize, maxWindowRows,
+        totalsBound, depth + 1).withColumnRenamed("off", "_blk_off")
+      val joined = inBlk.join(
+        if (totalsBound <= maxWindowRows) broadcast(blkOff) else blkOff, b)
+      joined.select(col(key), (col("_blk_off") + col("_in_off")).as("off"))
+    }
+  }
+
   /** Sequence packing — the concat-and-chunk shape every pretraining
     * pipeline runs: documents are laid end-to-end in doc_id order and cut
     * into fixed `seqLen`-token training sequences; each document reports
@@ -359,30 +407,34 @@ object PipelineQueries {
     *
     * The global running sum is computed scale-safe, NOT with a
     * single-partition window: docs are grouped into fixed blocks
-    * (`doc_id / blockSize`), a window partitioned BY BLOCK computes the
-    * within-block cumulative sum (data-scale work, fully parallel), and a
-    * second window runs only over the per-block TOTALS — n/blockSize rows,
-    * three orders of magnitude smaller; at extreme scale the same
-    * two-level construction recurses. This is the distributed prefix-sum
-    * pattern; the bucketed RANGE rewrite above ([[windowRangeScaled]]) is
-    * its value-domain sibling.
+    * (`doc_id div blockSize`), a window partitioned BY BLOCK computes the
+    * within-block cumulative sum (data-scale work, fully parallel), and the
+    * per-block totals feed [[exclusivePrefix]], which RECURSES the same
+    * construction while a level still exceeds `maxWindowRows` rows — the
+    * terminal global window runs over a bounded constant, never over data.
+    * The level count is chosen from the parquet metadata row count (a
+    * footer read, no data scan), so planning never tokenizes the corpus.
+    * The bucketed RANGE rewrite above ([[windowRangeScaled]]) is this
+    * pattern's value-domain sibling.
     */
   def sequencePack(s: SparkSession, d: String, seqLen: Int = 512,
-      blockSize: Int = 64): DataFrame = {
+      blockSize: Int = 64, maxWindowRows: Long = 1L << 20): DataFrame = {
+    // metadata-only count: upper-bounds every level's width for plan choice
+    val nDocs = Tables.documents(s, d).count()
     val t = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
-        (col("doc_id") / blockSize).cast("long").as("blk"))
+        floorDiv("doc_id", blockSize).as("blk"))
     // level 1: within-block exclusive prefix (window partitioned by block)
     val wIn = Window.partitionBy("blk").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val inBlk = t.withColumn("in_off", coalesce(sum("n_tokens").over(wIn), lit(0L)))
-    // level 2: exclusive prefix over per-block totals (n/blockSize rows)
-    val wBlk = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
-    val blkOff = t.groupBy("blk").agg(sum("n_tokens").as("bt"))
-      .withColumn("blk_off", coalesce(sum("bt").over(wBlk), lit(0L)))
-      .select("blk", "blk_off")
-    inBlk.join(broadcast(blkOff), "blk")
+    // levels 2..k: recursive exclusive prefix over per-block totals
+    val nBlocks = (nDocs + blockSize - 1) / blockSize
+    val blkOff = exclusivePrefix(t.groupBy("blk").agg(sum("n_tokens").as("bt")),
+        "blk", "bt", blockSize, maxWindowRows, nBlocks)
+      .withColumnRenamed("off", "blk_off")
+    inBlk.join(if (nBlocks <= maxWindowRows) broadcast(blkOff) else blkOff, "blk")
       .withColumn("global_offset", col("blk_off") + col("in_off"))
       .select(col("doc_id"), col("n_tokens"), col("global_offset"),
         floor(col("global_offset") / seqLen).cast("long").as("seq_start"),

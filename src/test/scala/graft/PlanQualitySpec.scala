@@ -330,6 +330,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("hashpartitioning(blk"), p)
   }
 
+  test("sequence packing recursion: forced multi-level plan, identical result") {
+    // force the prefix-sum recursion on the 500-doc corpus: blockSize=8 →
+    // 63 block totals > maxWindowRows=4 → recurse (8 totals) → recurse
+    // (1 total) → terminal global window. Every data-bearing level must
+    // hash-partition on its block id; exactly ONE single-partition exchange
+    // may remain — the terminal window over ≤ maxWindowRows bounded rows.
+    val forced = graft.queries.PipelineQueries.sequencePack(spark, sf0001,
+      blockSize = 8, maxWindowRows = 4)
+    val p = physicalPlan(forced)
+    assert(p.contains("hashpartitioning(blk"), p)
+    assert(p.contains("hashpartitioning(_blk1"), p)
+    assert(p.contains("hashpartitioning(_blk2"), p)
+    val singles = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(singles == 1, s"expected exactly 1 terminal single-partition window, " +
+      s"got $singles:\n$p")
+    // block size and recursion depth are plan knobs, never result knobs
+    val default = graft.queries.PipelineQueries.sequencePack(spark, sf0001)
+    assert(forced.collect().toSeq == default.collect().toSeq)
+  }
+
   test("bucketed range-frame count plans NO window operator (scale-safe twin)") {
     // sql_window_range is the grammar demo — its un-partitioned ORDER BY
     // plans a single-partition Window by construction. The pattern users
