@@ -172,6 +172,7 @@ object SparkEntry {
     "t_normalize"       -> (graft.functions.TextOps.normalizeDf _),
     // C4-style boilerplate span removal (frequent-window excision + rebuild)
     "t_boilerplate"     -> (graft.functions.TextOps.boilerplateScrub _),
+    "t_boilerplate_fix" -> ((s, d) => graft.functions.TextOps.boilerplateScrubFixpoint(s, d)),
     // quality-filter funnel: first-failing-rule drop attribution per doc
     "t_filter_funnel"   -> (graft.functions.TextOps.filterFunnel _),
     "ts_scd2"           -> (TimeSeriesOps.scd2History _),
@@ -290,6 +291,7 @@ object SparkEntry {
     "x_zorder_layout"   -> graft.operators.LayoutOps.zorderLayoutSql,
     "t_normalize"       -> graft.functions.TextOps.normalizeSql,
     "t_boilerplate"     -> graft.functions.TextOps.boilerplateScrubSql,
+    "t_boilerplate_fix" -> graft.functions.TextOps.boilerplateScrubFixpointSql,
     "t_filter_funnel"   -> graft.functions.TextOps.filterFunnelSql,
     "ts_scd2"           -> TimeSeriesOps.scd2HistorySql,
     "d_incremental"     -> DedupOps.incrementalDedupSql,

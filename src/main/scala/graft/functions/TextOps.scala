@@ -307,15 +307,15 @@ object TextOps {
     * were frequent in the input — rerun the scrub for a fixed point if the
     * downstream consumer needs one.
     */
-  def boilerplateScrub(s: SparkSession, d: String): DataFrame = {
+  /** One excision round over (`doc_id`, `text`): find the windows whose
+    * document frequency crosses the `totals`-relative threshold, excise
+    * them, rebuild — returns (`doc_id`, `n_spans`, `clean_text`). The
+    * token frame is checkpointed so the rebuild's self-join reads one
+    * materialization (and, in the fixpoint, so round lineage stays flat).
+    */
+  private def scrubRound(docs: DataFrame, totals: DataFrame): DataFrame = {
     val w = BoilerplateWindow
-    // corpus count folded into the plan (tiny cross join with a 1-row
-    // aggregate) — an eager driver-side count() here would run a job at
-    // DataFrame-CONSTRUCTION time, once per bench repeat, and make the
-    // query unexplainable without executing work
-    val totals = Tables.documents(s, d).agg(count(lit(1)).as("_corpus_n"))
-    val t = Tables.fanOut(Tables.documents(s, d))
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val t = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .localCheckpoint(true)
     // 1-based window starts (matches the oracle's generate_series)
     val spans = t.select(col("doc_id"),
@@ -337,6 +337,15 @@ object TextOps {
         concat_ws(" ", filter(col("toks"), (x, i) =>
           !exists(coalesce(col("starts"), array().cast("array<int>")),
             st => (i + 1) >= st && (i + 1) <= st + (w - 1)))).as("clean_text"))
+  }
+
+  def boilerplateScrub(s: SparkSession, d: String): DataFrame = {
+    // corpus count folded into the plan (tiny cross join with a 1-row
+    // aggregate) — an eager driver-side count() here would run a job at
+    // DataFrame-CONSTRUCTION time, once per bench repeat, and make the
+    // query unexplainable without executing work
+    val totals = Tables.documents(s, d).agg(count(lit(1)).as("_corpus_n"))
+    scrubRound(Tables.fanOut(Tables.documents(s, d)), totals)
       .withColumn("n_tokens_kept",
         when(col("clean_text") === "", lit(0))
           .otherwise(size(tokens(col("clean_text")))))
@@ -361,6 +370,90 @@ object TextOps {
        |  CASE WHEN clean_text = '' THEN 0
        |       ELSE CAST(len(regexp_split_to_array(clean_text, '\\s+')) AS INT) END AS n_tokens_kept
        |FROM o ORDER BY doc_id""".stripMargin
+
+  /** Fixed-point boilerplate removal: rerun [[scrubRound]] until no window
+    * crosses the df threshold, bounded by `maxRounds`. Excision can make
+    * previously non-adjacent tokens adjacent, so a single pass may leave
+    * (or CREATE) frequent windows — this is the rerun-to-fixed-point loop
+    * the one-pass scaladoc above leaves to the caller, made an operator.
+    *
+    * Per-round excision counts are reported as `n_spans_r1..r{maxRounds}`
+    * columns (the funnel-attribution shape of [[filterFunnel]]). A
+    * converged corpus makes every later round a structural no-op (no
+    * frequent window → nothing excised), so early exit after a zero-span
+    * round returns EXACTLY the fixed-`maxRounds` unroll — which is what
+    * lets the DuckDB oracle be a plain `maxRounds`-deep CTE chain rather
+    * than a recursive query.
+    *
+    * The frequency threshold stays relative to the ORIGINAL corpus size:
+    * documents are shortened, never dropped, so |corpus| is constant
+    * across rounds. Driver-side work per round is one scalar sum over the
+    * checkpointed round output (the convergence test); rounds are bounded,
+    * each is the one-pass plan — posting-list shape, no all-pairs — so the
+    * fixpoint inherits the one-pass 100 TB story times a small constant.
+    */
+  def boilerplateScrubFixpointOver(docs: DataFrame, maxRounds: Int = 3): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val totals = docs.agg(count(lit(1)).as("_corpus_n"))
+    var acc = docs.select(col("doc_id"), col("text").as("clean_text"))
+    var live = true
+    for (r <- 1 to maxRounds) {
+      val cn = s"n_spans_r$r"
+      if (live) {
+        val out = scrubRound(
+            acc.select(col("doc_id"), col("clean_text").as("text")), totals)
+          .withColumnRenamed("n_spans", cn)
+          .localCheckpoint(true)
+        live = out.agg(coalesce(sum(col(cn)), lit(0L))).first().getLong(0) > 0L
+        acc = acc.drop("clean_text").join(out, "doc_id")
+      } else {
+        acc = acc.withColumn(cn, lit(0)) // converged: no-op round, no job
+      }
+    }
+    acc
+      .withColumn("n_tokens_kept",
+        when(col("clean_text") === "", lit(0))
+          .otherwise(size(tokens(col("clean_text")))))
+      .select(col("doc_id") +: (1 to maxRounds).map(r => col(s"n_spans_r$r")) :+
+        col("clean_text") :+ col("n_tokens_kept"): _*)
+      .orderBy("doc_id")
+  }
+
+  def boilerplateScrubFixpoint(s: SparkSession, d: String,
+      maxRounds: Int = 3): DataFrame =
+    boilerplateScrubFixpointOver(
+      Tables.fanOut(Tables.documents(s, d)).select("doc_id", "text"), maxRounds)
+
+  /** One DuckDB CTE block per round — the SQL twin of [[scrubRound]],
+    * reading `text` from `$inCte` and emitting `r$rn_o(doc_id,
+    * n_spans_r$rn, text)`. */
+  private def scrubRoundSql(inCte: String, rn: Int): String = {
+    val w1 = BoilerplateWindow - 1
+    s"""r${rn}_t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM $inCte),
+       |r${rn}_sp AS (SELECT doc_id, i AS start, md5(array_to_string(toks[i:i+$w1], ' ')) AS h
+       |       FROM r${rn}_t CROSS JOIN UNNEST(generate_series(1, len(toks) - $w1)) AS u(i)),
+       |r${rn}_f AS (SELECT h FROM r${rn}_sp GROUP BY h
+       |      HAVING count(DISTINCT doc_id) >= ceil($BoilerplateDfFrac * (SELECT count(*) FROM documents))),
+       |r${rn}_cov AS (SELECT doc_id, list(DISTINCT start) AS starts FROM r${rn}_sp JOIN r${rn}_f USING (h) GROUP BY doc_id),
+       |r${rn}_o AS (SELECT t.doc_id, CAST(len(COALESCE(cov.starts, [])) AS INT) AS n_spans_r$rn,
+       |        array_to_string(list_transform(
+       |          list_filter(generate_series(1, len(t.toks)),
+       |            i -> len(list_filter(COALESCE(cov.starts, []), st -> i >= st AND i <= st + $w1)) = 0),
+       |          i -> t.toks[i]), ' ') AS text
+       |      FROM r${rn}_t t LEFT JOIN r${rn}_cov cov USING (doc_id))""".stripMargin
+  }
+
+  val boilerplateScrubFixpointSql: String =
+    s"""WITH docs0 AS (SELECT doc_id, text FROM documents),
+       |${scrubRoundSql("docs0", 1)},
+       |${scrubRoundSql("r1_o", 2)},
+       |${scrubRoundSql("r2_o", 3)}
+       |SELECT r3.doc_id, r1.n_spans_r1, r2.n_spans_r2, r3.n_spans_r3,
+       |  r3.text AS clean_text,
+       |  CASE WHEN r3.text = '' THEN 0
+       |       ELSE CAST(len(regexp_split_to_array(r3.text, '\\s+')) AS INT) END AS n_tokens_kept
+       |FROM r3_o r3 JOIN r2_o r2 USING (doc_id) JOIN r1_o r1 USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   /** Document fingerprinting: md5 of whitespace-normalized text (exact-dup
     * key) + min-shingle hash (a 1-perm MinHash, the winnowing-style content
