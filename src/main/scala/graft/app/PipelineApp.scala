@@ -8,7 +8,7 @@ import graft.ingest.TickerIngest
 import graft.journal.TickerFileJournal
 import graft.pipeline.{Lifecycle, Retry, RetryPolicy}
 import graft.schema.FileStatus
-import graft.streaming.Discovery
+import graft.streaming.{Discovery, StreamingDedup}
 
 /** The wired application (SURVEY §7.1 step 8) — replaces the reference's
   * `MainApplication.java:54-91` four-flow bootstrap with one SparkSession
@@ -71,6 +71,30 @@ object PipelineApp {
   private def tmp(p: String): String =
     java.nio.file.Files.createTempDirectory(s"graft-$p").toString
 
+  /** Flow 5 — corpus admission: documents dropped as JSON lines
+    * (`doc_id`, `text`) under `docsDir` stream through
+    * [[graft.streaming.StreamingDedup]] — each micro-batch is
+    * deduplicated against the persistent fingerprint store under the
+    * warehouse and the admitted rows land in the corpus, exactly-once
+    * (see StreamingDedup's replay contract). The reference boots every
+    * flow it ships, not just ingest (`MainApplication.java:64-81`); this
+    * is the engine's corpus-building flow, so demo and continuous mode
+    * both run it. Public so the continuous-mode spec can drive
+    * micro-batches through the EXACT wiring the app uses.
+    */
+  def corpusAdmission(spark: SparkSession, docsDir: String,
+      warehouseDir: String, maxFilesPerTrigger: Int,
+      trigger: Trigger): org.apache.spark.sql.streaming.StreamingQuery = {
+    // the file source lists eagerly: the drop dir must exist before start
+    new java.io.File(docsDir).mkdirs()
+    val docs = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(docsDir)
+    StreamingDedup.start(docs, s"$warehouseDir/_fp_store",
+      s"$warehouseDir/corpus", s"$warehouseDir/_corpus_ckpt", trigger)
+  }
+
   private def now(): Timestamp = new Timestamp(System.currentTimeMillis())
 
   /** One synchronous cycle of all four flows over a seeded fixture tree. */
@@ -111,6 +135,26 @@ object PipelineApp {
     // Flow 4 (guards will skip — finished dates are within the backup window)
     val cl = Lifecycle.cleanup(journal, root, today)
     println(s"[demo] cleanup: skipped=${cl.skipped} deleted=${cl.deletedFiles}")
+    // Flow 5 — corpus admission: two micro-batches with an in-batch dup, a
+    // whitespace-variant dup, and a cross-batch historical dup
+    val docsDir = s"$root/docs"
+    new java.io.File(docsDir).mkdirs()
+    def putDocs(name: String, docs: Seq[(Long, String)]): Unit = {
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$docsDir/$name"),
+        docs.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("\n").getBytes)
+      ()
+    }
+    putDocs("batch1.json", Seq(1L -> "alpha beta", 2L -> "gamma delta",
+      3L -> "alpha  beta"))
+    val dq = corpusAdmission(spark, docsDir, warehouseDir,
+      maxFilesPerTrigger = 1, trigger = Trigger.ProcessingTime(0))
+    dq.processAllAvailable()
+    putDocs("batch2.json", Seq(4L -> "gamma delta", 5L -> "epsilon zeta"))
+    dq.processAllAvailable()
+    dq.stop()
+    println(s"[demo] corpus: admitted=" +
+      s"${StreamingDedup.corpus(spark, s"$warehouseDir/corpus").count()} of 5 seen")
     println(s"[demo] statuses: " + FileStatus.all.map(s =>
       s"${s.name}=${journal.byStatus(s).count()}").mkString(" "))
   }
@@ -127,6 +171,10 @@ object PipelineApp {
     if (repaired > 0) println(s"[recover] restored $repaired partitions from interrupted compactions")
     Discovery.catchUp(spark, journal, root, LocalDate.now(), now())
     val q = Discovery.stream(spark, journal, root, s"$warehouseDir/_discovery_ckpt",
+      maxFilesPerTrigger = cfg.discovery.filesBufferSize,
+      trigger = Trigger.ProcessingTime(s"${cfg.discovery.flushTimeoutSec} seconds"))
+    // Flow 5 — corpus admission runs beside discovery on the same cadence
+    val corpusQ = corpusAdmission(spark, s"$root/docs", warehouseDir,
       maxFilesPerTrigger = cfg.discovery.filesBufferSize,
       trigger = Trigger.ProcessingTime(s"${cfg.discovery.flushTimeoutSec} seconds"))
     // one thread per flow: with only 2 threads a stuck uploadData cycle
@@ -195,6 +243,9 @@ object PipelineApp {
     // shut the (non-daemon) scheduler down however the stream ends, or its
     // threads keep a half-dead JVM alive running flows against a stopped app
     try q.awaitTermination()
-    finally sched.shutdownNow()
+    finally {
+      corpusQ.stop()
+      sched.shutdownNow()
+    }
   }
 }

@@ -56,4 +56,33 @@ class StreamingDedupSpec extends SparkSpec {
     val fps = StreamingDedup.corpus(spark, corpus).select("fp_exact").as[String].collect()
     assert(fps.length == fps.distinct.length)
   }
+
+  test("wired app flow: JSON drop-dir admission through PipelineApp.corpusAdmission") {
+    // the continuous-mode wiring, driven file-by-file: same drop-dir file
+    // source, same store/corpus layout under the warehouse dir
+    val warehouse = tmpDir("sd-wh")
+    val docsDir = s"${tmpDir("sd-docs")}/docs"
+    def put(name: String, docs: Seq[(Long, String)]): Unit = {
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$docsDir/$name"),
+        docs.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("\n").getBytes)
+      ()
+    }
+    val q = graft.app.PipelineApp.corpusAdmission(spark, docsDir, warehouse,
+      maxFilesPerTrigger = 1,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      // micro-batch 1: in-batch exact dup (min doc_id wins)
+      put("b1.json", Seq(1L -> "alpha beta gamma", 2L -> "delta epsilon",
+        3L -> "alpha beta gamma"))
+      q.processAllAvailable()
+      assert(StreamingDedup.corpus(spark, s"$warehouse/corpus")
+        .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+      // micro-batch 2: historical dup vs batch 1, plus one fresh doc
+      put("b2.json", Seq(4L -> "delta epsilon", 5L -> "a brand new doc"))
+      q.processAllAvailable()
+      assert(StreamingDedup.corpus(spark, s"$warehouse/corpus")
+        .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 5L))
+    } finally q.stop()
+  }
 }
