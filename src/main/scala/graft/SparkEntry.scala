@@ -114,6 +114,8 @@ object SparkEntry {
     "t_contamination"   -> (PQ.contamination _),
     "d_lev_fuzzy"       -> (PQ.levFuzzy _),
     "t_doc_freq"        -> (PQ.docFreq _),
+    "t_vocab_oov"       -> ((s, d) => PQ.vocabOov(s, d)),
+    "t_bigram_lm"       -> (PQ.bigramLm _),
     "d_cluster_canon"   -> ((s, d) => graft.operators.DedupPipeline
       .clusters(DedupOps.ngramJaccardPairs(s, d)).orderBy("doc_id")),
     // Round 2: deterministic splits / sampling / balancing
@@ -253,6 +255,8 @@ object SparkEntry {
     "t_contamination"   -> PQ.contaminationSql,
     "d_lev_fuzzy"       -> PQ.levFuzzySql,
     "t_doc_freq"        -> PQ.docFreqSql,
+    "t_vocab_oov"       -> PQ.vocabOovSql,
+    "t_bigram_lm"       -> PQ.bigramLmSql,
     "d_cluster_canon"   -> DedupOps.clusterCanonSql,
     "p_train_split"     -> PQ.trainSplitSql,
     "p_stratified_sample" -> PQ.stratifiedSampleSql,

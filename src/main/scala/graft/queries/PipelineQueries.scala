@@ -234,6 +234,114 @@ object PipelineQueries {
       |  CAST(count(*) AS DOUBLE) / n_docs AS df_ratio
       |FROM t, n GROUP BY token, n_docs ORDER BY token""".stripMargin
 
+  /** Vocabulary coverage / OOV rate — the tokenizer-coverage check a
+    * pretraining pipeline runs before committing to a vocab: the corpus's
+    * top-[[VocabSize]] tokens by frequency (count desc, token asc — a
+    * total order, so the vocabulary boundary is deterministic on every
+    * engine), then per document the token count and how many occurrences
+    * fall OUTSIDE that vocabulary. All-integer output — no float anywhere.
+    *
+    * Scale shape: the vocab is top-k over partial-aggregated counts
+    * (TakeOrderedAndProject, no global sort) and is bounded at
+    * [[VocabSize]] rows → broadcast; the per-doc probe is then a map-side
+    * hash lookup + partial-aggregable groupBy. The corpus shuffles once
+    * (token counts) and never again.
+    *
+    * [[VocabSize]] = 16 keeps the boundary EXERCISED on the synthetic
+    * corpus (31 distinct tokens — a production 30k+ vocab would make every
+    * doc trivially in-vocabulary here); a real run passes its own size,
+    * the plan is identical (the broadcast grows to vocab-file scale, still
+    * megabytes).
+    */
+  val VocabSize = 16
+  def vocabOov(s: SparkSession, d: String,
+      vocabSize: Int = VocabSize): DataFrame = {
+    val toks = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(vocabSize)
+      .select(col("token"), lit(1).as("in_v"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1).otherwise(0)).as("n_oov"))
+      .orderBy("doc_id")
+  }
+  val vocabOovSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+       |             FROM documents),
+       |v AS (SELECT token FROM (SELECT token, count(*) AS cnt FROM toks GROUP BY token
+       |      ORDER BY cnt DESC, token LIMIT $VocabSize))
+       |SELECT toks.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+       |FROM toks LEFT JOIN v ON toks.token = v.token
+       |GROUP BY toks.doc_id ORDER BY doc_id""".stripMargin
+
+  /** Smoothed bigram-LM scoring — the CCNet/KenLM-style perplexity filter,
+    * self-trained: each document is scored by the add-1-smoothed negative
+    * mean log-probability of its token bigrams under the corpus's own
+    * bigram distribution. High xent = improbable text (gibberish, OCR
+    * noise); unusually low = templated/repetitive. `n_rare` counts bigram
+    * occurrences seen ≤ [[RareBigramMax]] times corpus-wide — the exact
+    * integer cousin of the same signal. Documents with < 2 tokens score
+    * NULL (no bigrams).
+    *
+    * Cross-engine float determinism: each bigram's ln() is rounded to 6 dp
+    * and summed as DECIMAL — exact and order-independent, where a double
+    * sum would vary with partitioning — then the mean is one double
+    * division + round(4). Unconditional bigram probabilities (not
+    * p(w2|w1)) keep it to one count table; the conditional form adds a
+    * unigram join of the same shape.
+    *
+    * Scale shape: explode → partial-aggregated counts; the per-occurrence
+    * probability lookup is a shuffle join on the bigram key (both sides
+    * partial-aggregable; swap in a broadcast count-min sketch when the
+    * distinct-bigram table outgrows the shuffle budget); one
+    * partial-aggregable per-doc rollup on top.
+    */
+  val RareBigramMax = 2
+  def bigramLm(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, d))
+    val bi = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", slice(col("toks"), i, lit(2)))))
+        .otherwise(array().cast("array<string>"))).as("bg"))
+    val counts = bi.groupBy("bg").agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum("c").as("t"), count(lit(1)).as("v"))
+    val scored = bi.join(counts, "bg").crossJoin(broadcast(totals))
+      .withColumn("lp", round(log((col("c") + 1).cast("double") / (col("t") + col("v"))), 6)
+        .cast("decimal(18,6)"))
+    docs.select("doc_id").join(
+        scored.groupBy("doc_id").agg(
+          count(lit(1)).as("n_bigrams"),
+          sum(when(col("c") <= RareBigramMax, 1).otherwise(0)).as("n_rare"),
+          round((-sum(col("lp")).cast("double")) / count(lit(1)), 4).as("xent")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        col("xent"))
+      .orderBy("doc_id")
+  }
+  val bigramLmSql: String =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       |bi AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bg
+       |       FROM t CROSS JOIN UNNEST(generate_series(1, len(toks) - 1)) AS u(i)),
+       |c AS (SELECT bg, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY bg),
+       |tv AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS v FROM c),
+       |sc AS (SELECT doc_id, c.c,
+       |         CAST(round(ln((c.c + 1)::DOUBLE / (tv.t + tv.v)), 6) AS DECIMAL(18,6)) AS lp
+       |       FROM bi JOIN c USING (bg) CROSS JOIN tv),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |          CAST(sum(CASE WHEN c <= $RareBigramMax THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       |          round(-CAST(sum(lp) AS DOUBLE) / count(*), 4) AS xent
+       |        FROM sc GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(agg.n_rare, 0) AS n_rare, agg.xent
+       |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** PII scrubbing: emails then digit runs replaced; output a stable
     * signature (md5 + length) instead of the full scrubbed text. Pure
     * projection — no shuffle, scales linearly.

@@ -79,6 +79,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("vocab/OOV: top-V without a global sort, bounded vocab probed by broadcast") {
+    val p = physicalPlan(graft.queries.PipelineQueries.vocabOov(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p) // vocab = bounded top-k
+    assert(p.contains("BroadcastHashJoin"), p)     // the corpus never reshuffles
+    assert(p.contains("partial_count"), p)         // map-side combine on counts
+  }
+
+  test("bigram LM: counts and per-doc rollup both partial-aggregate below their shuffles") {
+    val p = physicalPlan(graft.queries.PipelineQueries.bigramLm(spark, sf0001))
+    assert(p.contains("partial_count"), p)
+    // the 2-row totals side reaches the scorer by broadcast, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("contamination joins the benchmark side by broadcast") {
     val p = physicalPlan(graft.queries.PipelineQueries.contamination(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"), p)

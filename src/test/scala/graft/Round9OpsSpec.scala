@@ -62,6 +62,53 @@ class Round9OpsSpec extends SparkSpec {
     assert(r3 == r4)
   }
 
+  test("vocab/OOV: counts consistent, OOV boundary exercised, full vocab = zero OOV") {
+    import spark.implicits._
+    import graft.queries.PipelineQueries
+    val r = PipelineQueries.vocabOov(spark, sf0001).collect()
+    assert(r.length == 500)
+    r.foreach(row => assert(row.getLong(2) >= 0 && row.getLong(2) <= row.getLong(1), row))
+    // the 16-token vocab over a 31-token corpus must leave SOME occurrences
+    // out-of-vocabulary, or the query tests nothing at this SF
+    assert(r.map(_.getLong(2)).sum > 0)
+    // n_tokens sums to the corpus occurrence count regardless of vocab
+    val totalTokens = Tables.documents(spark, sf0001)
+      .select(explode(graft.functions.TextOps.tokens(col("text"))))
+      .count()
+    assert(r.map(_.getLong(1)).sum == totalTokens)
+    // a vocabulary covering every distinct token admits everything
+    val full = PipelineQueries.vocabOov(spark, sf0001, vocabSize = 100000).collect()
+    assert(full.map(_.getLong(2)).sum == 0)
+    assert(full.map(r2 => r2.getLong(0) -> r2.getLong(1)).toMap ==
+      r.map(r2 => r2.getLong(0) -> r2.getLong(1)).toMap)
+  }
+
+  test("bigram LM: xent bounds, rare-count consistency, short docs score NULL") {
+    import spark.implicits._
+    val df = graft.queries.PipelineQueries.bigramLm(spark, sf0001)
+    val rows = df.collect()
+    assert(rows.length == 500)
+    val t = rows.map(_.getLong(1)).sum // total bigram occurrences
+    rows.foreach { r =>
+      val (nBg, nRare) = (r.getLong(1), r.getLong(2))
+      assert(nRare >= 0 && nRare <= nBg, r)
+      if (nBg == 0) assert(r.isNullAt(3), s"doc without bigrams must score NULL: $r")
+      else {
+        val xent = r.getDouble(3)
+        // add-1 smoothed probability is in (0, 1): ln is negative, so the
+        // negated mean is strictly positive; and p >= 1/(T+V) bounds xent
+        // above by ln(T+V) for any document
+        assert(xent > 0.0, r)
+        assert(xent <= math.log(t.toDouble + t) + 1e-6, r) // V <= T always
+      }
+    }
+    // every doc's bigram count equals max(tokens - 1, 0)
+    val tokCounts = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(graft.functions.TextOps.tokens(col("text"))).as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) == math.max(tokCounts(r.getLong(0)) - 1, 0), r))
+  }
+
   test("boilerplate fixpoint on the documents table matches the one-pass scrub's round 1") {
     // on the real corpus, round-1 excisions equal the one-pass operator's
     // n_spans doc for doc (same threshold, same windows)
