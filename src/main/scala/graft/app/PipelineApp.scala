@@ -85,14 +85,20 @@ object PipelineApp {
   def corpusAdmission(spark: SparkSession, docsDir: String,
       warehouseDir: String, maxFilesPerTrigger: Int,
       trigger: Trigger): org.apache.spark.sql.streaming.StreamingQuery = {
-    // the file source lists eagerly: the drop dir must exist before start
-    new java.io.File(docsDir).mkdirs()
+    // the file source lists eagerly: the drop dir must exist before start.
+    // Hadoop FS, not java.io.File — the root may be hdfs:// (SCALE.md §7b)
+    val p = new org.apache.hadoop.fs.Path(docsDir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(p)
     val docs = spark.readStream
       .schema("doc_id LONG, text STRING")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(docsDir)
+    // "_corpus", underscore-prefixed: the ticker warehouse shares this root,
+    // and Spark's partition discovery over it must not see a batch_id=N tree
+    // next to file_date=D dirs (a visible "corpus/" dir makes every
+    // TickerIngest.warehouse read fail with conflicting partition columns)
     StreamingDedup.start(docs, s"$warehouseDir/_fp_store",
-      s"$warehouseDir/corpus", s"$warehouseDir/_corpus_ckpt", trigger)
+      s"$warehouseDir/_corpus", s"$warehouseDir/_corpus_ckpt", trigger)
   }
 
   private def now(): Timestamp = new Timestamp(System.currentTimeMillis())
@@ -154,7 +160,10 @@ object PipelineApp {
     dq.processAllAvailable()
     dq.stop()
     println(s"[demo] corpus: admitted=" +
-      s"${StreamingDedup.corpus(spark, s"$warehouseDir/corpus").count()} of 5 seen")
+      s"${StreamingDedup.corpus(spark, s"$warehouseDir/_corpus").count()} of 5 seen")
+    // flow 5 must not have broken flow 3's read path (shared warehouse root)
+    println(s"[demo] warehouse rows after corpus flow=" +
+      s"${TickerIngest.warehouse(spark, warehouseDir).count()}")
     println(s"[demo] statuses: " + FileStatus.all.map(s =>
       s"${s.name}=${journal.byStatus(s).count()}").mkString(" "))
   }
@@ -240,12 +249,23 @@ object PipelineApp {
           .foreach(dt => TickerIngest.compactPartition(spark, warehouseDir, dt))
       }
     }
-    // shut the (non-daemon) scheduler down however the stream ends, or its
-    // threads keep a half-dead JVM alive running flows against a stopped app
-    try q.awaitTermination()
+    // awaitANYTermination: a dead corpus-admission stream must stop the app
+    // loudly (awaiting only discovery would leave flow 5 silently dead for
+    // the process lifetime). Shut the (non-daemon) scheduler down however
+    // the streams end, or its threads keep a half-dead JVM alive running
+    // flows against a stopped app — and stop() itself can throw (stop
+    // timeout), so the scheduler shutdown is its own finally.
+    try spark.streams.awaitAnyTermination()
     finally {
-      corpusQ.stop()
-      sched.shutdownNow()
+      try {
+        for (qq <- Seq(q, corpusQ)) {
+          qq.exception.foreach(e =>
+            flowLog.error(s"[flow] streaming query terminated with: ${e.message}"))
+          try qq.stop()
+          catch { case t: Throwable =>
+            flowLog.error(s"[flow] stop failed (continuing shutdown): $t") }
+        }
+      } finally sched.shutdownNow()
     }
   }
 }

@@ -44,10 +44,30 @@ object JoinOps {
     * collisions (~2⁻⁶⁴) are removed by the exact join on top along with
     * Bloom false positives, so the result stays bit-identical to the plain
     * semi-join for every key type.
+    *
+    * `xxhash64` is TYPE-sensitive (an INT 5 and a BIGINT 5 hash
+    * differently), and a hash mismatch here is a false NEGATIVE the exact
+    * join cannot repair — so integral keys are widened to long on both
+    * sides before hashing (lossless), and any other cross-type pairing is
+    * rejected loudly up front instead of silently pruning every row.
     */
   def bloomPrunedSemiJoin(big: DataFrame, bigKey: String,
       small: DataFrame, smallKey: String,
       expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types._
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    val (bigT, smallT) =
+      (big.schema(bigKey).dataType, small.schema(smallKey).dataType)
+    val (bigHashKey, smallHashKey) =
+      if (integral(bigT) && integral(smallT))
+        (col(bigKey).cast("long"), col(smallKey).cast("long"))
+      else {
+        require(bigT == smallT,
+          s"bloomPrunedSemiJoin: key types must match exactly (got $bigT vs " +
+            s"$smallT) — xxhash64 is type-sensitive, so mixed types would " +
+            "hash-miss every matching row and silently return an empty result")
+        (col(bigKey), col(smallKey))
+      }
     // Build the filter with ONE pass over the build side via treeAggregate
     // (Spark's stat.bloomFilter NPEs on an empty input, and probing
     // emptiness first would add a whole extra scan to an operator whose
@@ -59,14 +79,14 @@ object JoinOps {
     // in the filter, is dropped by the exact join like any false positive.
     val bloomPre = {
       val bf = small.filter(col(smallKey).isNotNull)
-        .select(xxhash64(col(smallKey)))
+        .select(xxhash64(smallHashKey))
         .rdd.treeAggregate(
           org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp))(
           (f, row) => { f.putLong(row.getLong(0)); f },
           (a, b) => { a.mergeInPlace(b); a })
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)
-      mightContain(bos.toByteArray, xxhash64(col(bigKey)))
+      mightContain(bos.toByteArray, xxhash64(bigHashKey))
     }
     big.filter(bloomPre)
       .join(small.select(col(smallKey).as(bigKey)), Seq(bigKey), "left_semi")

@@ -477,19 +477,25 @@ object PipelineQueries {
     * out in a global window over ≤ `maxWindowRows` rows, a bounded constant
     * (never data-scale) by construction; depth is log_blockSize(n).
     *
-    * `nRowsBound` is a caller-supplied UPPER BOUND on `df`'s row count,
-    * used only to pick the plan shape — passing a bound instead of calling
-    * `df.count()` here means plan construction never executes the (possibly
-    * expensive) upstream pipeline; an over-estimate merely adds a recursion
-    * level over an already-small frame. Each level's offset frame is
-    * broadcast to the join when its bound fits `maxWindowRows` (the totals
-    * of a data-scale level can be large — those join by shuffle and AQE may
-    * still elect a broadcast at runtime).
+    * `nKeysBound` is a caller-supplied UPPER BOUND on `df`'s distinct-key
+    * count, used only to pick the plan shape — passing a bound instead of
+    * calling `df.count()` here means plan construction never executes the
+    * (possibly expensive) upstream pipeline; an over-estimate merely adds
+    * a recursion level over an already-small frame. The bound MUST be
+    * KEY-RANGE-derived ((maxKey − minKey) / blockSize^level + 1, as
+    * [[blockCountBound]] computes), because the recursion divides it by
+    * `blockSize` per level and only a range bound stays valid under floor
+    * division — a ROW count does not: with sparse keys (every block
+    * holding one row) dividing it undercounts the next level, and the
+    * "bounded" terminal window would silently run over a data-scale frame.
+    * Each level's offset frame is broadcast to the join when its bound
+    * fits `maxWindowRows` (the totals of a data-scale level can be large —
+    * those join by shuffle and AQE may still elect a broadcast at runtime).
     */
   private def exclusivePrefix(df: DataFrame, key: String, value: String,
-      blockSize: Int, maxWindowRows: Long, nRowsBound: Long,
+      blockSize: Int, maxWindowRows: Long, nKeysBound: Long,
       depth: Int = 1): DataFrame = {
-    if (nRowsBound <= maxWindowRows) {
+    if (nKeysBound <= maxWindowRows) {
       val w = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, -1)
       df.select(col(key), coalesce(sum(value).over(w), lit(0L)).as("off"))
     } else {
@@ -499,7 +505,7 @@ object PipelineQueries {
         .rowsBetween(Window.unboundedPreceding, -1)
       val inBlk = t.withColumn("_in_off", coalesce(sum(value).over(wIn), lit(0L)))
       val totals = t.groupBy(b).agg(sum(value).cast("long").as("_bt"))
-      val totalsBound = (nRowsBound + blockSize - 1) / blockSize
+      val totalsBound = (nKeysBound + blockSize - 1) / blockSize
       val blkOff = exclusivePrefix(totals, b, "_bt", blockSize, maxWindowRows,
         totalsBound, depth + 1).withColumnRenamed("off", "_blk_off")
       val joined = inBlk.join(
@@ -520,15 +526,35 @@ object PipelineQueries {
     * per-block totals feed [[exclusivePrefix]], which RECURSES the same
     * construction while a level still exceeds `maxWindowRows` rows — the
     * terminal global window runs over a bounded constant, never over data.
-    * The level count is chosen from the parquet metadata row count (a
-    * footer read, no data scan), so planning never tokenizes the corpus.
+    * The level count is chosen from the doc_id RANGE (footer min/max,
+    * memoized — see [[blockCountBound]]), so planning never tokenizes the
+    * corpus and the bound holds for sparse ids.
     * The bucketed RANGE rewrite above ([[windowRangeScaled]]) is this
     * pattern's value-domain sibling.
     */
+  /** Upper bound on the distinct `doc_id div blockSize` count, derived from
+    * the doc_id RANGE (one min/max aggregate — parquet footer stats under
+    * `spark.sql.parquet.aggregatePushdown`), memoized per (dir, blockSize).
+    * A range bound — unlike a row count — stays valid under further floor
+    * division, which is what lets [[exclusivePrefix]] divide it per
+    * recursion level even when doc_ids are sparse (each block holding one
+    * doc). Memoization keeps query CONSTRUCTION free of Spark jobs after
+    * the first call per directory (the bench constructs the frame once per
+    * repeat).
+    */
+  private val blockBoundCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), java.lang.Long]()
+  private def blockCountBound(s: SparkSession, d: String, blockSize: Int): Long =
+    blockBoundCache.computeIfAbsent((d, blockSize), _ => {
+      val r = Tables.documents(s, d)
+        .agg(min("doc_id").as("lo"), max("doc_id").as("hi")).first()
+      if (r.isNullAt(0)) 0L
+      else Math.floorDiv(r.getLong(1), blockSize) -
+        Math.floorDiv(r.getLong(0), blockSize) + 1L
+    })
+
   def sequencePack(s: SparkSession, d: String, seqLen: Int = 512,
       blockSize: Int = 64, maxWindowRows: Long = 1L << 20): DataFrame = {
-    // metadata-only count: upper-bounds every level's width for plan choice
-    val nDocs = Tables.documents(s, d).count()
     val t = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
@@ -538,7 +564,7 @@ object PipelineQueries {
       .rowsBetween(Window.unboundedPreceding, -1)
     val inBlk = t.withColumn("in_off", coalesce(sum("n_tokens").over(wIn), lit(0L)))
     // levels 2..k: recursive exclusive prefix over per-block totals
-    val nBlocks = (nDocs + blockSize - 1) / blockSize
+    val nBlocks = blockCountBound(s, d, blockSize)
     val blkOff = exclusivePrefix(t.groupBy("blk").agg(sum("n_tokens").as("bt")),
         "blk", "bt", blockSize, maxWindowRows, nBlocks)
       .withColumnRenamed("off", "blk_off")

@@ -84,12 +84,39 @@ class Round8OpsSpec extends SparkSpec {
     // xxhash64 build must instead prune correctly for any key type
     withShuffledJoins {
       val li = Tables.load(spark, sf0001, "lineitem")
-      val flags = li.select(col("l_returnflag")).distinct().limit(2)
+      // deterministic pick: limit without orderBy re-executes per consumer
+      // and may select a DIFFERENT flag pair for the bloom build vs the
+      // joins, making the comparison incoherent (and flaky)
+      val flags = li.select(col("l_returnflag")).distinct()
+        .orderBy("l_returnflag").limit(2).localCheckpoint(true)
       val pruned = JoinOps.bloomPrunedSemiJoin(li, "l_returnflag", flags, "l_returnflag")
       val plain = li.join(flags, Seq("l_returnflag"), "left_semi")
       val n = pruned.count()
       assert(n > 0, "string-key bloom semi-join must not be silently empty")
       assert(n == plain.count())
+    }
+  }
+
+  test("bloom-pruned semi-join widens mixed integral keys; rejects other cross-type pairs") {
+    withShuffledJoins {
+      val li = Tables.load(spark, sf0001, "lineitem")
+      // INT build side against the BIGINT probe side: xxhash64 would hash
+      // the same value differently per type (a silent prune-everything false
+      // negative); the operator must widen both to long
+      val keysInt = li.select(col("l_orderkey").cast("int").as("l_orderkey"))
+        .distinct().orderBy("l_orderkey").limit(50).localCheckpoint(true)
+      val pruned = JoinOps.bloomPrunedSemiJoin(li, "l_orderkey", keysInt, "l_orderkey")
+      val plain = li.join(keysInt.select(col("l_orderkey").cast("bigint")),
+        Seq("l_orderkey"), "left_semi")
+      val n = pruned.count()
+      assert(n > 0, "mixed integral keys must not be silently empty")
+      assert(n == plain.count())
+      // string vs long has no lossless common hash domain -> loud failure
+      val err = intercept[IllegalArgumentException] {
+        JoinOps.bloomPrunedSemiJoin(li, "l_orderkey",
+          li.select(col("l_returnflag")), "l_returnflag")
+      }
+      assert(err.getMessage.contains("key types must match"))
     }
   }
 

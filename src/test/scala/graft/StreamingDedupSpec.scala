@@ -76,13 +76,23 @@ class StreamingDedupSpec extends SparkSpec {
       put("b1.json", Seq(1L -> "alpha beta gamma", 2L -> "delta epsilon",
         3L -> "alpha beta gamma"))
       q.processAllAvailable()
-      assert(StreamingDedup.corpus(spark, s"$warehouse/corpus")
+      assert(StreamingDedup.corpus(spark, s"$warehouse/_corpus")
         .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
       // micro-batch 2: historical dup vs batch 1, plus one fresh doc
       put("b2.json", Seq(4L -> "delta epsilon", 5L -> "a brand new doc"))
       q.processAllAvailable()
-      assert(StreamingDedup.corpus(spark, s"$warehouse/corpus")
+      assert(StreamingDedup.corpus(spark, s"$warehouse/_corpus")
         .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 5L))
+      // every flow-5 artifact is underscore-prefixed: a ticker-warehouse
+      // partition-discovery read over the SHARED root must still work (a
+      // visible corpus/batch_id tree would make it throw conflicting
+      // partition columns)
+      val srcDir = tmpDir("sd-ticks")
+      val csv = s"$srcDir/AVA-USDT_PST_2024-03-14"
+      java.nio.file.Files.write(java.nio.file.Paths.get(csv),
+        "AVA-USDT,1,0.61,15.2,0.62,100.0,0.60,80.5,2024-03-14T12:34:56.123".getBytes)
+      graft.ingest.TickerIngest.ingest(spark, Seq(csv), warehouse)
+      assert(graft.ingest.TickerIngest.warehouse(spark, warehouse).count() == 1)
     } finally q.stop()
   }
 }
