@@ -491,10 +491,35 @@ object PipelineQueries {
     * Each level's offset frame is broadcast to the join when its bound
     * fits `maxWindowRows` (the totals of a data-scale level can be large —
     * those join by shuffle and AQE may still elect a broadcast at runtime).
+    *
+    * Each level adds a window + join to the plan, so recursion depth IS
+    * plan depth: parameters that would need more than [[MaxPrefixLevels]]
+    * levels (e.g. `blockSize=4` over the full long domain → 26) produce
+    * plans Catalyst cannot optimize within driver memory. Such calls fail
+    * fast with the level count and a fix (raise `blockSize` /
+    * `maxWindowRows`) instead of an optimizer OOM. The default
+    * `blockSize=64` needs ≤ 9 levels even for keys spanning the entire
+    * long domain, so the cap never binds a realistic call.
     */
-  private def exclusivePrefix(df: DataFrame, key: String, value: String,
+  private[graft] val MaxPrefixLevels = 12
+  private def prefixLevels(bound: Long, blockSize: Int, maxWindowRows: Long): Int = {
+    var b = bound; var d = 1
+    while (b > maxWindowRows && d <= MaxPrefixLevels) {
+      b = (b + blockSize - 1) / blockSize; d += 1
+    }
+    d
+  }
+  private[graft] def exclusivePrefix(df: DataFrame, key: String, value: String,
       blockSize: Int, maxWindowRows: Long, nKeysBound: Long,
       depth: Int = 1): DataFrame = {
+    if (depth == 1) {
+      val lv = prefixLevels(nKeysBound, blockSize, maxWindowRows)
+      require(lv <= MaxPrefixLevels,
+        s"exclusivePrefix: key range / blockSize=$blockSize needs > " +
+          s"$MaxPrefixLevels recursion levels (bound=$nKeysBound, " +
+          s"maxWindowRows=$maxWindowRows); raise blockSize or maxWindowRows " +
+          "so the plan stays optimizable")
+    }
     if (nKeysBound <= maxWindowRows) {
       val w = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, -1)
       df.select(col(key), coalesce(sum(value).over(w), lit(0L)).as("off"))

@@ -109,6 +109,72 @@ class Round9OpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(1) == math.max(tokCounts(r.getLong(0)) - 1, 0), r))
   }
 
+  test("exclusivePrefix: exact on sparse/negative/shuffled keys at every recursion depth") {
+    import spark.implicits._
+    import graft.queries.PipelineQueries
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      // a hostile key domain: negative, sparse (gaps ~10^6), huge-magnitude,
+      // shuffled arrival order — everything the floor-div + range-bound
+      // reasoning claims to handle
+      val base = List.fill(120)(rnd.nextLong() % 50000000L).distinct
+      val keys = (base ++ Seq(Long.MinValue / 4096, Long.MaxValue / 4096, -1L, 0L, 1L)).distinct
+      val rows = rnd.shuffle(keys).map(k => (k, (rnd.nextInt(1000) + 1).toLong))
+      val df = rows.toDF("k", "v").repartition(4)
+      val expected = rows.sortBy(_._1)
+        .scanLeft((0L, 0L)) { case ((_, acc), (k, v)) => (k, acc + v) }
+        .sliding(2).map { case Seq((_, acc), (k, _)) => k -> acc }.toMap
+      // depth sweep over the ±2^51 domain: terminal-only (1 level), forced
+      // 2 levels, and forced 6 levels — deep enough to exercise the
+      // recursion chain, shallow enough that Catalyst can optimize the
+      // nested window+join plan (depth beyond MaxPrefixLevels is rejected
+      // at construction; see the guard test below)
+      for ((bs, mwr) <- Seq((1024, 1L << 50), (64, 1L << 41), (64, 1L << 20))) {
+        val bound = Math.floorDiv(keys.max, bs) - Math.floorDiv(keys.min, bs) + 1
+        val got = PipelineQueries.exclusivePrefix(df, "k", "v", bs, mwr, bound)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected,
+          s"trial $trial bs=$bs mwr=$mwr: prefix sums diverge from the reference")
+      }
+    }
+  }
+
+  test("exclusivePrefix: un-optimizable depth is rejected at construction, not OOM") {
+    import spark.implicits._
+    import graft.queries.PipelineQueries
+    // blockSize=4 over the ±2^51 domain needs ~26 window+join levels — a
+    // plan Catalyst cannot fold within driver memory. The operator must
+    // fail fast with the fix in the message, before any plan is built.
+    val df = Seq((Long.MinValue / 4096, 1L), (Long.MaxValue / 4096, 1L)).toDF("k", "v")
+    val bound = Math.floorDiv(Long.MaxValue / 4096, 4) -
+      Math.floorDiv(Long.MinValue / 4096, 4) + 1
+    val e = intercept[IllegalArgumentException] {
+      PipelineQueries.exclusivePrefix(df, "k", "v", 4, 2L, bound)
+    }
+    assert(e.getMessage.contains("raise blockSize"), e.getMessage)
+  }
+
+  test("exclusivePrefix: sparse keys still recurse (a row-count bound would go terminal)") {
+    import spark.implicits._
+    import graft.queries.PipelineQueries
+    // 100 rows, ids 10^6 apart: every block holds ONE row, so distinct
+    // blocks == rows == 100 at every level until the id RANGE collapses.
+    // A row-count bound (100/64 < mwr) would plan the terminal global
+    // window over what is, structurally, a data-scale frame; the range
+    // bound keeps blocking until the domain actually shrinks below mwr.
+    val df = (0 until 100).map(i => (i * 1000000L, 1L)).toDF("k", "v")
+    val bound = Math.floorDiv(99000000L, 64) - 0 + 1
+    val plan = PipelineQueries.exclusivePrefix(df, "k", "v", 64, 50L, bound)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(_blk1"), plan)
+    assert(plan.contains("hashpartitioning(_blk2"), plan) // 99M/64^2 ≈ 24k > 50
+    assert("Exchange SinglePartition".r.findAllIn(plan).size == 1, plan)
+    // and the values are still exact through the deep plan
+    val got = PipelineQueries.exclusivePrefix(df, "k", "v", 64, 50L, bound)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0 until 100).map(i => i * 1000000L -> i.toLong).toMap)
+  }
+
   test("boilerplate fixpoint on the documents table matches the one-pass scrub's round 1") {
     // on the real corpus, round-1 excisions equal the one-pass operator's
     // n_spans doc for doc (same threshold, same windows)
