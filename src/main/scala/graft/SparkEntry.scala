@@ -177,6 +177,8 @@ object SparkEntry {
     "t_boilerplate_fix" -> ((s, d) => graft.functions.TextOps.boilerplateScrubFixpoint(s, d)),
     // quality-filter funnel: first-failing-rule drop attribution per doc
     "t_filter_funnel"   -> (graft.functions.TextOps.filterFunnel _),
+    // frozen-LR quality classifier: per-source keep funnel (GPT-3/CCNet shape)
+    "p_quality_lr"      -> (graft.operators.QualityClassifier.lrFunnel _),
     "ts_scd2"           -> (TimeSeriesOps.scd2History _),
     "d_incremental"     -> (DedupOps.incrementalDedupQuery _),
   )
@@ -297,6 +299,7 @@ object SparkEntry {
     "t_boilerplate"     -> graft.functions.TextOps.boilerplateScrubSql,
     "t_boilerplate_fix" -> graft.functions.TextOps.boilerplateScrubFixpointSql,
     "t_filter_funnel"   -> graft.functions.TextOps.filterFunnelSql,
+    "p_quality_lr"      -> graft.operators.QualityClassifier.lrFunnelSql,
     "ts_scd2"           -> TimeSeriesOps.scd2HistorySql,
     "d_incremental"     -> DedupOps.incrementalDedupSql,
   )
