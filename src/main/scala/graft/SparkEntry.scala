@@ -179,6 +179,8 @@ object SparkEntry {
     "t_filter_funnel"   -> (graft.functions.TextOps.filterFunnel _),
     // frozen-LR quality classifier: per-source keep funnel (GPT-3/CCNet shape)
     "p_quality_lr"      -> (graft.operators.QualityClassifier.lrFunnel _),
+    // BM25 top-k retrieval through posting lists (inverted-index shape)
+    "r_bm25_topk"       -> ((s, d) => graft.operators.RetrievalOps.bm25TopK(s, d)),
     "ts_scd2"           -> (TimeSeriesOps.scd2History _),
     "d_incremental"     -> (DedupOps.incrementalDedupQuery _),
   )
@@ -300,6 +302,7 @@ object SparkEntry {
     "t_boilerplate_fix" -> graft.functions.TextOps.boilerplateScrubFixpointSql,
     "t_filter_funnel"   -> graft.functions.TextOps.filterFunnelSql,
     "p_quality_lr"      -> graft.operators.QualityClassifier.lrFunnelSql,
+    "r_bm25_topk"       -> graft.operators.RetrievalOps.bm25TopKSql,
     "ts_scd2"           -> TimeSeriesOps.scd2HistorySql,
     "d_incremental"     -> DedupOps.incrementalDedupSql,
   )

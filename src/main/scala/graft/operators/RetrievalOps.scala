@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextOps
+
+/** Sparse-retrieval operators over the document corpus: BM25 ranking
+  * through the posting-list (inverted-index) shape — the standard lexical
+  * leg of corpus search, RAG retrieval, and benchmark-decontamination
+  * lookup.
+  *
+  * 100 TB design: nothing here is query-side quadratic. Corpus statistics
+  * (N, avgdl) are one partial-aggregable pass; per-(doc, term) postings are
+  * built by explode→filter→groupBy restricted to the QUERY terms (documents
+  * without any query term are skipped before exploding via an `exists`
+  * pushdown); document frequencies and corpus stats join back by BROADCAST
+  * (|query terms| rows and 1 row respectively); the final top-k is
+  * `TakeOrderedAndProject` — per-partition bounded heaps merged on the
+  * driver, never a global sort. A production deployment materializes the
+  * posting lists once ([[postings]]) and serves many queries from them;
+  * [[bm25TopK]] composes the same plan end-to-end for a single query.
+  *
+  * Cross-engine determinism (DuckDB oracle): tf/df/dl/N are exact
+  * integers; the only transcendental (`ln` in idf) is rounded to 6
+  * decimals; per-term partial scores are summed as DECIMAL(18,6) — exact
+  * and order-independent — and every double expression is written with
+  * identical literals and association order in both engines (constants are
+  * pre-folded: 2.2, 0.25, not k1+1, 1−b).
+  */
+object RetrievalOps {
+
+  /** BM25 parameters (the universal defaults) and the demo query. */
+  val K1 = 1.2
+  val B  = 0.75
+  val QueryTerms: Seq[String] = Seq("vector", "window", "fast", "key")
+
+  /** Per-(doc_id, term, dl) posting rows restricted to `terms`. The
+    * `exists` prefilter skips non-matching documents before the explode —
+    * at corpus scale most documents match no query term, so the explode
+    * fan-out only pays for candidates.
+    */
+  def postings(s: SparkSession, d: String, terms: Seq[String]): DataFrame = {
+    val base = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+      .filter(exists(col("toks"), t => t.isInCollection(terms)))
+    base.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isInCollection(terms))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Top-`k` documents by BM25 for [[QueryTerms]]:
+    * `idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))`,
+    * `score = Σ_t idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`.
+    */
+  def bm25TopK(s: SparkSession, d: String, k: Int = 15): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("dl"))
+    val stats = docs.agg(
+      count(lit(1)).as("n"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val tf = postings(s, d, QueryTerms)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val partial = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        round(
+          log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+            ((col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))),
+          6).cast("decimal(18,6)"))
+    partial.groupBy("doc_id")
+      .agg(sum("s").cast("double").as("bm25"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  val bm25TopKSql: String = {
+    val termList = QueryTerms.map("'" + _ + "'").mkString(",")
+    s"""WITH p AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |docs AS (SELECT doc_id, len(toks) AS dl, toks FROM p),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+       |  FROM docs),
+       |tf AS (
+       |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+       |  WHERE term IN ($termList)
+       |  GROUP BY 1, 2, 3),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |sc AS (
+       |  SELECT doc_id,
+       |    CAST(round(
+       |      ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+       |        ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))),
+       |      6) AS DECIMAL(18,6)) AS s
+       |  FROM tf JOIN df USING (term) CROSS JOIN stats)
+       |SELECT doc_id, CAST(sum(s) AS DOUBLE) AS bm25,
+       |  CAST(count(*) AS BIGINT) AS n_terms
+       |FROM sc GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin
+  }
+}
