@@ -181,6 +181,8 @@ object SparkEntry {
     "p_quality_lr"      -> (graft.operators.QualityClassifier.lrFunnel _),
     // BM25 top-k retrieval through posting lists (inverted-index shape)
     "r_bm25_topk"       -> ((s, d) => graft.operators.RetrievalOps.bm25TopK(s, d)),
+    // product quantization + ADC search (FAISS PQ shape, codebooks trained in-engine)
+    "s_ann_pq"          -> (SimilarityOps.annPq _),
     "ts_scd2"           -> (TimeSeriesOps.scd2History _),
     "d_incremental"     -> (DedupOps.incrementalDedupQuery _),
   )
@@ -303,6 +305,7 @@ object SparkEntry {
     "t_filter_funnel"   -> graft.functions.TextOps.filterFunnelSql,
     "p_quality_lr"      -> graft.operators.QualityClassifier.lrFunnelSql,
     "r_bm25_topk"       -> graft.operators.RetrievalOps.bm25TopKSql,
+    "s_ann_pq"          -> SimilarityOps.annPqSql,
     "ts_scd2"           -> TimeSeriesOps.scd2HistorySql,
     "d_incremental"     -> DedupOps.incrementalDedupSql,
   )

@@ -605,4 +605,196 @@ object SimilarityOps {
        |ranked AS (SELECT q_id, c_id, score,
        |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rnk FROM scored)
        |SELECT q_id, rnk, c_id, score FROM ranked WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
+
+  // ---- product quantization (PQ) + asymmetric distance (ADC) ----------
+
+  val PqM      = 4                // subspaces
+  val PqSubDim = Dim / PqM        // 16 dims per subspace
+  val PqK      = 16               // centroids per subspace codebook (4-bit codes)
+
+  /** Product quantization with ADC search — the billion-vector ANN
+    * workhorse (FAISS IVFPQ's fine quantizer): each vector compresses to
+    * `PqM` codebook ids (here 4×4 bits); a query scores candidates by
+    * summing `PqM` table lookups instead of touching the raw vectors.
+    *
+    * Codebook training reuses the deterministic quantized-Lloyd recipe of
+    * [[kmeans]] per subspace (init = subvectors of the `PqK` lowest
+    * vec_ids, iteration 1 in exact integer arithmetic, iteration 2 against
+    * exact-ratio double centroids, ties to the lowest cid) — so the whole
+    * chain train→encode→search is bit-for-bit reproducible in the DuckDB
+    * oracle.
+    *
+    * 100 TB design: encoding is MAP-ONLY (codebooks ride into the plan as
+    * `PqM·PqK·PqSubDim` literals — one projection, no join, no shuffle);
+    * the Lloyd update shuffles only `PqM·PqK·PqSubDim` cells after partial
+    * aggregation; ADC search is the query-side table (`|queries|·PqM·PqK`
+    * rows) chained through `PqM` BROADCAST joins against the packed codes —
+    * zero shuffles end-to-end, then the native bounded-heap top-k. The
+    * per-subspace distances are rounded to 4 decimals and added in fixed
+    * left-associated order, so the final score needs no decimal escort.
+    */
+  private def pqInternal(s: SparkSession, d: String)
+      : (DataFrame, Seq[((Int, Int), Array[Double])]) = {
+    val quant = Tables.fanOut(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000 + 0.5).cast("long")).as("qe"))
+      .localCheckpoint(true) // init collect + 2 assignment passes read this
+
+    def subCol(sub: Int): Column = slice(col("qe"), sub * PqSubDim + 1, PqSubDim)
+
+    // deterministic seeding: subvectors of the PqK lowest vec_ids
+    val initRows = quant.orderBy("vec_id").limit(PqK).collect()
+    val init: Map[(Int, Int), Array[Long]] = (for {
+      (r, cid) <- initRows.zipWithIndex
+      sub <- 0 until PqM
+    } yield (sub, cid) ->
+      r.getSeq[Long](1).slice(sub * PqSubDim, (sub + 1) * PqSubDim).toArray).toMap
+
+    // iteration 1: pure integer distances, first-minimum = lowest-cid ties
+    def assignInt(sub: Int): Column = {
+      val dists = transform(
+        array((0 until PqK).map(c => array(init((sub, c)).map(lit): _*)): _*),
+        cvec => aggregate(zip_with(subCol(sub), cvec, (x, y) => (x - y) * (x - y)),
+          lit(0L), _ + _))
+      element_at(array((0 until PqK).map(lit): _*),
+        array_position(dists, array_min(dists)).cast("int"))
+    }
+    val a1 = quant.select(col("vec_id") +: col("qe") +:
+      (0 until PqM).map(sub => assignInt(sub).as(s"c$sub")): _*)
+
+    // Lloyd update: PqM·PqK·PqSubDim cells, partial-aggregated, tiny collect
+    val upd = a1.select(explode(array((0 until PqM).map(sub =>
+        struct(lit(sub).as("sub"), col(s"c$sub").as("cid"),
+          subCol(sub).as("sq"))): _*)).as("e"))
+      .select(col("e.sub").as("sub"), col("e.cid").as("cid"),
+        posexplode(col("e.sq")).as(Seq("pos", "v")))
+      .groupBy("sub", "cid", "pos")
+      .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      .collect()
+    val cents2: Seq[((Int, Int), Array[Double])] = upd
+      .groupBy(r => (r.getInt(0), r.getInt(1))).toSeq.sortBy(_._1)
+      .map { case (key, rows) =>
+        val mu = new Array[Double](PqSubDim)
+        rows.foreach(r => mu(r.getInt(2)) = r.getLong(3).toDouble / r.getLong(4))
+        key -> mu
+      }
+
+    // iteration 2: exact-ratio double centroids (identical in the oracle)
+    def assignDbl(sub: Int): Column = {
+      val cs = cents2.filter(_._1._1 == sub)
+      val dists = transform(
+        array(cs.map { case (_, mu) => array(mu.map(lit): _*) }: _*),
+        cvec => aggregate(zip_with(subCol(sub), cvec,
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), _ + _))
+      element_at(array(cs.map(c => lit(c._1._2)): _*),
+        array_position(dists, array_min(dists)).cast("int"))
+    }
+    val codes = quant.select(col("vec_id") +: col("qe") +:
+      (0 until PqM).map(sub => assignDbl(sub).as(s"c$sub")): _*)
+    (codes, cents2)
+  }
+
+  /** (vec_id, c0..c3) PQ codes — 4 bytes per vector vs 256 raw floats. */
+  def pqCodes(s: SparkSession, d: String): DataFrame =
+    pqInternal(s, d)._1.drop("qe")
+
+  /** ADC top-k: queries = vec_id < [[NumQueries]]; ranking key is the
+    * approximate squared L2 distance in the quantized domain (sum of
+    * per-subspace query→centroid distances under each candidate's codes).
+    */
+  def annPq(s: SparkSession, d: String): DataFrame = {
+    val (codes, cents2) = pqInternal(s, d)
+    val centsDf = s.createDataFrame(
+      cents2.map { case ((sub, cid), mu) => (sub, cid, mu.toSeq) })
+      .toDF("sub", "cid", "mu")
+    val q = codes.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("qe"))
+    // ADC table: per (query, subspace, centroid) distance — in-plan, so the
+    // float fold is the same engine-neutral left-to-right sequence as the
+    // oracle's list_sum(list_transform(...))
+    val tbl = q.crossJoin(broadcast(centsDf))
+      .select(col("q_id"), col("sub"), col("cid"),
+        round(aggregate(zip_with(
+          transform(sequence(lit(1), lit(PqSubDim)),
+            i => element_at(col("qe"),
+              (col("sub") * PqSubDim + i).cast("int")).cast("double")),
+          col("mu"), (x, y) => (x - y) * (x - y)), lit(0.0), _ + _), 4).as("t"))
+    // PqM chained broadcast joins against the packed codes: zero shuffles
+    var cur = codes.select(col("vec_id").as("c_id") +:
+      (0 until PqM).map(i => col(s"c$i")): _*)
+    for (sub <- 0 until PqM) {
+      val tsub = broadcast(tbl.filter(col("sub") === sub)
+        .select(col("q_id"), col("cid").as(s"c$sub"), col("t").as(s"t$sub")))
+      cur = cur.join(tsub, if (sub == 0) Seq(s"c$sub") else Seq("q_id", s"c$sub"))
+    }
+    val adist = (0 until PqM).map(i => col(s"t$i")).reduceLeft(_ + _)
+    val scored = cur.filter(col("q_id") =!= col("c_id"))
+      .withColumn("adist", adist)
+    graft.catalyst.GraftExtensions.register(s)
+    val top = graft.plans.NativeTopK.perGroup(
+      scored.select("q_id", "c_id", "adist"),
+      Seq("q_id"), Seq("adist" -> true, "c_id" -> true), TopK)
+    val w = Window.partitionBy("q_id").orderBy(col("adist").asc, col("c_id"))
+    top.withColumn("rnk", row_number().over(w))
+      .select("q_id", "rnk", "c_id", "adist")
+      .orderBy("q_id", "rnk")
+  }
+  val annPqSql: String =
+    s"""WITH q0 AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe
+       |  FROM embeddings),
+       |subs AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS sub),
+       |init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qe
+       |         FROM (SELECT * FROM q0 ORDER BY vec_id LIMIT $PqK)),
+       |icent AS (SELECT sub, cid,
+       |    list_transform(generate_series(1, $PqSubDim), i -> qe[sub * $PqSubDim + i]) AS c
+       |  FROM init CROSS JOIN subs),
+       |sv AS (SELECT vec_id, sub,
+       |    list_transform(generate_series(1, $PqSubDim), i -> qe[sub * $PqSubDim + i]) AS sq
+       |  FROM q0 CROSS JOIN subs),
+       |a1 AS (SELECT vec_id, sub, cid, sq FROM (
+       |    SELECT sv.vec_id, sv.sub, icent.cid, sv.sq,
+       |      list_sum(list_transform(generate_series(1, $PqSubDim),
+       |        i -> (sv.sq[i] - icent.c[i]) * (sv.sq[i] - icent.c[i]))) AS dist
+       |    FROM sv JOIN icent USING (sub))
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) = 1),
+       |m AS (SELECT sub, cid, i, CAST(sum(v) AS DOUBLE) / count(*) AS mu
+       |  FROM (SELECT sub, cid, unnest(generate_series(1, $PqSubDim)) AS i, unnest(sq) AS v
+       |        FROM a1)
+       |  GROUP BY 1, 2, 3),
+       |c2 AS (SELECT sub, cid, list(mu ORDER BY i) AS c FROM m GROUP BY 1, 2),
+       |a2 AS (SELECT vec_id, sub, cid FROM (
+       |    SELECT sv.vec_id, sv.sub, c2.cid,
+       |      list_sum(list_transform(generate_series(1, $PqSubDim),
+       |        i -> (CAST(sv.sq[i] AS DOUBLE) - c2.c[i]) * (CAST(sv.sq[i] AS DOUBLE) - c2.c[i]))) AS dist
+       |    FROM sv JOIN c2 USING (sub))
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) = 1),
+       |codes AS (SELECT vec_id,
+       |    max(CASE WHEN sub = 0 THEN cid END) AS c0,
+       |    max(CASE WHEN sub = 1 THEN cid END) AS c1,
+       |    max(CASE WHEN sub = 2 THEN cid END) AS c2_,
+       |    max(CASE WHEN sub = 3 THEN cid END) AS c3
+       |  FROM a2 GROUP BY vec_id),
+       |tbl AS (SELECT qv.vec_id AS q_id, c2.sub, c2.cid,
+       |    round(list_sum(list_transform(generate_series(1, $PqSubDim),
+       |      i -> (CAST(qv.qe[sub * $PqSubDim + i] AS DOUBLE) - c2.c[i])
+       |         * (CAST(qv.qe[sub * $PqSubDim + i] AS DOUBLE) - c2.c[i]))), 4) AS t
+       |  FROM (SELECT vec_id, qe FROM q0 WHERE vec_id < $NumQueries) qv CROSS JOIN c2),
+       |sc AS (SELECT t0.q_id, c.vec_id AS c_id,
+       |    t0.t + t1.t + t2.t + t3.t AS adist
+       |  FROM codes c
+       |  JOIN (SELECT q_id, cid, t FROM tbl WHERE sub = 0) t0 ON c.c0 = t0.cid
+       |  JOIN (SELECT q_id, cid, t FROM tbl WHERE sub = 1) t1
+       |    ON t1.q_id = t0.q_id AND c.c1 = t1.cid
+       |  JOIN (SELECT q_id, cid, t FROM tbl WHERE sub = 2) t2
+       |    ON t2.q_id = t0.q_id AND c.c2_ = t2.cid
+       |  JOIN (SELECT q_id, cid, t FROM tbl WHERE sub = 3) t3
+       |    ON t3.q_id = t0.q_id AND c.c3 = t3.cid)
+       |SELECT q_id, rnk, c_id, adist FROM (
+       |  SELECT q_id, c_id, adist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS rnk
+       |  FROM sc WHERE q_id <> c_id)
+       |WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
 }
