@@ -113,6 +113,7 @@ object SparkEntry {
     "t_pii_scrub"       -> (PQ.piiScrub _),
     "t_contamination"   -> (PQ.contamination _),
     "d_lev_fuzzy"       -> (PQ.levFuzzy _),
+    "d_jw_fuzzy"        -> (PQ.jwFuzzy _),
     "t_doc_freq"        -> (PQ.docFreq _),
     "t_vocab_oov"       -> ((s, d) => PQ.vocabOov(s, d)),
     "t_bigram_lm"       -> (PQ.bigramLm _),
@@ -260,6 +261,7 @@ object SparkEntry {
     "t_pii_scrub"       -> PQ.piiScrubSql,
     "t_contamination"   -> PQ.contaminationSql,
     "d_lev_fuzzy"       -> PQ.levFuzzySql,
+    "d_jw_fuzzy"        -> PQ.jwFuzzySql,
     "t_doc_freq"        -> PQ.docFreqSql,
     "t_vocab_oov"       -> PQ.vocabOovSql,
     "t_bigram_lm"       -> PQ.bigramLmSql,

@@ -101,6 +101,10 @@ object GraftExtensions {
       info("count_between",
         "count_between(arr, lo, hi) - elements of a double array in [lo, hi]"),
       arity("count_between", 3)(es => CountInRange(es.head, es(1), es(2)))),
+    ("jaro_winkler",
+      info("jaro_winkler",
+        "jaro_winkler(a, b) - Jaro-Winkler similarity (DuckDB-compatible)"),
+      arity("jaro_winkler", 2)(es => JaroWinkler(es.head, es(1)))),
   )
 
   /** Runtime registration on an existing session. */

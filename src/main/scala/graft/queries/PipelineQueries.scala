@@ -425,6 +425,34 @@ object PipelineQueries {
       |WHERE levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) <= 30
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** Fuzzy name matching via blocked Jaro–Winkler: candidate pairs share
+    * `p_brand` (the blocking key caps the quadratic term — ~|part|²/25
+    * comparisons, each a compiled [[graft.catalyst.JaroWinkler]] call
+    * inside whole-stage codegen), scored byte-identically to DuckDB's
+    * `jaro_winkler_similarity`. The record-linkage / entity-resolution
+    * shape: at 100 TB the blocking key would be a sorted-neighborhood or
+    * phonetic key, but the join geometry is the same.
+    */
+  def jwFuzzy(s: SparkSession, d: String): DataFrame = {
+    import graft.catalyst.HashFunctions.jaro_winkler
+    val p = Tables.fanOut(Tables.part(s, d))
+      .select(col("p_partkey"), col("p_brand"), col("p_name"))
+    val a = p.select(col("p_partkey").as("a_id"), col("p_brand"), col("p_name").as("na"))
+    val b = p.select(col("p_partkey").as("b_id"), col("p_brand"), col("p_name").as("nb"))
+    a.join(b, Seq("p_brand")).filter(col("a_id") < col("b_id"))
+      .withColumn("jw", jaro_winkler(col("na"), col("nb")))
+      .filter(col("jw") >= 0.92)
+      .select(col("a_id"), col("b_id"), round(col("jw"), 6).as("jw"))
+      .orderBy("a_id", "b_id")
+  }
+  val jwFuzzySql: String =
+    """SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+      |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.92
+      |ORDER BY a_id, b_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Deterministic splits / sampling / balancing
   // ---------------------------------------------------------------------

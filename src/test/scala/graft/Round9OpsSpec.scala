@@ -185,4 +185,60 @@ class Round9OpsSpec extends SparkSpec {
     assert(fp.nonEmpty)
     fp.foreach(r => assert(r.getInt(1) == onePass(r.getLong(0)), r))
   }
+
+  test("jaro_winkler: textbook values and the DuckDB empty-string convention") {
+    import spark.implicits._
+    graft.catalyst.GraftExtensions.register(spark)
+    // expected values pinned from DuckDB jaro_winkler_similarity (bit-exact)
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("duane", "dwayne", 0.8400000000000001),
+      ("abc", "abc", 1.0),
+      ("crzy", "crzyx", 0.96), // prefix boost: jaro 0.95 + 4·0.1·0.05
+      ("", "", 0.0),           // DuckDB: both empty → 0, NOT 1
+      ("a", "", 0.0),
+      ("abc", "xyz", 0.0))
+    val got = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .selectExpr("jaro_winkler(a, b) AS jw").as[Double].collect()
+    cases.zip(got).foreach { case ((a, b, want), jw) =>
+      assert(jw == want, s"jw($a, $b) = $jw, want $want")
+    }
+  }
+
+  test("jaro_winkler: codegen path agrees with the interpreted helper; symmetric") {
+    import graft.catalyst.HashUtil
+    import org.apache.spark.unsafe.types.UTF8String
+    import spark.implicits._
+    // deterministic LCG corpus (no Random: reproducible across runs)
+    var state = 12345L
+    def nxt(): Int = { state = state * 6364136223846793005L + 1442695040888963407L; (state >>> 33).toInt }
+    val alpha = "abcdef "
+    val pairs = (0 until 400).map { _ =>
+      def str() = {
+        val n = math.abs(nxt()) % 20
+        (0 until n).map(_ => alpha(math.abs(nxt()) % alpha.length)).mkString
+      }
+      (str(), str())
+    }
+    val viaCodegen = pairs.toDF("a", "b")
+      .select(graft.catalyst.HashFunctions.jaro_winkler(col("a"), col("b")))
+      .as[Double].collect()
+    pairs.zip(viaCodegen).foreach { case ((a, b), jw) =>
+      val ref = HashUtil.jaroWinkler(UTF8String.fromString(a), UTF8String.fromString(b))
+      val sym = HashUtil.jaroWinkler(UTF8String.fromString(b), UTF8String.fromString(a))
+      assert(jw == ref, s"codegen vs interpreted on ($a, $b)")
+      assert(ref == sym, s"asymmetric on ($a, $b): $ref vs $sym")
+    }
+  }
+
+  test("jaro_winkler: non-string input is an analysis error, not a runtime cast") {
+    graft.catalyst.GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = Seq((1, "x")).toDF("n", "s")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("jaro_winkler(n, s)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("jaro_winkler"), e.getMessage)
+  }
 }
