@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextOps
@@ -77,6 +78,106 @@ object RetrievalOps {
         count(lit(1)).as("n_terms"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Reciprocal-rank fusion of the lexical (BM25) and dense (cosine) legs —
+    * the standard hybrid-retrieval combiner (`score = Σ_legs 1/(k0+rank)`,
+    * k0 = 60): rank-based, so the two legs' incomparable score scales never
+    * need calibration. Each leg is truncated to its top-[[LegK]] BEFORE
+    * ranking — `TakeOrderedAndProject` (per-partition heaps, no global
+    * sort), so the only windows in the plan run over ≤ [[LegK]] rows. The
+    * dense leg is one broadcast query row against a map-only scan; the
+    * fusion join holds ≤ 2·[[LegK]] rows. At 100 TB both legs are served
+    * from materialized indexes ([[postings]]; an IVF/SQ8 route from
+    * [[SimilarityOps]]) — the fusion stage is unchanged.
+    *
+    * Ranks carried in the output use 0 for "not retrieved by this leg"
+    * (never NULL — cross-engine NULL hashing is undefined in the gate).
+    */
+  val LegK = 20
+  val RrfK0 = 60
+  def rrfFusion(s: SparkSession, d: String, k: Int = 15): DataFrame = {
+    import graft.catalyst.HashFunctions.dot_product
+    val wLex = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val lex = bm25TopK(s, d, LegK)
+      .withColumn("r_lex", row_number().over(wLex))
+      .select(col("doc_id"), col("r_lex"))
+
+    val e = Tables.fanOut(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", sqrt(dot_product(col("embedding"), col("embedding"))))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("eq"), col("nrm").as("nq"))
+    val wDense = Window.orderBy(col("cos").desc, col("doc_id"))
+    val dense = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos",
+        round(dot_product(col("embedding"), col("eq")) / (col("nrm") * col("nq")), 4))
+      .select(col("vec_id").as("doc_id"), col("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(LegK)
+      .withColumn("r_dense", row_number().over(wDense))
+      .select(col("doc_id"), col("r_dense"))
+
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(RrfK0) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK0) + col("r_dense")), lit(0.0)), 6))
+      .select(col("doc_id"), col("rrf"),
+        coalesce(col("r_lex"), lit(0)).as("r_lex"),
+        coalesce(col("r_dense"), lit(0)).as("r_dense"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  val rrfFusionSql: String = {
+    val termList = QueryTerms.map("'" + _ + "'").mkString(",")
+    s"""WITH p AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |docs AS (SELECT doc_id, len(toks) AS dl, toks FROM p),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+       |  FROM docs),
+       |tf AS (
+       |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+       |  WHERE term IN ($termList)
+       |  GROUP BY 1, 2, 3),
+       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |sc AS (
+       |  SELECT doc_id,
+       |    CAST(round(
+       |      ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+       |        ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))),
+       |      6) AS DECIMAL(18,6)) AS s
+       |  FROM tf JOIN df USING (term) CROSS JOIN stats),
+       |bt AS (
+       |  SELECT doc_id, CAST(sum(s) AS DOUBLE) AS bm25
+       |  FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT $LegK),
+       |lex AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+       |  FROM bt),
+       |e AS (SELECT vec_id, embedding,
+       |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT embedding AS eq, nrm AS nq FROM e WHERE vec_id = 0),
+       |dscored AS (
+       |  SELECT c.vec_id AS doc_id,
+       |    round(list_sum(list_transform(generate_series(1, 64),
+       |          i -> c.embedding[i]::DOUBLE * q.eq[i]::DOUBLE)) / (c.nrm * q.nq), 4) AS cos
+       |  FROM e c CROSS JOIN q WHERE c.vec_id <> 0
+       |  ORDER BY cos DESC, doc_id LIMIT $LegK),
+       |dense AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r_dense
+       |  FROM dscored)
+       |SELECT COALESCE(l.doc_id, de.doc_id) AS doc_id,
+       |  round(COALESCE(1.0::DOUBLE / ($RrfK0 + l.r_lex), 0.0) +
+       |        COALESCE(1.0::DOUBLE / ($RrfK0 + de.r_dense), 0.0), 6) AS rrf,
+       |  CAST(COALESCE(l.r_lex, 0) AS INT) AS r_lex,
+       |  CAST(COALESCE(de.r_dense, 0) AS INT) AS r_dense
+       |FROM lex l FULL OUTER JOIN dense de ON l.doc_id = de.doc_id
+       |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin
   }
 
   val bm25TopKSql: String = {

@@ -73,4 +73,41 @@ class RetrievalOpsSpec extends SparkSpec {
     // scores non-increasing
     a.map(_.getDouble(1)).sliding(2).foreach(p => assert(p(1) <= p(0)))
   }
+
+  test("rrf fusion: scores recompute from the leg ranks; lex ranks match bm25 order") {
+    val rows = RetrievalOps.rrfFusion(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 15)
+    val k0 = RetrievalOps.RrfK0
+    rows.foreach { r =>
+      val (rl, rd) = (r.getInt(2), r.getInt(3))
+      assert(rl > 0 || rd > 0, s"doc ${r.getLong(0)} retrieved by neither leg")
+      assert(rl <= RetrievalOps.LegK && rd <= RetrievalOps.LegK)
+      val want = BigDecimal(
+        (if (rl > 0) 1.0 / (k0 + rl) else 0.0) +
+          (if (rd > 0) 1.0 / (k0 + rd) else 0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(1) == want, s"rrf mismatch on ${r.getLong(0)}: $r")
+    }
+    // output sorted by (rrf desc, doc_id)
+    rows.sliding(2).foreach { p =>
+      if (p.length == 2)
+        assert(p(1).getDouble(1) < p(0).getDouble(1) ||
+          (p(1).getDouble(1) == p(0).getDouble(1) && p(1).getLong(0) > p(0).getLong(0)))
+    }
+    // the lexical leg's rank order IS the bm25 top-k order
+    val bmOrder = RetrievalOps.bm25TopK(spark, sf0001, RetrievalOps.LegK)
+      .collect().map(_.getLong(0))
+    rows.filter(_.getInt(2) > 0).foreach { r =>
+      assert(bmOrder(r.getInt(2) - 1) == r.getLong(0),
+        s"r_lex ${r.getInt(2)} is not bm25 position for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("rrf fusion plan: leg truncation is a bounded heap, dense query is broadcast") {
+    val plan = RetrievalOps.rrfFusion(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
