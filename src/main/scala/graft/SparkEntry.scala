@@ -172,6 +172,7 @@ object SparkEntry {
     "s_quantize_int8"   -> (graft.operators.SimilarityOps.quantizeInt8 _),
     "j_bloom_semi"      -> (graft.operators.JoinOps.bloomSemiQuery _),
     "x_zorder_layout"   -> (graft.operators.LayoutOps.zorderLayout _),
+    "x_bucketed_join"   -> (graft.operators.BucketingOps.bucketedJoin _),
     "t_normalize"       -> (graft.functions.TextOps.normalizeDf _),
     // C4-style boilerplate span removal (frequent-window excision + rebuild)
     "t_boilerplate"     -> (graft.functions.TextOps.boilerplateScrub _),
@@ -302,6 +303,7 @@ object SparkEntry {
     "s_quantize_int8"   -> graft.operators.SimilarityOps.quantizeInt8Sql,
     "j_bloom_semi"      -> graft.operators.JoinOps.bloomSemiSql,
     "x_zorder_layout"   -> graft.operators.LayoutOps.zorderLayoutSql,
+    "x_bucketed_join"   -> graft.operators.BucketingOps.bucketedJoinSql,
     "t_normalize"       -> graft.functions.TextOps.normalizeSql,
     "t_boilerplate"     -> graft.functions.TextOps.boilerplateScrubSql,
     "t_boilerplate_fix" -> graft.functions.TextOps.boilerplateScrubFixpointSql,

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Bucketed-table co-located join: both sides are written `bucketBy(N, key)`
+  * (hash-partitioned into N files per side, same hash, same N), so the join
+  * planner can line buckets up pairwise and the SortMergeJoin runs with NO
+  * shuffle exchange on either side — the write-once/join-many layout that
+  * turns every repeated fact↔fact join at 100 TB from a full 2-sided
+  * shuffle into a local merge. The only exchange left in the plan is the
+  * constant-size partial-agg shuffle above the join
+  * ([[graft.Round9OpsSpec]] pins exactly that, exchange-count = 1, both
+  * scans `Bucketed: true`).
+  *
+  * The demo keeps the bucket count deliberately small ([[NumBuckets]]); a
+  * production table chooses N so each bucket file lands near the parquet
+  * sweet spot (128 MB–1 GB), and co-bucketed writes reuse ONE cluster-wide
+  * bucketing spec so every downstream join co-locates. Object-store caveat:
+  * bucketed saveAsTable relies on catalog metadata, not path layout — the
+  * table must be read back through the catalog ([[joinOverBuckets]]) for
+  * the planner to see the bucketing.
+  */
+object BucketingOps {
+
+  val NumBuckets = 8
+  private val D = DecimalType(18, 2)
+
+  /** Write orders + lineitem bucketed by order key into a throwaway
+    * external-table warehouse, then run the co-located join. Idempotent
+    * within a session (drop + overwrite), so bench repeats re-measure the
+    * full write→join cycle.
+    */
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_buckets").toFile.getAbsolutePath
+    s.sql("DROP TABLE IF EXISTS graft_orders_bkt")
+    s.sql("DROP TABLE IF EXISTS graft_lineitem_bkt")
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_orderpriority")
+      .write.format("parquet")
+      .bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders_bkt")
+      .mode("overwrite").saveAsTable("graft_orders_bkt")
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .write.format("parquet")
+      .bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/lineitem_bkt")
+      .mode("overwrite").saveAsTable("graft_lineitem_bkt")
+    joinOverBuckets(s)
+  }
+
+  /** The join over the already-written bucketed tables (catalog reads, so
+    * the planner sees both bucketing specs). Split out so the spec can
+    * assert the plan without paying the write twice.
+    */
+  def joinOverBuckets(s: SparkSession): DataFrame =
+    s.table("graft_orders_bkt")
+      .join(s.table("graft_lineitem_bkt"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast(D) *
+            (lit(BigDecimal(1)).cast(D) - col("l_discount").cast(D)))
+          .cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+
+  val bucketedJoinSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+}

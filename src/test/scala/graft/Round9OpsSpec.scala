@@ -232,6 +232,45 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("bucketed join: no shuffle on either join side, both scans bucketed") {
+    import graft.operators.BucketingOps
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      BucketingOps.bucketedJoin(spark, sf0001).collect() // writes the tables
+      val q = BucketingOps.joinOverBuckets(spark)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      // both file scans read the bucketing spec
+      assert("Bucketed: true".r.findAllIn(plan).size == 2, plan)
+      // the ONLY hash exchange is the 5-group partial-agg one above the
+      // join; neither join input re-shuffles (that is the point of bucketing)
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+      assert(!plan.contains("Exchange hashpartitioning(o_orderkey"), plan)
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey"), plan)
+
+      // and the co-located result equals the plain shuffle join's
+      val got = q.collect().map(_.toSeq)
+      val o = graft.Tables.orders(spark, sf0001).select("o_orderkey", "o_orderpriority")
+      val l = graft.Tables.lineitem(spark, sf0001)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val D = org.apache.spark.sql.types.DecimalType(18, 2)
+      val plain = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast(D) *
+              (lit(BigDecimal(1)).cast(D) - col("l_discount").cast(D)))
+            .cast("double").as("revenue"))
+        .orderBy("o_orderpriority").collect().map(_.toSeq)
+      assert(got.toSeq == plain.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+    }
+  }
+
   test("jaro_winkler: non-string input is an analysis error, not a runtime cast") {
     graft.catalyst.GraftExtensions.register(spark)
     import spark.implicits._
