@@ -173,6 +173,7 @@ object SparkEntry {
     "j_bloom_semi"      -> (graft.operators.JoinOps.bloomSemiQuery _),
     "x_zorder_layout"   -> (graft.operators.LayoutOps.zorderLayout _),
     "x_bucketed_join"   -> (graft.operators.BucketingOps.bucketedJoin _),
+    "x_pagerank"        -> (graft.operators.GraphOps.pagerank _),
     "t_normalize"       -> (graft.functions.TextOps.normalizeDf _),
     // C4-style boilerplate span removal (frequent-window excision + rebuild)
     "t_boilerplate"     -> (graft.functions.TextOps.boilerplateScrub _),
@@ -304,6 +305,7 @@ object SparkEntry {
     "j_bloom_semi"      -> graft.operators.JoinOps.bloomSemiSql,
     "x_zorder_layout"   -> graft.operators.LayoutOps.zorderLayoutSql,
     "x_bucketed_join"   -> graft.operators.BucketingOps.bucketedJoinSql,
+    "x_pagerank"        -> graft.operators.GraphOps.pagerankSql,
     "t_normalize"       -> graft.functions.TextOps.normalizeSql,
     "t_boilerplate"     -> graft.functions.TextOps.boilerplateScrubSql,
     "t_boilerplate_fix" -> graft.functions.TextOps.boilerplateScrubFixpointSql,

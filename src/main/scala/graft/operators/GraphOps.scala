@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Iterative graph scoring: PageRank over the customer↔supplier bipartite
+  * graph induced by lineitem (an edge when a customer's order shipped a
+  * supplier's part). Complements the pointer-jumping connected components
+  * in [[DedupPipeline]] — CC answers "which nodes form one entity",
+  * PageRank answers "which nodes matter", the importance prior used for
+  * crawl-frontier ordering and seed weighting in corpus curation.
+  *
+  * Scale shape: each iteration is edges⋈ranks (shuffle on src) then a
+  * partial-aggregated groupBy(dst) — two bounded shuffles per iteration,
+  * nothing driver-side. The degree-annotated edge list is built ONCE and
+  * localCheckpointed; at 100 TB it would be written hash-partitioned by
+  * src so every iteration reuses the partitioning (shuffle only on the
+  * rank side, |nodes| rows ≪ |edges|). Dangling nodes cannot arise: edges
+  * are materialized in both directions, so every node has out-degree ≥ 1.
+  *
+  * Cross-engine determinism (DuckDB oracle unrolls the same 3 iterations):
+  * ranks live in INTEGER nano-space — parts-per-billion as BIGINT — so the
+  * per-node sum of contributions is exact integer addition,
+  * partition-order-independent. The only float ops are one division and
+  * one multiply-add per row, each immediately rounded at SCALE 0, where
+  * `round` needs no ×10^k rescale: DuckDB's fractional `round(x, 9)`
+  * rescales in the float domain and manufactures .5 ties Spark's
+  * decimal-string rounding does not see (observed: 20/50 rows off by 1 in
+  * the 9th decimal) — at scale 0 both engines see the same value and both
+  * round half away from zero.
+  */
+object GraphOps {
+
+  val Damping = 0.85
+  val Iterations = 3
+  val TopN = 50
+  val Nano = 1000000000L // 1e9: rank unit = parts-per-billion
+
+  /** Distinct customer↔supplier edges, both directions, node ids prefixed
+    * `c`/`s` so the two key spaces cannot collide.
+    */
+  def edges(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(
+        concat(lit("c"), col("o_custkey")).as("cust"),
+        concat(lit("s"), col("l_suppkey")).as("supp"))
+      .distinct()
+    pairs.select(col("cust").as("src"), col("supp").as("dst"))
+      .union(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+  }
+
+  /** 3-iteration PageRank, top-[[TopN]] nodes by (rank desc, node). Ranks
+    * are BIGINT parts-per-billion (`rank_ppb`); Σ rank_ppb ≈ 10^9.
+    */
+  def pagerank(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eDeg = e.join(deg, "src").localCheckpoint(true)
+
+    val nodes = eDeg.select(col("src").as("node")).distinct()
+    val nstats = nodes.agg(count(lit(1)).as("n"))
+
+    var rank = nodes.crossJoin(broadcast(nstats))
+      .select(col("node"),
+        round(lit(Nano).cast("double") / col("n")).cast("long").as("rank_ppb"))
+    for (_ <- 1 to Iterations) {
+      rank = eDeg.join(rank, eDeg("src") === rank("node"))
+        .select(col("dst"),
+          round(col("rank_ppb").cast("double") / col("outdeg")).cast("long").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("in_sum"))
+        .crossJoin(broadcast(nstats))
+        .select(col("dst").as("node"),
+          round(lit(0.15) * lit(Nano).cast("double") / col("n") +
+            lit(Damping) * col("in_sum").cast("double")).cast("long").as("rank_ppb"))
+    }
+    rank.orderBy(col("rank_ppb").desc, col("node")).limit(TopN)
+  }
+
+  val pagerankSql: String = {
+    // one iteration body, parameterized on the previous rank CTE
+    def iter(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT e.dst AS node,
+         |    CAST(round(CAST(0.15 AS DOUBLE) * $Nano / n.n + CAST(0.85 AS DOUBLE) *
+         |      CAST(sum(CAST(round(CAST(r.rank_ppb AS DOUBLE) / e.outdeg) AS BIGINT)) AS DOUBLE))
+         |      AS BIGINT) AS rank_ppb
+         |  FROM ed e JOIN $prev r ON e.src = r.node CROSS JOIN nstats n
+         |  GROUP BY e.dst, n.n)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (
+       |  SELECT cust AS src, supp AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT supp AS src, cust AS dst FROM pairs),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, d.outdeg FROM e JOIN deg d ON e.src = d.src),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |nstats AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (
+       |  SELECT node, CAST(round(CAST($Nano AS DOUBLE) / n.n) AS BIGINT) AS rank_ppb
+       |  FROM nodes CROSS JOIN nstats n),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT node, rank_ppb FROM r3 ORDER BY rank_ppb DESC, node LIMIT $TopN""".stripMargin
+  }
+}

@@ -232,6 +232,33 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("pagerank matches a driver-side reference on sf0.001; mass is conserved") {
+    import graft.operators.GraphOps
+    val e = GraphOps.edges(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    val outdeg = e.groupBy(_._1).map { case (s, es) => s -> es.length }
+    val nodes = outdeg.keySet
+    val n = nodes.size
+    // scale-0 HALF_UP, exactly Spark's round(double) → cast long
+    def r0(d: Double): Long =
+      java.math.BigDecimal.valueOf(d).setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    var rank = nodes.map(_ -> r0(GraphOps.Nano.toDouble / n)).toMap
+    for (_ <- 1 to GraphOps.Iterations) {
+      val inSum = e.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r0(rank(src).toDouble / outdeg(src)) }.sum
+      }
+      rank = inSum.map { case (node, s) =>
+        node -> r0(0.15 * GraphOps.Nano.toDouble / n + 0.85 * s.toDouble)
+      }
+    }
+    val want = rank.toSeq.sortBy { case (node, r) => (-r, node) }.take(GraphOps.TopN)
+    val got = GraphOps.pagerank(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == want, s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
+    // total nano-mass stays ~1e9 (rounding drift only)
+    assert(math.abs(rank.values.sum - GraphOps.Nano) < 10000L, rank.values.sum)
+  }
+
   test("bucketed join: no shuffle on either join side, both scans bucketed") {
     import graft.operators.BucketingOps
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
