@@ -174,6 +174,7 @@ object SparkEntry {
     "x_zorder_layout"   -> (graft.operators.LayoutOps.zorderLayout _),
     "x_bucketed_join"   -> (graft.operators.BucketingOps.bucketedJoin _),
     "x_pagerank"        -> (graft.operators.GraphOps.pagerank _),
+    "x_dpp_prune"       -> (graft.operators.LayoutOps.dppPrune _),
     "t_normalize"       -> (graft.functions.TextOps.normalizeDf _),
     // C4-style boilerplate span removal (frequent-window excision + rebuild)
     "t_boilerplate"     -> (graft.functions.TextOps.boilerplateScrub _),
@@ -306,6 +307,7 @@ object SparkEntry {
     "x_zorder_layout"   -> graft.operators.LayoutOps.zorderLayoutSql,
     "x_bucketed_join"   -> graft.operators.BucketingOps.bucketedJoinSql,
     "x_pagerank"        -> graft.operators.GraphOps.pagerankSql,
+    "x_dpp_prune"       -> graft.operators.LayoutOps.dppPruneSql,
     "t_normalize"       -> graft.functions.TextOps.normalizeSql,
     "t_boilerplate"     -> graft.functions.TextOps.boilerplateScrubSql,
     "t_boilerplate_fix" -> graft.functions.TextOps.boilerplateScrubFixpointSql,

@@ -51,6 +51,51 @@ object LayoutOps {
         min("y").as("min_y"), max("y").as("max_y"))
       .orderBy("file_bucket")
   }
+  /** Dynamic partition pruning: the fact side is written
+    * `partitionBy(bucket)` (16 hash buckets of `user_id` — standing in for
+    * the date/tenant/region partitioning of a 100 TB table), the dim side
+    * carries a selective filter, and the fact SCAN is pruned at RUNTIME by
+    * the subquery broadcast of the dim's join keys — the plan shows
+    * `dynamicpruningexpression` in the scan's partition filters, and only
+    * 3 of 16 partition directories are ever read. This is the mechanism
+    * that makes star-schema joins over partitioned warehouses scan-bounded
+    * when the partition predicate is only known through a join
+    * ([[graft.Round9OpsSpec]] pins the plan shape and the parity with the
+    * statically-filtered query).
+    */
+  def dppPrune(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toFile.getAbsolutePath
+    Tables.events(s, d)
+      .select(col("user_id"), col("value"))
+      .withColumn("bucket", (col("user_id") % 16).cast("int"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/events_part")
+    import s.implicits._
+    Seq(1, 5, 11).toDF("bucket").write.mode("overwrite").parquet(s"$dir/dim")
+    joinOverPartitions(s, dir)
+  }
+
+  /** The pruned join over already-written layouts (split out so the spec
+    * can assert the plan without re-paying the write).
+    */
+  def joinOverPartitions(s: SparkSession, dir: String): DataFrame = {
+    val fact = s.read.parquet(s"$dir/events_part")
+    val dim = s.read.parquet(s"$dir/dim").filter(col("bucket") < 12)
+    fact.join(dim, "bucket")
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"))
+      .select(col("bucket").cast("long").as("bucket"), col("n"), col("total"))
+      .orderBy("bucket")
+  }
+  val dppPruneSql: String =
+    """SELECT user_id % 16 AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM events
+      |WHERE user_id % 16 IN (1, 5, 11)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val zorderLayoutSql: String =
     """WITH b AS (
       |  SELECT user_id % 1024 AS x,

@@ -259,6 +259,40 @@ class Round9OpsSpec extends SparkSpec {
     assert(math.abs(rank.values.sum - GraphOps.Nano) < 10000L, rank.values.sum)
   }
 
+  test("dynamic partition pruning: runtime subquery prunes the fact scan") {
+    import graft.operators.LayoutOps
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      LayoutOps.dppPrune(spark, sf0001).collect() // writes both layouts
+      // locate the freshly-written dir via a second explicit write
+      val dir = java.nio.file.Files.createTempDirectory("graft_dpp_spec").toFile.getAbsolutePath
+      graft.Tables.events(spark, sf0001)
+        .select(col("user_id"), col("value"))
+        .withColumn("bucket", (col("user_id") % 16).cast("int"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/events_part")
+      import spark.implicits._
+      Seq(1, 5, 11).toDF("bucket").write.mode("overwrite").parquet(s"$dir/dim")
+
+      val q = LayoutOps.joinOverPartitions(spark, dir)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruningexpression"), plan)
+
+      // parity with the statically-pruned formulation
+      val got = q.collect().map(_.toSeq)
+      val want = graft.Tables.events(spark, sf0001)
+        .select(col("user_id"), col("value"))
+        .withColumn("bucket", (col("user_id") % 16))
+        .filter(col("bucket").isin(1, 5, 11))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("total"))
+        .orderBy("bucket").collect().map(_.toSeq)
+      assert(got.toSeq == want.toSeq)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("bucketed join: no shuffle on either join side, both scans bucketed") {
     import graft.operators.BucketingOps
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
