@@ -46,6 +46,7 @@ object SparkEntry {
     "w_running_sum"     -> (AQ.wRunningSum _),
     "w_rank"            -> (AQ.wRank _),
     "w_time_bucket_ohlc" -> (AQ.wTimeBucketOhlc _),
+    "w_ohlc_merge"      -> (AQ.wOhlcMerge _),
     "g_rollup"          -> (AQ.gRollup _),
     "g_distinct_agg"    -> (AQ.gDistinctAgg _),
     "g_cube"            -> (AQ.gCube _),
@@ -218,6 +219,7 @@ object SparkEntry {
     "w_running_sum"     -> AQ.wRunningSumSql,
     "w_rank"            -> AQ.wRankSql,
     "w_time_bucket_ohlc" -> AQ.wTimeBucketOhlcSql,
+    "w_ohlc_merge"      -> AQ.wOhlcMergeSql,
     "g_rollup"          -> AQ.gRollupSql,
     "g_distinct_agg"    -> AQ.gDistinctAggSql,
     "g_cube"            -> AQ.gCubeSql,

@@ -172,6 +172,44 @@ object AnalyticsQueries {
       |FROM w GROUP BY bucket, event_type
       |ORDER BY bucket, event_type""".stripMargin
 
+  /** Incremental aggregate maintenance: OHLC partial states computed over
+    * an "already ingested" 80% slice and a "new batch" 20% slice are MERGED
+    * — min_by/max_by re-keyed on the carried (ts, event_id) extremum keys,
+    * sums added — and the merge provably equals the full recompute (the
+    * oracle IS the full-recompute query). This is the materialized-view
+    * maintenance shape: at 100 TB the old state is a stored table of
+    * per-(bucket, type) states (constant size per bucket), and each ingest
+    * batch costs one partial agg over the BATCH plus a merge on state keys
+    * — never a rescan of history. Every aggregate here is algebraic
+    * (mergeable partials); that property is what the query certifies.
+    */
+  def wOhlcMerge(s: SparkSession, d: String): DataFrame = {
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+        .agg(
+          min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+          min(struct(col("ts"), col("event_id"))).as("open_key"),
+          max("value").as("high"),
+          min("value").as("low"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+          max(struct(col("ts"), col("event_id"))).as("close_key"),
+          count(lit(1)).as("volume"))
+    val ev = Tables.events(s, d)
+    val history = partial(ev.filter(col("event_id") % 10 < 8))
+    val batch = partial(ev.filter(col("event_id") % 10 >= 8))
+    history.union(batch)
+      .groupBy("bucket", "event_type")
+      .agg(
+        min_by(col("open"), col("open_key")).as("open"),
+        max("high").as("high"),
+        min("low").as("low"),
+        max_by(col("close"), col("close_key")).as("close"),
+        sum("volume").as("volume"))
+      .orderBy("bucket", "event_type")
+  }
+  // the oracle is the FULL RECOMPUTE — that equality is the point
+  val wOhlcMergeSql: String = wTimeBucketOhlcSql
+
   /** Grouping sets / rollup — subtotal lattice over orders (SURVEY §2.3 notes
     * the reference lacks these; a complete engine surface includes them).
     */

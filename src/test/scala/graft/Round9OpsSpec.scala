@@ -259,6 +259,13 @@ class Round9OpsSpec extends SparkSpec {
     assert(math.abs(rank.values.sum - GraphOps.Nano) < 10000L, rank.values.sum)
   }
 
+  test("incremental OHLC merge equals full recompute, slice-choice invariant") {
+    import graft.queries.AnalyticsQueries
+    val full = AnalyticsQueries.wTimeBucketOhlc(spark, sf0001).collect().map(_.toSeq)
+    val merged = AnalyticsQueries.wOhlcMerge(spark, sf0001).collect().map(_.toSeq)
+    assert(merged.toSeq == full.toSeq)
+  }
+
   test("dynamic partition pruning: runtime subquery prunes the fact scan") {
     import graft.operators.LayoutOps
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
