@@ -73,14 +73,33 @@ class TickerFileJournal(spark: SparkSession, val dir: String) {
     * event history — the difference between O(events) and O(files) shuffle
     * bytes as history accumulates between [[compact]]s.
     */
-  def current: DataFrame =
-    events
-      .groupBy("filename")
+  def current: DataFrame = latestWins(events)
+
+  private def latestWins(ev: DataFrame): DataFrame =
+    ev.groupBy("filename")
       .agg(max_by(
         struct(col("create_date"), col("status"), col("updated_at")),
         struct(col("updated_at"), col("batch_seq"))).as("_latest"))
       .select(col("filename"), col("_latest.create_date"),
         col("_latest.status"), col("_latest.updated_at"))
+
+  /** Snapshot-isolation read: the latest-wins view AS OF batch `seq` —
+    * replays only events with `batch_seq <= seq`, so a reader pins the
+    * exact journal state that existed after that batch committed, immune
+    * to concurrent appends (the delta-log time-travel shape). History
+    * horizon: [[compact]] folds all events into batch 0, so snapshots
+    * reach back only to the last compaction — `asOf(anything)` after a
+    * compact returns the compacted state, never a partial one.
+    */
+  def asOf(seq: Long): DataFrame =
+    latestWins(events.filter(col("batch_seq") <= seq))
+
+  /** Highest batch_seq present in the log (0 when empty/just compacted) —
+    * the snapshot handle a reader pairs with [[asOf]].
+    */
+  def maxBatchSeq: Long =
+    if (dirHasData) events.agg(coalesce(max("batch_seq"), lit(0L))).as[Long].head()
+    else 0L
 
   /** B6 — journal the unseen subset of `candidates(filename, create_date)`
     * as DISCOVERED (anti-join dedup,

@@ -41,6 +41,33 @@ class JournalSpec extends SparkSpec {
     assert(j.statusOf("f2").contains(FileStatus.Discovered))
   }
 
+  test("asOf time travel: every historical snapshot reproducible; compact sets the horizon") {
+    val j = freshJournal()
+    def snap(seq: Long) = j.asOf(seq)
+      .select("filename", "status").as[(String, String)].collect().toMap
+
+    j.appendDiscovered(candidates("f1" -> "2024-08-08", "f2" -> "2024-08-08"),
+      ts("2024-08-08 10:00:00"))                                          // batch 1
+    j.transition(Seq("f1"), FileStatus.ReadyForProcessing, ts("2024-08-08 10:01:00")) // batch 2
+    j.transition(Seq("f1"), FileStatus.InProgress, ts("2024-08-08 10:02:00"))         // batch 3
+    assert(j.maxBatchSeq == 3)
+
+    assert(snap(0) == Map.empty)
+    assert(snap(1) == Map("f1" -> "DISCOVERED", "f2" -> "DISCOVERED"))
+    assert(snap(2) == Map("f1" -> "READY_FOR_PROCESSING", "f2" -> "DISCOVERED"))
+    assert(snap(3) == Map("f1" -> "IN_PROGRESS", "f2" -> "DISCOVERED"))
+    // a snapshot handle taken now is immune to later appends
+    assert(snap(j.maxBatchSeq) ==
+      j.current.select("filename", "status").as[(String, String)].collect().toMap)
+
+    // compaction folds history into batch 0: time travel now reaches only
+    // the compacted state, and never a partial one
+    j.compact(ts("2024-08-08 10:03:00"))
+    assert(j.maxBatchSeq == 0)
+    val cur = j.current.select("filename", "status").as[(String, String)].collect().toMap
+    assert(snap(0) == cur && snap(1) == cur && snap(Long.MaxValue) == cur)
+  }
+
   test("idempotence: re-applying a transition is a no-op on the view") {
     val j = freshJournal()
     j.appendDiscovered(candidates("f1" -> "2024-08-08"), ts("2024-08-08 10:00:00"))
