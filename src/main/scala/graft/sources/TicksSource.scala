@@ -3,9 +3,10 @@ package graft.sources
 import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expression, Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{EqualTo, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -23,6 +24,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * the row index, so tests and benches are reproducible; the same layout
   * serves as the template for a real exchange-feed connector (each input
   * partition = one shard/offset-range).
+  *
+  * `clusterByTicker=true` switches to a KEY-GROUPED layout (one partition
+  * per ticker, `SupportsReportPartitioning` + `HasPartitionKey`): with
+  * `spark.sql.sources.v2.bucketing.enabled`, grouped aggregations and
+  * same-key joins over two such scans run with ZERO exchange — the
+  * storage-partitioned join, i.e. what a sharded-by-symbol feed archive
+  * gives a 100 TB deployment for free when the connector reports it.
   */
 class TicksSourceProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -32,7 +40,8 @@ class TicksSourceProvider extends TableProvider {
     new TicksTable(
       properties.getOrDefault("rows", "100000").toLong,
       properties.getOrDefault("partitions", "8").toInt,
-      properties.getOrDefault("tickers", "16").toInt)
+      properties.getOrDefault("tickers", "16").toInt,
+      properties.getOrDefault("clusterByTicker", "false").toBoolean)
 }
 
 object TicksTable {
@@ -47,17 +56,19 @@ object TicksTable {
   def sizeOf(i: Long): Double = 1.0 + (i % 50)
 }
 
-class TicksTable(rows: Long, partitions: Int, tickers: Int)
+class TicksTable(rows: Long, partitions: Int, tickers: Int,
+    clusterByTicker: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"graft_ticks($rows)"
   override def schema(): StructType = TicksTable.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TicksScanBuilder(rows, partitions, tickers)
+    new TicksScanBuilder(rows, partitions, tickers, clusterByTicker)
 }
 
-class TicksScanBuilder(rows: Long, partitions: Int, tickers: Int)
+class TicksScanBuilder(rows: Long, partitions: Int, tickers: Int,
+    clusterByTicker: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var required: StructType = TicksTable.schema
@@ -102,13 +113,38 @@ class TicksScanBuilder(rows: Long, partitions: Int, tickers: Int)
       case None => false
     }
 
-  override def build(): Scan = new Scan with Batch {
+  override def build(): Scan = new Scan with Batch with SupportsReportPartitioning {
     override def readSchema(): StructType =
       pushedAgg.map(_.schema).getOrElse(required)
     override def toBatch: Batch = this
+
+    // Key-grouped (storage-partitioned) layout applies only on the plain
+    // row-scan branch: one partition per ticker, each announcing its
+    // partition key, so grouped reads satisfy ClusteredDistribution(ticker)
+    // with NO exchange (the storage-partitioned join/agg path,
+    // spark.sql.sources.v2.bucketing.enabled). Pushed-agg and pushed-limit
+    // scans use other partition shapes, so they report unknown.
+    private def keyGrouped: Boolean =
+      clusterByTicker && pushedAgg.isEmpty && limit.isEmpty
+    private def clusteredTickers: Seq[Int] = {
+      val all = 0 until math.min(tickers.toLong, rows).toInt
+      tickerEq match {
+        case Some(t) => all.filter(TicksTable.tickerOf(_, tickers) == t)
+        case None    => all
+      }
+    }
+    override def outputPartitioning(): Partitioning =
+      if (keyGrouped)
+        new KeyGroupedPartitioning(
+          Array[Expression](Expressions.identity("ticker")), clusteredTickers.size)
+      else new UnknownPartitioning(partitions)
+
     override def planInputPartitions(): Array[InputPartition] = pushedAgg match {
       case Some(agg) => // driver computes the closed-form rows; one tiny partition
         Array(AggResultPartition(TicksAgg.evaluate(agg, rows, tickers, tickerEq)))
+      case None if keyGrouped =>
+        clusteredTickers
+          .map(t => TickerSlicePartition(t, tickers, rows): InputPartition).toArray
       case None =>
         val end = limit match {
           case Some(n) => TicksAgg.indexBoundForLimit(n, rows, tickers, tickerEq)
@@ -169,6 +205,17 @@ class TicksMicroBatchStream(rows: Long, partitions: Int, tickers: Int,
 }
 
 case class TicksPartition(start: Long, end: Long) extends InputPartition
+
+/** One ticker's complete row slice (indices t, t+tickers, t+2·tickers …):
+  * the key-grouped storage partition. `partitionKey()` binds the partition
+  * to its ticker value so the planner can line partitions up by key —
+  * the DSv2 analogue of a bucketed file layout.
+  */
+case class TickerSlicePartition(t: Int, tickers: Int, rows: Long)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    InternalRow(UTF8String.fromString(TicksTable.tickerOf(t.toLong, tickers)))
+}
 
 /** Pre-computed (on the driver, closed-form) aggregate result rows; values
   * are plain JVM types (String/Long/Double/null), converted to Catalyst
@@ -341,6 +388,25 @@ class TicksReaderFactory(required: StructType, tickers: Int,
         override def close(): Unit = ()
       }
     case tp: TicksPartition => createRowReader(tp)
+    case ts: TickerSlicePartition => createSliceReader(ts)
+  }
+
+  private def createSliceReader(p: TickerSlicePartition): PartitionReader[InternalRow] = {
+    val cols = required.fieldNames
+    new PartitionReader[InternalRow] {
+      private var i = p.t.toLong - p.tickers
+      override def next(): Boolean = { i += p.tickers; i < p.rows }
+      override def get(): InternalRow = {
+        val values = cols.map {
+          case "ticker"   => UTF8String.fromString(TicksTable.tickerOf(i, p.tickers))
+          case "sequence" => i
+          case "price"    => TicksTable.priceOf(i)
+          case "size"     => TicksTable.sizeOf(i)
+        }
+        InternalRow.fromSeq(values.toIndexedSeq)
+      }
+      override def close(): Unit = ()
+    }
   }
 
   private def createRowReader(partition: TicksPartition): PartitionReader[InternalRow] = {

@@ -169,6 +169,63 @@ class TicksSourceSpec extends SparkSpec {
     assert(tiny.collect().map(_.getLong(1)).toSeq == Seq(5L))
   }
 
+  test("clusterByTicker: key-grouped scan aggregates and joins with no shuffle") {
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      def clustered() = spark.read.format("graft.sources.TicksSourceProvider")
+        .option("rows", 1600).option("tickers", 8)
+        .option("clusterByTicker", "true").load()
+
+      // avg is NOT translatable for agg pushdown → a real row scan, whose
+      // key-grouped layout must satisfy the aggregation's clustering
+      val agg = clustered().groupBy("ticker").agg(avg("price").as("p"))
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"), aggPlan)
+      val got = agg.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val want = ticks(rows = 1600, tickers = 8)
+        .groupBy("ticker").agg(avg("price").as("p")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      // layouts sum in different orders → compare to float tolerance
+      assert(got.keySet == want.keySet)
+      got.foreach { case (t, p) => assert(math.abs(p - want(t)) < 1e-9, t) }
+
+      // storage-partitioned join: both sides report the same key-grouped
+      // layout → SortMergeJoin with no exchange on either side
+      val right = clustered().filter(col("sequence") < 16)
+        .select(col("ticker"), col("price").as("ref_px"))
+      val j = clustered().join(right, Seq("ticker"))
+      val jPlan = j.queryExecution.executedPlan.toString
+      assert(jPlan.contains("SortMergeJoin"), jPlan)
+      assert(!jPlan.contains("Exchange"), jPlan)
+      assert(j.count() == 1600L * 2) // 2 reference rows per ticker
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
+  test("clusterByTicker preserves content, pushdowns unaffected") {
+    def clustered(rows: Int) = spark.read.format("graft.sources.TicksSourceProvider")
+      .option("rows", rows).option("tickers", 8)
+      .option("clusterByTicker", "true").load()
+    // same multiset of rows as the range-partitioned layout
+    val a = clustered(4000).orderBy("sequence").collect()
+    val b = ticks(rows = 4000, tickers = 8).orderBy("sequence").collect()
+    assert(a.toSeq == b.toSeq)
+    // ticker-equality pushdown prunes to ONE key-grouped partition
+    val one = clustered(4000).filter(col("ticker") === "TCK5-USDT")
+    assert(one.rdd.getNumPartitions == 1)
+    assert(one.count() == 500)
+    // agg pushdown still answers closed-form (no row scan partitions)
+    val cnt = clustered(4000).groupBy("ticker").count()
+    assert(cnt.collect().map(_.getLong(1)).toSet == Set(500L))
+  }
+
   test("micro-batch stream: admission control paces batches, offsets cover every row once") {
     val out = tmpDir("ticksStreamOut")
     val q = spark.readStream.format("graft.sources.TicksSourceProvider")
