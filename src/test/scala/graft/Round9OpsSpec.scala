@@ -259,6 +259,42 @@ class Round9OpsSpec extends SparkSpec {
     assert(math.abs(rank.values.sum - GraphOps.Nano) < 10000L, rank.values.sum)
   }
 
+  test("AQE skew join splits the hot partition at runtime (no manual salt)") {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one hot key (50k rows) + a uniform tail: the classic skew. The pad
+      // is a per-row hash so the hot shuffle partition stays large AFTER
+      // compression (a constant pad compresses below the skew threshold),
+      // and it is kept in the output so pruning can't drop it pre-shuffle.
+      val left = spark.range(50000)
+        .select(lit(0L).as("k"), md5(col("id").cast("string")).as("pad"))
+        .union(spark.range(1, 1001)
+          .select(col("id").as("k"), md5(col("id").cast("string")).as("pad")))
+      val right = spark.range(0, 1001).select(col("id").as("k"), lit(1).as("v"))
+      val j = left.join(right, "k").select("k", "pad")
+      // execute THIS QueryExecution (count() would plan its own) so the
+      // in-place adaptive replan is observable
+      assert(j.collect().length == 51000)
+      val finalPlan = j.queryExecution.executedPlan.toString
+      // the runtime-replanned join carries the skew marker — AQE split the
+      // hot partition into advisory-sized slices instead of one straggler
+      assert(finalPlan.contains("isFinalPlan=true"), finalPlan)
+      assert(finalPlan.contains("skew=true"), finalPlan)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("incremental OHLC merge equals full recompute, slice-choice invariant") {
     import graft.queries.AnalyticsQueries
     val full = AnalyticsQueries.wTimeBucketOhlc(spark, sf0001).collect().map(_.toSeq)
