@@ -118,6 +118,7 @@ object SparkEntry {
     "t_doc_freq"        -> (PQ.docFreq _),
     "t_vocab_oov"       -> ((s, d) => PQ.vocabOov(s, d)),
     "t_bigram_lm"       -> (PQ.bigramLm _),
+    "t_bpe_train"       -> ((s, d) => graft.operators.TokenizerOps.bpeTrain(s, d)),
     "d_cluster_canon"   -> ((s, d) => graft.operators.DedupPipeline
       .clusters(DedupOps.ngramJaccardPairs(s, d)).orderBy("doc_id")),
     // Round 2: deterministic splits / sampling / balancing

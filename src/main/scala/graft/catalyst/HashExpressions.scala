@@ -373,6 +373,25 @@ object HashUtil {
     }
   }
 
+  /** One BPE merge application: greedy LEFT-TO-RIGHT, non-overlapping
+    * replacement of adjacent symbols (l, r) by their concatenation — the
+    * exact application order every standard BPE implementation uses
+    * ("a a a a" + merge(a,a) → "aa aa", NOT "aa a a").
+    */
+  def mergePair(a: ArrayData, l: UTF8String, r: UTF8String): ArrayData = {
+    val n = a.numElements()
+    val out = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val cur = a.getUTF8String(i) // null elements pass through unmerged
+      if (cur != null && i < n - 1 && cur.equals(l) && l != null && r != null &&
+          r.equals(a.getUTF8String(i + 1))) {
+        out.add(UTF8String.concat(l, r)); i += 2
+      } else { out.add(cur); i += 1 }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Jaro–Winkler similarity over the UTF-8 BYTES of the two strings —
     * standard parameters (prefix weight 0.1 over at most 4 units, boost
     * only when the Jaro base exceeds 0.7), and DuckDB's empty-string
@@ -589,6 +608,10 @@ object HashFunctions {
   def jaro_winkler(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       JaroWinkler(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def merge_pair(arr: Column, l: Column, r: Column): Column =
+    GraftColumnBridge.column(
+      MergePair(GraftColumnBridge.expression(arr),
+        GraftColumnBridge.expression(l), GraftColumnBridge.expression(r)))
 }
 
 /** Native positional-equality count over two array<string> columns — the
@@ -692,6 +715,36 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.catalyst.HashUtil.nfcNormalize($c)")
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
+}
+
+/** One BPE merge pass over an array<string> symbol column — greedy
+  * left-to-right non-overlapping, the order BPE training AND inference
+  * both require (a lambda/`replace` formulation gets overlap runs wrong).
+  * Codegen'd: the tokenizer-training inner loop runs compiled over the
+  * distinct-word table each merge iteration.
+  */
+case class MergePair(arr: Expression, l: Expression, r: Expression)
+    extends TernaryExpression {
+  override def first: Expression = arr
+  override def second: Expression = l
+  override def third: Expression = r
+  override def dataType: DataType = arr.dataType // containsNull preserved
+  override def checkInputDataTypes(): TypeCheckResult =
+    (arr.dataType, l.dataType, r.dataType) match {
+      case (ArrayType(StringType, _), StringType, StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"merge_pair requires (array<string>, string, string), " +
+          s"got ${a.sql}, ${b.sql}, ${c.sql}")
+    }
+  override def nullSafeEval(a: Any, lv: Any, rv: Any): Any =
+    HashUtil.mergePair(a.asInstanceOf[ArrayData],
+      lv.asInstanceOf[UTF8String], rv.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.catalyst.HashUtil.mergePair($a, $b, $c)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): MergePair =
+    copy(arr = f, l = s, r = t)
 }
 
 /** Native Jaro–Winkler similarity — Spark ships `levenshtein` but no Jaro

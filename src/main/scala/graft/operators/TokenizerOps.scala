@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextOps
+
+/** Distributed BPE tokenizer training — the vocabulary-learning step of
+  * every modern LLM data pipeline, run as DataFrame ops end-to-end.
+  *
+  * Scale shape: the ONLY data-scale pass is the word count (explode →
+  * partial-aggregated groupBy). Every merge iteration then operates on the
+  * DISTINCT-WORD table (vocabulary-sized — millions of rows at web scale,
+  * never corpus-sized): adjacent-pair frequencies are a projection +
+  * one partial-aggregated groupBy, the winning pair is a 1-row
+  * `TakeOrderedAndProject` collect (driver traffic is exactly `merges`
+  * rows total), and the merge applies via the codegen'd
+  * [[graft.catalyst.MergePair]] expression — greedy left-to-right
+  * non-overlapping, the order BPE training and inference both require.
+  * The symbol table is localCheckpointed per round so iteration N+1's
+  * lineage does not replay rounds 1..N.
+  *
+  * Determinism: pair ties break lexicographically on (l, r), so the merge
+  * table is a pure function of the corpus. No oracle SQL — applying a
+  * learned merge to a symbol sequence needs greedy non-overlapping
+  * replacement, which SQL `replace` gets wrong on overlap runs
+  * ("a a a a" must become "aa aa", not "aa a a"); the driver records the
+  * rows-only check and [[graft.Round9OpsSpec]] pins the full merge table
+  * against an independent reference implementation.
+  */
+object TokenizerOps {
+
+  val Merges = 8
+
+  /** Learn `k` BPE merges from the corpus; returns (rank, left, right,
+    * freq) — freq is the pair's corpus frequency when it won its round.
+    */
+  def bpeTrain(s: SparkSession, d: String, k: Int = Merges): DataFrame = {
+    import graft.catalyst.HashFunctions.merge_pair
+    var words = Tables.fanOut(Tables.documents(s, d))
+      .filter(col("text").isNotNull)
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(split(col("word"), "").as("syms"), col("cnt"))
+      .localCheckpoint(true)
+
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= k && !exhausted) {
+      val top = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(
+          transform(sequence(lit(0), size(col("syms")) - 2),
+            j => struct(
+              element_at(col("syms"), j + 1).as("l"),
+              element_at(col("syms"), j + 2).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("freq"))
+        .orderBy(col("freq").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, l, r, f))
+        words = words
+          .withColumn("syms", merge_pair(col("syms"), lit(l), lit(r)))
+          .localCheckpoint(true)
+        rank += 1
+      }
+    }
+    import s.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "freq").orderBy("rank")
+  }
+}

@@ -259,6 +259,61 @@ class Round9OpsSpec extends SparkSpec {
     assert(math.abs(rank.values.sum - GraphOps.Nano) < 10000L, rank.values.sum)
   }
 
+  test("merge_pair: greedy left-to-right non-overlapping (the BPE order)") {
+    import spark.implicits._
+    val got = Seq(
+      (Seq("a", "a", "a", "a"), "a", "a"),
+      (Seq("a", "a", "a"), "a", "a"),
+      (Seq("k", "e", "y"), "e", "y"),
+      (Seq("x"), "a", "a"))
+      .toDF("syms", "l", "r")
+      .select(graft.catalyst.HashFunctions.merge_pair(col("syms"), col("l"), col("r")))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("aa", "aa")) // NOT ("aa","a","a"): non-overlap greedy
+    assert(got(1) == Seq("aa", "a"))
+    assert(got(2) == Seq("k", "ey"))
+    assert(got(3) == Seq("x"))
+  }
+
+  test("bpe training matches an independent reference on sf0.001") {
+    import graft.operators.TokenizerOps
+    // reference: plain-Scala BPE over the collected word counts
+    val wc = graft.Tables.documents(spark, sf0001)
+      .filter(col("text").isNotNull)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    var words: Seq[(Vector[String], Long)] =
+      wc.map { case (w, c) => w.toVector.map(_.toString) -> c }.toSeq
+    val want = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    for (rank <- 1 to TokenizerOps.Merges) {
+      val freqs = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        syms.sliding(2).filter(_.length == 2).foreach { p =>
+          freqs((p(0), p(1))) = freqs.getOrElse((p(0), p(1)), 0L) + c
+        }
+      }
+      if (freqs.nonEmpty) {
+        val ((l, r), f) = freqs.toSeq.minBy { case ((l, r), f) => (-f, l, r) }
+        want += ((rank, l, r, f))
+        words = words.map { case (syms, c) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.result() -> c
+        }
+      }
+    }
+    val got = TokenizerOps.bpeTrain(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == want.toSeq, s"got=$got\nwant=$want")
+    assert(got.size == TokenizerOps.Merges) // corpus is rich enough for all rounds
+  }
+
   test("AQE skew join splits the hot partition at runtime (no manual salt)") {
     import spark.implicits._
     val confs = Seq(
