@@ -119,6 +119,7 @@ object SparkEntry {
     "t_vocab_oov"       -> ((s, d) => PQ.vocabOov(s, d)),
     "t_bigram_lm"       -> (PQ.bigramLm _),
     "t_bpe_train"       -> ((s, d) => graft.operators.TokenizerOps.bpeTrain(s, d)),
+    "t_bpe_encode"      -> ((s, d) => graft.operators.TokenizerOps.bpeSegment(s, d)),
     "d_cluster_canon"   -> ((s, d) => graft.operators.DedupPipeline
       .clusters(DedupOps.ngramJaccardPairs(s, d)).orderBy("doc_id")),
     // Round 2: deterministic splits / sampling / balancing

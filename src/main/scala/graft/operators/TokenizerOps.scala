@@ -72,4 +72,35 @@ object TokenizerOps {
     import s.implicits._
     merges.toSeq.toDF("rank", "left", "right", "freq").orderBy("rank")
   }
+
+  /** Segment the corpus with the learned merges: every word passes through
+    * the `k` merges IN RANK ORDER (one greedy pass each — the same
+    * application order training used, so encode is consistent with train),
+    * all `k` [[graft.catalyst.MergePair]] calls fused into ONE codegen'd
+    * projection over the exploded words. Output is per-document subword
+    * statistics (all integers — deterministic under any partitioning).
+    * At scale this is a map-only pass plus one partial-aggregated groupBy
+    * on doc_id; the merge table rides along as `k` literals exactly like a
+    * broadcast vocabulary would.
+    */
+  def bpeSegment(s: SparkSession, d: String, k: Int = Merges): DataFrame = {
+    import graft.catalyst.HashFunctions.merge_pair
+    val merges = bpeTrain(s, d, k).collect()
+      .map(r => (r.getString(1), r.getString(2))) // bounded: ≤ k rows
+    val words = Tables.fanOut(Tables.documents(s, d))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+    val segmented = merges.foldLeft(split(col("word"), "")) {
+      case (syms, (l, r)) => merge_pair(syms, lit(l), lit(r))
+    }
+    words
+      .select(col("doc_id"), length(col("word")).as("n_chars"),
+        size(segmented).as("n_subwords"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum("n_chars").as("n_chars"),
+        sum("n_subwords").as("n_subwords"))
+      .orderBy("doc_id")
+  }
 }

@@ -312,6 +312,36 @@ class Round9OpsSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
     assert(got == want.toSeq, s"got=$got\nwant=$want")
     assert(got.size == TokenizerOps.Merges) // corpus is rich enough for all rounds
+
+    // encode consistency: per-doc subword counts match segmenting every
+    // word through the reference merges in rank order
+    def segLen(w: String): Int = {
+      var syms = w.toVector.map(_.toString)
+      want.foreach { case (_, l, r, _) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms.length
+    }
+    val wantSeg = graft.Tables.documents(spark, sf0001)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).map { case (id, ws) =>
+        id -> (ws.length.toLong, ws.map(_._2.length.toLong).sum,
+          ws.map(w => segLen(w._2).toLong).sum)
+      }
+    val gotSeg = TokenizerOps.bpeSegment(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(gotSeg == wantSeg, "per-doc segmentation mismatch")
+    // merges actually compress: strictly fewer subwords than chars overall
+    assert(gotSeg.values.map(_._3).sum < gotSeg.values.map(_._2).sum)
   }
 
   test("AQE skew join splits the hot partition at runtime (no manual salt)") {
