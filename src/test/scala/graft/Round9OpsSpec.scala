@@ -259,6 +259,29 @@ class Round9OpsSpec extends SparkSpec {
     assert(math.abs(rank.values.sum - GraphOps.Nano) < 10000L, rank.values.sum)
   }
 
+  test("count-min sketch: disjoint-half merge is exact, estimates bounded") {
+    val df = graft.Tables.lineitem(spark, sf0001).select(col("l_suppkey"))
+    val (eps, conf, seed) = (0.01, 0.9, 42)
+    val whole = df.stat.countMinSketch("l_suppkey", eps, conf, seed)
+    val h1 = df.filter(col("l_suppkey") % 2 === 0)
+      .stat.countMinSketch("l_suppkey", eps, conf, seed)
+    val h2 = df.filter(col("l_suppkey") % 2 =!= 0)
+      .stat.countMinSketch("l_suppkey", eps, conf, seed)
+    h1.mergeInPlace(h2) // the distributed combine: counters add
+    val exact = df.groupBy("l_suppkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val total = exact.map(_._2).sum
+    exact.foreach { case (k, n) =>
+      // same seed/width → merging disjoint halves reproduces the whole
+      // sketch bit-for-bit, which is what makes treeAggregate-style
+      // distributed sketching exact w.r.t. a single-pass build
+      assert(h1.estimateCount(k) == whole.estimateCount(k), s"key $k")
+      // CMS guarantee: never under, over by at most eps·N (w.h.p.)
+      assert(whole.estimateCount(k) >= n, s"key $k under-estimated")
+      assert(whole.estimateCount(k) <= n + (eps * total).toLong + 1, s"key $k")
+    }
+  }
+
   test("merge_pair: greedy left-to-right non-overlapping (the BPE order)") {
     import spark.implicits._
     val got = Seq(
