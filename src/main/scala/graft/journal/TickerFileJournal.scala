@@ -52,9 +52,7 @@ class TickerFileJournal(spark: SparkSession, val dir: String) {
   private def nextBatchSeq(): Long = cachedMaxSeq match {
     case Some(s) => s + 1L
     case None =>
-      val s =
-        if (dirHasData) events.agg(coalesce(max("batch_seq"), lit(0L))).as[Long].head()
-        else 0L
+      val s = maxBatchSeq
       cachedMaxSeq = Some(s)
       s + 1L
   }

@@ -28,13 +28,20 @@ object BucketingOps {
   val NumBuckets = 8
   private val D = DecimalType(18, 2)
 
-  /** Write orders + lineitem bucketed by order key into a throwaway
+  /** One bucketed-warehouse path per JVM: repeats overwrite in place
+    * instead of orphaning a full orders+lineitem copy per call (DROP TABLE
+    * on an external table leaves the files).
+    */
+  lazy val warehouseDir: String =
+    java.nio.file.Files.createTempDirectory("graft_buckets").toFile.getAbsolutePath
+
+  /** Write orders + lineitem bucketed by order key into the session
     * external-table warehouse, then run the co-located join. Idempotent
     * within a session (drop + overwrite), so bench repeats re-measure the
     * full write→join cycle.
     */
   def bucketedJoin(s: SparkSession, d: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_buckets").toFile.getAbsolutePath
+    val wh = warehouseDir
     s.sql("DROP TABLE IF EXISTS graft_orders_bkt")
     s.sql("DROP TABLE IF EXISTS graft_lineitem_bkt")
     Tables.orders(s, d)

@@ -63,8 +63,14 @@ object LayoutOps {
     * ([[graft.Round9OpsSpec]] pins the plan shape and the parity with the
     * statically-filtered query).
     */
+  /** One layout path per JVM — repeats overwrite in place rather than
+    * leaking a partitioned events copy per call; the spec reuses it too.
+    */
+  lazy val dppLayoutDir: String =
+    java.nio.file.Files.createTempDirectory("graft_dpp").toFile.getAbsolutePath
+
   def dppPrune(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toFile.getAbsolutePath
+    val dir = dppLayoutDir
     Tables.events(s, d)
       .select(col("user_id"), col("value"))
       .withColumn("bucket", (col("user_id") % 16).cast("int"))

@@ -129,9 +129,14 @@ object RetrievalOps {
       .limit(k)
   }
 
-  val rrfFusionSql: String = {
+  /** The BM25 scoring CTE chain (through `sc`), shared VERBATIM by
+    * [[bm25TopKSql]] and [[rrfFusionSql]] so the two oracles can never
+    * desynchronize from each other (the Spark side already shares
+    * [[bm25TopK]]).
+    */
+  private val bm25Cte: String = {
     val termList = QueryTerms.map("'" + _ + "'").mkString(",")
-    s"""WITH p AS (
+    s"""p AS (
        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
        |  FROM documents WHERE text IS NOT NULL),
        |docs AS (SELECT doc_id, len(toks) AS dl, toks FROM p),
@@ -151,7 +156,11 @@ object RetrievalOps {
        |      ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
        |        ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))),
        |      6) AS DECIMAL(18,6)) AS s
-       |  FROM tf JOIN df USING (term) CROSS JOIN stats),
+       |  FROM tf JOIN df USING (term) CROSS JOIN stats)""".stripMargin
+  }
+
+  val rrfFusionSql: String = {
+    s"""WITH $bm25Cte,
        |bt AS (
        |  SELECT doc_id, CAST(sum(s) AS DOUBLE) AS bm25
        |  FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT $LegK),
@@ -180,32 +189,10 @@ object RetrievalOps {
        |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin
   }
 
-  val bm25TopKSql: String = {
-    val termList = QueryTerms.map("'" + _ + "'").mkString(",")
-    s"""WITH p AS (
-       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-       |  FROM documents WHERE text IS NOT NULL),
-       |docs AS (SELECT doc_id, len(toks) AS dl, toks FROM p),
-       |stats AS (
-       |  SELECT CAST(count(*) AS BIGINT) AS n,
-       |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-       |  FROM docs),
-       |tf AS (
-       |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
-       |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
-       |  WHERE term IN ($termList)
-       |  GROUP BY 1, 2, 3),
-       |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-       |sc AS (
-       |  SELECT doc_id,
-       |    CAST(round(
-       |      ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
-       |        ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))),
-       |      6) AS DECIMAL(18,6)) AS s
-       |  FROM tf JOIN df USING (term) CROSS JOIN stats)
+  val bm25TopKSql: String =
+    s"""WITH $bm25Cte
        |SELECT doc_id, CAST(sum(s) AS DOUBLE) AS bm25,
        |  CAST(count(*) AS BIGINT) AS n_terms
        |FROM sc GROUP BY doc_id
        |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin
-  }
 }

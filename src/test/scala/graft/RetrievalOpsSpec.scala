@@ -104,10 +104,16 @@ class RetrievalOpsSpec extends SparkSpec {
   }
 
   test("rrf fusion plan: leg truncation is a bounded heap, dense query is broadcast") {
-    val plan = RetrievalOps.rrfFusion(spark, sf0001)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("TakeOrderedAndProject"), plan)
-    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"), plan)
-    assert(!plan.contains("CartesianProduct"), plan)
+    // plan-assertion convention: AQE off so the executed plan is the real
+    // tree, not an AdaptiveSparkPlan wrapper around an initial plan
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = RetrievalOps.rrfFusion(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"), plan)
+      assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 }

@@ -195,7 +195,7 @@ class Round9OpsSpec extends SparkSpec {
       ("dixon", "dicksonx", 0.8133333333333332),
       ("duane", "dwayne", 0.8400000000000001),
       ("abc", "abc", 1.0),
-      ("crzy", "crzyx", 0.96), // prefix boost: jaro 0.95 + 4·0.1·0.05
+      ("crzy", "crzyx", 0.96), // m=4: jaro = 14/15; jw = 14/15 + 4·0.1·(1/15)
       ("", "", 0.0),           // DuckDB: both empty → 0, NOT 1
       ("a", "", 0.0),
       ("abc", "xyz", 0.0))
@@ -416,16 +416,7 @@ class Round9OpsSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       LayoutOps.dppPrune(spark, sf0001).collect() // writes both layouts
-      // locate the freshly-written dir via a second explicit write
-      val dir = java.nio.file.Files.createTempDirectory("graft_dpp_spec").toFile.getAbsolutePath
-      graft.Tables.events(spark, sf0001)
-        .select(col("user_id"), col("value"))
-        .withColumn("bucket", (col("user_id") % 16).cast("int"))
-        .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/events_part")
-      import spark.implicits._
-      Seq(1, 5, 11).toDF("bucket").write.mode("overwrite").parquet(s"$dir/dim")
-
-      val q = LayoutOps.joinOverPartitions(spark, dir)
+      val q = LayoutOps.joinOverPartitions(spark, LayoutOps.dppLayoutDir)
       val plan = q.queryExecution.executedPlan.toString
       assert(plan.contains("dynamicpruningexpression"), plan)
 
