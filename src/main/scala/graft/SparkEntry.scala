@@ -25,6 +25,7 @@ object SparkEntry {
     "a5_max_agg"        -> (RQ.a5MaxAgg _),
     "a6_filtered_minmax" -> (RQ.a6FilteredMinMax _),
     "a9_latest_wins"    -> (RQ.a9LatestWins _),
+    "a9_merge_upsert"   -> (RQ.a9MergeUpsert _),
     "a11_count"         -> (RQ.a11Count _),
     // Plane B — relationally-expressible dataflow operators (SURVEY §2.2)
     "b6_anti_join"      -> (RQ.b6AntiJoin _),
@@ -51,6 +52,7 @@ object SparkEntry {
     "g_distinct_agg"    -> (AQ.gDistinctAgg _),
     "g_cube"            -> (AQ.gCube _),
     "g_pivot"           -> (AQ.gPivot _),
+    "g_unpivot"         -> (AQ.gUnpivot _),
     "g_profile"         -> (AQ.gProfile _),
     // Time-series extensions (as-of join, sessionization)
     "ts_asof_join"      -> (TimeSeriesOps.asofQuery _),
@@ -203,6 +205,7 @@ object SparkEntry {
     "a5_max_agg"        -> RQ.a5MaxAggSql,
     "a6_filtered_minmax" -> RQ.a6FilteredMinMaxSql,
     "a9_latest_wins"    -> RQ.a9LatestWinsSql,
+    "a9_merge_upsert"   -> RQ.a9MergeUpsertSql,
     "a11_count"         -> RQ.a11CountSql,
     "b6_anti_join"      -> RQ.b6AntiJoinSql,
     "b7_case_transition" -> RQ.b7CaseTransitionSql,
@@ -226,6 +229,7 @@ object SparkEntry {
     "g_distinct_agg"    -> AQ.gDistinctAggSql,
     "g_cube"            -> AQ.gCubeSql,
     "g_pivot"           -> AQ.gPivotSql,
+    "g_unpivot"         -> AQ.gUnpivotSql,
     "g_profile"         -> AQ.gProfileSql,
     "ts_asof_join"      -> TimeSeriesOps.asofQuerySql,
     "ts_sessionize"     -> TimeSeriesOps.sessionizeSql(),

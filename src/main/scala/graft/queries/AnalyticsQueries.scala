@@ -226,6 +226,37 @@ object AnalyticsQueries {
       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  /** Unpivot (melt) — the inverse of [[gPivot]]'s wide shape: per-flag
+    * measure columns stacked into (measure, value) rows via the `stack`
+    * generator. Runs AFTER the aggregation, so the generator fans out over
+    * group-count rows, never data-scale ones; the long shape is what
+    * metric stores and plotting layers ingest.
+    */
+  def gUnpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        sum(dec(col("l_quantity"))).cast(DoubleType).as("qty"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("price"),
+        sum(dec(col("l_tax"))).cast(DoubleType).as("tax"))
+      .selectExpr("l_returnflag",
+        "stack(3, 'qty', qty, 'price', price, 'tax', tax) AS (measure, value)")
+      .orderBy("l_returnflag", "measure")
+  val gUnpivotSql: String =
+    """WITH w AS (
+      |  SELECT l_returnflag,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
+      |    CAST(sum(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS tax
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, measure, value FROM (
+      |  SELECT l_returnflag, 'qty' AS measure, qty AS value FROM w
+      |  UNION ALL
+      |  SELECT l_returnflag, 'price' AS measure, price AS value FROM w
+      |  UNION ALL
+      |  SELECT l_returnflag, 'tax' AS measure, tax AS value FROM w)
+      |ORDER BY l_returnflag, measure""".stripMargin
+
   /** Distinct + approximate distinct. The exact count is the oracle-checked
     * column; HLL (`approx_count_distinct`) is exercised in tests (not
     * cross-engine hash-stable by construction).

@@ -112,6 +112,64 @@ object RelationalQueries {
       |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
       |  FROM ev) WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** MERGE INTO semantics as one batch op (the warehouse upsert the
+    * reference's in-place UPDATE cannot express): target = customer,
+    * updates carry both MATCHED rows (new balance from order totals, every
+    * third customer) and NOT-MATCHED rows (fresh keys → inserts). One
+    * full-outer join on the key resolves the three-way action —
+    * update / insert / keep — via coalesce; at 100 TB both sides shuffle
+    * once on the merge key (or not at all when the target is bucketed by
+    * it, [[graft.operators.BucketingOps]]), and the output is the next
+    * snapshot the way Delta/Iceberg MERGE rewrites it.
+    */
+  def a9MergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val dec2 = DecimalType(18, 2)
+    val target = Tables.customer(s, d).select(
+      col("c_custkey").as("k"), col("c_name").as("t_name"),
+      col("c_acctbal").as("t_bal"))
+    val matched = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(dec2)).cast("double").as("u_bal"))
+      .filter(col("o_custkey") % 3 === 0)
+      .select(col("o_custkey").as("k"), lit(null).cast("string").as("u_name"),
+        col("u_bal"))
+    val inserts = Tables.customer(s, d)
+      .filter(col("c_custkey") % 50 === 1)
+      .select((col("c_custkey") + 1000000L).as("k"),
+        concat(lit("new_"), col("c_custkey")).as("u_name"),
+        lit(0.0).as("u_bal"))
+    val updates = matched.union(inserts)
+    target.join(updates, Seq("k"), "full_outer")
+      .select(
+        col("k"),
+        coalesce(col("t_name"), col("u_name")).as("name"),
+        coalesce(col("u_bal"), col("t_bal")).as("acctbal"),
+        when(col("t_name").isNotNull && col("u_bal").isNotNull, "update")
+          .when(col("t_name").isNull, "insert")
+          .otherwise("keep").as("action"))
+      .orderBy("k")
+  }
+  val a9MergeUpsertSql: String =
+    """WITH target AS (
+      |  SELECT c_custkey AS k, c_name AS t_name, c_acctbal AS t_bal FROM customer),
+      |matched AS (
+      |  SELECT o_custkey AS k, CAST(NULL AS VARCHAR) AS u_name,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS u_bal
+      |  FROM orders GROUP BY o_custkey HAVING o_custkey % 3 = 0),
+      |inserts AS (
+      |  SELECT c_custkey + 1000000 AS k, 'new_' || c_custkey AS u_name,
+      |    0.0::DOUBLE AS u_bal
+      |  FROM customer WHERE c_custkey % 50 = 1),
+      |updates AS (SELECT * FROM matched UNION ALL SELECT * FROM inserts)
+      |SELECT COALESCE(t.k, u.k) AS k,
+      |  COALESCE(t.t_name, u.u_name) AS name,
+      |  COALESCE(u.u_bal, t.t_bal) AS acctbal,
+      |  CASE WHEN t.t_name IS NOT NULL AND u.u_bal IS NOT NULL THEN 'update'
+      |       WHEN t.t_name IS NULL THEN 'insert'
+      |       ELSE 'keep' END AS action
+      |FROM target t FULL OUTER JOIN updates u ON t.k = u.k
+      |ORDER BY k""".stripMargin
+
   /** A11 — COUNT(*) (`ClickHouseDAO.java:193-202`). Parquet metadata-only at
     * scale (no row materialization).
     */

@@ -259,6 +259,37 @@ class Round9OpsSpec extends SparkSpec {
     assert(math.abs(rank.values.sum - GraphOps.Nano) < 10000L, rank.values.sum)
   }
 
+  test("merge upsert: three-way action resolution covers target exactly once") {
+    import graft.queries.RelationalQueries
+    val rows = RelationalQueries.a9MergeUpsert(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    val nCust = graft.Tables.customer(spark, sf0001).count()
+    val byAction = rows.groupBy(_._2).map { case (a, rs) => a -> rs.length }
+    // every target row survives exactly once (update or keep), inserts add
+    assert(byAction.getOrElse("update", 0) + byAction.getOrElse("keep", 0) == nCust)
+    assert(byAction.getOrElse("insert", 0) > 0)
+    rows.foreach { case (k, a) =>
+      if (a == "insert") assert(k > 1000000L, s"insert key $k")
+      if (a == "update") assert(k % 3 == 0, s"update key $k")
+    }
+    assert(rows.map(_._1).distinct.length == rows.length) // key is unique
+  }
+
+  test("unpivot: long shape carries exactly the wide aggregation's cells") {
+    import graft.queries.AnalyticsQueries
+    val long = AnalyticsQueries.gUnpivot(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val flags = long.keySet.map(_._1)
+    assert(long.size == flags.size * 3) // qty/price/tax per flag
+    // spot-check one measure against an independent aggregation
+    val wantQty = graft.Tables.lineitem(spark, sf0001)
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double").as("q")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    flags.foreach(f => assert(long((f, "qty")) == wantQty(f), f))
+  }
+
   test("count-min sketch: disjoint-half merge is exact, estimates bounded") {
     val df = graft.Tables.lineitem(spark, sf0001).select(col("l_suppkey"))
     val (eps, conf, seed) = (0.01, 0.9, 42)
