@@ -147,6 +147,46 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState: per-source token budget admits until crossing, state survives batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.{DocIn, SourceBudget}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[DocIn]
+    val q = SourceBudget.decisions(in.toDS(), budget = 100L)
+      .writeStream.format("memory").queryName("budget")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: webA consumes 60 (admitted, below budget)
+      in.addData(DocIn("webA", 1L, 60L), DocIn("books", 10L, 30L))
+      q.processAllAvailable()
+      // batch 2: webA crosses the budget (60 < 100 → admit, cum 150);
+      // books stays under
+      in.addData(DocIn("webA", 2L, 90L), DocIn("books", 11L, 30L))
+      q.processAllAvailable()
+      // batch 3: webA is over (150 >= 100 → reject); books crosses (admit)
+      in.addData(DocIn("webA", 3L, 10L), DocIn("books", 12L, 50L))
+      q.processAllAvailable()
+      val got = spark.table("budget").as[(String, Long, Boolean, Long)].collect()
+        .map(r => r._2 -> ((r._3, r._4))).toMap
+      assert(got(1L) == ((true, 60L)))
+      assert(got(2L) == ((true, 150L)))  // crossing doc admitted
+      assert(got(3L) == ((false, 150L))) // post-crossing rejected, state held
+      assert(got(10L) == ((true, 30L)) && got(11L) == ((true, 60L)))
+      assert(got(12L) == ((true, 110L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream interval join with watermarks (trade ↔ prior quote)") {
     import org.apache.spark.sql.streaming.OutputMode
     val root = tmpDir("ssj")
