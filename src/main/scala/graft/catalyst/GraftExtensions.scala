@@ -105,6 +105,10 @@ object GraftExtensions {
       info("jaro_winkler",
         "jaro_winkler(a, b) - Jaro-Winkler similarity (DuckDB-compatible)"),
       arity("jaro_winkler", 2)(es => JaroWinkler(es.head, es(1)))),
+    ("merge_pair",
+      info("merge_pair",
+        "merge_pair(syms, l, r) - one greedy non-overlapping BPE merge pass"),
+      arity("merge_pair", 3)(es => MergePair(es.head, es(1), es(2)))),
   )
 
   /** Runtime registration on an existing session. */

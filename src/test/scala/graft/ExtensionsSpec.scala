@@ -27,6 +27,14 @@ class ExtensionsSpec extends SparkSpec {
     // near-identical docs differ in few simhash bits
     val Seq(a, b) = sql.map(_.getLong(0)).toSeq
     assert(java.lang.Long.bitCount(a ^ b) <= 16)
+
+    // round-9 additions answer from SQL text too
+    val r9 = spark.sql(
+      """SELECT jaro_winkler('martha', 'marhta') AS jw,
+        |       merge_pair(array('a', 'a', 'a', 'a'), 'a', 'a') AS mp""".stripMargin)
+      .collect()(0)
+    assert(r9.getDouble(0) == 0.9611111111111111)
+    assert(r9.getSeq[String](1) == Seq("aa", "aa"))
   }
 
   test("SQL registration rejects wrong arg counts as analysis errors") {
