@@ -122,6 +122,7 @@ object SparkEntry {
     "t_bigram_lm"       -> (PQ.bigramLm _),
     "t_bpe_train"       -> ((s, d) => graft.operators.TokenizerOps.bpeTrain(s, d)),
     "t_bpe_encode"      -> ((s, d) => graft.operators.TokenizerOps.bpeSegment(s, d)),
+    "t_bpe_pairs"       -> ((s, d) => graft.operators.TokenizerOps.bpePairFreqs(s, d)),
     "d_cluster_canon"   -> ((s, d) => graft.operators.DedupPipeline
       .clusters(DedupOps.ngramJaccardPairs(s, d)).orderBy("doc_id")),
     // Round 2: deterministic splits / sampling / balancing
@@ -277,6 +278,7 @@ object SparkEntry {
     "t_doc_freq"        -> PQ.docFreqSql,
     "t_vocab_oov"       -> PQ.vocabOovSql,
     "t_bigram_lm"       -> PQ.bigramLmSql,
+    "t_bpe_pairs"       -> graft.operators.TokenizerOps.bpePairFreqsSql,
     "d_cluster_canon"   -> DedupOps.clusterCanonSql,
     "p_train_split"     -> PQ.trainSplitSql,
     "p_stratified_sample" -> PQ.stratifiedSampleSql,

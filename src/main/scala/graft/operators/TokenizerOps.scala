@@ -73,6 +73,43 @@ object TokenizerOps {
     merges.toSeq.toDF("rank", "left", "right", "freq").orderBy("rank")
   }
 
+  /** The data-scale kernel of BPE training, exposed alone so the oracle can
+    * check it: round-1 adjacent character-pair frequencies over the
+    * word-count table, top 20 by (freq desc, l, r). [[bpeTrain]]'s later
+    * rounds iterate exactly this shape over merged symbols (covered by the
+    * reference-pinned spec — greedy merge application is what SQL cannot
+    * express, not the counting).
+    */
+  def bpePairFreqs(s: SparkSession, d: String, k: Int = 20): DataFrame =
+    Tables.fanOut(Tables.documents(s, d))
+      .filter(col("text").isNotNull)
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .filter(length(col("word")) >= 2)
+      .select(col("word"), col("cnt"),
+        explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+      .select(
+        col("word").substr(col("i"), lit(1)).as("l"),
+        col("word").substr(col("i") + 1, lit(1)).as("r"),
+        col("cnt"))
+      .groupBy("l", "r").agg(sum("cnt").as("freq"))
+      .orderBy(col("freq").desc, col("l"), col("r"))
+      .limit(k)
+
+  val bpePairFreqsSql: String =
+    """WITH wc AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+      |        FROM documents WHERE text IS NOT NULL)
+      |  GROUP BY word),
+      |pairs AS (
+      |  SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r, cnt
+      |  FROM (SELECT word, cnt, unnest(generate_series(1, length(word) - 1)) AS i
+      |        FROM wc WHERE length(word) >= 2))
+      |SELECT l, r, CAST(sum(cnt) AS BIGINT) AS freq
+      |FROM pairs GROUP BY l, r
+      |ORDER BY freq DESC, l, r LIMIT 20""".stripMargin
+
   /** Segment the corpus with the learned merges: every word passes through
     * the `k` merges IN RANK ORDER (one greedy pass each — the same
     * application order training used, so encode is consistent with train),
