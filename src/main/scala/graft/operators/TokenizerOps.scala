@@ -32,15 +32,26 @@ object TokenizerOps {
 
   val Merges = 8
 
+  /** Pair-frequency rows returned by [[bpePairFreqs]] and its oracle — one
+    * constant so the Spark LIMIT and the SQL LIMIT cannot desynchronize. */
+  val PairTopK = 20
+
+  /** The shared data-scale prelude: distinct-word counts over the corpus
+    * (explode → partial-aggregated groupBy). [[bpeTrain]] and
+    * [[bpePairFreqs]] must iterate the SAME word table for the
+    * kernel-oracle argument to hold, so both call this. */
+  private def wordCounts(s: SparkSession, d: String): DataFrame =
+    Tables.fanOut(Tables.documents(s, d))
+      .filter(col("text").isNotNull)
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
   /** Learn `k` BPE merges from the corpus; returns (rank, left, right,
     * freq) — freq is the pair's corpus frequency when it won its round.
     */
   def bpeTrain(s: SparkSession, d: String, k: Int = Merges): DataFrame = {
     import graft.catalyst.HashFunctions.merge_pair
-    var words = Tables.fanOut(Tables.documents(s, d))
-      .filter(col("text").isNotNull)
-      .select(explode(TextOps.tokens(col("text"))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    var words = wordCounts(s, d)
       .select(split(col("word"), "").as("syms"), col("cnt"))
       .localCheckpoint(true)
 
@@ -80,11 +91,8 @@ object TokenizerOps {
     * reference-pinned spec — greedy merge application is what SQL cannot
     * express, not the counting).
     */
-  def bpePairFreqs(s: SparkSession, d: String, k: Int = 20): DataFrame =
-    Tables.fanOut(Tables.documents(s, d))
-      .filter(col("text").isNotNull)
-      .select(explode(TextOps.tokens(col("text"))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
+  def bpePairFreqs(s: SparkSession, d: String, k: Int = PairTopK): DataFrame =
+    wordCounts(s, d)
       .filter(length(col("word")) >= 2)
       .select(col("word"), col("cnt"),
         explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
@@ -108,7 +116,7 @@ object TokenizerOps {
       |        FROM wc WHERE length(word) >= 2))
       |SELECT l, r, CAST(sum(cnt) AS BIGINT) AS freq
       |FROM pairs GROUP BY l, r
-      |ORDER BY freq DESC, l, r LIMIT 20""".stripMargin
+      |ORDER BY freq DESC, l, r LIMIT """.stripMargin + PairTopK
 
   /** Segment the corpus with the learned merges: every word passes through
     * the `k` merges IN RANK ORDER (one greedy pass each — the same

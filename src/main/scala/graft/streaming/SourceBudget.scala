@@ -5,15 +5,18 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
   TimerValues, TTLConfig, ValueState}
 
 /** Per-source token-budget admission as an always-on stream — the streaming
-  * twin of the batch `t_source_cap` quota query, built on Spark 4's
-  * `transformWithState` (the arbitrary-state API that supersedes
+  * counterpart of the batch `t_source_cap` quota (that op caps DOCUMENT
+  * COUNT per source by rank; this one caps cumulative TOKENS in arrival
+  * order — complementary knobs, not the same admitted set), built on
+  * Spark 4's `transformWithState` (the arbitrary-state API that supersedes
   * `flatMapGroupsWithState`: typed state handles, TTL, timers, RocksDB
   * state store).
   *
   * Semantics: a document is ADMITTED while its source's cumulative admitted
   * tokens are below the budget (the crossing document is admitted — quota
-  * enforcement cuts AFTER the threshold crossing, matching the batch op);
-  * everything after is rejected with the standing total attached.
+  * enforcement cuts only after the running total crosses the threshold);
+  * everything after is rejected with the standing total attached. Admission
+  * is therefore arrival-order-dependent, as any online quota must be.
   *
   * Scale shape: state is ONE long per source (the cumulative counter) in
   * the RocksDB store — independent of document rate; the shuffle is the
