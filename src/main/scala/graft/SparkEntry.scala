@@ -196,6 +196,9 @@ object SparkEntry {
     "s_ann_pq"          -> (SimilarityOps.annPq _),
     "ts_scd2"           -> (TimeSeriesOps.scd2History _),
     "d_incremental"     -> (DedupOps.incrementalDedupQuery _),
+    // ClickHouse-style behavioral analytics: windowFunnel / retention
+    "w_funnel"          -> ((s, d) => graft.operators.FunnelOps.windowFunnel(s, d)),
+    "w_retention"       -> (graft.operators.FunnelOps.retention _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -328,5 +331,7 @@ object SparkEntry {
     "s_ann_pq"          -> SimilarityOps.annPqSql,
     "ts_scd2"           -> TimeSeriesOps.scd2HistorySql,
     "d_incremental"     -> DedupOps.incrementalDedupSql,
+    "w_funnel"          -> graft.operators.FunnelOps.windowFunnelSql,
+    "w_retention"       -> graft.operators.FunnelOps.retentionSql,
   )
 }

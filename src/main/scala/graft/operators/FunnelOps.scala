@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Behavioral-analytics operators over the event stream — the two signature
+  * ClickHouse parametric aggregates (`windowFunnel`, `retention`) that users
+  * of the reference's ClickHouse warehouse
+  * (`dao/ClickHouseDAO.java:146-158` is where its rows land) would reach for
+  * first, re-expressed as declarative Spark plans.
+  *
+  * Funnel semantics (matching ClickHouse `windowFunnel(window)(ts, c1..ck)`
+  * in its default mode): per user, the maximum `k` such that events
+  * `e_1 .. e_k` exist with `type(e_j) = stage_j`, non-decreasing
+  * timestamps, and `ts_k - ts_1 <= window`. Chains may skip unrelated
+  * events; each chain is anchored at its own stage-1 event.
+  *
+  * Plan shape: filter to stage events (pushed to the scan), ONE shuffle on
+  * `user_id`, per-user sort via `sort_array`, then a single left-to-right
+  * fold (`aggregate` HOF — codegen'd, no UDF) carrying `k` longs of state:
+  * `best[i]` = the latest stage-1 anchor among chains reaching stage `i`.
+  * Keeping the LATEST anchor dominates: extending a chain at time `t`
+  * requires `anchor >= t - window`, so the maximal anchor admits every
+  * extension any other chain would. The per-user array is session-scale
+  * (bounded by one user's activity, same contract as `ts_sessionize`); at
+  * extreme per-user cardinality the identical DP runs as `k` stacked
+  * running-max window functions over one (user, ts) sort — same shuffle,
+  * no collect — documented here as the escape hatch.
+  */
+object FunnelOps {
+
+  val Stages: Seq[String] = Seq("view", "click", "purchase")
+  val WindowSec: Long     = 4 * 3600L
+
+  def windowFunnel(s: SparkSession, d: String,
+      stages: Seq[String] = Stages, windowSec: Long = WindowSec): DataFrame = {
+    val k        = stages.length
+    val winUs    = windowSec * 1000000L
+    val sentinel = Long.MinValue
+    // stage index as a CASE chain: codegen'd, no array allocation per row
+    val idxExpr = stages.zipWithIndex.foldLeft(lit(-1)) { case (acc, (st, i)) =>
+      when(col("event_type") === st, lit(i)).otherwise(acc)
+    }
+    Tables.events(s, d)
+      .filter(col("event_type").isin(stages: _*))
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("ts"), idxExpr.as("idx")).as("e"))
+      .groupBy("user_id")
+      // lexicographic struct sort = (ts, stage_idx): at equal ts the earlier
+      // stage folds first, so same-timestamp chains resolve exactly like the
+      // oracle's non-strict `>=` chain condition
+      .agg(sort_array(collect_list(col("e"))).as("evs"))
+      .select(col("user_id"),
+        aggregate(
+          col("evs"),
+          array_repeat(lit(sentinel), k),
+          (acc, e) => transform(acc, (best, i) =>
+            when(i === e.getField("idx"),
+              when(e.getField("idx") === lit(0),
+                greatest(best, e.getField("ts")))
+                .otherwise(
+                  // element_at is 1-based, so index i reads best[i-1];
+                  // only reached when idx >= 1 (CASE branches are lazy)
+                  when(element_at(acc, i) >= e.getField("ts") - winUs,
+                    greatest(best, element_at(acc, i)))
+                    .otherwise(best)))
+              .otherwise(best)),
+          acc => size(filter(acc, best => best =!= sentinel))
+        ).as("funnel_level"))
+      .orderBy("user_id")
+  }
+
+  /** Oracle replays the DP as greedy chains: for a FIXED stage-1 anchor the
+    * earliest qualifying next-stage event is optimal (it maximizes room for
+    * later stages), so per-anchor `min` subqueries + a max over anchors
+    * reproduce the exists-a-chain semantics exactly.
+    */
+  val windowFunnelSql: String = {
+    val w = WindowSec * 1000000L
+    s"""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts, event_type
+       |           FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+       |u AS (SELECT DISTINCT user_id FROM e),
+       |anchors AS (SELECT user_id, ts AS t1 FROM e WHERE event_type = 'view'),
+       |c2 AS (SELECT a.user_id, a.t1,
+       |         (SELECT min(b.ts) FROM e b WHERE b.user_id = a.user_id
+       |            AND b.event_type = 'click' AND b.ts >= a.t1) AS t2
+       |       FROM anchors a),
+       |c3 AS (SELECT user_id, t1, t2,
+       |         (SELECT min(cc.ts) FROM e cc WHERE cc.user_id = c2.user_id
+       |            AND cc.event_type = 'purchase' AND cc.ts >= c2.t2) AS t3
+       |       FROM c2),
+       |lvl AS (SELECT user_id,
+       |         max(CASE WHEN t3 IS NOT NULL AND t3 - t1 <= $w THEN 3
+       |                  WHEN t2 IS NOT NULL AND t2 - t1 <= $w THEN 2
+       |                  ELSE 1 END) AS funnel_level
+       |        FROM c3 GROUP BY user_id)
+       |SELECT u.user_id, CAST(COALESCE(lvl.funnel_level, 0) AS INTEGER) AS funnel_level
+       |FROM u LEFT JOIN lvl USING (user_id)
+       |ORDER BY user_id""".stripMargin
+  }
+
+  /** ClickHouse-`retention` cohort analysis: the cohort is users who signed
+    * up in week 1; each later flag counts only within the cohort
+    * (`r_i = cond_1 AND cond_i`, exactly the ClickHouse contract). Two
+    * partial-aggregable shuffles (per-user flags, then the global fold) —
+    * the whole query is map-side-combinable at any scale. All-integer
+    * output, hash-stable.
+    */
+  def retention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+      to_date(col("ts")).as("day"))
+    val flag = (c: org.apache.spark.sql.Column) => max(when(c, 1).otherwise(0))
+    ev.groupBy("user_id")
+      .agg(
+        flag(col("event_type") === "signup" &&
+          col("day") < lit("2024-01-08")).as("in_cohort"),
+        flag(col("event_type") === "view" &&
+          col("day") >= lit("2024-01-08") && col("day") < lit("2024-01-15")).as("viewed_w2"),
+        flag(col("event_type") === "purchase" &&
+          col("day") >= lit("2024-01-08") && col("day") < lit("2024-01-15")).as("purchased_w2"))
+      .agg(
+        sum(col("in_cohort")).as("cohort_users"),
+        sum(col("in_cohort") * col("viewed_w2")).as("retained_users"),
+        sum(col("in_cohort") * col("purchased_w2")).as("converted_users"))
+  }
+
+  val retentionSql: String =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'signup'
+      |             AND CAST(ts AS DATE) < DATE '2024-01-08' THEN 1 ELSE 0 END) AS in_cohort,
+      |    max(CASE WHEN event_type = 'view'
+      |             AND CAST(ts AS DATE) >= DATE '2024-01-08'
+      |             AND CAST(ts AS DATE) < DATE '2024-01-15' THEN 1 ELSE 0 END) AS viewed_w2,
+      |    max(CASE WHEN event_type = 'purchase'
+      |             AND CAST(ts AS DATE) >= DATE '2024-01-08'
+      |             AND CAST(ts AS DATE) < DATE '2024-01-15' THEN 1 ELSE 0 END) AS purchased_w2
+      |  FROM events GROUP BY user_id)
+      |SELECT CAST(sum(in_cohort) AS BIGINT) AS cohort_users,
+      |       CAST(sum(in_cohort * viewed_w2) AS BIGINT) AS retained_users,
+      |       CAST(sum(in_cohort * purchased_w2) AS BIGINT) AS converted_users
+      |FROM f""".stripMargin
+}
