@@ -37,19 +37,30 @@ object GraphOps {
   val TopN = 50
   val Nano = 1000000000L // 1e9: rank unit = parts-per-billion
 
-  /** Distinct customer↔supplier edges, both directions, node ids prefixed
-    * `c`/`s` so the two key spaces cannot collide.
+  /** Distinct customer↔supplier edges, both directions. Node ids are packed
+    * longs in the hot path — `2k` for customer k, `2k+1` for supplier k, so
+    * the key spaces cannot collide and the distinct/shuffle/checkpoint all
+    * move 8-byte keys instead of `c…`/`s…` strings (the strings cost ~2×
+    * on the edge materialization, measured via ProfileTool). [[label]]
+    * renders the public `c…`/`s…` form in final projections only.
     */
   def edges(s: SparkSession, d: String): DataFrame = {
     val pairs = Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .select(
-        concat(lit("c"), col("o_custkey")).as("cust"),
-        concat(lit("s"), col("l_suppkey")).as("supp"))
+        (col("o_custkey").cast("long") * 2).as("cust"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("supp"))
       .distinct()
     pairs.select(col("cust").as("src"), col("supp").as("dst"))
       .union(pairs.select(col("supp").as("src"), col("cust").as("dst")))
   }
+
+  /** Public node label for a packed id: `c<k>` / `s<k>`. `shiftright` is
+    * exact integer halving for both parities (Column `/` would widen to
+    * double and render `7.0`). */
+  def label(node: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(node % 2 === 0, concat(lit("c"), shiftright(node, 1).cast("string")))
+      .otherwise(concat(lit("s"), shiftright(node, 1).cast("string")))
 
   /** 3-iteration PageRank, top-[[TopN]] nodes by (rank desc, node). Ranks
     * are BIGINT parts-per-billion (`rank_ppb`); Σ rank_ppb ≈ 10^9.
@@ -57,7 +68,12 @@ object GraphOps {
   def pagerank(s: SparkSession, d: String): DataFrame = {
     val e = edges(s, d)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val eDeg = e.join(deg, "src").localCheckpoint(true)
+    // the degree and rank sides are NODE-sized (≪ edges): broadcast them so
+    // the edge list never shuffles — each iteration is then one broadcast
+    // join + one partial-aggregated groupBy(dst). At node counts beyond
+    // broadcast reach, drop the hints and hash-partition eDeg by src once,
+    // reusing that partitioning every iteration (see scaladoc).
+    val eDeg = e.join(broadcast(deg), "src").localCheckpoint(true)
 
     val nodes = eDeg.select(col("src").as("node")).distinct()
     val nstats = nodes.agg(count(lit(1)).as("n"))
@@ -66,7 +82,7 @@ object GraphOps {
       .select(col("node"),
         round(lit(Nano).cast("double") / col("n")).cast("long").as("rank_ppb"))
     for (_ <- 1 to Iterations) {
-      rank = eDeg.join(rank, eDeg("src") === rank("node"))
+      rank = eDeg.join(broadcast(rank), eDeg("src") === rank("node"))
         .select(col("dst"),
           round(col("rank_ppb").cast("double") / col("outdeg")).cast("long").as("contrib"))
         .groupBy("dst").agg(sum("contrib").as("in_sum"))
@@ -75,7 +91,8 @@ object GraphOps {
           round(lit(0.15) * lit(Nano).cast("double") / col("n") +
             lit(Damping) * col("in_sum").cast("double")).cast("long").as("rank_ppb"))
     }
-    rank.orderBy(col("rank_ppb").desc, col("node")).limit(TopN)
+    rank.select(label(col("node")).as("node"), col("rank_ppb"))
+      .orderBy(col("rank_ppb").desc, col("node")).limit(TopN)
   }
 
   val pagerankSql: String = {

@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Scratch profiler for stage-level timing of a composed query (dev tool:
   * run with SPARK_GRAFT_SF_DIR; prints per-stage wall times).
@@ -18,16 +19,16 @@ object ProfileTool {
       println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
     // warm
-    spark.read.parquet(s"$sfDir/documents.parquet").write.format("noop").mode("overwrite").save()
-    val pairs = graft.operators.DedupOps.ngramJaccardPairs(spark, sfDir)
-    time("pairs noop")(pairs.write.format("noop").mode("overwrite").save())
-    time("pairs noop again")(pairs.write.format("noop").mode("overwrite").save())
-    val sel = pairs.select("a_id", "b_id")
-    val cp = time("localCheckpoint")(sel.localCheckpoint(true))
-    time("count")(cp.count())
-    time("full clusters")(graft.operators.DedupPipeline.clusters(pairs).orderBy("doc_id")
+    spark.read.parquet(s"$sfDir/lineitem.parquet").write.format("noop").mode("overwrite").save()
+    val e = graft.operators.GraphOps.edges(spark, sfDir)
+    time("edges noop")(e.write.format("noop").mode("overwrite").save())
+    time("edges noop again")(e.write.format("noop").mode("overwrite").save())
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eDeg = time("eDeg checkpoint")(e.join(broadcast(deg), "src").localCheckpoint(true))
+    println(s"[profile] eDeg rows: ${eDeg.count()}")
+    time("full pagerank")(graft.operators.GraphOps.pagerank(spark, sfDir)
       .write.format("noop").mode("overwrite").save())
-    time("full clusters again")(graft.operators.DedupPipeline.clusters(pairs).orderBy("doc_id")
+    time("full pagerank again")(graft.operators.GraphOps.pagerank(spark, sfDir)
       .write.format("noop").mode("overwrite").save())
     spark.stop()
   }

@@ -234,8 +234,10 @@ class Round9OpsSpec extends SparkSpec {
 
   test("pagerank matches a driver-side reference on sf0.001; mass is conserved") {
     import graft.operators.GraphOps
+    // packed long ids → public labels, mirroring GraphOps.label
+    def lbl(x: Long): String = if (x % 2 == 0) s"c${x / 2}" else s"s${(x - 1) / 2}"
     val e = GraphOps.edges(spark, sf0001).collect()
-      .map(r => r.getString(0) -> r.getString(1))
+      .map(r => lbl(r.getLong(0)) -> lbl(r.getLong(1)))
     val outdeg = e.groupBy(_._1).map { case (s, es) => s -> es.length }
     val nodes = outdeg.keySet
     val n = nodes.size
