@@ -196,6 +196,8 @@ object SparkEntry {
     "s_ann_pq"          -> (SimilarityOps.annPq _),
     "ts_scd2"           -> (TimeSeriesOps.scd2History _),
     "d_incremental"     -> (DedupOps.incrementalDedupQuery _),
+    // exact heavy hitters: per-partition Misra-Gries candidates + recount
+    "g_heavy_hitters"   -> (graft.operators.FrequencyOps.heavyHitters _),
     // ClickHouse-style behavioral analytics: windowFunnel / retention
     "w_funnel"          -> ((s, d) => graft.operators.FunnelOps.windowFunnel(s, d)),
     "w_retention"       -> (graft.operators.FunnelOps.retention _),
@@ -331,6 +333,7 @@ object SparkEntry {
     "s_ann_pq"          -> SimilarityOps.annPqSql,
     "ts_scd2"           -> TimeSeriesOps.scd2HistorySql,
     "d_incremental"     -> DedupOps.incrementalDedupSql,
+    "g_heavy_hitters"   -> graft.operators.FrequencyOps.heavyHittersSql,
     "w_funnel"          -> graft.operators.FunnelOps.windowFunnelSql,
     "w_retention"       -> graft.operators.FunnelOps.retentionSql,
   )
