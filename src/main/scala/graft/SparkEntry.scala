@@ -198,6 +198,8 @@ object SparkEntry {
     "d_incremental"     -> (DedupOps.incrementalDedupQuery _),
     // exact heavy hitters: per-partition Misra-Gries candidates + recount
     "g_heavy_hitters"   -> (graft.operators.FrequencyOps.heavyHitters _),
+    // PPJoin-style prefix-filtered similarity join (exact, no stop-cap loss)
+    "d_prefix_filter"   -> (DedupOps.prefixFilterPairs _),
     // ClickHouse-style behavioral analytics: windowFunnel / retention
     "w_funnel"          -> ((s, d) => graft.operators.FunnelOps.windowFunnel(s, d)),
     "w_retention"       -> (graft.operators.FunnelOps.retention _),
@@ -334,6 +336,7 @@ object SparkEntry {
     "ts_scd2"           -> TimeSeriesOps.scd2HistorySql,
     "d_incremental"     -> DedupOps.incrementalDedupSql,
     "g_heavy_hitters"   -> graft.operators.FrequencyOps.heavyHittersSql,
+    "d_prefix_filter"   -> DedupOps.prefixFilterSql,
     "w_funnel"          -> graft.operators.FunnelOps.windowFunnelSql,
     "w_retention"       -> graft.operators.FunnelOps.retentionSql,
   )

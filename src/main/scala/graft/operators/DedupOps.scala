@@ -365,4 +365,102 @@ object DedupOps {
       .distinct()
       .orderBy("a_id", "b_id")
   }
+
+  /** Prefix-filter similarity-join threshold as an exact rational (4/5):
+    * every length/overlap test below runs in integer arithmetic, because
+    * `ceil(0.8 * n)` in doubles can round the wrong way (0.8*5 =
+    * 4.0000000000000002 → ceil 5) and a too-SHORT prefix silently loses
+    * true pairs.
+    */
+  val PfNum = 4L
+  val PfDen = 5L
+
+  /** Prefix-filtered set-similarity join (the PPJoin/AllPairs candidate
+    * rule — Bayardo et al. WWW'07, Xiao et al. WWW'08, public folklore):
+    * order each doc's shingles by ascending global document frequency
+    * (rarest first, ties by the 64-bit shingle key — a total order), and
+    * index only the first `|x| − ⌈t·|x|⌉ + 1` of them. Any pair with
+    * Jaccard ≥ t MUST collide on at least one prefix shingle: if the
+    * smallest shared shingle sat outside (wlog) A's prefix, every shared
+    * shingle would sit in A's suffix, so |A∩B| ≤ ⌈t·|A|⌉ − 1 — too few for
+    * J ≥ t once the size filter `t·|B| ≤ |A|` holds. Candidates therefore
+    * come from posting lists over PREFIX shingles only; frequent
+    * (boilerplate) shingles land in suffixes and never fan out — the
+    * quadratic bucket blow-up that [[StopShingleCap]] truncates away in
+    * [[ngramJaccardPairs]] is avoided here WITHOUT dropping any pair, so
+    * the result is the exact thresholded join.
+    *
+    * Verification joins candidates back to the full (distinct) shingle-hash
+    * arrays and tests `|A∩B| · 5 ≥ (|A|+|B|−|A∩B|) · 4` in integers.
+    *
+    * Plan: df count (one hash agg on 8-byte keys), per-doc rank (window
+    * partitioned by doc — per-doc cardinality, scale-safe), prefix posting
+    * self-join, then a candidate-only verify join. At 100 TB the prefix
+    * index is ~(1−t)·|shingles| rows and the verify join touches only
+    * surviving pairs.
+    */
+  def prefixFilterPairs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = shingleHashDocs(s, d).filter(col("n") > 0).localCheckpoint(true)
+    val ex = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("sk"))
+    val dfreq = ex.groupBy("sk").agg(count(lit(1)).as("df"))
+    val pfx = ex.join(dfreq, "sk")
+      .withColumn("r", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("sk"))))
+      .filter(col("r") <= expr(s"n - ((n * $PfNum + ${PfDen - 1}) div $PfDen) + 1"))
+      .select(col("doc_id"), col("n"), col("sk"))
+    val cand = pfx.as("a").join(pfx.as("b"),
+        col("a.sk") === col("b.sk") && col("a.doc_id") < col("b.doc_id") &&
+          // size filter: J ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|)
+          col("a.n") * PfDen >= col("b.n") * PfNum &&
+          col("b.n") * PfDen >= col("a.n") * PfNum)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val da = docs.select(col("doc_id").as("a_id"), col("sh").as("sha"), col("n").as("na"))
+    val db = docs.select(col("doc_id").as("b_id"), col("sh").as("shb"), col("n").as("nb"))
+    cand.join(da, "a_id").join(db, "b_id")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .filter(col("common") * PfDen >= (col("na") + col("nb") - col("common")) * PfNum)
+      .select(col("a_id"), col("b_id"),
+        round(col("common").cast("double") / (col("na") + col("nb") - col("common")), 4)
+          .as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Candidate-pair count of the prefix index vs. the plain (uncapped)
+    * posting-list join — the measured pruning ratio pinned by the spec.
+    */
+  def prefixCandidateCounts(s: SparkSession, d: String): (Long, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = shingleHashDocs(s, d).filter(col("n") > 0).localCheckpoint(true)
+    val ex = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("sk"))
+    val plain = ex.as("a").join(ex.as("b"),
+        col("a.sk") === col("b.sk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    val dfreq = ex.groupBy("sk").agg(count(lit(1)).as("df"))
+    val pfx = ex.join(dfreq, "sk")
+      .withColumn("r", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("sk"))))
+      .filter(col("r") <= expr(s"n - ((n * $PfNum + ${PfDen - 1}) div $PfDen) + 1"))
+      .select(col("doc_id"), col("n"), col("sk"))
+    val pruned = pfx.as("a").join(pfx.as("b"),
+        col("a.sk") === col("b.sk") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * PfDen >= col("b.n") * PfNum &&
+          col("b.n") * PfDen >= col("a.n") * PfNum)
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    (plain, pruned)
+  }
+
+  val prefixFilterSql: String =
+    s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks WHERE len(t) >= 3)),
+       |c AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+       |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT a_id, b_id,
+       |  round(common * 1.0 / (ca.n + cb.n - common), 4) AS jaccard
+       |FROM p JOIN c ca ON ca.doc_id = a_id JOIN c cb ON cb.doc_id = b_id
+       |WHERE common * $PfDen >= (ca.n + cb.n - common) * $PfNum
+       |ORDER BY a_id, b_id""".stripMargin
 }
