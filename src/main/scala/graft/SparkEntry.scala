@@ -202,6 +202,8 @@ object SparkEntry {
     "d_prefix_filter"   -> (DedupOps.prefixFilterPairs _),
     // ClickHouse-style behavioral analytics: windowFunnel / retention
     "w_funnel"          -> ((s, d) => graft.operators.FunnelOps.windowFunnel(s, d)),
+    "w_seq_match"       -> (graft.operators.FunnelOps.seqMatch _),
+    "w_islands"         -> (graft.operators.FunnelOps.streaks _),
     "w_retention"       -> (graft.operators.FunnelOps.retention _),
   )
 
@@ -338,6 +340,8 @@ object SparkEntry {
     "g_heavy_hitters"   -> graft.operators.FrequencyOps.heavyHittersSql,
     "d_prefix_filter"   -> DedupOps.prefixFilterSql,
     "w_funnel"          -> graft.operators.FunnelOps.windowFunnelSql,
+    "w_seq_match"       -> graft.operators.FunnelOps.seqMatchSql,
+    "w_islands"         -> graft.operators.FunnelOps.streaksSql,
     "w_retention"       -> graft.operators.FunnelOps.retentionSql,
   )
 }

@@ -141,4 +141,77 @@ object FunnelOps {
       |       CAST(sum(in_cohort * viewed_w2) AS BIGINT) AS retained_users,
       |       CAST(sum(in_cohort * purchased_w2) AS BIGINT) AS converted_users
       |FROM f""".stripMargin
+
+  /** ClickHouse-`sequenceMatch` pattern search: per user, encode the
+    * time-ordered event stream as one character per event and run the
+    * pattern as a plain regex over that string — `(?1).*(?2).*(?3)` becomes
+    * `v.*c.*p`. Ties are broken (ts, char) in BOTH engines, so equal-ts
+    * orderings are deterministic, not luck. One shuffle on user_id; the
+    * per-user string is session-scale (same contract as `windowFunnel`).
+    * Regex evaluation is per-row codegen'd string work — no UDF.
+    */
+  def seqMatch(s: SparkSession, d: String): DataFrame = {
+    val chExpr = when(col("event_type") === "view", "v")
+      .when(col("event_type") === "click", "c")
+      .when(col("event_type") === "purchase", "p")
+      .when(col("event_type") === "error", "e")
+      .when(col("event_type") === "signup", "s")
+      .otherwise("x")
+    Tables.events(s, d)
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("ts"), chExpr.as("ch")).as("e"))
+      .groupBy("user_id")
+      .agg(array_join(
+        transform(sort_array(collect_list(col("e"))), x => x.getField("ch")), "")
+        .as("seq"))
+      .select(col("user_id"), col("seq"),
+        col("seq").rlike("v.*c.*p").cast("int").as("m_funnel"),
+        col("seq").rlike("e.*p").cast("int").as("m_error_then_purchase"))
+      .orderBy("user_id")
+  }
+
+  val seqMatchSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts,
+      |  CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+      |       WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e'
+      |       WHEN 'signup' THEN 's' ELSE 'x' END AS ch FROM events),
+      |s AS (SELECT user_id, string_agg(ch, '' ORDER BY ts, ch) AS seq
+      |      FROM e GROUP BY user_id)
+      |SELECT user_id, seq,
+      |  CAST(regexp_matches(seq, 'v.*c.*p') AS INTEGER) AS m_funnel,
+      |  CAST(regexp_matches(seq, 'e.*p') AS INTEGER) AS m_error_then_purchase
+      |FROM s ORDER BY user_id""".stripMargin
+
+  /** Gaps-and-islands: longest consecutive-active-day streak per user via
+    * the classic `epoch_day − row_number()` island key — all-integer, two
+    * partial-aggregable aggregations after one per-user window whose
+    * partition is the user's distinct active days (bounded by calendar
+    * span, never by event volume).
+    */
+  def streaks(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(s, d)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).as("ed"))
+      .distinct()
+    days
+      .withColumn("grp",
+        col("ed") - row_number().over(Window.partitionBy("user_id").orderBy("ed")))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(max("len").as("best_streak"), sum("len").as("active_days"))
+      .orderBy("user_id")
+  }
+
+  val streaksSql: String =
+    """WITH days AS (SELECT DISTINCT user_id,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+      |g AS (SELECT user_id,
+      |    datediff('day', DATE '1970-01-01', day)
+      |      - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+      |  FROM days),
+      |i AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+      |SELECT user_id, CAST(max(len) AS BIGINT) AS best_streak,
+      |       CAST(sum(len) AS BIGINT) AS active_days
+      |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin
 }

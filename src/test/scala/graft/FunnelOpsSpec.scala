@@ -86,4 +86,39 @@ class FunnelOpsSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == want)
     assert(r.getLong(0) > 0, "cohort must be non-empty for the spec to bite")
   }
+
+  test("seqMatch: crafted sequences incl. equal-timestamp ties") {
+    val dir = writeEvents(Seq(
+      // u1: v..c..p -> funnel hit, no error path
+      (1L, t0, "view"), (1L, t0 + H, "click"), (1L, t0 + 2 * H, "purchase"),
+      // u2: p before c -> "vpc": no funnel
+      (2L, t0, "view"), (2L, t0 + H, "purchase"), (2L, t0 + 2 * H, "click"),
+      // u3: error then purchase
+      (3L, t0, "error"), (3L, t0 + H, "purchase"),
+      // u4: tie at t0 -> (ts, ch) order = c before v -> "cv": no funnel
+      (4L, t0, "view"), (4L, t0, "click"),
+      // u5: signup only
+      (5L, t0, "signup")))
+    val got = FunnelOps.seqMatch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(got == Seq(
+      (1L, "vcp", 1, 0), (2L, "vpc", 0, 0), (3L, "ep", 0, 1),
+      (4L, "cv", 0, 0), (5L, "s", 0, 0)))
+  }
+
+  test("streaks: crafted island layouts") {
+    val day = 86400L * 1000000L
+    val dir = writeEvents(Seq(
+      // u1: days 0,1,2 then 10 -> best streak 3, active 4
+      (1L, t0, "view"), (1L, t0 + day, "view"), (1L, t0 + 2 * day, "view"),
+      (1L, t0 + 10 * day, "view"),
+      // u2: two events same day then a gap then 2-day island -> best 2, active 3
+      (2L, t0, "view"), (2L, t0 + H, "click"),
+      (2L, t0 + 5 * day, "view"), (2L, t0 + 6 * day, "view"),
+      // u3: single day
+      (3L, t0, "error")))
+    val got = FunnelOps.streaks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 3L, 4L), (2L, 2L, 3L), (3L, 1L, 1L)))
+  }
 }
