@@ -54,6 +54,9 @@ object SparkEntry {
     "g_pivot"           -> (AQ.gPivot _),
     "g_unpivot"         -> (AQ.gUnpivot _),
     "g_profile"         -> (AQ.gProfile _),
+    "g_histogram"       -> (AQ.gHistogram _),
+    "g_mad_outliers"    -> (AQ.gMadOutliers _),
+    "g_argminmax"       -> (AQ.gArgMinMax _),
     // Time-series extensions (as-of join, sessionization)
     "ts_asof_join"      -> (TimeSeriesOps.asofQuery _),
     "ts_sessionize"     -> ((s, d) => TimeSeriesOps.sessionize(s, d)),
@@ -338,6 +341,9 @@ object SparkEntry {
     "ts_scd2"           -> TimeSeriesOps.scd2HistorySql,
     "d_incremental"     -> DedupOps.incrementalDedupSql,
     "g_heavy_hitters"   -> graft.operators.FrequencyOps.heavyHittersSql,
+    "g_histogram"       -> AQ.gHistogramSql,
+    "g_mad_outliers"    -> AQ.gMadOutliersSql,
+    "g_argminmax"       -> AQ.gArgMinMaxSql,
     "d_prefix_filter"   -> DedupOps.prefixFilterSql,
     "w_funnel"          -> graft.operators.FunnelOps.windowFunnelSql,
     "w_seq_match"       -> graft.operators.FunnelOps.seqMatchSql,

@@ -323,4 +323,99 @@ object AnalyticsQueries {
       |  min(l_shipdate) AS ship_min, max(l_shipdate) AS ship_max,
       |  count(DISTINCT l_returnflag) AS flag_distinct
       |FROM lineitem""".stripMargin
+
+  /** Equi-width histogram in exact long-cents: bucket = cents div width.
+    * All-integer (bucket keys, counts, cent sums), fully partial-aggregable
+    * — one hash aggregation whose key count is bounded by the value range,
+    * not the row count.
+    */
+  val HistWidthCents = 2500000L // $25k buckets
+
+  def gHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(round(col("o_totalprice") * 100).cast("long").as("c"))
+      .select(expr(s"c div $HistWidthCents").as("bucket"), col("c"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"), sum("c").as("sum_cents"))
+      .select(col("bucket"), (col("bucket") * (HistWidthCents / 100L)).as("lo_usd"),
+        col("cnt"), col("sum_cents"))
+      .orderBy("bucket")
+  val gHistogramSql: String =
+    s"""WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders)
+       |SELECT c // $HistWidthCents AS bucket,
+       |  (c // $HistWidthCents) * ${HistWidthCents / 100L} AS lo_usd,
+       |  CAST(count(*) AS BIGINT) AS cnt, CAST(sum(c) AS BIGINT) AS sum_cents
+       |FROM c GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  /** Robust per-group outlier counts via median absolute deviation, kept
+    * EXACT across engines by working in doubled/quadrupled cent units:
+    * `m2 = 2·median(cents)` and `d4 = 4·MAD` are integers even when the
+    * even-count median interpolates at .5, so the outlier fence
+    * `|cents−median| > 1.5·MAD` becomes the integer test `4·dev2 > 3·d4`
+    * (dev2 = |2c − m2|). The 1.5 multiplier is a dial; it is kept rational
+    * so any choice stays integer-exact. Two grouped-median passes + one
+    * counting pass; medians are per-group exact percentiles.
+    */
+  def gMadOutliers(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.orders(s, d).select(col("o_orderstatus").as("st"),
+      round(col("o_totalprice") * 100).cast("long").as("c"))
+    val m = c.groupBy("st")
+      .agg(round(expr("percentile(c, 0.5)") * 2).cast("long").as("m2"))
+    val dvt = c.join(m, "st").withColumn("dev2", abs(col("c") * 2 - col("m2")))
+    val mad = dvt.groupBy("st")
+      .agg(round(expr("percentile(dev2, 0.5)") * 2).cast("long").as("d4"))
+    dvt.join(mad, "st")
+      .groupBy("st").agg(
+        count(lit(1)).as("n"),
+        first("m2").as("median_x2_cents"),
+        first("d4").as("mad_x4_cents"),
+        sum(when(col("dev2") * 4 > col("d4") * 3, 1L).otherwise(0L)).as("n_outliers"))
+      .select(col("st").as("o_orderstatus"), col("n"),
+        col("median_x2_cents"), col("mad_x4_cents"), col("n_outliers"))
+      .orderBy("o_orderstatus")
+  }
+  val gMadOutliersSql: String =
+    """WITH c AS (SELECT o_orderstatus AS st,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+      |m AS (SELECT st, CAST(round(quantile_cont(c, 0.5) * 2) AS BIGINT) AS m2
+      |      FROM c GROUP BY 1),
+      |d AS (SELECT c.st, abs(c.c * 2 - m.m2) AS dev2, m.m2 FROM c JOIN m USING (st)),
+      |md AS (SELECT st, CAST(round(quantile_cont(dev2, 0.5) * 2) AS BIGINT) AS d4
+      |       FROM d GROUP BY 1)
+      |SELECT d.st AS o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(min(d.m2) AS BIGINT) AS median_x2_cents,
+      |  CAST(min(md.d4) AS BIGINT) AS mad_x4_cents,
+      |  CAST(sum(CASE WHEN dev2 * 4 > md.d4 * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM d JOIN md USING (st) GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** ClickHouse-`argMax`/`argMin` per group, made deterministic under value
+    * ties by folding the tie-break INTO the comparison: `max(struct(value,
+    * key))` is a lexicographic max, so equal values resolve by key instead
+    * of by partition arrival order (`max_by` alone is nondeterministic on
+    * ties). One partial-aggregable pass.
+    */
+  def gArgMinMax(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast("long").as("c"),
+        col("o_orderkey").as("k"))
+      .groupBy("pri")
+      .agg(max(struct(col("c"), col("k"))).as("mx"),
+        min(struct(col("c"), col("k"))).as("mn"))
+      .select(col("pri").as("o_orderpriority"),
+        col("mx.k").as("top_order"), col("mx.c").as("top_cents"),
+        col("mn.k").as("bottom_order"), col("mn.c").as("bottom_cents"))
+      .orderBy("o_orderpriority")
+  val gArgMinMaxSql: String =
+    """WITH c AS (SELECT o_orderpriority AS pri,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS c, o_orderkey AS k FROM orders),
+      |r AS (SELECT pri, c, k,
+      |    row_number() OVER (PARTITION BY pri ORDER BY c DESC, k DESC) AS rx,
+      |    row_number() OVER (PARTITION BY pri ORDER BY c ASC, k ASC) AS rn FROM c)
+      |SELECT pri AS o_orderpriority,
+      |  max(CASE WHEN rx = 1 THEN k END) AS top_order,
+      |  max(CASE WHEN rx = 1 THEN c END) AS top_cents,
+      |  max(CASE WHEN rn = 1 THEN k END) AS bottom_order,
+      |  max(CASE WHEN rn = 1 THEN c END) AS bottom_cents
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 }

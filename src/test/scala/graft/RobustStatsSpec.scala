@@ -1,0 +1,47 @@
+package graft
+
+import graft.queries.{AnalyticsQueries => AQ}
+
+/** Pins the doubled/quadrupled-cents MAD arithmetic against a driver-side
+  * BigDecimal brute force — the engine result must equal exact rational
+  * median/MAD math, not merely DuckDB's replay of the same float ops.
+  */
+class RobustStatsSpec extends SparkSpec {
+
+  private def exactMedianX2(xs: Seq[Long]): Long = {
+    val s = xs.sorted
+    val n = s.size
+    if (n % 2 == 1) 2L * s(n / 2) else s(n / 2 - 1) + s(n / 2)
+  }
+
+  test("gMadOutliers == BigDecimal brute force at sf0.001") {
+    val cents = Tables.orders(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("o_orderstatus"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("o_totalprice") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = cents.groupBy(_._1).toSeq.sortBy(_._1).map { case (st, rows) =>
+      val cs = rows.map(_._2)
+      val m2 = exactMedianX2(cs)
+      val dev2 = cs.map(c => math.abs(2 * c - m2))
+      val d4 = exactMedianX2(dev2)
+      val outliers = dev2.count(d2 => 4 * d2 > 3 * d4)
+      (st, cs.size.toLong, m2, d4, outliers.toLong)
+    }
+    val got = AQ.gMadOutliers(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want)
+    assert(got.exists(_._5 > 0), "at least one group must have outliers to bite")
+  }
+
+  test("gArgMinMax is deterministic under value ties") {
+    import spark.implicits._
+    val df = Seq(("A", 100.0, 1L), ("A", 100.0, 2L), ("A", 50.0, 3L))
+      .toDF("o_orderpriority", "o_totalprice", "o_orderkey")
+    val dir = tmpDir("argmm")
+    df.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = AQ.gArgMinMax(spark, dir).collect()(0)
+    // tie at 100.00 -> max(struct) resolves to the larger key
+    assert((r.getLong(1), r.getLong(3)) == (2L, 3L))
+  }
+}
