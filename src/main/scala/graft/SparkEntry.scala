@@ -163,6 +163,8 @@ object SparkEntry {
     "f_posexplode"      -> (PQ.posExplode _),
     // Sketches under the oracle via in-query error-bound booleans
     "x_approx_sketches" -> (PQ.approxSketches _),
+    // mergeable HLL state table: cumulative distinct from stored partials
+    "x_hll_incremental" -> (graft.operators.SketchOps.hllIncremental _),
     // Multimodal frame sampling: decode stub is a deterministic fake (no
     // codecs in-container) designed to be DuckDB-replayable end to end
     "m_frame_sample"    -> ((s, d) =>
@@ -318,6 +320,7 @@ object SparkEntry {
     "f_json_struct"     -> PQ.jsonStructSql,
     "f_posexplode"      -> PQ.posExplodeSql,
     "x_approx_sketches" -> PQ.approxSketchesSql,
+    "x_hll_incremental" -> graft.operators.SketchOps.hllIncrementalSql,
     "m_frame_sample"    -> MultimodalOps.frameSampleSql,
     "m_decode"          -> MultimodalOps.decodeSql,
     "m_resize"          -> MultimodalOps.resizeSql,
