@@ -78,6 +78,27 @@ object StreamingAnalytics {
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream interval join with watermarks on BOTH sides — the
+    * attribution query ("click within `horizon` after its view") as an
+    * always-on stream. The time-range join predicate PLUS the two
+    * watermarks let Spark bound the join state: buffered views expire once
+    * the click watermark passes `view_ts + horizon`, buffered clicks once
+    * the view watermark passes `click_ts` — without both, a stream-stream
+    * join buffers forever and an always-on pipeline OOMs. Inner join emits
+    * incrementally in append mode; at scale the join is a co-partitioned
+    * symmetric hash join on `user_id`, state in the state store.
+    */
+  def clickAttribution(views: DataFrame, clicks: DataFrame,
+      delay: String = "30 minutes", horizonSec: Long = 3600L): DataFrame = {
+    val v = views.withWatermark("view_ts", delay)
+    val c = clicks.withWatermark("click_ts", delay)
+    v.join(c,
+      col("v_user") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizonSec SECONDS"))
+      .select(col("v_user").as("user_id"), col("view_ts"), col("click_ts"))
+  }
+
   /** Streaming CSV ingest: the always-on twin of the batch hot path
     * (`TickerIngest`) — file-source discovery of ticker CSVs under
     * `root/<date>/`, schema-validated, appended to the warehouse parquet

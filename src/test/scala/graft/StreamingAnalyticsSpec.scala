@@ -125,6 +125,30 @@ class StreamingAnalyticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: in-horizon clicks attach, late/out-of-horizon do not") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vIn = MemoryStream[(Long, java.sql.Timestamp)]
+    val cIn = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = StreamingAnalytics.clickAttribution(
+        vIn.toDF().toDF("v_user", "view_ts"), cIn.toDF().toDF("c_user", "click_ts"))
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+    try {
+      vIn.addData((1L, ts("2024-03-14 12:00:00")), (2L, ts("2024-03-14 12:00:00")))
+      q.processAllAvailable()
+      cIn.addData(
+        (1L, ts("2024-03-14 12:30:00")),  // in horizon -> joins
+        (2L, ts("2024-03-14 14:30:00")),  // past 1h horizon -> dropped
+        (3L, ts("2024-03-14 12:10:00")))  // no matching view -> dropped
+      q.processAllAvailable()
+      val got = spark.table("attrib").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(2))).toSet
+      assert(got == Set((1L, ts("2024-03-14 12:30:00"))))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups across micro-batches with bounded state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
