@@ -13,16 +13,28 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark reads only as a
-    * nanos-since-epoch Long (`spark.sql.legacy.parquet.nanosAsLong=true` —
-    * set in every session builder here). Convert to a micros Timestamp by
-    * truncation; the DuckDB oracle applies the identical
-    * `CAST(ts AS TIMESTAMP)` truncation so both engines agree.
+  /** Normalize `events.ts` to a micros TimestampType whatever the parquet
+    * writer produced — the generator has shipped both encodings across
+    * rounds:
+    *  - TIMESTAMP(NANOS): Spark reads it only as a nanos-since-epoch Long
+    *    (`spark.sql.legacy.parquet.nanosAsLong=true` — set in every session
+    *    builder here); truncate to micros. The DuckDB oracle applies the
+    *    identical `CAST(ts AS TIMESTAMP)` truncation so both engines agree.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+    *    TimestampNTZType; cast to TimestampType — value-preserving under
+    *    the UTC session timezone every entry point pins, and it keeps the
+    *    column type downstream operators (unix_micros, bigint casts,
+    *    Row.getTimestamp) were built against.
     */
   private def withTsMicros(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   /** Spread a small single-file scan across all cores before a CPU-heavy
     * per-row projection (hashing, shingling, vector math). Locally a small
