@@ -210,6 +210,10 @@ object SparkEntry {
     "w_seq_match"       -> (graft.operators.FunnelOps.seqMatch _),
     "w_islands"         -> (graft.operators.FunnelOps.streaks _),
     "w_retention"       -> (graft.operators.FunnelOps.retention _),
+    // interval coalescing (merge overlapping service spans per customer)
+    "w_interval_merge"  -> (graft.operators.IntervalOps.mergeIntervals _),
+    // exact trailing-7-day distinct users per active day (DAU/WAU board)
+    "w_sliding_distinct" -> (graft.operators.IntervalOps.slidingDistinct _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -352,5 +356,7 @@ object SparkEntry {
     "w_seq_match"       -> graft.operators.FunnelOps.seqMatchSql,
     "w_islands"         -> graft.operators.FunnelOps.streaksSql,
     "w_retention"       -> graft.operators.FunnelOps.retentionSql,
+    "w_interval_merge"  -> graft.operators.IntervalOps.mergeIntervalsSql,
+    "w_sliding_distinct" -> graft.operators.IntervalOps.slidingDistinctSql,
   )
 }

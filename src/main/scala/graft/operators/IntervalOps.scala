@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Interval analytics over the order stream — the two window primitives a
+  * warehouse user reaches for when the data is spans rather than points:
+  * coalescing overlapping intervals (the classic "merge bookings" shape)
+  * and an exact distinct count over a sliding date window (ClickHouse
+  * `uniqExact` over a trailing week). The reference's warehouse
+  * (`dao/ClickHouseDAO.java:146-158` lands rows that its users query this
+  * way) has no engine-side form of either; both are declarative plans here.
+  *
+  * Scale contract shared by both operators: every window is PARTITIONED BY
+  * a data-scale key (customer / calendar day) — no global window, no
+  * driver-side state, and the sliding-distinct expansion is a constant ×7,
+  * never O(days × users).
+  */
+object IntervalOps {
+
+  /** Deterministic per-order service interval: starts at the order date and
+    * spans `o_orderkey mod 30` extra days — key-derived, so both engines
+    * rebuild the identical spans from the raw table.
+    */
+  private def intervals(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      to_date(col("o_orderdate")).as("s"),
+      date_add(to_date(col("o_orderdate")), (col("o_orderkey") % 30).cast("int")).as("e"))
+
+  /** Coalesce overlapping-or-touching service intervals per customer
+    * (gaps-and-islands over spans, the complement of [[FunnelOps.streaks]]'
+    * point-row islands): an interval starts a new island iff its start lies
+    * strictly past the running max end of everything before it in
+    * (start, end, key) order. Touching spans ([1,5],[5,9]) merge; adjacent
+    * ones ([1,5],[6,9]) do not — the strict `>` is the contract.
+    *
+    * Plan: ONE shuffle on `o_custkey`, two stacked frames over the same
+    * sort (running max-end, then running island-sum — Spark reuses the
+    * single Window sort for both), then two partial-aggregable group-bys.
+    * The window partition is per-customer (session-scale); nothing global.
+    */
+  def mergeIntervals(s: SparkSession, d: String): DataFrame =
+    mergeIntervalsOver(intervals(s, d))
+
+  /** Same operator over any `(o_custkey, o_orderkey, s, e)` span table —
+    * the spec entry point (crafted island shapes).
+    */
+  def mergeIntervalsOver(iv: DataFrame): DataFrame = {
+    val byStart = Window.partitionBy("o_custkey").orderBy("s", "e", "o_orderkey")
+    val prevMaxEnd = max("e").over(byStart.rowsBetween(Window.unboundedPreceding, -1))
+    val newIsland = when(prevMaxEnd.isNull || col("s") > prevMaxEnd, 1L).otherwise(0L)
+    val islandId = sum(newIsland).over(byStart.rowsBetween(Window.unboundedPreceding, 0))
+    iv
+      .withColumn("island", islandId)
+      .groupBy("o_custkey", "island")
+      .agg(count(lit(1)).as("n_iv"), min("s").as("i_s"), max("e").as("i_e"))
+      .groupBy("o_custkey")
+      .agg(
+        sum("n_iv").as("n_intervals"),
+        count(lit(1)).as("n_merged"),
+        sum(datediff(col("i_e"), col("i_s")).cast("long") + 1L).as("covered_days"),
+        max(datediff(col("i_e"), col("i_s")).cast("long") + 1L).as("max_span_days"))
+      .orderBy("o_custkey")
+  }
+
+  /** Oracle replays the identical running-max island construction — the
+    * algorithm is engine-neutral SQL, which is the point: a user can verify
+    * the coalescing on any warehouse.
+    */
+  val mergeIntervalsSql: String =
+    """WITH iv AS (
+      |  SELECT o_custkey, o_orderkey,
+      |         CAST(o_orderdate AS DATE) AS s,
+      |         CAST(o_orderdate AS DATE) + CAST(o_orderkey % 30 AS INTEGER) AS e
+      |  FROM orders),
+      |flagged AS (
+      |  SELECT o_custkey, s, e,
+      |         CASE WHEN max(e) OVER (PARTITION BY o_custkey ORDER BY s, e, o_orderkey
+      |                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |                   IS NULL
+      |                OR s > max(e) OVER (PARTITION BY o_custkey ORDER BY s, e, o_orderkey
+      |                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |              THEN 1 ELSE 0 END AS new_island
+      |  FROM iv),
+      |islands AS (
+      |  SELECT o_custkey, s, e,
+      |         sum(new_island) OVER (PARTITION BY o_custkey ORDER BY s, e
+      |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM flagged),
+      |merged AS (
+      |  SELECT o_custkey, island, count(*) AS n_iv, min(s) AS i_s, max(e) AS i_e
+      |  FROM islands GROUP BY o_custkey, island)
+      |SELECT o_custkey,
+      |       CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+      |       CAST(count(*) AS BIGINT) AS n_merged,
+      |       CAST(sum(date_diff('day', i_s, i_e) + 1) AS BIGINT) AS covered_days,
+      |       CAST(max(date_diff('day', i_s, i_e) + 1) AS BIGINT) AS max_span_days
+      |FROM merged GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** Exact distinct users over a trailing 7-day window, per active day —
+    * the DAU/WAU board query, exact (no sketch). The scale-safe shape is
+    * NOT a RANGE window (count-distinct isn't a window aggregate) and NOT
+    * a day×pairs range join (O(days·|pairs|)): dedup to (day, user) FIRST
+    * — the only data-scale shuffle — then each pair contributes to exactly
+    * the 7 window-ends it can affect via a constant-width `sequence`
+    * explode, and a two-phase hash agg counts distinct per end day.
+    * Expansion is a fixed ×7 of the DEDUPED pairs, independent of raw
+    * event volume; windows that end on days with no events are dropped by
+    * the semi-join against observed days (broadcast — the day dimension is
+    * calendar-bounded).
+    */
+  def slidingDistinct(s: SparkSession, d: String): DataFrame =
+    slidingDistinctOver(Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id")))
+
+  /** Same operator over any `(day, user_id)` activity table (need not be
+    * deduplicated — the first thing the plan does is the distinct).
+    */
+  def slidingDistinctOver(activity: DataFrame): DataFrame = {
+    val pairs = activity.distinct()
+    val days = pairs.select(col("day").as("wend")).distinct()
+    val contrib = pairs.select(
+      explode(sequence(col("day"), date_add(col("day"), 6))).as("wend"),
+      col("user_id"))
+    val weekly = contrib
+      .join(broadcast(days), Seq("wend"), "left_semi")
+      .groupBy("wend").agg(countDistinct("user_id").as("active_7d"))
+    val daily = pairs.groupBy(col("day").as("wend"))
+      .agg(count(lit(1)).as("active_1d"))
+    daily.join(weekly, Seq("wend")).orderBy("wend")
+  }
+
+  val slidingDistinctSql: String =
+    """WITH p AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+      |           FROM events),
+      |w AS (SELECT d.wend, count(DISTINCT p.user_id) AS active_7d
+      |      FROM (SELECT DISTINCT day AS wend FROM p) d
+      |      JOIN p ON p.day BETWEEN d.wend - 6 AND d.wend
+      |      GROUP BY d.wend),
+      |o AS (SELECT day AS wend, CAST(count(*) AS BIGINT) AS active_1d FROM p GROUP BY day)
+      |SELECT o.wend, active_1d, CAST(active_7d AS BIGINT) AS active_7d
+      |FROM o JOIN w USING (wend) ORDER BY wend""".stripMargin
+}
