@@ -214,6 +214,16 @@ object SparkEntry {
     "w_interval_merge"  -> (graft.operators.IntervalOps.mergeIntervals _),
     // exact trailing-7-day distinct users per active day (DAU/WAU board)
     "w_sliding_distinct" -> (graft.operators.IntervalOps.slidingDistinct _),
+    // chi-square term-class association (feature selection for the classifier)
+    "t_chi2_terms"      -> ((s, d) => graft.operators.FeatureOps.chi2Terms(s, d)),
+    // k-anonymity generalization-ladder release audit
+    "t_k_anon"          -> ((s, d) => graft.operators.FeatureOps.kAnonymity(s, d)),
+    // degree-oriented triangle count over the part co-purchase graph
+    "x_triangles"       -> (graft.operators.GraphOps.triangles _),
+    // snapshot reconciliation: per-change-type totals via row fingerprints
+    "x_snapshot_diff"   -> (graft.operators.ReconcileOps.snapshotDiff _),
+    // ANALYZE-style per-column stats (count/null/NDV/min-max)
+    "x_col_stats"       -> (graft.operators.ReconcileOps.colStats _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -358,5 +368,10 @@ object SparkEntry {
     "w_retention"       -> graft.operators.FunnelOps.retentionSql,
     "w_interval_merge"  -> graft.operators.IntervalOps.mergeIntervalsSql,
     "w_sliding_distinct" -> graft.operators.IntervalOps.slidingDistinctSql,
+    "t_chi2_terms"      -> graft.operators.FeatureOps.chi2TermsSql,
+    "t_k_anon"          -> graft.operators.FeatureOps.kAnonymitySql(),
+    "x_triangles"       -> graft.operators.GraphOps.trianglesSql,
+    "x_snapshot_diff"   -> graft.operators.ReconcileOps.snapshotDiffSql,
+    "x_col_stats"       -> graft.operators.ReconcileOps.colStatsSql,
   )
 }

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextOps
+
+/** Corpus-level feature/compliance audits for the training-data pipeline:
+  * chi-square term selection (which vocabulary discriminates a document
+  * class — the classic feature-selection step ahead of a classifier like
+  * [[QualityClassifier]]) and a k-anonymity generalization ladder (which
+  * quasi-identifier resolution each row can be released at — the privacy
+  * audit a corpus passes before rows with user-derived attributes ship).
+  *
+  * Both are pure partial-aggregable group-by pyramids — no windows, no
+  * driver state, nothing all-pairs.
+  */
+object FeatureOps {
+
+  /** χ² term–class association over the document corpus, positive class =
+    * English documents. Per term with document frequency `df` and positive
+    * document frequency `a`, the 2×2 contingency table against the class
+    * totals (P positives, N−P negatives) gives
+    * `χ² = n·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))` — computed from exact
+    * integer counts, with the float ops confined to one fixed-shape
+    * product/division chain (IEEE ops are deterministic; only libm
+    * functions are engine-dependent, and there are none here).
+    *
+    * Plan: one data-scale shuffle (per-term partial counts), a broadcast
+    * of the 1-row class totals, then top-k by (χ², term) through
+    * `TakeOrderedAndProject` — no global sort. At 100 TB the term table is
+    * vocabulary-sized, orders below the corpus.
+    */
+  def chi2Terms(s: SparkSession, d: String, k: Int = 100): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, d))
+      .select(col("text"), (col("lang") === "en").cast("long").as("y"))
+    val totals = docs.agg(count(lit(1)).as("n"), sum("y").as("pos"))
+    val perTerm = docs
+      .select(col("y"), explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("y").as("pos_df"))
+    perTerm.crossJoin(broadcast(totals))
+      // b = negatives with term, cc = positives without, dd = negatives without
+      .withColumn("b", col("df") - col("pos_df"))
+      .withColumn("cc", col("pos") - col("pos_df"))
+      .withColumn("dd", col("n") - col("pos") - col("b"))
+      // a term in EVERY document carries no signal and divides by zero
+      .filter(col("df") < col("n"))
+      // exact integer cross-product difference, ONE cast to double after
+      .withColumn("delta",
+        (col("pos_df") * col("dd") - col("b") * col("cc")).cast("double"))
+      .withColumn("chi2",
+        col("n").cast("double") * col("delta") * col("delta") /
+          (col("df").cast("double") * (col("n") - col("df")).cast("double") *
+            col("pos").cast("double") * (col("n") - col("pos")).cast("double")))
+      .select("term", "df", "pos_df", "chi2")
+      .orderBy(col("chi2").desc, col("term"))
+      .limit(k)
+  }
+
+  /** Oracle mirrors the exact integer contingency arithmetic and the SAME
+    * left-associative float chain, so the doubles are bit-identical.
+    */
+  val chi2TermsSql: String =
+    """WITH docs AS (SELECT text, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |              FROM documents),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+      |        FROM docs),
+      |t AS (SELECT y, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS term
+      |      FROM docs),
+      |pt AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+      |              CAST(sum(y) AS BIGINT) AS pos_df
+      |       FROM t GROUP BY term),
+      |x AS (SELECT term, df, pos_df, n, pos,
+      |         CAST(pos_df * (n - pos - (df - pos_df))
+      |              - (df - pos_df) * (pos - pos_df) AS DOUBLE) AS delta
+      |      FROM pt, tot WHERE df < n)
+      |SELECT term, df, pos_df,
+      |       CAST(n AS DOUBLE) * delta * delta /
+      |         (CAST(df AS DOUBLE) * CAST(n - df AS DOUBLE) *
+      |          CAST(pos AS DOUBLE) * CAST(n - pos AS DOUBLE)) AS chi2
+      |FROM x ORDER BY chi2 DESC, term LIMIT 100""".stripMargin
+
+  /** k-anonymity generalization ladder over the customer table's
+    * quasi-identifiers. Level 0 releases the full QI tuple
+    * (nation, segment, account-balance band); a row whose level-0 group
+    * holds fewer than `k` members generalizes to level 1
+    * (nation, segment), then level 2 (nation), then suppression (3).
+    * Output: rows per (nation, required level) — the shape of a release
+    * audit report.
+    *
+    * Plan: three partial-aggregable group-bys over progressively coarser
+    * keys, joined back by those same keys (the level-0 join reuses its
+    * aggregation partitioning; the coarser ones broadcast — group tables
+    * shrink with the key). Nothing here exceeds group-count scale.
+    */
+  def kAnonymity(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val cust = Tables.customer(s, d).select(
+      col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+      floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+    val g0 = cust.groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(count(lit(1)).as("n0"))
+    val g1 = cust.groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("n1"))
+    val g2 = cust.groupBy("c_nationkey").agg(count(lit(1)).as("n2"))
+    cust
+      .join(g0, Seq("c_nationkey", "c_mktsegment", "bal_band"))
+      .join(broadcast(g1), Seq("c_nationkey", "c_mktsegment"))
+      .join(broadcast(g2), Seq("c_nationkey"))
+      .withColumn("level",
+        when(col("n0") >= k, 0).when(col("n1") >= k, 1)
+          .when(col("n2") >= k, 2).otherwise(3))
+      .groupBy("c_nationkey", "level")
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("c_nationkey", "level")
+  }
+
+  def kAnonymitySql(k: Int = 10): String =
+    s"""WITH cust AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+       |                CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+       |              FROM customer),
+       |g0 AS (SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS n0
+       |       FROM cust GROUP BY 1, 2, 3),
+       |g1 AS (SELECT c_nationkey, c_mktsegment, count(*) AS n1 FROM cust GROUP BY 1, 2),
+       |g2 AS (SELECT c_nationkey, count(*) AS n2 FROM cust GROUP BY 1)
+       |SELECT c_nationkey,
+       |       CASE WHEN n0 >= $k THEN 0 WHEN n1 >= $k THEN 1
+       |            WHEN n2 >= $k THEN 2 ELSE 3 END AS level,
+       |       CAST(count(*) AS BIGINT) AS n_rows
+       |FROM cust
+       |JOIN g0 USING (c_nationkey, c_mktsegment, bal_band)
+       |JOIN g1 USING (c_nationkey, c_mktsegment)
+       |JOIN g2 USING (c_nationkey)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+}

@@ -124,4 +124,65 @@ object GraphOps {
        |${iter("r2", "r3")}
        |SELECT node, rank_ppb FROM r3 ORDER BY rank_ppb DESC, node LIMIT $TopN""".stripMargin
   }
+
+  /** Distinct part co-occurrence edges (two parts in the same order),
+    * canonical `u < v`. Per-order expansion is bounded by the order's line
+    * count (single digits), so the pair generation is never all-pairs.
+    */
+  def coEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"), col("l_partkey"))
+    li.join(li.select(col("ok"), col("l_partkey").as("p2")), Seq("ok"))
+      .filter(col("l_partkey") < col("p2"))
+      .select(col("l_partkey").as("u"), col("p2").as("v"))
+      .distinct()
+  }
+
+  /** Triangle count over the co-purchase graph via DEGREE ORIENTATION —
+    * the standard scale-safe form: orient every edge from its
+    * lower-(degree, id) endpoint, so each node's out-degree is O(√m) even
+    * under power-law skew, and the wedge join (out-neighbor pairs per
+    * node) is Σ outdeg² instead of Σ deg². A wedge u→v, u→w closes into a
+    * triangle iff the oriented edge v→w exists — checked with one
+    * semi-join against the oriented edge table; every triangle is counted
+    * exactly once because all three edges orient consistently along the
+    * (degree, id) total order.
+    *
+    * Plan: edges + degrees (two shuffles), oriented wedge self-join on
+    * `src`, semi-join probe — all key-partitioned; no driver state,
+    * nothing quadratic in a hub's raw degree.
+    */
+  def triangles(s: SparkSession, d: String): DataFrame = {
+    val e = coEdges(s, d).localCheckpoint() // reused 4×: degrees, both wedge legs, probe
+    val deg = e.select(col("u").as("x")).union(e.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): src = the strictly smaller endpoint in that order
+    val o = e
+      .join(deg.select(col("x").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst"), col("dv").as("dd")))
+          .otherwise(struct(col("v").as("src"), col("u").as("dst"), col("du").as("dd")))
+          .as("oe"))
+      .select(col("oe.src").as("src"), col("oe.dst").as("dst"), col("oe.dd").as("dd"))
+    val wedges = o.as("a")
+      .join(o.as("b"), expr("a.src = b.src AND (a.dd < b.dd OR (a.dd = b.dd AND a.dst < b.dst))"))
+      .select(col("a.dst").as("src"), col("b.dst").as("dst"))
+    val closed = wedges.join(o.select("src", "dst"), Seq("src", "dst"), "left_semi")
+    closed.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .select("n_edges", "n_triangles")
+  }
+
+  /** Oracle is the naive u<v<w triple join — orientation-independent, so
+    * it pins the oriented plan's count exactly.
+    */
+  val trianglesSql: String =
+    """WITH pe AS (SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+      |            FROM lineitem l1 JOIN lineitem l2
+      |              ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM pe) AS n_edges,
+      |       CAST(count(*) AS BIGINT) AS n_triangles
+      |FROM pe e1 JOIN pe e2 ON e2.u = e1.u AND e2.v > e1.v
+      |           JOIN pe e3 ON e3.u = e1.v AND e3.v = e2.v""".stripMargin
 }

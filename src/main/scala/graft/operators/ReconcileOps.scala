@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Warehouse operations primitives: snapshot reconciliation (what changed
+  * between two versions of a table — the audit a pipeline runs after a
+  * backfill, mirroring the journal's [[graft.journal.TickerFileJournal]]
+  * `asOf` time travel) and ANALYZE-style per-column statistics (the
+  * row-count / null / NDV / min-max profile a cost-based optimizer and a
+  * data-quality monitor both feed on).
+  */
+object ReconcileOps {
+
+  /** Integer-cents row fingerprint input: `floor(price·100)` is one IEEE
+    * op from the stored double, deterministic on any engine — never a
+    * locale/format-dependent double→string rendering.
+    */
+  private def cents(c: Column): Column = floor(c * 100).cast("long")
+
+  /** The "v2" snapshot, derived deterministically from orders so the diff
+    * is self-contained and oracle-replayable: keys ≡0 mod 97 deleted,
+    * keys ≡0 mod 89 repriced (+1.00), keys ≡0 mod 101 cloned to a new key
+    * range (inserted). */
+  private def v2(orders: DataFrame): DataFrame = {
+    val kept = orders.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 89 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+    val added = orders.filter(col("o_orderkey") % 101 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+    kept.unionByName(added)
+  }
+
+  /** Snapshot diff: full-outer join the two versions on the key, compare
+    * md5 row fingerprints, and report per-change-type totals with the key
+    * range touched. ONE co-partitioned shuffle pair on the key (the shape
+    * bucketing/SPJ removes entirely at scale — see
+    * [[BucketingOps.bucketedJoin]]); the output is 3 rows however large
+    * the table.
+    */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+    def fp(df: DataFrame, side: String): DataFrame = df.select(
+      col("o_orderkey").as(s"key_$side"),
+      md5(concat_ws("|",
+        col("o_custkey").cast("string"), col("o_orderstatus"),
+        col("o_orderpriority"), cents(col("o_totalprice")).cast("string")))
+        .as(s"fp_$side"))
+    val diff = fp(base, "a").join(fp(v2(base), "b"),
+        col("key_a") === col("key_b"), "full_outer")
+      .withColumn("change_type",
+        when(col("key_a").isNull, "added")
+          .when(col("key_b").isNull, "removed")
+          .when(col("fp_a") =!= col("fp_b"), "changed"))
+      .filter(col("change_type").isNotNull)
+      .withColumn("key", coalesce(col("key_a"), col("key_b")))
+    diff.groupBy("change_type")
+      .agg(count(lit(1)).as("n"), min("key").as("min_key"), max("key").as("max_key"))
+      .orderBy("change_type")
+  }
+
+  val snapshotDiffSql: String =
+    """WITH fa AS (SELECT o_orderkey AS key,
+      |    md5(o_custkey || '|' || o_orderstatus || '|' || o_orderpriority || '|' ||
+      |        CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR)) AS fp
+      |  FROM orders),
+      |v2 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+      |         CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+      |              ELSE o_totalprice END AS o_totalprice
+      |       FROM orders WHERE o_orderkey % 97 <> 0
+      |       UNION ALL
+      |       SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+      |              o_orderpriority, o_totalprice
+      |       FROM orders WHERE o_orderkey % 101 = 0),
+      |fb AS (SELECT o_orderkey AS key,
+      |    md5(o_custkey || '|' || o_orderstatus || '|' || o_orderpriority || '|' ||
+      |        CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR)) AS fp
+      |  FROM v2),
+      |d AS (SELECT COALESCE(fa.key, fb.key) AS key,
+      |        CASE WHEN fa.key IS NULL THEN 'added'
+      |             WHEN fb.key IS NULL THEN 'removed'
+      |             WHEN fa.fp <> fb.fp THEN 'changed' END AS change_type
+      |      FROM fa FULL OUTER JOIN fb ON fa.key = fb.key)
+      |SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+      |       min(key) AS min_key, max(key) AS max_key
+      |FROM d WHERE change_type IS NOT NULL
+      |GROUP BY change_type ORDER BY change_type""".stripMargin
+
+  /** ANALYZE-style column statistics for the lineitem table: per column
+    * the row count, null count, exact NDV, and min/max (numeric columns
+    * in the numeric slots, string/date columns in the string slots —
+    * doubles never pass through a string rendering).
+    *
+    * Shape: one partial-aggregable pass PER COLUMN, unioned — each scan
+    * prunes to its single column (`ReadSchema` shows one field), and
+    * exact `count(distinct)` two-phases per column. The alternative — one
+    * scan with N count-distincts — plans an Expand (N× row multiply)
+    * that's worse when N is wide; per-column scans also parallelize
+    * across the union. Output is column-count-sized.
+    */
+  def colStats(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    def num(c: String) = li.agg(
+      lit(c).as("col_name"), count(lit(1)).as("n"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+      countDistinct(col(c)).as("ndv"),
+      min(col(c)).cast("double").as("min_num"), max(col(c)).cast("double").as("max_num"),
+      lit(null).cast("string").as("min_str"), lit(null).cast("string").as("max_str"))
+    def str(c: String, v: Column = null) = {
+      val vc = Option(v).getOrElse(col(c))
+      li.agg(
+        lit(c).as("col_name"), count(lit(1)).as("n"),
+        sum(when(vc.isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(vc).as("ndv"),
+        lit(null).cast("double").as("min_num"), lit(null).cast("double").as("max_num"),
+        min(vc).as("min_str"), max(vc).as("max_str"))
+    }
+    Seq(
+      num("l_orderkey"), num("l_partkey"), num("l_suppkey"),
+      num("l_quantity"), num("l_extendedprice"), num("l_discount"),
+      str("l_returnflag"), str("l_linestatus"),
+      str("l_shipdate", to_date(col("l_shipdate")).cast("string")))
+      .reduce(_ unionByName _)
+      .orderBy("col_name")
+  }
+
+  val colStatsSql: String = {
+    def num(c: String) =
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+         |  CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+         |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         |FROM lineitem""".stripMargin
+    def str(c: String, v: String) =
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(*) - count($v) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $v) AS BIGINT) AS ndv,
+         |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+         |  min($v) AS min_str, max($v) AS max_str
+         |FROM lineitem""".stripMargin
+    (Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+      "l_extendedprice", "l_discount").map(num) ++
+      Seq(str("l_returnflag", "l_returnflag"), str("l_linestatus", "l_linestatus"),
+        str("l_shipdate", "CAST(CAST(l_shipdate AS DATE) AS VARCHAR)")))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+}

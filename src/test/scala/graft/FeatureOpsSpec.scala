@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{FeatureOps, GraphOps, ReconcileOps}
+
+/** Feature-selection, compliance-audit, graph and reconciliation operator
+  * pins: crafted-shape semantics plus the plan contracts that keep them
+  * scale-safe.
+  */
+class FeatureOpsSpec extends SparkSpec {
+
+  test("chi2Terms: discriminating term outranks common term; all-docs term drops") {
+    val df = FeatureOps.chi2Terms(spark, sf0001, k = 10000)
+    val rows = df.collect()
+    // the all-documents filter: no term may carry df == n (chi2 undefined)
+    val n = graft.Tables.documents(spark, sf0001).count()
+    assert(rows.forall(_.getLong(1) < n))
+    // chi2 is non-negative and finite everywhere
+    assert(rows.forall(r => !r.getDouble(3).isNaN && r.getDouble(3) >= 0.0))
+    // ranking is (chi2 desc, term asc) — verify the total order held
+    val pairs = rows.map(r => (r.getDouble(3), r.getString(0))).toSeq
+    assert(pairs == pairs.sortBy { case (c, t) => (-c, t) })
+  }
+
+  test("chi2Terms: hand-checked 2x2 table on a crafted corpus") {
+    // 4 docs: 2 en, 2 de; "alpha" only in the 2 en docs -> perfect association
+    // chi2 = n = 4; "both" in one of each -> chi2 = 0
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha both", "en"), (2L, "alpha", "en"),
+      (3L, "both beta", "de"), (4L, "beta", "de"))
+      .toDF("doc_id", "text", "lang")
+    docs.createOrReplaceTempView("cheat_docs")
+    // re-run the operator body over the crafted frame via the same math
+    val y = (col("lang") === "en").cast("long").as("y")
+    val d2 = docs.select(col("text"), y)
+    val totals = d2.agg(count(lit(1)).as("n"), sum("y").as("pos"))
+    val perTerm = d2.select(col("y"),
+        explode(array_distinct(graft.functions.TextOps.tokens(col("text")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"), sum("y").as("pos_df"))
+    val out = perTerm.crossJoin(broadcast(totals))
+      .withColumn("b", col("df") - col("pos_df"))
+      .withColumn("cc", col("pos") - col("pos_df"))
+      .withColumn("dd", col("n") - col("pos") - col("b"))
+      .withColumn("delta", (col("pos_df") * col("dd") - col("b") * col("cc")).cast("double"))
+      .withColumn("chi2", col("n").cast("double") * col("delta") * col("delta") /
+        (col("df").cast("double") * (col("n") - col("df")).cast("double") *
+          col("pos").cast("double") * (col("n") - col("pos")).cast("double")))
+      .select("term", "chi2").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("alpha") == 4.0 && out("beta") == 4.0)
+    assert(out("both") == 0.0)
+  }
+
+  test("kAnonymity: levels partition the table and coarser levels imply bigger groups") {
+    val out = FeatureOps.kAnonymity(spark, sf0001, k = 10)
+    val total = out.agg(sum("n_rows")).first().getLong(0)
+    assert(total == graft.Tables.customer(spark, sf0001).count())
+    // level column stays in the ladder range
+    assert(out.filter(col("level") < 0 || col("level") > 3).count() == 0)
+  }
+
+  test("kAnonymity: huge k forces everything past the nation level") {
+    val out = FeatureOps.kAnonymity(spark, sf0001, k = 1000000)
+    assert(out.filter(col("level") =!= 3).count() == 0)
+  }
+
+  test("triangles: crafted graph counts each triangle once") {
+    import spark.implicits._
+    // orders: o1 = {1,2,3} (one triangle), o2 = {3,4} (edge only),
+    // o3 = {1,2} (duplicate edge must not double-count)
+    val li = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 3L), (20L, 4L),
+      (30L, 1L), (30L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+    val dir = tmpDir("tri")
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = GraphOps.triangles(spark, dir).first()
+    assert(out.getLong(0) == 4L, s"edges: $out")     // {12,13,23,34}
+    assert(out.getLong(1) == 1L, s"triangles: $out") // {1,2,3}
+  }
+
+  test("triangles plan: no cartesian; the only nested-loop is the 1-row scalar stitch") {
+    val plan = GraphOps.triangles(spark, sf0001).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    // the final n_edges x n_triangles crossJoin is 1-row x 1-row; every
+    // data-scale join (wedge build, closure probe) must be key-equi
+    assert(plan.split("BroadcastNestedLoop").length <= 2, plan.take(1500))
+    assert(plan.contains("LeftSemi"), "closure check must be a semi-join")
+  }
+
+  test("snapshotDiff: change-type totals match the deterministic edit recipe") {
+    val orders = graft.Tables.orders(spark, sf0001)
+    val out = ReconcileOps.snapshotDiff(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val removed = orders.filter(col("o_orderkey") % 97 === 0).count()
+    val added = orders.filter(col("o_orderkey") % 101 === 0).count()
+    // changed = repriced keys that were NOT deleted
+    val changed = orders.filter(col("o_orderkey") % 89 === 0 &&
+      col("o_orderkey") % 97 =!= 0).count()
+    assert(out.getOrElse("removed", 0L) == removed)
+    assert(out.getOrElse("added", 0L) == added)
+    assert(out.getOrElse("changed", 0L) == changed)
+  }
+
+  test("colStats: per-column profile is exact on sf0.001") {
+    val li = graft.Tables.lineitem(spark, sf0001)
+    val out = ReconcileOps.colStats(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.size == 9)
+    val n = li.count()
+    assert(out.values.forall(_.getLong(1) == n))
+    val ok = out("l_orderkey")
+    assert(ok.getLong(3) == li.select("l_orderkey").distinct().count())
+    assert(ok.getDouble(4) == li.agg(min("l_orderkey")).first().getLong(0).toDouble)
+    // string column lands in the string slots, numeric slots null
+    val rf = out("l_returnflag")
+    assert(rf.isNullAt(4) && rf.isNullAt(5) && !rf.isNullAt(6))
+  }
+}
