@@ -356,15 +356,38 @@ object AnalyticsQueries {
     * so any choice stays integer-exact. Two grouped-median passes + one
     * counting pass; medians are per-group exact percentiles.
     */
+  /** Exact 2×median per group from a value-count histogram — the
+    * scale-safe exact-median construction [[PipelineQueries.exactMedian]]
+    * pioneered, factored for reuse: a `percentile()` aggregate buffers
+    * every group value in one task (the 100 TB OOM), while the histogram
+    * shuffles only (group, value, count) rows and runs its windows over
+    * NDV-sized partitions. `x_k1 + x_k2` (the two middle order statistics)
+    * is the integer-exact form of `round(2·interpolated_median)`.
+    */
+  private def medianX2(vals: DataFrame, grp: String, v: String, out: String): DataFrame = {
+    val byVal = Window.partitionBy(grp).orderBy(v)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(grp)
+    vals.groupBy(col(grp), col(v)).agg(count(lit(1)).as("cnt"))
+      .withColumn("hi", sum("cnt").over(byVal))
+      .withColumn("lo", col("hi") - col("cnt") + 1)
+      .withColumn("n", sum("cnt").over(whole))
+      .withColumn("k1", expr("(n + 1) div 2"))
+      .withColumn("k2", expr("(n + 2) div 2"))
+      .withColumn("cov",
+        when(col("k1").between(col("lo"), col("hi")), 1L).otherwise(0L) +
+          when(col("k2").between(col("lo"), col("hi")), 1L).otherwise(0L))
+      .filter(col("cov") > 0)
+      .groupBy(grp).agg(sum(col(v) * col("cov")).as(out))
+  }
+
   def gMadOutliers(s: SparkSession, d: String): DataFrame = {
     val c = Tables.orders(s, d).select(col("o_orderstatus").as("st"),
       round(col("o_totalprice") * 100).cast("long").as("c"))
-    val m = c.groupBy("st")
-      .agg(round(expr("percentile(c, 0.5)") * 2).cast("long").as("m2"))
-    val dvt = c.join(m, "st").withColumn("dev2", abs(col("c") * 2 - col("m2")))
-    val mad = dvt.groupBy("st")
-      .agg(round(expr("percentile(dev2, 0.5)") * 2).cast("long").as("d4"))
-    dvt.join(mad, "st")
+    val m = medianX2(c, "st", "c", "m2")
+    val dvt = c.join(broadcast(m), "st").withColumn("dev2", abs(col("c") * 2 - col("m2")))
+    val mad = medianX2(dvt.select(col("st"), col("dev2")), "st", "dev2", "d4")
+    dvt.join(broadcast(mad), "st")
       .groupBy("st").agg(
         count(lit(1)).as("n"),
         first("m2").as("median_x2_cents"),

@@ -34,6 +34,14 @@ class RobustStatsSpec extends SparkSpec {
     assert(got.exists(_._5 > 0), "at least one group must have outliers to bite")
   }
 
+  test("gMadOutliers plan: histogram medians, no group-buffering percentile") {
+    // a percentile() aggregate materializes every group value in one task
+    // (the 100 TB OOM); the histogram form must keep it out of the plan
+    val plan = AQ.gMadOutliers(spark, sf0001).queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("percentile"), plan.take(1500))
+    assert(!plan.contains("ObjectHashAggregate"), plan.take(1500))
+  }
+
   test("gArgMinMax is deterministic under value ties") {
     import spark.implicits._
     val df = Seq(("A", 100.0, 1L), ("A", 100.0, 2L), ("A", 50.0, 3L))
