@@ -224,6 +224,8 @@ object SparkEntry {
     "x_snapshot_diff"   -> (graft.operators.ReconcileOps.snapshotDiff _),
     // ANALYZE-style per-column stats (count/null/NDV/min-max)
     "x_col_stats"       -> (graft.operators.ReconcileOps.colStats _),
+    // join-view incremental maintenance: 4-term delta algebra == recompute
+    "x_ivm_join"        -> (AQ.ivmJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -373,5 +375,6 @@ object SparkEntry {
     "x_triangles"       -> graft.operators.GraphOps.trianglesSql,
     "x_snapshot_diff"   -> graft.operators.ReconcileOps.snapshotDiffSql,
     "x_col_stats"       -> graft.operators.ReconcileOps.colStatsSql,
+    "x_ivm_join"        -> AQ.ivmJoinSql,
   )
 }

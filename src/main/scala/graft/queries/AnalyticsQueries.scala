@@ -210,6 +210,46 @@ object AnalyticsQueries {
   // the oracle is the FULL RECOMPUTE — that equality is the point
   val wOhlcMergeSql: String = wTimeBucketOhlcSql
 
+  /** Incremental view maintenance for a JOIN view — the algebra
+    * [[wOhlcMerge]] certifies for aggregates, extended to the two-sided
+    * case: with base/delta splits of both inputs,
+    * `(A ∪ ΔA) ⋈ (B ∪ ΔB) = A⋈B ∪ A⋈ΔB ∪ ΔA⋈B ∪ ΔA⋈ΔB`, so a stored
+    * aggregated view advances by computing only the three delta terms and
+    * re-merging algebraic partials — never rejoining the full base sides.
+    * The oracle IS the full recompute; their equality is the operator's
+    * contract.
+    *
+    * Scale shape: every delta term has a delta-sized side, so at 100 TB
+    * the maintenance joins broadcast the delta (base-side scan, zero
+    * shuffle of the big side) while the stored `A⋈B` partials are read,
+    * not recomputed — here all four terms run fresh because the point is
+    * the equality proof. Partials are per-nation (group-count-sized);
+    * the merge is a union + re-aggregation of algebraic sums.
+    */
+  def ivmJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val (oBase, oDelta) = (o.filter(col("o_orderkey") % 10 < 8),
+      o.filter(col("o_orderkey") % 10 >= 8))
+    val (cBase, cDelta) = (c.filter(col("c_custkey") % 7 =!= 0),
+      c.filter(col("c_custkey") % 7 === 0))
+    def term(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"), sum("cents").as("rev"))
+    term(oBase, cBase).unionByName(term(oBase, cDelta))
+      .unionByName(term(oDelta, cBase)).unionByName(term(oDelta, cDelta))
+      .groupBy("c_nationkey")
+      .agg(sum("n").as("n_orders"), sum("rev").as("revenue_cents"))
+      .orderBy("c_nationkey")
+  }
+  val ivmJoinSql: String =
+    """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   /** Grouping sets / rollup — subtotal lattice over orders (SURVEY §2.3 notes
     * the reference lacks these; a complete engine surface includes them).
     */

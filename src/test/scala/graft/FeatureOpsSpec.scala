@@ -101,6 +101,19 @@ class FeatureOpsSpec extends SparkSpec {
     assert(out.getOrElse("changed", 0L) == changed)
   }
 
+  test("ivmJoin: the 4-term delta algebra equals the direct join+agg recompute") {
+    import org.apache.spark.sql.functions.{round => rnd}
+    val direct = graft.Tables.orders(spark, sf0001)
+      .select(col("o_custkey"), rnd(col("o_totalprice") * 100).cast("long").as("cents"))
+      .join(graft.Tables.customer(spark, sf0001),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("revenue_cents"))
+      .orderBy("c_nationkey").collect().toSeq
+    val merged = graft.queries.AnalyticsQueries.ivmJoin(spark, sf0001).collect().toSeq
+    assert(merged == direct)
+  }
+
   test("colStats: per-column profile is exact on sf0.001") {
     val li = graft.Tables.lineitem(spark, sf0001)
     val out = ReconcileOps.colStats(spark, sf0001).collect()
