@@ -226,6 +226,12 @@ object SparkEntry {
     "x_col_stats"       -> (graft.operators.ReconcileOps.colStats _),
     // join-view incremental maintenance: 4-term delta algebra == recompute
     "x_ivm_join"        -> (AQ.ivmJoin _),
+    // exact Gini skew audit from the count-of-counts fold (no global rank)
+    "g_skew_gini"       -> (graft.operators.SkewOps.giniSkew _),
+    // cumulative distinct users by first-seen day (growth curve)
+    "w_cume_new_users"  -> (graft.operators.IntervalOps.cumeNewUsers _),
+    // zlib compression-ratio quality signal (rows-only: not SQL-expressible)
+    "t_compress_ratio"  -> (TextOps.compressRatio _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -376,5 +382,8 @@ object SparkEntry {
     "x_snapshot_diff"   -> graft.operators.ReconcileOps.snapshotDiffSql,
     "x_col_stats"       -> graft.operators.ReconcileOps.colStatsSql,
     "x_ivm_join"        -> AQ.ivmJoinSql,
+    "g_skew_gini"       -> graft.operators.SkewOps.giniSkewSql,
+    "w_cume_new_users"  -> graft.operators.IntervalOps.cumeNewUsersSql,
+    // t_compress_ratio: rows-only (zlib byte counts are not SQL-expressible)
   )
 }

@@ -477,4 +477,43 @@ object TextOps {
       |      list_transform(generate_series(1, len(toks)-2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
       |    ELSE [] END, x -> md5(x))) AS fp_min_shingle
       |FROM t ORDER BY doc_id""".stripMargin
+
+  /** zlib compression ratio per document — the Gopher/RefinedWeb quality
+    * signal (highly repetitive or templated text compresses far below
+    * natural prose; `ratio < threshold` flags it). Not SQL-expressible, so
+    * the driver records a rows-only check; determinism and monotonicity
+    * are spec-pinned instead (TextAnalysisSpec).
+    *
+    * Shape: one `mapPartitions` pass, Deflater allocated once per
+    * partition and reset per row (the per-partition codec-reuse pattern
+    * [[graft.operators.MultimodalOps]] established); no shuffle until the
+    * final presentation sort. The blob never re-materializes — only the
+    * two integer lengths leave the partition.
+    */
+  def compressRatio(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.fanOut(graft.Tables.documents(s, d))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6, false)
+        val buf = new Array[Byte](1 << 16)
+        val out = it.map { case (id, text) =>
+          val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+          deflater.reset(); deflater.setInput(bytes); deflater.finish()
+          var total = 0L
+          while (!deflater.finished()) total += deflater.deflate(buf)
+          (id, bytes.length.toLong, total)
+        }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
+        out
+      }
+      .toDF("doc_id", "raw_bytes", "zlib_bytes")
+      .withColumn("ratio",
+        when(col("raw_bytes") === 0, 1.0)
+          .otherwise(col("zlib_bytes").cast("double") / col("raw_bytes").cast("double")))
+      .withColumn("repetitive", col("ratio") < 0.4)
+      .orderBy("doc_id")
+  }
 }

@@ -133,6 +133,36 @@ object IntervalOps {
     daily.join(weekly, Seq("wend")).orderBy("wend")
   }
 
+  /** Cumulative distinct users per day and event type (the adoption-curve
+    * complement of the sliding window): a user counts toward a type once,
+    * on the FIRST day they performed it, so the cumulative count is a
+    * running sum over per-(type, day) first-seen counts. The data-scale
+    * work is the per-(user, type) min-day aggregation (partial-
+    * aggregable); the running sum's window partitions by event type and
+    * covers one row per calendar day — bounded by time, not data volume.
+    */
+  def cumeNewUsers(s: SparkSession, d: String): DataFrame = {
+    val firstSeen = Tables.events(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(min(to_date(col("ts"))).as("day"))
+    firstSeen.groupBy("event_type", "day").agg(count(lit(1)).as("n_new"))
+      .withColumn("cume_users",
+        sum("n_new").over(Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy("event_type", "day")
+  }
+
+  val cumeNewUsersSql: String =
+    """WITH fs AS (SELECT user_id, event_type,
+      |              min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day
+      |            FROM events GROUP BY user_id, event_type),
+      |pd AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_new
+      |       FROM fs GROUP BY event_type, day)
+      |SELECT event_type, day, n_new,
+      |  CAST(sum(n_new) OVER (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cume_users
+      |FROM pd ORDER BY event_type, day""".stripMargin
+
   val slidingDistinctSql: String =
     """WITH p AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
       |           FROM events),

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Tables
 
 /** Skew mitigation primitives (SURVEY "Optimize for scale": skewed keys →
   * salting or AQE skew-join). AQE's skew-join split handles sort-merge joins
@@ -11,6 +13,58 @@ import org.apache.spark.sql.functions._
   * replicate `saltBuckets` times.
   */
 object SkewOps {
+
+  /** Key-distribution skew audit: exact Gini coefficient of rows-per-key,
+    * the diagnostic that decides whether a join/agg needs the salted
+    * operators below or AQE skew splitting. Computed WITHOUT a global
+    * ranking window: keys sharing a row count occupy a contiguous rank run
+    * in the sorted-by-count order, so `S = Σ i·x_i` folds per distinct
+    * COUNT VALUE — `S_run = c · (m·R_prev + m(m+1)/2)` for a run of `m`
+    * keys at count `c` — and the only window runs over the count-of-counts
+    * table (size = number of DISTINCT frequencies, ≤ a few hundred at any
+    * scale; the key table itself never leaves hash-agg land). Then
+    * `G = (2S − (n+1)T) / (nT)` from exact longs, one deterministic IEEE
+    * division at the end.
+    */
+  def giniSkew(s: SparkSession, d: String): DataFrame =
+    giniOf(Tables.lineitem(s, d).select(col("l_partkey").as("k")), "l_partkey")
+      .unionByName(
+        giniOf(Tables.orders(s, d).select(col("o_custkey").as("k")), "o_custkey"))
+      .orderBy("key_col")
+
+  /** Gini of rows-per-key for any single-column key frame `k` — the
+    * crafted-distribution spec entry point. */
+  def giniOf(keyed: DataFrame, label: String): DataFrame = {
+      val counts = keyed.groupBy("k").agg(count(lit(1)).as("x"))
+      val cc = counts.groupBy("x").agg(count(lit(1)).as("m"))
+      val byC = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+      cc
+        .withColumn("r_prev", coalesce(sum(col("m")).over(byC), lit(0L)))
+        .select(
+          (col("x") * (col("m") * col("r_prev") +
+            col("m") * (col("m") + 1) / 2)).as("s_run"),
+          col("m"), (col("x") * col("m")).as("t_run"))
+        .agg(sum("s_run").as("s"), sum("m").as("n_keys"), sum("t_run").as("t"))
+        .select(
+          lit(label).as("key_col"), col("n_keys"), col("t").as("n_rows"),
+          ((col("s") * 2 - (col("n_keys") + 1) * col("t")).cast("double") /
+            (col("n_keys") * col("t")).cast("double")).as("gini"))
+  }
+
+  /** Oracle ranks keys directly (`row_number` — fine at oracle scale);
+    * Σ i·x_i is tie-order independent, so the run-fold equals it exactly.
+    */
+  val giniSkewSql: String = {
+    def one(table: String, key: String) =
+      s"""SELECT '$key' AS key_col, CAST(count(*) AS BIGINT) AS n_keys,
+         |  CAST(sum(x) AS BIGINT) AS n_rows,
+         |  CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE) /
+         |    CAST(count(*) * sum(x) AS DOUBLE) AS gini
+         |FROM (SELECT x, row_number() OVER (ORDER BY x, k) AS i
+         |      FROM (SELECT $key AS k, count(*) AS x FROM $table GROUP BY 1))""".stripMargin
+    one("lineitem", "l_partkey") + "\nUNION ALL\n" +
+      one("orders", "o_custkey") + "\nORDER BY key_col"
+  }
 
   /** Two-phase salted aggregation for agg functions WITHOUT partial
     * (map-side) combine — e.g. collect_list under one hot key. Phase 1

@@ -114,6 +114,50 @@ class FeatureOpsSpec extends SparkSpec {
     assert(merged == direct)
   }
 
+  test("giniOf: uniform keys score 0, extreme concentration approaches (n-1)/n") {
+    import spark.implicits._
+    // 4 keys x 5 rows each: perfectly equal -> Gini 0
+    val uniform = (1 to 4).flatMap(k => Seq.fill(5)(k.toLong)).toDF("k")
+    val g0 = graft.operators.SkewOps.giniOf(uniform, "u").first()
+    assert(g0.getLong(1) == 4L && g0.getLong(2) == 20L)
+    assert(g0.getDouble(3) == 0.0)
+    // 1 key with 97 rows + 3 keys with 1: hand-computed Gini
+    // sorted x = (1,1,1,97): S = 1+2+3+4*97 = 394, T = 100, n = 4
+    // G = (2*394 - 5*100) / (4*100) = 288/400 = 0.72
+    val skewed = (Seq.fill(97)(9L) ++ Seq(1L, 2L, 3L)).toDF("k")
+    val g1 = graft.operators.SkewOps.giniOf(skewed, "s").first()
+    assert(g1.getDouble(3) == 0.72)
+  }
+
+  test("compressRatio: repetitive text compresses below prose; deterministic") {
+    val out = graft.functions.TextOps.compressRatio(spark, sf0001)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // byte accounting sane: zlib output is never empty for non-empty input
+    assert(rows.forall(r => r.getLong(1) == 0 || r.getLong(2) > 0))
+    // deterministic end to end
+    assert(graft.functions.TextOps.compressRatio(spark, sf0001)
+      .collect().toSeq == rows.toSeq)
+    // a highly repetitive doc must compress below a same-length varied doc
+    import spark.implicits._
+    val crafted = Seq((1L, "spam " * 200), (2L, (1 to 200).mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("zr")
+    crafted.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = graft.functions.TextOps.compressRatio(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(m(1L) < m(2L))
+  }
+
+  test("cumeNewUsers: last cumulative value equals the type's distinct users") {
+    import graft.operators.IntervalOps
+    val out = IntervalOps.cumeNewUsers(spark, sf0001)
+    val last = out.groupBy("event_type").agg(max("cume_users").as("c"))
+    val want = graft.Tables.events(spark, sf0001)
+      .groupBy("event_type").agg(countDistinct("user_id").as("w"))
+    assert(last.join(want, "event_type").filter(col("c") =!= col("w")).count() == 0)
+  }
+
   test("colStats: per-column profile is exact on sf0.001") {
     val li = graft.Tables.lineitem(spark, sf0001)
     val out = ReconcileOps.colStats(spark, sf0001).collect()
