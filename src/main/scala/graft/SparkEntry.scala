@@ -232,6 +232,8 @@ object SparkEntry {
     "w_cume_new_users"  -> (graft.operators.IntervalOps.cumeNewUsers _),
     // zlib compression-ratio quality signal (rows-only: not SQL-expressible)
     "t_compress_ratio"  -> (TextOps.compressRatio _),
+    // Hilbert-curve clustering twin of x_zorder_layout (adjacency-preserving)
+    "x_hilbert_layout"  -> (graft.operators.LayoutOps.hilbertLayout _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -385,5 +387,6 @@ object SparkEntry {
     "g_skew_gini"       -> graft.operators.SkewOps.giniSkewSql,
     "w_cume_new_users"  -> graft.operators.IntervalOps.cumeNewUsersSql,
     // t_compress_ratio: rows-only (zlib byte counts are not SQL-expressible)
+    "x_hilbert_layout"  -> graft.operators.LayoutOps.hilbertLayoutSql,
   )
 }
