@@ -234,6 +234,10 @@ object SparkEntry {
     "t_compress_ratio"  -> (TextOps.compressRatio _),
     // Hilbert-curve clustering twin of x_zorder_layout (adjacency-preserving)
     "x_hilbert_layout"  -> (graft.operators.LayoutOps.hilbertLayout _),
+    // MMR diversified re-ranking in the quantized integer domain
+    "s_mmr_diversify"   -> (SimilarityOps.mmrDiversify _),
+    // dbt-style data-quality contract report (FK / uniqueness / ranges)
+    "x_dq_report"       -> (graft.operators.ReconcileOps.dqReport _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -388,5 +392,7 @@ object SparkEntry {
     "w_cume_new_users"  -> graft.operators.IntervalOps.cumeNewUsersSql,
     // t_compress_ratio: rows-only (zlib byte counts are not SQL-expressible)
     "x_hilbert_layout"  -> graft.operators.LayoutOps.hilbertLayoutSql,
+    "s_mmr_diversify"   -> SimilarityOps.mmrDiversifySql,
+    "x_dq_report"       -> graft.operators.ReconcileOps.dqReportSql,
   )
 }

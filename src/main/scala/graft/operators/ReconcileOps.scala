@@ -126,6 +126,75 @@ object ReconcileOps {
       .orderBy("col_name")
   }
 
+  /** Data-quality contract report — the dbt-test/Great-Expectations shape:
+    * each row is one declared expectation with its checked-row and
+    * violation counts. FK coverage runs as broadcast anti-joins against
+    * the key side (dim-sized build, fact-side stream); uniqueness is
+    * `count − count(distinct)`; range/null checks are conditional sums.
+    * Everything partial-aggregable; output is expectation-count-sized.
+    */
+  def dqReport(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val customer = Tables.customer(s, d)
+    val lineitem = Tables.lineitem(s, d)
+    def check(name: String, checked: DataFrame, violation: Column): DataFrame =
+      checked.agg(
+        lit(name).as("check_name"), count(lit(1)).as("n_checked"),
+        sum(when(violation, 1L).otherwise(0L)).as("n_violations"))
+    def fkCheck(name: String, fact: DataFrame, fk: String,
+        dim: DataFrame, pk: String): DataFrame =
+      fact.join(broadcast(dim.select(col(pk))), col(fk) === col(pk), "left")
+        .agg(
+          lit(name).as("check_name"), count(lit(1)).as("n_checked"),
+          sum(when(col(pk).isNull, 1L).otherwise(0L)).as("n_violations"))
+    def unique(name: String, df: DataFrame, key: String): DataFrame =
+      df.agg(
+        lit(name).as("check_name"), count(lit(1)).as("n_checked"),
+        (count(lit(1)) - countDistinct(col(key))).as("n_violations"))
+    Seq(
+      fkCheck("orders_custkey_fk", orders, "o_custkey", customer, "c_custkey"),
+      fkCheck("lineitem_orderkey_fk", lineitem, "l_orderkey", orders, "o_orderkey"),
+      unique("orders_pk_unique", orders, "o_orderkey"),
+      unique("customer_pk_unique", customer, "c_custkey"),
+      check("lineitem_qty_range", lineitem,
+        col("l_quantity") < 1 || col("l_quantity") > 50),
+      check("orders_price_positive", orders, col("o_totalprice") <= 0),
+      check("customer_segment_notnull", customer, col("c_mktsegment").isNull))
+      .reduce(_ unionByName _)
+      .withColumn("passed", col("n_violations") === 0)
+      .orderBy("check_name")
+  }
+
+  val dqReportSql: String =
+    """WITH checks AS (
+      |  SELECT 'orders_custkey_fk' AS check_name,
+      |    CAST(count(*) AS BIGINT) AS n_checked,
+      |    CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+      |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      |  UNION ALL
+      |  SELECT 'lineitem_orderkey_fk', CAST(count(*) AS BIGINT),
+      |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+      |  UNION ALL
+      |  SELECT 'orders_pk_unique', CAST(count(*) AS BIGINT),
+      |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'customer_pk_unique', CAST(count(*) AS BIGINT),
+      |    CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) FROM customer
+      |  UNION ALL
+      |  SELECT 'lineitem_qty_range', CAST(count(*) AS BIGINT),
+      |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orders_price_positive', CAST(count(*) AS BIGINT),
+      |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'customer_segment_notnull', CAST(count(*) AS BIGINT),
+      |    CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM customer)
+      |SELECT check_name, n_checked, n_violations, n_violations = 0 AS passed
+      |FROM checks ORDER BY check_name""".stripMargin
+
   val colStatsSql: String = {
     def num(c: String) =
       s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n,

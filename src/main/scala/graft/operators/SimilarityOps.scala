@@ -797,4 +797,115 @@ object SimilarityOps {
        |    row_number() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS rnk
        |  FROM sc WHERE q_id <> c_id)
        |WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
+
+  // ---- MMR diversified re-ranking (integer domain) --------------------
+
+  val MmrQueryId = 0L
+  val MmrCand    = 32
+  val MmrK       = 5
+
+  private def intdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L), _ + _)
+
+  /** Maximal Marginal Relevance re-ranking over SQ8 codes — retrieval
+    * diversification: greedily pick the candidate maximizing
+    * `relevance − max-similarity-to-already-picked` (λ = ½, scaled ×2 so
+    * the score stays integral). Run ENTIRELY in the quantized integer
+    * domain: relevance and pairwise similarity are integer dots of int8
+    * codes, so every comparison is exact and the greedy trace is
+    * bit-reproducible — which is what lets a sequential re-ranker be
+    * oracled at all (the DuckDB replay runs the same [[MmrK]] unrolled
+    * steps).
+    *
+    * Scale shape: candidate generation is the data-scale part and reuses
+    * the ANN machinery (broadcast 1-row query, TakeOrderedAndProject
+    * top-[[MmrCand]]); the greedy loop then touches only the k·candidates
+    * frontier — [[MmrK]] driver-bounded picks, the same bounded-driver
+    * contract as [[kmeans]] centroids. Each step's max-sim join broadcasts
+    * the ≤ k selected codes.
+    */
+  def mmrDiversify(s: SparkSession, d: String): DataFrame = {
+    val q = quantized(s, d).select(col("vec_id"), col("q")).localCheckpoint(true)
+    val qv = q.filter(col("vec_id") === MmrQueryId).select(col("q").as("qq"))
+    val cands = q.filter(col("vec_id") =!= MmrQueryId)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("c_id"), col("q"),
+        intdot(col("q"), col("qq")).as("rel"))
+      .orderBy(col("rel").desc, col("c_id")).limit(MmrCand)
+      .localCheckpoint(true)
+    var picks = Vector.empty[(Int, Long, Long, Long, Long)]
+    var selIds = Vector.empty[Long]
+    var k = 1
+    var exhausted = false
+    while (k <= MmrK && !exhausted) {
+      val remaining = cands.filter(!col("c_id").isin(selIds: _*))
+      val scored =
+        if (selIds.isEmpty) remaining.select(col("c_id"), col("rel"), lit(0L).as("max_sim"))
+        else {
+          val selCodes = cands.filter(col("c_id").isin(selIds: _*))
+            .select(col("q").as("sq"))
+          remaining.crossJoin(broadcast(selCodes))
+            .withColumn("sim", intdot(col("q"), col("sq")))
+            .groupBy("c_id", "rel").agg(max("sim").as("max_sim"))
+        }
+      val hit = scored.withColumn("score", col("rel") - col("max_sim"))
+        .orderBy(col("score").desc, col("c_id")).limit(1)
+        .select("c_id", "rel", "max_sim", "score").take(1)
+      hit.headOption match {
+        case Some(p) =>
+          picks :+= ((k, p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3)))
+          selIds :+= p.getLong(0)
+          k += 1
+        case None => exhausted = true // fewer candidates than MmrK
+      }
+    }
+    import s.implicits._
+    picks.toDF("rnk", "c_id", "rel", "max_sim", "score").orderBy("rnk")
+  }
+
+  /** Oracle: the same greedy trace as [[MmrK]] unrolled CTE steps —
+    * integer dots make each argmax exact, so the replay is bit-identical.
+    */
+  val mmrDiversifySql: String = {
+    def dot(a: String, b: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, $Dim), " +
+        s"i -> CAST($a.q[i] * $b.q[i] AS BIGINT))) AS BIGINT)"
+    // pairwise sims precomputed flat (lambda exprs cannot see correlated
+    // outer columns in DuckDB); the greedy steps correlate on plain cols
+    val steps = (2 to MmrK).map { k =>
+      s"""sel${k - 1} AS (${(1 until k).map(j => s"SELECT c_id FROM p$j")
+        .mkString(" UNION ALL ")}),
+         |scored$k AS (
+         |  SELECT c.c_id, c.rel,
+         |    (SELECT max(sim) FROM sims
+         |     WHERE sims.x = c.c_id AND sims.y IN (SELECT c_id FROM sel${k - 1})) AS max_sim
+         |  FROM cand c WHERE c.c_id NOT IN (SELECT c_id FROM sel${k - 1})),
+         |p$k AS (SELECT c_id, rel, max_sim, rel - max_sim AS score
+         |        FROM scored$k ORDER BY score DESC, c_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to MmrK).map(k =>
+      s"SELECT $k AS rnk, c_id, rel, max_sim, score FROM p$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+       |           FROM embeddings),
+       |m AS (SELECT vec_id, dv,
+       |        list_max(list_transform(dv, x -> abs(x))) / 127.0 AS scale FROM e),
+       |qq AS (SELECT vec_id,
+       |         CASE WHEN scale = 0 THEN list_transform(dv, x -> 0)
+       |              ELSE list_transform(dv, x -> CAST(floor(x / scale + 0.5) AS INTEGER))
+       |         END AS q
+       |       FROM m),
+       |cand AS (
+       |  SELECT b.vec_id AS c_id, b.q, ${dot("a", "b")} AS rel
+       |  FROM qq a, qq b
+       |  WHERE a.vec_id = $MmrQueryId AND b.vec_id <> $MmrQueryId
+       |  ORDER BY rel DESC, c_id LIMIT $MmrCand),
+       |sims AS (SELECT a.c_id AS x, b.c_id AS y, ${dot("a", "b")} AS sim
+       |         FROM cand a, cand b WHERE a.c_id <> b.c_id),
+       |p1 AS (SELECT c_id, rel, CAST(0 AS BIGINT) AS max_sim, rel AS score
+       |       FROM cand ORDER BY rel DESC, c_id LIMIT 1),
+       |$steps
+       |$out
+       |ORDER BY rnk""".stripMargin
+  }
 }

@@ -158,6 +158,62 @@ class FeatureOpsSpec extends SparkSpec {
     assert(last.join(want, "event_type").filter(col("c") =!= col("w")).count() == 0)
   }
 
+  test("mmrDiversify: a near-duplicate of the top pick is displaced by diverse results") {
+    import spark.implicits._
+    // ids: 0 = query; 1,2 = near-identical high-relevance pair; 3 = diverse
+    // mid-relevance; 4,5,6 = orthogonal fillers. Pure top-5 by relevance
+    // would rank 2 second; MMR must push it out entirely (its similarity
+    // to pick 1 exceeds its relevance, scoring below the 0-sim fillers).
+    def v(entries: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(64)(0.0f)
+      entries.foreach { case (i, x) => a(i) = x }
+      a.toSeq
+    }
+    val emb = Seq(
+      (0L, v(0 -> 127f), 0),
+      (1L, v(0 -> 127f, 1 -> 127f), 0),
+      (2L, v(0 -> 127f, 1 -> 126f), 0),
+      (3L, v(0 -> 90f, 50 -> 127f), 0),
+      (4L, v(60 -> 127f), 0),
+      (5L, v(61 -> 127f), 0),
+      (6L, v(62 -> 127f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val dir = tmpDir("mmr")
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val picks = graft.operators.SimilarityOps.mmrDiversify(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(picks.map(_._2) == Seq(1L, 3L, 4L, 5L, 6L), picks)
+  }
+
+  test("mmrDiversify: candidate pool smaller than k stops cleanly") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq.fill(64)(1.0f), 0), (1L, Seq.fill(64)(2.0f), 0),
+      (2L, Seq.fill(64)(3.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val dir = tmpDir("mmr2")
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.operators.SimilarityOps.mmrDiversify(spark, dir).collect()
+    assert(out.length == 2)
+  }
+
+  test("dqReport: clean data passes every contract; broken FK is counted") {
+    val clean = ReconcileOps.dqReport(spark, sf0001).collect()
+    assert(clean.length == 7)
+    assert(clean.forall(_.getBoolean(3)), clean.mkString("\n"))
+    // break referential integrity: drop half the customers
+    import spark.implicits._
+    val dir = tmpDir("dq")
+    graft.Tables.orders(spark, sf0001).write.parquet(s"$dir/orders.parquet")
+    graft.Tables.lineitem(spark, sf0001).write.parquet(s"$dir/lineitem.parquet")
+    graft.Tables.customer(spark, sf0001).filter(col("c_custkey") % 2 === 0)
+      .write.parquet(s"$dir/customer.parquet")
+    val broken = ReconcileOps.dqReport(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(broken("orders_custkey_fk") > 0)
+    assert(broken("orders_pk_unique") == 0)
+  }
+
   test("colStats: per-column profile is exact on sf0.001") {
     val li = graft.Tables.lineitem(spark, sf0001)
     val out = ReconcileOps.colStats(spark, sf0001).collect()
