@@ -238,6 +238,12 @@ object SparkEntry {
     "s_mmr_diversify"   -> (SimilarityOps.mmrDiversify _),
     // dbt-style data-quality contract report (FK / uniqueness / ranges)
     "x_dq_report"       -> (graft.operators.ReconcileOps.dqReport _),
+    // exact discrete p50/p95/p99 per group from one value-count histogram
+    "g_exact_pcts"      -> (AQ.gExactPcts _),
+    // tie-stable grouped mode over the NDV-sized histogram
+    "g_mode"            -> (AQ.gMode _),
+    // market-basket pair support + exact-integer lift
+    "g_pair_lift"       -> (AQ.gPairLift _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -394,5 +400,8 @@ object SparkEntry {
     "x_hilbert_layout"  -> graft.operators.LayoutOps.hilbertLayoutSql,
     "s_mmr_diversify"   -> SimilarityOps.mmrDiversifySql,
     "x_dq_report"       -> graft.operators.ReconcileOps.dqReportSql,
+    "g_exact_pcts"      -> AQ.gExactPctsSql,
+    "g_mode"            -> AQ.gModeSql,
+    "g_pair_lift"       -> AQ.gPairLiftSql,
   )
 }

@@ -457,6 +457,113 @@ object AnalyticsQueries {
     * of by partition arrival order (`max_by` alone is nondeterministic on
     * ties). One partial-aggregable pass.
     */
+  /** Exact DISCRETE percentiles (p50/p95/p99) per group from ONE value-
+    * count histogram — the ops-metric staple (p95 latency boards) built on
+    * the same scale-safe construction as [[medianX2]]: order statistic `k`
+    * is the smallest value whose cumulative count reaches `k`, and all
+    * three ks read off the same cumulated histogram with conditional sums.
+    * `k_p = ceil(p·n)` in exact integer arithmetic — no interpolation, no
+    * floats, so the oracle's `row_number` replay matches bit for bit.
+    */
+  def gExactPcts(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.lineitem(s, d).select(col("l_returnflag").as("g"),
+      round(col("l_extendedprice") * 100).cast("long").as("v"))
+    val byVal = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grp = Window.partitionBy("g")
+    c.groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+      .withColumn("hi", sum("cnt").over(byVal))
+      .withColumn("lo", col("hi") - col("cnt") + 1)
+      .withColumn("n", sum("cnt").over(grp))
+      .withColumn("k50", expr("(n + 1) div 2"))
+      .withColumn("k95", expr("(19 * n + 19) div 20"))
+      .withColumn("k99", expr("(99 * n + 99) div 100"))
+      .groupBy("g")
+      .agg(
+        first("n").as("n"),
+        sum(when(col("k50").between(col("lo"), col("hi")), col("v"))).as("p50_cents"),
+        sum(when(col("k95").between(col("lo"), col("hi")), col("v"))).as("p95_cents"),
+        sum(when(col("k99").between(col("lo"), col("hi")), col("v"))).as("p99_cents"))
+      .select(col("g").as("l_returnflag"), col("n"),
+        col("p50_cents"), col("p95_cents"), col("p99_cents"))
+      .orderBy("l_returnflag")
+  }
+  val gExactPctsSql: String =
+    """WITH o AS (SELECT l_returnflag AS g,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT)) AS rn,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem)
+      |SELECT g AS l_returnflag, CAST(min(n) AS BIGINT) AS n,
+      |  CAST(min(CASE WHEN rn = (n + 1) // 2 THEN v END) AS BIGINT) AS p50_cents,
+      |  CAST(min(CASE WHEN rn = (19 * n + 19) // 20 THEN v END) AS BIGINT) AS p95_cents,
+      |  CAST(min(CASE WHEN rn = (99 * n + 99) // 100 THEN v END) AS BIGINT) AS p99_cents
+      |FROM o GROUP BY g ORDER BY g""".stripMargin
+
+  /** Tie-stable grouped MODE: most frequent quantity per return flag,
+    * equal frequencies resolved to the SMALLEST value (a total order, so
+    * every engine agrees). Ranking runs over the NDV-sized histogram, not
+    * the data.
+    */
+  def gMode(s: SparkSession, d: String): DataFrame = {
+    val h = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("g"), col("l_quantity").cast("long").as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+    val best = Window.partitionBy("g").orderBy(col("cnt").desc, col("v"))
+    h.withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("g").as("l_returnflag"), col("v").as("mode_qty"),
+        col("cnt").as("mode_count"))
+      .orderBy("l_returnflag")
+  }
+  val gModeSql: String =
+    """WITH h AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+      |             count(*) AS cnt
+      |           FROM lineitem GROUP BY 1, 2),
+      |r AS (SELECT g, v, cnt,
+      |        row_number() OVER (PARTITION BY g ORDER BY cnt DESC, v) AS rn FROM h)
+      |SELECT g AS l_returnflag, v AS mode_qty, CAST(cnt AS BIGINT) AS mode_count
+      |FROM r WHERE rn = 1 ORDER BY g""".stripMargin
+
+  /** Market-basket association: top co-purchased part pairs by support,
+    * with exact-integer lift `n·c_xy / (c_x·c_y)` (one IEEE division of
+    * exactly-representable longs — deterministic cross-engine). Pair
+    * generation is per-order (bounded by line count); per-part frequencies
+    * broadcast into the pair table.
+    */
+  def gPairLift(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey")).distinct()
+    val n = li.select("ok").distinct().agg(count(lit(1)).as("n_orders"))
+    val pairs = li.join(li.select(col("ok"), col("l_partkey").as("p2")), Seq("ok"))
+      .filter(col("l_partkey") < col("p2"))
+      .groupBy(col("l_partkey").as("u"), col("p2").as("v"))
+      .agg(count(lit(1)).as("c_xy"))
+    val freq = li.groupBy(col("l_partkey").as("p")).agg(count(lit(1)).as("c"))
+    pairs
+      .join(broadcast(freq.select(col("p").as("u"), col("c").as("c_u"))), Seq("u"))
+      .join(broadcast(freq.select(col("p").as("v"), col("c").as("c_v"))), Seq("v"))
+      .crossJoin(broadcast(n))
+      .withColumn("lift",
+        (col("n_orders") * col("c_xy")).cast("double") /
+          (col("c_u") * col("c_v")).cast("double"))
+      .select("u", "v", "c_xy", "c_u", "c_v", "lift")
+      .orderBy(col("c_xy").desc, col("u"), col("v")).limit(20)
+  }
+  val gPairLiftSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey FROM lineitem),
+      |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM li),
+      |pairs AS (SELECT a.l_partkey AS u, b.l_partkey AS v,
+      |            CAST(count(*) AS BIGINT) AS c_xy
+      |          FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey < b.l_partkey
+      |          GROUP BY 1, 2),
+      |freq AS (SELECT l_partkey AS p, CAST(count(*) AS BIGINT) AS c FROM li GROUP BY 1)
+      |SELECT u, v, c_xy, fu.c AS c_u, fv.c AS c_v,
+      |  CAST(n.n_orders * c_xy AS DOUBLE) / CAST(fu.c * fv.c AS DOUBLE) AS lift
+      |FROM pairs JOIN freq fu ON u = fu.p JOIN freq fv ON v = fv.p CROSS JOIN n
+      |ORDER BY c_xy DESC, u, v LIMIT 20""".stripMargin
+
   def gArgMinMax(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .select(col("o_orderpriority").as("pri"),

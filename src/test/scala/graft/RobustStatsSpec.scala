@@ -34,6 +34,39 @@ class RobustStatsSpec extends SparkSpec {
     assert(got.exists(_._5 > 0), "at least one group must have outliers to bite")
   }
 
+  test("gExactPcts == sorted-array order statistics at sf0.001") {
+    val cents = Tables.lineitem(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("l_returnflag"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("l_extendedprice") * 100)
+          .cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def kth(s: Seq[Long], k: Long): Long = s((k - 1).toInt)
+    val want = cents.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, rows) =>
+      val s = rows.map(_._2).sorted
+      val n = s.size.toLong
+      (g, n, kth(s, (n + 1) / 2), kth(s, (19 * n + 19) / 20), kth(s, (99 * n + 99) / 100))
+    }
+    val got = AQ.gExactPcts(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want)
+  }
+
+  test("gMode == brute-force most-frequent with smallest-value tie break") {
+    val qty = Tables.lineitem(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("l_returnflag"),
+        org.apache.spark.sql.functions.col("l_quantity").cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = qty.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, rows) =>
+      val counts = rows.groupBy(_._2).map { case (v, r) => (v, r.size.toLong) }
+      val best = counts.toSeq.minBy { case (v, c) => (-c, v) }
+      (g, best._1, best._2)
+    }
+    val got = AQ.gMode(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
   test("gMadOutliers plan: histogram medians, no group-buffering percentile") {
     // a percentile() aggregate materializes every group value in one task
     // (the 100 TB OOM); the histogram form must keep it out of the plan
