@@ -244,6 +244,10 @@ object SparkEntry {
     "g_mode"            -> (AQ.gMode _),
     // market-basket pair support + exact-integer lift
     "g_pair_lift"       -> (AQ.gPairLift _),
+    // exact dyadic time-decay customer value (half-life weighting)
+    "w_decay_score"     -> (graft.operators.IntervalOps.decayScore _),
+    // first-order behavioral Markov transition matrix
+    "w_transitions"     -> (graft.operators.FunnelOps.transitions _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -403,5 +407,7 @@ object SparkEntry {
     "g_exact_pcts"      -> AQ.gExactPctsSql,
     "g_mode"            -> AQ.gModeSql,
     "g_pair_lift"       -> AQ.gPairLiftSql,
+    "w_decay_score"     -> graft.operators.IntervalOps.decayScoreSql,
+    "w_transitions"     -> graft.operators.FunnelOps.transitionsSql,
   )
 }

@@ -214,4 +214,40 @@ object FunnelOps {
       |SELECT user_id, CAST(max(len) AS BIGINT) AS best_streak,
       |       CAST(sum(len) AS BIGINT) AS active_days
       |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** First-order behavioral Markov matrix: per-user event streams ordered
+    * by (ts, event_id), counted over consecutive (from → to) type pairs,
+    * with the row-normalized transition probability as one exact-integer
+    * division. The lag window partitions by user (session-scale); the
+    * count and its row total are two partial-aggregable group-bys with the
+    * type-sized totals broadcast back.
+    */
+  def transitions(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag("event_type", 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum("n").as("row_total"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .withColumn("p", col("n").cast("double") / col("row_total").cast("double"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val transitionsSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts,
+      |    event_id, event_type FROM events),
+      |p AS (SELECT user_id, event_type AS to_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+      |  FROM e),
+      |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |      FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.n, t.row_total,
+      |       CAST(c.n AS DOUBLE) / CAST(t.row_total AS DOUBLE) AS p
+      |FROM c JOIN t USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
 }

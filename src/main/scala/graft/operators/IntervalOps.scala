@@ -163,6 +163,48 @@ object IntervalOps {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cume_users
       |FROM pd ORDER BY event_type, day""".stripMargin
 
+  /** Exponentially time-decayed customer value (half-life = 7 days) —
+    * the recency-weighted score behind "active customer" rankings,
+    * computed EXACTLY: with dyadic weights `2^(-age/7)` quantized to
+    * whole half-life steps, every term `cents · 2^(kmax−k)` is an exact
+    * long, the per-customer sum is exact, and the presented score divides
+    * once by `2^kmax` — a power-of-two scaling that only shifts the
+    * float exponent, so the double is bit-identical on any engine. At a
+    * 100 TB order history the integer sum needs DECIMAL(38,0) headroom;
+    * the shape (one partial-aggregable group-by) is unchanged.
+    */
+  def decayScore(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      to_date(col("o_orderdate")).as("day"))
+    val ref = o.agg(max("day").as("ref_day"))
+    val kmax = 8 // ages cap at 8 half-lives: older orders keep the 2^-8 floor weight
+    o.crossJoin(broadcast(ref))
+      .withColumn("k",
+        least(floor(datediff(col("ref_day"), col("day")) / 7).cast("long"), lit(kmax.toLong)))
+      .withColumn("wcents",
+        col("cents") * expr(s"shiftleft(cast(1 as bigint), cast($kmax - k as int))"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum("wcents").as("decay_num"))
+      .withColumn("decay_cents", col("decay_num").cast("double") / lit((1L << kmax).toDouble))
+      .orderBy("o_custkey")
+  }
+
+  val decayScoreSql: String =
+    """WITH o AS (SELECT o_custkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    CAST(o_orderdate AS DATE) AS day
+      |  FROM orders),
+      |r AS (SELECT max(day) AS ref_day FROM o),
+      |w AS (SELECT o_custkey, cents,
+      |    least(CAST(floor(date_diff('day', day, ref_day) / 7) AS BIGINT), 8) AS k
+      |  FROM o CROSS JOIN r)
+      |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(cents * (CAST(1 AS BIGINT) << CAST(8 - k AS INTEGER))) AS BIGINT) AS decay_num,
+      |  CAST(sum(cents * (CAST(1 AS BIGINT) << CAST(8 - k AS INTEGER))) AS DOUBLE) / 256.0
+      |    AS decay_cents
+      |FROM w GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   val slidingDistinctSql: String =
     """WITH p AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
       |           FROM events),

@@ -216,6 +216,23 @@ class FeatureOpsSpec extends SparkSpec {
     assert(broken("orders_pk_unique") == 0)
   }
 
+  test("decayScore: the presented double is the exact dyadic numerator / 256") {
+    val rows = graft.operators.IntervalOps.decayScore(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // power-of-two division only shifts the float exponent — exact
+      assert(r.getDouble(3) * 256.0 == r.getLong(2).toDouble, r)
+    }
+  }
+
+  test("transitions: each row's counts sum to its row total") {
+    val out = graft.operators.FunnelOps.transitions(spark, sf0001)
+    val bad = out.groupBy("from_type")
+      .agg(sum("n").as("s"), first("row_total").as("t"))
+      .filter(col("s") =!= col("t")).count()
+    assert(bad == 0)
+  }
+
   test("colStats: per-column profile is exact on sf0.001") {
     val li = graft.Tables.lineitem(spark, sf0001)
     val out = ReconcileOps.colStats(spark, sf0001).collect()
