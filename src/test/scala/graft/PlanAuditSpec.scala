@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tools.PlanAudit
+
+/** The plan linter must flag the known scale killers and stay quiet on the
+  * engine's own (documented-clean) workhorse queries.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  test("flags a global window as error") {
+    import spark.implicits._
+    val df = (1 to 100).toDF("x")
+      .withColumn("rn", row_number().over(Window.orderBy("x")))
+    val f = PlanAudit.audit(df)
+    assert(f.exists(x => x.severity == "error" && x.rule == "global-window"), f)
+    intercept[IllegalArgumentException] { PlanAudit.assertScaleSafe(df) }
+    PlanAudit.assertScaleSafe(df, waived = Set("global-window")) // explicit waiver
+  }
+
+  test("flags a cartesian product as error") {
+    import spark.implicits._
+    val a = (1 to 10).toDF("x")
+    val b = (1 to 10).toDF("y")
+    val f = PlanAudit.audit(a.crossJoin(b))
+    assert(f.exists(x => x.rule == "cartesian-product" ||
+      x.rule == "nested-loop-join"), f)
+  }
+
+  test("flags object-agg buffering (percentile family)") {
+    val df = Tables.orders(spark, sf0001)
+      .groupBy("o_orderstatus").agg(expr("percentile(o_totalprice, 0.5)"))
+    val f = PlanAudit.audit(df)
+    assert(f.exists(_.rule == "object-agg-buffering"), f)
+  }
+
+  test("the engine's partitioned-window and histogram queries audit clean of errors") {
+    for (q <- Seq("g_mad_outliers", "g_exact_pcts", "w_interval_merge",
+      "w_funnel", "q1_pricing_summary", "j_bloom_semi")) {
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      val errs = PlanAudit.audit(df).filter(_.severity == "error")
+      assert(errs.isEmpty, s"$q: $errs")
+    }
+  }
+}
