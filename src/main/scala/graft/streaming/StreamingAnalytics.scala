@@ -51,6 +51,28 @@ object StreamingAnalytics {
       .select(col("window.start").as("bucket_start"), col("ticker"),
         col("avg_price"), col("n_ticks"))
 
+  /** Windowed distinct-user counting as a stream, via mergeable HLL
+    * sketches: the streaming twin of the batch
+    * [[graft.operators.SketchOps.hllIncremental]] partials table. Exact
+    * streaming distinct needs per-key state proportional to the universe;
+    * the sketch keeps every window's state at a fixed few KB and merges
+    * associatively across micro-batches — so the update-mode estimate
+    * after N batches equals the batch recompute over their union
+    * (StreamingAnalyticsSpec pins that equality). At 100 TB/day the same
+    * query shape runs unchanged: state size is windows × sketch size,
+    * independent of cardinality.
+    */
+  def windowedDistinctUsers(events: DataFrame, width: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width))
+      .agg(hll_sketch_agg(col("user_id")).as("sketch"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("bucket_start"),
+        hll_sketch_estimate(col("sketch")).as("approx_users"),
+        col("n_events"))
+
   /** Event-time sessionization as a stream: session_window merges rows
     * within `gap` of each other per user — the streaming twin of
     * [[graft.operators.TimeSeriesOps.sessionize]]'s lag/running-sum batch
