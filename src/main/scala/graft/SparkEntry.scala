@@ -248,6 +248,8 @@ object SparkEntry {
     "w_decay_score"     -> (graft.operators.IntervalOps.decayScore _),
     // first-order behavioral Markov transition matrix
     "w_transitions"     -> (graft.operators.FunnelOps.transitions _),
+    // greedy max-coverage corpus selection (facility-location subset pick)
+    "t_greedy_cover"    -> ((s, d) => graft.operators.FeatureOps.greedyCover(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -409,5 +411,6 @@ object SparkEntry {
     "g_pair_lift"       -> AQ.gPairLiftSql,
     "w_decay_score"     -> graft.operators.IntervalOps.decayScoreSql,
     "w_transitions"     -> graft.operators.FunnelOps.transitionsSql,
+    "t_greedy_cover"    -> graft.operators.FeatureOps.greedyCoverSql,
   )
 }

@@ -81,6 +81,95 @@ object FeatureOps {
       |          CAST(pos AS DOUBLE) * CAST(n - pos AS DOUBLE)) AS chi2
       |FROM x ORDER BY chi2 DESC, term LIMIT 100""".stripMargin
 
+  val CoverK = 5
+
+  /** Greedy maximum-coverage corpus selection: pick [[CoverK]] documents
+    * maximizing the union of covered 3-word shingles — the
+    * facility-location subset-selection shape (data-mixing / eval-set
+    * curation) with the classic (1 − 1/e) greedy guarantee. The coverage
+    * unit is the SHINGLE, not the unigram: this corpus's unigram
+    * vocabulary is 31 tokens (one document covers it all — a degenerate
+    * trace), while its shingle space is ~16k at sf0.01. Marginal gains
+    * are exact integer counts, ties resolve to the lowest doc id, so the
+    * greedy trace replays bit-identically in the oracle's unrolled CTE
+    * steps — same contract as [[SimilarityOps.mmrDiversify]].
+    *
+    * Scale shape: the doc→shingle explode (native codegen'd
+    * [[TextOps.shingles3]]) is the only data-scale pass; each greedy step
+    * is an anti-join of that table against the covered-shingle set
+    * (selected-docs-sized, broadcast) plus one partial-aggregable
+    * group-by. Driver state is ≤ k picked ids.
+    */
+  def greedyCover(s: SparkSession, d: String, k: Int = CoverK): DataFrame = {
+    val toks = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          TextOps.shingles3(TextOps.tokens(col("text"))))).as("token"))
+      .localCheckpoint(true) // reused k+1 times across the greedy steps
+    var picks = Vector.empty[(Int, Long, Long, Long)]
+    var selIds = Vector.empty[Long]
+    var covered = 0L
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      val coveredToks = toks.filter(col("doc_id").isin(selIds: _*))
+        .select("token").distinct()
+      val gains = toks.filter(!col("doc_id").isin(selIds: _*))
+        .join(broadcast(coveredToks), Seq("token"), "left_anti")
+        .groupBy("doc_id").agg(countDistinct("token").as("gain"))
+      val hit = gains.orderBy(col("gain").desc, col("doc_id")).limit(1).take(1)
+      hit.headOption match {
+        case Some(p) if p.getLong(1) > 0 =>
+          covered += p.getLong(1)
+          picks :+= ((step, p.getLong(0), p.getLong(1), covered))
+          selIds :+= p.getLong(0)
+          step += 1
+        case _ => exhausted = true // nothing adds coverage — stop early
+      }
+    }
+    import s.implicits._
+    picks.toDF("rnk", "doc_id", "gain", "covered_tokens").orderBy("rnk")
+  }
+
+  /** Oracle replays the greedy trace as unrolled steps — each one an
+    * anti-join of the token table against the covered set so far (plain
+    * SQL, no lambdas). */
+  val greedyCoverSql: String = {
+    val steps = (2 to CoverK).map { j =>
+      s"""sel${j - 1} AS (${(1 until j).map(i => s"SELECT doc_id FROM p$i")
+        .mkString(" UNION ALL ")}),
+         |cov${j - 1} AS (SELECT DISTINCT token FROM toks
+         |  WHERE doc_id IN (SELECT doc_id FROM sel${j - 1})),
+         |g$j AS (SELECT t.doc_id, count(DISTINCT t.token) AS gain
+         |  FROM toks t
+         |  WHERE t.doc_id NOT IN (SELECT doc_id FROM sel${j - 1})
+         |    AND t.token NOT IN (SELECT token FROM cov${j - 1})
+         |  GROUP BY t.doc_id),
+         |p$j AS (SELECT doc_id, gain FROM g$j WHERE gain > 0
+         |        ORDER BY gain DESC, doc_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to CoverK).map(j =>
+      s"SELECT $j AS rnk, doc_id, gain FROM p$j").mkString("\nUNION ALL\n")
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+       |           FROM documents),
+       |toks AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(CASE WHEN len(tk) >= 3 THEN
+       |      list_transform(generate_series(1, len(tk) - 2),
+       |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+       |      ELSE [] END) AS token
+       |  FROM t),
+       |g1 AS (SELECT doc_id, count(DISTINCT token) AS gain FROM toks GROUP BY doc_id),
+       |p1 AS (SELECT doc_id, gain FROM g1 WHERE gain > 0
+       |       ORDER BY gain DESC, doc_id LIMIT 1),
+       |$steps,
+       |traced AS ($out)
+       |SELECT rnk, doc_id, gain,
+       |  CAST(sum(gain) OVER (ORDER BY rnk
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS covered_tokens
+       |FROM traced ORDER BY rnk""".stripMargin
+  }
+
   /** k-anonymity generalization ladder over the customer table's
     * quasi-identifiers. Level 0 releases the full QI tuple
     * (nation, segment, account-balance band); a row whose level-0 group

@@ -216,6 +216,19 @@ class FeatureOpsSpec extends SparkSpec {
     assert(broken("orders_pk_unique") == 0)
   }
 
+  test("greedyCover: gains decrease monotonically and accumulate; picks distinct") {
+    val rows = FeatureOps.greedyCover(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length == FeatureOps.CoverK)
+    val gains = rows.map(_.getLong(2)).toSeq
+    // submodularity: each marginal gain is <= the previous one
+    assert(gains == gains.sortBy(-_), gains)
+    assert(gains.forall(_ > 0))
+    val ids = rows.map(_.getLong(1)).toSeq
+    assert(ids.distinct.size == ids.size)
+    // covered_tokens is the running sum of gains
+    assert(rows.map(_.getLong(3)).toSeq == gains.scanLeft(0L)(_ + _).tail)
+  }
+
   test("decayScore: the presented double is the exact dyadic numerator / 256") {
     val rows = graft.operators.IntervalOps.decayScore(spark, sf0001).collect()
     assert(rows.nonEmpty)
