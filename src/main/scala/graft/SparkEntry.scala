@@ -394,7 +394,7 @@ object SparkEntry {
     "w_retention"       -> graft.operators.FunnelOps.retentionSql,
     "w_interval_merge"  -> graft.operators.IntervalOps.mergeIntervalsSql,
     "w_sliding_distinct" -> graft.operators.IntervalOps.slidingDistinctSql,
-    "t_chi2_terms"      -> graft.operators.FeatureOps.chi2TermsSql,
+    "t_chi2_terms"      -> graft.operators.FeatureOps.chi2TermsSql(),
     "t_k_anon"          -> graft.operators.FeatureOps.kAnonymitySql(),
     "x_triangles"       -> graft.operators.GraphOps.trianglesSql,
     "x_snapshot_diff"   -> graft.operators.ReconcileOps.snapshotDiffSql,
@@ -411,6 +411,6 @@ object SparkEntry {
     "g_pair_lift"       -> AQ.gPairLiftSql,
     "w_decay_score"     -> graft.operators.IntervalOps.decayScoreSql,
     "w_transitions"     -> graft.operators.FunnelOps.transitionsSql,
-    "t_greedy_cover"    -> graft.operators.FeatureOps.greedyCoverSql,
+    "t_greedy_cover"    -> graft.operators.FeatureOps.greedyCoverSql(),
   )
 }

@@ -44,8 +44,9 @@ object FeatureOps {
       .withColumn("b", col("df") - col("pos_df"))
       .withColumn("cc", col("pos") - col("pos_df"))
       .withColumn("dd", col("n") - col("pos") - col("b"))
-      // a term in EVERY document carries no signal and divides by zero
-      .filter(col("df") < col("n"))
+      // a term in EVERY document carries no signal and divides by zero;
+      // same for a single-class corpus (pos = 0 or n ⇒ chi2 = 0/0 = NaN)
+      .filter(col("df") < col("n") && col("pos") > 0 && col("pos") < col("n"))
       // exact integer cross-product difference, ONE cast to double after
       .withColumn("delta",
         (col("pos_df") * col("dd") - col("b") * col("cc")).cast("double"))
@@ -60,13 +61,15 @@ object FeatureOps {
 
   /** Oracle mirrors the exact integer contingency arithmetic and the SAME
     * left-associative float chain, so the doubles are bit-identical.
+    * Parameterized by the same `k` as [[chi2Terms]] — the pair must move
+    * together.
     */
-  val chi2TermsSql: String =
-    """WITH docs AS (SELECT text, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  def chi2TermsSql(k: Int = 100): String =
+    s"""WITH docs AS (SELECT text, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
       |              FROM documents),
       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
       |        FROM docs),
-      |t AS (SELECT y, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS term
+      |t AS (SELECT y, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS term
       |      FROM docs),
       |pt AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
       |              CAST(sum(y) AS BIGINT) AS pos_df
@@ -74,12 +77,12 @@ object FeatureOps {
       |x AS (SELECT term, df, pos_df, n, pos,
       |         CAST(pos_df * (n - pos - (df - pos_df))
       |              - (df - pos_df) * (pos - pos_df) AS DOUBLE) AS delta
-      |      FROM pt, tot WHERE df < n)
+      |      FROM pt, tot WHERE df < n AND pos > 0 AND pos < n)
       |SELECT term, df, pos_df,
       |       CAST(n AS DOUBLE) * delta * delta /
       |         (CAST(df AS DOUBLE) * CAST(n - df AS DOUBLE) *
       |          CAST(pos AS DOUBLE) * CAST(n - pos AS DOUBLE)) AS chi2
-      |FROM x ORDER BY chi2 DESC, term LIMIT 100""".stripMargin
+      |FROM x ORDER BY chi2 DESC, term LIMIT $k""".stripMargin
 
   val CoverK = 5
 
@@ -133,9 +136,10 @@ object FeatureOps {
 
   /** Oracle replays the greedy trace as unrolled steps — each one an
     * anti-join of the token table against the covered set so far (plain
-    * SQL, no lambdas). */
-  val greedyCoverSql: String = {
-    val steps = (2 to CoverK).map { j =>
+    * SQL, no lambdas). Generated from the same `k` as [[greedyCover]] so
+    * the pair cannot drift. */
+  def greedyCoverSql(k: Int = CoverK): String = {
+    val steps = (2 to k).map { j =>
       s"""sel${j - 1} AS (${(1 until j).map(i => s"SELECT doc_id FROM p$i")
         .mkString(" UNION ALL ")}),
          |cov${j - 1} AS (SELECT DISTINCT token FROM toks
@@ -148,7 +152,7 @@ object FeatureOps {
          |p$j AS (SELECT doc_id, gain FROM g$j WHERE gain > 0
          |        ORDER BY gain DESC, doc_id LIMIT 1)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to CoverK).map(j =>
+    val out = (1 to k).map(j =>
       s"SELECT $j AS rnk, doc_id, gain FROM p$j").mkString("\nUNION ALL\n")
     s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
        |           FROM documents),
@@ -185,21 +189,25 @@ object FeatureOps {
     */
   def kAnonymity(s: SparkSession, d: String, k: Int = 10): DataFrame = {
     val cust = Tables.customer(s, d).select(
-      col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+      col("c_nationkey"), col("c_mktsegment"),
       floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
     val g0 = cust.groupBy("c_nationkey", "c_mktsegment", "bal_band")
       .agg(count(lit(1)).as("n0"))
-    val g1 = cust.groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("n1"))
-    val g2 = cust.groupBy("c_nationkey").agg(count(lit(1)).as("n2"))
-    cust
-      .join(g0, Seq("c_nationkey", "c_mktsegment", "bal_band"))
+    // a row's level is a pure function of (n0, n1, n2), so the report
+    // derives ENTIRELY from the group-sized g0 partials: g1/g2 roll up
+    // from g0, join back on the coarser key prefixes (broadcast — they
+    // only shrink), and n0 weights the level counts. The customer table
+    // is scanned once; no fact-scale join ever runs.
+    val g1 = g0.groupBy("c_nationkey", "c_mktsegment").agg(sum("n0").as("n1"))
+    val g2 = g1.groupBy("c_nationkey").agg(sum("n1").as("n2"))
+    g0
       .join(broadcast(g1), Seq("c_nationkey", "c_mktsegment"))
       .join(broadcast(g2), Seq("c_nationkey"))
       .withColumn("level",
         when(col("n0") >= k, 0).when(col("n1") >= k, 1)
           .when(col("n2") >= k, 2).otherwise(3))
       .groupBy("c_nationkey", "level")
-      .agg(count(lit(1)).as("n_rows"))
+      .agg(sum("n0").as("n_rows"))
       .orderBy("c_nationkey", "level")
   }
 

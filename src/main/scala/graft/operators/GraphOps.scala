@@ -125,17 +125,24 @@ object GraphOps {
        |SELECT node, rank_ppb FROM r3 ORDER BY rank_ppb DESC, node LIMIT $TopN""".stripMargin
   }
 
-  /** Distinct part co-occurrence edges (two parts in the same order),
-    * canonical `u < v`. Per-order expansion is bounded by the order's line
-    * count (single digits), so the pair generation is never all-pairs.
+  /** Per-order part co-occurrence pairs, canonical `u < v`, one row per
+    * (order, pair) — the shared prelude of [[coEdges]] (edge SET) and
+    * [[graft.queries.AnalyticsQueries.gPairLift]] (pair COUNTS). The
+    * (order, part) dedup up front keeps duplicate line items from
+    * inflating either consumer; per-order expansion is bounded by the
+    * order's line count (single digits), never all-pairs.
     */
-  def coEdges(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"), col("l_partkey"))
+  def orderPartPairs(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey")).distinct()
     li.join(li.select(col("ok"), col("l_partkey").as("p2")), Seq("ok"))
       .filter(col("l_partkey") < col("p2"))
-      .select(col("l_partkey").as("u"), col("p2").as("v"))
-      .distinct()
+      .select(col("ok"), col("l_partkey").as("u"), col("p2").as("v"))
   }
+
+  /** Distinct part co-occurrence edges (two parts in the same order). */
+  def coEdges(s: SparkSession, d: String): DataFrame =
+    orderPartPairs(s, d).select("u", "v").distinct()
 
   /** Triangle count over the co-purchase graph via DEGREE ORIENTATION +
     * edge iteration — the standard scale-safe form: orient every edge

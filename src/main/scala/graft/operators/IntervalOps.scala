@@ -77,7 +77,7 @@ object IntervalOps {
       |         CAST(o_orderdate AS DATE) + CAST(o_orderkey % 30 AS INTEGER) AS e
       |  FROM orders),
       |flagged AS (
-      |  SELECT o_custkey, s, e,
+      |  SELECT o_custkey, o_orderkey, s, e,
       |         CASE WHEN max(e) OVER (PARTITION BY o_custkey ORDER BY s, e, o_orderkey
       |                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
       |                   IS NULL
@@ -86,8 +86,11 @@ object IntervalOps {
       |              THEN 1 ELSE 0 END AS new_island
       |  FROM iv),
       |islands AS (
+      |  -- the running sum MUST keep the full (s, e, o_orderkey) tie-break of
+      |  -- the flag window: duplicate (s, e) spans ordered differently here
+      |  -- would sum a flag-0 duplicate into the wrong island
       |  SELECT o_custkey, s, e,
-      |         sum(new_island) OVER (PARTITION BY o_custkey ORDER BY s, e
+      |         sum(new_island) OVER (PARTITION BY o_custkey ORDER BY s, e, o_orderkey
       |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
       |  FROM flagged),
       |merged AS (

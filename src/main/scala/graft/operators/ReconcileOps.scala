@@ -22,14 +22,20 @@ object ReconcileOps {
   /** The "v2" snapshot, derived deterministically from orders so the diff
     * is self-contained and oracle-replayable: keys ≡0 mod 97 deleted,
     * keys ≡0 mod 89 repriced (+1.00), keys ≡0 mod 101 cloned to a new key
-    * range (inserted). */
+    * range (inserted). The clone offset is `max(o_orderkey) + 1` — derived,
+    * not a constant, so cloned keys can NEVER collide with live keys at
+    * any scale factor (a fixed 10M offset lands inside the live range
+    * once keys pass it, fanning out the diff join). */
   private def v2(orders: DataFrame): DataFrame = {
     val kept = orders.filter(col("o_orderkey") % 97 =!= 0)
       .withColumn("o_totalprice",
         when(col("o_orderkey") % 89 === 0, col("o_totalprice") + 1.0)
           .otherwise(col("o_totalprice")))
+    val offset = orders.agg((max("o_orderkey") + 1).as("off"))
     val added = orders.filter(col("o_orderkey") % 101 === 0)
-      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .crossJoin(broadcast(offset))
+      .withColumn("o_orderkey", col("o_orderkey") + col("off"))
+      .drop("off")
     kept.unionByName(added)
   }
 
@@ -71,8 +77,8 @@ object ReconcileOps {
       |              ELSE o_totalprice END AS o_totalprice
       |       FROM orders WHERE o_orderkey % 97 <> 0
       |       UNION ALL
-      |       SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
-      |              o_orderpriority, o_totalprice
+      |       SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders),
+      |              o_custkey, o_orderstatus, o_orderpriority, o_totalprice
       |       FROM orders WHERE o_orderkey % 101 = 0),
       |fb AS (SELECT o_orderkey AS key,
       |    md5(o_custkey || '|' || o_orderstatus || '|' || o_orderpriority || '|' ||

@@ -41,8 +41,10 @@ object SkewOps {
       cc
         .withColumn("r_prev", coalesce(sum(col("m")).over(byC), lit(0L)))
         .select(
+          // integer div: Column./ on longs widens to DOUBLE and would turn
+          // S into a rounded, partial-order-dependent float sum past 2^53
           (col("x") * (col("m") * col("r_prev") +
-            col("m") * (col("m") + 1) / 2)).as("s_run"),
+            expr("m * (m + 1) div 2"))).as("s_run"),
           col("m"), (col("x") * col("m")).as("t_run"))
         .agg(sum("s_run").as("s"), sum("m").as("n_keys"), sum("t_run").as("t"))
         .select(

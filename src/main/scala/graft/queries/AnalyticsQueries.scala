@@ -404,7 +404,12 @@ object AnalyticsQueries {
     * NDV-sized partitions. `x_k1 + x_k2` (the two middle order statistics)
     * is the integer-exact form of `round(2·interpolated_median)`.
     */
-  private def medianX2(vals: DataFrame, grp: String, v: String, out: String): DataFrame = {
+  /** Shared scaffolding for every histogram order statistic: per (group,
+    * value) counts with the rank interval [lo, hi] each value covers and
+    * the group total `n`. Both [[medianX2]] and [[gExactPcts]] select
+    * their order statistics from this one construction.
+    */
+  private def cumulatedHistogram(vals: DataFrame, grp: String, v: String): DataFrame = {
     val byVal = Window.partitionBy(grp).orderBy(v)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val whole = Window.partitionBy(grp)
@@ -412,6 +417,10 @@ object AnalyticsQueries {
       .withColumn("hi", sum("cnt").over(byVal))
       .withColumn("lo", col("hi") - col("cnt") + 1)
       .withColumn("n", sum("cnt").over(whole))
+  }
+
+  private def medianX2(vals: DataFrame, grp: String, v: String, out: String): DataFrame =
+    cumulatedHistogram(vals, grp, v)
       .withColumn("k1", expr("(n + 1) div 2"))
       .withColumn("k2", expr("(n + 2) div 2"))
       .withColumn("cov",
@@ -419,7 +428,6 @@ object AnalyticsQueries {
           when(col("k2").between(col("lo"), col("hi")), 1L).otherwise(0L))
       .filter(col("cov") > 0)
       .groupBy(grp).agg(sum(col(v) * col("cov")).as(out))
-  }
 
   def gMadOutliers(s: SparkSession, d: String): DataFrame = {
     val c = Tables.orders(s, d).select(col("o_orderstatus").as("st"),
@@ -468,13 +476,7 @@ object AnalyticsQueries {
   def gExactPcts(s: SparkSession, d: String): DataFrame = {
     val c = Tables.lineitem(s, d).select(col("l_returnflag").as("g"),
       round(col("l_extendedprice") * 100).cast("long").as("v"))
-    val byVal = Window.partitionBy("g").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val grp = Window.partitionBy("g")
-    c.groupBy("g", "v").agg(count(lit(1)).as("cnt"))
-      .withColumn("hi", sum("cnt").over(byVal))
-      .withColumn("lo", col("hi") - col("cnt") + 1)
-      .withColumn("n", sum("cnt").over(grp))
+    cumulatedHistogram(c, "g", "v")
       .withColumn("k50", expr("(n + 1) div 2"))
       .withColumn("k95", expr("(19 * n + 19) div 20"))
       .withColumn("k99", expr("(99 * n + 99) div 100"))
@@ -536,10 +538,8 @@ object AnalyticsQueries {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey")).distinct()
     val n = li.select("ok").distinct().agg(count(lit(1)).as("n_orders"))
-    val pairs = li.join(li.select(col("ok"), col("l_partkey").as("p2")), Seq("ok"))
-      .filter(col("l_partkey") < col("p2"))
-      .groupBy(col("l_partkey").as("u"), col("p2").as("v"))
-      .agg(count(lit(1)).as("c_xy"))
+    val pairs = graft.operators.GraphOps.orderPartPairs(s, d)
+      .groupBy("u", "v").agg(count(lit(1)).as("c_xy"))
     val freq = li.groupBy(col("l_partkey").as("p")).agg(count(lit(1)).as("c"))
     pairs
       .join(broadcast(freq.select(col("p").as("u"), col("c").as("c_u"))), Seq("u"))

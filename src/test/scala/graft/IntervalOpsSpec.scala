@@ -44,9 +44,11 @@ class IntervalOpsSpec extends SparkSpec {
   }
 
   test("mergeIntervals plan: windows are customer-partitioned, no global window") {
-    val plan = IntervalOps.mergeIntervals(spark, sf0001)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("windowspecdefinition()"), "unpartitioned window")
+    // PlanAudit flags any window without a PARTITION BY — a string probe
+    // for "windowspecdefinition()" can never fire (order cols fill the parens)
+    val errs = graft.tools.PlanAudit.audit(IntervalOps.mergeIntervals(spark, sf0001))
+      .filter(f => f.severity == "error")
+    assert(errs.isEmpty, errs)
     // sf0.001 sanity: every customer covers at least its own order days
     val df = IntervalOps.mergeIntervals(spark, sf0001)
     assert(df.filter(col("covered_days") < col("max_span_days")).count() == 0)
