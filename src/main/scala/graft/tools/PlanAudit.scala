@@ -27,10 +27,14 @@ object PlanAudit {
   private def firstLine(p: SparkPlan): String =
     p.simpleStringWithNodeId().linesIterator.next().take(160)
 
-  /** Walk every operator, descending into AQE wrappers. */
+  /** Walk every operator, descending into AQE wrappers — including
+    * materialized query stages, which are LEAF wrappers after execution
+    * (their content is in `.plan`, not `.children`). */
   private def operators(p: SparkPlan): Seq[SparkPlan] = {
     val self = p match {
       case a: AdaptiveSparkPlanExec => operators(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: operators(q.plan)
       case other => Seq(other)
     }
     self ++ p.children.flatMap(operators) ++

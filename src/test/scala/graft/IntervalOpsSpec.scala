@@ -72,6 +72,28 @@ class IntervalOpsSpec extends SparkSpec {
     assert(out("2024-01-09") == ((1L, 2L)))
   }
 
+  test("slidingDistinct metrics: the explode emits EXACTLY 7x the deduped pairs") {
+    // quantitative form of the scale contract: expansion is a constant x7
+    // of the (day, user) dedup, independent of raw event volume
+    val df = IntervalOps.slidingDistinct(spark, sf0001)
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def all(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+      case q: QueryStageExec => q +: all(q.plan)
+      case _ => p +: p.children.flatMap(all)
+    }
+    val generated = all(df.queryExecution.executedPlan).collect {
+      case g: org.apache.spark.sql.execution.GenerateExec =>
+        g.metrics("numOutputRows").value
+    }
+    val pairs = Tables.events(spark, sf0001)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct().count()
+    assert(generated.nonEmpty && generated.max == 7 * pairs,
+      s"generate=$generated pairs=$pairs")
+  }
+
   test("slidingDistinct plan: ×7 explode after dedup, no range join, no cartesian") {
     val df = IntervalOps.slidingDistinct(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString
