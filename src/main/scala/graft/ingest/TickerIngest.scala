@@ -142,21 +142,42 @@ object TickerIngest {
   private def zorderEnabled(spark: SparkSession): Boolean =
     spark.conf.get("spark.graft.ingest.zorder", "false").toBoolean
 
-  /** The warehouse's clustering key: Morton interleave of the
-    * order-preserving 2-char ticker prefix and minute-of-day (see the
-    * class doc of the z-order path). Shared by the ingest write and
-    * [[compactPartition]] so maintenance preserves the layout.
+  /** The warehouse's clustering dimensions: the order-preserving 2-char
+    * ticker prefix (x) and minute-of-day (y) — see the class doc of the
+    * z-order path. Shared by the ingest write and [[compactPartition]] so
+    * maintenance preserves the layout.
     */
-  private def warehouseZkey: org.apache.spark.sql.Column = {
+  private def clusterDims: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
     // clamp each char to 0..255: ascii() returns the full CODEPOINT, and a
-    // non-ASCII leading char would push zx past spreadBits16's 2^16 input
-    // bound, silently scrambling the Morton key (the clamp stays
+    // non-ASCII leading char would push zx past the curves' 2^16 input
+    // bound, silently scrambling the key (the clamp stays
     // order-preserving over the ASCII range tickers actually use)
     def c(pos: Int) =
       least(coalesce(ascii(substring(col("ticker"), pos, 1)), lit(0)), lit(255))
     val zx = (c(1) * 256 + c(2)).cast("long")
     val zy = (hour(col("transactionTime")) * 60 + minute(col("transactionTime"))).cast("long")
-    graft.operators.LayoutOps.zkey(zx, zy)
+    (zx, zy)
+  }
+
+  /** Attach the configured space-filling-curve key as `_zkey`:
+    * `spark.graft.ingest.cluster.curve` = `zorder` (default; closed-form
+    * Morton spread) or `hilbert` (adjacency-preserving — fewer extra tiles
+    * touched by range scans that straddle file boundaries; ~3 ops/bit at
+    * write time, identical aligned-bucket pruning). Both curves consume
+    * the same [[clusterDims]], so switching curve never changes WHAT is
+    * clustered, only the visit order.
+    */
+  private def withClusterKey(spark: SparkSession, df: DataFrame): DataFrame = {
+    val (zx, zy) = clusterDims
+    spark.conf.get("spark.graft.ingest.cluster.curve", "zorder") match {
+      case "hilbert" =>
+        graft.operators.LayoutOps.withHilbertKey(
+          df.withColumn("_cx", zx).withColumn("_cy", zy),
+          "_cx", "_cy", "_zkey", bits = 16)
+          .drop("_cx", "_cy")
+      case _ =>
+        df.withColumn("_zkey", graft.operators.LayoutOps.zkey(zx, zy))
+    }
   }
 
   private def zorderCluster(spark: SparkSession, valid: DataFrame): DataFrame = {
@@ -164,7 +185,7 @@ object TickerIngest {
     else {
       val n = spark.conf.get("spark.graft.ingest.zorder.partitions",
         spark.conf.get("spark.sql.shuffle.partitions", "32")).toInt
-      valid.withColumn("_zkey", warehouseZkey)
+      withClusterKey(spark, valid)
         .repartitionByRange(n, col("file_date"), col("_zkey"))
         .sortWithinPartitions(col("file_date"), col("_zkey"))
         .drop("_zkey")
@@ -303,7 +324,7 @@ object TickerIngest {
     // range shuffle for, silently killing file skipping on the next scan
     val rewritten =
       if (zorderEnabled(spark))
-        df.withColumn("_zkey", warehouseZkey)
+        withClusterKey(spark, df)
           .repartitionByRange(nFiles, col("_zkey"))
           .sortWithinPartitions("_zkey")
           .drop("_zkey")

@@ -116,15 +116,20 @@ object LayoutOps {
     * Morton's closed-form spread; write-time only, never on the read path.
     */
   def withHilbertKey10(in: DataFrame, xCol: String, yCol: String,
-      out: String): DataFrame = {
+      out: String): DataFrame = withHilbertKey(in, xCol, yCol, out, bits = 10)
+
+  /** The general walk: `bits`-bit dimensions, `d ∈ [0, 4^bits)`. */
+  def withHilbertKey(in: DataFrame, xCol: String, yCol: String,
+      out: String, bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
     // one PROJECTION per level with named intermediates, never a single
     // nested Column: inlining x/y into every consumer at every level grows
-    // the expression tree ~5^10 nodes (measured: analysis OOM). The stepped
-    // form mirrors the oracle's CTE chain; CollapseProject leaves it alone
-    // because each step's attributes feed multiple non-cheap expressions.
+    // the expression tree ~5^bits nodes (measured: analysis OOM at 10). The
+    // stepped form mirrors the oracle's CTE chain; CollapseProject leaves it
+    // alone because each step's attributes feed multiple non-cheap expressions.
     var cur = in.withColumns(Map(
       "_hx" -> col(xCol), "_hy" -> col(yCol), out -> lit(0L)))
-    var s = 512
+    var s = 1 << (bits - 1)
     while (s > 0) {
       val rx = when(col("_hx").bitwiseAND(lit(s.toLong)) > 0, 1L).otherwise(0L)
       val ry = when(col("_hy").bitwiseAND(lit(s.toLong)) > 0, 1L).otherwise(0L)

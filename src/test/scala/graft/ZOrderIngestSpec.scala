@@ -118,4 +118,44 @@ class ZOrderIngestSpec extends SparkSpec {
     assert(candidates(zc2) <= zc2.length / 3,
       s"compaction scrambled the layout: ${candidates(zc2)} of ${zc2.length} candidates")
   }
+
+  test("hilbert curve mode clusters the warehouse identically well and survives compaction") {
+    val root = tmpDir("hil-src")
+    val rnd = new scala.util.Random(7)
+    val names = (for (a <- 'A' to 'H'; b <- 'A' to 'H') yield s"$a$b-USD").toIndexedSeq
+    val lines = (1 to 32000).map { i =>
+      val t = names(rnd.nextInt(names.length))
+      val minute = rnd.nextInt(1440)
+      val ts = f"2024-03-14 ${minute / 60}%02d:${minute % 60}%02d:00"
+      s"$t,$i,100.0,1.0,100.1,1.0,99.9,1.0,$ts"
+    }
+    val csv = new java.io.File(root, "MIX_PST_2024-03-14.csv")
+    java.nio.file.Files.write(csv.toPath, lines.mkString("\n").getBytes("UTF-8"))
+
+    val wh = tmpDir("hil-wh")
+    spark.conf.set("spark.graft.ingest.zorder", "true")
+    spark.conf.set("spark.graft.ingest.cluster.curve", "hilbert")
+    spark.conf.set("spark.graft.ingest.zorder.partitions", "16")
+    val (nb, na) = try {
+      TickerIngest.ingest(spark, Seq(csv.getAbsolutePath), wh)
+      val first = fileStats(wh)
+      assert(first.length >= 8)
+      assert(candidates(first) <= first.length / 3,
+        s"hilbert layout: ${candidates(first)} of ${first.length} candidates")
+      // fragment + compact under the SAME curve config: layout must survive
+      TickerIngest.ingest(spark, Seq(csv.getAbsolutePath), wh)
+      TickerIngest.compactPartition(spark, wh,
+        java.sql.Date.valueOf("2024-03-14"), targetRowsPerFile = 4000L)
+    } finally {
+      spark.conf.set("spark.graft.ingest.zorder", "false")
+      spark.conf.unset("spark.graft.ingest.cluster.curve")
+      spark.conf.unset("spark.graft.ingest.zorder.partitions")
+    }
+    assert(nb == 32 && na == 16, s"expected 32 -> 16 files, got $nb -> $na")
+    assert(TickerIngest.warehouse(spark, wh).count() == 64000)
+    val after = fileStats(wh)
+    assert(after.length == 16)
+    assert(candidates(after) <= after.length / 3,
+      s"compaction scrambled the hilbert layout: ${candidates(after)} of ${after.length}")
+  }
 }
