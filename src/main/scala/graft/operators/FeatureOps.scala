@@ -191,13 +191,16 @@ object FeatureOps {
     val cust = Tables.customer(s, d).select(
       col("c_nationkey"), col("c_mktsegment"),
       floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
-    val g0 = cust.groupBy("c_nationkey", "c_mktsegment", "bal_band")
-      .agg(count(lit(1)).as("n0"))
     // a row's level is a pure function of (n0, n1, n2), so the report
     // derives ENTIRELY from the group-sized g0 partials: g1/g2 roll up
     // from g0, join back on the coarser key prefixes (broadcast — they
-    // only shrink), and n0 weights the level counts. The customer table
-    // is scanned once; no fact-scale join ever runs.
+    // only shrink), and n0 weights the level counts. The checkpoint pins
+    // the "customer scanned once" contract — without it each of g0's four
+    // consumers recomputes the subtree (measured: 5 scans, 1 reused
+    // exchange) — and g0 is group-sized, so materializing it is free.
+    val g0 = cust.groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(count(lit(1)).as("n0"))
+      .localCheckpoint(true)
     val g1 = g0.groupBy("c_nationkey", "c_mktsegment").agg(sum("n0").as("n1"))
     val g2 = g1.groupBy("c_nationkey").agg(sum("n1").as("n2"))
     g0
