@@ -250,6 +250,8 @@ object SparkEntry {
     "w_transitions"     -> (graft.operators.FunnelOps.transitions _),
     // greedy max-coverage corpus selection (facility-location subset pick)
     "t_greedy_cover"    -> ((s, d) => graft.operators.FeatureOps.greedyCover(s, d)),
+    // LSH QA: confusion counts of LSH candidates vs exact-Jaccard truth
+    "d_lsh_eval"        -> (DedupOps.lshEval _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -412,5 +414,6 @@ object SparkEntry {
     "w_decay_score"     -> graft.operators.IntervalOps.decayScoreSql,
     "w_transitions"     -> graft.operators.FunnelOps.transitionsSql,
     "t_greedy_cover"    -> graft.operators.FeatureOps.greedyCoverSql(),
+    "d_lsh_eval"        -> DedupOps.lshEvalSql,
   )
 }

@@ -289,6 +289,57 @@ object DedupOps {
        |FROM cand JOIN mh ma ON ma.doc_id = a_id JOIN mh mb ON mb.doc_id = b_id AND mb.seed = ma.seed
        |GROUP BY a_id, b_id ORDER BY a_id, b_id""".stripMargin
 
+  /** LSH quality evaluation — the QA report behind every "LSH recall"
+    * claim in this module: confusion counts of the MinHash-LSH candidate
+    * pairs against the EXACT thresholded-Jaccard ground truth
+    * ([[prefixFilterPairs]] — the stop-cap-lossless leg, so the truth set
+    * has no generation gaps of its own). `tp` = true pairs LSH surfaced,
+    * `fn` = true pairs it missed (banding probability), `fp` = candidates
+    * whose exact similarity is below threshold (band collisions).
+    * Precision/recall are single IEEE divisions of exact longs.
+    *
+    * Plan: both legs are the existing bucketed plans; the confusion join
+    * is a full-outer on the (a_id, b_id) pair key — pair-set-sized, tiny
+    * next to the legs themselves. One output row.
+    */
+  def lshEval(s: SparkSession, d: String): DataFrame = {
+    val truth = prefixFilterPairs(s, d).select(col("a_id"), col("b_id"), lit(1).as("t"))
+    val cand  = minhashLshPairs(s, d).select(col("a_id"), col("b_id"), lit(1).as("c"))
+    truth.join(cand, Seq("a_id", "b_id"), "full_outer")
+      .agg(
+        sum(when(col("t").isNotNull, 1L).otherwise(0L)).as("n_truth"),
+        sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("n_cand"),
+        sum(when(col("t").isNotNull && col("c").isNotNull, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("t").isNull && col("c").isNotNull, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("t").isNotNull && col("c").isNull, 1L).otherwise(0L)).as("fn"))
+      .withColumn("precision",
+        col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+      .withColumn("recall",
+        col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+  }
+
+  /** Oracle composes the two legs' own oracle SQL as subqueries — the
+    * confusion counts are pinned against the same ground truth the legs
+    * are. (`lazy`: it quotes vals declared later in this object; eager
+    * init would embed nulls.) */
+  lazy val lshEvalSql: String =
+    s"""WITH truth AS (SELECT a_id, b_id FROM ($prefixFilterSql)),
+       |cand AS (SELECT a_id, b_id FROM ($minhashLshSql)),
+       |j AS (SELECT COALESCE(t.a_id, c.a_id) AS a_id,
+       |             t.a_id IS NOT NULL AS in_t, c.a_id IS NOT NULL AS in_c
+       |      FROM truth t FULL OUTER JOIN cand c
+       |        ON t.a_id = c.a_id AND t.b_id = c.b_id)
+       |SELECT CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+       |  CAST(sum(CASE WHEN in_c THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+       |  CAST(sum(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |  CAST(sum(CASE WHEN NOT in_t AND in_c THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |  CAST(sum(CASE WHEN in_t AND NOT in_c THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |  CAST(sum(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(sum(CASE WHEN in_c THEN 1 ELSE 0 END) AS DOUBLE) AS precision,
+       |  CAST(sum(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS DOUBLE) AS recall
+       |FROM j""".stripMargin
+
   val SimHashBits = 32  // from the first 8 hex chars of md5(token)
 
   /** Per-doc 32-bit SimHash via the native [[graft.catalyst.SimHash32]]
