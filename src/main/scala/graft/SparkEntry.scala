@@ -252,6 +252,10 @@ object SparkEntry {
     "t_greedy_cover"    -> ((s, d) => graft.operators.FeatureOps.greedyCover(s, d)),
     // LSH QA: confusion counts of LSH candidates vs exact-Jaccard truth
     "d_lsh_eval"        -> (DedupOps.lshEval _),
+    // top-decile revenue share per nation (histogram rank intervals)
+    "g_pareto_share"    -> (AQ.gParetoShare _),
+    // maximum drawdown from a running peak, per event type
+    "ts_drawdown"       -> (AQ.tsDrawdown _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -415,5 +419,7 @@ object SparkEntry {
     "w_transitions"     -> graft.operators.FunnelOps.transitionsSql,
     "t_greedy_cover"    -> graft.operators.FeatureOps.greedyCoverSql(),
     "d_lsh_eval"        -> DedupOps.lshEvalSql,
+    "g_pareto_share"    -> AQ.gParetoShareSql,
+    "ts_drawdown"       -> AQ.tsDrawdownSql,
   )
 }

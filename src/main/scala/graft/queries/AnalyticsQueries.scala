@@ -564,6 +564,83 @@ object AnalyticsQueries {
       |FROM pairs JOIN freq fu ON u = fu.p JOIN freq fv ON v = fv.p CROSS JOIN n
       |ORDER BY c_xy DESC, u, v LIMIT 20""".stripMargin
 
+  /** Revenue concentration per nation: the share held by the top decile
+    * of customers (the 80/20 report — [[graft.operators.SkewOps.giniSkew]]
+    * gives the full-curve summary, this gives the board number). Built on
+    * [[cumulatedHistogram]] over per-customer revenue: the top
+    * `k = ceil(n/10)` customers are the rank interval `(n−k, n]`, and each
+    * histogram row contributes `value · |[lo, hi] ∩ (n−k, n]|` — exact
+    * integer arithmetic end to end, one IEEE division for the share.
+    */
+  def gParetoShare(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("g"), col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+      .select("g", "v")
+    cumulatedHistogram(rev, "g", "v")
+      .withColumn("k", expr("(n + 9) div 10"))
+      .withColumn("cut", col("n") - col("k")) // top-k ranks are (cut, n]
+      .withColumn("overlap",
+        greatest(lit(0L), col("hi") - greatest(col("lo") - 1, col("cut"))))
+      .groupBy("g")
+      .agg(
+        first("n").as("n_customers"),
+        sum(col("v") * col("cnt")).as("total_cents"),
+        sum(col("v") * col("overlap")).as("top_decile_cents"))
+      .withColumn("share",
+        col("top_decile_cents").cast("double") / col("total_cents").cast("double"))
+      .select(col("g").as("c_nationkey"), col("n_customers"),
+        col("total_cents"), col("top_decile_cents"), col("share"))
+      .orderBy("c_nationkey")
+  }
+  val gParetoShareSql: String =
+    """WITH rev AS (SELECT c_nationkey AS g, o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+      |r AS (SELECT g, v,
+      |    row_number() OVER (PARTITION BY g ORDER BY v, o_custkey) AS rn,
+      |    count(*) OVER (PARTITION BY g) AS n
+      |  FROM rev)
+      |SELECT g AS c_nationkey, CAST(min(n) AS BIGINT) AS n_customers,
+      |  CAST(sum(v) AS BIGINT) AS total_cents,
+      |  CAST(sum(CASE WHEN rn > n - (n + 9) // 10 THEN v ELSE 0 END) AS BIGINT)
+      |    AS top_decile_cents,
+      |  CAST(sum(CASE WHEN rn > n - (n + 9) // 10 THEN v ELSE 0 END) AS DOUBLE) /
+      |    CAST(sum(v) AS DOUBLE) AS share
+      |FROM r GROUP BY g ORDER BY g""".stripMargin
+
+  /** Maximum drawdown per event type — the classic risk statistic: the
+    * deepest fall from a running peak, over the (ts, event_id)-ordered
+    * value series in integer cents. Two stacked frames on ONE
+    * type-partitioned window sort (running max, then max gap) — the same
+    * reuse [[graft.operators.IntervalOps.mergeIntervals]] leans on.
+    */
+  def tsDrawdown(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, d)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("c"))
+      .withColumn("peak", max("c").over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max("peak").as("peak_cents"),
+        max(col("peak") - col("c")).as("max_drawdown_cents"))
+      .orderBy("event_type")
+  }
+  val tsDrawdownSql: String =
+    """WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events),
+      |p AS (SELECT event_type, c,
+      |    max(c) OVER (PARTITION BY event_type ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      |  FROM e)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(max(peak) AS BIGINT) AS peak_cents,
+      |  CAST(max(peak - c) AS BIGINT) AS max_drawdown_cents
+      |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def gArgMinMax(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .select(col("o_orderpriority").as("pri"),

@@ -67,6 +67,43 @@ class RobustStatsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("gParetoShare == brute-force top-decile share at sf0.001") {
+    import org.apache.spark.sql.functions.{col, round => rnd, sum => fsum}
+    val rev = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("o_custkey"))
+      .agg(fsum(rnd(col("o_totalprice") * 100).cast("long")).as("v"))
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    val want = rev.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, rows) =>
+      val vs = rows.map(_._2).sorted
+      val n = vs.size
+      val k = (n + 9) / 10
+      val top = vs.takeRight(k).sum
+      (g, n.toLong, vs.sum, top, top.toDouble / vs.sum.toDouble)
+    }
+    val got = AQ.gParetoShare(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == want)
+  }
+
+  test("tsDrawdown == brute-force running-peak gap at sf0.001") {
+    import org.apache.spark.sql.functions.{col, round => rnd}
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        rnd(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0),
+        (r.getTimestamp(1).getTime, r.getLong(2)), r.getLong(3)))
+    val want = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rows) =>
+      val cs = rows.sortBy(_._2).map(_._3)
+      var peak = Long.MinValue; var dd = Long.MinValue
+      cs.foreach { c => peak = math.max(peak, c); dd = math.max(dd, peak - c) }
+      (t, cs.size.toLong, peak, dd)
+    }
+    val got = AQ.tsDrawdown(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+  }
+
   test("gMadOutliers plan: histogram medians, no group-buffering percentile") {
     // a percentile() aggregate materializes every group value in one task
     // (the 100 TB OOM); the histogram form must keep it out of the plan
