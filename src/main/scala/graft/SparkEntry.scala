@@ -256,6 +256,8 @@ object SparkEntry {
     "g_pareto_share"    -> (AQ.gParetoShare _),
     // maximum drawdown from a running peak, per event type
     "ts_drawdown"       -> (AQ.tsDrawdown _),
+    // cohort-retention matrix (first-activity week x week offset)
+    "w_cohort_matrix"   -> (graft.operators.FunnelOps.cohortMatrix _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -421,5 +423,6 @@ object SparkEntry {
     "d_lsh_eval"        -> DedupOps.lshEvalSql,
     "g_pareto_share"    -> AQ.gParetoShareSql,
     "ts_drawdown"       -> AQ.tsDrawdownSql,
+    "w_cohort_matrix"   -> graft.operators.FunnelOps.cohortMatrixSql,
   )
 }

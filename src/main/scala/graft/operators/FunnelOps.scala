@@ -215,6 +215,45 @@ object FunnelOps {
       |       CAST(sum(len) AS BIGINT) AS active_days
       |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Full cohort-retention matrix — the generalization of [[retention]]'s
+    * single-cohort row: users grouped by FIRST-ACTIVITY week (the cohort),
+    * counted in every subsequent week they were active, reported as
+    * (cohort_week, week_offset, n_active, cohort_size). Two partial-
+    * aggregable passes (per-user first week; distinct user-week activity)
+    * joined on the user key, with cohort sizes broadcast back onto
+    * week-count-sized output. The product-analytics staple.
+    */
+  def cohortMatrix(s: SparkSession, d: String): DataFrame = {
+    val weekly = Tables.events(s, d)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week")).distinct()
+    val cohort = weekly.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    weekly.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        // both dates are week-truncated, so the day diff is an exact
+        // multiple of 7 and the double division truncates losslessly
+        (datediff(col("week"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+      .agg(countDistinct("user_id").as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val cohortMatrixSql: String =
+    """WITH weekly AS (SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+      |  FROM events),
+      |cohort AS (SELECT user_id, min(week) AS cohort_week FROM weekly GROUP BY 1),
+      |sizes AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+      |          FROM cohort GROUP BY 1),
+      |m AS (SELECT c.cohort_week,
+      |        CAST(date_diff('day', c.cohort_week, w.week) / 7 AS BIGINT) AS week_offset,
+      |        CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_active
+      |      FROM weekly w JOIN cohort c USING (user_id) GROUP BY 1, 2)
+      |SELECT cohort_week, week_offset, n_active, cohort_size
+      |FROM m JOIN sizes USING (cohort_week)
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   /** First-order behavioral Markov matrix: per-user event streams ordered
     * by (ts, event_id), counted over consecutive (from → to) type pairs,
     * with the row-normalized transition probability as one exact-integer
