@@ -258,6 +258,8 @@ object SparkEntry {
     "ts_drawdown"       -> (AQ.tsDrawdown _),
     // cohort-retention matrix (first-activity week x week offset)
     "w_cohort_matrix"   -> (graft.operators.FunnelOps.cohortMatrix _),
+    // language-ID confusion matrix vs corpus labels (heuristic QA)
+    "t_langid_eval"     -> (TextOps.langIdEval _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -424,5 +426,6 @@ object SparkEntry {
     "g_pareto_share"    -> AQ.gParetoShareSql,
     "ts_drawdown"       -> AQ.tsDrawdownSql,
     "w_cohort_matrix"   -> graft.operators.FunnelOps.cohortMatrixSql,
+    "t_langid_eval"     -> TextOps.langIdEvalSql,
   )
 }

@@ -68,6 +68,34 @@ object TextOps {
        |       WHEN es_hits >= de_hits THEN 'es' ELSE 'de' END AS lang_pred
        |FROM h ORDER BY doc_id""".stripMargin
 
+  /** Language-ID quality evaluation — the confusion matrix of
+    * [[langIdDf]]'s n-gram-marker predictions against the corpus's `lang`
+    * labels (same QA flavor as [[graft.operators.DedupOps.lshEval]]: every
+    * heuristic in the pipeline ships with the query that measures it).
+    * One row per (label, prediction) cell with the cell count and the
+    * label's row total; per-cell rate is one exact-integer division.
+    * Group-count-sized output, fully partial-aggregable.
+    */
+  def langIdEval(s: SparkSession, d: String): DataFrame = {
+    val pred = langIdDf(s, d).select(col("doc_id"), col("lang_pred"))
+    val cells = graft.Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .join(pred, Seq("doc_id"))
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy("lang").agg(sum("n").as("n_label"))
+    cells.join(broadcast(totals), Seq("lang"))
+      .withColumn("rate", col("n").cast("double") / col("n_label").cast("double"))
+      .orderBy("lang", "lang_pred")
+  }
+
+  lazy val langIdEvalSql: String =
+    s"""WITH pred AS (SELECT doc_id, lang_pred FROM ($langIdSql)),
+       |cells AS (SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+       |          FROM documents d JOIN pred p USING (doc_id) GROUP BY 1, 2),
+       |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_label FROM cells GROUP BY 1)
+       |SELECT lang, lang_pred, n, n_label,
+       |       CAST(n AS DOUBLE) / CAST(n_label AS DOUBLE) AS rate
+       |FROM cells JOIN t USING (lang) ORDER BY lang, lang_pred""".stripMargin
+
   private val stopwords =
     Seq("the", "a", "of", "and", "in", "to", "is", "on", "for", "with")
 
