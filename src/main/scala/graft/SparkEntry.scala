@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsQueries => AQ, PipelineQueries => PQ, RelationalQueries => RQ, SqlQueries => SQ}
+import graft.queries.{AnalyticsQueries => AQ, PipelineQueries => PQ, RelationalQueries => RQ, SqlQueries => SQ, TpchQueries => TQ}
 import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TimeSeriesOps}
 import graft.functions.TextOps
 
@@ -260,6 +260,20 @@ object SparkEntry {
     "w_cohort_matrix"   -> (graft.operators.FunnelOps.cohortMatrix _),
     // language-ID confusion matrix vs corpus labels (heuristic QA)
     "t_langid_eval"     -> (TextOps.langIdEval _),
+    // Round 9: the remaining TPC-H shapes — all 22 now on the board
+    "q2_min_cost"       -> (TQ.q2MinCost _),
+    "q4_order_priority" -> (TQ.q4OrderPriority _),
+    "q7_volume_shipping" -> (TQ.q7VolumeShipping _),
+    "q8_market_share"   -> (TQ.q8MarketShare _),
+    "q9_product_profit" -> (TQ.q9ProductProfit _),
+    "q11_important_parts" -> (TQ.q11ImportantParts _),
+    "q12_late_lines"    -> (TQ.q12LateLines _),
+    "q13_custdist"      -> (TQ.q13CustDist _),
+    "q15_top_supplier"  -> (TQ.q15TopSupplier _),
+    "q16_supplier_cnt"  -> (TQ.q16SupplierCnt _),
+    "q19_disjunctive"   -> (TQ.q19Disjunctive _),
+    "q20_excess_shipments" -> (TQ.q20ExcessShipments _),
+    "q21_waiting_supplier" -> (TQ.q21WaitingSupplier _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -427,5 +441,18 @@ object SparkEntry {
     "ts_drawdown"       -> AQ.tsDrawdownSql,
     "w_cohort_matrix"   -> graft.operators.FunnelOps.cohortMatrixSql,
     "t_langid_eval"     -> TextOps.langIdEvalSql,
+    "q2_min_cost"       -> TQ.q2MinCostSql,
+    "q4_order_priority" -> TQ.q4OrderPrioritySql,
+    "q7_volume_shipping" -> TQ.q7VolumeShippingSql,
+    "q8_market_share"   -> TQ.q8MarketShareSql,
+    "q9_product_profit" -> TQ.q9ProductProfitSql,
+    "q11_important_parts" -> TQ.q11ImportantPartsSql,
+    "q12_late_lines"    -> TQ.q12LateLinesSql,
+    "q13_custdist"      -> TQ.q13CustDistSql,
+    "q15_top_supplier"  -> TQ.q15TopSupplierSql,
+    "q16_supplier_cnt"  -> TQ.q16SupplierCntSql,
+    "q19_disjunctive"   -> TQ.q19DisjunctiveSql,
+    "q20_excess_shipments" -> TQ.q20ExcessShipmentsSql,
+    "q21_waiting_supplier" -> TQ.q21WaitingSupplierSql,
   )
 }
