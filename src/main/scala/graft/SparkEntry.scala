@@ -274,6 +274,11 @@ object SparkEntry {
     "q19_disjunctive"   -> (TQ.q19Disjunctive _),
     "q20_excess_shipments" -> (TQ.q20ExcessShipments _),
     "q21_waiting_supplier" -> (TQ.q21WaitingSupplier _),
+    // KMV sketch set algebra: union AND intersection distinct estimates,
+    // deterministic end to end (md5 hashes + fixed-order IEEE ops)
+    "x_kmv_setops"      -> (graft.operators.SketchOps.kmvSetOps _),
+    // multi-source BFS hop distances via frontier expansion (Pregel shape)
+    "x_bfs_hops"        -> (graft.operators.GraphOps.bfsHops _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -454,5 +459,7 @@ object SparkEntry {
     "q19_disjunctive"   -> TQ.q19DisjunctiveSql,
     "q20_excess_shipments" -> TQ.q20ExcessShipmentsSql,
     "q21_waiting_supplier" -> TQ.q21WaitingSupplierSql,
+    "x_kmv_setops"      -> graft.operators.SketchOps.kmvSetOpsSql,
+    "x_bfs_hops"        -> graft.operators.GraphOps.bfsHopsSql,
   )
 }

@@ -198,4 +198,77 @@ object GraphOps {
       |       CAST(count(*) AS BIGINT) AS n_triangles
       |FROM pe e1 JOIN pe e2 ON e2.u = e1.u AND e2.v > e1.v
       |           JOIN pe e3 ON e3.u = e1.v AND e3.v = e2.v""".stripMargin
+
+  /** Multi-source BFS depth bound (graph diameter is tiny on a
+    * co-purchase graph; 3 hops covers the reachable set).
+    */
+  val BfsMaxHop = 3
+
+  /** Multi-source BFS over the part co-purchase graph: minimum hop
+    * distance from the seed set (the size-50 parts) for every reachable
+    * node, summarized per hop. The frontier-expansion loop is the
+    * scale-canonical BFS on a dataflow engine (Pregel's shape): each
+    * round is one join frontier⋈edges + a dedup + an anti-join against
+    * the visited set — all shuffles on the node key, nothing
+    * quadratic, and the iteration count is the hop bound, not data size.
+    * Frontiers are localCheckpointed: round N's lineage would otherwise
+    * nest N joins deep and re-execute every prior round (the same
+    * truncation [[pagerank]] and the connected-components loop use; at
+    * 100 TB the frontier would persist to a node-keyed table instead).
+    *
+    * The per-hop summary (count + node-id checksum) makes the result
+    * node-set-exact while keeping output bounded by the hop count.
+    */
+  /** The frontier-expansion loop over arbitrary directed `(src, dst)`
+    * edges and a `node` seed set; returns `(node, hop)` minimum
+    * distances for nodes within `maxHop`.
+    */
+  def bfsHopsOver(edges: DataFrame, seeds: DataFrame, maxHop: Int = BfsMaxHop): DataFrame = {
+    val e = edges.localCheckpoint(true)
+    var visited = seeds.select("node").distinct()
+      .withColumn("hop", lit(0)).localCheckpoint(true)
+    var frontier = visited.select("node")
+    for (i <- 1 to maxHop) {
+      val next = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited.union(next.withColumn("hop", lit(i))).localCheckpoint(true)
+      frontier = next
+    }
+    visited
+  }
+
+  def bfsHops(s: SparkSession, d: String): DataFrame = {
+    val e = coEdges(s, d)
+    val edges = e.select(col("u").as("src"), col("v").as("dst"))
+      .union(e.select(col("v").as("src"), col("u").as("dst")))
+    val seeds = Tables.part(s, d).filter(col("p_size") === 50)
+      .select(col("p_partkey").as("node"))
+    bfsHopsOver(edges, seeds)
+      .groupBy("hop")
+      .agg(count(lit(1)).as("n_nodes"), sum("node").as("node_checksum"))
+      .orderBy("hop")
+  }
+
+  /** Oracle: bounded recursive CTE; `UNION` dedups (node, hop) states so
+    * the walk table stays ≤ nodes × (maxHop + 1) rows, and the min-hop
+    * fold collapses it to BFS distances.
+    */
+  val bfsHopsSql: String =
+    s"""WITH RECURSIVE pe AS (
+       |  SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+       |  FROM lineitem l1 JOIN lineitem l2
+       |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+       |e AS (SELECT u AS src, v AS dst FROM pe UNION ALL SELECT v, u FROM pe),
+       |seeds AS (SELECT DISTINCT p_partkey AS node FROM part WHERE p_size = 50),
+       |walk(node, hop) AS (
+       |  SELECT node, 0 FROM seeds
+       |  UNION
+       |  SELECT e.dst, w.hop + 1 FROM walk w JOIN e ON w.node = e.src
+       |  WHERE w.hop < $BfsMaxHop),
+       |mh AS (SELECT node, min(hop) AS hop FROM walk GROUP BY 1)
+       |SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes,
+       |  CAST(sum(node) AS BIGINT) AS node_checksum
+       |FROM mh GROUP BY 1 ORDER BY 1""".stripMargin
 }

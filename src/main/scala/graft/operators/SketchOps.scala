@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -71,4 +71,125 @@ object SketchOps {
       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_exact,
       |  TRUE AS est_ok
       |FROM ms LEFT JOIN nc ON ms.m = nc.fm ORDER BY month""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // KMV (k-minimum-values) sketches — distinct-count SET ALGEBRA
+  // ---------------------------------------------------------------------
+
+  /** Sketch size. 64 keeps the demo readable; production dials k up for
+    * ~1/√k relative error (Beyer et al., SIGMOD 2007 — public).
+    */
+  val KmvK = 64
+
+  /** Hash domain size 16¹⁵ = 2⁶⁰ as an EXACT double (6-bit mantissa). */
+  private val KmvDomain = 1.152921504606846976e18
+
+  /** The cross-engine hash: low 60 bits of md5, which both Spark
+    * (`conv(hex, 16, 10)`) and DuckDB (`('0x' || hex)::BIGINT`) can turn
+    * into the same bigint — the same md5-parity trick the fingerprint and
+    * MinHash operators use. 60 bits keeps the value positive in a long.
+    */
+  private def kmvHash(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Distinct-count set algebra from KMV sketches, beside exact truth —
+    * what HLL (`hllIncremental`) cannot do: HLL unions losslessly but has
+    * no direct INTERSECTION; a KMV sketch supports both, because the k
+    * smallest hashes of A ∪ B are computable from K(A) ∪ K(B), and the
+    * fraction ρ of that union sketch present in BOTH input sketches is an
+    * unbiased Jaccard estimate (Beyer et al., SIGMOD 2007), giving
+    * `|A ∩ B| ≈ ρ · D̂(A ∪ B)`.
+    *
+    * Sets: customers with 'F'-status orders vs customers with 'O'-status
+    * orders. The full estimator pipeline is deterministic — md5 hashes,
+    * integer rank cuts, and two IEEE divisions in a fixed order — so the
+    * DuckDB oracle replays the ESTIMATES bit-for-bit, not just the exact
+    * columns beside them.
+    *
+    * 100 TB shape: the distinct (set, hash) projection is a partial-
+    * aggregable dedup; the k smallest per set run through the native
+    * bounded-heap grouped top-k ([[graft.plans.TopKPerGroupExec]] — O(k)
+    * state per task, merged at the exchange), so no NDV-sized sort or
+    * single-partition window exists anywhere. Everything after the top-k
+    * touches ≤ 2k rows. Like the HLL partials, KMV sketches are mergeable
+    * state: store one per ingest period and answer union/intersection
+    * questions across any period span without rescanning facts (pinned by
+    * the merge-associativity spec).
+    */
+  def kmvSetOps(s: SparkSession, d: String): DataFrame = {
+    graft.catalyst.GraftExtensions.register(s)
+    val base = Tables.orders(s, d).filter(col("o_orderstatus").isin("F", "O"))
+      .select(col("o_orderstatus").as("st"), col("o_custkey"))
+    val hashed = base.select(col("st"), kmvHash(col("o_custkey")).as("h")).distinct()
+    // ≤ 2k rows from here on; checkpointed because it feeds 4 consumers
+    val sk = graft.plans.NativeTopK.perGroup(hashed, Seq("st"), Seq("h" -> true), KmvK)
+      .localCheckpoint(true)
+    def estCol(n: Column, hk: Column): Column =
+      when(n < KmvK, n.cast("double"))
+        .otherwise(lit((KmvK - 1).toDouble) * lit(KmvDomain) / hk.cast("double"))
+    val stats = sk.groupBy("st").agg(count(lit(1)).as("n"), max("h").as("hk"))
+      .withColumn("est", estCol(col("n"), col("hk")))
+    val u = sk.select("h").distinct().orderBy("h").limit(KmvK).localCheckpoint(true)
+    val uStats = u.agg(count(lit(1)).as("nu"), max("h").as("hku"))
+      .withColumn("est_union", estCol(col("nu"), col("hku")))
+      .select("nu", "est_union")
+    val rho = u
+      .join(sk.filter(col("st") === "F").select(col("h").as("ha")),
+        col("h") === col("ha"), "left_semi")
+      .join(sk.filter(col("st") === "O").select(col("h").as("hb")),
+        col("h") === col("hb"), "left_semi")
+      .agg(count(lit(1)).as("rho"))
+    val flags = base.groupBy("o_custkey").agg(
+      max(when(col("st") === "F", 1L).otherwise(0L)).as("fa"),
+      max(when(col("st") === "O", 1L).otherwise(0L)).as("fb"))
+    val exact = flags.agg(
+      sum("fa").as("exact_a"), sum("fb").as("exact_b"),
+      count(lit(1)).as("exact_union"), sum(col("fa") * col("fb")).as("exact_int"))
+    stats.filter(col("st") === "F").select(col("n").as("n_a"), col("est").as("est_a"))
+      .crossJoin(stats.filter(col("st") === "O")
+        .select(col("n").as("n_b"), col("est").as("est_b")))
+      .crossJoin(uStats).crossJoin(rho).crossJoin(exact)
+      .withColumn("est_int",
+        col("rho").cast("double") / col("nu").cast("double") * col("est_union"))
+      .select("n_a", "n_b", "nu", "rho",
+        "est_a", "est_b", "est_union", "est_int",
+        "exact_a", "exact_b", "exact_union", "exact_int")
+  }
+
+  val kmvSetOpsSql: String = {
+    val k = KmvK
+    val dom = "1152921504606846976.0" // 16^15 as an exact double literal
+    val est = (n: String, hk: String) =>
+      s"CASE WHEN $n < $k THEN CAST($n AS DOUBLE) ELSE ${k - 1}.0 * $dom / CAST($hk AS DOUBLE) END"
+    s"""WITH hashed AS (
+       |  SELECT DISTINCT o_orderstatus AS st,
+       |    ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+       |ranked AS (SELECT st, h, row_number() OVER (PARTITION BY st ORDER BY h) AS rn
+       |           FROM hashed),
+       |sk AS (SELECT st, h FROM ranked WHERE rn <= $k),
+       |stats AS (SELECT st, CAST(count(*) AS BIGINT) AS n, max(h) AS hk
+       |          FROM sk GROUP BY 1),
+       |u AS (SELECT h FROM (SELECT DISTINCT h FROM sk) ORDER BY h LIMIT $k),
+       |ustats AS (SELECT CAST(count(*) AS BIGINT) AS nu, max(h) AS hku FROM u),
+       |rho AS (SELECT CAST(count(*) AS BIGINT) AS rho FROM u
+       |        WHERE h IN (SELECT h FROM sk WHERE st = 'F')
+       |          AND h IN (SELECT h FROM sk WHERE st = 'O')),
+       |flags AS (SELECT o_custkey,
+       |    max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS fa,
+       |    max(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS fb
+       |  FROM orders WHERE o_orderstatus IN ('F', 'O') GROUP BY 1),
+       |exact AS (SELECT CAST(sum(fa) AS BIGINT) AS exact_a,
+       |    CAST(sum(fb) AS BIGINT) AS exact_b,
+       |    CAST(count(*) AS BIGINT) AS exact_union,
+       |    CAST(sum(fa * fb) AS BIGINT) AS exact_int FROM flags)
+       |SELECT a.n AS n_a, b.n AS n_b, nu, rho,
+       |  ${est("a.n", "a.hk")} AS est_a,
+       |  ${est("b.n", "b.hk")} AS est_b,
+       |  ${est("nu", "hku")} AS est_union,
+       |  CAST(rho AS DOUBLE) / CAST(nu AS DOUBLE) * ${est("nu", "hku")} AS est_int,
+       |  exact_a, exact_b, exact_union, exact_int
+       |FROM stats a, stats b, ustats, rho, exact
+       |WHERE a.st = 'F' AND b.st = 'O'""".stripMargin
+  }
 }

