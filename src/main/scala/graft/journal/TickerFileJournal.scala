@@ -26,13 +26,25 @@ import graft.schema.{FileStatus, Schemas}
   * filename; [[compact]] bounds event-log growth exactly like delta-log
   * checkpointing, so the view never scans unbounded history.
   */
-class TickerFileJournal(spark: SparkSession, val dir: String) {
+class TickerFileJournal(val spark: SparkSession, val dir: String) {
   import spark.implicits._
 
+  /** The journal directory's FileSystem + qualified path. Every filesystem
+    * touch below goes through this (not `java.io.File`), so the journal
+    * can live on HDFS/object storage like the warehouse it tracks.
+    */
+  private def fsPath(p: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    (fs, fs.makeQualified(path))
+  }
+
   private def dirHasData: Boolean = {
-    val d = new java.io.File(dir)
-    d.exists && d.listFiles != null && d.listFiles.exists(f =>
-      f.getName.endsWith(".parquet") || f.getName.startsWith("part-"))
+    val (fs, d) = fsPath(dir)
+    fs.exists(d) && fs.listStatus(d).exists { s =>
+      val n = s.getPath.getName
+      n.endsWith(".parquet") || n.startsWith("part-")
+    }
   }
 
   private val eventSchema = Schemas.tickerFile
@@ -211,13 +223,9 @@ class TickerFileJournal(spark: SparkSession, val dir: String) {
 
   /** A10 — truncate. */
   def truncate(): Unit = this.synchronized {
-    val d = new java.io.File(dir)
-    if (d.exists) { d.listFiles.foreach(deleteRec); () }
+    val (fs, d) = fsPath(dir)
+    if (fs.exists(d)) { fs.listStatus(d).foreach(s => fs.delete(s.getPath, true)); () }
     cachedMaxSeq = Some(0L)
-  }
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles.foreach(deleteRec)
-    f.delete(); ()
   }
 
   /** Checkpoint the event log down to the current view (delta-log-style
@@ -231,18 +239,20 @@ class TickerFileJournal(spark: SparkSession, val dir: String) {
     */
   def compact(now: Timestamp): Unit = this.synchronized {
     val tmp = dir.stripSuffix("/") + ".compact-tmp"
-    val tmpDir = new java.io.File(tmp)
-    if (tmpDir.exists) deleteRec(tmpDir)
+    val (fs, tmpPath) = fsPath(tmp)
+    if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
     current.withColumn("batch_seq", lit(0L))
       .select("filename", "create_date", "status", "updated_at", "batch_seq")
       .write.mode(SaveMode.Overwrite).parquet(tmp) // executes BEFORE the swap
     truncate()
-    val target = new java.io.File(dir)
-    if (!target.exists) target.mkdirs()
-    tmpDir.listFiles.filter(f => f.getName.startsWith("part-")).foreach { f =>
-      java.nio.file.Files.move(f.toPath, new java.io.File(target, f.getName).toPath)
+    val (_, target) = fsPath(dir)
+    fs.mkdirs(target)
+    fs.listStatus(tmpPath).filter(_.getPath.getName.startsWith("part-")).foreach { s =>
+      val dest = new org.apache.hadoop.fs.Path(target, s.getPath.getName)
+      if (!fs.rename(s.getPath, dest))
+        throw new java.io.IOException(s"journal compact swap failed: ${s.getPath} -> $dest")
     }
-    deleteRec(tmpDir)
+    fs.delete(tmpPath, true)
     cachedMaxSeq = Some(0L)
   }
 }

@@ -135,8 +135,13 @@ object Lifecycle {
     * today (still uploading), or minFinished + 1 == today (1-day backup
     * window). Then delete FINISHED files in dirs where dirDate + 1 <
     * maxFinished, keep ERROR files, remove emptied dirs.
-    * Driver-side filesystem job by design — it deletes source files, which
-    * is inherently not a distributed dataflow.
+    * Driver-side BY DESIGN — per-file deletes against the arrival store
+    * are inherently not a distributed dataflow — but driver-side does not
+    * mean local-disk-only: the walk goes through the Hadoop FileSystem
+    * (like every other maintenance path), so the same GC runs against an
+    * HDFS/object-store inbox. Work stays proportional to the GC-eligible
+    * dirs: the journal collect is IN-filtered to those dates, and listing
+    * is one listStatus per eligible dir.
     */
   def cleanup(journal: TickerFileJournal, dataRoot: String, today: LocalDate): CleanupReport = {
     val minF = journal.minMaxDateForStatus("MIN", FileStatus.Finished).map(_.toLocalDate)
@@ -144,10 +149,13 @@ object Lifecycle {
     (minF, maxF) match {
       case (Some(lo), Some(hi))
           if !(lo.isEqual(hi) || lo.isEqual(today) || lo.plusDays(1).isEqual(today)) =>
-        val root = new java.io.File(dataRoot)
-        val dateDirs = Option(root.listFiles).getOrElse(Array.empty)
-          .filter(_.isDirectory)
-          .filter(d => scala.util.Try(LocalDate.parse(d.getName)).isSuccess)
+        import org.apache.hadoop.fs.Path
+        val rootPath = new Path(dataRoot)
+        val fs = rootPath.getFileSystem(journal.spark.sessionState.newHadoopConf())
+        val dateDirs =
+          (if (fs.exists(rootPath)) fs.listStatus(rootPath) else Array.empty[org.apache.hadoop.fs.FileStatus])
+            .filter(_.isDirectory)
+            .filter(d => scala.util.Try(LocalDate.parse(d.getPath.getName)).isSuccess)
         var deleted = 0
         var kept = 0
         val deletedDirs = scala.collection.mutable.ArrayBuffer[String]()
@@ -155,7 +163,7 @@ object Lifecycle {
         // create_date IN-filter keeps the driver collect proportional to the
         // dirs being deleted (and partition-prunes when the journal is
         // date-partitioned), not to the whole journal.
-        val eligibleDates = dateDirs.map(d => LocalDate.parse(d.getName))
+        val eligibleDates = dateDirs.map(d => LocalDate.parse(d.getPath.getName))
           .filter(_.plusDays(1).isBefore(hi))
           .map(Date.valueOf)
         val statuses =
@@ -165,18 +173,19 @@ object Lifecycle {
             .select("filename", "status")
             .collect().map(r => r.getString(0) -> r.getString(1)).toMap
         dateDirs.foreach { dir =>
-          val dirDate = LocalDate.parse(dir.getName)
+          val dirDate = LocalDate.parse(dir.getPath.getName)
           if (dirDate.plusDays(1).isBefore(hi)) {
-            Option(dir.listFiles).getOrElse(Array.empty).filter(_.isFile).foreach { f =>
-              statuses.get(f.getName) match {
-                case Some(s) if s == FileStatus.Finished.name => f.delete(); deleted += 1
+            fs.listStatus(dir.getPath).filter(_.isFile).foreach { f =>
+              statuses.get(f.getPath.getName) match {
+                case Some(s) if s == FileStatus.Finished.name =>
+                  fs.delete(f.getPath, false); deleted += 1
                 case Some(s) if s == FileStatus.Error.name => kept += 1
                 case _ => () // unknown to the journal: leave untouched
               }
             }
-            if (Option(dir.listFiles).getOrElse(Array.empty).isEmpty) {
-              deletedDirs += dir.getName
-              dir.delete()
+            if (fs.listStatus(dir.getPath).isEmpty) {
+              deletedDirs += dir.getPath.getName
+              fs.delete(dir.getPath, false)
             }
           }
         }

@@ -31,20 +31,19 @@ trait ExternalSink {
   * JDBC path (same ExternalSink contract, fully exercisable offline).
   */
 class ParquetSink(dir: String) extends ExternalSink {
+  private def fsPath(spark: SparkSession) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
   override def append(df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).parquet(dir)
   override def truncate(spark: SparkSession): Unit = {
-    def rec(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rec)
-      f.delete(); ()
-    }
-    val d = new java.io.File(dir)
-    if (d.exists) Option(d.listFiles).getOrElse(Array.empty).foreach(rec)
+    val (fs, d) = fsPath(spark)
+    if (fs.exists(d)) { fs.listStatus(d).foreach(s => fs.delete(s.getPath, true)); () }
   }
   override def count(spark: SparkSession): Long = {
-    val d = new java.io.File(dir)
-    if (d.exists && Option(d.listFiles).exists(_.nonEmpty))
-      spark.read.parquet(dir).count()
+    val (fs, d) = fsPath(spark)
+    if (fs.exists(d) && fs.listStatus(d).nonEmpty) spark.read.parquet(dir).count()
     else 0L
   }
 }

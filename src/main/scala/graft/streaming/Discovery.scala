@@ -37,16 +37,22 @@ object Discovery {
   def catchUp(spark: SparkSession, journal: TickerFileJournal, dataRoot: String,
       today: LocalDate, now: Timestamp): Long = {
     val from = journal.maxCreateDate.map(_.toLocalDate)
-    val root = new java.io.File(dataRoot)
-    val dirs = Option(root.listFiles).getOrElse(Array.empty)
-      .filter(_.isDirectory)
-      .flatMap(d => scala.util.Try(LocalDate.parse(d.getName)).toOption.map(_ => d))
-      .filter { d =>
-        val dd = LocalDate.parse(d.getName)
-        from.forall(f => !dd.isBefore(f)) && !dd.isAfter(today)
-      }
-    val files = dirs.flatMap(d => Option(d.listFiles).getOrElse(Array.empty))
-      .filter(_.isFile).map(_.getAbsolutePath).toSeq
+    // Hadoop FileSystem walk (not java.io.File): the arrival store is a
+    // shared filesystem/object prefix at scale, and the date-dir range
+    // filter keeps the listing one listStatus per unseen day.
+    val rootPath = new org.apache.hadoop.fs.Path(dataRoot)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs =
+      (if (fs.exists(rootPath)) fs.listStatus(rootPath)
+       else Array.empty[org.apache.hadoop.fs.FileStatus])
+        .filter(_.isDirectory)
+        .filter { d =>
+          scala.util.Try(LocalDate.parse(d.getPath.getName)).toOption.exists { dd =>
+            from.forall(f => !dd.isBefore(f)) && !dd.isAfter(today)
+          }
+        }
+    val files = dirs.flatMap(d => fs.listStatus(d.getPath))
+      .filter(_.isFile).map(_.getPath.toUri.getPath).toSeq
     if (files.isEmpty) return 0L
     import spark.implicits._
     journal.appendDiscovered(fileMeta(files.toDF("path")), now)
