@@ -43,4 +43,19 @@ class PlanAuditSpec extends SparkSpec {
       assert(errs.isEmpty, s"$q: $errs")
     }
   }
+
+  test("every round-9 addition audits clean of errors") {
+    // the full TPC-H completion set plus the KMV / BFS operators — the
+    // scalar-subquery stitches (q11 total, q15 max, KMV) are 1-row
+    // broadcast nested loops, which the audit correctly leaves at `warn`
+    for (q <- Seq("q2_min_cost", "q4_order_priority", "q7_volume_shipping",
+      "q8_market_share", "q9_product_profit", "q11_important_parts",
+      "q12_late_lines", "q13_custdist", "q15_top_supplier",
+      "q16_supplier_cnt", "q19_disjunctive", "q20_excess_shipments",
+      "q21_waiting_supplier", "x_kmv_setops", "x_bfs_hops")) {
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      val errs = PlanAudit.audit(df).filter(_.severity == "error")
+      assert(errs.isEmpty, s"$q: $errs")
+    }
+  }
 }
