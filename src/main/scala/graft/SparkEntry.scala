@@ -279,6 +279,8 @@ object SparkEntry {
     "x_kmv_setops"      -> (graft.operators.SketchOps.kmvSetOps _),
     // multi-source BFS hop distances via frontier expansion (Pregel shape)
     "x_bfs_hops"        -> (graft.operators.GraphOps.bfsHops _),
+    // week-over-week returning users from stored per-week KMV sketches
+    "x_kmv_retention"   -> (graft.operators.SketchOps.kmvRetention _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -461,5 +463,6 @@ object SparkEntry {
     "q21_waiting_supplier" -> TQ.q21WaitingSupplierSql,
     "x_kmv_setops"      -> graft.operators.SketchOps.kmvSetOpsSql,
     "x_bfs_hops"        -> graft.operators.GraphOps.bfsHopsSql,
+    "x_kmv_retention"   -> graft.operators.SketchOps.kmvRetentionSql,
   )
 }

@@ -92,6 +92,14 @@ object SketchOps {
   private def kmvHash(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** The KMV estimator: exact count when the sketch holds the whole set
+    * (n < k), else `(k−1)·D / h_k` — one IEEE division of exactly-
+    * representable doubles, replayed verbatim by the oracle.
+    */
+  private def kmvEstimate(n: Column, hk: Column): Column =
+    when(n < KmvK, n.cast("double"))
+      .otherwise(lit((KmvK - 1).toDouble) * lit(KmvDomain) / hk.cast("double"))
+
   /** Distinct-count set algebra from KMV sketches, beside exact truth —
     * what HLL (`hllIncremental`) cannot do: HLL unions losslessly but has
     * no direct INTERSECTION; a KMV sketch supports both, because the k
@@ -124,14 +132,11 @@ object SketchOps {
     // ≤ 2k rows from here on; checkpointed because it feeds 4 consumers
     val sk = graft.plans.NativeTopK.perGroup(hashed, Seq("st"), Seq("h" -> true), KmvK)
       .localCheckpoint(true)
-    def estCol(n: Column, hk: Column): Column =
-      when(n < KmvK, n.cast("double"))
-        .otherwise(lit((KmvK - 1).toDouble) * lit(KmvDomain) / hk.cast("double"))
     val stats = sk.groupBy("st").agg(count(lit(1)).as("n"), max("h").as("hk"))
-      .withColumn("est", estCol(col("n"), col("hk")))
+      .withColumn("est", kmvEstimate(col("n"), col("hk")))
     val u = sk.select("h").distinct().orderBy("h").limit(KmvK).localCheckpoint(true)
     val uStats = u.agg(count(lit(1)).as("nu"), max("h").as("hku"))
-      .withColumn("est_union", estCol(col("nu"), col("hku")))
+      .withColumn("est_union", kmvEstimate(col("nu"), col("hku")))
       .select("nu", "est_union")
     val rho = u
       .join(sk.filter(col("st") === "F").select(col("h").as("ha")),
@@ -191,5 +196,105 @@ object SketchOps {
        |  exact_a, exact_b, exact_union, exact_int
        |FROM stats a, stats b, ustats, rho, exact
        |WHERE a.st = 'F' AND b.st = 'O'""".stripMargin
+  }
+
+  /** Week-over-week returning users from STORED per-week KMV sketches —
+    * the sketch-reuse payoff [[kmvSetOps]] sets up: once each ingest
+    * period persists its 64-value sketch (like the HLL partials of
+    * [[monthlySketches]]), any period-pair overlap question — "how many
+    * of week N's users came back in week N+1?" — is answered from 128
+    * stored values per pair, no fact rescan, and crucially KMV supports
+    * the INTERSECTION estimate HLL partials cannot. Estimates ride
+    * beside exact truth computed independently; both are deterministic,
+    * so the oracle replays both.
+    *
+    * Scale: the per-week sketches come off one partial-aggregable dedup +
+    * native bounded-heap top-k; everything after is sketch-count-sized
+    * (the ranking window partitions by week pair over ≤ 2k rows each).
+    */
+  def kmvRetention(s: SparkSession, d: String): DataFrame = {
+    graft.catalyst.GraftExtensions.register(s)
+    val ev = Tables.events(s, d)
+      .select(date_trunc("week", col("ts")).cast("date").as("w"), col("user_id"))
+    val hashed = ev.select(col("w"), kmvHash(col("user_id")).as("h")).distinct()
+    val sk = graft.plans.NativeTopK.perGroup(hashed, Seq("w"), Seq("h" -> true), KmvK)
+      .localCheckpoint(true)
+    val stats = sk.groupBy("w").agg(count(lit(1)).as("n"), max("h").as("hk"))
+      .withColumn("est", kmvEstimate(col("n"), col("hk")))
+    val pairs = stats.select(col("w"), col("n").as("n_prev"), col("est").as("est_prev"))
+      .join(stats.select(date_sub(col("w"), 7).as("w"), col("n").as("n_next"),
+        col("est").as("est_next")), Seq("w"))
+    // per-pair union sketch: both weeks' values, ranked, cut at k — the
+    // window runs over ≤ 2k sketch rows per pair, never data rows
+    val cand = sk.select(col("w"), col("h"))
+      .join(pairs.select("w"), Seq("w"), "left_semi")
+      .unionByName(sk.select(date_sub(col("w"), 7).as("w"), col("h"))
+        .join(pairs.select("w"), Seq("w"), "left_semi"))
+      .distinct()
+    val byPair = org.apache.spark.sql.expressions.Window.partitionBy("w").orderBy("h")
+    val u = cand.withColumn("rn", row_number().over(byPair)).filter(col("rn") <= KmvK)
+    val uStats = u.groupBy("w").agg(count(lit(1)).as("nu"), max("h").as("hku"))
+      .withColumn("est_union", kmvEstimate(col("nu"), col("hku")))
+    val inBoth = u
+      .join(sk.select(col("w"), col("h")), Seq("w", "h"), "left_semi")
+      .join(sk.select(date_sub(col("w"), 7).as("w"), col("h")), Seq("w", "h"), "left_semi")
+      .groupBy("w").agg(count(lit(1)).as("rho"))
+    val exact = ev.distinct()
+      .join(ev.distinct().select(date_sub(col("w"), 7).as("w"), col("user_id")),
+        Seq("w", "user_id"), "left_semi")
+      .groupBy("w").agg(count(lit(1)).as("exact_returning"))
+    pairs.join(uStats, Seq("w")).join(inBoth, Seq("w"), "left")
+      .join(exact, Seq("w"), "left")
+      .select(col("w").as("week"),
+        col("n_prev"), col("n_next"), col("nu"),
+        coalesce(col("rho"), lit(0L)).as("rho"),
+        col("est_prev"), col("est_next"), col("est_union"),
+        (coalesce(col("rho"), lit(0L)).cast("double") / col("nu").cast("double") *
+          col("est_union")).as("est_returning"),
+        coalesce(col("exact_returning"), lit(0L)).as("exact_returning"))
+      .orderBy("week")
+  }
+
+  val kmvRetentionSql: String = {
+    val k = KmvK
+    val dom = "1152921504606846976.0"
+    val est = (n: String, hk: String) =>
+      s"CASE WHEN $n < $k THEN CAST($n AS DOUBLE) ELSE ${k - 1}.0 * $dom / CAST($hk AS DOUBLE) END"
+    s"""WITH ev AS (SELECT DISTINCT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS w,
+       |    user_id FROM events),
+       |hashed AS (SELECT DISTINCT w,
+       |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM ev),
+       |ranked AS (SELECT w, h, row_number() OVER (PARTITION BY w ORDER BY h) AS rn
+       |           FROM hashed),
+       |sk AS (SELECT w, h FROM ranked WHERE rn <= $k),
+       |stats AS (SELECT w, CAST(count(*) AS BIGINT) AS n, max(h) AS hk FROM sk GROUP BY 1),
+       |pairs AS (SELECT p.w, p.n AS n_prev, p.hk AS hk_prev, q.n AS n_next, q.hk AS hk_next
+       |          FROM stats p JOIN stats q ON q.w = p.w + 7),
+       |cand AS (SELECT DISTINCT p.w, s.h
+       |         FROM pairs p JOIN sk s ON s.w = p.w OR s.w = p.w + 7),
+       |ur AS (SELECT w, h, row_number() OVER (PARTITION BY w ORDER BY h) AS rn FROM cand),
+       |u AS (SELECT w, h FROM ur WHERE rn <= $k),
+       |ustats AS (SELECT w, CAST(count(*) AS BIGINT) AS nu, max(h) AS hku FROM u GROUP BY 1),
+       |rho AS (SELECT u.w, CAST(count(*) AS BIGINT) AS rho FROM u
+       |        WHERE EXISTS (SELECT 1 FROM sk WHERE sk.w = u.w AND sk.h = u.h)
+       |          AND EXISTS (SELECT 1 FROM sk
+       |                      WHERE sk.w = u.w + 7 AND sk.h = u.h)
+       |        GROUP BY 1),
+       |exact AS (SELECT a.w, CAST(count(*) AS BIGINT) AS exact_returning
+       |          FROM ev a JOIN ev b ON b.user_id = a.user_id
+       |            AND b.w = a.w + 7
+       |          GROUP BY 1)
+       |SELECT p.w AS week, n_prev, n_next, nu, COALESCE(rho.rho, 0) AS rho,
+       |  ${est("n_prev", "hk_prev")} AS est_prev,
+       |  ${est("n_next", "hk_next")} AS est_next,
+       |  ${est("nu", "hku")} AS est_union,
+       |  CAST(COALESCE(rho.rho, 0) AS DOUBLE) / CAST(nu AS DOUBLE) *
+       |    ${est("nu", "hku")} AS est_returning,
+       |  COALESCE(exact.exact_returning, 0) AS exact_returning
+       |FROM pairs p JOIN ustats ON ustats.w = p.w
+       |LEFT JOIN rho ON rho.w = p.w
+       |LEFT JOIN exact ON exact.w = p.w
+       |ORDER BY week""".stripMargin
   }
 }

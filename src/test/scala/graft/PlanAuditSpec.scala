@@ -52,7 +52,7 @@ class PlanAuditSpec extends SparkSpec {
       "q8_market_share", "q9_product_profit", "q11_important_parts",
       "q12_late_lines", "q13_custdist", "q15_top_supplier",
       "q16_supplier_cnt", "q19_disjunctive", "q20_excess_shipments",
-      "q21_waiting_supplier", "x_kmv_setops", "x_bfs_hops")) {
+      "q21_waiting_supplier", "x_kmv_setops", "x_bfs_hops", "x_kmv_retention")) {
       val df = SparkEntry.queries(q)(spark, sf0001)
       val errs = PlanAudit.audit(df).filter(_.severity == "error")
       assert(errs.isEmpty, s"$q: $errs")
