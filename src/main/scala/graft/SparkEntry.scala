@@ -74,6 +74,7 @@ object SparkEntry {
     "sql_set_intersect" -> (SQ.sqlIntersect _),
     "sql_exists"        -> (SQ.sqlExists _),
     "sql_having"        -> (SQ.sqlHaving _),
+    "sql_lateral"       -> (SQ.sqlLateral _),
     // Training-data pipeline: dedup
     "d_exact_dedup"     -> (DedupOps.exactDedup _),
     "d_ngram_jaccard"   -> ((s, d) => DedupOps.ngramJaccardPairs(s, d)),
@@ -328,6 +329,7 @@ object SparkEntry {
     "sql_set_intersect" -> SQ.sqlIntersectSql,
     "sql_exists"        -> SQ.sqlExistsSql,
     "sql_having"        -> SQ.sqlHavingSql,
+    "sql_lateral"       -> SQ.sqlLateralSql,
     "d_exact_dedup"     -> DedupOps.exactDedupSql,
     "d_ngram_jaccard"   -> DedupOps.ngramJaccardSql,
     "d_minhash_lsh"     -> DedupOps.minhashLshSql,

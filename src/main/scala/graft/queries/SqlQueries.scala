@@ -82,4 +82,24 @@ object SqlQueries {
       |GROUP BY o_custkey
       |HAVING count(*) > (SELECT count(*) FROM orders) / (SELECT count(*) FROM customer)
       |ORDER BY o_custkey""".stripMargin
+
+  /** LATERAL correlated subquery with ORDER BY + LIMIT — the "top-N per
+    * outer row" idiom stated in SQL. Catalyst decorrelates the lateral
+    * into a ranked join (the same plan family as the native grouped
+    * top-k); the text is dialect-shared with DuckDB verbatim.
+    */
+  private val lateralText =
+    """SELECT p.o_orderpriority, t.o_orderkey, t.cents
+      |FROM (SELECT DISTINCT o_orderpriority FROM orders) p,
+      |LATERAL (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |         FROM orders o
+      |         WHERE o.o_orderpriority = p.o_orderpriority
+      |         ORDER BY cents DESC, o_orderkey LIMIT 2) t
+      |ORDER BY p.o_orderpriority, t.cents DESC, t.o_orderkey""".stripMargin
+
+  def sqlLateral(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(lateralText)
+  }
+  val sqlLateralSql: String = lateralText
 }
