@@ -178,6 +178,8 @@ object PipelineApp {
     if (orphans > 0) println(s"[recover] re-queued $orphans orphaned IN_PROGRESS files")
     val repaired = TickerIngest.recoverCompaction(spark, warehouseDir)
     if (repaired > 0) println(s"[recover] restored $repaired partitions from interrupted compactions")
+    val fpRepaired = graft.operators.FingerprintStore.recover(spark, s"$warehouseDir/_fp_store")
+    if (fpRepaired > 0) println(s"[recover] restored $fpRepaired fingerprint buckets")
     Discovery.catchUp(spark, journal, root, LocalDate.now(), now())
     val q = Discovery.stream(spark, journal, root, s"$warehouseDir/_discovery_ckpt",
       maxFilesPerTrigger = cfg.discovery.filesBufferSize,
@@ -247,6 +249,10 @@ object PipelineApp {
         // (maintenanceLock serializes against concurrent commits)
         TickerIngest.fragmentedPartitions(spark, warehouseDir, threshold = 8)
           .foreach(dt => TickerIngest.compactPartition(spark, warehouseDir, dt))
+        // same pass for the fingerprint store's hash buckets (one file per
+        // bucket per admitted batch; its own lock serializes against the
+        // corpus-admission stream's probe-then-append batches)
+        graft.operators.FingerprintStore.compact(spark, s"$warehouseDir/_fp_store")
       }
     }
     // awaitANYTermination: a dead corpus-admission stream must stop the app

@@ -313,12 +313,6 @@ object TickerIngest {
     val df = spark.read.parquet(live.toString)
     val rows = df.count()
     val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    val newDir = live.suffix(".__new")
-    val oldDir = live.suffix(".__old")
-    if (fs.exists(newDir)) fs.delete(newDir, true) // abandoned previous attempt
-    if (fs.exists(oldDir)) fs.delete(oldDir, true) // stale trash: live exists,
-    // so it is a completed compaction's unfinished delete — without this
-    // sweep step 1's rename-onto-existing-dir would fail here forever
     // a z-clustered warehouse must STAY z-clustered through maintenance —
     // a plain repartition would scramble the layout the ingest paid a
     // range shuffle for, silently killing file skipping on the next scan
@@ -329,52 +323,24 @@ object TickerIngest {
           .sortWithinPartitions("_zkey")
           .drop("_zkey")
       else df.repartition(nFiles)
-    rewritten.write.mode(SaveMode.Overwrite).parquet(newDir.toString)
-    // verify the copy before touching the live dir — a short write must
-    // never replace good data
-    require(spark.read.parquet(newDir.toString).count() == rows,
-      s"compaction verify failed for $live")
-    require(fs.rename(live, oldDir), s"swap step 1 failed: $live -> $oldDir")
-    if (!fs.rename(newDir, live)) {
-      // NON-CRASH step-2 failure (permissions, open handle, NFS): roll the
-      // live dir back IMMEDIATELY. Leaving the partition absent until the
-      // next restart would let a subsequent commit recreate the live dir
-      // with only its own batch — and recoverCompaction would then read
-      // ".__old beside a live dir" as finished trash and delete the only
-      // copy of the pre-compaction rows. The rollback closes that path.
-      require(fs.rename(oldDir, live), s"swap rollback ALSO failed: $oldDir -> $live " +
-        "(partition offline until recoverCompaction at restart)")
-      throw new java.io.IOException(s"swap step 2 failed: $newDir -> $live (rolled back)")
+    DirSwap.replace(fs, live) { newDir =>
+      rewritten.write.mode(SaveMode.Overwrite).parquet(newDir.toString)
+    } { newDir =>
+      require(spark.read.parquet(newDir.toString).count() == rows,
+        s"compaction verify failed for $live")
     }
-    fs.delete(oldDir, true)
     (before, partFileCount(fs, live))
   }
 
-  /** Startup repair for [[compactPartition]]'s crash window: a
-    * `<partition>.__old` without a live partition dir means the crash hit
-    * between the two swap renames — restore it. A `.__old` WITH a live dir
-    * is a completed compaction's unfinished trash delete — drop it. A
-    * `.__new` left behind is an incomplete copy — drop it (the live dir
-    * was never touched). Returns the number of partitions restored.
+  /** Startup repair for [[compactPartition]]'s crash window — the shared
+    * [[DirSwap.recover]] sweep over the warehouse root (restore orphaned
+    * `.__old` partitions, drop finished trash and incomplete `.__new`
+    * copies). Returns the number of partitions restored.
     */
   def recoverCompaction(spark: SparkSession, warehouseDir: String): Int =
     maintenanceLock.synchronized {
-      import org.apache.hadoop.fs.Path
       val (fs, root) = fsFor(spark, warehouseDir)
-      if (!fs.exists(root)) return 0
-      val entries = fs.listStatus(root)
-      var restored = 0
-      entries.filter(_.getPath.getName.endsWith(".__new"))
-        .foreach(s => fs.delete(s.getPath, true))
-      entries.filter(_.getPath.getName.endsWith(".__old")).foreach { s =>
-        val oldDir = s.getPath
-        val live = new Path(oldDir.getParent, oldDir.getName.stripSuffix(".__old"))
-        if (!fs.exists(live)) {
-          require(fs.rename(oldDir, live), s"restore failed: $oldDir -> $live")
-          restored += 1
-        } else { fs.delete(oldDir, true); () }
-      }
-      restored
+      DirSwap.recover(fs, root)
     }
 
   /** Date partitions currently fragmented past `threshold` part files —

@@ -49,11 +49,30 @@ object FingerprintStore {
     * anti-join is multiplicity-blind), which is what lets streaming callers
     * re-append on replay without corrupting anything.
     */
+  /** Serializes [[append]] against [[compact]]/[[recover]] in-process —
+    * the same single-maintainer contract as the warehouse's
+    * maintenanceLock: an append landing a file in a bucket between the
+    * compaction's snapshot and its swap would vanish with the `.__old`
+    * trash.
+    */
+  private val maintenanceLock = new Object
+
+  /** Run `f` holding the store's maintenance lock (reentrant — [[append]]
+    * inside `f` is fine). [[graft.streaming.StreamingDedup.processBatch]]
+    * wraps its whole probe-then-append sequence in this so a concurrent
+    * [[compact]] can neither hide a bucket from the admit scan mid-swap
+    * nor throw away a just-appended file with the `.__old` trash.
+    */
+  private[graft] def withMaintenanceLock[T](f: => T): T =
+    maintenanceLock.synchronized(f)
+
   def append(fps: DataFrame, fpCol: String, dir: String): Unit =
-    fps.filter(col(fpCol).isNotNull)
-      .withColumn(PrefixCol, prefixOf(fpCol))
-      .repartition(col(PrefixCol))
-      .write.mode("append").partitionBy(PrefixCol).parquet(dir)
+    maintenanceLock.synchronized {
+      fps.filter(col(fpCol).isNotNull)
+        .withColumn(PrefixCol, prefixOf(fpCol))
+        .repartition(col(PrefixCol))
+        .write.mode("append").partitionBy(PrefixCol).parquet(dir)
+    }
 
   /** Rows of `newDocs` whose `fpCol` has no match in the store. The store
     * scan is partition-pruned to the batch's own prefixes; null
@@ -84,5 +103,67 @@ object FingerprintStore {
       .filter(col(PrefixCol).isin(prefixes: _*))
       .select(col(fpCol))
     newDocs.join(hist, Seq(fpCol), "left_anti")
+  }
+
+  private def fsFor(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    (fs, fs.makeQualified(p))
+  }
+
+  /** Bucket dirs currently holding more than `threshold` part files — the
+    * store's compaction work list. Every [[append]] adds one file per
+    * bucket per batch, so a store fed daily holds N files per bucket after
+    * N days; admit-probe cost is task-per-file.
+    */
+  def fragmentedBuckets(spark: SparkSession, dir: String, threshold: Int): Seq[String] = {
+    val (fs, root) = fsFor(spark, dir)
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(PrefixCol + "=") &&
+        !s.getPath.getName.contains(".__"))
+      .filter(s => fs.listStatus(s.getPath)
+        .count(f => f.isFile && f.getPath.getName.startsWith("part-")) > threshold)
+      .map(_.getPath.getName.stripPrefix(PrefixCol + "="))
+  }
+
+  /** Rewrite each listed bucket to a single file via the crash-safe
+    * [[graft.ingest.DirSwap]] protocol (build `.__new` complete, verify
+    * the row count, two-rename swap) — the same maintenance the warehouse
+    * runs per date partition, here per hash bucket: 256 independent
+    * rewrite units, each 1/256th of history. Returns
+    * (bucketsCompacted, filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, dir: String, threshold: Int = 8): (Int, Int, Int) =
+    maintenanceLock.synchronized {
+      val (fs, root) = fsFor(spark, dir)
+      val buckets = fragmentedBuckets(spark, dir, threshold)
+      var (before, after) = (0, 0)
+      buckets.foreach { b =>
+        val live = new org.apache.hadoop.fs.Path(root, s"$PrefixCol=$b")
+        def nFiles = fs.listStatus(live)
+          .count(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        before += nFiles
+        // leaf-dir read: rows carry every column BUT the partition col,
+        // exactly what the rewritten data files must contain
+        val rows = spark.read.parquet(live.toString)
+        val n = rows.count()
+        graft.ingest.DirSwap.replace(fs, live) { newDir =>
+          rows.coalesce(1).write.mode("overwrite").parquet(newDir.toString)
+        } { newDir =>
+          require(spark.read.parquet(newDir.toString).count() == n,
+            s"fingerprint compaction verify failed for $live")
+        }
+        after += nFiles
+      }
+      (buckets.size, before, after)
+    }
+
+  /** Startup repair for [[compact]]'s crash windows (shared
+    * [[graft.ingest.DirSwap.recover]] sweep). Returns buckets restored.
+    */
+  def recover(spark: SparkSession, dir: String): Int = maintenanceLock.synchronized {
+    val (fs, root) = fsFor(spark, dir)
+    graft.ingest.DirSwap.recover(fs, root)
   }
 }

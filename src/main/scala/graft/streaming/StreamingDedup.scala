@@ -50,7 +50,8 @@ object StreamingDedup {
     * doc), both idempotent under re-execution of the same `batchId`.
     */
   def processBatch(batch: DataFrame, batchId: Long,
-      storeDir: String, corpusDir: String): Unit = {
+      storeDir: String, corpusDir: String): Unit =
+      FingerprintStore.withMaintenanceLock {
     val spark = batch.sparkSession
     // materialize the fingerprint shuffle ONCE: admit consumes it twice
     // (driver-side prefix collect + the anti-join), which would otherwise

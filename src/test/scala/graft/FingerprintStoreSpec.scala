@@ -60,4 +60,60 @@ class FingerprintStoreSpec extends SparkSpec {
         s"expected 4 of 256 partitions read, got $partsRead")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
+
+  test("bucket compaction: N appends collapse to 1 file per bucket, admit unchanged") {
+    val dir = tmpDir("fpcompact")
+    // 5 daily batches: each appends one file per touched bucket
+    for (day <- 0 until 5)
+      FingerprintStore.append(
+        spark.range(day * 2000, (day + 1) * 2000)
+          .select(md5(col("id").cast("string")).as("fp_exact")),
+        "fp_exact", dir)
+    val frag = FingerprintStore.fragmentedBuckets(spark, dir, threshold = 3)
+    assert(frag.nonEmpty, "5 appends should fragment buckets past 3 files")
+
+    val probe = spark.range(9000, 11000) // half dup (9000-9999), half fresh
+      .select(col("id").as("doc_id"), md5(col("id").cast("string")).as("fp_exact"))
+      .localCheckpoint(true)
+    val beforeAdmit = FingerprintStore.admit(spark, probe, "fp_exact", dir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+
+    val (nBuckets, filesBefore, filesAfter) = FingerprintStore.compact(spark, dir, threshold = 3)
+    assert(nBuckets == frag.size && filesAfter == nBuckets && filesBefore > filesAfter,
+      s"($nBuckets, $filesBefore, $filesAfter)")
+    assert(FingerprintStore.fragmentedBuckets(spark, dir, threshold = 3).isEmpty)
+
+    val afterAdmit = FingerprintStore.admit(spark, probe, "fp_exact", dir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(afterAdmit == beforeAdmit, "compaction must not change admit results")
+    assert(afterAdmit == (10000L until 11000L).toSeq)
+  }
+
+  test("compaction crash windows: recover restores orphaned buckets, drops trash") {
+    val dir = tmpDir("fprecover")
+    FingerprintStore.append(
+      spark.range(0, 500).select(md5(col("id").cast("string")).as("fp_exact")),
+      "fp_exact", dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val buckets = fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith(FingerprintStore.PrefixCol + "="))
+    assert(buckets.length >= 3)
+    val total = spark.read.parquet(dir).count()
+
+    // crash between the two swap renames: live gone, .__old holds the data
+    val b0 = buckets(0).getPath
+    require(fs.rename(b0, b0.suffix(".__old")))
+    // crash mid-build: .__new incomplete beside an intact live dir
+    val b1 = buckets(1).getPath
+    fs.mkdirs(b1.suffix(".__new"))
+    // finished swap, unfinished trash delete: .__old beside an intact live
+    val b2 = buckets(2).getPath
+    fs.mkdirs(b2.suffix(".__old"))
+
+    assert(FingerprintStore.recover(spark, dir) == 1) // only b0 needed restoring
+    val names = fs.listStatus(root).map(_.getPath.getName).toSet
+    assert(names.contains(b0.getName) && !names.exists(_.contains(".__")), names)
+    assert(spark.read.parquet(dir).count() == total, "no fingerprint lost")
+  }
 }
