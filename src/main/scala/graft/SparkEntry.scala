@@ -282,6 +282,8 @@ object SparkEntry {
     "x_bfs_hops"        -> (graft.operators.GraphOps.bfsHops _),
     // week-over-week returning users from stored per-week KMV sketches
     "x_kmv_retention"   -> (graft.operators.SketchOps.kmvRetention _),
+    // image near-dup: real decode -> 8x8 aHash -> banded Hamming blocking
+    "m_ahash_neardup"   -> (MultimodalOps.ahashNearDup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -466,5 +468,6 @@ object SparkEntry {
     "x_kmv_setops"      -> graft.operators.SketchOps.kmvSetOpsSql,
     "x_bfs_hops"        -> graft.operators.GraphOps.bfsHopsSql,
     "x_kmv_retention"   -> graft.operators.SketchOps.kmvRetentionSql,
+    "m_ahash_neardup"   -> MultimodalOps.ahashNearDupSql,
   )
 }

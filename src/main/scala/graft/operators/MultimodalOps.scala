@@ -390,4 +390,122 @@ object MultimodalOps {
   val binaryMetaSql: String =
     """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS content_hash
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Image near-duplicate detection via average-hash (aHash) with banded
+    * Hamming blocking — the visual-dedup pass a multimodal training
+    * pipeline runs after exact-byte dedup:
+    *
+    *  1. REAL decode of each PNG, 8×8 nearest-neighbor downsample off the
+    *     decoded raster (floor source mapping, integer-exact — the same
+    *     resample contract as [[resizeImagesDf]]);
+    *  2. the 64 aHash bits: pixel ≥ raster mean, compared as
+    *     `64·gray ≥ Σgray` so no division ever happens;
+    *  3. the 64-bit signature split into four 16-bit BANDS — by pigeonhole
+    *     any pair within Hamming distance 3 shares at least one intact
+    *     band, so equality on (band_idx, band_value) is a lossless
+    *     blocking key for the ≤ 2 threshold used here (the same
+    *     band-join shape as MinHash-LSH, in Hamming space);
+    *  4. exact Hamming distance on candidates via `bit_count(a ^ b)`,
+    *     threshold filter.
+    *
+    * At 100 TB of images nothing here is all-pairs: the shuffle keys are
+    * (band, value) buckets, per-bucket fan-out is the collision count, and
+    * the signature table is 4 longs per image. The oracle replays decode +
+    * resample + hash in closed form over `generate_series` — it matches
+    * only if the real decode/resample pipeline is exact.
+    */
+  val AHashMaxHamming = 2
+
+  def ahashBands(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grays = pngCorpus(s, d).mapPartitions { it =>
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+      it.map { case (id, blob) =>
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(blob))
+        reader.setInput(iis, true, true)
+        val img = reader.read(0)
+        iis.close()
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val g = new Array[Int](64)
+        var p = 0
+        while (p < 64) {
+          g(p) = raster.getSample((p % 8) * w / 8, (p / 8) * h / 8, 0)
+          p += 1
+        }
+        (id, g)
+      }
+    }.toDF("doc_id", "g")
+    val bandCols = (0 until 4).map(i =>
+      expr(s"aggregate(zip_with(slice(g, ${i * 16 + 1}, 16), " +
+        s"sequence(0, 15), (x, j) -> CASE WHEN 64 * x >= s THEN shiftleft(1L, j) ELSE 0L END), " +
+        "0L, (acc, v) -> acc + v)").as(s"b$i"))
+    grays
+      .withColumn("s", expr("aggregate(g, 0L, (acc, x) -> acc + x)"))
+      .select(col("doc_id") +: bandCols: _*)
+  }
+
+  def ahashNearDup(s: SparkSession, d: String): DataFrame = {
+    val wide = ahashBands(s, d).localCheckpoint(true) // feeds bands + 2 rerank sides
+    val bands = wide.select(col("doc_id"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"), col(s"b$i").as("bv"))): _*)).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.bv"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    val wa = wide.select(col("doc_id").as("da"),
+      col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val wb = wide.select(col("doc_id").as("db"),
+      col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    cand.join(wa, col("doc_a") === col("da")).join(wb, col("doc_b") === col("db"))
+      .withColumn("hamming",
+        expr("bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + bit_count(a2 ^ c2) + bit_count(a3 ^ c3)")
+          .cast("long"))
+      .filter(col("hamming") <= AHashMaxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("hamming", "doc_a", "doc_b")
+  }
+
+  val ahashNearDupSql: String =
+    s"""WITH dims AS (
+       |  SELECT doc_id, CAST(8 + (doc_id % 9) AS BIGINT) AS w,
+       |         CAST(8 + ((doc_id * 3) % 7) AS BIGINT) AS h
+       |  FROM documents
+       |), px AS (
+       |  SELECT doc_id, w, h, unnest(generate_series(0, 63)) AS p FROM dims
+       |), g AS (
+       |  SELECT doc_id, p,
+       |    ((doc_id * 7 + ((p % 8) * w // 8) * 31 + ((p // 8) * h // 8) * 17) % 256) AS gray
+       |  FROM px
+       |), m AS (SELECT doc_id, sum(gray) AS s FROM g GROUP BY 1),
+       |bits AS (
+       |  SELECT g.doc_id, p, CASE WHEN 64 * gray >= s THEN 1 ELSE 0 END AS b
+       |  FROM g JOIN m ON g.doc_id = m.doc_id
+       |), bands AS (
+       |  SELECT doc_id, p // 16 AS band, CAST(sum(b * (1 << (p % 16))) AS BIGINT) AS bv
+       |  FROM bits GROUP BY 1, 2
+       |), wide AS (
+       |  SELECT doc_id,
+       |    max(CASE WHEN band = 0 THEN bv END) AS b0,
+       |    max(CASE WHEN band = 1 THEN bv END) AS b1,
+       |    max(CASE WHEN band = 2 THEN bv END) AS b2,
+       |    max(CASE WHEN band = 3 THEN bv END) AS b3
+       |  FROM bands GROUP BY 1
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |  CAST(bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+       |     + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3)) AS BIGINT) AS hamming
+       |FROM cand
+       |JOIN wide wa ON doc_a = wa.doc_id
+       |JOIN wide wb ON doc_b = wb.doc_id
+       |WHERE bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+       |    + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3)) <= $AHashMaxHamming
+       |ORDER BY hamming, doc_a, doc_b""".stripMargin
 }

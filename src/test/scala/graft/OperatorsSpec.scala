@@ -118,6 +118,29 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("aHash banded blocking is LOSSLESS at the threshold (pigeonhole)") {
+    // 4 bands over 64 bits: any pair at Hamming ≤ 3 shares an intact band,
+    // so band-equality candidates must contain EVERY brute-force pair at
+    // the ≤ 2 operating threshold — verified against an all-pairs sweep of
+    // the collected signatures (driver-side: 500 rows of 4 longs)
+    val sigs = MultimodalOps.ahashBands(spark, sf0001).collect()
+      .map(r => (r.getLong(0), Array(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .sortBy(_._1)
+    assert(sigs.length == 500)
+    val brute = (for {
+      i <- sigs.indices.iterator
+      j <- (i + 1) until sigs.length
+      d = (0 until 4).map(k =>
+        java.lang.Long.bitCount(sigs(i)._2(k) ^ sigs(j)._2(k))).sum
+      if d <= MultimodalOps.AHashMaxHamming
+    } yield (sigs(i)._1, sigs(j)._1, d.toLong)).toSet
+    val banded = MultimodalOps.ahashNearDup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute,
+      s"banded ${banded.size} pairs != brute ${brute.size}")
+    assert(brute.nonEmpty, "corpus should contain at least one near-dup pair")
+  }
+
   test("log sink: enqueued records land in the parquet table") {
     val sink = new LogSink(spark)
     val out = tmpDir("logs")
