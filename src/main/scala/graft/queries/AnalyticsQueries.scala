@@ -409,14 +409,37 @@ object AnalyticsQueries {
     * the group total `n`. Both [[medianX2]] and [[gExactPcts]] select
     * their order statistics from this one construction.
     */
+  /** Bucket width for the two-level cumulative sum below (2¹⁶ integer
+    * units per bucket — cents values up to ~10⁹ yield ≤ ~16k buckets).
+    */
+  private val HistBucketWidth = 1L << 16
+
+  /** Two-level construction (the [[PipelineQueries.sequencePack]] prefix-sum
+    * discipline): the data-sized window partitions by (group, VALUE BUCKET)
+    * — each partition holds one bucket's distinct values, never a whole
+    * group's NDV — and a second, bucket-count-sized window over per-bucket
+    * totals supplies each bucket's offset. A single group-partitioned
+    * running sum would funnel every distinct value of a group into one
+    * task: fine when NDV is small, a straggler when a near-unique measure
+    * (price cents) meets a 3-value group key. `v` must be integral.
+    */
   private def cumulatedHistogram(vals: DataFrame, grp: String, v: String): DataFrame = {
-    val byVal = Window.partitionBy(grp).orderBy(v)
+    val h = vals.groupBy(col(grp), col(v)).agg(count(lit(1)).as("cnt"))
+      .withColumn("_b", expr(s"`$v` div $HistBucketWidth"))
+    val inBucket = Window.partitionBy(grp, "_b").orderBy(v)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val whole = Window.partitionBy(grp)
-    vals.groupBy(col(grp), col(v)).agg(count(lit(1)).as("cnt"))
-      .withColumn("hi", sum("cnt").over(byVal))
+    val hh = h.withColumn("_hi_in", sum("cnt").over(inBucket))
+    val priorBuckets = Window.partitionBy(grp).orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wholeGroup = Window.partitionBy(grp)
+    val off = h.groupBy(col(grp), col("_b")).agg(sum("cnt").as("_bcnt"))
+      .withColumn("_off", coalesce(sum("_bcnt").over(priorBuckets), lit(0L)))
+      .withColumn("n", sum("_bcnt").over(wholeGroup))
+      .select(col(grp), col("_b"), col("_off"), col("n"))
+    hh.join(off, Seq(grp, "_b"))
+      .withColumn("hi", col("_off") + col("_hi_in"))
       .withColumn("lo", col("hi") - col("cnt") + 1)
-      .withColumn("n", sum("cnt").over(whole))
+      .drop("_b", "_hi_in", "_off")
   }
 
   private def medianX2(vals: DataFrame, grp: String, v: String, out: String): DataFrame =

@@ -46,6 +46,22 @@ class PlanQualitySpec extends SparkSpec {
       .contains("TakeOrderedAndProject"))
   }
 
+  test("rank-filter windows get Spark's own group-limit pruning (no custom rule needed)") {
+    // `row_number() OVER (...) <= k` is covered by Spark 4's built-in
+    // InferWindowGroupLimit: a PARTIAL WindowGroupLimit prunes each map-side
+    // partition to k rows per group BEFORE the exchange and a FINAL one
+    // after it, so the idiom is already 100 TB-safe out of the box. Pinned
+    // here so a conf regression (window.group.limit.threshold) or a future
+    // custom rule duplicating the work gets caught. The native
+    // TopKPerGroupExec remains the explicit API for the heap/spill-cap
+    // execution shape; auto-lowering on top of this would be redundant
+    // (investigated round 9: the built-in rule fires first).
+    val df = AnalyticsQueries.wRank(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial") && p.contains("Final"), p)
+  }
+
   test("semi/anti joins plan as join semantics, not materialized subqueries") {
     val semi = physicalPlan(RelationalQueries.a1SemiJoin(spark, sf0001))
     assert(semi.contains("LeftSemi"), semi)
