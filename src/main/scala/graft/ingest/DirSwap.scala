@@ -1,6 +1,21 @@
 package graft.ingest
 
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** The one way engine code resolves a path to its filesystem: every store
+  * (warehouse, journal, fingerprint buckets, arrival inbox, sinks) may
+  * live behind a different scheme, so each resolves through ITS OWN
+  * FileSystem with the session's Hadoop conf, qualified. Shared so the
+  * next scheme-handling fix lands in one place.
+  */
+object HadoopFs {
+  def forPath(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    (fs, fs.makeQualified(p))
+  }
+}
 
 /** The crash-safe directory-replacement protocol, factored out of the
   * warehouse compaction so every partitioned store (date partitions,
@@ -31,6 +46,14 @@ object DirSwap {
   def replace(fs: FileSystem, live: Path)(build: Path => Unit)(verify: Path => Unit): Unit = {
     val newDir = live.suffix(".__new")
     val oldDir = live.suffix(".__old")
+    // the stale-trash sweep below is only safe when `live` really exists:
+    // after a crash between the two renames, `.__old` holds the ONLY copy
+    // and deleting it here would destroy the data. Callers reach replace()
+    // via live-dir listings after startup recovery, but the shared utility
+    // must not rely on that discipline.
+    require(fs.exists(live),
+      s"DirSwap.replace: $live is absent — run DirSwap.recover first " +
+        s"(a crashed swap may have left the only copy in $oldDir)")
     if (fs.exists(newDir)) fs.delete(newDir, true) // abandoned previous attempt
     if (fs.exists(oldDir)) fs.delete(oldDir, true) // stale trash (live exists)
     build(newDir)

@@ -273,11 +273,8 @@ object TickerIngest {
     * SCALE.md ("Warehouse maintenance and the rename contract").
     */
   private def fsFor(spark: SparkSession, dir: String)
-      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    (fs, fs.makeQualified(p))
-  }
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) =
+    HadoopFs.forPath(spark, dir)
 
   private def partFileCount(fs: org.apache.hadoop.fs.FileSystem,
       d: org.apache.hadoop.fs.Path): Int =

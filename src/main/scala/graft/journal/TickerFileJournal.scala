@@ -33,11 +33,8 @@ class TickerFileJournal(val spark: SparkSession, val dir: String) {
     * touch below goes through this (not `java.io.File`), so the journal
     * can live on HDFS/object storage like the warehouse it tracks.
     */
-  private def fsPath(p: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
-    val path = new org.apache.hadoop.fs.Path(p)
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    (fs, fs.makeQualified(path))
-  }
+  private def fsPath(p: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) =
+    graft.ingest.HadoopFs.forPath(spark, p)
 
   private def dirHasData: Boolean = {
     val (fs, d) = fsPath(dir)

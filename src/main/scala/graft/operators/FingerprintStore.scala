@@ -51,23 +51,28 @@ object FingerprintStore {
     */
   /** Serializes [[append]] against [[compact]]/[[recover]] in-process —
     * the same single-maintainer contract as the warehouse's
-    * maintenanceLock: an append landing a file in a bucket between the
-    * compaction's snapshot and its swap would vanish with the `.__old`
-    * trash.
+    * maintenanceLock, but PER STORE DIRECTORY: an append landing a file in
+    * a bucket between the compaction's snapshot and its swap would vanish
+    * with the `.__old` trash, while two independent stores in one JVM
+    * (separate admission streams, parallel suites) share no state and must
+    * not convoy on each other's micro-batches.
     */
-  private val maintenanceLock = new Object
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(dir: String): Object =
+    locks.computeIfAbsent(dir.stripSuffix("/"), _ => new Object)
 
-  /** Run `f` holding the store's maintenance lock (reentrant — [[append]]
-    * inside `f` is fine). [[graft.streaming.StreamingDedup.processBatch]]
-    * wraps its whole probe-then-append sequence in this so a concurrent
-    * [[compact]] can neither hide a bucket from the admit scan mid-swap
-    * nor throw away a just-appended file with the `.__old` trash.
+  /** Run `f` holding `dir`'s maintenance lock (reentrant — [[append]] on
+    * the same dir inside `f` is fine).
+    * [[graft.streaming.StreamingDedup.processBatch]] wraps its whole
+    * probe-then-append sequence in this so a concurrent [[compact]] can
+    * neither hide a bucket from the admit scan mid-swap nor throw away a
+    * just-appended file with the `.__old` trash.
     */
-  private[graft] def withMaintenanceLock[T](f: => T): T =
-    maintenanceLock.synchronized(f)
+  private[graft] def withMaintenanceLock[T](dir: String)(f: => T): T =
+    lockFor(dir).synchronized(f)
 
   def append(fps: DataFrame, fpCol: String, dir: String): Unit =
-    maintenanceLock.synchronized {
+    withMaintenanceLock(dir) {
       fps.filter(col(fpCol).isNotNull)
         .withColumn(PrefixCol, prefixOf(fpCol))
         .repartition(col(PrefixCol))
@@ -105,11 +110,8 @@ object FingerprintStore {
     newDocs.join(hist, Seq(fpCol), "left_anti")
   }
 
-  private def fsFor(spark: SparkSession, dir: String) = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    (fs, fs.makeQualified(p))
-  }
+  private def fsFor(spark: SparkSession, dir: String) =
+    graft.ingest.HadoopFs.forPath(spark, dir)
 
   /** Bucket dirs currently holding more than `threshold` part files — the
     * store's compaction work list. Every [[append]] adds one file per
@@ -135,7 +137,7 @@ object FingerprintStore {
     * (bucketsCompacted, filesBefore, filesAfter).
     */
   def compact(spark: SparkSession, dir: String, threshold: Int = 8): (Int, Int, Int) =
-    maintenanceLock.synchronized {
+    withMaintenanceLock(dir) {
       val (fs, root) = fsFor(spark, dir)
       val buckets = fragmentedBuckets(spark, dir, threshold)
       var (before, after) = (0, 0)
@@ -162,7 +164,7 @@ object FingerprintStore {
   /** Startup repair for [[compact]]'s crash windows (shared
     * [[graft.ingest.DirSwap.recover]] sweep). Returns buckets restored.
     */
-  def recover(spark: SparkSession, dir: String): Int = maintenanceLock.synchronized {
+  def recover(spark: SparkSession, dir: String): Int = withMaintenanceLock(dir) {
     val (fs, root) = fsFor(spark, dir)
     graft.ingest.DirSwap.recover(fs, root)
   }

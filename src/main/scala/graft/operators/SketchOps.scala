@@ -84,10 +84,11 @@ object SketchOps {
   /** Hash domain size 16¹⁵ = 2⁶⁰ as an EXACT double (6-bit mantissa). */
   private val KmvDomain = 1.152921504606846976e18
 
-  /** The cross-engine hash: low 60 bits of md5, which both Spark
-    * (`conv(hex, 16, 10)`) and DuckDB (`('0x' || hex)::BIGINT`) can turn
-    * into the same bigint — the same md5-parity trick the fingerprint and
-    * MinHash operators use. 60 bits keeps the value positive in a long.
+  /** The cross-engine hash: the FIRST 15 hex chars of md5 (the digest's
+    * high 60 bits), which both Spark (`conv(hex, 16, 10)`) and DuckDB
+    * (`('0x' || hex)::BIGINT`) parse into the same bigint. 60 bits keeps
+    * the value positive in a long; any KMV-compatible operator must take
+    * the SAME substring or its sketches won't merge with these.
     */
   private def kmvHash(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")

@@ -149,9 +149,7 @@ object Lifecycle {
     (minF, maxF) match {
       case (Some(lo), Some(hi))
           if !(lo.isEqual(hi) || lo.isEqual(today) || lo.plusDays(1).isEqual(today)) =>
-        import org.apache.hadoop.fs.Path
-        val rootPath = new Path(dataRoot)
-        val fs = rootPath.getFileSystem(journal.spark.sessionState.newHadoopConf())
+        val (fs, rootPath) = graft.ingest.HadoopFs.forPath(journal.spark, dataRoot)
         val dateDirs =
           (if (fs.exists(rootPath)) fs.listStatus(rootPath) else Array.empty[org.apache.hadoop.fs.FileStatus])
             .filter(_.isDirectory)
@@ -178,15 +176,18 @@ object Lifecycle {
             fs.listStatus(dir.getPath).filter(_.isFile).foreach { f =>
               statuses.get(f.getPath.getName) match {
                 case Some(s) if s == FileStatus.Finished.name =>
-                  fs.delete(f.getPath, false); deleted += 1
+                  // count only CONFIRMED deletes: on a remote filesystem a
+                  // delete can fail (permissions, lease) and a report that
+                  // claims the file was GC'd while it remains would mislead
+                  // whoever monitors the cleanup cadence
+                  if (fs.delete(f.getPath, false)) deleted += 1
                 case Some(s) if s == FileStatus.Error.name => kept += 1
                 case _ => () // unknown to the journal: leave untouched
               }
             }
-            if (fs.listStatus(dir.getPath).isEmpty) {
+            if (fs.listStatus(dir.getPath).isEmpty &&
+                fs.delete(dir.getPath, false))
               deletedDirs += dir.getPath.getName
-              fs.delete(dir.getPath, false)
-            }
           }
         }
         CleanupReport(skipped = false, deleted, kept, deletedDirs.toSeq)

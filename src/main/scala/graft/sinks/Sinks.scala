@@ -31,10 +31,7 @@ trait ExternalSink {
   * JDBC path (same ExternalSink contract, fully exercisable offline).
   */
 class ParquetSink(dir: String) extends ExternalSink {
-  private def fsPath(spark: SparkSession) = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
-  }
+  private def fsPath(spark: SparkSession) = graft.ingest.HadoopFs.forPath(spark, dir)
   override def append(df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).parquet(dir)
   override def truncate(spark: SparkSession): Unit = {

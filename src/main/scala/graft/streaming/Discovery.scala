@@ -40,8 +40,7 @@ object Discovery {
     // Hadoop FileSystem walk (not java.io.File): the arrival store is a
     // shared filesystem/object prefix at scale, and the date-dir range
     // filter keeps the listing one listStatus per unseen day.
-    val rootPath = new org.apache.hadoop.fs.Path(dataRoot)
-    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val (fs, rootPath) = graft.ingest.HadoopFs.forPath(spark, dataRoot)
     val dirs =
       (if (fs.exists(rootPath)) fs.listStatus(rootPath)
        else Array.empty[org.apache.hadoop.fs.FileStatus])

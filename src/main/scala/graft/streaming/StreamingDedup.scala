@@ -51,7 +51,7 @@ object StreamingDedup {
     */
   def processBatch(batch: DataFrame, batchId: Long,
       storeDir: String, corpusDir: String): Unit =
-      FingerprintStore.withMaintenanceLock {
+      FingerprintStore.withMaintenanceLock(storeDir) {
     val spark = batch.sparkSession
     // materialize the fingerprint shuffle ONCE: admit consumes it twice
     // (driver-side prefix collect + the anti-join), which would otherwise
