@@ -124,6 +124,10 @@ object SparkEntry {
     "t_doc_freq"        -> (PQ.docFreq _),
     "t_vocab_oov"       -> ((s, d) => PQ.vocabOov(s, d)),
     "t_bigram_lm"       -> (PQ.bigramLm _),
+    // CCNet head/middle/tail quality tiers from exact xent order statistics
+    "t_ppl_bucket"      -> (PQ.pplBucket _),
+    // DSIR importance selection: unigram LLR vs target domain, top-quartile keep
+    "t_dsir_select"     -> (PQ.dsirSelect _),
     "t_bpe_train"       -> ((s, d) => graft.operators.TokenizerOps.bpeTrain(s, d)),
     "t_bpe_encode"      -> ((s, d) => graft.operators.TokenizerOps.bpeSegment(s, d)),
     "t_bpe_pairs"       -> ((s, d) => graft.operators.TokenizerOps.bpePairFreqs(s, d)),
@@ -136,6 +140,8 @@ object SparkEntry {
     "p_seq_pack"        -> ((s, d) => PQ.sequencePack(s, d)),
     // per-sequence manifest (the batch-materialization view of the packing)
     "p_seq_manifest"    -> ((s, d) => PQ.packedSequences(s, d)),
+    // seeded deterministic shuffle-shard manifest (the epoch-permutation step)
+    "p_shuffle_shard"   -> (PQ.shuffleShard _),
     "p_class_balance"   -> (PQ.classBalance _),
     // Round 2: window / grouping completions
     "w_lead_delta"      -> (PQ.leadDelta _),
@@ -367,12 +373,15 @@ object SparkEntry {
     "t_doc_freq"        -> PQ.docFreqSql,
     "t_vocab_oov"       -> PQ.vocabOovSql,
     "t_bigram_lm"       -> PQ.bigramLmSql,
+    "t_ppl_bucket"      -> PQ.pplBucketSql,
+    "t_dsir_select"     -> PQ.dsirSelectSql,
     "t_bpe_pairs"       -> graft.operators.TokenizerOps.bpePairFreqsSql,
     "d_cluster_canon"   -> DedupOps.clusterCanonSql,
     "p_train_split"     -> PQ.trainSplitSql,
     "p_stratified_sample" -> PQ.stratifiedSampleSql,
     "p_seq_pack"        -> PQ.sequencePackSql,
     "p_seq_manifest"    -> PQ.packedSequencesSql,
+    "p_shuffle_shard"   -> PQ.shuffleShardSql,
     "p_class_balance"   -> PQ.classBalanceSql,
     "w_lead_delta"      -> PQ.leadDeltaSql,
     "g_grouping_sets"   -> PQ.groupingSetsSql,

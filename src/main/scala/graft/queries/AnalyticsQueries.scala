@@ -423,7 +423,7 @@ object AnalyticsQueries {
     * task: fine when NDV is small, a straggler when a near-unique measure
     * (price cents) meets a 3-value group key. `v` must be integral.
     */
-  private def cumulatedHistogram(vals: DataFrame, grp: String, v: String): DataFrame = {
+  private[graft] def cumulatedHistogram(vals: DataFrame, grp: String, v: String): DataFrame = {
     val h = vals.groupBy(col(grp), col(v)).agg(count(lit(1)).as("cnt"))
       .withColumn("_b", expr(s"`$v` div $HistBucketWidth"))
     val inBucket = Window.partitionBy(grp, "_b").orderBy(v)

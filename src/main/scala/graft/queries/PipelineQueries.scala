@@ -342,6 +342,154 @@ object PipelineQueries {
        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** CCNet-style perplexity bucketing on top of [[bigramLm]]: the corpus is
+    * cut into head / middle / tail terciles of LM cross-entropy (CCNet's
+    * exact quality-tiering move, with the self-trained bigram LM standing in
+    * for its KenLM), plus an `unscored` bucket for sub-2-token documents
+    * the LM cannot score. Output is the per-bucket manifest a curation run
+    * reads: doc count, total characters, and the xent range each bucket
+    * spans.
+    *
+    * Scale shape — three bounded pieces on top of the LM scores:
+    * (1) xent is mapped to integer ten-thousandths (`xe4`, exact for a
+    * round-4 double), so the cutoffs are EXACT discrete order statistics
+    * k=⌈n/3⌉ and ⌈2n/3⌉ read off [[AnalyticsQueries.cumulatedHistogram]] —
+    * the two-level NDV-sized construction, never a data-scale window and
+    * never a `percentile()` buffer; (2) the one-row cutoff frame is
+    * broadcast into a pure projection that assigns buckets by comparison
+    * (no rank join); (3) the manifest rollup is partial-aggregable. Ties at
+    * a cutoff all land in the lower bucket — a deterministic total
+    * function of the value, so both engines agree without a tie-break.
+    * The scored frame is localCheckpoint'd (it feeds the histogram AND the
+    * assignment; at cluster scale: persist(MEMORY_AND_DISK), same intent).
+    */
+  def pplBucket(s: SparkSession, d: String): DataFrame = {
+    val scored = bigramLm(s, d)
+      .join(Tables.documents(s, d).select("doc_id", "n_chars"), Seq("doc_id"))
+      .select(col("doc_id"), col("n_chars"),
+        when(col("xent").isNotNull, round(col("xent") * 10000).cast("long")).as("xe4"))
+      .localCheckpoint(true)
+    val cuts = AnalyticsQueries.cumulatedHistogram(
+        scored.filter(col("xe4").isNotNull).select(lit(1).as("g"), col("xe4")), "g", "xe4")
+      .withColumn("k1", expr("(n + 2) div 3"))
+      .withColumn("k2", expr("(2 * n + 2) div 3"))
+      .agg(
+        sum(when(col("k1").between(col("lo"), col("hi")), col("xe4"))).as("c1"),
+        sum(when(col("k2").between(col("lo"), col("hi")), col("xe4"))).as("c2"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("xe4").isNull, lit("unscored"))
+          .when(col("xe4") <= col("c1"), lit("head"))
+          .when(col("xe4") <= col("c2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("tot_chars"),
+        min("xe4").as("min_xe4"),
+        max("xe4").as("max_xe4"))
+      .orderBy("bucket")
+  }
+
+  /** Oracle replays the cutoffs as a row_number scan over the scored docs —
+    * rank-k VALUES are tie-order-independent, so the arbitrary tie order of
+    * `row_number` cannot desync it from the histogram's order statistics.
+    */
+  lazy val pplBucketSql: String =
+    s"""WITH lmq AS (SELECT doc_id, xent FROM ($bigramLmSql)),
+       |s AS (SELECT d.doc_id, d.n_chars, CAST(round(l.xent * 10000) AS BIGINT) AS xe4
+       |      FROM documents d JOIN lmq l ON d.doc_id = l.doc_id),
+       |r AS (SELECT xe4, row_number() OVER (ORDER BY xe4) AS rn, count(*) OVER () AS n
+       |      FROM s WHERE xe4 IS NOT NULL),
+       |cut AS (SELECT CAST(min(CASE WHEN rn = (n + 2) // 3 THEN xe4 END) AS BIGINT) AS c1,
+       |               CAST(min(CASE WHEN rn = (2 * n + 2) // 3 THEN xe4 END) AS BIGINT) AS c2
+       |        FROM r),
+       |b AS (SELECT CASE WHEN xe4 IS NULL THEN 'unscored'
+       |                  WHEN xe4 <= cut.c1 THEN 'head'
+       |                  WHEN xe4 <= cut.c2 THEN 'middle'
+       |                  ELSE 'tail' END AS bucket, n_chars, xe4
+       |      FROM s CROSS JOIN cut)
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS tot_chars,
+       |  CAST(min(xe4) AS BIGINT) AS min_xe4, CAST(max(xe4) AS BIGINT) AS max_xe4
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169): each
+    * document is scored by the mean unigram log-likelihood RATIO between a
+    * target-domain LM and the raw-corpus LM — here the English subset
+    * stands in for the target domain and the whole corpus for the raw
+    * source, both add-1-smoothed over the corpus vocabulary. Positive
+    * `llr` = looks like the target; the top quartile by value (cutoff
+    * inclusive, so ties at the cutoff are all kept) is flagged `selected`
+    * — the importance-selection step that decides what a pretraining run
+    * actually ingests.
+    *
+    * Determinism discipline (the [[bigramLm]] rules): each ln() is rounded
+    * to 6 dp and the per-token difference carried as DECIMAL — exact and
+    * partition-order-independent — then one double divide + round(4) per
+    * doc. The quartile cutoff is an EXACT discrete order statistic of the
+    * integer ten-thousandths via [[AnalyticsQueries.cumulatedHistogram]]
+    * (truncating `div` keeps the value→bucket map monotone for negative
+    * llr too, so the construction holds on mixed-sign scores).
+    *
+    * Scale shape: two partial-aggregable count tables (target, corpus) +
+    * one shuffle join of token occurrences on the token key (both count
+    * sides partial-aggregable; a broadcast count-min sketch replaces them
+    * when vocabulary outgrows the shuffle budget), a partial-aggregable
+    * per-doc rollup, an NDV-sized cutoff histogram, and a one-row
+    * broadcast. No data-scale window, no collect.
+    */
+  def dsirSelect(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+    val cs = toks.groupBy("w").agg(count(lit(1)).as("cs"))
+    val ct = toks.filter(col("lang") === "en").groupBy("w").agg(count(lit(1)).as("ct"))
+    val tot = cs.agg(sum("cs").as("ts"), count(lit(1)).as("v"))
+      .crossJoin(ct.agg(coalesce(sum("ct"), lit(0L)).as("tt")))
+    val lp6 = (c: Column, t: Column) =>
+      round(log(c.cast("double") / t.cast("double")), 6).cast(DecimalType(18, 6))
+    val scored = toks
+      .join(cs, Seq("w"))
+      .join(ct, Seq("w"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp",
+        lp6(coalesce(col("ct"), lit(0L)) + 1, col("tt") + col("v")) -
+          lp6(col("cs") + 1, col("ts") + col("v")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        round(sum("lp").cast("double") / count(lit(1)), 4).as("llr"))
+      .withColumn("e4", round(col("llr") * 10000).cast("long"))
+      .localCheckpoint(true) // feeds the cutoff histogram AND the output
+    val cut = AnalyticsQueries.cumulatedHistogram(
+        scored.select(lit(1).as("g"), col("e4")), "g", "e4")
+      .withColumn("k75", expr("(3 * n + 3) div 4"))
+      .agg(sum(when(col("k75").between(col("lo"), col("hi")), col("e4"))).as("c75"))
+    scored.crossJoin(broadcast(cut))
+      .select(col("doc_id"), col("n_toks"), col("llr"),
+        (col("e4") >= col("c75")).as("selected"))
+      .orderBy("doc_id")
+  }
+  val dsirSelectSql: String =
+    """WITH tk AS (SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |            FROM documents),
+      |cs AS (SELECT w, CAST(count(*) AS BIGINT) AS cs FROM tk GROUP BY w),
+      |ct AS (SELECT w, CAST(count(*) AS BIGINT) AS ct FROM tk WHERE lang = 'en' GROUP BY w),
+      |tot AS (SELECT CAST(sum(cs) AS BIGINT) AS ts, CAST(count(*) AS BIGINT) AS v,
+      |          CAST((SELECT COALESCE(sum(ct), 0) FROM ct) AS BIGINT) AS tt FROM cs),
+      |sc AS (SELECT tk.doc_id,
+      |    CAST(round(ln((COALESCE(ct.ct, 0) + 1)::DOUBLE / (tot.tt + tot.v)), 6) AS DECIMAL(18,6))
+      |  - CAST(round(ln((cs.cs + 1)::DOUBLE / (tot.ts + tot.v)), 6) AS DECIMAL(18,6)) AS lp
+      |  FROM tk JOIN cs USING (w) LEFT JOIN ct USING (w) CROSS JOIN tot),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+      |          round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS llr
+      |        FROM sc GROUP BY doc_id),
+      |e AS (SELECT doc_id, n_toks, llr, CAST(round(llr * 10000) AS BIGINT) AS e4 FROM agg),
+      |r AS (SELECT e4, row_number() OVER (ORDER BY e4) AS rn, count(*) OVER () AS n FROM e),
+      |cut AS (SELECT min(CASE WHEN rn = (3 * n + 3) // 4 THEN e4 END) AS c75 FROM r)
+      |SELECT doc_id, n_toks, llr, e4 >= cut.c75 AS selected
+      |FROM e CROSS JOIN cut ORDER BY doc_id""".stripMargin
+
   /** PII scrubbing: emails then digit runs replaced; output a stable
     * signature (md5 + length) instead of the full scrubbed text. Pure
     * projection — no shuffle, scales linearly.
@@ -685,6 +833,68 @@ object PipelineQueries {
       |  CAST(sum(piece_len) AS BIGINT) AS n_seq_tokens,
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM p GROUP BY seq_id ORDER BY seq_id""".stripMargin
+
+  /** Deterministic pre-training shuffle-shard: every document gets a
+    * pseudo-random SHUFFLE KEY (`md5(seed | doc_id)` — seeded, so epoch 2
+    * is a different but equally deterministic permutation), the first hex
+    * nibble of the key is its shard (16-way split), and within a shard the
+    * key ordering IS the training read order. This is the global-shuffle
+    * step every pipeline runs before writing training shards — done as a
+    * projection + hash partition, never a global sort: no engine at 100 TB
+    * shuffle-sorts the corpus; it hash-bins to shards and sorts WITHIN each
+    * shard (a per-partition sort of 1/16th of the data; see
+    *  [[writeShuffleShards]] for the write path that materializes exactly
+    * that). The query output is the shard MANIFEST a training job consumes:
+    * per-shard doc count, token count, and the first/last `key|doc` in read
+    * order (min/max — partial-aggregable, so the manifest itself is one
+    * cheap rollup). Balance across shards is statistical (md5 uniformity);
+    * the manifest's n_tokens column is the evidence.
+    */
+  val ShuffleSeed = "epoch1"
+  def shuffleShard(s: SparkSession, d: String): DataFrame =
+    Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("toks"),
+        md5(concat(lit(ShuffleSeed + "|"), col("doc_id").cast("string"))).as("skey"))
+      .withColumn("shard",
+        expr("instr('0123456789abcdef', substring(skey, 1, 1))").cast("int") - 1)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("toks").as("n_tokens"),
+        min(concat(col("skey"), lit("|"), col("doc_id").cast("string"))).as("first_doc"),
+        max(concat(col("skey"), lit("|"), col("doc_id").cast("string"))).as("last_doc"))
+      .orderBy("shard")
+  val shuffleShardSql: String =
+    s"""WITH k AS (SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS toks,
+       |    md5('$ShuffleSeed|' || doc_id::VARCHAR) AS skey
+       |  FROM documents)
+       |SELECT CAST(strpos('0123456789abcdef', substr(skey, 1, 1)) - 1 AS INT) AS shard,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+       |  min(skey || '|' || doc_id::VARCHAR) AS first_doc,
+       |  max(skey || '|' || doc_id::VARCHAR) AS last_doc
+       |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The write path [[shuffleShard]]'s manifest describes: hash-partition
+    * the corpus into its 16 shards (one exchange on the shard id — the
+    * only data movement), sort each shard by shuffle key WITHIN its
+    * partition (no global sort anywhere in the plan), and write one
+    * directory per shard. A training job streams `shard=K` in file order
+    * and reads the documents in exactly the manifest's first_doc..last_doc
+    * key order. Re-running with the same seed reproduces the byte-identical
+    * layout; a new seed is a fresh epoch permutation.
+    */
+  def writeShuffleShards(s: SparkSession, d: String, outDir: String): Unit =
+    Tables.documents(s, d)
+      .withColumn("skey",
+        md5(concat(lit(ShuffleSeed + "|"), col("doc_id").cast("string"))))
+      .withColumn("shard",
+        expr("instr('0123456789abcdef', substring(skey, 1, 1))").cast("int") - 1)
+      .repartition(16, col("shard"))
+      .sortWithinPartitions("shard", "skey")
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 
   def mixtureSample(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)

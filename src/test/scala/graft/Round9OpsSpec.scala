@@ -542,4 +542,76 @@ class Round9OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got == Map(1L -> 0, 6L -> 0, 2L -> 1, 5L -> 1, 3L -> 2, 4L -> 2), got)
   }
+
+  test("ppl bucket: terciles partition the scored docs, xent ranges are ordered") {
+    import graft.queries.PipelineQueries
+    val docs = Tables.documents(spark, sf0001)
+    val nDocs = docs.count()
+    val nShort = docs
+      .filter(size(split(trim(col("text")), "\\s+")) < 2).count()
+    val rows = PipelineQueries.pplBucket(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.values.map(_.getLong(1)).sum == nDocs)
+    assert((nShort == 0) == !rows.contains("unscored"))
+    val scored = nDocs - nShort
+    // tercile sizes: head = ceil(n/3); head+middle = ceil(2n/3) — exact
+    // unless ties straddle a cutoff (all ties fall to the lower bucket)
+    val h = rows("head").getLong(1)
+    val m = rows("middle").getLong(1)
+    assert(h + m + rows("tail").getLong(1) == scored)
+    assert(h >= (scored + 2) / 3, s"head=$h scored=$scored")
+    // xent ranges must be disjoint and ordered: max(head) < min(middle) < …
+    assert(rows("head").getLong(4) < rows("middle").getLong(3))
+    assert(rows("middle").getLong(4) < rows("tail").getLong(3))
+  }
+
+  test("dsir: top-quartile selection is a value cut; target-domain docs score higher") {
+    import graft.queries.PipelineQueries
+    val rows = PipelineQueries.dsirSelect(spark, sf0001).collect()
+    val n = rows.length
+    assert(n == Tables.documents(spark, sf0001).count())
+    val (sel, unsel) = rows.partition(_.getBoolean(3))
+    // cutoff-inclusive top quartile: at least n - ⌈3n/4⌉ + 1 docs selected
+    val k75 = (3 * n + 3) / 4
+    assert(sel.length >= n - k75 + 1, s"selected=${sel.length} n=$n")
+    // the defining property of a value cut: no unselected doc outscores a selected one
+    if (sel.nonEmpty && unsel.nonEmpty)
+      assert(sel.map(_.getDouble(2)).min >= unsel.map(_.getDouble(2)).max)
+    // direction: English docs (the target domain) average higher llr
+    val langOf = Tables.documents(spark, sf0001).select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (en, rest) = rows.partition(r => langOf(r.getLong(0)) == "en")
+    val avg = (a: Array[org.apache.spark.sql.Row]) =>
+      a.map(_.getDouble(2)).sum / a.length
+    assert(avg(en) > avg(rest), s"en=${avg(en)} rest=${avg(rest)}")
+  }
+
+  test("shuffle shard: manifest is deterministic, covers the corpus; written shards are key-sorted") {
+    import graft.queries.PipelineQueries
+    val m1 = PipelineQueries.shuffleShard(spark, sf0001).collect()
+    val m2 = PipelineQueries.shuffleShard(spark, sf0001).collect()
+    assert(m1.toSeq == m2.toSeq) // same seed ⇒ identical permutation
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(m1.map(_.getLong(1)).sum == nDocs)
+    assert(m1.forall(r => { val s = r.getInt(0); s >= 0 && s < 16 }))
+
+    val out = tmpDir("shufshard")
+    PipelineQueries.writeShuffleShards(spark, sf0001, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == nDocs)
+    // every shard's doc count matches its manifest row, and within each
+    // shard the file order IS the shuffle-key order (the training read order)
+    val byShard = back.select("shard", "skey", "doc_id").collect()
+      .groupBy(_.getInt(0))
+    val manifest = m1.map(r => r.getInt(0) -> r).toMap
+    assert(byShard.keySet == manifest.keySet)
+    for ((sh, rows) <- byShard) {
+      assert(rows.length == manifest(sh).getLong(1), s"shard $sh size")
+      val keys = rows.map(_.getString(1)).toSeq
+      assert(keys == keys.sorted, s"shard $sh not in key order")
+      val first = rows.minBy(r => (r.getString(1), r.getLong(2).toString))
+      assert(manifest(sh).getString(3) ==
+        s"${first.getString(1)}|${first.getLong(2)}", s"shard $sh first_doc")
+    }
+  }
 }
