@@ -105,6 +105,8 @@ object SparkEntry {
     "t_source_cap"      -> (PQ.sourceCap _),
     // duplicated-shingle span fraction (RefinedWeb/Gopher dedup signal)
     "d_dup_span_frac"   -> (DedupOps.dupSpanFrac _),
+    // first-occurrence shingle share: the corpus-growth novelty curve per doc
+    "d_ngram_novelty"   -> (DedupOps.ngramNovelty _),
     // per-source mixture sampling (deterministic data-mixing weights)
     "t_mixture_sample"  -> (PQ.mixtureSample _),
     // Training-data pipeline: multimodal binary columns
@@ -117,6 +119,8 @@ object SparkEntry {
     "q22_no_orders"     -> (PQ.q22NoOrders _),
     // Round 2: corpus statistics / text pipeline
     "t_term_topk"       -> (PQ.termTopK _),
+    // OLS Zipf slope over the top-100 terms (corpus-health diagnostic)
+    "t_zipf_fit"        -> (PQ.zipfFit _),
     "t_pii_scrub"       -> (PQ.piiScrub _),
     "t_contamination"   -> (PQ.contamination _),
     "d_lev_fuzzy"       -> (PQ.levFuzzy _),
@@ -358,6 +362,7 @@ object SparkEntry {
     "t_repetition"      -> TextOps.repetitionSql,
     "t_source_cap"      -> PQ.sourceCapSql,
     "d_dup_span_frac"   -> DedupOps.dupSpanFracSql,
+    "d_ngram_novelty"   -> DedupOps.ngramNoveltySql,
     "t_mixture_sample"  -> PQ.mixtureSampleSql,
     "m_binary_meta"     -> MultimodalOps.binaryMetaSql,
     "q17_small_qty"     -> PQ.q17SmallQtySql,
@@ -366,6 +371,7 @@ object SparkEntry {
     "q18_large_orders"  -> PQ.q18LargeOrdersSql,
     "q22_no_orders"     -> PQ.q22NoOrdersSql,
     "t_term_topk"       -> PQ.termTopKSql,
+    "t_zipf_fit"        -> PQ.zipfFitSql,
     "t_pii_scrub"       -> PQ.piiScrubSql,
     "t_contamination"   -> PQ.contaminationSql,
     "d_lev_fuzzy"       -> PQ.levFuzzySql,

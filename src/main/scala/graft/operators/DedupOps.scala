@@ -233,6 +233,40 @@ object DedupOps {
       |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_span_frac
       |FROM sh JOIN df USING (s) GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Shingle novelty per document — [[dupSpanFrac]]'s temporal cousin, the
+    * corpus-growth signal: the share of a doc's distinct shingles whose
+    * FIRST corpus occurrence (min doc_id, ingestion order) is this doc.
+    * Low novelty late in the corpus = diminishing returns from that
+    * source; it is the per-doc decomposition of the "new n-grams per
+    * ingested batch" curve data teams watch. Same plan as dupSpanFrac —
+    * hash-shingle projection → `min(doc_id)` per 64-bit key (partial-agg)
+    * → key join back → per-doc ratio; only the aggregate differs. Docs
+    * with < 3 tokens have no shingles and no row (same set in the oracle).
+    */
+  def ngramNovelty(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleHashDocs(s, d)
+      .select(col("doc_id"), explode(col("sh")).as("sk"))
+      .localCheckpoint(true) // feeds the first-seen table and the join back
+    val first = sh.groupBy("sk").agg(min("doc_id").as("fd"))
+    sh.join(first, Seq("sk"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L)).as("n_new"))
+      .select(col("doc_id"), col("n_shingles"),
+        round(col("n_new").cast("double") / col("n_shingles").cast("double"), 4)
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+  val ngramNoveltySql: String =
+    """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks WHERE len(t) >= 3)),
+      |f AS (SELECT s, min(doc_id) AS fd FROM sh GROUP BY 1)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+      |  round(CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS novelty
+      |FROM sh JOIN f USING (s) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val MinHashK = 8      // signature length: 2 md5 digests × 4 sliced 32-bit components
   val BandRows = 2      // rows per band → 4 bands; P(cand | j=0.99) ≈ 1-(1-0.98)⁴
 

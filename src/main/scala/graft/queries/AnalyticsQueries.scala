@@ -442,6 +442,37 @@ object AnalyticsQueries {
       .drop("_b", "_hi_in", "_off")
   }
 
+  /** Single-group variant of [[cumulatedHistogram]] (no group column;
+    * returns `v, cnt, lo, hi, n`). With a constant group key the optimizer
+    * folds the partition spec away and the per-group offset windows would
+    * surface as partition-less Window operators — flagged by
+    * [[graft.tools.PlanAudit]] even though their frame is bucket-count
+    * sized. This variant computes the bucket offsets with an inequality
+    * SELF-JOIN over the bucket totals instead: O(B²) work on a frame
+    * bounded by valueRange/2¹⁶ + 1 rows (single digits for LM-score
+    * domains), planned as a broadcast nested loop over a bounded side —
+    * the audit's accepted warn-level shape. The data-scale window stays
+    * partitioned by value bucket, exactly as in the grouped form.
+    */
+  private[graft] def globalCumHistogram(vals: DataFrame, v: String): DataFrame = {
+    val h = vals.groupBy(col(v)).agg(count(lit(1)).as("cnt"))
+      .withColumn("_b", expr(s"`$v` div $HistBucketWidth"))
+    val inBucket = Window.partitionBy("_b").orderBy(v)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hh = h.withColumn("_hi_in", sum("cnt").over(inBucket))
+    val bt = h.groupBy("_b").agg(sum("cnt").as("_bcnt"))
+    val off = bt
+      .join(bt.select(col("_b").as("_b2"), col("_bcnt").as("_c2")),
+        col("_b2") < col("_b"), "left")
+      .groupBy("_b")
+      .agg(coalesce(sum("_c2"), lit(0L)).as("_off"))
+    val tot = bt.agg(sum("_bcnt").cast("long").as("n"))
+    hh.join(broadcast(off), Seq("_b")).crossJoin(broadcast(tot))
+      .withColumn("hi", col("_off") + col("_hi_in"))
+      .withColumn("lo", col("hi") - col("cnt") + 1)
+      .drop("_b", "_hi_in", "_off")
+  }
+
   private def medianX2(vals: DataFrame, grp: String, v: String, out: String): DataFrame =
     cumulatedHistogram(vals, grp, v)
       .withColumn("k1", expr("(n + 1) div 2"))

@@ -191,6 +191,72 @@ object PipelineQueries {
       |FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents)
       |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin
 
+  /** Zipf fit of the term-frequency distribution — the corpus-health
+    * diagnostic: natural text follows freq ∝ rank^slope with slope ≈ −1;
+    * a much flatter slope flags synthetic/templated text, a much steeper
+    * one a degenerate vocabulary. OLS of ln(freq) on ln(rank) over the
+    * top-[[ZipfK]] terms, one output row (n_terms, slope, intercept).
+    *
+    * Scale + determinism shape: the count table is partial-aggregable and
+    * the top-K cut is `orderBy.limit` (Spark's TakeOrderedAndProject — a
+    * per-partition bounded heap, no global sort). Everything after runs on
+    * a K-row frame: ranks come from a bounded inequality SELF-JOIN (no
+    * partition-less window — the [[AnalyticsQueries.globalCumHistogram]]
+    * discipline), and the OLS moments are DECIMAL sums of per-point
+    * round-6 doubles, so the fit is bit-stable across engines and
+    * partitionings.
+    */
+  val ZipfK = 100
+  def zipfFit(s: SparkSession, d: String): DataFrame = {
+    val D6 = DecimalType(18, 6)
+    val top = Tables.fanOut(Tables.documents(s, d))
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(ZipfK)
+      .localCheckpoint(true) // K rows; feeds both sides of the rank join
+    val other = top.select(col("n").as("n2"), col("token").as("t2"))
+    val ranked = top.join(other,
+        col("n2") > col("n") || (col("n2") === col("n") && col("t2") < col("token")),
+        "left")
+      .groupBy("token", "n")
+      .agg((count(col("t2")) + 1).as("rank"))
+    val pts = ranked.select(
+        round(log(col("rank").cast("double")), 6).as("x"),
+        round(log(col("n").cast("double")), 6).as("y"))
+      .select(col("x"), col("y"),
+        round(col("x") * col("x"), 6).as("xx"),
+        round(col("x") * col("y"), 6).as("xy"))
+    val m = pts.agg(
+      count(lit(1)).as("k"),
+      sum(col("x").cast(D6)).cast("double").as("sx"),
+      sum(col("y").cast(D6)).cast("double").as("sy"),
+      sum(col("xx").cast(D6)).cast("double").as("sxx"),
+      sum(col("xy").cast(D6)).cast("double").as("sxy"))
+    val b = (col("k") * col("sxy") - col("sx") * col("sy")) /
+      (col("k") * col("sxx") - col("sx") * col("sx"))
+    m.select(col("k").as("n_terms"),
+      round(b, 4).as("slope"),
+      round((col("sy") - b * col("sx")) / col("k"), 4).as("intercept"))
+  }
+  val zipfFitSql: String =
+    s"""WITH tf AS (SELECT t AS token, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS t FROM documents)
+       |  GROUP BY 1 ORDER BY n DESC, token LIMIT $ZipfK),
+       |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM tf),
+       |p AS (SELECT round(ln(rank::DOUBLE), 6) AS x, round(ln(n::DOUBLE), 6) AS y FROM r),
+       |p2 AS (SELECT x, y, round(x * x, 6) AS xx, round(x * y, 6) AS xy FROM p),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS k,
+       |        CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+       |        CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+       |        CAST(sum(CAST(xx AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+       |        CAST(sum(CAST(xy AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+       |      FROM p2)
+       |SELECT k AS n_terms,
+       |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) AS slope,
+       |  round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 4) AS intercept
+       |FROM m""".stripMargin
+
   /** Per-source document cap — the common-crawl-style per-domain quota: keep
     * the top 5 docs of every source by length (doc_id tiebreak = a total
     * order, so the boundary is deterministic), through the native
@@ -353,9 +419,9 @@ object PipelineQueries {
     * Scale shape — three bounded pieces on top of the LM scores:
     * (1) xent is mapped to integer ten-thousandths (`xe4`, exact for a
     * round-4 double), so the cutoffs are EXACT discrete order statistics
-    * k=⌈n/3⌉ and ⌈2n/3⌉ read off [[AnalyticsQueries.cumulatedHistogram]] —
-    * the two-level NDV-sized construction, never a data-scale window and
-    * never a `percentile()` buffer; (2) the one-row cutoff frame is
+    * k=⌈n/3⌉ and ⌈2n/3⌉ read off [[AnalyticsQueries.globalCumHistogram]] —
+    * the NDV-sized construction with bounded-self-join offsets, never a
+    * data-scale window and never a `percentile()` buffer; (2) the one-row cutoff frame is
     * broadcast into a pure projection that assigns buckets by comparison
     * (no rank join); (3) the manifest rollup is partial-aggregable. Ties at
     * a cutoff all land in the lower bucket — a deterministic total
@@ -369,8 +435,8 @@ object PipelineQueries {
       .select(col("doc_id"), col("n_chars"),
         when(col("xent").isNotNull, round(col("xent") * 10000).cast("long")).as("xe4"))
       .localCheckpoint(true)
-    val cuts = AnalyticsQueries.cumulatedHistogram(
-        scored.filter(col("xe4").isNotNull).select(lit(1).as("g"), col("xe4")), "g", "xe4")
+    val cuts = AnalyticsQueries.globalCumHistogram(
+        scored.filter(col("xe4").isNotNull).select("xe4"), "xe4")
       .withColumn("k1", expr("(n + 2) div 3"))
       .withColumn("k2", expr("(2 * n + 2) div 3"))
       .agg(
@@ -429,7 +495,7 @@ object PipelineQueries {
     * to 6 dp and the per-token difference carried as DECIMAL — exact and
     * partition-order-independent — then one double divide + round(4) per
     * doc. The quartile cutoff is an EXACT discrete order statistic of the
-    * integer ten-thousandths via [[AnalyticsQueries.cumulatedHistogram]]
+    * integer ten-thousandths via [[AnalyticsQueries.globalCumHistogram]]
     * (truncating `div` keeps the value→bucket map monotone for negative
     * llr too, so the construction holds on mixed-sign scores).
     *
@@ -461,8 +527,7 @@ object PipelineQueries {
         round(sum("lp").cast("double") / count(lit(1)), 4).as("llr"))
       .withColumn("e4", round(col("llr") * 10000).cast("long"))
       .localCheckpoint(true) // feeds the cutoff histogram AND the output
-    val cut = AnalyticsQueries.cumulatedHistogram(
-        scored.select(lit(1).as("g"), col("e4")), "g", "e4")
+    val cut = AnalyticsQueries.globalCumHistogram(scored.select("e4"), "e4")
       .withColumn("k75", expr("(3 * n + 3) div 4"))
       .agg(sum(when(col("k75").between(col("lo"), col("hi")), col("e4"))).as("c75"))
     scored.crossJoin(broadcast(cut))

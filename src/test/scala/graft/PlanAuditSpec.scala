@@ -58,4 +58,15 @@ class PlanAuditSpec extends SparkSpec {
       assert(errs.isEmpty, s"$q: $errs")
     }
   }
+
+  test("curation selection queries audit clean of errors") {
+    // cutoff crossJoins are 1-row broadcasts (warn-level, like the TPC-H
+    // scalar stitches); what must NOT appear is a data-scale global window
+    for (q <- Seq("t_ppl_bucket", "t_dsir_select", "p_shuffle_shard",
+      "t_zipf_fit", "d_ngram_novelty")) {
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      val errs = PlanAudit.audit(df).filter(_.severity == "error")
+      assert(errs.isEmpty, s"$q: $errs")
+    }
+  }
 }

@@ -586,6 +586,32 @@ class Round9OpsSpec extends SparkSpec {
     assert(avg(en) > avg(rest), s"en=${avg(en)} rest=${avg(rest)}")
   }
 
+  test("zipf fit: full top-K frame, negative slope, positive rank-1 intercept") {
+    import graft.queries.PipelineQueries
+    val r = PipelineQueries.zipfFit(spark, sf0001).collect()
+    assert(r.length == 1)
+    // the synthetic corpus vocabulary is smaller than K — the fit runs over
+    // min(K, vocab) points
+    assert(r(0).getLong(0) >= 2 && r(0).getLong(0) <= PipelineQueries.ZipfK)
+    // a frequency-ranked curve can only fall: slope strictly negative, and
+    // the fitted ln-frequency at rank 1 (the intercept) strictly positive
+    assert(r(0).getDouble(1) < 0.0, s"slope=${r(0).getDouble(1)}")
+    assert(r(0).getDouble(2) > 0.0, s"intercept=${r(0).getDouble(2)}")
+  }
+
+  test("ngram novelty: first doc is all-new, ratios bounded, counts match dup-span") {
+    import graft.operators.DedupOps
+    val rows = DedupOps.ngramNovelty(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    // the lowest doc_id holds the corpus's first shingles: novelty exactly 1
+    assert(rows.minBy(_.getLong(0)).getDouble(2) == 1.0)
+    // same shingle universe as dupSpanFrac: identical doc set and per-doc counts
+    val spans = DedupOps.dupSpanFrac(spark, sf0001).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet == spans)
+  }
+
   test("shuffle shard: manifest is deterministic, covers the corpus; written shards are key-sorted") {
     import graft.queries.PipelineQueries
     val m1 = PipelineQueries.shuffleShard(spark, sf0001).collect()
