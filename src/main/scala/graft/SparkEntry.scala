@@ -121,6 +121,10 @@ object SparkEntry {
     "t_term_topk"       -> (PQ.termTopK _),
     // OLS Zipf slope over the top-100 terms (corpus-health diagnostic)
     "t_zipf_fit"        -> (PQ.zipfFit _),
+    // PSI drift board between corpus halves over the top-50 token features
+    "t_psi_drift"       -> (PQ.psiDrift _),
+    // data-constrained multi-epoch token budgeting (up-sample small sources)
+    "p_epoch_plan"      -> (PQ.epochPlan _),
     "t_pii_scrub"       -> (PQ.piiScrub _),
     "t_contamination"   -> (PQ.contamination _),
     "d_lev_fuzzy"       -> (PQ.levFuzzy _),
@@ -372,6 +376,8 @@ object SparkEntry {
     "q22_no_orders"     -> PQ.q22NoOrdersSql,
     "t_term_topk"       -> PQ.termTopKSql,
     "t_zipf_fit"        -> PQ.zipfFitSql,
+    "t_psi_drift"       -> PQ.psiDriftSql,
+    "p_epoch_plan"      -> PQ.epochPlanSql,
     "t_pii_scrub"       -> PQ.piiScrubSql,
     "t_contamination"   -> PQ.contaminationSql,
     "d_lev_fuzzy"       -> PQ.levFuzzySql,

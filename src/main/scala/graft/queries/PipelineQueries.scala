@@ -257,6 +257,105 @@ object PipelineQueries {
        |  round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 4) AS intercept
        |FROM m""".stripMargin
 
+  /** Population-Stability-Index drift between two corpus slices — the
+    * monitor a curation pipeline runs when a new crawl lands: has the
+    * token distribution moved? Slices are the even/odd doc_id halves
+    * (stand-ins for "reference corpus" vs "incoming batch"); features are
+    * the corpus's top-[[PsiK]] terms (the standard tracked-feature-set
+    * practice — untracked tail mass is intentionally out of scope, like
+    * any production PSI board). Each feature contributes
+    * `(p−q)·ln(p/q)` with add-1-smoothed slice probabilities; the usual
+    * read: Σ < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted.
+    *
+    * Determinism: p and q are single double divisions of exact integers
+    * (identical cross-engine), the ln is round-6, the product is round-6
+    * DECIMAL — the [[bigramLm]] discipline, so every contribution (and
+    * any sum a consumer takes) hash-matches. Scale shape: one
+    * partial-aggregable count pass per slice restricted by a broadcast
+    * K-term list, output K rows. Nothing data-scale moves after the count.
+    */
+  val PsiK = 50
+  def psiDrift(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+    val topTerms = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(PsiK).select("token")
+    val sliced = toks.join(broadcast(topTerms), Seq("token"))
+      .groupBy("token")
+      .agg(
+        sum(when(pmod(col("doc_id"), lit(2)) === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(pmod(col("doc_id"), lit(2)) === 1, 1L).otherwise(0L)).as("cb"))
+      .localCheckpoint(true) // K rows; feeds the totals AND the per-term score
+    val tot = sliced.agg(sum("ca").as("ta"), sum("cb").as("tb"))
+    sliced.crossJoin(broadcast(tot))
+      .withColumn("p", (col("ca") + 1).cast("double") / (col("ta") + PsiK).cast("double"))
+      .withColumn("q", (col("cb") + 1).cast("double") / (col("tb") + PsiK).cast("double"))
+      .select(col("token"), col("ca"), col("cb"),
+        round((col("p") - col("q")) * round(log(col("p") / col("q")), 6), 6).as("psi_term"))
+      .orderBy("token")
+  }
+  val psiDriftSql: String =
+    s"""WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+       |            FROM documents),
+       |top AS (SELECT token FROM (SELECT token, count(*) AS n FROM tk GROUP BY 1
+       |                           ORDER BY n DESC, token LIMIT $PsiK)),
+       |c AS (SELECT token,
+       |        CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |        CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+       |      FROM tk JOIN top USING (token) GROUP BY 1),
+       |t AS (SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb FROM c),
+       |p AS (SELECT token, ca, cb,
+       |        (ca + 1)::DOUBLE / (ta + $PsiK) AS p, (cb + 1)::DOUBLE / (tb + $PsiK) AS q
+       |      FROM c CROSS JOIN t)
+       |SELECT token, ca, cb, round((p - q) * round(ln(p / q), 6), 6) AS psi_term
+       |FROM p ORDER BY token""".stripMargin
+
+  /** Multi-epoch token budgeting under data constraints (the
+    * Muennighoff et al. 2023 "Scaling Data-Constrained Language Models"
+    * recipe, arXiv:2305.16264, reduced to its planning arithmetic): given
+    * a token budget of [[BudgetFactor]]× the corpus and a fair per-source
+    * share, a small source is repeated up to [[MaxEpochs]] epochs toward
+    * its share (returns beyond ~4 epochs are empirically near-zero — the
+    * paper's headline) and the shortfall is reported as `deficit` for the
+    * mixer to reallocate. All integer arithmetic — floor-div shares, ceil
+    * epochs — so the plan is exact and engine-independent. One
+    * partial-aggregable rollup per source + a broadcast 1-row total.
+    */
+  val BudgetFactor = 2
+  val MaxEpochs = 4
+  def epochPlan(s: SparkSession, d: String): DataFrame = {
+    val perSrc = Tables.fanOut(Tables.documents(s, d))
+      .select(col("source"), size(TextOps.tokens(col("text"))).cast("long").as("t"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("t").as("n_tokens"))
+      .localCheckpoint(true) // source-count-sized; feeds totals AND the plan
+    val tot = perSrc.agg(
+      (sum("n_tokens") * BudgetFactor).as("budget"),
+      count(lit(1)).as("n_src"))
+    perSrc.crossJoin(broadcast(tot))
+      .withColumn("share", expr("budget div n_src"))
+      .withColumn("epochs",
+        least(lit(MaxEpochs.toLong), expr("(share + n_tokens - 1) div n_tokens")))
+      .withColumn("planned_tokens", least(col("share"), col("epochs") * col("n_tokens")))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("epochs"),
+        col("planned_tokens"),
+        (col("share") - col("planned_tokens")).as("deficit"))
+      .orderBy("source")
+  }
+  val epochPlanSql: String =
+    s"""WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |t AS (SELECT CAST(sum(n_tokens) * $BudgetFactor AS BIGINT) AS budget,
+       |             CAST(count(*) AS BIGINT) AS n_src FROM s),
+       |x AS (SELECT s.*, budget // n_src AS share,
+       |        least($MaxEpochs, (budget // n_src + n_tokens - 1) // n_tokens) AS epochs
+       |      FROM s CROSS JOIN t)
+       |SELECT source, n_docs, n_tokens, CAST(epochs AS BIGINT) AS epochs,
+       |  CAST(least(share, epochs * n_tokens) AS BIGINT) AS planned_tokens,
+       |  CAST(share - least(share, epochs * n_tokens) AS BIGINT) AS deficit
+       |FROM x ORDER BY source""".stripMargin
+
   /** Per-source document cap — the common-crawl-style per-domain quota: keep
     * the top 5 docs of every source by length (doc_id tiebreak = a total
     * order, so the boundary is deterministic), through the native

@@ -612,6 +612,32 @@ class Round9OpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSet == spans)
   }
 
+  test("psi drift: contributions are non-negative and the board stays tracked-feature-sized") {
+    import graft.queries.PipelineQueries
+    val rows = PipelineQueries.psiDrift(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= PipelineQueries.PsiK)
+    // (p−q)·ln(p/q) has matching signs — every PSI contribution is ≥ 0
+    assert(rows.forall(_.getDouble(3) >= 0.0), rows.filter(_.getDouble(3) < 0).mkString(";"))
+    assert(rows.forall(r => r.getLong(1) + r.getLong(2) > 0))
+  }
+
+  test("epoch plan: caps at MaxEpochs, deficit only at the cap, budget never exceeded") {
+    import graft.queries.PipelineQueries
+    val rows = PipelineQueries.epochPlan(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val budget = rows.map(_.getLong(2)).sum * PipelineQueries.BudgetFactor
+    for (r <- rows) {
+      val (tokens, epochs, planned, deficit) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(epochs >= 1 && epochs <= PipelineQueries.MaxEpochs, r)
+      assert(planned <= epochs * tokens, r)
+      assert(deficit >= 0, r)
+      // a source below the epoch cap reached its share — no deficit by construction
+      if (epochs < PipelineQueries.MaxEpochs) assert(deficit == 0, r)
+    }
+    assert(rows.map(_.getLong(4)).sum <= budget)
+  }
+
   test("shuffle shard: manifest is deterministic, covers the corpus; written shards are key-sorted") {
     import graft.queries.PipelineQueries
     val m1 = PipelineQueries.shuffleShard(spark, sf0001).collect()
