@@ -8,7 +8,7 @@ import graft.ingest.TickerIngest
 import graft.journal.TickerFileJournal
 import graft.pipeline.{Lifecycle, Retry, RetryPolicy}
 import graft.schema.FileStatus
-import graft.streaming.{Discovery, StreamingDedup}
+import graft.streaming.{Discovery, StreamingDedup, StreamingDrift}
 
 /** The wired application (SURVEY §7.1 step 8) — replaces the reference's
   * `MainApplication.java:54-91` four-flow bootstrap with one SparkSession
@@ -101,6 +101,39 @@ object PipelineApp {
       s"$warehouseDir/_corpus", s"$warehouseDir/_corpus_ckpt", trigger)
   }
 
+  /** Flow 6 — distribution drift: the same document drop-dir that feeds
+    * admission also feeds [[graft.streaming.StreamingDrift]] (an
+    * independent file-source stream with its own checkpoint — file sources
+    * are multi-reader by design), scoring every incoming micro-batch's
+    * token distribution against a reference histogram built ONCE from the
+    * already-admitted corpus. Returns None on a cold start (empty corpus —
+    * there is no baseline to drift from yet; the monitor arms on the next
+    * boot once admission has landed something). Public so specs drive the
+    * exact app wiring.
+    */
+  def driftMonitor(spark: SparkSession, docsDir: String, warehouseDir: String,
+      maxFilesPerTrigger: Int,
+      trigger: Trigger): Option[org.apache.spark.sql.streaming.StreamingQuery] = {
+    val refDir = s"$warehouseDir/_drift_ref"
+    val refTerms = new org.apache.hadoop.fs.Path(s"$refDir/terms")
+    val fs = refTerms.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(refTerms)) {
+      val corpusDir = s"$warehouseDir/_corpus"
+      val cPath = new org.apache.hadoop.fs.Path(corpusDir)
+      if (!fs.exists(cPath) || fs.listStatus(cPath).isEmpty) return None
+      StreamingDrift.buildReference(
+        StreamingDedup.corpus(spark, corpusDir).select("doc_id", "text"), refDir)
+    }
+    val p = new org.apache.hadoop.fs.Path(docsDir)
+    fs.mkdirs(p)
+    val docs = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(docsDir)
+    Some(StreamingDrift.start(docs, refDir, s"$warehouseDir/_drift_log",
+      s"$warehouseDir/_drift_ckpt", trigger))
+  }
+
   private def now(): Timestamp = new Timestamp(System.currentTimeMillis())
 
   /** One synchronous cycle of all four flows over a seeded fixture tree. */
@@ -164,6 +197,18 @@ object PipelineApp {
     // flow 5 must not have broken flow 3's read path (shared warehouse root)
     println(s"[demo] warehouse rows after corpus flow=" +
       s"${TickerIngest.warehouse(spark, warehouseDir).count()}")
+    // Flow 6 — drift monitor: baseline = the corpus just admitted; a third
+    // drop skewed to one token must register in the log's max PSI
+    putDocs("batch3.json", Seq(6L -> "epsilon epsilon epsilon epsilon"))
+    driftMonitor(spark, docsDir, warehouseDir,
+        maxFilesPerTrigger = 3, trigger = Trigger.ProcessingTime(0))
+      .foreach { dq2 =>
+        dq2.processAllAvailable(); dq2.stop()
+        val dl = graft.streaming.StreamingDrift
+          .driftLog(spark, s"$warehouseDir/_drift_log")
+        println(s"[demo] drift: batches=${dl.count()} maxPsi=" +
+          dl.agg(org.apache.spark.sql.functions.max("psi")).first().getDouble(0))
+      }
     println(s"[demo] statuses: " + FileStatus.all.map(s =>
       s"${s.name}=${journal.byStatus(s).count()}").mkString(" "))
   }
@@ -186,6 +231,11 @@ object PipelineApp {
       trigger = Trigger.ProcessingTime(s"${cfg.discovery.flushTimeoutSec} seconds"))
     // Flow 5 — corpus admission runs beside discovery on the same cadence
     val corpusQ = corpusAdmission(spark, s"$root/docs", warehouseDir,
+      maxFilesPerTrigger = cfg.discovery.filesBufferSize,
+      trigger = Trigger.ProcessingTime(s"${cfg.discovery.flushTimeoutSec} seconds"))
+    // Flow 6 — drift monitor over the same drop dir (None on cold start:
+    // the baseline is the admitted corpus, which doesn't exist yet)
+    val driftQ = driftMonitor(spark, s"$root/docs", warehouseDir,
       maxFilesPerTrigger = cfg.discovery.filesBufferSize,
       trigger = Trigger.ProcessingTime(s"${cfg.discovery.flushTimeoutSec} seconds"))
     // one thread per flow: with only 2 threads a stuck uploadData cycle
@@ -264,7 +314,7 @@ object PipelineApp {
     try spark.streams.awaitAnyTermination()
     finally {
       try {
-        for (qq <- Seq(q, corpusQ)) {
+        for (qq <- Seq(q, corpusQ) ++ driftQ) {
           qq.exception.foreach(e =>
             flowLog.error(s"[flow] streaming query terminated with: ${e.message}"))
           try qq.stop()
