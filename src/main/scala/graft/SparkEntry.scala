@@ -75,6 +75,8 @@ object SparkEntry {
     "sql_exists"        -> (SQ.sqlExists _),
     "sql_having"        -> (SQ.sqlHaving _),
     "sql_lateral"       -> (SQ.sqlLateral _),
+    // WITH RECURSIVE calendar spine (Spark 4 recursive CTE, parser path)
+    "sql_recursive"     -> (SQ.sqlRecursive _),
     // Training-data pipeline: dedup
     "d_exact_dedup"     -> (DedupOps.exactDedup _),
     "d_ngram_jaccard"   -> ((s, d) => DedupOps.ngramJaccardPairs(s, d)),
@@ -346,6 +348,7 @@ object SparkEntry {
     "sql_exists"        -> SQ.sqlExistsSql,
     "sql_having"        -> SQ.sqlHavingSql,
     "sql_lateral"       -> SQ.sqlLateralSql,
+    "sql_recursive"     -> SQ.sqlRecursiveSql,
     "d_exact_dedup"     -> DedupOps.exactDedupSql,
     "d_ngram_jaccard"   -> DedupOps.ngramJaccardSql,
     "d_minhash_lsh"     -> DedupOps.minhashLshSql,

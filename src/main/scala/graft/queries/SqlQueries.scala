@@ -102,4 +102,36 @@ object SqlQueries {
     s.sql(lateralText)
   }
   val sqlLateralSql: String = lateralText
+
+  /** Recursive CTE through the SQL-text path (Spark 4's WITH RECURSIVE):
+    * a 60-day calendar SPINE anchored at the first order date, left-joined
+    * back so zero-order days survive — the gap-fill-by-spine idiom BI
+    * queries use, and the parser feature a reference-engine user migrating
+    * SQL will reach for. Recursion depth is the spine length (60), well
+    * under `spark.sql.cteRecursionLevelLimit` (100 default); the rowset at
+    * every level is ONE row, so the recursion is driver-trivial and the
+    * only data-scale work is the final date-keyed left join + count.
+    */
+  def sqlRecursive(s: SparkSession, d: String): DataFrame = {
+    registerViews(s, d)
+    s.sql(
+      """WITH RECURSIVE i(k) AS (
+        |  SELECT 0 AS k UNION ALL SELECT k + 1 FROM i WHERE k < 59
+        |),
+        |lo AS (SELECT CAST(min(o_orderdate) AS DATE) AS d0 FROM orders),
+        |cal AS (SELECT date_add(d0, k) AS d FROM lo CROSS JOIN i)
+        |SELECT d AS order_date, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+        |FROM cal LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = cal.d
+        |GROUP BY d ORDER BY d""".stripMargin)
+  }
+  /** DuckDB replays the identical recursion (its own date arithmetic). */
+  val sqlRecursiveSql: String =
+    """WITH RECURSIVE i(k) AS (
+      |  SELECT 0 AS k UNION ALL SELECT k + 1 FROM i WHERE k < 59
+      |),
+      |lo AS (SELECT CAST(min(o_orderdate) AS DATE) AS d0 FROM orders),
+      |cal AS (SELECT CAST(d0 + to_days(k) AS DATE) AS d FROM lo CROSS JOIN i)
+      |SELECT d AS order_date, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+      |FROM cal LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = cal.d
+      |GROUP BY d ORDER BY d""".stripMargin
 }
