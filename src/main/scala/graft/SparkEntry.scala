@@ -57,6 +57,8 @@ object SparkEntry {
     "g_histogram"       -> (AQ.gHistogram _),
     "g_mad_outliers"    -> (AQ.gMadOutliers _),
     "g_argminmax"       -> (AQ.gArgMinMax _),
+    // CUSUM changepoint scan, scale-safe prefix-sum-minus-prefix-min form
+    "w_cusum"           -> (AQ.wCusum _),
     // Time-series extensions (as-of join, sessionization)
     "ts_asof_join"      -> (TimeSeriesOps.asofQuery _),
     "ts_sessionize"     -> ((s, d) => TimeSeriesOps.sessionize(s, d)),
@@ -446,6 +448,7 @@ object SparkEntry {
     "g_histogram"       -> AQ.gHistogramSql,
     "g_mad_outliers"    -> AQ.gMadOutliersSql,
     "g_argminmax"       -> AQ.gArgMinMaxSql,
+    "w_cusum"           -> AQ.wCusumSql,
     "d_prefix_filter"   -> DedupOps.prefixFilterSql,
     "w_funnel"          -> graft.operators.FunnelOps.windowFunnelSql,
     "w_seq_match"       -> graft.operators.FunnelOps.seqMatchSql,

@@ -719,4 +719,74 @@ object AnalyticsQueries {
       |  max(CASE WHEN rn = 1 THEN k END) AS bottom_order,
       |  max(CASE WHEN rn = 1 THEN c END) AS bottom_cents
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** CUSUM changepoint scan over the daily order-count series — the
+    * monitoring classic (Page 1954): cumulative sum of deviations from the
+    * series mean, reset at its running minimum, flags sustained level
+    * shifts a single-day z-score misses. Deviations are exact integers
+    * (each day's count is scaled by the day total so the mean subtracts
+    * without fractions), so the whole scan is integer arithmetic and
+    * engine-independent; `flagged` marks days whose accumulated excess
+    * tops one full corpus-day of volume (a fixed, documented dial).
+    *
+    * Scale discipline — CUSUM looks sequential but is not:
+    * `s_i = max(0, s_{i-1} + x_i)` has the closed form
+    * `s_i = P_i − min_{j≤i} P_j` (prefix sum minus prefix MIN), and both
+    * prefixes compose blockwise. The day-level windows partition BY YEAR
+    * (calendar-bounded frames), and the cross-year stitch — each year's
+    * starting offset and the minimum prefix seen in earlier years — is a
+    * bounded inequality self-join over the handful of year rows, the
+    * [[globalCumHistogram]] shape. No partition-less window anywhere, and
+    * the construction scales to any time span by adding a level (year →
+    * decade), exactly like the prefix-SUM recursion in
+    * [[PipelineQueries.sequencePack]]; this is its prefix-MIN sibling.
+    */
+  def wCusum(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").cast("date").as("dt"))
+      .agg(count(lit(1)).as("n"))
+    val tot = daily.agg(sum("n").as("t"), count(lit(1)).as("nd"))
+    val x = daily.crossJoin(broadcast(tot))
+      .withColumn("x", col("n") * col("nd") - col("t"))
+      .withColumn("yr", year(col("dt")))
+    val w = Window.partitionBy("yr").orderBy("dt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inYr = x
+      .withColumn("pin", sum("x").over(w))
+      .withColumn("minin", min("pin").over(w))
+    // year frame: total deviation + in-year prefix minimum (bounded rows)
+    val yr = inYr.groupBy("yr")
+      .agg(sum("x").as("yt"), min("pin").as("ymin"))
+    val yr2 = yr.select(col("yr").as("y2"), col("yt").as("yt2"), col("ymin").as("ymin2"))
+    // offsets: Σ of earlier years' totals (inequality self-join, year-count sized)
+    val yoff = yr.join(yr2, col("y2") < col("yr"), "left")
+      .groupBy("yr").agg(coalesce(sum("yt2"), lit(0L)).as("yoff"))
+    val yrOff = yr.join(broadcast(yoff), Seq("yr"))
+      .select(col("yr"), col("yoff"), (col("yoff") + col("ymin")).as("ymin_abs"))
+    val yrOff2 = yrOff.select(col("yr").as("y2"), col("ymin_abs").as("ymin_abs2"))
+    // minimum absolute prefix over all EARLIER years
+    val mprev = yrOff.join(yrOff2, col("y2") < col("yr"), "left")
+      .groupBy("yr", "yoff").agg(min("ymin_abs2").as("mprev"))
+    inYr.join(broadcast(mprev), Seq("yr"))
+      .withColumn("p", col("yoff") + col("pin"))
+      .withColumn("m",
+        least(coalesce(col("mprev"), col("yoff") + col("minin")),
+          col("yoff") + col("minin")))
+      .select(col("dt").as("order_date"), col("n").as("n_orders"),
+        (col("p") - col("m")).as("cusum"),
+        (col("p") - col("m") > col("t")).as("flagged"))
+      .orderBy("order_date")
+  }
+  val wCusumSql: String =
+    """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+      |             FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS nd FROM dly),
+      |x AS (SELECT d, n, tot, n * nd - tot AS xx FROM dly CROSS JOIN t),
+      |p AS (SELECT d, n, tot,
+      |        sum(xx) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS pp FROM x),
+      |m AS (SELECT d, n, tot, pp,
+      |        min(pp) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS mm FROM p)
+      |SELECT d AS order_date, n AS n_orders, CAST(pp - mm AS BIGINT) AS cusum,
+      |  pp - mm > tot AS flagged
+      |FROM m ORDER BY d""".stripMargin
 }

@@ -63,7 +63,8 @@ class PlanAuditSpec extends SparkSpec {
     // cutoff crossJoins are 1-row broadcasts (warn-level, like the TPC-H
     // scalar stitches); what must NOT appear is a data-scale global window
     for (q <- Seq("t_ppl_bucket", "t_dsir_select", "p_shuffle_shard",
-      "t_zipf_fit", "d_ngram_novelty", "t_psi_drift", "p_epoch_plan")) {
+      "t_zipf_fit", "d_ngram_novelty", "t_psi_drift", "p_epoch_plan",
+      "w_cusum", "sql_recursive")) {
       val df = SparkEntry.queries(q)(spark, sf0001)
       val errs = PlanAudit.audit(df).filter(_.severity == "error")
       assert(errs.isEmpty, s"$q: $errs")

@@ -638,6 +638,24 @@ class Round9OpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(4)).sum <= budget)
   }
 
+  test("cusum: closed form equals the sequential recurrence; non-negative everywhere") {
+    import graft.queries.AnalyticsQueries
+    val rows = AnalyticsQueries.wCusum(spark, sf0001).collect()
+      .sortBy(_.getDate(0).toString)
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(2) >= 0L))
+    // replay Page's recurrence s_i = max(0, s_{i-1} + x_i) sequentially on
+    // the driver — the distributed P − prefixMin(P) form must match exactly
+    val t = rows.map(_.getLong(1)).sum
+    val nd = rows.length.toLong
+    var s = 0L
+    for (r <- rows) {
+      s = math.max(0L, s + (r.getLong(1) * nd - t))
+      assert(r.getLong(2) == s, s"${r.getDate(0)}: closed=${r.getLong(2)} seq=$s")
+      assert(r.getBoolean(3) == (s > t))
+    }
+  }
+
   test("shuffle shard: manifest is deterministic, covers the corpus; written shards are key-sorted") {
     import graft.queries.PipelineQueries
     val m1 = PipelineQueries.shuffleShard(spark, sf0001).collect()
