@@ -204,6 +204,8 @@ object SparkEntry {
     "x_zorder_layout"   -> (graft.operators.LayoutOps.zorderLayout _),
     "x_bucketed_join"   -> (graft.operators.BucketingOps.bucketedJoin _),
     "x_pagerank"        -> (graft.operators.GraphOps.pagerank _),
+    // deterministic synchronous label propagation (min-label tie-break)
+    "x_lpa_communities" -> (graft.operators.GraphOps.lpaCommunities _),
     "x_dpp_prune"       -> (graft.operators.LayoutOps.dppPrune _),
     "t_normalize"       -> (graft.functions.TextOps.normalizeDf _),
     // C4-style boilerplate span removal (frequent-window excision + rebuild)
@@ -433,6 +435,7 @@ object SparkEntry {
     "x_zorder_layout"   -> graft.operators.LayoutOps.zorderLayoutSql,
     "x_bucketed_join"   -> graft.operators.BucketingOps.bucketedJoinSql,
     "x_pagerank"        -> graft.operators.GraphOps.pagerankSql,
+    "x_lpa_communities" -> graft.operators.GraphOps.lpaCommunitiesSql,
     "x_dpp_prune"       -> graft.operators.LayoutOps.dppPruneSql,
     "t_normalize"       -> graft.functions.TextOps.normalizeSql,
     "t_boilerplate"     -> graft.functions.TextOps.boilerplateScrubSql,

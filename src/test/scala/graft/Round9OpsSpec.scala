@@ -532,6 +532,22 @@ class Round9OpsSpec extends SparkSpec {
     assert(got == Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 1, 5L -> 2), got)
   }
 
+  test("lpaOver: barbell graph settles into its two triangles, hand-simulated") {
+    import spark.implicits._
+    import graft.operators.GraphOps
+    // two triangles {1,2,3} and {10,11,12} joined by the 3–10 bridge
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (3L, 10L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = GraphOps.lpaOver(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 3 synchronous min-tie-break rounds, simulated by hand: the left
+    // triangle converges to label 1; the right (10 included, pulled over
+    // the bridge then reclaimed) to label 3
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L), got)
+  }
+
   test("bfsHopsOver: hop bound truncates, multi-seed takes the nearer seed") {
     import spark.implicits._
     import graft.operators.GraphOps
