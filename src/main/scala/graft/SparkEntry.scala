@@ -140,6 +140,8 @@ object SparkEntry {
     "t_ppl_bucket"      -> (PQ.pplBucket _),
     // DSIR importance selection: unigram LLR vs target domain, top-quartile keep
     "t_dsir_select"     -> (PQ.dsirSelect _),
+    // capstone: the whole curation pipeline as one cumulative survivor report
+    "p_curation_funnel" -> (PQ.curationFunnel _),
     "t_bpe_train"       -> ((s, d) => graft.operators.TokenizerOps.bpeTrain(s, d)),
     "t_bpe_encode"      -> ((s, d) => graft.operators.TokenizerOps.bpeSegment(s, d)),
     "t_bpe_pairs"       -> ((s, d) => graft.operators.TokenizerOps.bpePairFreqs(s, d)),
@@ -394,6 +396,7 @@ object SparkEntry {
     "t_bigram_lm"       -> PQ.bigramLmSql,
     "t_ppl_bucket"      -> PQ.pplBucketSql,
     "t_dsir_select"     -> PQ.dsirSelectSql,
+    "p_curation_funnel" -> PQ.curationFunnelSql,
     "t_bpe_pairs"       -> graft.operators.TokenizerOps.bpePairFreqsSql,
     "d_cluster_canon"   -> DedupOps.clusterCanonSql,
     "p_train_split"     -> PQ.trainSplitSql,

@@ -172,6 +172,44 @@ object QualityClassifier {
   private val Bias = -1.0
   private val Tau  = 0.45
 
+  /** Frozen-model score per document (`doc_id`, `zr`) — the reusable
+    * keep-decision building block ([[graft.queries.PipelineQueries]]'s
+    * curation funnel filters on `zr > KeepTau`). Null-text docs have no
+    * features and no row — they fail the quality stage by absence.
+    */
+  def frozenScores(docs: DataFrame): DataFrame = {
+    val f = docs.filter(col("text").isNotNull)
+      .select(col("doc_id") +: featureExprs: _*)
+    val z = featureNames.zipWithIndex.foldLeft(lit(Bias)) { case (acc, (fn, i)) =>
+      acc + lit(W(i)) * col(fn)
+    }
+    f.withColumn("zr", round(z, 6)).select("doc_id", "zr")
+  }
+  def KeepTau: Double = Tau
+
+  /** The frozen-model per-row score as oracle SQL, keyed by `key`
+    * (`source` for [[lrFunnelSql]], `doc_id` for the curation funnel) —
+    * one text, two consumers, so the engines can never drift apart.
+    */
+  private[graft] def zrSql(key: String): String = {
+    val stopList = stopwords.map("'" + _ + "'").mkString(",")
+    s"""SELECT $key,
+       |    round(-1.0
+       |      + 0.04 * sqrt(length(trim(text)))
+       |      + 2.0 * (CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+       |               / greatest(length(trim(text)), 1))
+       |      + 8.0 * (CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |                                    x -> x IN ($stopList))) AS DOUBLE)
+       |               / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1))
+       |      + 0.05 * (CAST(length(trim(text)) - (len(regexp_split_to_array(trim(text), '\\s+')) - 1) AS DOUBLE)
+       |               / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1))
+       |      + 1.0 * (CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+       |               / greatest(length(trim(text)), 1))
+       |      + 1.0 * (CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+       |               / greatest(length(trim(text)), 1)), 6) AS zr
+       |  FROM documents WHERE text IS NOT NULL""".stripMargin
+  }
+
   /** Per-source quality funnel under the frozen model: how many documents
     * each source contributes and how many survive the score threshold —
     * the report a data-mixing decision reads. One partial-aggregable
@@ -194,32 +232,12 @@ object QualityClassifier {
       .orderBy("source")
   }
 
-  val lrFunnelSql: String = {
-    val stopList = stopwords.map("'" + _ + "'").mkString(",")
-    s"""WITH f AS (
-       |  SELECT source,
-       |    sqrt(length(trim(text))) AS f_len,
-       |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
-       |      / greatest(length(trim(text)), 1) AS f_punct,
-       |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-       |                         x -> x IN ($stopList))) AS DOUBLE)
-       |      / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) AS f_stop,
-       |    CAST(length(trim(text)) - (len(regexp_split_to_array(trim(text), '\\s+')) - 1) AS DOUBLE)
-       |      / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) AS f_toklen,
-       |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-       |      / greatest(length(trim(text)), 1) AS f_digit,
-       |    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
-       |      / greatest(length(trim(text)), 1) AS f_caps
-       |  FROM documents WHERE text IS NOT NULL),
-       |z AS (
-       |  SELECT source,
-       |    round(-1.0 + 0.04 * f_len + 2.0 * f_punct + 8.0 * f_stop
-       |          + 0.05 * f_toklen + 1.0 * f_digit + 1.0 * f_caps, 6) AS zr
-       |  FROM f)
+  val lrFunnelSql: String =
+    s"""WITH z AS (
+       |${zrSql("source")})
        |SELECT source,
        |  CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(CASE WHEN zr > 0.45 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
        |  CAST(sum(CAST(zr AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_z
        |FROM z GROUP BY source ORDER BY source""".stripMargin
-  }
 }

@@ -654,6 +654,77 @@ object PipelineQueries {
       |SELECT doc_id, n_toks, llr, e4 >= cut.c75 AS selected
       |FROM e CROSS JOIN cut ORDER BY doc_id""".stripMargin
 
+  /** The curation funnel, end to end — the capstone composition: the
+    * corpus flows through exact dedup (min doc_id survives each
+    * normalized-content group), the frozen quality model
+    * ([[graft.operators.QualityClassifier]], `zr > KeepTau`),
+    * decontamination (benchmark docs AND anything sharing ≥3 shingles with
+    * one — eval data must not train), and DSIR importance selection
+    * ([[dsirSelect]]), reporting survivors and cumulative drops per stage
+    * — the one-page report a curation run publishes.
+    *
+    * Every stage is one of this library's oracled operators; the funnel
+    * chains their doc_id sets with semi/anti joins and counts. The final
+    * count table is FIVE rows, stitched with a bounded self-join on the
+    * stage index (no window). Cost is the sum of its stages by
+    * construction — this query IS the pipeline, run once.
+    */
+  def curationFunnel(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.QualityClassifier
+    val docs = Tables.fanOut(Tables.documents(s, d))
+    val s0 = docs.select("doc_id")
+    val s1 = docs
+      .select(col("doc_id"), md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("h"))
+      .groupBy("h").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val q = QualityClassifier.frozenScores(docs)
+      .filter(col("zr") > QualityClassifier.KeepTau)
+    val s2 = s1.join(q.select("doc_id"), Seq("doc_id"), "left_semi")
+    val dropSet = contamination(s, d).select(col("corpus_id").as("doc_id"))
+      .union(docs.filter(col("doc_id") % 50 === 0).select("doc_id"))
+      .distinct()
+    val s3 = s2.join(dropSet, Seq("doc_id"), "left_anti")
+    val dsel = dsirSelect(s, d).filter(col("selected")).select("doc_id")
+    val s4 = s3.join(dsel, Seq("doc_id"), "left_semi")
+    val stages = Seq(("0_corpus", s0), ("1_exact_dedup", s1), ("2_quality", s2),
+      ("3_decontaminate", s3), ("4_dsir_select", s4))
+    val counts = stages.zipWithIndex.map { case ((n, df), i) =>
+      df.agg(count(lit(1)).as("n"))
+        .select(lit(i).as("idx"), lit(n).as("stage"), col("n"))
+    }.reduce(_ union _).localCheckpoint(true) // 5 rows; both sides of the stitch
+    counts
+      .join(counts.select((col("idx") + 1).as("idx"), col("n").as("n_prev")),
+        Seq("idx"), "left")
+      .select(col("stage"), col("n").as("n_docs"),
+        coalesce(col("n_prev") - col("n"), lit(0L)).as("n_dropped"))
+      .orderBy("stage")
+  }
+
+  /** Oracle composes the stages' own oracle SQL (`lazy`: quotes vals
+    * declared elsewhere in this object). */
+  lazy val curationFunnelSql: String =
+    s"""WITH s1 AS (SELECT min(doc_id) AS doc_id FROM
+       |    (SELECT doc_id, md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS h
+       |     FROM documents) GROUP BY h),
+       |q AS (
+       |${graft.operators.QualityClassifier.zrSql("doc_id")}),
+       |s2 AS (SELECT s1.doc_id FROM s1 JOIN q USING (doc_id) WHERE zr > 0.45),
+       |cont AS (SELECT DISTINCT corpus_id AS doc_id FROM ($contaminationSql)
+       |         UNION SELECT doc_id FROM documents WHERE doc_id % 50 = 0),
+       |s3 AS (SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+       |dsel AS (SELECT doc_id FROM ($dsirSelectSql) WHERE selected),
+       |s4 AS (SELECT s3.doc_id FROM s3 JOIN dsel USING (doc_id)),
+       |c AS (
+       |  SELECT 0 AS idx, '0_corpus' AS stage, count(*) AS n FROM documents
+       |  UNION ALL SELECT 1, '1_exact_dedup', count(*) FROM s1
+       |  UNION ALL SELECT 2, '2_quality', count(*) FROM s2
+       |  UNION ALL SELECT 3, '3_decontaminate', count(*) FROM s3
+       |  UNION ALL SELECT 4, '4_dsir_select', count(*) FROM s4)
+       |SELECT c.stage, CAST(c.n AS BIGINT) AS n_docs,
+       |  CAST(COALESCE(p.n - c.n, 0) AS BIGINT) AS n_dropped
+       |FROM c LEFT JOIN c p ON p.idx = c.idx - 1
+       |ORDER BY c.stage""".stripMargin
+
   /** PII scrubbing: emails then digit runs replaced; output a stable
     * signature (md5 + length) instead of the full scrubbed text. Pure
     * projection — no shuffle, scales linearly.

@@ -672,6 +672,21 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("curation funnel: monotone survivors, drops conserve, stages in order") {
+    import graft.queries.PipelineQueries
+    val rows = PipelineQueries.curationFunnel(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("0_corpus", "1_exact_dedup", "2_quality", "3_decontaminate", "4_dsir_select"))
+    val ns = rows.map(_.getLong(1))
+    assert(ns.head == Tables.documents(spark, sf0001).count())
+    assert(ns.zip(ns.tail).forall { case (a, b) => b <= a }, ns.toSeq)
+    // conservation: survivors at the end + every stage's drops = the corpus
+    assert(ns.last + rows.map(_.getLong(2)).sum == ns.head)
+    assert(rows.head.getLong(2) == 0L)
+    // the funnel must actually cut something on this corpus
+    assert(ns.last < ns.head)
+  }
+
   test("shuffle shard: manifest is deterministic, covers the corpus; written shards are key-sorted") {
     import graft.queries.PipelineQueries
     val m1 = PipelineQueries.shuffleShard(spark, sf0001).collect()
