@@ -71,6 +71,10 @@ object SparkEntry {
     "ts_asof_tolerance" -> (TimeSeriesOps.asofToleranceNative _),
     // SMA/Bollinger/RSI window indicators from exact decimal sums
     "ts_indicators"     -> (TimeSeriesOps.indicators _),
+    // hourly volume-weighted average price (exact integer numerator)
+    "ts_vwap"           -> (TimeSeriesOps.vwap _),
+    // candlestick pattern flags from integer-cent comparisons
+    "ts_candles"        -> (TimeSeriesOps.candles _),
     // SQL-string entry surface (parser -> Catalyst path)
     "sql_q6"            -> (SQ.sqlQ6 _),
     "sql_set_intersect" -> (SQ.sqlIntersect _),
@@ -349,6 +353,8 @@ object SparkEntry {
     "ts_asof_native"    -> TimeSeriesOps.asofQuerySql,
     "ts_asof_tolerance" -> TimeSeriesOps.asofToleranceSql,
     "ts_indicators"     -> TimeSeriesOps.indicatorsSql,
+    "ts_vwap"           -> TimeSeriesOps.vwapSql,
+    "ts_candles"        -> TimeSeriesOps.candlesSql,
     "sql_q6"            -> SQ.sqlQ6Sql,
     "sql_set_intersect" -> SQ.sqlIntersectSql,
     "sql_exists"        -> SQ.sqlExistsSql,

@@ -228,6 +228,96 @@ object TimeSeriesOps {
       |       ELSE 100.0 - 100.0 / (1.0 + ag / al) END AS rsi14
       |FROM z ORDER BY user_id, event_id""".stripMargin
 
+  /** Hourly VWAP per instrument — THE derived metric of the reference's
+    * domain (`README.md:7-8` loads tick prices; volume-weighted average
+    * price is what a consumer computes from them first). Price rides in
+    * exact cents (the [[indicators]] convention), volume is the integer
+    * `k` field of the props JSON, so the Σ(price·vol) numerator and
+    * Σ(vol) denominator are exact longs with one double division + round
+    * at the end. One partial-aggregable groupBy (user, hour) — no window,
+    * no shuffle beyond the aggregation's own.
+    */
+  def vwap(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"),
+        date_trunc("hour", col("ts")).as("bucket"),
+        (col("value").cast(DecimalType(18, 2)) * lit(100)).cast("long").as("cents"),
+        get_json_object(col("props"), "$.k").cast("long").as("vol"))
+      .groupBy("user_id", "bucket")
+      .agg(count(lit(1)).as("n_trades"), sum("vol").as("volume"),
+        sum(col("cents") * col("vol")).as("pv"))
+      .select(col("user_id"), col("bucket"), col("n_trades"), col("volume"),
+        when(col("volume") > 0,
+          round(col("pv").cast("double") / col("volume") / 100.0, 4)).as("vwap"))
+      .orderBy("user_id", "bucket")
+  val vwapSql: String =
+    """WITH e AS (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol
+      |  FROM events)
+      |SELECT user_id, bucket, CAST(count(*) AS BIGINT) AS n_trades,
+      |  CAST(sum(vol) AS BIGINT) AS volume,
+      |  CASE WHEN sum(vol) > 0
+      |       THEN round(CAST(sum(cents * vol) AS DOUBLE) / sum(vol) / 100.0, 4) END AS vwap
+      |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Candlestick pattern flags per hourly candle: doji (body ≤ a tenth of
+    * the range), hammer (long lower shadow, short upper), bullish engulf
+    * (green body swallowing the previous red body). Open/close are the
+    * first/last tick by (ts, event_id) — a total order, so both engines
+    * pick the same tick — and every rule is an integer-cent comparison:
+    * no floats anywhere. One aggregation + one lag window partitioned by
+    * instrument (candle-count-sized frames).
+    */
+  def candles(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("bucket"),
+        col("ts"), col("event_id"),
+        (col("value").cast(DecimalType(18, 2)) * lit(100)).cast("long").as("cents"))
+      .groupBy("user_id", "bucket")
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("cents"))).as("fo"),
+        max(struct(col("ts"), col("event_id"), col("cents"))).as("lc"),
+        max("cents").as("high"), min("cents").as("low"))
+      .select(col("user_id"), col("bucket"),
+        col("fo.cents").as("open"), col("lc.cents").as("close"),
+        col("high"), col("low"))
+    val w = Window.partitionBy("user_id").orderBy("bucket")
+    c.withColumn("po", lag("open", 1).over(w))
+      .withColumn("pc", lag("close", 1).over(w))
+      .withColumn("body", abs(col("close") - col("open")))
+      .select(col("user_id"), col("bucket"),
+        col("open"), col("close"), col("high"), col("low"),
+        (col("body") * 10 <= col("high") - col("low")).as("doji"),
+        (least(col("open"), col("close")) - col("low") >= col("body") * 2 &&
+          col("high") - greatest(col("open"), col("close")) <= col("body")).as("hammer"),
+        (col("pc").isNotNull && col("pc") < col("po") &&
+          col("close") > col("open") &&
+          col("open") <= col("pc") && col("close") >= col("po")).as("bull_engulf"))
+      .orderBy("user_id", "bucket")
+  }
+  val candlesSql: String =
+    """WITH e AS (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+      |    CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
+      |r AS (SELECT *,
+      |    row_number() OVER (PARTITION BY user_id, bucket ORDER BY ts, event_id) AS rn_a,
+      |    row_number() OVER (PARTITION BY user_id, bucket ORDER BY ts DESC, event_id DESC) AS rn_d
+      |  FROM e),
+      |c AS (SELECT user_id, bucket,
+      |    CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open,
+      |    CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close,
+      |    CAST(max(cents) AS BIGINT) AS high, CAST(min(cents) AS BIGINT) AS low
+      |  FROM r GROUP BY 1, 2),
+      |p AS (SELECT *, lag(open) OVER w AS po, lag(close) OVER w AS pc,
+      |    abs(close - open) AS body
+      |  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY bucket))
+      |SELECT user_id, bucket, open, close, high, low,
+      |  body * 10 <= high - low AS doji,
+      |  least(open, close) - low >= body * 2 AND high - greatest(open, close) <= body AS hammer,
+      |  pc IS NOT NULL AND pc < po AND close > open AND open <= pc AND close >= po AS bull_engulf
+      |FROM p ORDER BY user_id, bucket""".stripMargin
+
   /** Sessionization: split each user's event stream into sessions at
     * inactivity gaps > `gapMinutes`. The lag + running-sum-of-boundaries
     * plan is one shuffle on user_id; session_window() is the streaming twin.

@@ -687,6 +687,28 @@ class Round9OpsSpec extends SparkSpec {
     assert(ns.last < ns.head)
   }
 
+  test("vwap and candles: vwap sits inside the candle range, OHLC invariants hold") {
+    import graft.operators.TimeSeriesOps
+    val candleRows = TimeSeriesOps.candles(spark, sf0001).collect()
+    assert(candleRows.nonEmpty)
+    for (r <- candleRows) {
+      val (o, c, h, l) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(l <= o && o <= h && l <= c && c <= h, r)
+      // flags replay from the row's own cents
+      assert(r.getBoolean(6) == (math.abs(c - o) * 10 <= h - l), r)
+    }
+    val candleMap = candleRows
+      .map(r => (r.getLong(0), r.getTimestamp(1)) -> (r.getLong(4), r.getLong(5))).toMap
+    val vwapRows = TimeSeriesOps.vwap(spark, sf0001).collect()
+    assert(vwapRows.map(r => (r.getLong(0), r.getTimestamp(1))).toSet == candleMap.keySet)
+    for (r <- vwapRows if !r.isNullAt(4)) {
+      val (h, l) = candleMap((r.getLong(0), r.getTimestamp(1)))
+      val v = r.getDouble(4)
+      // a volume-weighted mean of prices in [low, high] stays in [low, high]
+      assert(v >= l / 100.0 - 1e-9 && v <= h / 100.0 + 1e-9, s"$r vs [$l,$h]")
+    }
+  }
+
   test("shuffle shard: manifest is deterministic, covers the corpus; written shards are key-sorted") {
     import graft.queries.PipelineQueries
     val m1 = PipelineQueries.shuffleShard(spark, sf0001).collect()
