@@ -75,6 +75,8 @@ object SparkEntry {
     "ts_vwap"           -> (TimeSeriesOps.vwap _),
     // candlestick pattern flags from integer-cent comparisons
     "ts_candles"        -> (TimeSeriesOps.candles _),
+    // daily realized volatility from round-6 log returns
+    "ts_realized_vol"   -> (TimeSeriesOps.realizedVol _),
     // SQL-string entry surface (parser -> Catalyst path)
     "sql_q6"            -> (SQ.sqlQ6 _),
     "sql_set_intersect" -> (SQ.sqlIntersect _),
@@ -355,6 +357,7 @@ object SparkEntry {
     "ts_indicators"     -> TimeSeriesOps.indicatorsSql,
     "ts_vwap"           -> TimeSeriesOps.vwapSql,
     "ts_candles"        -> TimeSeriesOps.candlesSql,
+    "ts_realized_vol"   -> TimeSeriesOps.realizedVolSql,
     "sql_q6"            -> SQ.sqlQ6Sql,
     "sql_set_intersect" -> SQ.sqlIntersectSql,
     "sql_exists"        -> SQ.sqlExistsSql,

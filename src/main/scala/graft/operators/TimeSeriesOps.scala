@@ -318,6 +318,46 @@ object TimeSeriesOps {
       |  pc IS NOT NULL AND pc < po AND close > open AND open <= pc AND close >= po AS bull_engulf
       |FROM p ORDER BY user_id, bucket""".stripMargin
 
+  /** Daily realized volatility per instrument — √(Σ log-returns²), the
+    * risk metric quoted next to VWAP on every trading dashboard.
+    * Zero-priced ticks (bad prints) are dropped BEFORE the return lag so
+    * both engines difference the same tick sequence; each return is
+    * `round(ln(cᵢ/cᵢ₋₁), 6)` (exact integer cents → one double division →
+    * round-6 ln, the [[graft.queries.PipelineQueries.bigramLm]] libm
+    * discipline), squares are re-rounded to 6 dp and summed as DECIMAL —
+    * order-independent — with one sqrt + round at the end. A day's first
+    * return references the previous day's close (the continuous-series
+    * convention); the stream's first tick has no return. One lag window
+    * per instrument + one partial-aggregable daily rollup.
+    */
+  def realizedVol(s: SparkSession, d: String): DataFrame = {
+    val lagW = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("c", (col("value").cast(DecimalType(18, 2)) * lit(100)).cast("long"))
+      .filter(col("c") > 0)
+      .withColumn("pc", lag(col("c"), 1).over(lagW))
+      .withColumn("r", round(log(col("c").cast("double") / col("pc").cast("double")), 6))
+      .filter(col("r").isNotNull)
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(
+        count(lit(1)).as("n_returns"),
+        round(sqrt(sum(round(col("r") * col("r"), 6).cast(DecimalType(18, 6)))
+          .cast("double")), 4).as("rv"))
+      .orderBy("user_id", "day")
+  }
+  val realizedVolSql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM events WHERE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) > 0),
+      |l AS (SELECT user_id, ts,
+      |    round(ln(CAST(c AS DOUBLE) /
+      |             lag(c) OVER (PARTITION BY user_id ORDER BY ts, event_id)), 6) AS r
+      |  FROM e)
+      |SELECT user_id, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_returns,
+      |  round(sqrt(CAST(sum(CAST(round(r * r, 6) AS DECIMAL(18,6))) AS DOUBLE)), 4) AS rv
+      |FROM l WHERE r IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Sessionization: split each user's event stream into sessions at
     * inactivity gaps > `gapMinutes`. The lag + running-sum-of-boundaries
     * plan is one shuffle on user_id; session_window() is the streaming twin.
