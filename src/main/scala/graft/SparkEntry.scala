@@ -111,6 +111,8 @@ object SparkEntry {
     "t_fingerprint"     -> (TextOps.fingerprintDf _),
     // native one-pass repetition stats (Gopher-style quality filtering)
     "t_repetition"      -> (TextOps.repetitionDf _),
+    // native one-pass Shannon token entropy (micro-nat integer accumulation)
+    "t_token_entropy"   -> (TextOps.tokenEntropyDf _),
     // per-source quota through the native grouped top-k
     "t_source_cap"      -> (PQ.sourceCap _),
     // duplicated-shingle span fraction (RefinedWeb/Gopher dedup signal)
@@ -382,6 +384,7 @@ object SparkEntry {
     "t_token_count"     -> TextOps.tokenCountSql,
     "t_fingerprint"     -> TextOps.fingerprintSql,
     "t_repetition"      -> TextOps.repetitionSql,
+    "t_token_entropy"   -> TextOps.tokenEntropySql,
     "t_source_cap"      -> PQ.sourceCapSql,
     "d_dup_span_frac"   -> DedupOps.dupSpanFracSql,
     "d_ngram_novelty"   -> DedupOps.ngramNoveltySql,

@@ -87,6 +87,10 @@ object GraftExtensions {
       info("repetition_stats",
         "repetition_stats(tokens) - struct(top_word_frac, top_bigram_frac, ttr)"),
       arity("repetition_stats", 1)(es => RepetitionStats(es.head))),
+    ("token_entropy",
+      info("token_entropy",
+        "token_entropy(tokens) - Shannon entropy (nats) of the token distribution"),
+      arity("token_entropy", 1)(es => TokenEntropy(es.head))),
     ("shingle_hashes3",
       info("shingle_hashes3",
         "shingle_hashes3(tokens) - distinct 3-word shingle keys as 64-bit hashes"),

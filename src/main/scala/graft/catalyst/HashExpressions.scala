@@ -96,6 +96,31 @@ object HashUtil {
     new GenericArrayData(mins.asInstanceOf[Array[Any]])
   }
 
+  /** Shannon entropy (nats) of a token array's word distribution in one
+    * compiled pass — the complement of [[repetitionStats]]'s top-fractions:
+    * entropy collapses toward 0 for boilerplate and approaches ln(n) for
+    * fully diverse text. Computed ORDER-INDEPENDENTLY as
+    * `ln(n) − (Σ c·ln c)/n`, with each count's `c·ln c` term rounded to
+    * integer MICRO-nats and accumulated as a long — a plain double fold
+    * over hash-map iteration order would make the value depend on bucket
+    * layout, breaking cross-engine and cross-run reproducibility. Terms
+    * with c = 1 contribute exactly 0 on both engines. Empty array → 0.
+    */
+  def tokenEntropy(toks: ArrayData): Double = {
+    val n = toks.numElements()
+    if (n == 0) return 0.0
+    val wc = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var i = 0
+    while (i < n) { wc.merge(toks.getUTF8String(i), 1, Integer.sum(_, _)); i += 1 }
+    var micro = 0L
+    val it = wc.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().intValue()
+      if (c > 1) micro += Math.round(c * Math.log(c) * 1e6)
+    }
+    Math.log(n) - micro.toDouble / 1e6 / n
+  }
+
   /** Gopher-style repetition statistics of a token array in one compiled
     * pass: fraction of tokens taken by the most frequent word, fraction of
     * bigrams taken by the most frequent bigram, and type-token ratio
@@ -493,6 +518,27 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native Shannon token entropy over an array<string> token column — one
+  * compiled per-row pass via [[HashUtil.tokenEntropy]] (see there for the
+  * order-independent micro-nat accumulation that makes the double exact
+  * across engines). The explode→groupBy formulation shuffles every token
+  * occurrence; this shuffles nothing.
+  */
+case class TokenEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, false) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"token_entropy requires array<string> with non-null elements, got ${t.sql}")
+  }
+  override def nullSafeEval(tokens: Any): Any =
+    HashUtil.tokenEntropy(tokens.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.catalyst.HashUtil.tokenEntropy($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenEntropy =
+    copy(child = newChild)
+}
+
 /** Native dot product over two array<float>/array<double> columns; same
   * left-to-right double-widened fold as the lambda formulation (identical
   * IEEE result), kept inside whole-stage codegen — the hot inner loop of
@@ -601,6 +647,8 @@ object HashFunctions {
       EqCount(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   def repetition_stats(c: Column): Column =
     GraftColumnBridge.column(RepetitionStats(GraftColumnBridge.expression(c)))
+  def token_entropy(c: Column): Column =
+    GraftColumnBridge.column(TokenEntropy(GraftColumnBridge.expression(c)))
   def shingle_hashes3(c: Column): Column =
     GraftColumnBridge.column(ShingleHashes3(GraftColumnBridge.expression(c)))
   def nfc_normalize(c: Column): Column =

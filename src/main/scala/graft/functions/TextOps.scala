@@ -157,6 +157,32 @@ object TextOps {
     * two explode→groupBy pyramids the declarative formulation needs (the
     * oracle SQL below is exactly that pyramid).
     */
+  /** Per-doc Shannon token entropy via the native codegen'd
+    * [[graft.catalyst.TokenEntropy]] expression — a single compiled
+    * projection where the explode→groupBy formulation would shuffle every
+    * token occurrence. Low entropy = boilerplate/repetition, high =
+    * diverse text; the filterable complement of [[repetitionDf]]'s
+    * top-fractions. Determinism: the expression accumulates `c·ln c` in
+    * rounded integer micro-nats (see its Scaladoc), and the oracle replays
+    * the identical integer sum.
+    */
+  def tokenEntropyDf(s: SparkSession, d: String): DataFrame =
+    docsSorted(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        round(graft.catalyst.HashFunctions.token_entropy(col("toks")), 4).as("entropy"))
+  val tokenEntropySql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      |w AS (SELECT doc_id, unnest(toks) AS w FROM t),
+      |c AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1, 2),
+      |e AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+      |        CAST(sum(CAST(round(c * ln(c) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS clnc
+      |      FROM c GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens,
+      |  round(ln(e.n) - e.clnc / e.n, 4) AS entropy
+      |FROM t JOIN e ON t.doc_id = e.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   def repetitionDf(s: SparkSession, d: String): DataFrame =
     docsSorted(s, d)
       .select(col("doc_id"),

@@ -709,6 +709,30 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("token_entropy: closed forms, SQL path agrees, non-array input rejected") {
+    import spark.implicits._
+    import graft.catalyst.HashFunctions
+    graft.catalyst.GraftExtensions.register(spark)
+    val df = Seq((1L, "a a a a"), (2L, "a b c d"), (3L, "a a b b"))
+      .toDF("id", "text")
+      .select(col("id"), split(trim(col("text")), "\\s+").as("toks"))
+    val got = df.select(col("id"), HashFunctions.token_entropy(col("toks")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // micro-nat quantization leaves ≤ ~5e-7 per term — closed forms to 1e-6
+    assert(math.abs(got(1L)) < 1e-6)                    // one symbol: 0 nats
+    assert(math.abs(got(2L) - math.log(4)) < 1e-6)      // uniform over 4
+    assert(math.abs(got(3L) - math.log(2)) < 1e-6)      // ln4 − (2·2ln2)/4
+    df.createOrReplaceTempView("te_probe")
+    val viaSql = spark.sql(
+      "SELECT token_entropy(toks) FROM te_probe WHERE id = 3").head().getDouble(0)
+    assert(viaSql == got(3L))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Seq(1, 2)).toDF("a")
+        .select(HashFunctions.token_entropy(col("a"))).collect()
+    }
+    assert(e.getMessage.contains("token_entropy"), e.getMessage)
+  }
+
   test("shuffle shard: manifest is deterministic, covers the corpus; written shards are key-sorted") {
     import graft.queries.PipelineQueries
     val m1 = PipelineQueries.shuffleShard(spark, sf0001).collect()
