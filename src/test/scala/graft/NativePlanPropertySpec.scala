@@ -158,6 +158,41 @@ class NativePlanPropertySpec extends SparkSpec {
     native.foreach { case (id, v) => assert(v == declarative(id), s"doc $id: $v vs ${declarative(id)}") }
   }
 
+  test("token_entropy == explode/groupBy micro-nat replay on random docs") {
+    import graft.catalyst.HashFunctions
+    val rnd = new scala.util.Random(29)
+    val words = Vector("a", "b", "c", "dd", "ee", "fff")
+    val docs = (0 until 60).map { i =>
+      (i.toLong, (0 until (1 + rnd.nextInt(50)))
+        .map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text").cache()
+    val native = df
+      .select(col("doc_id"), HashFunctions.token_entropy(split(col("text"), " ")).as("e"))
+      .as[(Long, Double)].collect().toMap
+    // declarative replay of the same construction: Σ round(c·ln c·1e6) as
+    // an integer sum, then ln(n) − micro/1e6/n. The integer core is
+    // identical; the outer subtraction/divisions may associate 1–2 ulp
+    // apart across engines, which the query's round(…, 4) absorbs — so the
+    // pin is ulp-tight, not bit-tight
+    val declarative = df.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").count()
+      .groupBy("doc_id").agg(
+        sum("count").as("n"),
+        sum(when(col("count") > 1,
+          round(col("count").cast("double") * log(col("count").cast("double")) * 1e6)
+            .cast("long")).otherwise(0L)).as("micro"))
+      .select(col("doc_id"),
+        (log(col("n").cast("double")) - col("micro").cast("double") / 1e6 / col("n")).as("e"))
+      .as[(Long, Double)].collect().toMap
+    assert(native.keySet == declarative.keySet)
+    native.foreach { case (id, v) =>
+      assert(math.abs(v - declarative(id)) < 1e-12, s"doc $id: $v vs ${declarative(id)}")
+      assert(BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP) ==
+        BigDecimal(declarative(id)).setScale(4, BigDecimal.RoundingMode.HALF_UP), s"doc $id")
+    }
+  }
+
   private implicit class Tup4Ops(rows: Array[(Long, Double, Double, Double)]) {
     def toMap2: Map[Long, (Double, Double, Double)] =
       rows.map { case (a, b, c, d) => a -> (b, c, d) }.toMap
