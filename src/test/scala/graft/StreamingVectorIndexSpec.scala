@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingVectorIndex
+
+/** Incremental IVF index: frozen quantizer, partitioned growth, pruned
+  * queries, replay idempotence.
+  */
+class StreamingVectorIndexSpec extends SparkSpec {
+
+  private def emb = Tables.embeddings(spark, sf0001)
+    .select(col("vec_id"), col("embedding"))
+
+  test("two batches index everything; full-probe query equals index-free brute force") {
+    val cent = tmpDir("svi-cent"); val idx = tmpDir("svi-idx")
+    StreamingVectorIndex.buildCentroids(emb.filter(col("vec_id") < 25), cent, k = 4)
+    StreamingVectorIndex.processBatch(emb.filter(col("vec_id") < 25), 0L, cent, idx)
+    StreamingVectorIndex.processBatch(emb.filter(col("vec_id") >= 25), 1L, cent, idx)
+    val n = emb.count()
+    val all = StreamingVectorIndex.indexed(spark, idx)
+    assert(all.count() == n)
+    assert(all.select("vec_id").distinct().count() == n)
+
+    val queries = emb.filter(col("vec_id") < 4)
+    val viaIndex = StreamingVectorIndex.query(spark, cent, idx, queries,
+      probes = 4, topK = 5).collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // brute force through a DIFFERENT code path: no index, no partitions —
+    // same d2 = |c|²−2q·c ordering over the raw table
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      graft.catalyst.HashFunctions.dot_product(a, b)
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("eq"))
+    val c = emb.select(col("vec_id").as("c_id"), col("embedding").as("ec"))
+    val w = Window.partitionBy("q_id").orderBy(col("d2"), col("c_id"))
+    val brute = q.crossJoin(c).filter(col("q_id") =!= col("c_id"))
+      .withColumn("d2", dot(col("ec"), col("ec")) - lit(2.0) * dot(col("eq"), col("ec")))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select("q_id", "rnk", "c_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(viaIndex.toSeq.sorted == brute.toSeq.sorted)
+
+    // partial probes trade recall for scan width — still above the floor
+    val part = StreamingVectorIndex.query(spark, cent, idx, queries,
+      probes = 1, topK = 5).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val bruteSet = brute.map(r => (r._1, r._3)).toSet
+    val recall = part.intersect(bruteSet).size.toDouble / bruteSet.size
+    assert(recall >= 0.5, s"single-probe recall $recall")
+  }
+
+  test("query scan is partition-pruned to the probed cells; replay converges") {
+    val cent = tmpDir("svi-cent2"); val idx = tmpDir("svi-idx2")
+    StreamingVectorIndex.buildCentroids(emb, cent, k = 4)
+    StreamingVectorIndex.processBatch(emb.filter(col("vec_id") < 25), 0L, cent, idx)
+    StreamingVectorIndex.processBatch(emb.filter(col("vec_id") >= 25), 1L, cent, idx)
+    val nCells = spark.read.parquet(cent).count()
+    assert(nCells > 1) // pruning is only meaningful with multiple cells
+
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val one = emb.filter(col("vec_id") === 7)
+      val res = StreamingVectorIndex.query(spark, cent, idx, one, probes = 1, topK = 3)
+      res.collect()
+      val scans = res.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("svi-idx2")) => f
+      }
+      assert(scans.nonEmpty)
+      assert(scans.head.partitionFilters.nonEmpty, scans.head.toString)
+      val parts = scans.head.metrics.get("numPartitions").map(_.value)
+      // one probed cell × ≤2 batch dirs, out of nCells×2 total
+      assert(parts.exists(p => p >= 1 && p <= 2), s"partitions read: $parts")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+    // replay of batch 1 (crash after promote, before offset commit):
+    // same content, same layout, nothing doubled
+    val before = StreamingVectorIndex.indexed(spark, idx).count()
+    StreamingVectorIndex.processBatch(emb.filter(col("vec_id") >= 25), 1L, cent, idx)
+    val after = StreamingVectorIndex.indexed(spark, idx)
+    assert(after.count() == before)
+    assert(after.select("vec_id").distinct().count() == before)
+  }
+}
