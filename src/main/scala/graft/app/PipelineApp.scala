@@ -8,7 +8,7 @@ import graft.ingest.TickerIngest
 import graft.journal.TickerFileJournal
 import graft.pipeline.{Lifecycle, Retry, RetryPolicy}
 import graft.schema.FileStatus
-import graft.streaming.{Discovery, StreamingDedup, StreamingDrift}
+import graft.streaming.{Discovery, StreamingDedup, StreamingDrift, StreamingVectorIndex}
 
 /** The wired application (SURVEY §7.1 step 8) — replaces the reference's
   * `MainApplication.java:54-91` four-flow bootstrap with one SparkSession
@@ -134,6 +134,27 @@ object PipelineApp {
       s"$warehouseDir/_drift_ckpt", trigger))
   }
 
+  /** Flow 7 — vector indexing: embeddings dropped as JSON lines (`vec_id`,
+    * `embedding`) under `vecsDir` stream through
+    * [[graft.streaming.StreamingVectorIndex]] into the cid-partitioned
+    * index under the warehouse. The first batch bootstraps the frozen
+    * quantizer (deterministically, so its replay converges); every later
+    * batch is a broadcast-assign + partitioned append. Public so specs
+    * drive the exact app wiring.
+    */
+  def vectorIndexer(spark: SparkSession, vecsDir: String, warehouseDir: String,
+      maxFilesPerTrigger: Int,
+      trigger: Trigger): org.apache.spark.sql.streaming.StreamingQuery = {
+    val p = new org.apache.hadoop.fs.Path(vecsDir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(p)
+    val vecs = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<DOUBLE>")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(vecsDir)
+    StreamingVectorIndex.start(vecs, s"$warehouseDir/_vec_centroids",
+      s"$warehouseDir/_vec_index", s"$warehouseDir/_vec_ckpt", trigger)
+  }
+
   private def now(): Timestamp = new Timestamp(System.currentTimeMillis())
 
   /** One synchronous cycle of all four flows over a seeded fixture tree. */
@@ -209,6 +230,29 @@ object PipelineApp {
         println(s"[demo] drift: batches=${dl.count()} maxPsi=" +
           dl.agg(org.apache.spark.sql.functions.max("psi")).first().getDouble(0))
       }
+    // Flow 7 — vector indexing: two drops; the first bootstraps the
+    // quantizer, the second appends; a query probes the grown index
+    val vecsDir = s"$root/vecs"
+    new java.io.File(vecsDir).mkdirs()
+    def putVecs(name: String, vecs: Seq[(Long, Seq[Double])]): Unit = {
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$vecsDir/$name"),
+        vecs.map { case (id, v) =>
+          s"""{"vec_id":$id,"embedding":[${v.mkString(",")}]}""" }
+          .mkString("\n").getBytes)
+      ()
+    }
+    putVecs("v1.json", Seq(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 1.0),
+      3L -> Seq(0.9, 0.1)))
+    val vq = vectorIndexer(spark, vecsDir, warehouseDir,
+      maxFilesPerTrigger = 1, trigger = Trigger.ProcessingTime(0))
+    vq.processAllAvailable()
+    putVecs("v2.json", Seq(4L -> Seq(0.1, 0.95)))
+    vq.processAllAvailable()
+    vq.stop()
+    val idx = graft.streaming.StreamingVectorIndex
+      .indexed(spark, s"$warehouseDir/_vec_index")
+    println(s"[demo] vector index: indexed=${idx.count()} " +
+      s"cells=${idx.select("cid").distinct().count()}")
     println(s"[demo] statuses: " + FileStatus.all.map(s =>
       s"${s.name}=${journal.byStatus(s).count()}").mkString(" "))
   }
@@ -236,6 +280,11 @@ object PipelineApp {
     // Flow 6 — drift monitor over the same drop dir (None on cold start:
     // the baseline is the admitted corpus, which doesn't exist yet)
     val driftQ = driftMonitor(spark, s"$root/docs", warehouseDir,
+      maxFilesPerTrigger = cfg.discovery.filesBufferSize,
+      trigger = Trigger.ProcessingTime(s"${cfg.discovery.flushTimeoutSec} seconds"))
+    // Flow 7 — vector indexing from the embeddings drop dir (first batch
+    // bootstraps the quantizer)
+    val vecQ = vectorIndexer(spark, s"$root/vecs", warehouseDir,
       maxFilesPerTrigger = cfg.discovery.filesBufferSize,
       trigger = Trigger.ProcessingTime(s"${cfg.discovery.flushTimeoutSec} seconds"))
     // one thread per flow: with only 2 threads a stuck uploadData cycle
@@ -314,7 +363,7 @@ object PipelineApp {
     try spark.streams.awaitAnyTermination()
     finally {
       try {
-        for (qq <- Seq(q, corpusQ) ++ driftQ) {
+        for (qq <- Seq(q, corpusQ, vecQ) ++ driftQ) {
           qq.exception.foreach(e =>
             flowLog.error(s"[flow] streaming query terminated with: ${e.message}"))
           try qq.stop()

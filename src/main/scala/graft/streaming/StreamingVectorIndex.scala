@@ -88,8 +88,26 @@ object StreamingVectorIndex {
 
   /** Index one micro-batch: assign against the frozen quantizer, land the
     * vectors under `cid=<k>/batch_id=<n>`. Public so specs drive replay.
+    *
+    * Cold-start bootstrap: if no quantizer exists yet, the FIRST batch
+    * trains it (the practical bootstrap every vector store uses) — and
+    * because [[buildCentroids]] is a deterministic function of the batch
+    * content, a replay of that first batch rebuilds the identical
+    * centroids before re-indexing, preserving the replay contract.
     */
   def processBatch(batch: DataFrame, batchId: Long,
+      centDir: String, indexDir: String): Unit = {
+    val spark = batch.sparkSession
+    val (fs, cp) = graft.ingest.HadoopFs.forPath(spark, centDir)
+    if (!fs.exists(cp) || fs.listStatus(cp).isEmpty) {
+      val b = batch.localCheckpoint(true) // bootstrap + assignment read it
+      buildCentroids(b.select("vec_id", "embedding"), centDir)
+      return indexAssigned(b, batchId, centDir, indexDir)
+    }
+    indexAssigned(batch, batchId, centDir, indexDir)
+  }
+
+  private def indexAssigned(batch: DataFrame, batchId: Long,
       centDir: String, indexDir: String): Unit = {
     val spark = batch.sparkSession
     assign(batch.select(col("vec_id"), col("embedding")),

@@ -84,6 +84,17 @@ object ExprBench {
       ("repetition_stats",
         bench("native") { docs.select(HashFunctions.repetition_stats(col("toks")).as("r")) },
         Double.NaN), // declarative form needs two explode->groupBy shuffles
+      ("token_entropy",
+        bench("native") { docs.select(HashFunctions.token_entropy(col("toks")).as("e")) },
+        bench("groupBy") { docs.select(col("doc_id"), explode(col("toks")).as("w"))
+          .groupBy("doc_id", "w").count()
+          .groupBy("doc_id").agg(
+            sum("count").as("n"),
+            sum(when(col("count") > 1,
+              round(col("count").cast("double") * log(col("count").cast("double")) * 1e6)
+                .cast("long")).otherwise(0L)).as("micro"))
+          .select((log(col("n").cast("double")) -
+            col("micro").cast("double") / 1e6 / col("n")).as("e")) }),
       ("count_between", {
         bench("native") { dvecs.select(
           HashFunctions.count_between(col("dv"), lit(-0.5), lit(0.5)).as("c")) }

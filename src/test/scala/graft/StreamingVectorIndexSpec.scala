@@ -48,6 +48,49 @@ class StreamingVectorIndexSpec extends SparkSpec {
     assert(recall >= 0.5, s"single-probe recall $recall")
   }
 
+  test("wired app flow: first drop bootstraps the quantizer, replay of it converges") {
+    val warehouse = tmpDir("svi-wh")
+    val vecsDir = s"${tmpDir("svi-drop")}/vecs"
+    def put(name: String, vecs: Seq[(Long, Seq[Double])]): Unit = {
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$vecsDir/$name"),
+        vecs.map { case (id, v) =>
+          s"""{"vec_id":$id,"embedding":[${v.mkString(",")}]}""" }
+          .mkString("\n").getBytes)
+      ()
+    }
+    val q = graft.app.PipelineApp.vectorIndexer(spark, vecsDir, warehouse,
+      maxFilesPerTrigger = 1,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      put("v1.json", Seq(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 1.0), 3L -> Seq(0.9, 0.1)))
+      q.processAllAvailable()
+      // first batch trained the quantizer AND got indexed
+      assert(spark.read.parquet(s"$warehouse/_vec_centroids").count() > 0)
+      assert(StreamingVectorIndex.indexed(spark, s"$warehouse/_vec_index").count() == 3)
+      put("v2.json", Seq(4L -> Seq(0.1, 0.95)))
+      q.processAllAvailable()
+      assert(StreamingVectorIndex.indexed(spark, s"$warehouse/_vec_index").count() == 4)
+    } finally q.stop()
+
+    // replay of the BOOTSTRAP batch: centroids rebuilt deterministically,
+    // index unchanged
+    val centBefore = spark.read.parquet(s"$warehouse/_vec_centroids").collect()
+      .map(_.toString).sorted.toSeq
+    import spark.implicits._
+    val b0 = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)), (3L, Seq(0.9, 0.1)))
+      .toDF("vec_id", "embedding")
+    // simulate the crash window: quantizer lost mid-replay is the worst
+    // case — delete it so the replayed batch 0 retrains from scratch
+    val (fs, cp) = graft.ingest.HadoopFs.forPath(spark, s"$warehouse/_vec_centroids")
+    fs.delete(cp, true)
+    StreamingVectorIndex.processBatch(b0, 0L,
+      s"$warehouse/_vec_centroids", s"$warehouse/_vec_index")
+    val centAfter = spark.read.parquet(s"$warehouse/_vec_centroids").collect()
+      .map(_.toString).sorted.toSeq
+    assert(centAfter == centBefore)
+    assert(StreamingVectorIndex.indexed(spark, s"$warehouse/_vec_index").count() == 4)
+  }
+
   test("query scan is partition-pruned to the probed cells; replay converges") {
     val cent = tmpDir("svi-cent2"); val idx = tmpDir("svi-idx2")
     StreamingVectorIndex.buildCentroids(emb, cent, k = 4)
