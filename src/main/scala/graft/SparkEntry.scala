@@ -59,6 +59,8 @@ object SparkEntry {
     "g_argminmax"       -> (AQ.gArgMinMax _),
     // CUSUM changepoint scan, scale-safe prefix-sum-minus-prefix-min form
     "w_cusum"           -> (AQ.wCusum _),
+    // 10%-trimmed mean from histogram rank-interval overlaps
+    "g_trimmed_mean"    -> (AQ.gTrimmedMean _),
     // Time-series extensions (as-of join, sessionization)
     "ts_asof_join"      -> (TimeSeriesOps.asofQuery _),
     "ts_sessionize"     -> ((s, d) => TimeSeriesOps.sessionize(s, d)),
@@ -467,6 +469,7 @@ object SparkEntry {
     "g_mad_outliers"    -> AQ.gMadOutliersSql,
     "g_argminmax"       -> AQ.gArgMinMaxSql,
     "w_cusum"           -> AQ.wCusumSql,
+    "g_trimmed_mean"    -> AQ.gTrimmedMeanSql,
     "d_prefix_filter"   -> DedupOps.prefixFilterSql,
     "w_funnel"          -> graft.operators.FunnelOps.windowFunnelSql,
     "w_seq_match"       -> graft.operators.FunnelOps.seqMatchSql,

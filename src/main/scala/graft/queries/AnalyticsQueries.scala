@@ -720,6 +720,44 @@ object AnalyticsQueries {
       |  max(CASE WHEN rn = 1 THEN c END) AS bottom_cents
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** 10 %-trimmed mean per group — the robust-stats family's last classic
+    * next to [[gMadOutliers]] and [[gExactPcts]]: drop the lowest and
+    * highest ⌊n/10⌋ ranks, average the rest. Exact and histogram-shaped:
+    * each (value, count) row of the cumulated histogram covers the rank
+    * interval [lo, hi], so its contribution to the kept sum is
+    * `v · |[lo,hi] ∩ [k_lo,k_hi]|` — pure integer arithmetic over
+    * NDV-sized data, never a sort or buffer of the group's values. One
+    * double division + round at the end.
+    */
+  def gTrimmedMean(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.lineitem(s, d).select(col("l_returnflag").as("g"),
+      round(col("l_extendedprice") * 100).cast("long").as("v"))
+    cumulatedHistogram(c, "g", "v")
+      .withColumn("klo", expr("n div 10 + 1"))
+      .withColumn("khi", expr("n - n div 10"))
+      .withColumn("ov", greatest(lit(0L),
+        least(col("hi"), col("khi")) - greatest(col("lo"), col("klo")) + 1))
+      .groupBy("g")
+      .agg(first("n").as("n"), sum("ov").as("n_kept"),
+        sum(col("v") * col("ov")).as("tsum"))
+      .select(col("g").as("l_returnflag"), col("n"), col("n_kept"),
+        round(col("tsum").cast("double") / col("n_kept"), 4).as("trimmed_mean_cents"))
+      .orderBy("l_returnflag")
+  }
+  val gTrimmedMeanSql: String =
+    """WITH o AS (SELECT l_returnflag AS g,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT)) AS rn,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem)
+      |SELECT g AS l_returnflag, CAST(min(n) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN rn > n // 10 AND rn <= n - n // 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  round(CAST(sum(CASE WHEN rn > n // 10 AND rn <= n - n // 10 THEN v ELSE 0 END) AS DOUBLE)
+      |        / sum(CASE WHEN rn > n // 10 AND rn <= n - n // 10 THEN 1 ELSE 0 END), 4)
+      |    AS trimmed_mean_cents
+      |FROM o GROUP BY g ORDER BY g""".stripMargin
+
   /** CUSUM changepoint scan over the daily order-count series — the
     * monitoring classic (Page 1954): cumulative sum of deviations from the
     * series mean, reset at its running minimum, flags sustained level
