@@ -120,12 +120,19 @@ object PipelineApp {
     if (!fs.exists(refTerms)) {
       val corpusDir = s"$warehouseDir/_corpus"
       val cPath = new org.apache.hadoop.fs.Path(corpusDir)
-      if (!fs.exists(cPath) || fs.listStatus(cPath).isEmpty) return None
-      StreamingDrift.buildReference(
-        StreamingDedup.corpus(spark, corpusDir).select("doc_id", "text"), refDir)
+      if (!fs.exists(cPath)) return None
+      // ROW-level emptiness, not directory entries: an empty first docs
+      // drop leaves a zero-row batch dir behind (StreamingDedup writes
+      // batch_id=N unconditionally), and freezing a reference over zero
+      // docs would null every future PSI score
+      val corpus = StreamingDedup.corpus(spark, corpusDir).select("doc_id", "text")
+      if (corpus.isEmpty) return None
+      StreamingDrift.buildReference(corpus, refDir)
     }
+    // the drop dir's OWN FileSystem — it may not share the warehouse's
+    // (file:// drop dir next to an hdfs:// warehouse), like corpusAdmission
     val p = new org.apache.hadoop.fs.Path(docsDir)
-    fs.mkdirs(p)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(p)
     val docs = spark.readStream
       .schema("doc_id LONG, text STRING")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

@@ -150,13 +150,6 @@ object TextOps {
       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpeish_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Gopher-style repetition filter signals, via the native
-    * [[graft.catalyst.RepetitionStats]] expression: most-frequent-word
-    * fraction, most-frequent-bigram fraction, type-token ratio — one
-    * compiled per-row pass (two local hash maps), zero shuffles, vs. the
-    * two explode→groupBy pyramids the declarative formulation needs (the
-    * oracle SQL below is exactly that pyramid).
-    */
   /** Per-doc Shannon token entropy via the native codegen'd
     * [[graft.catalyst.TokenEntropy]] expression — a single compiled
     * projection where the explode→groupBy formulation would shuffle every
@@ -183,6 +176,13 @@ object TextOps {
       |FROM t JOIN e ON t.doc_id = e.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  /** Gopher-style repetition filter signals, via the native
+    * [[graft.catalyst.RepetitionStats]] expression: most-frequent-word
+    * fraction, most-frequent-bigram fraction, type-token ratio — one
+    * compiled per-row pass (two local hash maps), zero shuffles, vs. the
+    * two explode→groupBy pyramids the declarative formulation needs (the
+    * oracle SQL below is exactly that pyramid).
+    */
   def repetitionDf(s: SparkSession, d: String): DataFrame =
     docsSorted(s, d)
       .select(col("doc_id"),

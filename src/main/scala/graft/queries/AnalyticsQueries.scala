@@ -769,7 +769,8 @@ object AnalyticsQueries {
     *
     * Scale discipline — CUSUM looks sequential but is not:
     * `s_i = max(0, s_{i-1} + x_i)` has the closed form
-    * `s_i = P_i − min_{j≤i} P_j` (prefix sum minus prefix MIN), and both
+    * `s_i = P_i − min_{0≤j≤i} P_j` (prefix sum minus prefix MIN — the
+    * EMPTY prefix P₀ = 0 included), and both
     * prefixes compose blockwise. The day-level windows partition BY YEAR
     * (calendar-bounded frames), and the cross-year stitch — each year's
     * starting offset and the minimum prefix seen in earlier years — is a
@@ -779,10 +780,16 @@ object AnalyticsQueries {
     * decade), exactly like the prefix-SUM recursion in
     * [[PipelineQueries.sequencePack]]; this is its prefix-MIN sibling.
     */
-  def wCusum(s: SparkSession, d: String): DataFrame = {
-    val daily = Tables.orders(s, d)
+  def wCusum(s: SparkSession, d: String): DataFrame =
+    cusumOver(Tables.orders(s, d)
       .groupBy(col("o_orderdate").cast("date").as("dt"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The scan on ANY (dt, n) daily frame — public so specs pin the closed
+    * form against the sequential recurrence on crafted series (including a
+    * leading above-mean run, the case the empty-prefix term exists for).
+    */
+  def cusumOver(daily: DataFrame): DataFrame = {
     val tot = daily.agg(sum("n").as("t"), count(lit(1)).as("nd"))
     val x = daily.crossJoin(broadcast(tot))
       .withColumn("x", col("n") * col("nd") - col("t"))
@@ -807,9 +814,13 @@ object AnalyticsQueries {
       .groupBy("yr", "yoff").agg(min("ymin_abs2").as("mprev"))
     inYr.join(broadcast(mprev), Seq("yr"))
       .withColumn("p", col("yoff") + col("pin"))
+      // the EMPTY prefix P₀ = 0 belongs in the minimum: without it the
+      // first day's cusum is forced to 0 and a level shift at the very
+      // start of the series is silently missed
       .withColumn("m",
-        least(coalesce(col("mprev"), col("yoff") + col("minin")),
-          col("yoff") + col("minin")))
+        least(lit(0L),
+          least(coalesce(col("mprev"), col("yoff") + col("minin")),
+            col("yoff") + col("minin"))))
       .select(col("dt").as("order_date"), col("n").as("n_orders"),
         (col("p") - col("m")).as("cusum"),
         (col("p") - col("m") > col("t")).as("flagged"))
@@ -823,7 +834,7 @@ object AnalyticsQueries {
       |p AS (SELECT d, n, tot,
       |        sum(xx) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS pp FROM x),
       |m AS (SELECT d, n, tot, pp,
-      |        min(pp) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS mm FROM p)
+      |        least(min(pp) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING), 0) AS mm FROM p)
       |SELECT d AS order_date, n AS n_orders, CAST(pp - mm AS BIGINT) AS cusum,
       |  pp - mm > tot AS flagged
       |FROM m ORDER BY d""".stripMargin

@@ -286,10 +286,17 @@ object PipelineQueries {
         sum(when(pmod(col("doc_id"), lit(2)) === 0, 1L).otherwise(0L)).as("ca"),
         sum(when(pmod(col("doc_id"), lit(2)) === 1, 1L).otherwise(0L)).as("cb"))
       .localCheckpoint(true) // K rows; feeds the totals AND the per-term score
-    val tot = sliced.agg(sum("ca").as("ta"), sum("cb").as("tb"))
+    // smooth with the ACTUAL tracked-feature count (≤ PsiK — small corpora
+    // have fewer distinct tokens), so add-1 probabilities stay normalized
+    // and the formula matches StreamingDrift's, which reads its k from the
+    // reference table
+    val tot = sliced.agg(sum("ca").as("ta"), sum("cb").as("tb"),
+      count(lit(1)).as("kk"))
     sliced.crossJoin(broadcast(tot))
-      .withColumn("p", (col("ca") + 1).cast("double") / (col("ta") + PsiK).cast("double"))
-      .withColumn("q", (col("cb") + 1).cast("double") / (col("tb") + PsiK).cast("double"))
+      .withColumn("p",
+        (col("ca") + 1).cast("double") / (col("ta") + col("kk")).cast("double"))
+      .withColumn("q",
+        (col("cb") + 1).cast("double") / (col("tb") + col("kk")).cast("double"))
       .select(col("token"), col("ca"), col("cb"),
         round((col("p") - col("q")) * round(log(col("p") / col("q")), 6), 6).as("psi_term"))
       .orderBy("token")
@@ -303,9 +310,10 @@ object PipelineQueries {
        |        CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
        |        CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
        |      FROM tk JOIN top USING (token) GROUP BY 1),
-       |t AS (SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb FROM c),
+       |t AS (SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb,
+       |             CAST(count(*) AS BIGINT) AS kk FROM c),
        |p AS (SELECT token, ca, cb,
-       |        (ca + 1)::DOUBLE / (ta + $PsiK) AS p, (cb + 1)::DOUBLE / (tb + $PsiK) AS q
+       |        (ca + 1)::DOUBLE / (ta + kk) AS p, (cb + 1)::DOUBLE / (tb + kk) AS q
        |      FROM c CROSS JOIN t)
        |SELECT token, ca, cb, round((p - q) * round(ln(p / q), 6), 6) AS psi_term
        |FROM p ORDER BY token""".stripMargin

@@ -35,7 +35,10 @@ object StreamingDrift {
     */
   val DefaultK = 50
 
-  private def tokens(c: org.apache.spark.sql.Column) = split(trim(c), "\\s+")
+  // the batch psiDrift's tokenizer, not a re-implementation — if
+  // tokenization ever changes, the streaming histogram moves with it
+  private def tokens(c: org.apache.spark.sql.Column) =
+    graft.functions.TextOps.tokens(c)
 
   /** Build the reference histogram from a static corpus frame (`doc_id`,
     * `text`): the top-`k` tokens by count (count desc, token asc — a total

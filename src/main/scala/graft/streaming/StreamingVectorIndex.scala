@@ -101,6 +101,10 @@ object StreamingVectorIndex {
     val (fs, cp) = graft.ingest.HadoopFs.forPath(spark, centDir)
     if (!fs.exists(cp) || fs.listStatus(cp).isEmpty) {
       val b = batch.localCheckpoint(true) // bootstrap + assignment read it
+      // an EMPTY first batch (a zero-byte drop file) must not freeze a
+      // zero-centroid quantizer — that would silently drop every future
+      // vector; skip it and let the first non-empty batch bootstrap
+      if (b.isEmpty) return
       buildCentroids(b.select("vec_id", "embedding"), centDir)
       return indexAssigned(b, batchId, centDir, indexDir)
     }

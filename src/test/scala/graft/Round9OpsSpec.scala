@@ -654,6 +654,18 @@ class Round9OpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(4)).sum <= budget)
   }
 
+  test("cusum: leading above-mean run registers from day one (empty prefix in the min)") {
+    import spark.implicits._
+    import graft.queries.AnalyticsQueries
+    // counts (10, 1, 1): x = (18, -9, -9); Page gives s = (18, 9, 0) — a
+    // prefix-min WITHOUT P₀ = 0 would report s₁ = 0 and miss the shift
+    val daily = Seq((dt("2024-01-01"), 10L), (dt("2024-01-02"), 1L),
+      (dt("2024-01-03"), 1L)).toDF("dt", "n")
+    val got = AnalyticsQueries.cusumOver(daily).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(2)).toMap
+    assert(got == Map("2024-01-01" -> 18L, "2024-01-02" -> 9L, "2024-01-03" -> 0L), got)
+  }
+
   test("cusum: closed form equals the sequential recurrence; non-negative everywhere") {
     import graft.queries.AnalyticsQueries
     val rows = AnalyticsQueries.wCusum(spark, sf0001).collect()
