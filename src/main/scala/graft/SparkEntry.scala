@@ -102,6 +102,8 @@ object SparkEntry {
     "s_ann_sq8"         -> (SimilarityOps.annSq8 _),
     // majority label of the k nearest labeled neighbors (label propagation)
     "s_knn_label"       -> (SimilarityOps.knnLabel _),
+    // contrastive triplet mining: nearest positive + hard negative per query
+    "s_triplet_mine"    -> (SimilarityOps.tripletMine _),
     // semantic clustering: quantized k-means, map-only assignment
     "s_kmeans"          -> (SimilarityOps.kmeans(_, _)),
     // cluster-then-dedup composition: k-means cells as the blocking key
@@ -379,6 +381,7 @@ object SparkEntry {
     "s_ann_ivf"         -> SimilarityOps.annIvfSql,
     "s_ann_sq8"         -> SimilarityOps.annSq8Sql,
     "s_knn_label"       -> SimilarityOps.knnLabelSql,
+    "s_triplet_mine"    -> SimilarityOps.tripletMineSql,
     "s_kmeans"          -> SimilarityOps.kmeansSql,
     "s_cluster_neardup" -> SimilarityOps.clusterNearDupSql,
     "t_langid"          -> TextOps.langIdSql,

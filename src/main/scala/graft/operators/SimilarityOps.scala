@@ -259,6 +259,63 @@ object SimilarityOps {
        |    row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label) AS rn FROM v)
        |WHERE rn = 1 ORDER BY q_id""".stripMargin
 
+  /** Contrastive TRIPLET MINING — the training-pair generator behind every
+    * embedding fine-tune (sentence encoders, retrieval models): for each
+    * query vector, its nearest SAME-label neighbor is the positive and its
+    * nearest OTHER-label neighbor the hard negative; `margin` (positive
+    * minus negative cosine) is the example's difficulty — small or
+    * negative margins are exactly the triplets a contrastive loss learns
+    * most from. Exact scorer over the bounded query set (the [[knnLabel]]
+    * contract: the crossJoin is query-side-bounded; at corpus scale swap
+    * in the IVF/LSH/SQ8 candidate generators — the mining logic on top is
+    * unchanged). Queries whose label has no other member mine no positive
+    * and are dropped (inner join) — same set in the oracle.
+    */
+  def tripletMine(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.fanOut(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+      .localCheckpoint(true)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("ql"),
+        col("embedding").as("eq"), col("nrm").as("nq"))
+    val c = e.select(col("vec_id").as("c_id"), col("label").as("cl"),
+      col("embedding").as("ec"), col("nrm").as("nc"))
+    val scored = q.crossJoin(c).filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", round(dot(col("eq"), col("ec")) / (col("nq") * col("nc")), 4))
+      .select("q_id", "ql", "c_id", "cl", "cos")
+      .localCheckpoint(true) // both the positive and negative legs read it
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    val pos = scored.filter(col("cl") === col("ql"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("q_id"), col("ql").as("label"),
+        col("c_id").as("pos_id"), col("cos").as("pos_cos"))
+    val neg = scored.filter(col("cl") =!= col("ql"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("q_id"), col("c_id").as("neg_id"), col("cos").as("neg_cos"))
+    pos.join(neg, Seq("q_id"))
+      .withColumn("margin", round(col("pos_cos") - col("neg_cos"), 4))
+      .orderBy("q_id")
+  }
+  val tripletMineSql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding,
+       |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, q.label AS ql, c.vec_id AS c_id, c.label AS cl,
+       |    round(list_sum(list_transform(generate_series(1, $Dim),
+       |          i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm), 4) AS cos
+       |  FROM e q JOIN e c ON q.vec_id < $NumQueries AND q.vec_id <> c.vec_id),
+       |pos AS (SELECT q_id, ql AS label, c_id AS pos_id, cos AS pos_cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+       |  FROM scored WHERE cl = ql) WHERE rn = 1),
+       |neg AS (SELECT q_id, c_id AS neg_id, cos AS neg_cos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+       |  FROM scored WHERE cl <> ql) WHERE rn = 1)
+       |SELECT p.q_id, p.label, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos,
+       |  round(p.pos_cos - n.neg_cos, 4) AS margin
+       |FROM pos p JOIN neg n ON p.q_id = n.q_id ORDER BY p.q_id""".stripMargin
+
   val IvfProbes = 2
 
   /** Per-cell centroids with exact cross-engine arithmetic: each component is

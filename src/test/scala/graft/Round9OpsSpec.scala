@@ -745,6 +745,26 @@ class Round9OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("token_entropy"), e.getMessage)
   }
 
+  test("triplet mining: positive shares the query's label, negative never does") {
+    import graft.operators.SimilarityOps
+    val labelOf = Tables.embeddings(spark, sf0001).select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = SimilarityOps.tripletMine(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (qid, lbl, posId, negId) =
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(4))
+      assert(labelOf(qid) == lbl)
+      assert(labelOf(posId) == lbl, s"positive $posId label mismatch for $qid")
+      assert(labelOf(negId) != lbl, s"negative $negId shares label of $qid")
+      assert(posId != qid && negId != qid)
+      // margin is exactly the round-4 difference of the two legs
+      assert(r.getDouble(6) ==
+        BigDecimal(r.getDouble(3) - r.getDouble(5))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("shuffle shard: manifest is deterministic, covers the corpus; written shards are key-sorted") {
     import graft.queries.PipelineQueries
     val m1 = PipelineQueries.shuffleShard(spark, sf0001).collect()
