@@ -57,6 +57,43 @@ class StreamingDedupSpec extends SparkSpec {
     assert(fps.length == fps.distinct.length)
   }
 
+  test("concurrent admission batches and store compactions lose nothing") {
+    // the per-store maintenanceLock contract, hammered: an admission
+    // thread drives micro-batches (probe→corpus write→store append) while
+    // a maintenance thread compacts the store's buckets under it. Without
+    // the lock a compaction swap could eat a concurrent append's file, and
+    // the dropped fingerprints would re-admit forever after.
+    val store = tmpDir("sdc-store")
+    val corpus = tmpDir("sdc-corpus")
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val batches = 8
+    val perBatch = 40
+    def docsFor(b: Int) = spark.range(b * perBatch, (b + 1) * perBatch)
+      .selectExpr("id AS doc_id", "concat('uniq doc body ', id) AS text")
+    val admitter = new Thread(() =>
+      try for (b <- 0 until batches)
+        StreamingDedup.processBatch(docsFor(b), b.toLong, store, corpus)
+      catch { case t: Throwable => failures.add(t); () })
+    val compactor = new Thread(() =>
+      try for (_ <- 0 until 12) {
+        graft.operators.FingerprintStore.compact(spark, store, threshold = 1)
+        Thread.sleep(20)
+      } catch { case t: Throwable => failures.add(t); () })
+    admitter.start(); compactor.start()
+    admitter.join(); compactor.join()
+    assert(failures.isEmpty, s"thread failures: ${failures.toArray.mkString("; ")}")
+    // every unique doc admitted exactly once, and the store still vetoes
+    // all of them on a full replay of every batch
+    val admitted = StreamingDedup.corpus(spark, corpus)
+    assert(admitted.count() == batches.toLong * perBatch)
+    for (b <- 0 until batches)
+      StreamingDedup.processBatch(docsFor(b), b.toLong, store, corpus)
+    assert(StreamingDedup.corpus(spark, corpus).count() == batches.toLong * perBatch)
+    // and a brand-new batch duplicating old content is fully rejected
+    StreamingDedup.processBatch(docsFor(0), batches.toLong, store, corpus)
+    assert(StreamingDedup.corpus(spark, corpus).count() == batches.toLong * perBatch)
+  }
+
   test("wired app flow: JSON drop-dir admission through PipelineApp.corpusAdmission") {
     // the continuous-mode wiring, driven file-by-file: same drop-dir file
     // source, same store/corpus layout under the warehouse dir
