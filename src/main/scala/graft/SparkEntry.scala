@@ -167,7 +167,7 @@ object SparkEntry {
     // per-sequence manifest (the batch-materialization view of the packing)
     "p_seq_manifest"    -> ((s, d) => PQ.packedSequences(s, d)),
     // seeded deterministic shuffle-shard manifest (the epoch-permutation step)
-    "p_shuffle_shard"   -> (PQ.shuffleShard _),
+    "p_shuffle_shard"   -> ((s, d) => PQ.shuffleShard(s, d)),
     "p_class_balance"   -> (PQ.classBalance _),
     // Round 2: window / grouping completions
     "w_lead_delta"      -> (PQ.leadDelta _),

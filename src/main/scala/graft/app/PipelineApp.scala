@@ -117,7 +117,14 @@ object PipelineApp {
     val refDir = s"$warehouseDir/_drift_ref"
     val refTerms = new org.apache.hadoop.fs.Path(s"$refDir/terms")
     val fs = refTerms.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(refTerms)) {
+    // BOTH reference tables must be committed (_SUCCESS): buildReference
+    // writes terms then total, and a crash between them would otherwise
+    // pass an exists(terms) check and brick every future batch on the
+    // missing total table. No complete pair → rebuild (overwrite cleans).
+    val refReady =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$refDir/terms/_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$refDir/total/_SUCCESS"))
+    if (!refReady) {
       val corpusDir = s"$warehouseDir/_corpus"
       val cPath = new org.apache.hadoop.fs.Path(corpusDir)
       if (!fs.exists(cPath)) return None

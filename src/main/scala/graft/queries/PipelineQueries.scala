@@ -1094,11 +1094,12 @@ object PipelineQueries {
     * the manifest's n_tokens column is the evidence.
     */
   val ShuffleSeed = "epoch1"
-  def shuffleShard(s: SparkSession, d: String): DataFrame =
+  def shuffleShard(s: SparkSession, d: String,
+      seed: String = ShuffleSeed): DataFrame =
     Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"),
         size(TextOps.tokens(col("text"))).cast("long").as("toks"),
-        md5(concat(lit(ShuffleSeed + "|"), col("doc_id").cast("string"))).as("skey"))
+        md5(concat(lit(seed + "|"), col("doc_id").cast("string"))).as("skey"))
       .withColumn("shard",
         expr("instr('0123456789abcdef', substring(skey, 1, 1))").cast("int") - 1)
       .groupBy("shard")
@@ -1129,10 +1130,11 @@ object PipelineQueries {
     * key order. Re-running with the same seed reproduces the byte-identical
     * layout; a new seed is a fresh epoch permutation.
     */
-  def writeShuffleShards(s: SparkSession, d: String, outDir: String): Unit =
+  def writeShuffleShards(s: SparkSession, d: String, outDir: String,
+      seed: String = ShuffleSeed): Unit =
     Tables.documents(s, d)
       .withColumn("skey",
-        md5(concat(lit(ShuffleSeed + "|"), col("doc_id").cast("string"))))
+        md5(concat(lit(seed + "|"), col("doc_id").cast("string"))))
       .withColumn("shard",
         expr("instr('0123456789abcdef', substring(skey, 1, 1))").cast("int") - 1)
       .repartition(16, col("shard"))

@@ -77,6 +77,10 @@ object StreamingDrift {
   def processBatch(batch: DataFrame, batchId: Long,
       refDir: String, logDir: String): Unit = {
     val spark = batch.sparkSession
+    // an EMPTY batch has no distribution to score — smoothing would
+    // collapse it to uniform and log a spurious full-blown drift alarm;
+    // skip it (trivially replay-idempotent: the replay skips too)
+    if (batch.isEmpty) return
     val terms = refTerms(spark, refDir)
     val toks = batch.select(explode(tokens(col("text"))).as("token"))
     // one pass over the batch: total token count + per-tracked-feature
@@ -103,8 +107,11 @@ object StreamingDrift {
         sum(round((col("p") - col("q")) * round(log(col("p") / col("q")), 6), 6)
           .cast(DecimalType(18, 6))).cast("double").as("psi"),
         coalesce(sum("bn"), lit(0L)).as("n_tracked"))
+    // batch_id rides in the partition DIRECTORY only (the StreamingDedup
+    // convention) — embedding it as a file column too would store it twice
+    // and lean on Spark's partition-column shadowing at read time
     scored.crossJoin(broadcast(batchTotals))
-      .select(lit(batchId).as("batch_id"), col("n_tokens"), col("n_tracked"), col("psi"))
+      .select(col("n_tokens"), col("n_tracked"), col("psi"))
       .write.mode("overwrite").parquet(s"$logDir/batch_id=$batchId")
   }
 

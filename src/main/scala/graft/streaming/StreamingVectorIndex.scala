@@ -99,7 +99,12 @@ object StreamingVectorIndex {
       centDir: String, indexDir: String): Unit = {
     val spark = batch.sparkSession
     val (fs, cp) = graft.ingest.HadoopFs.forPath(spark, centDir)
-    if (!fs.exists(cp) || fs.listStatus(cp).isEmpty) {
+    // COMMITTED quantizer, not just a non-empty dir: a crash mid-write
+    // leaves partial files (no _SUCCESS) — treating those as a quantizer
+    // would freeze an unreadable/empty one and silently drop every future
+    // vector. No marker → rebuild (the overwrite clears the debris).
+    val committed = fs.exists(new org.apache.hadoop.fs.Path(cp, "_SUCCESS"))
+    if (!committed) {
       val b = batch.localCheckpoint(true) // bootstrap + assignment read it
       // an EMPTY first batch (a zero-byte drop file) must not freeze a
       // zero-centroid quantizer — that would silently drop every future

@@ -770,6 +770,10 @@ class Round9OpsSpec extends SparkSpec {
     val m1 = PipelineQueries.shuffleShard(spark, sf0001).collect()
     val m2 = PipelineQueries.shuffleShard(spark, sf0001).collect()
     assert(m1.toSeq == m2.toSeq) // same seed ⇒ identical permutation
+    // a different seed is a genuinely different epoch permutation
+    val m3 = PipelineQueries.shuffleShard(spark, sf0001, seed = "epoch2").collect()
+    assert(m3.map(_.getString(3)).toSeq != m1.map(_.getString(3)).toSeq)
+    assert(m3.map(_.getLong(1)).sum == m1.map(_.getLong(1)).sum) // same corpus
     val nDocs = Tables.documents(spark, sf0001).count()
     assert(m1.map(_.getLong(1)).sum == nDocs)
     assert(m1.forall(r => { val s = r.getInt(0); s >= 0 && s < 16 }))

@@ -88,6 +88,39 @@ class StreamingDriftSpec extends SparkSpec {
     assert(log.map(_.getDouble(2)).max > 0.0) // the skewed drop registered
   }
 
+  test("empty batch is skipped, not scored as drift; half-written reference is rebuilt") {
+    val ref = tmpDir("drift-ref3")
+    val log = tmpDir("drift-log3")
+    StreamingDrift.buildReference(
+      (1L to 10L).map(i => (i, "alpha alpha beta")).toDF("doc_id", "text"), ref, k = 2)
+    // empty batch: a zero-row drop must not log a spurious uniform-vs-ref alarm
+    StreamingDrift.processBatch(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), 0L, ref, log)
+    val (lfs, lp) = graft.ingest.HadoopFs.forPath(spark, log)
+    assert(!lfs.exists(lp) || lfs.listStatus(lp).isEmpty)
+
+    // crash between the terms and total writes: the monitor must rebuild,
+    // not boot a stream that throws on the missing total table forever
+    val wh = tmpDir("drift-wh3")
+    val docsDir = s"${tmpDir("drift-docs3")}/docs"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(docsDir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$docsDir/b1.json"),
+      """{"doc_id":1,"text":"alpha beta"}""".getBytes)
+    val adm = graft.app.PipelineApp.corpusAdmission(spark, docsDir, wh,
+      maxFilesPerTrigger = 1, trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try adm.processAllAvailable() finally adm.stop()
+    // simulate the half-written reference: terms committed, total missing
+    (1L to 5L).map(i => (i, "x y")).toDF("doc_id", "text")
+      .groupBy("text").count()
+      .selectExpr("text AS token", "CAST(count AS LONG) AS ref_n")
+      .write.mode("overwrite").parquet(s"$wh/_drift_ref/terms")
+    val mon = graft.app.PipelineApp.driftMonitor(spark, docsDir, wh, 1,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    assert(mon.nonEmpty) // rebuilt from the corpus instead of bricking
+    try mon.get.processAllAvailable() finally mon.get.stop()
+    assert(StreamingDrift.driftLog(spark, s"$wh/_drift_log").count() >= 1)
+  }
+
   test("a feature missing from the batch contributes finite divergence (add-1 smoothing)") {
     val ref = tmpDir("drift-ref2")
     val log = tmpDir("drift-log2")

@@ -91,6 +91,17 @@ class StreamingVectorIndexSpec extends SparkSpec {
     assert(StreamingVectorIndex.indexed(spark, s"$warehouse/_vec_index").count() == 4)
   }
 
+  test("bootstrap crash window: an uncommitted centroid write is rebuilt, not frozen") {
+    val cent = tmpDir("svi-cent4"); val idx = tmpDir("svi-idx4")
+    // simulate a crash mid-centroid-write: the dir exists with debris but
+    // no _SUCCESS — treating it as a quantizer would index zero vectors
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(cent, "part-junk.parquet.tmp"), Array[Byte](1, 2))
+    StreamingVectorIndex.processBatch(emb.filter(col("vec_id") < 25), 0L, cent, idx)
+    assert(spark.read.parquet(cent).count() > 0)
+    assert(StreamingVectorIndex.indexed(spark, idx).count() == 25)
+  }
+
   test("promote crash window: a cell lost mid-promote is regenerated by the replay") {
     val cent = tmpDir("svi-cent3"); val idx = tmpDir("svi-idx3")
     StreamingVectorIndex.buildCentroids(emb, cent, k = 4)
