@@ -61,6 +61,8 @@ object SparkEntry {
     "w_cusum"           -> (AQ.wCusum _),
     // 10%-trimmed mean from histogram rank-interval overlaps
     "g_trimmed_mean"    -> (AQ.gTrimmedMean _),
+    // Pareto frontier via NDV-sized prefix max (dominance query class)
+    "x_skyline"         -> (AQ.skyline _),
     // Time-series extensions (as-of join, sessionization)
     "ts_asof_join"      -> (TimeSeriesOps.asofQuery _),
     "ts_sessionize"     -> ((s, d) => TimeSeriesOps.sessionize(s, d)),
@@ -473,6 +475,7 @@ object SparkEntry {
     "g_argminmax"       -> AQ.gArgMinMaxSql,
     "w_cusum"           -> AQ.wCusumSql,
     "g_trimmed_mean"    -> AQ.gTrimmedMeanSql,
+    "x_skyline"         -> AQ.skylineSql,
     "d_prefix_filter"   -> DedupOps.prefixFilterSql,
     "w_funnel"          -> graft.operators.FunnelOps.windowFunnelSql,
     "w_seq_match"       -> graft.operators.FunnelOps.seqMatchSql,

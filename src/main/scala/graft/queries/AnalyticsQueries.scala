@@ -758,6 +758,55 @@ object AnalyticsQueries {
       |    AS trimmed_mean_cents
       |FROM o GROUP BY g ORDER BY g""".stripMargin
 
+  /** Pareto frontier (SKYLINE) of parts on (cheap price, large size) — the
+    * dominance query class (Börzsönyi et al. 2001) nothing else on the
+    * board covers: a part survives iff no other part is at-least-as-cheap
+    * AND at-least-as-large with one strict. Ties on both axes coexist on
+    * the frontier (neither dominates).
+    *
+    * Scale shape — never the O(n²) NOT-EXISTS the oracle replays: skyline
+    * membership is `size = max(size at my price)` AND `size > max(size at
+    * any STRICTLY cheaper price)`, and that prefix maximum runs over the
+    * NDV-sized per-price maxima with the [[wCusum]] discipline — windows
+    * partitioned by price BUCKET, cross-bucket stitch via a bounded
+    * inequality self-join. The prefix-MAX third sibling of the prefix
+    * SUM/MIN constructions.
+    */
+  def skyline(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.part(s, d).select(col("p_partkey"),
+      round(col("p_retailprice") * 100).cast("long").as("pc"),
+      col("p_size").cast("long").as("sz"))
+    val grp = pts.groupBy("pc").agg(max("sz").as("gmax"))
+      .withColumn("_b", expr(s"pc div $HistBucketWidth"))
+    val wIn = Window.partitionBy("_b").orderBy("pc")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inB = grp.withColumn("inmax", max("gmax").over(wIn))
+    val bt = grp.groupBy("_b").agg(max("gmax").as("bmax"))
+    val prev = bt
+      .join(bt.select(col("_b").as("_b2"), col("bmax").as("bmax2")),
+        col("_b2") < col("_b"), "left")
+      .groupBy("_b").agg(max("bmax2").as("prevmax"))
+    val sky = inB.join(broadcast(prev), Seq("_b"))
+      .withColumn("maxlt",
+        greatest(coalesce(col("inmax"), lit(-1L)), coalesce(col("prevmax"), lit(-1L))))
+      .filter(col("gmax") > col("maxlt"))
+      .select(col("pc"), col("gmax"))
+    pts.join(sky, Seq("pc")).filter(col("sz") === col("gmax"))
+      .select(col("p_partkey"), col("pc"), col("sz").as("p_size"))
+      .orderBy("pc", "p_partkey")
+  }
+  /** Oracle IS the dominance definition — quadratic, but definitional. */
+  val skylineSql: String =
+    """SELECT p1.p_partkey, CAST(round(p1.p_retailprice * 100) AS BIGINT) AS pc,
+      |  CAST(p1.p_size AS BIGINT) AS p_size
+      |FROM part p1
+      |WHERE NOT EXISTS (SELECT 1 FROM part p2
+      |  WHERE round(p2.p_retailprice * 100) <= round(p1.p_retailprice * 100)
+      |    AND p2.p_size >= p1.p_size
+      |    AND (round(p2.p_retailprice * 100) < round(p1.p_retailprice * 100)
+      |         OR p2.p_size > p1.p_size))
+      |ORDER BY pc, p1.p_partkey""".stripMargin
+
   /** CUSUM changepoint scan over the daily order-count series — the
     * monitoring classic (Page 1954): cumulative sum of deviations from the
     * series mean, reset at its running minimum, flags sustained level

@@ -654,6 +654,21 @@ class Round9OpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(4)).sum <= budget)
   }
 
+  test("skyline: equals brute-force dominance on the driver; frontier is an antichain") {
+    import graft.queries.AnalyticsQueries
+    val pts = Tables.part(spark, sf0001)
+      .selectExpr("p_partkey", "CAST(round(p_retailprice * 100) AS LONG) AS pc",
+        "CAST(p_size AS LONG) AS sz")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def dominates(a: (Long, Long, Long), b: (Long, Long, Long)) =
+      a._2 <= b._2 && a._3 >= b._3 && (a._2 < b._2 || a._3 > b._3)
+    val brute = pts.filter(p => !pts.exists(q => dominates(q, p))).map(_._1).toSet
+    val got = AnalyticsQueries.skyline(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSet == brute)
+    for (a <- got; b <- got if a._1 != b._1) assert(!dominates(a, b), s"$a dominates $b")
+  }
+
   test("cusum: leading above-mean run registers from day one (empty prefix in the min)") {
     import spark.implicits._
     import graft.queries.AnalyticsQueries
