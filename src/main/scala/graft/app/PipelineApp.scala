@@ -283,6 +283,11 @@ object PipelineApp {
     if (repaired > 0) println(s"[recover] restored $repaired partitions from interrupted compactions")
     val fpRepaired = graft.operators.FingerprintStore.recover(spark, s"$warehouseDir/_fp_store")
     if (fpRepaired > 0) println(s"[recover] restored $fpRepaired fingerprint buckets")
+    // the vector index shares the DirSwap crash windows (its compaction is
+    // a stream-stopped maintenance tool — see compactIndex's contract —
+    // but recovery always runs before the stream starts)
+    val vecRepaired = StreamingVectorIndex.recover(spark, s"$warehouseDir/_vec_index")
+    if (vecRepaired > 0) println(s"[recover] restored $vecRepaired vector-index cells")
     Discovery.catchUp(spark, journal, root, LocalDate.now(), now())
     val q = Discovery.stream(spark, journal, root, s"$warehouseDir/_discovery_ckpt",
       maxFilesPerTrigger = cfg.discovery.filesBufferSize,

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
+import graft.ingest.DirSwap
 
 /** Incremental IVF vector index as a streaming flow — the vector sibling of
   * [[StreamingDedup]]: a FROZEN coarse quantizer (k centroids, trained once
@@ -170,6 +171,66 @@ object StreamingVectorIndex {
         processBatch(b, id, centDir, indexDir)
       }
       .start()
+
+  /** Small-files maintenance for the index — the same loop the warehouse
+    * runs per date partition and the fingerprint store per hash bucket,
+    * here per CELL: every micro-batch appends one `batch_id=<n>` dir per
+    * touched cell, so a long-lived stream leaves thousands of tiny dirs
+    * behind, and query cost becomes task-per-file. Each fragmented cell is
+    * rewritten into a single consolidated `batch_id=<maxBatch>` dir via
+    * the crash-safe [[graft.ingest.DirSwap]] protocol (build `.__new`
+    * complete, verify the row count, two-rename swap; [[recover]] repairs
+    * the crash windows).
+    *
+    * CONTRACT: run in a maintenance window, with the indexing stream
+    * STOPPED (the cleanup-cadence slot PipelineApp uses for the other
+    * stores). Consolidation folds batch dirs together, so it is only
+    * replay-safe once their offsets are committed — which stopping the
+    * stream guarantees; a replay after restart starts at a batch id above
+    * every consolidated one. Returns (cellsCompacted, dirsBefore,
+    * dirsAfter).
+    */
+  def compactIndex(spark: SparkSession, indexDir: String,
+      threshold: Int = 8): (Int, Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val (fs, root) = graft.ingest.HadoopFs.forPath(spark, indexDir)
+    if (!fs.exists(root)) return (0, 0, 0)
+    var (cells, before, after) = (0, 0, 0)
+    for (cd <- fs.listStatus(root)
+        if cd.isDirectory && cd.getPath.getName.startsWith("cid=") &&
+          !cd.getPath.getName.contains(".__")) {
+      def batchDirs = fs.listStatus(cd.getPath).filter(st =>
+        st.isDirectory && st.getPath.getName.startsWith("batch_id=") &&
+          !st.getPath.getName.contains(".__"))
+      val dirs = batchDirs
+      if (dirs.length > threshold) {
+        cells += 1; before += dirs.length
+        val maxBatch = dirs.map(_.getPath.getName.stripPrefix("batch_id=").toLong).max
+        // leaf read of the whole cell: rows carry (vec_id, embedding) —
+        // the partition cols come back from the rewritten layout
+        val rows = spark.read
+          .option("basePath", indexDir).parquet(cd.getPath.toString)
+          .select("vec_id", "embedding")
+        val n = rows.count()
+        DirSwap.replace(fs, cd.getPath) { newDir =>
+          rows.coalesce(1).write.mode("overwrite")
+            .parquet(new Path(newDir, s"batch_id=$maxBatch").toString)
+        } { newDir =>
+          require(spark.read.parquet(newDir.toString).count() == n,
+            s"index compaction verify failed for ${cd.getPath}")
+        }
+        after += batchDirs.length
+      }
+    }
+    (cells, before, after)
+  }
+
+  /** Startup repair for [[compactIndex]]'s crash windows (the shared
+    * [[graft.ingest.DirSwap.recover]] sweep over the cell dirs). */
+  def recover(spark: SparkSession, indexDir: String): Int = {
+    val (fs, root) = graft.ingest.HadoopFs.forPath(spark, indexDir)
+    if (!fs.exists(root)) 0 else DirSwap.recover(fs, root)
+  }
 
   /** The indexed corpus (all cells, all batches). */
   def indexed(spark: SparkSession, indexDir: String): DataFrame =

@@ -102,6 +102,38 @@ class StreamingVectorIndexSpec extends SparkSpec {
     assert(StreamingVectorIndex.indexed(spark, idx).count() == 25)
   }
 
+  test("index compaction: fragmented cells collapse to one dir, content and queries unchanged") {
+    val cent = tmpDir("svi-cent5"); val idx = tmpDir("svi-idx5")
+    StreamingVectorIndex.buildCentroids(emb, cent, k = 2)
+    // 10 tiny batches: each touched cell gains one batch dir per batch
+    for (b <- 0 until 10)
+      StreamingVectorIndex.processBatch(
+        emb.filter(col("vec_id") % 10 === b), b.toLong, cent, idx)
+    val beforeRows = StreamingVectorIndex.indexed(spark, idx)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).sortBy(_._1).toSeq
+    val q0 = StreamingVectorIndex.query(spark, cent, idx,
+      emb.filter(col("vec_id") < 3), probes = 2, topK = 5).collect().toSeq
+
+    val (cells, before, after) = StreamingVectorIndex.compactIndex(spark, idx, threshold = 2)
+    assert(cells > 0 && before > after, s"($cells, $before, $after)")
+    val (fs, root) = graft.ingest.HadoopFs.forPath(spark, idx)
+    for (cd <- fs.listStatus(root) if cd.getPath.getName.startsWith("cid="))
+      assert(fs.listStatus(cd.getPath)
+        .count(_.getPath.getName.startsWith("batch_id=")) == 1, cd.getPath)
+
+    // (vec_id, cid) content identical; query results identical
+    val afterRows = StreamingVectorIndex.indexed(spark, idx)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).sortBy(_._1).toSeq
+    assert(afterRows == beforeRows)
+    assert(StreamingVectorIndex.query(spark, cent, idx,
+      emb.filter(col("vec_id") < 3), probes = 2, topK = 5).collect().toSeq == q0)
+    // the stream keeps appending above the consolidated id
+    StreamingVectorIndex.processBatch(
+      emb.filter(col("vec_id") < 5).withColumn("vec_id", col("vec_id") + 1000),
+      10L, cent, idx)
+    assert(StreamingVectorIndex.indexed(spark, idx).count() == beforeRows.size + 5)
+  }
+
   test("promote crash window: a cell lost mid-promote is regenerated by the replay") {
     val cent = tmpDir("svi-cent3"); val idx = tmpDir("svi-idx3")
     StreamingVectorIndex.buildCentroids(emb, cent, k = 4)
