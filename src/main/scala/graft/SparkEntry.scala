@@ -63,6 +63,8 @@ object SparkEntry {
     "g_trimmed_mean"    -> (AQ.gTrimmedMean _),
     // Pareto frontier via NDV-sized prefix max (dominance query class)
     "x_skyline"         -> (AQ.skyline _),
+    // two-proportion z-test on deterministic A/B cohorts
+    "x_ab_test"         -> (AQ.abTest _),
     // Time-series extensions (as-of join, sessionization)
     "ts_asof_join"      -> (TimeSeriesOps.asofQuery _),
     "ts_sessionize"     -> ((s, d) => TimeSeriesOps.sessionize(s, d)),
@@ -476,6 +478,7 @@ object SparkEntry {
     "w_cusum"           -> AQ.wCusumSql,
     "g_trimmed_mean"    -> AQ.gTrimmedMeanSql,
     "x_skyline"         -> AQ.skylineSql,
+    "x_ab_test"         -> AQ.abTestSql,
     "d_prefix_filter"   -> DedupOps.prefixFilterSql,
     "w_funnel"          -> graft.operators.FunnelOps.windowFunnelSql,
     "w_seq_match"       -> graft.operators.FunnelOps.seqMatchSql,

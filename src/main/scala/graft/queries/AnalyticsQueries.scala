@@ -758,6 +758,47 @@ object AnalyticsQueries {
       |    AS trimmed_mean_cents
       |FROM o GROUP BY g ORDER BY g""".stripMargin
 
+  /** Two-proportion z-test — the experiment-analysis staple: is cohort A's
+    * click-through rate different from cohort B's? Cohorts are the
+    * even/odd user_id halves (the deterministic assignment an A/B bucketer
+    * produces), the metric is clicks / events, and the statistic is the
+    * pooled-variance z with the 1.96 two-sided 5 % cut. All inputs are
+    * exact integer counts; z is a fixed chain of double ops on them
+    * (identical cross-engine), rounded once at the end. One
+    * partial-aggregable pass over events, one output row.
+    */
+  def abTest(s: SparkSession, d: String): DataFrame = {
+    val agg = Tables.events(s, d)
+      .select((pmod(col("user_id"), lit(2)) === 0).as("a"),
+        (col("event_type") === "click").as("x"))
+      .agg(
+        sum(when(col("a"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("a") && col("x"), 1L).otherwise(0L)).as("x1"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("n2"),
+        sum(when(!col("a") && col("x"), 1L).otherwise(0L)).as("x2"))
+    val p1 = col("x1").cast("double") / col("n1")
+    val p2 = col("x2").cast("double") / col("n2")
+    val pp = (col("x1") + col("x2")).cast("double") / (col("n1") + col("n2"))
+    val z = (p1 - p2) /
+      sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / col("n1") + lit(1.0) / col("n2")))
+    agg.select(col("n1"), col("x1"), col("n2"), col("x2"),
+      round(z, 4).as("z"),
+      (abs(round(z, 4)) > 1.96).as("significant"))
+  }
+  val abTestSql: String =
+    """WITH c AS (SELECT
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 AND event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+      |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(sum(CASE WHEN user_id % 2 = 1 AND event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x2
+      |  FROM events),
+      |z AS (SELECT *,
+      |    round((x1::DOUBLE / n1 - x2::DOUBLE / n2) /
+      |      sqrt(((x1 + x2)::DOUBLE / (n1 + n2)) * (1.0 - (x1 + x2)::DOUBLE / (n1 + n2))
+      |           * (1.0 / n1 + 1.0 / n2)), 4) AS zv
+      |  FROM c)
+      |SELECT n1, x1, n2, x2, zv AS z, abs(zv) > 1.96 AS significant FROM z""".stripMargin
+
   /** Pareto frontier (SKYLINE) of parts on (cheap price, large size) — the
     * dominance query class (Börzsönyi et al. 2001) nothing else on the
     * board covers: a part survives iff no other part is at-least-as-cheap
