@@ -65,6 +65,10 @@ object SparkEntry {
     "x_skyline"         -> (AQ.skyline _),
     // two-proportion z-test on deterministic A/B cohorts
     "x_ab_test"         -> (AQ.abTest _),
+    // lag-1 autocorrelation of the daily series (exact integer moments)
+    "ts_acf1"           -> (AQ.acf1 _),
+    // day-of-week seasonality profile
+    "w_dow_profile"     -> (AQ.dowProfile _),
     // Time-series extensions (as-of join, sessionization)
     "ts_asof_join"      -> (TimeSeriesOps.asofQuery _),
     "ts_sessionize"     -> ((s, d) => TimeSeriesOps.sessionize(s, d)),
@@ -479,6 +483,8 @@ object SparkEntry {
     "g_trimmed_mean"    -> AQ.gTrimmedMeanSql,
     "x_skyline"         -> AQ.skylineSql,
     "x_ab_test"         -> AQ.abTestSql,
+    "ts_acf1"           -> AQ.acf1Sql,
+    "w_dow_profile"     -> AQ.dowProfileSql,
     "d_prefix_filter"   -> DedupOps.prefixFilterSql,
     "w_funnel"          -> graft.operators.FunnelOps.windowFunnelSql,
     "w_seq_match"       -> graft.operators.FunnelOps.seqMatchSql,

@@ -758,6 +758,84 @@ object AnalyticsQueries {
       |    AS trimmed_mean_cents
       |FROM o GROUP BY g ORDER BY g""".stripMargin
 
+  /** Lag-1 autocorrelation of the daily order-count series — the
+    * diagnostic read next to the [[wCusum]] board: high ACF says the
+    * series trends/cycles (CUSUM alarms cluster), near-zero says shocks
+    * are independent. Pairs are (day t, previous OBSERVED day) via a lag
+    * window over the daily aggregate (calendar-sized), and every Pearson
+    * moment (Σx, Σy, Σxy, Σx², Σy²) is an EXACT integer sum of counts —
+    * no float accumulates anywhere; the statistic is one double chain on
+    * those longs, rounded once. One output row (n_pairs, acf1).
+    */
+  def acf1(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").cast("date").as("dt"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("yr", year(col("dt")))
+    // lag over the calendar frame; cross-year boundary pairs ride a
+    // year-count-sized stitch: the first day of each year pairs with the
+    // previous year's LAST day (bounded self-join, the wCusum discipline)
+    val w = Window.partitionBy("yr").orderBy("dt")
+    val inYr = daily.withColumn("prev", lag("n", 1).over(w))
+    val yrLast = daily.groupBy("yr")
+      .agg(max(struct(col("dt"), col("n"))).as("m"))
+      .select((col("yr") + 1).as("yr"), col("m.n").as("prev_year_last"))
+    val pairs = inYr.join(broadcast(yrLast), Seq("yr"), "left")
+      .withColumn("x", coalesce(col("prev"),
+        when(row_number().over(w) === 1, col("prev_year_last"))))
+      .filter(col("x").isNotNull)
+      .select(col("x"), col("n").as("y"))
+    val m = pairs.agg(
+      count(lit(1)).as("k"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    m.select(col("k").as("n_pairs"),
+      round((col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        sqrt((col("k") * col("sxx") - col("sx") * col("sx")).cast("double") *
+          (col("k") * col("syy") - col("sy") * col("sy")).cast("double")), 4).as("acf1"))
+  }
+  val acf1Sql: String =
+    """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS dt, CAST(count(*) AS BIGINT) AS n
+      |             FROM orders GROUP BY 1),
+      |p AS (SELECT n AS y, lag(n) OVER (ORDER BY dt) AS x FROM dly),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS k,
+      |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |        CAST(sum(x * y) AS BIGINT) AS sxy,
+      |        CAST(sum(x * x) AS BIGINT) AS sxx,
+      |        CAST(sum(y * y) AS BIGINT) AS syy
+      |      FROM p WHERE x IS NOT NULL)
+      |SELECT k AS n_pairs,
+      |  round((k * sxy - sx * sy)::DOUBLE /
+      |    sqrt((k * sxx - sx * sx)::DOUBLE * (k * syy - sy * sy)::DOUBLE), 4) AS acf1
+      |FROM m""".stripMargin
+
+  /** Day-of-week seasonality profile of order volume: per weekday, the
+    * order count, its share, and the seasonality index vs a uniform week
+    * (100 = flat). Counts are exact; share/index are single rounded
+    * divisions. One partial-aggregable pass + a 7-row broadcast total.
+    */
+  def dowProfile(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.orders(s, d)
+      .groupBy(dayofweek(col("o_orderdate").cast("date")).as("dow"))
+      .agg(count(lit(1)).as("n_orders"))
+    c.crossJoin(broadcast(c.agg(sum("n_orders").as("t"))))
+      .select(col("dow"), col("n_orders"),
+        round(col("n_orders").cast("double") / col("t"), 4).as("share"),
+        round(col("n_orders").cast("double") * 7 * 100 / col("t"), 2).as("idx"))
+      .orderBy("dow")
+  }
+  val dowProfileSql: String =
+    """WITH c AS (SELECT dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow,
+      |    CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS t FROM c)
+      |SELECT dow, n_orders,
+      |  round(n_orders::DOUBLE / t, 4) AS share,
+      |  round(n_orders::DOUBLE * 7 * 100 / t, 2) AS idx
+      |FROM c CROSS JOIN t ORDER BY dow""".stripMargin
+
   /** Two-proportion z-test — the experiment-analysis staple: is cohort A's
     * click-through rate different from cohort B's? Cohorts are the
     * even/odd user_id halves (the deterministic assignment an A/B bucketer
