@@ -240,6 +240,8 @@ object SparkEntry {
     // BM25 top-k retrieval through posting lists (inverted-index shape)
     "r_bm25_topk"       -> ((s, d) => graft.operators.RetrievalOps.bm25TopK(s, d)),
     "r_rrf_fusion"      -> ((s, d) => graft.operators.RetrievalOps.rrfFusion(s, d)),
+    // pseudo-relevance feedback: expanded second BM25 pass (RM1-lite)
+    "r_prf_expand"      -> ((s, d) => graft.operators.RetrievalOps.prfExpand(s, d)),
     // product quantization + ADC search (FAISS PQ shape, codebooks trained in-engine)
     "s_ann_pq"          -> (SimilarityOps.annPq _),
     "ts_scd2"           -> (TimeSeriesOps.scd2History _),
@@ -472,6 +474,7 @@ object SparkEntry {
     "p_quality_lr"      -> graft.operators.QualityClassifier.lrFunnelSql,
     "r_bm25_topk"       -> graft.operators.RetrievalOps.bm25TopKSql,
     "r_rrf_fusion"      -> graft.operators.RetrievalOps.rrfFusionSql,
+    "r_prf_expand"      -> graft.operators.RetrievalOps.prfExpandSql,
     "s_ann_pq"          -> SimilarityOps.annPqSql,
     "ts_scd2"           -> TimeSeriesOps.scd2HistorySql,
     "d_incremental"     -> DedupOps.incrementalDedupSql,

@@ -56,13 +56,18 @@ object RetrievalOps {
     * `idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))`,
     * `score = Σ_t idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`.
     */
-  def bm25TopK(s: SparkSession, d: String, k: Int = 15): DataFrame = {
+  def bm25TopK(s: SparkSession, d: String, k: Int = 15): DataFrame =
+    bm25For(s, d, QueryTerms, k)
+
+  /** The scorer for ANY term set — [[bm25TopK]] binds the demo query;
+    * [[prfExpand]] re-enters with the expanded one. */
+  def bm25For(s: SparkSession, d: String, terms: Seq[String], k: Int): DataFrame = {
     val docs = Tables.documents(s, d).filter(col("text").isNotNull)
       .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("dl"))
     val stats = docs.agg(
       count(lit(1)).as("n"),
       (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-    val tf = postings(s, d, QueryTerms)
+    val tf = postings(s, d, terms)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val partial = tf
       .join(broadcast(df), "term")
@@ -78,6 +83,63 @@ object RetrievalOps {
         count(lit(1)).as("n_terms"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Pseudo-relevance feedback (RM1-lite query expansion): run the query,
+    * mine the top-[[PrfExpansionTerms]] non-query terms from the
+    * top-[[PrfFeedbackDocs]] feedback documents (count desc, term asc — a
+    * total order), and re-score with the expanded term set — the classic
+    * recall lever when the literal query under-describes the need.
+    *
+    * The expansion term set is a BOUNDED driver collect
+    * ([[PrfExpansionTerms]] rows — the kmeans-centroid contract); both
+    * BM25 passes are the same [[bm25For]] plan (posting prefilter,
+    * partial-aggregable tf/df, decimal-summed partials). The oracle
+    * replays the whole two-pass loop in one SQL chain, so the expanded
+    * scores hash-match end to end.
+    */
+  val PrfFeedbackDocs = 5
+  val PrfExpansionTerms = 3
+  def prfExpand(s: SparkSession, d: String, k: Int = 15): DataFrame = {
+    val fb = bm25TopK(s, d, PrfFeedbackDocs).select("doc_id")
+    val expansion = Tables.documents(s, d)
+      .join(broadcast(fb), Seq("doc_id"))
+      .select(explode(TextOps.tokens(col("text"))).as("term"))
+      .filter(!col("term").isInCollection(QueryTerms))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term")).limit(PrfExpansionTerms)
+      .collect().map(_.getString(0)).toSeq
+    bm25For(s, d, QueryTerms ++ expansion, k)
+  }
+  /** `lazy`: quotes [[bm25Cte]], declared later in this object. */
+  lazy val prfExpandSql: String = {
+    val termList = QueryTerms.map("'" + _ + "'").mkString(",")
+    s"""WITH $bm25Cte,
+       |fb AS (SELECT doc_id FROM (
+       |  SELECT doc_id, CAST(sum(s) AS DOUBLE) AS bm25 FROM sc GROUP BY doc_id
+       |  ORDER BY bm25 DESC, doc_id LIMIT $PrfFeedbackDocs)),
+       |fbt AS (SELECT term FROM (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |        FROM documents JOIN fb USING (doc_id) WHERE text IS NOT NULL)
+       |  WHERE term NOT IN ($termList)
+       |  GROUP BY term ORDER BY c DESC, term LIMIT $PrfExpansionTerms)),
+       |qt AS (SELECT term FROM fbt UNION SELECT unnest([$termList]) AS term),
+       |tf2 AS (
+       |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+       |  WHERE term IN (SELECT term FROM qt)
+       |  GROUP BY 1, 2, 3),
+       |df2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY 1),
+       |sc2 AS (
+       |  SELECT doc_id,
+       |    CAST(round(
+       |      ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+       |        ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))),
+       |      6) AS DECIMAL(18,6)) AS s
+       |  FROM tf2 JOIN df2 USING (term) CROSS JOIN stats)
+       |SELECT doc_id, CAST(sum(s) AS DOUBLE) AS bm25, CAST(count(*) AS BIGINT) AS n_terms
+       |FROM sc2 GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin
   }
 
   /** Reciprocal-rank fusion of the lexical (BM25) and dense (cosine) legs —

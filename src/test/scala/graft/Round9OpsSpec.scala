@@ -654,6 +654,23 @@ class Round9OpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(4)).sum <= budget)
   }
 
+  test("prf expansion: engages beyond the literal query and keeps score ordering sane") {
+    import graft.operators.RetrievalOps
+    val base = RetrievalOps.bm25TopK(spark, sf0001).collect()
+    val exp = RetrievalOps.prfExpand(spark, sf0001).collect()
+    assert(exp.nonEmpty)
+    // scores strictly ordered by the (bm25 desc, doc_id) contract
+    val scores = exp.map(r => (r.getDouble(1), r.getLong(0)))
+    assert(scores.zip(scores.tail).forall { case ((a, ai), (b, bi)) =>
+      a > b || (a == b && ai < bi) })
+    // expansion engaged: some result matches more terms than the raw query
+    // has, or the ranking moved vs the first pass
+    val engaged =
+      exp.exists(_.getLong(2) > RetrievalOps.QueryTerms.size) ||
+        exp.map(_.getLong(0)).toSeq != base.map(_.getLong(0)).toSeq
+    assert(engaged, "expanded pass is indistinguishable from the base query")
+  }
+
   test("skyline: equals brute-force dominance on the driver; frontier is an antichain") {
     import graft.queries.AnalyticsQueries
     val pts = Tables.part(spark, sf0001)
