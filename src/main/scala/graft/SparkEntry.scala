@@ -69,6 +69,8 @@ object SparkEntry {
     "ts_acf1"           -> (AQ.acf1 _),
     // day-of-week seasonality profile
     "w_dow_profile"     -> (AQ.dowProfile _),
+    // funnel conversion-latency percentiles (exact order statistics)
+    "w_funnel_latency"  -> (AQ.funnelLatency _),
     // Time-series extensions (as-of join, sessionization)
     "ts_asof_join"      -> (TimeSeriesOps.asofQuery _),
     "ts_sessionize"     -> ((s, d) => TimeSeriesOps.sessionize(s, d)),
@@ -488,6 +490,7 @@ object SparkEntry {
     "x_ab_test"         -> AQ.abTestSql,
     "ts_acf1"           -> AQ.acf1Sql,
     "w_dow_profile"     -> AQ.dowProfileSql,
+    "w_funnel_latency"  -> AQ.funnelLatencySql,
     "d_prefix_filter"   -> DedupOps.prefixFilterSql,
     "w_funnel"          -> graft.operators.FunnelOps.windowFunnelSql,
     "w_seq_match"       -> graft.operators.FunnelOps.seqMatchSql,

@@ -758,6 +758,45 @@ object AnalyticsQueries {
       |    AS trimmed_mean_cents
       |FROM o GROUP BY g ORDER BY g""".stripMargin
 
+  /** Conversion LATENCY for the [[graft.operators.FunnelOps]] funnel — the
+    * duration metric next to its counts: how long from a user's first
+    * `view` to their first subsequent `purchase`? Latencies are exact
+    * integer seconds (timestamp truncation, identical in both engines),
+    * and the p50/p90 read off [[globalCumHistogram]]'s exact order
+    * statistics — never a percentile buffer over the user population. One
+    * output row (n_converted, p50_sec, p90_sec).
+    */
+  def funnelLatency(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val lat = ev.filter(col("event_type") === "purchase")
+      .join(firstView, Seq("user_id"))
+      .filter(col("ts") >= col("t1"))
+      .groupBy("user_id", "t1").agg(min("ts").as("t2"))
+      .select((col("t2").cast("long") - col("t1").cast("long")).as("sec"))
+    globalCumHistogram(lat, "sec")
+      .withColumn("k50", expr("(n + 1) div 2"))
+      .withColumn("k90", expr("(9 * n + 9) div 10"))
+      .agg(
+        max("n").as("n_converted"),
+        sum(when(col("k50").between(col("lo"), col("hi")), col("sec"))).as("p50_sec"),
+        sum(when(col("k90").between(col("lo"), col("hi")), col("sec"))).as("p90_sec"))
+  }
+  val funnelLatencySql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, v.t1, min(e.ts) AS t2
+      |      FROM events e JOIN v USING (user_id)
+      |      WHERE e.event_type = 'purchase' AND e.ts >= v.t1
+      |      GROUP BY 1, 2),
+      |l AS (SELECT CAST(floor(epoch(t2)) - floor(epoch(t1)) AS BIGINT) AS sec FROM c),
+      |r AS (SELECT sec, row_number() OVER (ORDER BY sec) AS rn, count(*) OVER () AS n FROM l)
+      |SELECT CAST(min(n) AS BIGINT) AS n_converted,
+      |  CAST(min(CASE WHEN rn = (n + 1) // 2 THEN sec END) AS BIGINT) AS p50_sec,
+      |  CAST(min(CASE WHEN rn = (9 * n + 9) // 10 THEN sec END) AS BIGINT) AS p90_sec
+      |FROM r""".stripMargin
+
   /** Lag-1 autocorrelation of the daily order-count series — the
     * diagnostic read next to the [[wCusum]] board: high ACF says the
     * series trends/cycles (CUSUM alarms cluster), near-zero says shocks
