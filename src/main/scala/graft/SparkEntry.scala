@@ -71,6 +71,8 @@ object SparkEntry {
     "w_dow_profile"     -> (AQ.dowProfile _),
     // funnel conversion-latency percentiles (exact order statistics)
     "w_funnel_latency"  -> (AQ.funnelLatency _),
+    // Benford first-digit audit (forensic digit-distribution screen)
+    "g_benford"         -> (AQ.benford _),
     // Time-series extensions (as-of join, sessionization)
     "ts_asof_join"      -> (TimeSeriesOps.asofQuery _),
     "ts_sessionize"     -> ((s, d) => TimeSeriesOps.sessionize(s, d)),
@@ -491,6 +493,7 @@ object SparkEntry {
     "ts_acf1"           -> AQ.acf1Sql,
     "w_dow_profile"     -> AQ.dowProfileSql,
     "w_funnel_latency"  -> AQ.funnelLatencySql,
+    "g_benford"         -> AQ.benfordSql,
     "d_prefix_filter"   -> DedupOps.prefixFilterSql,
     "w_funnel"          -> graft.operators.FunnelOps.windowFunnelSql,
     "w_seq_match"       -> graft.operators.FunnelOps.seqMatchSql,

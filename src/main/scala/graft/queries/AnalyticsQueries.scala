@@ -758,6 +758,38 @@ object AnalyticsQueries {
       |    AS trimmed_mean_cents
       |FROM o GROUP BY g ORDER BY g""".stripMargin
 
+  /** Benford first-digit audit of order totals — the forensic-accounting
+    * screen: naturally-occurring amounts follow P(d) = log₁₀(1 + 1/d),
+    * and a ledger that deviates hard was fabricated or truncated. The
+    * leading digit comes from the INTEGER cents rendered as a string
+    * (exact and identical in both engines — no float log10 of the value
+    * itself anywhere), counts are one partial-aggregable pass, and the
+    * expected shares are nine constants. Output: digit, count, observed
+    * and expected shares, deviation.
+    */
+  def benford(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.orders(s, d)
+      .select(substring(round(col("o_totalprice") * 100).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_orders"))
+    c.crossJoin(broadcast(c.agg(sum("n_orders").as("t"))))
+      .withColumn("share", round(col("n_orders").cast("double") / col("t"), 4))
+      .withColumn("benford_p", expr("round(log10(1.0 + 1.0 / digit), 4)"))
+      .select(col("digit"), col("n_orders"), col("share"), col("benford_p"),
+        round(col("share") - col("benford_p"), 4).as("dev"))
+      .orderBy("digit")
+  }
+  val benfordSql: String =
+    """WITH c AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+      |    CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS t FROM c)
+      |SELECT digit, n_orders,
+      |  round(n_orders::DOUBLE / t, 4) AS share,
+      |  round(log10(1.0 + 1.0 / digit), 4) AS benford_p,
+      |  round(round(n_orders::DOUBLE / t, 4) - round(log10(1.0 + 1.0 / digit), 4), 4) AS dev
+      |FROM c CROSS JOIN t ORDER BY digit""".stripMargin
+
   /** Conversion LATENCY for the [[graft.operators.FunnelOps]] funnel — the
     * duration metric next to its counts: how long from a user's first
     * `view` to their first subsequent `purchase`? Latencies are exact

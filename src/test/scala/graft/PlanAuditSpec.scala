@@ -67,7 +67,7 @@ class PlanAuditSpec extends SparkSpec {
       "w_cusum", "sql_recursive", "x_lpa_communities", "p_curation_funnel",
       "g_trimmed_mean", "t_token_entropy", "ts_vwap", "ts_candles", "ts_realized_vol",
       "s_triplet_mine", "x_skyline", "x_ab_test", "ts_acf1", "w_dow_profile",
-      "r_prf_expand", "w_funnel_latency")) {
+      "r_prf_expand", "w_funnel_latency", "g_benford")) {
       val df = SparkEntry.queries(q)(spark, sf0001)
       val errs = PlanAudit.audit(df).filter(_.severity == "error")
       assert(errs.isEmpty, s"$q: $errs")
