@@ -332,6 +332,15 @@ object SparkEntry {
     "x_kmv_retention"   -> (graft.operators.SketchOps.kmvRetention _),
     // image near-dup: real decode -> 8x8 aHash -> banded Hamming blocking
     "m_ahash_neardup"   -> (MultimodalOps.ahashNearDup _),
+    // Round 10: model-eval family — the queries that grade the gates
+    // exact tie-corrected Mann-Whitney ROC-AUC from histogram rank intervals
+    "x_roc_auc"         -> (graft.operators.EvalOps.rocAuc _),
+    // reliability bins + Brier decomposition of the sigmoid score
+    "x_calibration"     -> (graft.operators.EvalOps.calibration _),
+    // chance-corrected labeler agreement (language-ID heuristic vs gold)
+    "x_cohen_kappa"     -> (graft.operators.EvalOps.cohenKappa _),
+    // Kaplan-Meier + Nelson-Aalen time-to-conversion with right-censoring
+    "w_kaplan_meier"    -> (graft.queries.SurvivalQueries.kaplanMeier _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -541,5 +550,9 @@ object SparkEntry {
     "x_bfs_hops"        -> graft.operators.GraphOps.bfsHopsSql,
     "x_kmv_retention"   -> graft.operators.SketchOps.kmvRetentionSql,
     "m_ahash_neardup"   -> MultimodalOps.ahashNearDupSql,
+    "x_roc_auc"         -> graft.operators.EvalOps.rocAucSql,
+    "x_calibration"     -> graft.operators.EvalOps.calibrationSql,
+    "x_cohen_kappa"     -> graft.operators.EvalOps.cohenKappaSql,
+    "w_kaplan_meier"    -> graft.queries.SurvivalQueries.kaplanMeierSql,
   )
 }
