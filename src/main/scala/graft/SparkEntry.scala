@@ -91,6 +91,8 @@ object SparkEntry {
     "ts_candles"        -> (TimeSeriesOps.candles _),
     // daily realized volatility from round-6 log returns
     "ts_realized_vol"   -> (TimeSeriesOps.realizedVol _),
+    // annualized Sharpe/Sortino per instrument from exact DECIMAL moments
+    "ts_sharpe"         -> (TimeSeriesOps.sharpeRatios _),
     // SQL-string entry surface (parser -> Catalyst path)
     "sql_q6"            -> (SQ.sqlQ6 _),
     "sql_set_intersect" -> (SQ.sqlIntersect _),
@@ -341,6 +343,9 @@ object SparkEntry {
     "x_cohen_kappa"     -> (graft.operators.EvalOps.cohenKappa _),
     // Kaplan-Meier + Nelson-Aalen time-to-conversion with right-censoring
     "w_kaplan_meier"    -> (graft.queries.SurvivalQueries.kaplanMeier _),
+    // systematic PPS sampling: draw k docs proportional to token budget,
+    // exact integer grid arithmetic (Madow systematic sampling)
+    "p_pps_sample"      -> (PQ.ppsSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -387,6 +392,7 @@ object SparkEntry {
     "ts_vwap"           -> TimeSeriesOps.vwapSql,
     "ts_candles"        -> TimeSeriesOps.candlesSql,
     "ts_realized_vol"   -> TimeSeriesOps.realizedVolSql,
+    "ts_sharpe"         -> TimeSeriesOps.sharpeRatiosSql,
     "sql_q6"            -> SQ.sqlQ6Sql,
     "sql_set_intersect" -> SQ.sqlIntersectSql,
     "sql_exists"        -> SQ.sqlExistsSql,
@@ -554,5 +560,6 @@ object SparkEntry {
     "x_calibration"     -> graft.operators.EvalOps.calibrationSql,
     "x_cohen_kappa"     -> graft.operators.EvalOps.cohenKappaSql,
     "w_kaplan_meier"    -> graft.queries.SurvivalQueries.kaplanMeierSql,
+    "p_pps_sample"      -> PQ.ppsSampleSql,
   )
 }

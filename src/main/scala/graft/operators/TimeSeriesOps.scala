@@ -358,6 +358,84 @@ object TimeSeriesOps {
       |FROM l WHERE r IS NOT NULL
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Risk-adjusted return ratios per instrument — Sharpe (1966) and
+    * Sortino (1994), the two numbers quoted next to [[realizedVol]] on any
+    * strategy tear sheet (both public-domain finance statistics). Built on
+    * the SAME round-6 tick log-returns as [[realizedVol]] (identical lag
+    * construction, so the two queries can never disagree about what a
+    * return is), aggregated per instrument over the whole window:
+    * annualized mean / volatility, with Sortino replacing the denominator
+    * by the downside deviation (√(Σ_{r<0} r² / n) — target 0).
+    *
+    * Determinism: all three moment sums (Σr, Σr², Σ_{r<0}r²) are round-6
+    * DECIMAL — exact and order-independent — and the finishing chain is a
+    * fixed sequence of double ops both engines execute identically (sqrt
+    * is IEEE-correctly-rounded, so even libm agrees). Sample variance is
+    * clamped at 0 before the sqrt (catastrophic cancellation on
+    * near-constant series would otherwise produce a NaN in one engine and
+    * a tiny negative in the other). One lag window + one
+    * partial-aggregable groupBy — the same 100 TB shape as realizedVol.
+    */
+  def sharpeRatios(s: SparkSession, d: String): DataFrame = {
+    val D6 = DecimalType(18, 6)
+    val lagW = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ann = sqrt(lit(252.0))
+    val r = Tables.events(s, d)
+      .withColumn("c", (col("value").cast(DecimalType(18, 2)) * lit(100)).cast("long"))
+      .filter(col("c") > 0)
+      .withColumn("pc", lag(col("c"), 1).over(lagW))
+      .withColumn("r", round(log(col("c").cast("double") / col("pc").cast("double")), 6))
+      .filter(col("r").isNotNull)
+    r.groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("r").cast(D6)).as("sr"),
+        sum(round(col("r") * col("r"), 6).cast(D6)).as("sr2"),
+        sum(when(col("r") < 0, round(col("r") * col("r"), 6)).otherwise(lit(0.0))
+          .cast(D6)).as("sr2n"))
+      .filter(col("n") >= 2)
+      .withColumn("mean_r", col("sr").cast("double") / col("n"))
+      .withColumn("varr",
+        greatest((col("sr2").cast("double") - col("n") * col("mean_r") * col("mean_r")) /
+          (col("n") - 1), lit(0.0)))
+      .withColumn("sd", sqrt(col("varr")))
+      .withColumn("dd", sqrt(col("sr2n").cast("double") / col("n")))
+      .select(
+        col("user_id"), col("n").as("n_returns"),
+        round(col("mean_r"), 6).as("mean_r"),
+        round(col("sd") * ann, 4).as("ann_vol"),
+        when(col("sd") > 0, round(col("mean_r") / col("sd") * ann, 4)).as("sharpe"),
+        when(col("dd") > 0, round(col("mean_r") / col("dd") * ann, 4)).as("sortino"))
+      .orderBy("user_id")
+  }
+  val sharpeRatiosSql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM events WHERE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) > 0),
+      |l AS (SELECT user_id,
+      |    round(ln(CAST(c AS DOUBLE) /
+      |             lag(c) OVER (PARTITION BY user_id ORDER BY ts, event_id)), 6) AS r
+      |  FROM e),
+      |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(r AS DECIMAL(18,6))) AS sr,
+      |    sum(CAST(round(r * r, 6) AS DECIMAL(18,6))) AS sr2,
+      |    sum(CAST(CASE WHEN r < 0 THEN round(r * r, 6) ELSE 0.0 END AS DECIMAL(18,6))) AS sr2n
+      |  FROM l WHERE r IS NOT NULL GROUP BY 1 HAVING count(*) >= 2),
+      |f AS (SELECT user_id, n,
+      |    CAST(sr AS DOUBLE) / n AS mean_r,
+      |    greatest((CAST(sr2 AS DOUBLE) - n * (CAST(sr AS DOUBLE) / n) * (CAST(sr AS DOUBLE) / n))
+      |             / (n - 1), 0.0) AS varr,
+      |    CAST(sr2n AS DOUBLE) / n AS ddv
+      |  FROM m)
+      |SELECT user_id, n AS n_returns,
+      |  round(mean_r, 6) AS mean_r,
+      |  round(sqrt(varr) * sqrt(252.0), 4) AS ann_vol,
+      |  CASE WHEN sqrt(varr) > 0
+      |       THEN round(mean_r / sqrt(varr) * sqrt(252.0), 4) END AS sharpe,
+      |  CASE WHEN sqrt(ddv) > 0
+      |       THEN round(mean_r / sqrt(ddv) * sqrt(252.0), 4) END AS sortino
+      |FROM f ORDER BY user_id""".stripMargin
+
   /** Sessionization: split each user's event stream into sessions at
     * inactivity gaps > `gapMinutes`. The lag + running-sum-of-boundaries
     * plan is one shuffle on user_id; session_window() is the streaming twin.

@@ -1811,4 +1811,67 @@ object PipelineQueries {
        |LEFT JOIN wagg USING (doc_id)
        |JOIN embeddings e ON e.vec_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Systematic probability-proportional-to-size sampling (Madow 1949 —
+    * public-domain survey statistics): draw [[PpsSampleK]] units where each
+    * document's inclusion count is proportional to its size weight
+    * (`n_chars` standing in for token count) — the "sample documents
+    * proportional to their token budget" selection every data-mixture
+    * pipeline needs, done EXACTLY and deterministically, with no
+    * transcendental keys (the Efraimidis–Spirakis `u^(1/w)` trick needs
+    * pow/ln, which cross-engine libm makes unreplayable; the systematic
+    * grid needs only integer arithmetic).
+    *
+    * Construction: order docs by a seeded md5 permutation (the
+    * [[shuffleShard]] convention), take the inclusive cumulative weight
+    * `C_i`, and select each doc `⌊C_i·k/W⌋ − ⌊C_{i−1}·k/W⌋` times — a
+    * telescoping sum, so EXACTLY k selections always, with a doc drawn
+    * multiple times iff its weight spans multiple grid cells (the PPS
+    * up-sampling semantics). All arithmetic is long (`C·k` holds to
+    * W·k < 2⁶³ — beyond that, lift to DECIMAL(38,0), same ops).
+    *
+    * Scale shape: the cumulative sum is the two-level discipline — a
+    * window PARTITIONED by the permutation key's first 2 hex chars (256
+    * buckets; widen to 4 hex chars + one more offset level at 100 TB —
+    * the [[exclusivePrefix]] recursion on strings) and a bounded 256-row
+    * self-join for bucket offsets, broadcast. No global sort, no
+    * single-partition window.
+    */
+  val PpsSampleK = 100
+  def ppsSample(s: SparkSession, d: String): DataFrame = {
+    val w = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"),
+        greatest(coalesce(col("n_chars"), lit(1L)), lit(1L)).as("w"),
+        md5(concat(lit("pps|"), col("doc_id").cast("string"))).as("skey"))
+      .withColumn("b", substring(col("skey"), 1, 2))
+    val inBucket = Window.partitionBy("b").orderBy("skey", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumIn = w.withColumn("ci_in", sum("w").over(inBucket))
+    val bt = w.groupBy("b").agg(sum("w").cast("long").as("bw"))
+    val off = bt.join(bt.select(col("b").as("b2"), col("bw").as("bw2")),
+        col("b2") < col("b"), "left")
+      .groupBy("b").agg(coalesce(sum("bw2"), lit(0L)).as("off"))
+    val tot = bt.agg(sum("bw").cast("long").as("tw"))
+    cumIn.join(broadcast(off), "b").crossJoin(broadcast(tot))
+      .withColumn("ci", col("off") + col("ci_in"))
+      .withColumn("n_copies",
+        expr(s"(ci * $PpsSampleK) div tw - ((ci - w) * $PpsSampleK) div tw"))
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("w").cast("long").as("w"),
+        col("n_copies").cast("long").as("n_copies"))
+      .orderBy("doc_id")
+  }
+  val ppsSampleSql: String =
+    s"""WITH w AS (SELECT doc_id, greatest(coalesce(n_chars, 1), 1) AS w,
+       |             md5('pps|' || CAST(doc_id AS VARCHAR)) AS skey FROM documents),
+       |c AS (SELECT doc_id, w,
+       |        sum(w) OVER (ORDER BY skey, doc_id
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ci
+       |      FROM w),
+       |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w)
+       |SELECT doc_id, CAST(w AS BIGINT) AS w,
+       |  CAST((ci * $PpsSampleK) // tw - ((ci - w) * $PpsSampleK) // tw AS BIGINT) AS n_copies
+       |FROM c CROSS JOIN t
+       |WHERE (ci * $PpsSampleK) // tw - ((ci - w) * $PpsSampleK) // tw >= 1
+       |ORDER BY doc_id""".stripMargin
 }

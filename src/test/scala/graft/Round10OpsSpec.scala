@@ -120,6 +120,69 @@ class Round10OpsSpec extends SparkSpec {
     assert(totalDeaths <= nUsers)
   }
 
+  test("pps sample: exactly k selections, bounded multiplicity, certainty units") {
+    import graft.queries.PipelineQueries
+    val k = PipelineQueries.PpsSampleK
+    val sel = PipelineQueries.ppsSample(spark, sf0001).collect()
+    // telescoping grid: total multiplicity is EXACTLY k, always
+    assert(sel.map(_.getLong(2)).sum == k)
+    val w = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), greatest(coalesce(col("n_chars"), lit(1L)), lit(1L)).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val totW = w.values.sum
+    sel.foreach { r =>
+      val wi = w(r.getLong(0))
+      assert(r.getLong(1) == wi)
+      // a weight spanning m grid cells is drawn at most ceil(w k / W)+...
+      // tight bound: floor(w*k/W) <= copies <= floor(w*k/W) + 1
+      val base = wi * k / totW
+      assert(r.getLong(2) >= base && r.getLong(2) <= base + 1,
+        s"doc=${r.getLong(0)} w=$wi copies=${r.getLong(2)} base=$base")
+    }
+    // certainty units: any doc with w*k >= W MUST be selected
+    val certain = w.filter { case (_, wi) => wi * k >= totW }.keySet
+    val selected = sel.map(_.getLong(0)).toSet
+    assert(certain.subsetOf(selected))
+    // deterministic: a second construction returns the identical sample
+    val again = PipelineQueries.ppsSample(spark, sf0001).collect()
+    assert(again.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      sel.map(r => (r.getLong(0), r.getLong(2))).toSeq)
+  }
+
+  test("sharpe/sortino: engine matches a driver-side sequential replay") {
+    import graft.operators.TimeSeriesOps
+    val rows = TimeSeriesOps.sharpeRatios(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // driver replay: same cents sequence, same round-6 returns, same moments
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"),
+        col("ts"), col("event_id"))
+      .filter(col("c") > 0)
+      .orderBy("user_id", "ts", "event_id").collect()
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byUser = ev.groupBy(_.getLong(0)).view.mapValues { rs =>
+      val cents = rs.map(_.getLong(1)).toList
+      cents.sliding(2).collect { case List(a, b) =>
+        r6(math.log(b.toDouble / a.toDouble)) }.toSeq
+    }.toMap
+    rows.foreach { row =>
+      val rets = byUser(row.getLong(0))
+      assert(row.getLong(1) == rets.length)
+      val n = rets.length.toDouble
+      val sr = rets.map(BigDecimal(_)).sum
+      val sr2 = rets.map(r => BigDecimal(r6(r * r))).sum
+      val mean = sr.toDouble / n
+      assert(math.abs(row.getDouble(2) - r6(mean)) < 1e-12)
+      val varr = math.max((sr2.toDouble - n * mean * mean) / (n - 1), 0.0)
+      val sharpe = if (math.sqrt(varr) > 0) mean / math.sqrt(varr) * math.sqrt(252.0) else Double.NaN
+      if (!row.isNullAt(4))
+        assert(math.abs(row.getDouble(4) - sharpe) < 1e-3,
+          s"user=${row.getLong(0)} engine=${row.getDouble(4)} replay=$sharpe")
+      assert(row.getDouble(3) >= 0.0) // ann_vol
+    }
+  }
+
   test("kappa: perfect agreement pins kappa to exactly 1 shape (synthetic)") {
     // identity check of the closed form on a crafted 2x2: n11=40, n00=60
     // -> po=1, kappa=1 regardless of marginals
