@@ -334,6 +334,9 @@ object SparkEntry {
     "x_kmv_retention"   -> (graft.operators.SketchOps.kmvRetention _),
     // image near-dup: real decode -> 8x8 aHash -> banded Hamming blocking
     "m_ahash_neardup"   -> (MultimodalOps.ahashNearDup _),
+    // audio: per-frame energy/ZCR/peak over synth PCM (decoder is a
+    // documented deterministic fake; plumbing + frame DSP are real)
+    "m_audio_features"  -> (MultimodalOps.audioFeaturesDf _),
     // Round 10: model-eval family — the queries that grade the gates
     // exact tie-corrected Mann-Whitney ROC-AUC from histogram rank intervals
     "x_roc_auc"         -> (graft.operators.EvalOps.rocAuc _),
@@ -556,6 +559,7 @@ object SparkEntry {
     "x_bfs_hops"        -> graft.operators.GraphOps.bfsHopsSql,
     "x_kmv_retention"   -> graft.operators.SketchOps.kmvRetentionSql,
     "m_ahash_neardup"   -> MultimodalOps.ahashNearDupSql,
+    "m_audio_features"  -> MultimodalOps.audioFeaturesSql,
     "x_roc_auc"         -> graft.operators.EvalOps.rocAucSql,
     "x_calibration"     -> graft.operators.EvalOps.calibrationSql,
     "x_cohen_kappa"     -> graft.operators.EvalOps.cohenKappaSql,

@@ -16,6 +16,11 @@ case class FrameRef(doc_id: Long, frame_idx: Int, frame_hash: String)
   */
 case class DecodedImage(doc_id: Long, width: Int, height: Int, px_checksum: Long)
 
+/** Per-frame audio features (energy / zero-crossing rate / peak) — the
+  * standard first-pass DSP triple over PCM frames.
+  */
+case class AudioFrame(doc_id: Long, frame_idx: Int, energy: Long, zcr: Long, peak: Int)
+
 /** Multimodal-column plumbing: image/audio/video travel as opaque `binary`
   * columns with typed metadata. IMAGE decode is REAL — PNG through
   * `javax.imageio` (pure JVM), see [[decodeImages]], oracle-checked via a
@@ -115,6 +120,78 @@ object MultimodalOps {
       |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
       |       md5(text || ':' || CAST(i AS VARCHAR)) AS frame_hash
       |FROM s ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** PCM frame length for [[audioFeatures]] (samples per analysis frame). */
+  val FrameLen = 64
+
+  /** Audio feature extraction over the blob column: 8-bit PCM → per-frame
+    * energy (Σs²), zero-crossing count, and peak amplitude — the classic
+    * first-pass DSP triple (frame windowing exactly as librosa/torchaudio
+    * frame it). The DECODER is a clearly-marked deterministic fake (no
+    * audio codecs in this container): the "PCM stream" is an LCG synth
+    * keyed by (doc_id, sample index) with the blob supplying only the
+    * sample count, which is what makes the whole operator replayable in
+    * the DuckDB oracle. Everything Spark-side is real and is exactly what
+    * a real decoder drops into: binary column in, per-partition batch
+    * iteration (decoder init once per partition), tight integer loop per
+    * frame, typed columnar output. Only FULL frames are emitted (tail
+    * samples dropped, the standard hop convention).
+    *
+    * 100 TB: blobs never shuffle — features are extracted at scan
+    * locality and only (doc_id, frame_idx, 3 ints) move. Frame count per
+    * task is bounded by input split size, so no skew beyond the scan's.
+    */
+  def audioFeatures(s: SparkSession, d: String): Dataset[AudioFrame] = {
+    import s.implicits._
+    mediaCorpus(s, d).select(col("doc_id").as[Long], col("blob").as[Array[Byte]])
+      .mapPartitions { it =>
+        // real impl: open codec/DSP context here, once per partition
+        it.flatMap { case (id, blob) =>
+          if (blob == null) Iterator.empty
+          else {
+            val base = (id % 65536L) * 1103L
+            (0 until blob.length / FrameLen).iterator.map { fi =>
+              var energy = 0L; var zcr = 0L; var peak = 0
+              var prev = 0; var j = 0
+              while (j < FrameLen) {
+                val i = fi * FrameLen + j
+                val smp = (((base + i * 12345L) % 256L) - 128L).toInt
+                energy += smp.toLong * smp
+                if (j > 0 && prev * smp < 0) zcr += 1
+                if (math.abs(smp) > peak) peak = math.abs(smp)
+                prev = smp; j += 1
+              }
+              AudioFrame(id, fi, energy, zcr, peak)
+            }
+          }
+        }
+      }
+  }
+
+  def audioFeaturesDf(s: SparkSession, d: String): DataFrame =
+    audioFeatures(s, d).toDF().orderBy("doc_id", "frame_idx")
+
+  /** DuckDB replay of [[audioFeatures]]: sample count from the UTF-8 byte
+    * length, samples from the same integer LCG, frames from a lateral
+    * generate_series, the zero-crossing lead() scoped per frame.
+    */
+  val audioFeaturesSql: String =
+    s"""WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+       |           WHERE text IS NOT NULL),
+       |f AS (SELECT doc_id, unnest(generate_series(0, n // $FrameLen - 1)) AS fi
+       |      FROM d WHERE n >= $FrameLen),
+       |s AS (SELECT doc_id, fi,
+       |        unnest(generate_series(fi * $FrameLen, fi * $FrameLen + ${FrameLen - 1})) AS i
+       |      FROM f),
+       |v AS (SELECT doc_id, fi, i,
+       |        ((doc_id % 65536) * 1103 + i * 12345) % 256 - 128 AS smp FROM s),
+       |w AS (SELECT doc_id, fi, smp,
+       |        lead(smp) OVER (PARTITION BY doc_id, fi ORDER BY i) AS nxt FROM v)
+       |SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+       |  CAST(sum(smp * smp) AS BIGINT) AS energy,
+       |  CAST(sum(CASE WHEN nxt IS NOT NULL AND smp * nxt < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zcr,
+       |  CAST(max(abs(smp)) AS INTEGER) AS peak
+       |FROM w GROUP BY doc_id, fi ORDER BY doc_id, frame_idx""".stripMargin
 
   // ---------------------------------------------------------------- real
   // image decode: PNG via javax.imageio — pure JVM, no native codecs needed.

@@ -183,6 +183,27 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("audio features: frame accounting and an independent frame replay") {
+    import graft.operators.MultimodalOps
+    val frames = MultimodalOps.audioFeaturesDf(spark, sf0001).collect()
+    assert(frames.nonEmpty)
+    // frame count = sum over docs of floor(utf8_len / 64)
+    val expected = Tables.documents(spark, sf0001)
+      .filter(col("text").isNotNull)
+      .select((length(encode(col("text"), "UTF-8")) / 64).cast("long").as("nf"))
+      .collect().map(_.getLong(0)).sum
+    assert(frames.length.toLong == expected)
+    // independent replay of every feature of the first doc's first frame
+    val r = frames.head
+    val id = r.getLong(0)
+    assert(r.getInt(1) == 0)
+    val samples = (0 until MultimodalOps.FrameLen)
+      .map(i => ((((id % 65536L) * 1103L + i * 12345L) % 256L) - 128L).toInt)
+    assert(r.getLong(2) == samples.map(s => s.toLong * s).sum)
+    assert(r.getLong(3) == samples.sliding(2).count { case Seq(a, b) => a * b < 0 })
+    assert(r.getInt(4) == samples.map(math.abs).max)
+  }
+
   test("kappa: perfect agreement pins kappa to exactly 1 shape (synthetic)") {
     // identity check of the closed form on a crafted 2x2: n11=40, n00=60
     // -> po=1, kappa=1 regardless of marginals
