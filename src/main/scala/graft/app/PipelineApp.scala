@@ -8,7 +8,7 @@ import graft.ingest.TickerIngest
 import graft.journal.TickerFileJournal
 import graft.pipeline.{Lifecycle, Retry, RetryPolicy}
 import graft.schema.FileStatus
-import graft.streaming.{Discovery, StreamingDedup, StreamingDrift, StreamingVectorIndex}
+import graft.streaming.{Discovery, StreamingDedup, StreamingDrift, StreamingTopK, StreamingVectorIndex}
 
 /** The wired application (SURVEY §7.1 step 8) — replaces the reference's
   * `MainApplication.java:54-91` four-flow bootstrap with one SparkSession
@@ -169,6 +169,25 @@ object PipelineApp {
       s"$warehouseDir/_vec_index", s"$warehouseDir/_vec_ckpt", trigger)
   }
 
+  /** Flow 8 — heavy-hitter tracking: the document drop-dir also feeds
+    * [[graft.streaming.StreamingTopK]] (another independent file-source
+    * reader), maintaining a store of per-batch Misra–Gries sketches whose
+    * on-read merge answers "what is the corpus mostly made of" with a
+    * certified undercount bound. Public so specs drive the exact wiring.
+    */
+  def heavyHitterTracker(spark: SparkSession, docsDir: String,
+      warehouseDir: String, maxFilesPerTrigger: Int,
+      trigger: Trigger): org.apache.spark.sql.streaming.StreamingQuery = {
+    val p = new org.apache.hadoop.fs.Path(docsDir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(p)
+    val docs = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(docsDir)
+    StreamingTopK.start(docs, s"$warehouseDir/_hh_store",
+      s"$warehouseDir/_hh_ckpt", trigger = trigger)
+  }
+
   private def now(): Timestamp = new Timestamp(System.currentTimeMillis())
 
   /** One synchronous cycle of all four flows over a seeded fixture tree. */
@@ -255,6 +274,16 @@ object PipelineApp {
           .mkString("\n").getBytes)
       ()
     }
+    // Flow 8 — heavy hitters over everything dropped so far (3 batches)
+    val hq = heavyHitterTracker(spark, docsDir, warehouseDir,
+      maxFilesPerTrigger = 3, trigger = Trigger.ProcessingTime(0))
+    hq.processAllAvailable(); hq.stop()
+    val board = graft.streaming.StreamingTopK
+      .mergedTopK(spark, s"$warehouseDir/_hh_store")
+    val top = board.limit(1).collect().headOption
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}±${r.getLong(2)}")
+      .getOrElse("-")
+    println(s"[demo] heavy hitters: tracked=${board.count()} top=$top")
     putVecs("v1.json", Seq(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 1.0),
       3L -> Seq(0.9, 0.1)))
     val vq = vectorIndexer(spark, vecsDir, warehouseDir,
@@ -304,6 +333,10 @@ object PipelineApp {
     // Flow 7 — vector indexing from the embeddings drop dir (first batch
     // bootstraps the quantizer)
     val vecQ = vectorIndexer(spark, s"$root/vecs", warehouseDir,
+      maxFilesPerTrigger = cfg.discovery.filesBufferSize,
+      trigger = Trigger.ProcessingTime(s"${cfg.discovery.flushTimeoutSec} seconds"))
+    // Flow 8 — heavy-hitter tracking over the same docs drop dir
+    val hhQ = heavyHitterTracker(spark, s"$root/docs", warehouseDir,
       maxFilesPerTrigger = cfg.discovery.filesBufferSize,
       trigger = Trigger.ProcessingTime(s"${cfg.discovery.flushTimeoutSec} seconds"))
     // one thread per flow: with only 2 threads a stuck uploadData cycle
@@ -382,7 +415,7 @@ object PipelineApp {
     try spark.streams.awaitAnyTermination()
     finally {
       try {
-        for (qq <- Seq(q, corpusQ, vecQ) ++ driftQ) {
+        for (qq <- Seq(q, corpusQ, vecQ, hhQ) ++ driftQ) {
           qq.exception.foreach(e =>
             flowLog.error(s"[flow] streaming query terminated with: ${e.message}"))
           try qq.stop()
