@@ -65,6 +65,16 @@ object SparkEntry {
     "x_skyline"         -> (AQ.skyline _),
     // two-proportion z-test on deterministic A/B cohorts
     "x_ab_test"         -> (AQ.abTest _),
+    // CUPED variance reduction: pre-period covariate adjustment of the A/B diff
+    "x_cuped"           -> (AQ.cuped _),
+    // Theil-Sen robust trend: exact median of pairwise daily slopes
+    "ts_theil_sen"      -> (AQ.theilSen _),
+    // deterministic Poisson bootstrap: 95% CI for the mean order value
+    "x_bootstrap_ci"    -> (AQ.bootstrapCi _),
+    // per-source quantile normalization onto the pooled distribution
+    "t_quantile_norm"   -> (AQ.quantileNorm _),
+    // split-conformal keep-gate threshold + held-out coverage
+    "x_conformal"       -> (AQ.conformalThreshold _),
     // lag-1 autocorrelation of the daily series (exact integer moments)
     "ts_acf1"           -> (AQ.acf1 _),
     // day-of-week seasonality profile
@@ -508,6 +518,11 @@ object SparkEntry {
     "g_trimmed_mean"    -> AQ.gTrimmedMeanSql,
     "x_skyline"         -> AQ.skylineSql,
     "x_ab_test"         -> AQ.abTestSql,
+    "x_cuped"           -> AQ.cupedSql,
+    "ts_theil_sen"      -> AQ.theilSenSql,
+    "x_bootstrap_ci"    -> AQ.bootstrapCiSql,
+    "t_quantile_norm"   -> AQ.quantileNormSql,
+    "x_conformal"       -> AQ.conformalThresholdSql,
     "ts_acf1"           -> AQ.acf1Sql,
     "w_dow_profile"     -> AQ.dowProfileSql,
     "w_funnel_latency"  -> AQ.funnelLatencySql,

@@ -948,6 +948,339 @@ object AnalyticsQueries {
       |  FROM c)
       |SELECT n1, x1, n2, x2, zv AS z, abs(zv) > 1.96 AS significant FROM z""".stripMargin
 
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013 — the
+    * published experimentation-platform technique): adjust each user's
+    * post-period metric by their PRE-period covariate before differencing
+    * the A/B arms, cutting variance by the squared X–Y correlation without
+    * biasing the treatment effect. Pairs with [[abTest]] (same even/odd
+    * user_id bucketer).
+    *
+    * Closed form used here: with θ = Cov(X,Y)/Var(X) fit on the pooled
+    * users, mean_arm(Y − θ(X − x̄)) differences reduce to
+    * `diff_raw − θ·diff_x` — so no per-user adjusted pass is needed, just
+    * arm-conditional moment sums. Every moment (Σx, Σy, Σxy, Σx², Σy²,
+    * arm-conditional Σ) is an exact integer (cents products summed as
+    * DECIMAL(38,0) / HUGEINT); θ, the diffs, and the realized variance-
+    * reduction ρ² are fixed double chains over those integers. One
+    * per-user groupBy (partial-aggregable) + one global fold — the same
+    * 100 TB shape as [[abTest]] with one extra shuffle on user_id.
+    */
+  def cuped(s: SparkSession, d: String): DataFrame = {
+    val D38 = DecimalType(38, 0)
+    val per = Tables.events(s, d)
+      .select(col("user_id"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("c"),
+        (col("ts") < lit("2024-01-16")).as("pre"))
+      .groupBy("user_id")
+      .agg(sum(when(col("pre"), col("c")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("c")).otherwise(0L)).as("y"))
+      .withColumn("arm_a", pmod(col("user_id"), lit(2)) === 0)
+    val m = per.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(D38)).as("sx"),
+      sum(col("y").cast(D38)).as("sy"),
+      sum(col("x").cast(D38) * col("y").cast(D38)).as("sxy"),
+      sum(col("x").cast(D38) * col("x").cast(D38)).as("sxx"),
+      sum(col("y").cast(D38) * col("y").cast(D38)).as("syy"),
+      sum(when(col("arm_a"), 1L).otherwise(0L)).as("na"),
+      sum(when(col("arm_a"), col("x")).otherwise(0L).cast(D38)).as("sxa"),
+      sum(when(col("arm_a"), col("y")).otherwise(0L).cast(D38)).as("sya"))
+    val covn = (col("n").cast(D38) * col("sxy") - col("sx") * col("sy")).cast("double")
+    val varxn = (col("n").cast(D38) * col("sxx") - col("sx") * col("sx")).cast("double")
+    val varyn = (col("n").cast(D38) * col("syy") - col("sy") * col("sy")).cast("double")
+    val theta = covn / varxn
+    val nb = col("n") - col("na")
+    val diffRaw = col("sya").cast("double") / col("na") -
+      (col("sy") - col("sya")).cast("double") / nb
+    val diffX = col("sxa").cast("double") / col("na") -
+      (col("sx") - col("sxa")).cast("double") / nb
+    m.select(
+      col("na").as("n_a"), nb.as("n_b"),
+      round(theta, 6).as("theta"),
+      round(diffRaw, 4).as("diff_raw_cents"),
+      round(diffRaw - theta * diffX, 4).as("diff_cuped_cents"),
+      round(covn * covn / (varxn * varyn), 6).as("rho2"))
+  }
+  val cupedSql: String =
+    """WITH per AS (SELECT user_id,
+      |    CAST(sum(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+      |             THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16 00:00:00'
+      |             THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) AS BIGINT) AS y,
+      |    user_id % 2 = 0 AS arm_a
+      |  FROM events GROUP BY user_id),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+      |    sum(x * x) AS sxx, sum(y * y) AS syy,
+      |    CAST(sum(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |    sum(CASE WHEN arm_a THEN x ELSE 0 END) AS sxa,
+      |    sum(CASE WHEN arm_a THEN y ELSE 0 END) AS sya
+      |  FROM per),
+      |f AS (SELECT n, na, n - na AS nb,
+      |    CAST(n * sxy - sx * sy AS DOUBLE) AS covn,
+      |    CAST(n * sxx - sx * sx AS DOUBLE) AS varxn,
+      |    CAST(n * syy - sy * sy AS DOUBLE) AS varyn,
+      |    CAST(sya AS DOUBLE) / na - CAST(sy - sya AS DOUBLE) / (n - na) AS diff_raw,
+      |    CAST(sxa AS DOUBLE) / na - CAST(sx - sxa AS DOUBLE) / (n - na) AS diff_x
+      |  FROM m)
+      |SELECT na AS n_a, nb AS n_b,
+      |  round(covn / varxn, 6) AS theta,
+      |  round(diff_raw, 4) AS diff_raw_cents,
+      |  round(diff_raw - covn / varxn * diff_x, 4) AS diff_cuped_cents,
+      |  round(covn * covn / (varxn * varyn), 6) AS rho2
+      |FROM f""".stripMargin
+
+  /** Theil–Sen robust trend of the daily order-count series (Theil 1950 /
+    * Sen 1968 — public-domain robust statistics): the median of all
+    * pairwise slopes, immune to the outlier days that drag an OLS fit
+    * (the [[graft.queries.PipelineQueries.zipfFit]] machinery's robust
+    * sibling). Slopes are round-6 micro-units (one double division + one
+    * round, identical cross-engine), and the MEDIAN is exact — the two
+    * middle order statistics read off the scale-safe cumulated slope
+    * histogram ([[globalCumHistogram]]), summed as `sen2_micro` so the
+    * output stays integer until one final division.
+    *
+    * Scale: the pair frame is O(D²) of the DAY count — value-domain
+    * bounded (a 7-year series is ~2.4k days → ~3M pairs regardless of row
+    * count; the [[skyline]] bounded-frame discipline), planned as a
+    * broadcast nested-loop over the NDV-sized daily aggregate. The
+    * data-scale work is one partial-aggregable daily count.
+    */
+  def theilSen(s: SparkSession, d: String): DataFrame = {
+    val dly = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").cast("date").as("dt"))
+      .agg(count(lit(1)).as("nn"))
+      .select(datediff(col("dt"), lit("1992-01-01")).cast("long").as("di"),
+        col("nn"))
+    val b = dly.select(col("di").as("dj"), col("nn").as("nj"))
+    // the when() guard is semantically a no-op (the join admits only
+    // dj > di) but keeps the ANSI-mode division from being evaluated
+    // speculatively for non-matching pairs inside the join's codegen
+    val pairs = dly.join(b, col("dj") > col("di"))
+      .select(when(col("dj") =!= col("di"),
+        round((col("nj") - col("nn")).cast("double") /
+          (col("dj") - col("di")) * lit(1e6)).cast("long")).as("s6"))
+    globalCumHistogram(pairs, "s6")
+      .withColumn("k1", expr("(n + 1) div 2"))
+      .withColumn("k2", expr("(n + 2) div 2"))
+      .withColumn("cov",
+        when(col("k1").between(col("lo"), col("hi")), 1L).otherwise(0L) +
+          when(col("k2").between(col("lo"), col("hi")), 1L).otherwise(0L))
+      .filter(col("cov") > 0)
+      .agg(max("n").as("n_pairs"), sum(col("s6") * col("cov")).as("sen2_micro"))
+      .crossJoin(broadcast(dly.agg(count(lit(1)).as("n_days"))))
+      .select(col("n_days"), col("n_pairs"), col("sen2_micro"),
+        (col("sen2_micro").cast("double") / lit(2000000.0)).as("sen_slope"))
+  }
+  val theilSenSql: String =
+    """WITH dly AS (SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS di,
+      |               CAST(count(*) AS BIGINT) AS n
+      |             FROM orders GROUP BY 1),
+      |p AS (SELECT CAST(round(CAST(b.n - a.n AS DOUBLE) / (b.di - a.di) * 1000000.0) AS BIGINT) AS s6
+      |      FROM dly a JOIN dly b ON b.di > a.di),
+      |r AS (SELECT s6, row_number() OVER (ORDER BY s6) AS rn, count(*) OVER () AS np FROM p),
+      |sel AS (SELECT CAST(max(np) AS BIGINT) AS n_pairs,
+      |          CAST(sum(CASE WHEN rn = (np + 1) // 2 THEN s6 ELSE 0 END) +
+      |               sum(CASE WHEN rn = (np + 2) // 2 THEN s6 ELSE 0 END) AS BIGINT) AS sen2_micro
+      |        FROM r),
+      |d AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM dly)
+      |SELECT n_days, n_pairs, sen2_micro,
+      |  CAST(sen2_micro AS DOUBLE) / 2000000.0 AS sen_slope
+      |FROM sel CROSS JOIN d""".stripMargin
+
+  /** Poisson-bootstrap 95% CI for the mean order value (the streaming/
+    * sharded bootstrap of Chamandy, Muralidharan, Najmi & Naidu,
+    * "Estimating Uncertainty for Massive Data Streams", Google TR 2012 —
+    * public): the classic resample-n-of-n bootstrap cannot run on
+    * distributed data (a resample needs global coordination), but drawing
+    * each row's per-replicate multiplicity as an independent Poisson(1)
+    * gives an asymptotically equivalent resample that is EMBARRASSINGLY
+    * parallel — every (row, replicate) weight is a pure function of the
+    * row key. Here even the Poisson draw is deterministic: a
+    * [[graft.queries.PipelineQueries.trainSplit]]-convention md5 byte
+    * v ∈ [0,256) maps through the fixed inverse-CDF ladder
+    * 94/188/235/251/255 (the 256-scaled Poisson(1) CDF — a ≤2% tail
+    * truncation at w=5, documented), so both engines draw the identical
+    * resample and the whole CI is replayable.
+    *
+    * Scale shape: one explode ×B (map-side), one B-group partial-agg
+    * groupBy, then all ranking happens on the B-row (bounded-constant)
+    * replicate frame via an O(B²) broadcast self-join — the [[skyline]]
+    * bounded-frame discipline. Replicate means are round-4 on exact
+    * integer sums; CI bounds are the ceil(0.025·B)/ceil(0.975·B) order
+    * statistics of those means.
+    */
+  val BootReps = 100
+  private val BootLoRank = 3  // ceil(0.025 * BootReps)
+  private val BootHiRank = 98 // ceil(0.975 * BootReps)
+  def bootstrapCi(s: SparkSession, d: String): DataFrame = {
+    val D38 = DecimalType(38, 0)
+    val x = Tables.orders(s, d).select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("c"))
+    val rep = x
+      .select(col("o_orderkey"), col("c"),
+        explode(sequence(lit(0), lit(BootReps - 1))).as("b"))
+      .withColumn("m", md5(concat(col("b").cast("string"), lit("|"),
+        col("o_orderkey").cast("string"))))
+      .withColumn("v",
+        expr("(instr('0123456789abcdef', substring(m, 31, 1)) - 1) * 16 + " +
+          "instr('0123456789abcdef', substring(m, 32, 1)) - 1"))
+      .withColumn("w",
+        when(col("v") < 94, 0L).when(col("v") < 188, 1L)
+          .when(col("v") < 235, 2L).when(col("v") < 251, 3L)
+          .when(col("v") < 255, 4L).otherwise(5L))
+    val means = rep.groupBy("b")
+      .agg(sum("w").as("sw"), sum((col("w") * col("c")).cast(D38)).as("swx"))
+      .filter(col("sw") > 0)
+      .select(col("b"), round(col("swx").cast("double") / col("sw"), 4).as("mb"))
+    val o = means.select(col("b").as("b2"), col("mb").as("mb2"))
+    val ci = means.join(broadcast(o),
+        col("mb2") < col("mb") ||
+          (col("mb2") === col("mb") && col("b2") <= col("b")))
+      .groupBy("b", "mb").agg(count(lit(1)).as("rnk"))
+      .agg(
+        max(when(col("rnk") === BootLoRank, col("mb"))).as("lo95_cents"),
+        max(when(col("rnk") === BootHiRank, col("mb"))).as("hi95_cents"))
+    x.agg(count(lit(1)).as("n_orders"),
+        round(sum(col("c").cast(D38)).cast("double") / count(lit(1)), 4)
+          .as("mean_cents"))
+      .crossJoin(broadcast(ci))
+      .select(col("n_orders"), lit(BootReps.toLong).as("b_reps"),
+        col("mean_cents"), col("lo95_cents"), col("hi95_cents"))
+  }
+  val bootstrapCiSql: String =
+    s"""WITH x AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+       |rep AS (SELECT o_orderkey, c, b,
+       |    (instr('0123456789abcdef', substring(md5(CAST(b AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR)), 31, 1)) - 1) * 16 +
+       |     instr('0123456789abcdef', substring(md5(CAST(b AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR)), 32, 1)) - 1 AS v
+       |  FROM x CROSS JOIN (SELECT unnest(generate_series(0, ${BootReps - 1})) AS b)),
+       |w AS (SELECT b, c, CASE WHEN v < 94 THEN 0 WHEN v < 188 THEN 1 WHEN v < 235 THEN 2
+       |                        WHEN v < 251 THEN 3 WHEN v < 255 THEN 4 ELSE 5 END AS w
+       |  FROM rep),
+       |means AS (SELECT b, round(CAST(sum(w * c) AS DOUBLE) / sum(w), 4) AS mb
+       |  FROM w GROUP BY b HAVING sum(w) > 0),
+       |rk AS (SELECT a.b, a.mb, CAST(count(*) AS BIGINT) AS rnk
+       |  FROM means a JOIN means o2
+       |    ON o2.mb < a.mb OR (o2.mb = a.mb AND o2.b <= a.b)
+       |  GROUP BY a.b, a.mb),
+       |ci AS (SELECT max(CASE WHEN rnk = $BootLoRank THEN mb END) AS lo95_cents,
+       |              max(CASE WHEN rnk = $BootHiRank THEN mb END) AS hi95_cents
+       |  FROM rk),
+       |tot95 AS (SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       |    round(CAST(sum(c) AS DOUBLE) / count(*), 4) AS mean_cents FROM x)
+       |SELECT n_orders, CAST($BootReps AS BIGINT) AS b_reps, mean_cents, lo95_cents, hi95_cents
+       |FROM tot95 CROSS JOIN ci""".stripMargin
+
+  /** Quantile normalization of per-source length distributions onto the
+    * pooled corpus (Bolstad et al. 2003's microarray normalization, the
+    * batch-effect correction move, applied to the "source" batches a
+    * mixed-crawl corpus has): each (source, value) cell maps to the pooled
+    * corpus's order statistic at the cell's own within-source quantile, so
+    * every source ends up with the same marginal distribution.
+    *
+    * Everything is rank arithmetic on the NDV-sized cumulated histograms
+    * ([[cumulatedHistogram]] per source / [[globalCumHistogram]] pooled):
+    * a cell's within-source midrank×2 is `lo+hi` (integral under ties),
+    * its pooled target rank is `((lo+hi)·N) div (2·n_src)` clamped to ≥1
+    * (exact integer; lift to DECIMAL(38,0)/HUGEINT when ranks approach
+    * 2³¹·2³¹), and the mapped value is the pooled histogram row whose
+    * [lo, hi] interval covers that rank. Output is (source × value)-cell
+    * sized — never per-doc — and the only data-scale work is the two
+    * histogram groupBys.
+    */
+  def quantileNorm(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.documents(s, d).select(col("source"), col("n_chars").as("v"))
+    val perSrc = cumulatedHistogram(c, "source", "v")
+      .withColumnRenamed("n", "ns")
+    val g = globalCumHistogram(c.select("v"), "v")
+      .select(col("v").as("gv"), col("lo").as("glo"), col("hi").as("ghi"),
+        col("n").as("nn"))
+    val withK = perSrc
+      .crossJoin(broadcast(g.select(max("nn").as("nn")).limit(1)))
+      .withColumn("k",
+        greatest(expr("((lo + hi) * nn) div (2 * ns)"), lit(1L)))
+    withK.join(broadcast(g.drop("nn")),
+        col("k").between(col("glo"), col("ghi")))
+      .select(col("source"), col("v"), col("cnt").cast("long").as("n_docs"),
+        col("gv").as("mapped_v"))
+      .orderBy("source", "v")
+  }
+  val quantileNormSql: String =
+    """WITH c AS (SELECT source, n_chars AS v FROM documents),
+      |s AS (SELECT source, v, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY 1, 2),
+      |sr AS (SELECT source, v, cnt,
+      |        sum(cnt) OVER (PARTITION BY source ORDER BY v
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+      |        sum(cnt) OVER (PARTITION BY source) AS ns
+      |       FROM s),
+      |g AS (SELECT v AS gv, CAST(count(*) AS BIGINT) AS gcnt FROM c GROUP BY 1),
+      |gr AS (SELECT gv, gcnt,
+      |        sum(gcnt) OVER (ORDER BY gv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ghi
+      |       FROM g),
+      |gn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM c)
+      |SELECT sr.source, sr.v, sr.cnt AS n_docs, gr.gv AS mapped_v
+      |FROM sr CROSS JOIN gn JOIN gr
+      |  ON greatest(((sr.hi - sr.cnt + 1 + sr.hi) * gn.nn) // (2 * sr.ns), 1)
+      |     BETWEEN gr.ghi - gr.gcnt + 1 AND gr.ghi
+      |ORDER BY sr.source, sr.v""".stripMargin
+
+  /** Split-conformal quality threshold (Vovk's conformal prediction /
+    * Papadopoulos et al. 2002 split variant — public): calibrate the
+    * frozen quality score on the deterministic md5 "train" split
+    * ([[graft.queries.PipelineQueries.trainSplit]]'s v < 205 rule), take
+    * the finite-sample-adjusted order statistic k = ⌈0.9·(n_cal + 1)⌉ as
+    * the threshold, and report the held-out split's empirical coverage —
+    * which the exchangeability guarantee puts at ≥ 0.9 in expectation,
+    * REGARDLESS of what the score measures. The threshold is an exact
+    * micro-unit order statistic off [[globalCumHistogram]]; coverage is
+    * one exact count ratio. This is the principled way to turn any score
+    * the engine computes into a calibrated keep-gate.
+    */
+  def conformalThreshold(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, d))
+    val sc = graft.operators.QualityClassifier.frozenScores(docs)
+      .withColumn("zc", round(col("zr") * lit(1e6)).cast("long"))
+      .withColumn("m", md5(col("doc_id").cast("string")))
+      .withColumn("v",
+        expr("(instr('0123456789abcdef', substring(m, 31, 1)) - 1) * 16 + " +
+          "instr('0123456789abcdef', substring(m, 32, 1)) - 1"))
+      .withColumn("cal", col("v") < 205)
+    val cum = globalCumHistogram(sc.filter(col("cal")).select("zc"), "zc")
+    val thr = cum
+      .withColumn("k", expr("(9 * (n + 1) + 9) div 10"))
+      .filter(col("k").between(col("lo"), col("hi")))
+      .select(col("n").as("n_cal"), col("k"), col("zc").as("thresh_micro"))
+    val test = sc.filter(!col("cal"))
+    test.crossJoin(broadcast(thr))
+      .agg(
+        max("n_cal").as("n_cal"), max("k").as("k"),
+        max("thresh_micro").as("thresh_micro"),
+        count(lit(1)).as("n_test"),
+        (sum(when(col("zc") <= col("thresh_micro"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1))).as("test_coverage"))
+  }
+  val conformalThresholdSql: String = {
+    val zr = graft.operators.QualityClassifier.zrSql("doc_id")
+    s"""WITH z AS (
+       |$zr),
+       |sc AS (SELECT doc_id, CAST(round(zr * 1000000) AS BIGINT) AS zc,
+       |         (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 31, 1)) - 1) * 16 +
+       |          instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 < 205 AS cal
+       |       FROM z),
+       |r AS (SELECT zc, row_number() OVER (ORDER BY zc) AS rn,
+       |        count(*) OVER () AS n FROM sc WHERE cal),
+       |thr AS (SELECT CAST(max(n) AS BIGINT) AS n_cal,
+       |          CAST(max((9 * (n + 1) + 9) // 10) AS BIGINT) AS k,
+       |          CAST(max(CASE WHEN rn = (9 * (n + 1) + 9) // 10 THEN zc END) AS BIGINT) AS thresh_micro
+       |        FROM r)
+       |SELECT thr.n_cal, thr.k, thr.thresh_micro,
+       |  CAST(count(*) AS BIGINT) AS n_test,
+       |  CAST(sum(CASE WHEN sc.zc <= thr.thresh_micro THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS test_coverage
+       |FROM sc CROSS JOIN thr WHERE NOT cal
+       |GROUP BY thr.n_cal, thr.k, thr.thresh_micro""".stripMargin
+  }
+
   /** Pareto frontier (SKYLINE) of parts on (cheap price, large size) — the
     * dominance query class (Börzsönyi et al. 2001) nothing else on the
     * board covers: a part survives iff no other part is at-least-as-cheap

@@ -204,6 +204,96 @@ class Round10OpsSpec extends SparkSpec {
     assert(r.getInt(4) == samples.map(math.abs).max)
   }
 
+  test("cuped: closed form ties to a driver-side moment replay; rho2 in [0,1]") {
+    import graft.queries.AnalyticsQueries
+    val r = AnalyticsQueries.cuped(spark, sf0001).first()
+    val (na, nb) = (r.getLong(0), r.getLong(1))
+    assert(na > 0 && nb > 0)
+    val rho2 = r.getDouble(5)
+    assert(rho2 >= 0.0 && rho2 <= 1.0)
+    // replay: per-user pre/post cents, pooled theta, arm diffs
+    val per = Tables.events(spark, sf0001)
+      .select(col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"),
+        (col("ts") < lit("2024-01-16")).as("pre"))
+      .collect().groupBy(_.getLong(0)).map { case (u, rows) =>
+        val x = rows.filter(_.getBoolean(2)).map(_.getLong(1)).sum
+        val y = rows.filterNot(_.getBoolean(2)).map(_.getLong(1)).sum
+        (u, x, y)
+      }.toSeq
+    val n = per.size.toDouble
+    val (sx, sy) = (per.map(_._2).sum.toDouble, per.map(_._3).sum.toDouble)
+    val sxy = per.map(t => BigInt(t._2) * BigInt(t._3)).sum
+    val sxx = per.map(t => BigInt(t._2) * BigInt(t._2)).sum
+    val theta = (n * sxy.toDouble - sx * sy) / (n * sxx.toDouble - sx * sx)
+    assert(math.abs(r.getDouble(2) - theta) < 1e-4, s"theta=${r.getDouble(2)} vs $theta")
+    val a = per.filter(_._1 % 2 == 0); val b = per.filterNot(_._1 % 2 == 0)
+    val diffRaw = a.map(_._3).sum.toDouble / a.size - b.map(_._3).sum.toDouble / b.size
+    val diffX = a.map(_._2).sum.toDouble / a.size - b.map(_._2).sum.toDouble / b.size
+    assert(math.abs(r.getDouble(3) - diffRaw) < 1e-2)
+    assert(math.abs(r.getDouble(4) - (diffRaw - theta * diffX)) < 1e-2)
+  }
+
+  test("theil-sen: engine median slope equals the brute-force pairwise median") {
+    import graft.queries.AnalyticsQueries
+    val r = AnalyticsQueries.theilSen(spark, sf0001).first()
+    val dly = Tables.orders(spark, sf0001)
+      .groupBy(col("o_orderdate").cast("date").as("dt"))
+      .agg(count(lit(1)).as("n"))
+      .select(datediff(col("dt"), lit("1992-01-01")).cast("long").as("di"), col("n"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val slopes = (for {
+      (di, ni) <- dly; (dj, nj) <- dly if dj > di
+    } yield math.round((nj - ni).toDouble / (dj - di) * 1e6)).sorted
+    assert(r.getLong(0) == dly.length)
+    assert(r.getLong(1) == slopes.length)
+    val k1 = (slopes.length + 1) / 2; val k2 = (slopes.length + 2) / 2
+    assert(r.getLong(2) == slopes(k1 - 1) + slopes(k2 - 1),
+      s"sen2=${r.getLong(2)} brute=${slopes(k1 - 1) + slopes(k2 - 1)}")
+  }
+
+  test("bootstrap ci: brackets are ordered, reproducible, and near the mean") {
+    import graft.queries.AnalyticsQueries
+    val r = AnalyticsQueries.bootstrapCi(spark, sf0001).first()
+    val (mean, lo, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(lo < hi)
+    // the full-sample mean should fall inside (or extremely near) its own CI
+    assert(mean > lo - (hi - lo) && mean < hi + (hi - lo), s"$lo $mean $hi")
+    val again = AnalyticsQueries.bootstrapCi(spark, sf0001).first()
+    assert(again.getDouble(3) == lo && again.getDouble(4) == hi)
+  }
+
+  test("quantile norm: cells tile each source and the mapping is monotone") {
+    import graft.queries.AnalyticsQueries
+    val rows = AnalyticsQueries.quantileNorm(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001).select("source", "n_chars").collect()
+    val bySrc = docs.groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+    val globalVals = docs.map(_.getLong(1)).toSet
+    rows.groupBy(_.getString(0)).foreach { case (src, cells) =>
+      assert(cells.map(_.getLong(2)).sum == bySrc(src)) // tiles the source
+      // monotone: higher source value never maps to a lower pooled value
+      val sorted = cells.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b.getLong(3) >= a.getLong(3))
+        case _ =>
+      }
+    }
+    // mapped values come from the pooled corpus's own value set
+    rows.foreach(r => assert(globalVals.contains(r.getLong(3))))
+  }
+
+  test("conformal: k is the finite-sample order statistic; coverage is sane") {
+    import graft.queries.AnalyticsQueries
+    val r = AnalyticsQueries.conformalThreshold(spark, sf0001).first()
+    val (nCal, k) = (r.getLong(0), r.getLong(1))
+    assert(k == (9 * (nCal + 1) + 9) / 10)
+    val cov = r.getDouble(4)
+    // guarantee is E[coverage] >= 0.9; a 10-doc test split can dip, but
+    // anything below 0.6 would mean the split/threshold wiring is broken
+    assert(cov >= 0.6 && cov <= 1.0, s"coverage=$cov")
+    assert(r.getLong(3) > 0)
+  }
+
   test("kappa: perfect agreement pins kappa to exactly 1 shape (synthetic)") {
     // identity check of the closed form on a crafted 2x2: n11=40, n00=60
     // -> po=1, kappa=1 regardless of marginals
