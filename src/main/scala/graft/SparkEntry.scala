@@ -73,6 +73,10 @@ object SparkEntry {
     "x_bootstrap_ci"    -> (AQ.bootstrapCi _),
     // per-source quantile normalization onto the pooled distribution
     "t_quantile_norm"   -> (AQ.quantileNorm _),
+    // Mann-Kendall monotone-trend test (tie-corrected, exact S and Var)
+    "ts_mann_kendall"   -> (AQ.mannKendall _),
+    // trailing-week 3-sigma anomaly flags, all-integer control chart
+    "w_rolling_anomaly" -> (AQ.rollingAnomaly _),
     // split-conformal keep-gate threshold + held-out coverage
     "x_conformal"       -> (AQ.conformalThreshold _),
     // lag-1 autocorrelation of the daily series (exact integer moments)
@@ -522,6 +526,8 @@ object SparkEntry {
     "ts_theil_sen"      -> AQ.theilSenSql,
     "x_bootstrap_ci"    -> AQ.bootstrapCiSql,
     "t_quantile_norm"   -> AQ.quantileNormSql,
+    "ts_mann_kendall"   -> AQ.mannKendallSql,
+    "w_rolling_anomaly" -> AQ.rollingAnomalySql,
     "x_conformal"       -> AQ.conformalThresholdSql,
     "ts_acf1"           -> AQ.acf1Sql,
     "w_dow_profile"     -> AQ.dowProfileSql,

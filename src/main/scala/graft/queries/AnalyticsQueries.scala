@@ -1281,6 +1281,107 @@ object AnalyticsQueries {
        |GROUP BY thr.n_cal, thr.k, thr.thresh_micro""".stripMargin
   }
 
+  /** Mann–Kendall trend test (Mann 1945 / Kendall 1975 — the standard
+    * non-parametric "is there a monotone trend" test, [[theilSen]]'s
+    * inferential companion; both run on the same bounded daily pair
+    * frame). S = Σ_{i<j} sign(xⱼ − xᵢ) and the tie-corrected variance
+    * 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) stay exact integers; the
+    * continuity-corrected z is one fixed double chain. |z| > 1.96 rejects
+    * "no trend" at 5%.
+    *
+    * Scale: identical posture to [[theilSen]] — the data-scale work is one
+    * partial-aggregable daily count; pairs and tie groups are
+    * day-NDV-sized.
+    */
+  def mannKendall(s: SparkSession, d: String): DataFrame = {
+    val dly = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").cast("date").as("dt"))
+      .agg(count(lit(1)).as("nn"))
+      .select(datediff(col("dt"), lit("1992-01-01")).cast("long").as("di"),
+        col("nn"))
+    val b = dly.select(col("di").as("dj"), col("nn").as("nj"))
+    val sAgg = dly.join(b, col("dj") > col("di"))
+      .agg(sum(signum(col("nj") - col("nn")).cast("long")).as("s_stat"))
+    val nAgg = dly.agg(count(lit(1)).as("n_days"))
+    val ties = dly.groupBy("nn").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)), lit(0L))
+        .as("tie_term"))
+    val j = sAgg.crossJoin(broadcast(nAgg)).crossJoin(broadcast(ties))
+      .withColumn("var18",
+        col("n_days") * (col("n_days") - 1) * (col("n_days") * 2 + 5) -
+          col("tie_term"))
+    val zNum = when(col("s_stat") > 0, col("s_stat") - 1)
+      .when(col("s_stat") < 0, col("s_stat") + 1).otherwise(lit(0L))
+    j.select(col("n_days"), col("s_stat"), col("var18"),
+        round(zNum.cast("double") / sqrt(col("var18").cast("double") / lit(18.0)), 4)
+          .as("z"))
+      .withColumn("trend", abs(col("z")) > 1.96)
+  }
+  val mannKendallSql: String =
+    """WITH dly AS (SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS di,
+      |               CAST(count(*) AS BIGINT) AS n
+      |             FROM orders GROUP BY 1),
+      |sp AS (SELECT CAST(sum(CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      |       FROM dly a JOIN dly b ON b.di > a.di),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM dly),
+      |tg AS (SELECT CAST(coalesce(sum(t * (t - 1) * (t * 2 + 5)), 0) AS BIGINT) AS tie_term
+      |       FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM dly GROUP BY n)),
+      |f AS (SELECT s_stat, n_days,
+      |        n_days * (n_days - 1) * (n_days * 2 + 5) - tie_term AS var18,
+      |        CASE WHEN s_stat > 0 THEN s_stat - 1
+      |             WHEN s_stat < 0 THEN s_stat + 1 ELSE 0 END AS znum
+      |      FROM sp CROSS JOIN nn CROSS JOIN tg)
+      |SELECT n_days, s_stat, CAST(var18 AS BIGINT) AS var18,
+      |  round(CAST(znum AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0), 4) AS z,
+      |  abs(round(CAST(znum AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0), 4)) > 1.96 AS trend
+      |FROM f""".stripMargin
+
+  /** Rolling-window anomaly flags on the daily order series — the ops-
+    * dashboard "3σ against the trailing week" alarm, kept ENTIRELY in
+    * integers: with window sum S, window sum-of-squares Q and width w,
+    * `|x − S/w| > 3σ` is equivalent to `(w·x − S)² > 9·(w·Q − S²)`
+    * (multiply through by w²) — so the flag can never drift cross-engine.
+    * The trailing window is a bounded range self-join over the NDV-sized
+    * daily aggregate (`di−6 ≤ dk ≤ di`, the [[skyline]] discipline), never
+    * a global Window operator; squares fit longs for daily counts (lift to
+    * DECIMAL when daily volumes pass ~2³⁰). The day's own value is part of
+    * its window (the standard control-chart convention for trailing-week
+    * baselines).
+    */
+  def rollingAnomaly(s: SparkSession, d: String): DataFrame = {
+    val dly = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").cast("date").as("dt"))
+      .agg(count(lit(1)).as("nn"))
+      .select(col("dt"),
+        datediff(col("dt"), lit("1992-01-01")).cast("long").as("di"), col("nn"))
+    val b = dly.select(col("di").as("dk"), col("nn").as("nk"))
+    dly.join(b, col("dk").between(col("di") - 6, col("di")))
+      .groupBy("dt", "di", "nn")
+      .agg(count(lit(1)).as("w"), sum("nk").as("sw"),
+        sum(col("nk") * col("nk")).as("qw"))
+      .select(col("dt").as("order_date"), col("nn").as("n_orders"),
+        col("w").as("w_days"),
+        round(col("sw").cast("double") / col("w"), 4).as("roll_mean"),
+        ((col("w") * col("nn") - col("sw")) * (col("w") * col("nn") - col("sw")) >
+          (col("w") * col("qw") - col("sw") * col("sw")) * 9).as("flagged"))
+      .orderBy("order_date")
+  }
+  val rollingAnomalySql: String =
+    """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS dt,
+      |               date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS di,
+      |               CAST(count(*) AS BIGINT) AS n
+      |             FROM orders GROUP BY 1, 2),
+      |r AS (SELECT a.dt, a.di, a.n,
+      |        CAST(count(*) AS BIGINT) AS w,
+      |        CAST(sum(b.n) AS BIGINT) AS sw,
+      |        CAST(sum(b.n * b.n) AS BIGINT) AS qw
+      |      FROM dly a JOIN dly b ON b.di BETWEEN a.di - 6 AND a.di
+      |      GROUP BY a.dt, a.di, a.n)
+      |SELECT dt AS order_date, n AS n_orders, w AS w_days,
+      |  round(CAST(sw AS DOUBLE) / w, 4) AS roll_mean,
+      |  (w * n - sw) * (w * n - sw) > (w * qw - sw * sw) * 9 AS flagged
+      |FROM r ORDER BY order_date""".stripMargin
+
   /** Pareto frontier (SKYLINE) of parts on (cheap price, large size) — the
     * dominance query class (Börzsönyi et al. 2001) nothing else on the
     * board covers: a part survives iff no other part is at-least-as-cheap

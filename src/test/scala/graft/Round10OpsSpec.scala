@@ -294,6 +294,48 @@ class Round10OpsSpec extends SparkSpec {
     assert(r.getLong(3) > 0)
   }
 
+  test("mann-kendall: S and tie-corrected variance match a brute-force replay") {
+    import graft.queries.AnalyticsQueries
+    val r = AnalyticsQueries.mannKendall(spark, sf0001).first()
+    val dly = Tables.orders(spark, sf0001)
+      .groupBy(col("o_orderdate").cast("date").as("dt"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("dt").collect().map(_.getLong(1))
+    var sStat = 0L
+    for (i <- dly.indices; j <- (i + 1) until dly.length)
+      sStat += java.lang.Long.signum(dly(j) - dly(i))
+    assert(r.getLong(1) == sStat)
+    val n = dly.length.toLong
+    val tieTerm = dly.groupBy(identity).values.map(_.length.toLong)
+      .map(t => t * (t - 1) * (2 * t + 5)).sum
+    assert(r.getLong(0) == n)
+    assert(r.getLong(2) == n * (n - 1) * (2 * n + 5) - tieTerm)
+    // z consistent with the continuity-corrected closed form
+    val zNum = if (sStat > 0) sStat - 1 else if (sStat < 0) sStat + 1 else 0L
+    val z = zNum.toDouble / math.sqrt(r.getLong(2).toDouble / 18.0)
+    assert(math.abs(r.getDouble(3) - z) < 1e-3)
+  }
+
+  test("rolling anomaly: window accounting and the integer 3-sigma rule") {
+    import graft.queries.AnalyticsQueries
+    val rows = AnalyticsQueries.rollingAnomaly(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val byDate = Tables.orders(spark, sf0001)
+      .groupBy(col("o_orderdate").cast("date").as("dt"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    rows.take(200).foreach { r =>
+      val day = r.getDate(0).toLocalDate
+      val win = (0 to 6).flatMap(k => byDate.get(day.minusDays(k)))
+      assert(r.getLong(2) == win.length, s"$day w=${r.getLong(2)} vs ${win.length}")
+      val (w, sw, qw) = (win.length.toLong, win.sum, win.map(x => x * x).sum)
+      val x = byDate(day)
+      val expectFlag = (w * x - sw) * (w * x - sw) > (w * qw - sw * sw) * 9
+      assert(r.getBoolean(4) == expectFlag, s"$day")
+      assert(math.abs(r.getDouble(3) - sw.toDouble / w) < 1e-3)
+    }
+  }
+
   test("kappa: perfect agreement pins kappa to exactly 1 shape (synthetic)") {
     // identity check of the closed form on a crafted 2x2: n11=40, n00=60
     // -> po=1, kappa=1 regardless of marginals
