@@ -77,6 +77,10 @@ object SparkEntry {
     "ts_mann_kendall"   -> (AQ.mannKendall _),
     // trailing-week 3-sigma anomaly flags, all-integer control chart
     "w_rolling_anomaly" -> (AQ.rollingAnomaly _),
+    // isotonic (PAVA minimax) recalibration of the reliability bins
+    "x_isotonic"        -> (AQ.isotonicCalibration _),
+    // winsorized mean per group (clamp tails to p5/p95 order statistics)
+    "g_winsor_mean"     -> (AQ.gWinsorMean _),
     // split-conformal keep-gate threshold + held-out coverage
     "x_conformal"       -> (AQ.conformalThreshold _),
     // lag-1 autocorrelation of the daily series (exact integer moments)
@@ -528,6 +532,8 @@ object SparkEntry {
     "t_quantile_norm"   -> AQ.quantileNormSql,
     "ts_mann_kendall"   -> AQ.mannKendallSql,
     "w_rolling_anomaly" -> AQ.rollingAnomalySql,
+    "x_isotonic"        -> AQ.isotonicCalibrationSql,
+    "g_winsor_mean"     -> AQ.gWinsorMeanSql,
     "x_conformal"       -> AQ.conformalThresholdSql,
     "ts_acf1"           -> AQ.acf1Sql,
     "w_dow_profile"     -> AQ.dowProfileSql,

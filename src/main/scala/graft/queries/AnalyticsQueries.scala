@@ -1110,21 +1110,27 @@ object AnalyticsQueries {
     * integer sums; CI bounds are the ceil(0.025·B)/ceil(0.975·B) order
     * statistics of those means.
     */
-  val BootReps = 100
+  val BootReps = 96  // 6 md5 draws x 16 bytes each
   private val BootLoRank = 3  // ceil(0.025 * BootReps)
-  private val BootHiRank = 98 // ceil(0.975 * BootReps)
+  private val BootHiRank = 94 // ceil(0.975 * BootReps)
   def bootstrapCi(s: SparkSession, d: String): DataFrame = {
     val D38 = DecimalType(38, 0)
-    val x = Tables.orders(s, d).select(col("o_orderkey"),
-      round(col("o_totalprice") * 100).cast("long").as("c"))
+    val x = Tables.fanOut(Tables.orders(s, d).select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("c")))
+    // one md5 yields 16 independent bytes = 16 replicates' weights, so the
+    // hash work is B/16 digests per row, not B (the md5 IS the hot loop at
+    // 19 s for the one-digest-per-replicate form; this form benches ~3 s)
     val rep = x
       .select(col("o_orderkey"), col("c"),
-        explode(sequence(lit(0), lit(BootReps - 1))).as("b"))
-      .withColumn("m", md5(concat(col("b").cast("string"), lit("|"),
+        explode(sequence(lit(0), lit(BootReps / 16 - 1))).as("hi"))
+      .withColumn("m", md5(concat(col("hi").cast("string"), lit("|"),
         col("o_orderkey").cast("string"))))
+      .select(col("c"), col("hi"), col("m"),
+        explode(sequence(lit(0), lit(15))).as("j"))
       .withColumn("v",
-        expr("(instr('0123456789abcdef', substring(m, 31, 1)) - 1) * 16 + " +
-          "instr('0123456789abcdef', substring(m, 32, 1)) - 1"))
+        expr("(instr('0123456789abcdef', substring(m, j * 2 + 1, 1)) - 1) * 16 + " +
+          "instr('0123456789abcdef', substring(m, j * 2 + 2, 1)) - 1"))
+      .withColumn("b", col("hi") * 16 + col("j"))
       .withColumn("w",
         when(col("v") < 94, 0L).when(col("v") < 188, 1L)
           .when(col("v") < 235, 2L).when(col("v") < 251, 3L)
@@ -1150,10 +1156,13 @@ object AnalyticsQueries {
   }
   val bootstrapCiSql: String =
     s"""WITH x AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
-       |rep AS (SELECT o_orderkey, c, b,
-       |    (instr('0123456789abcdef', substring(md5(CAST(b AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR)), 31, 1)) - 1) * 16 +
-       |     instr('0123456789abcdef', substring(md5(CAST(b AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR)), 32, 1)) - 1 AS v
-       |  FROM x CROSS JOIN (SELECT unnest(generate_series(0, ${BootReps - 1})) AS b)),
+       |hs AS (SELECT o_orderkey, c, hi,
+       |    md5(CAST(hi AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR)) AS m
+       |  FROM x CROSS JOIN (SELECT unnest(generate_series(0, ${BootReps / 16 - 1})) AS hi)),
+       |rep AS (SELECT c, hi * 16 + j AS b,
+       |    (instr('0123456789abcdef', substring(m, j * 2 + 1, 1)) - 1) * 16 +
+       |     instr('0123456789abcdef', substring(m, j * 2 + 2, 1)) - 1 AS v
+       |  FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)),
        |w AS (SELECT b, c, CASE WHEN v < 94 THEN 0 WHEN v < 188 THEN 1 WHEN v < 235 THEN 2
        |                        WHEN v < 251 THEN 3 WHEN v < 255 THEN 4 ELSE 5 END AS w
        |  FROM rep),
@@ -1381,6 +1390,129 @@ object AnalyticsQueries {
       |  round(CAST(sw AS DOUBLE) / w, 4) AS roll_mean,
       |  (w * n - sw) * (w * n - sw) > (w * qw - sw * sw) * 9 AS flagged
       |FROM r ORDER BY order_date""".stripMargin
+
+  /** Isotonic (monotone) calibration of the reliability bins — PAVA's
+    * closed minimax form (Ayer et al. 1955; Robertson–Wright–Dykstra 1988,
+    * all public): the isotonic fit at bin i is
+    * `max_{j≤i} min_{k≥i} weightedMean(y, j..k)`, evaluated over all
+    * (j, i, k) triples of the B=10 reliability bins — a bounded B³ frame
+    * (≤1000 rows), the [[skyline]] discipline, with interval means read
+    * off bin-count prefix sums. This is the monotone recalibration step a
+    * production scorer applies on top of [[graft.operators.EvalOps
+    * .calibration]]'s raw bins (isotonic regression, the sklearn
+    * `IsotonicRegression` move). Interval means are one double division of
+    * exact integer sums; min/max over them are order-free.
+    */
+  def isotonicCalibration(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, d))
+    val sc = graft.operators.QualityClassifier.frozenScores(docs)
+      .withColumn("p6", round(lit(1.0) / (lit(1.0) + exp(-col("zr"))), 6))
+      .withColumn("bin", least(floor(col("p6") * 10).cast("long"), lit(9L)))
+    val lab = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val bins = sc.join(lab, "doc_id").groupBy("bin")
+      .agg(count(lit(1)).as("w"), sum("y").as("sy"))
+    // prefix sums over ≤10 rows via bounded self-join (no Window operator)
+    val b2 = bins.select(col("bin").as("b2"), col("w").as("w2"), col("sy").as("sy2"))
+    val pre = bins.join(broadcast(b2), col("b2") <= col("bin"))
+      .groupBy("bin", "w", "sy")
+      .agg(sum("w2").as("cw"), sum("sy2").as("cs"))
+    val pj = pre.select(col("bin").as("j"), (col("cw") - col("w")).as("cwj"),
+      (col("cs") - col("sy")).as("csj"))
+    val pk = pre.select(col("bin").as("k"), col("cw").as("cwk"), col("cs").as("csk"))
+    val centers = pre.select(col("bin"), col("w"), col("sy"))
+    // minimax: for each bin i, over j ≤ i ≤ k, the interval mean
+    val tri = centers
+      .join(broadcast(pj), col("j") <= col("bin"))
+      .join(broadcast(pk), col("k") >= col("bin"))
+      .withColumn("m",
+        (col("csk") - col("csj")).cast("double") / (col("cwk") - col("cwj")))
+    val innerMin = tri.groupBy("bin", "w", "sy", "j").agg(min("m").as("mm"))
+    innerMin.groupBy("bin", "w", "sy").agg(max("mm").as("iso_rate"))
+      .select(col("bin"), col("w").as("n_docs"),
+        (col("sy").cast("double") / col("w")).as("raw_rate"),
+        round(col("iso_rate"), 6).as("iso_rate"))
+      .orderBy("bin")
+  }
+  val isotonicCalibrationSql: String = {
+    val zr = graft.operators.QualityClassifier.zrSql("doc_id")
+    s"""WITH z AS (
+       |$zr),
+       |sc AS (SELECT z.doc_id, least(CAST(floor(round(1.0 / (1.0 + exp(-zr)), 6) * 10) AS BIGINT), 9) AS bin,
+       |             CASE WHEN dd.lang = 'en' THEN 1 ELSE 0 END AS y
+       |      FROM z JOIN documents dd ON z.doc_id = dd.doc_id),
+       |bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS w, CAST(sum(y) AS BIGINT) AS sy
+       |         FROM sc GROUP BY bin),
+       |pre AS (SELECT a.bin, a.w, a.sy,
+       |          CAST(sum(b.w) AS BIGINT) AS cw, CAST(sum(b.sy) AS BIGINT) AS cs
+       |        FROM bins a JOIN bins b ON b.bin <= a.bin GROUP BY a.bin, a.w, a.sy),
+       |tri AS (SELECT i.bin, i.w, i.sy,
+       |          CAST(k.cs - (j.cs - j.sy) AS DOUBLE) / (k.cw - (j.cw - j.w)) AS m, j.bin AS jb
+       |        FROM pre i
+       |        JOIN pre j ON j.bin <= i.bin
+       |        JOIN pre k ON k.bin >= i.bin),
+       |im AS (SELECT bin, w, sy, jb, min(m) AS mm FROM tri GROUP BY bin, w, sy, jb)
+       |SELECT bin, w AS n_docs,
+       |  CAST(sy AS DOUBLE) / w AS raw_rate,
+       |  round(max(mm), 6) AS iso_rate
+       |FROM im GROUP BY bin, w, sy
+       |ORDER BY bin""".stripMargin
+  }
+
+  /** Winsorized mean per group — [[gTrimmedMean]]'s sibling that CLAMPS the
+    * tails to the p5/p95 order statistics instead of dropping them (Tukey's
+    * robust location family). Entirely rank arithmetic on the cumulated
+    * histogram: the winsorized sum replaces every value below the p5 value
+    * with it (count from the rank interval), ditto above p95, all exact
+    * integers until the final mean division.
+    */
+  def gWinsorMean(s: SparkSession, d: String): DataFrame = {
+    val D38 = DecimalType(38, 0)
+    val c = Tables.orders(s, d).select(col("o_orderstatus").as("g"),
+      round(col("o_totalprice") * 100).cast("long").as("v"))
+    val h = cumulatedHistogram(c, "g", "v")
+    val ks = h
+      .withColumn("k5", expr("(n + 19) div 20"))        // ceil(0.05 n)
+      .withColumn("k95", expr("(19 * n + 19) div 20"))  // ceil(0.95 n)
+    // the two clamp values: order statistics at k5 and k95
+    val clamps = ks.filter(col("k5").between(col("lo"), col("hi")) ||
+        col("k95").between(col("lo"), col("hi")))
+      .groupBy("g").agg(
+        max(when(col("k5").between(col("lo"), col("hi")), col("v"))).as("v5"),
+        max(when(col("k95").between(col("lo"), col("hi")), col("v"))).as("v95"))
+    ks.join(broadcast(clamps), "g")
+      .withColumn("cv", when(col("v") < col("v5"), col("v5"))
+        .when(col("v") > col("v95"), col("v95")).otherwise(col("v")))
+      .groupBy("g").agg(
+        max("n").as("n"),
+        max("v5").as("p5_cents"), max("v95").as("p95_cents"),
+        round(sum((col("cv") * col("cnt")).cast(D38)).cast("double") / max("n"), 4)
+          .as("winsor_mean_cents"))
+      .select(col("g").as("o_orderstatus"), col("n"), col("p5_cents"),
+        col("p95_cents"), col("winsor_mean_cents"))
+      .orderBy("o_orderstatus")
+  }
+  val gWinsorMeanSql: String =
+    """WITH c AS (SELECT o_orderstatus AS g, CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+      |h AS (SELECT g, v, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY 1, 2),
+      |r AS (SELECT g, v, cnt,
+      |        sum(cnt) OVER (PARTITION BY g ORDER BY v
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+      |        sum(cnt) OVER (PARTITION BY g) AS n
+      |      FROM h),
+      |k AS (SELECT g, v, cnt, hi, hi - cnt + 1 AS lo, n,
+      |        (n + 19) // 20 AS k5, (19 * n + 19) // 20 AS k95 FROM r),
+      |cl AS (SELECT g,
+      |         CAST(max(CASE WHEN k5 BETWEEN lo AND hi THEN v END) AS BIGINT) AS v5,
+      |         CAST(max(CASE WHEN k95 BETWEEN lo AND hi THEN v END) AS BIGINT) AS v95
+      |       FROM k GROUP BY g)
+      |SELECT k.g AS o_orderstatus, CAST(max(k.n) AS BIGINT) AS n,
+      |  max(cl.v5) AS p5_cents, max(cl.v95) AS p95_cents,
+      |  round(CAST(sum(CASE WHEN k.v < cl.v5 THEN cl.v5
+      |                      WHEN k.v > cl.v95 THEN cl.v95
+      |                      ELSE k.v END * k.cnt) AS DOUBLE) / max(k.n), 4) AS winsor_mean_cents
+      |FROM k JOIN cl USING (g)
+      |GROUP BY k.g ORDER BY k.g""".stripMargin
 
   /** Pareto frontier (SKYLINE) of parts on (cheap price, large size) — the
     * dominance query class (Börzsönyi et al. 2001) nothing else on the

@@ -336,6 +336,59 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("isotonic calibration: monotone fit that matches a sequential PAVA replay") {
+    import graft.queries.AnalyticsQueries
+    val rows = AnalyticsQueries.isotonicCalibration(spark, sf0001).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    // monotone non-decreasing
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b.getDouble(3) >= a.getDouble(3) - 1e-9)
+      case _ =>
+    }
+    // sequential pool-adjacent-violators on the same (w, sy) bins
+    var pools = rows.map(r => (r.getLong(1).toDouble, r.getLong(1) * r.getDouble(2)))
+      .map { case (w, sy) => (w, sy) }.toBuffer
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      while (i < pools.length - 1) {
+        if (pools(i)._2 / pools(i)._1 > pools(i + 1)._2 / pools(i + 1)._1 + 1e-12) {
+          pools(i) = (pools(i)._1 + pools(i + 1)._1, pools(i)._2 + pools(i + 1)._2)
+          pools.remove(i + 1); changed = true
+        } else i += 1
+      }
+    }
+    val fit = pools.flatMap { case (w, sy) =>
+      Seq.fill(math.round(w).toInt)(sy / w) } // per-doc level fit
+    // expand engine bins to per-doc levels and compare
+    val engineFit = rows.flatMap(r => Seq.fill(r.getLong(1).toInt)(r.getDouble(3)))
+    assert(engineFit.length == fit.length)
+    engineFit.zip(fit).foreach { case (e, p) =>
+      assert(math.abs(e - p) < 1e-6, s"engine=$e pava=$p") }
+  }
+
+  test("winsorized mean: clamps tie to the discrete p5/p95 order statistics") {
+    import graft.queries.AnalyticsQueries
+    val rows = AnalyticsQueries.gWinsorMean(spark, sf0001).collect()
+    val data = Tables.orders(spark, sf0001)
+      .select(col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .collect().groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(1)).sorted).toMap
+    rows.foreach { r =>
+      val vs = data(r.getString(0))
+      val n = vs.length
+      val v5 = vs(((n + 19) / 20 - 1).max(0))
+      val v95 = vs(((19 * n + 19) / 20 - 1).max(0))
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == v5 && r.getLong(3) == v95, r)
+      val wm = vs.map(v => math.min(math.max(v, v5), v95)).sum.toDouble / n
+      assert(math.abs(r.getDouble(4) - wm) < 0.01, s"${r.getDouble(4)} vs $wm")
+    }
+  }
+
   test("kappa: perfect agreement pins kappa to exactly 1 shape (synthetic)") {
     // identity check of the closed form on a crafted 2x2: n11=40, n00=60
     // -> po=1, kappa=1 regardless of marginals
