@@ -169,6 +169,8 @@ object SparkEntry {
     "t_term_topk"       -> (PQ.termTopK _),
     // OLS Zipf slope over the top-100 terms (corpus-health diagnostic)
     "t_zipf_fit"        -> (PQ.zipfFit _),
+    // Heaps' law vocabulary-growth exponent (two-level prefix sums + OLS)
+    "t_heaps_fit"       -> ((s, d) => PQ.heapsFit(s, d)),
     // PSI drift board between corpus halves over the top-50 token features
     "t_psi_drift"       -> (PQ.psiDrift _),
     // data-constrained multi-epoch token budgeting (up-sample small sources)
@@ -452,6 +454,7 @@ object SparkEntry {
     "q22_no_orders"     -> PQ.q22NoOrdersSql,
     "t_term_topk"       -> PQ.termTopKSql,
     "t_zipf_fit"        -> PQ.zipfFitSql,
+    "t_heaps_fit"       -> PQ.heapsFitSql,
     "t_psi_drift"       -> PQ.psiDriftSql,
     "p_epoch_plan"      -> PQ.epochPlanSql,
     "t_pii_scrub"       -> PQ.piiScrubSql,

@@ -1812,6 +1812,105 @@ object PipelineQueries {
        |JOIN embeddings e ON e.vec_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Heaps' law fit — vocabulary growth V(N) ≈ K·N^β over the corpus laid
+    * out in doc_id order (Heaps 1978; β ≈ 0.4–0.6 for natural text —
+    * public corpus-linguistics folklore). The growth-curve sibling of
+    * [[zipfFit]] (same OLS discipline) and [[graft.operators.DedupOps
+    * .ngramNovelty]] (same first-occurrence construction): duplicated or
+    * templated corpora bend β down, so the fit is a one-row corpus-health
+    * diagnostic.
+    *
+    * Per-doc cumulative token count N_d and cumulative vocabulary V_d
+    * (tokens whose FIRST occurrence is ≤ d) are two inclusive prefix sums
+    * computed with the [[sequencePack]] two-level discipline — a window
+    * partitioned by doc block plus the [[exclusivePrefix]] recursion on
+    * block totals — never a single-partition window. The regression runs
+    * over ln-ln points with round-6 ln and DECIMAL moment sums (the
+    * [[zipfFit]] determinism rules). The joined per-doc frame is
+    * localCheckpointed once (3 longs per doc) because two prefix
+    * constructions consume it.
+    */
+  def heapsFit(s: SparkSession, d: String, blockSize: Int = 64,
+      maxWindowRows: Long = 1L << 20): DataFrame =
+    heapsFitOver(Tables.fanOut(Tables.documents(s, d)),
+      blockCountBound(s, d, blockSize), blockSize, maxWindowRows)
+
+  /** [[heapsFit]] over an explicit (`doc_id`, `text`) frame — `nKeysBound`
+    * is the caller's doc_id-RANGE-derived block-count bound (see
+    * [[blockCountBound]]; a row count is NOT valid under the recursion).
+    */
+  def heapsFitOver(docs: DataFrame, nKeysBound: Long, blockSize: Int = 64,
+      maxWindowRows: Long = 1L << 20): DataFrame = {
+    val D6 = DecimalType(18, 6)
+    val toks = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+    val tc = toks.groupBy("doc_id").agg(count(lit(1)).as("tc"))
+    val nv = toks.groupBy("token").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("nv"))
+    val fr = tc.join(nv, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("tc"),
+        coalesce(col("nv"), lit(0L)).as("nv"),
+        floorDiv("doc_id", blockSize).as("blk"))
+      .localCheckpoint(true)
+    val wIn = Window.partitionBy("blk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBlk = fr.withColumn("tin", sum("tc").over(wIn))
+      .withColumn("vin", sum("nv").over(wIn))
+    val nBlocks = nKeysBound
+    val totals = fr.groupBy("blk")
+      .agg(sum("tc").cast("long").as("bt"), sum("nv").cast("long").as("bv"))
+    val tOff = exclusivePrefix(totals.select(col("blk"), col("bt")),
+      "blk", "bt", blockSize, maxWindowRows, nBlocks).withColumnRenamed("off", "t_off")
+    val vOff = exclusivePrefix(totals.select(col("blk"), col("bv")),
+      "blk", "bv", blockSize, maxWindowRows, nBlocks).withColumnRenamed("off", "v_off")
+    val cum = inBlk
+      .join(if (nBlocks <= maxWindowRows) broadcast(tOff) else tOff, "blk")
+      .join(if (nBlocks <= maxWindowRows) broadcast(vOff) else vOff, "blk")
+      .select((col("t_off") + col("tin")).as("nd"),
+        (col("v_off") + col("vin")).as("vd"))
+      .filter(col("nd") >= 1 && col("vd") >= 1)
+    val pts = cum.select(
+        round(log(col("nd").cast("double")), 6).as("x"),
+        round(log(col("vd").cast("double")), 6).as("y"))
+      .select(col("x"), col("y"),
+        round(col("x") * col("x"), 6).as("xx"),
+        round(col("x") * col("y"), 6).as("xy"))
+    val m = pts.agg(
+      count(lit(1)).as("k"),
+      sum(col("x").cast(D6)).cast("double").as("sx"),
+      sum(col("y").cast(D6)).cast("double").as("sy"),
+      sum(col("xx").cast(D6)).cast("double").as("sxx"),
+      sum(col("xy").cast(D6)).cast("double").as("sxy"))
+    val b = (col("k") * col("sxy") - col("sx") * col("sy")) /
+      (col("k") * col("sxx") - col("sx") * col("sx"))
+    m.select(col("k").as("n_docs"),
+      round(b, 4).as("beta"),
+      round((col("sy") - b * col("sx")) / col("k"), 4).as("intercept"))
+  }
+  val heapsFitSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      |              FROM documents),
+      |tc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tc FROM toks GROUP BY 1),
+      |nv AS (SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS nv
+      |       FROM (SELECT token, min(doc_id) AS fd FROM toks GROUP BY 1) GROUP BY 1),
+      |fr AS (SELECT tc.doc_id, tc.tc, coalesce(nv.nv, 0) AS nv
+      |       FROM tc LEFT JOIN nv USING (doc_id)),
+      |cum AS (SELECT sum(tc) OVER w AS nd, sum(nv) OVER w AS vd
+      |        FROM fr WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |p AS (SELECT round(ln(nd::DOUBLE), 6) AS x, round(ln(vd::DOUBLE), 6) AS y
+      |      FROM cum WHERE nd >= 1 AND vd >= 1),
+      |p2 AS (SELECT x, y, round(x * x, 6) AS xx, round(x * y, 6) AS xy FROM p),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS k,
+      |        CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+      |        CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+      |        CAST(sum(CAST(xx AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+      |        CAST(sum(CAST(xy AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+      |      FROM p2)
+      |SELECT k AS n_docs,
+      |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) AS beta,
+      |  round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 4) AS intercept
+      |FROM m""".stripMargin
+
   /** Systematic probability-proportional-to-size sampling (Madow 1949 —
     * public-domain survey statistics): draw [[PpsSampleK]] units where each
     * document's inclusion count is proportional to its size weight

@@ -389,6 +389,29 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("heaps fit: flat on the templated corpus, steep on a growing-vocab one") {
+    import spark.implicits._
+    import graft.queries.PipelineQueries
+    // the harness corpus has a small fixed vocabulary -> beta ~ 0 (that IS
+    // the diagnostic: templated/duplicated corpora bend beta down)
+    val flat = PipelineQueries.heapsFit(spark, sf0001).first()
+    assert(flat.getDouble(1) >= 0.0 && flat.getDouble(1) < 0.3, flat)
+    // crafted corpus where every doc introduces fresh types: V(N) = N -> a
+    // perfect ln-ln line with slope exactly 1
+    val fresh = (0L until 64L)
+      .map(i => (i, (0 until 5).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = PipelineQueries.heapsFitOver(fresh, nKeysBound = 1L)
+    assert(math.abs(r.first().getDouble(1) - 1.0) < 1e-3)
+    // mixed corpus: a shared preamble plus one fresh type per doc ->
+    // strictly between the two regimes
+    val mixed = (0L until 64L)
+      .map(i => (i, s"the quick brown fox u$i"))
+      .toDF("doc_id", "text")
+    val m = PipelineQueries.heapsFitOver(mixed, nKeysBound = 1L).first().getDouble(1)
+    assert(m > 0.05 && m < 0.95, s"beta=$m")
+  }
+
   test("kappa: perfect agreement pins kappa to exactly 1 shape (synthetic)") {
     // identity check of the closed form on a crafted 2x2: n11=40, n00=60
     // -> po=1, kappa=1 regardless of marginals
