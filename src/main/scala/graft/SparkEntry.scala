@@ -297,6 +297,8 @@ object SparkEntry {
     "x_col_stats"       -> (graft.operators.ReconcileOps.colStats _),
     // join-view incremental maintenance: 4-term delta algebra == recompute
     "x_ivm_join"        -> (AQ.ivmJoin _),
+    // aggregate-view maintenance under CDC retractions (signed deltas)
+    "x_ivm_agg"         -> (AQ.ivmAgg _),
     // exact Gini skew audit from the count-of-counts fold (no global rank)
     "g_skew_gini"       -> (graft.operators.SkewOps.giniSkew _),
     // cumulative distinct users by first-seen day (growth curve)
@@ -555,6 +557,7 @@ object SparkEntry {
     "x_snapshot_diff"   -> graft.operators.ReconcileOps.snapshotDiffSql,
     "x_col_stats"       -> graft.operators.ReconcileOps.colStatsSql,
     "x_ivm_join"        -> AQ.ivmJoinSql,
+    "x_ivm_agg"         -> AQ.ivmAggSql,
     "g_skew_gini"       -> graft.operators.SkewOps.giniSkewSql,
     "w_cume_new_users"  -> graft.operators.IntervalOps.cumeNewUsersSql,
     // t_compress_ratio: rows-only (zlib byte counts are not SQL-expressible)

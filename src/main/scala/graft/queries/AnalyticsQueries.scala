@@ -250,6 +250,50 @@ object AnalyticsQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  /** Incremental view maintenance for an AGGREGATE view under CDC-style
+    * RETRACTIONS — [[ivmJoin]]'s one-sided sibling with deletes: the delta
+    * stream carries signed multiplicities (+1 insert, −1 delete), the
+    * stored per-group partials advance by summing SIGNED delta partials,
+    * and groups whose maintained count reaches 0 vanish from the view.
+    * Count/sum are self-maintainable under deletion (no rescan — unlike
+    * MIN/MAX, which need auxiliary state; that asymmetry is the textbook
+    * IVM result). The oracle is the full recompute over
+    * (base ∖ deletes) ∪ inserts — the equality IS the contract.
+    *
+    * Scale shape: the base partials are stored state (group-count-sized,
+    * read not recomputed at 100 TB); maintenance aggregates only the
+    * delta, and the final merge is group-count-sized.
+    */
+  def ivmAgg(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderstatus").as("g"),
+      col("o_orderkey"), col("o_custkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val base = o.filter(col("o_orderkey") % 10 < 8)
+    val inserts = o.filter(col("o_orderkey") % 10 === 8).withColumn("sgn", lit(1L))
+    val deletes = base.filter(col("o_custkey") % 5 === 0).withColumn("sgn", lit(-1L))
+    val basePart = base.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("cents").as("rev"))
+    val deltaPart = inserts.unionByName(deletes).groupBy("g")
+      .agg(sum("sgn").as("n"), sum(col("cents") * col("sgn")).as("rev"))
+    basePart.unionByName(deltaPart).groupBy("g")
+      .agg(sum("n").as("n_orders"), sum("rev").as("revenue_cents"))
+      .filter(col("n_orders") > 0)
+      .select(col("g").as("o_orderstatus"), col("n_orders"), col("revenue_cents"))
+      .orderBy("o_orderstatus")
+  }
+  val ivmAggSql: String =
+    """WITH eff AS (
+      |  SELECT o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 10 < 8 AND o_custkey % 5 <> 0
+      |  UNION ALL
+      |  SELECT o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 10 = 8)
+      |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+      |FROM eff GROUP BY o_orderstatus
+      |HAVING count(*) > 0
+      |ORDER BY o_orderstatus""".stripMargin
+
   /** Grouping sets / rollup — subtotal lattice over orders (SURVEY §2.3 notes
     * the reference lacks these; a complete engine surface includes them).
     */

@@ -86,4 +86,112 @@ class JdbcSink(cfg: JdbcSinkConfig) extends ExternalSink {
       val rs = c.createStatement().executeQuery(s"SELECT COUNT(*) FROM ${cfg.table}")
       rs.next(); rs.getLong(1)
     }
+
+  // ---- exactly-once publish ---------------------------------------------
+  // The reference's ClickHouse path is at-least-once (SURVEY §2.2 B4); this
+  // is the stronger contract: stage-then-transactionally-publish, the
+  // warehouse DirSwap protocol translated to SQL. A replayed batch rewrites
+  // its stage (overwrite, harmless) and finds its batch_id in the ledger,
+  // so the publish is skipped — duplicates are impossible no matter where
+  // a crash lands:
+  //   crash in stage write      -> nothing visible; replay rewrites stage
+  //   crash inside the txn      -> rollback; replay publishes
+  //   crash after txn, pre-drop -> stale stage; sweepStaleStages() reaps it
+  // The target table must exist (first create it with [[append]] or DDL);
+  // `INSERT INTO target SELECT *` relies on stage/target sharing the df's
+  // column order, which both do because Spark creates both from the same
+  // schema.
+
+  private def ledgerTable = s"${cfg.table}_LEDGER"
+  private def stageTable(batchId: Long) = s"${cfg.table}_STAGE_$batchId"
+
+  private def ensureLedger(c: java.sql.Connection): Unit = {
+    val tables = c.getMetaData.getTables(null, null, ledgerTable, null)
+    val exists = tables.next(); tables.close()
+    if (!exists) {
+      c.createStatement().execute(
+        s"CREATE TABLE $ledgerTable (BATCH_ID BIGINT PRIMARY KEY)")
+      ()
+    }
+  }
+
+  private def ledgerHas(c: java.sql.Connection, batchId: Long): Boolean = {
+    val ps = c.prepareStatement(
+      s"SELECT COUNT(*) FROM $ledgerTable WHERE BATCH_ID = ?")
+    ps.setLong(1, batchId)
+    val rs = ps.executeQuery(); rs.next()
+    val n = rs.getLong(1); rs.close(); ps.close()
+    n > 0
+  }
+
+  /** Publish `df` as batch `batchId` exactly once. Returns true when this
+    * call performed the publish, false when the ledger showed the batch
+    * already applied (a replay).
+    */
+  def appendExactlyOnce(df: DataFrame, batchId: Long): Boolean = {
+    val stage = stageTable(batchId)
+    // distributed, idempotent: overwrite drops + recreates the stage
+    df.repartition(cfg.numPartitions)
+      .write.format("jdbc")
+      .option("url", cfg.url)
+      .option("dbtable", stage)
+      .option("user", cfg.user)
+      .option("password", cfg.password)
+      .option("batchsize", cfg.batchSize)
+      .mode(SaveMode.Overwrite).save()
+    withConnection { c =>
+      ensureLedger(c)
+      c.setAutoCommit(false)
+      val published =
+        if (ledgerHas(c, batchId)) { c.rollback(); false }
+        else {
+          c.createStatement()
+            .executeUpdate(s"INSERT INTO ${cfg.table} SELECT * FROM $stage")
+          val ps = c.prepareStatement(s"INSERT INTO $ledgerTable VALUES (?)")
+          ps.setLong(1, batchId); ps.executeUpdate(); ps.close()
+          c.commit(); true
+        }
+      c.setAutoCommit(true)
+      // best-effort cleanup; a crash here leaves a stale stage for the sweep
+      try { c.createStatement().execute(s"DROP TABLE $stage"); () }
+      catch { case _: java.sql.SQLException => () }
+      published
+    }
+  }
+
+  /** Drop stage tables whose batch is already in the ledger (the crash
+    * window between commit and stage drop). Returns the count reaped.
+    */
+  def sweepStaleStages(): Int = withConnection { c =>
+    val prefix = s"${cfg.table}_STAGE_"
+    val rs = c.getMetaData.getTables(null, null, s"$prefix%", null)
+    var stale = List.empty[String]
+    while (rs.next()) stale ::= rs.getString("TABLE_NAME")
+    rs.close()
+    ensureLedger(c)
+    stale.count { t =>
+      val id = t.stripPrefix(prefix)
+      // non-numeric suffixes are not ours; leave them alone
+      id.toLongOption.exists { b =>
+        if (ledgerHas(c, b)) {
+          try { c.createStatement().execute(s"DROP TABLE $t"); true }
+          catch { case _: java.sql.SQLException => false }
+        } else false
+      }
+    }
+  }
+
+  /** Stream attachment under the exactly-once contract: the foreachBatch
+    * batchId (stable across replays by Structured Streaming's contract)
+    * keys the ledger, so checkpoint-replayed batches publish zero rows.
+    */
+  def streamFromExactlyOnce(stream: DataFrame, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("15 seconds")): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        appendExactlyOnce(batch, id); ()
+      }
+      .start()
 }

@@ -412,6 +412,41 @@ class Round10OpsSpec extends SparkSpec {
     assert(m > 0.05 && m < 0.95, s"beta=$m")
   }
 
+  test("k-fold cross-validation: held-out AUC beats chance on a learnable label") {
+    import graft.operators.QualityClassifier
+    // deterministic md5 fold assignment (the trainSplit convention), label
+    // learnable from the feature space (stopword ratio above corpus mean —
+    // the same construction QualityClassifierSpec trains to 95% accuracy),
+    // so every fold's HELD-OUT ranking must beat chance by a wide margin
+    val base = Tables.documents(spark, sf0001).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), QualityClassifier.featureExprs(2).as("sr"))
+      .withColumn("m", md5(col("doc_id").cast("string")))
+      .withColumn("fold",
+        expr("(instr('0123456789abcdef', substring(m, 32, 1)) - 1) % 3"))
+    val cut = base.agg(avg("sr")).first().getDouble(0)
+    val withY = base.withColumn("y", (col("sr") > cut).cast("int"))
+    val aucs = (0 until 3).map { k =>
+      val train = withY.filter(col("fold") =!= k)
+      val test = withY.filter(col("fold") === k)
+      val m = QualityClassifier.train(train, col("y"), iters = 40)
+      val scored = QualityClassifier.score(test, m)
+        .select(col("y"), col("quality_z")).collect()
+      val pos = scored.filter(_.getInt(0) == 1).map(_.getDouble(1))
+      val neg = scored.filter(_.getInt(0) == 0).map(_.getDouble(1))
+      assume(pos.nonEmpty && neg.nonEmpty)
+      var u = 0.0
+      for (p <- pos; n <- neg)
+        u += (if (p > n) 1.0 else if (p == n) 0.5 else 0.0)
+      u / (pos.length.toDouble * neg.length)
+    }
+    aucs.foreach(a => assert(a > 0.8, s"fold AUC $a (all: $aucs)"))
+    // fold assignment is deterministic: re-running fold 0 gives identical weights
+    val t0 = withY.filter(col("fold") =!= 0)
+    val m1 = QualityClassifier.train(t0, col("y"), iters = 10)
+    val m2 = QualityClassifier.train(t0, col("y"), iters = 10)
+    assert(m1.weights.sameElements(m2.weights) && m1.bias == m2.bias)
+  }
+
   test("kappa: perfect agreement pins kappa to exactly 1 shape (synthetic)") {
     // identity check of the closed form on a crafted 2x2: n11=40, n00=60
     // -> po=1, kappa=1 regardless of marginals

@@ -97,4 +97,66 @@ class SinksSpec extends SparkSpec {
       catch { case _: java.sql.SQLException => () }
     }
   }
+
+  test("exactly-once JDBC publish: replays add zero rows; stale stages reaped") {
+    val url = "jdbc:derby:memory:graftEoDb;create=true"
+    val cfg = JdbcSinkConfig(url, "EO_TICKS", user = "", password = "",
+      numPartitions = 2)
+    val sink = new JdbcSink(cfg)
+    def rows(xs: (Long, String, Double)*) = xs.toDF("SEQ", "TICKER", "PRICE")
+    try {
+      // create the target, then empty it — appendExactlyOnce publishes into
+      // an existing table (first-boot DDL is the caller's job, as for any
+      // external warehouse)
+      sink.append(rows((0L, "BOOT", 0.0)))
+      sink.truncate(spark)
+      assert(sink.appendExactlyOnce(rows((1L, "A", 1.0), (2L, "B", 2.0)), 0L))
+      assert(sink.appendExactlyOnce(rows((3L, "C", 3.0)), 1L))
+      assert(sink.count(spark) == 3)
+      // checkpoint replay of batch 0: the ledger blocks the publish
+      assert(!sink.appendExactlyOnce(rows((1L, "A", 1.0), (2L, "B", 2.0)), 0L))
+      assert(sink.count(spark) == 3)
+      // crash window between commit and stage drop: a stage for an already-
+      // ledgered batch lingers — the sweep reaps exactly it
+      rows((9L, "X", 9.0)).write.format("jdbc")
+        .option("url", url).option("dbtable", "EO_TICKS_STAGE_1")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
+      assert(sink.sweepStaleStages() == 1)
+      // an unledgered stage (crash BEFORE the txn) must not be reaped —
+      // its batch is still owed a publish
+      rows((7L, "Y", 7.0)).write.format("jdbc")
+        .option("url", url).option("dbtable", "EO_TICKS_STAGE_7")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
+      assert(sink.sweepStaleStages() == 0)
+      assert(sink.appendExactlyOnce(rows((7L, "Y", 7.0)), 7L))
+      assert(sink.count(spark) == 4)
+    } finally {
+      try java.sql.DriverManager.getConnection("jdbc:derby:memory:graftEoDb;drop=true")
+      catch { case _: java.sql.SQLException => () }
+    }
+  }
+
+  test("JDBC read-back with filter pushdown reaches the external database") {
+    val url = "jdbc:derby:memory:graftRbDb;create=true"
+    val cfg = JdbcSinkConfig(url, "RB_TICKS", user = "", password = "",
+      numPartitions = 2)
+    val sink = new JdbcSink(cfg)
+    try {
+      sink.append(Seq((1L, "AVA", 0.5), (2L, "BTC", 64000.0), (3L, "ETH", 3200.0))
+        .toDF("SEQ", "TICKER", "PRICE"))
+      // the read half of the external-warehouse loop: filters are pushed
+      // INTO the database (the JDBC scan's PushedFilters), not applied in
+      // Spark after a full-table fetch
+      val back = spark.read.format("jdbc")
+        .option("url", url).option("dbtable", "RB_TICKS").load()
+        .filter(col("PRICE") > 1000.0)
+      assert(back.count() == 2)
+      val plan = back.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("PRICE"),
+        s"filter not pushed to the JDBC source:\n$plan")
+    } finally {
+      try java.sql.DriverManager.getConnection("jdbc:derby:memory:graftRbDb;drop=true")
+      catch { case _: java.sql.SQLException => () }
+    }
+  }
 }
