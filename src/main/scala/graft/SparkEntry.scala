@@ -293,6 +293,10 @@ object SparkEntry {
     "x_triangles"       -> (graft.operators.GraphOps.triangles _),
     // snapshot reconciliation: per-change-type totals via row fingerprints
     "x_snapshot_diff"   -> (graft.operators.ReconcileOps.snapshotDiff _),
+    // merkle anti-entropy: segment fingerprints, drill only dirty buckets
+    "x_merkle_diff"     -> (graft.operators.ReconcileOps.merkleDiff _),
+    // daily time-weighted average price (irregular-tick aggregate)
+    "ts_twa"            -> (TimeSeriesOps.twaPrice _),
     // ANALYZE-style per-column stats (count/null/NDV/min-max)
     "x_col_stats"       -> (graft.operators.ReconcileOps.colStats _),
     // join-view incremental maintenance: 4-term delta algebra == recompute
@@ -555,6 +559,8 @@ object SparkEntry {
     "t_k_anon"          -> graft.operators.FeatureOps.kAnonymitySql(),
     "x_triangles"       -> graft.operators.GraphOps.trianglesSql,
     "x_snapshot_diff"   -> graft.operators.ReconcileOps.snapshotDiffSql,
+    "x_merkle_diff"     -> graft.operators.ReconcileOps.merkleDiffSql,
+    "ts_twa"            -> TimeSeriesOps.twaPriceSql,
     "x_col_stats"       -> graft.operators.ReconcileOps.colStatsSql,
     "x_ivm_join"        -> AQ.ivmJoinSql,
     "x_ivm_agg"         -> AQ.ivmAggSql,

@@ -39,6 +39,98 @@ object ReconcileOps {
     kept.unionByName(added)
   }
 
+  /** Merkle-style anti-entropy reconciliation between two replicas — the
+    * DynamoDB/Cassandra repair pattern (DeCandia et al., SOSP 2007 —
+    * public): instead of [[snapshotDiff]]'s full-table diff join, each
+    * replica folds its rows into 256 SEGMENT fingerprints (md5-bucketed by
+    * key; fingerprint = exact sum of 60-bit row-hash integers, summed as
+    * DECIMAL/HUGEINT so no engine wraps), the two fingerprint sets are
+    * compared (bucket-count-sized), and the expensive row-level diff join
+    * runs ONLY over the dirty buckets. With drift touching d of 256
+    * buckets, the repair scan reads ~d/256 of each replica — the whole
+    * point at 100 TB, where the segment fold is one partial-aggregable
+    * pass and the diff join is drift-sized. Additive fingerprints make
+    * the fold order-free; a sum collision (different rows, equal sum of
+    * 60-bit hashes) is the standard anti-entropy trade, vanishing at
+    * crypto-hash width.
+    *
+    * Replica B is derived deterministically (keys ≡0 mod 101 missing,
+    * ≡0 mod 103 corrupted by +1 cent) so the operator is self-contained
+    * and the oracle replays the identical drift.
+    */
+  def merkleDiff(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      cents(col("o_totalprice")).as("c"))
+    val b = base.filter(col("k") % 101 =!= 0)
+      .withColumn("c", when(col("k") % 103 === 0, col("c") + 1).otherwise(col("c")))
+    merkleDiffOver(base, b)
+  }
+
+  /** [[merkleDiff]] over two explicit (`k`, `c`) replica frames. */
+  def merkleDiffOver(a: DataFrame, b: DataFrame): DataFrame = {
+    val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def withBucket(df: DataFrame) =
+      df.withColumn("bkt", substring(md5(col("k").cast("string")), 1, 2))
+    def segments(df: DataFrame) = withBucket(df)
+      .withColumn("h",
+        expr("cast(conv(substring(md5(concat(cast(k as string), ':', " +
+          "cast(c as string))), 1, 15), 16, 10) as bigint)"))
+      .groupBy("bkt").agg(count(lit(1)).as("n"), sum(col("h").cast(D38)).as("fp"))
+    val cmp = segments(a)
+      .select(col("bkt"), col("n").as("na"), col("fp").as("fpa"))
+      .join(segments(b)
+        .select(col("bkt"), col("n").as("nb"), col("fp").as("fpb")),
+        Seq("bkt"), "full_outer")
+      .withColumn("dirty",
+        !(col("fpa") <=> col("fpb")) || !(col("na") <=> col("nb")))
+    val dirtyBuckets = cmp.filter(col("dirty")).select("bkt")
+      .localCheckpoint(true) // ≤256 rows; feeds both drill joins + the count
+    val aD = withBucket(a).join(broadcast(dirtyBuckets), "bkt")
+      .select(col("k"), col("c").as("ca"))
+    val bD = withBucket(b).join(broadcast(dirtyBuckets), "bkt")
+      .select(col("k"), col("c").as("cb"))
+    // coalesce: with ZERO dirty buckets the drill frame is empty and the
+    // sums would be NULL — a clean pair must report exact zeros
+    val rows = aD.join(bD, Seq("k"), "full_outer").agg(
+      coalesce(sum(when(col("cb").isNull, 1L).otherwise(0L)), lit(0L)).as("n_missing"),
+      coalesce(sum(when(col("ca").isNull, 1L).otherwise(0L)), lit(0L)).as("n_extra"),
+      coalesce(sum(when(col("ca").isNotNull && col("cb").isNotNull &&
+        col("ca") =!= col("cb"), 1L).otherwise(0L)), lit(0L)).as("n_corrupt"))
+    cmp.agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("dirty"), 1L).otherwise(0L)).as("n_dirty"))
+      .crossJoin(broadcast(rows))
+  }
+  val merkleDiffSql: String =
+    """WITH a AS (SELECT o_orderkey AS k,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+      |b AS (SELECT k, CASE WHEN k % 103 = 0 THEN c + 1 ELSE c END AS c
+      |      FROM a WHERE k % 101 <> 0),
+      |sa AS (SELECT substring(md5(CAST(k AS VARCHAR)), 1, 2) AS bkt,
+      |         CAST(count(*) AS BIGINT) AS na,
+      |         sum(('0x' || substring(md5(CAST(k AS VARCHAR) || ':' || CAST(c AS VARCHAR)), 1, 15))::BIGINT) AS fpa
+      |       FROM a GROUP BY 1),
+      |sb AS (SELECT substring(md5(CAST(k AS VARCHAR)), 1, 2) AS bkt,
+      |         CAST(count(*) AS BIGINT) AS nb,
+      |         sum(('0x' || substring(md5(CAST(k AS VARCHAR) || ':' || CAST(c AS VARCHAR)), 1, 15))::BIGINT) AS fpb
+      |       FROM b GROUP BY 1),
+      |cmp AS (SELECT coalesce(sa.bkt, sb.bkt) AS bkt,
+      |          (fpa IS DISTINCT FROM fpb) OR (na IS DISTINCT FROM nb) AS dirty
+      |        FROM sa FULL OUTER JOIN sb ON sa.bkt = sb.bkt),
+      |dirtyb AS (SELECT bkt FROM cmp WHERE dirty),
+      |ad AS (SELECT k, c FROM a WHERE substring(md5(CAST(k AS VARCHAR)), 1, 2) IN (SELECT bkt FROM dirtyb)),
+      |bd AS (SELECT k, c FROM b WHERE substring(md5(CAST(k AS VARCHAR)), 1, 2) IN (SELECT bkt FROM dirtyb)),
+      |rows_ AS (SELECT
+      |    CAST(coalesce(sum(CASE WHEN bd.k IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_missing,
+      |    CAST(coalesce(sum(CASE WHEN ad.k IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_extra,
+      |    CAST(coalesce(sum(CASE WHEN ad.k IS NOT NULL AND bd.k IS NOT NULL AND ad.c <> bd.c
+      |             THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_corrupt
+      |  FROM ad FULL OUTER JOIN bd ON ad.k = bd.k),
+      |bstats AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+      |    CAST(sum(CASE WHEN dirty THEN 1 ELSE 0 END) AS BIGINT) AS n_dirty
+      |  FROM cmp)
+      |SELECT n_buckets, n_dirty, n_missing, n_extra, n_corrupt
+      |FROM bstats CROSS JOIN rows_""".stripMargin
+
   /** Snapshot diff: full-outer join the two versions on the key, compare
     * md5 row fingerprints, and report per-change-type totals with the key
     * range touched. ONE co-partitioned shuffle pair on the key (the shape

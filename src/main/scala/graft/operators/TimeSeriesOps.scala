@@ -436,6 +436,52 @@ object TimeSeriesOps {
       |       THEN round(mean_r / sqrt(ddv) * sqrt(252.0), 4) END AS sortino
       |FROM f ORDER BY user_id""".stripMargin
 
+  /** Daily time-weighted average price per instrument — the aggregate an
+    * irregularly-sampled tick series actually needs (a plain AVG
+    * over-weights bursts; TWA weights each price by how long it was the
+    * standing price). Each tick's weight is the microsecond gap to the
+    * next tick THAT DAY (day-end boundary: the day's last tick carries
+    * zero weight — the close is [[vwap]]'s and [[candles]]' job).
+    * The numerator Σ cents·Δt stays an exact integer (DECIMAL(38,0): a
+    * day of micros × cents overflows a long at scale), the denominator is
+    * exact micros, one double division at the end. One lead window per
+    * (instrument, day) + one partial-aggregable rollup — the
+    * [[realizedVol]] plan shape.
+    */
+  def twaPrice(s: SparkSession, d: String): DataFrame = {
+    val D38 = DecimalType(38, 0)
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("um"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("c", (col("value").cast(DecimalType(18, 2)) * lit(100)).cast("long"))
+      .filter(col("c") > 0)
+      .withColumn("day", col("ts").cast("date"))
+      .withColumn("um", unix_micros(col("ts")))
+      .withColumn("dt", lead(col("um"), 1).over(w) - col("um"))
+      .filter(col("dt").isNotNull)
+      .groupBy(col("user_id"), col("day"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("dt")).as("micros_covered"),
+        round(sum((col("c").cast(D38) * col("dt"))).cast("double") /
+          sum(col("dt")), 4).as("twa_cents"))
+      .orderBy("user_id", "day")
+  }
+  val twaPriceSql: String =
+    """WITH e AS (SELECT user_id, event_id,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS um,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM events WHERE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) > 0),
+      |l AS (SELECT user_id, day, c,
+      |    lead(um) OVER (PARTITION BY user_id, day ORDER BY um, event_id) - um AS dt
+      |  FROM e)
+      |SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_spans,
+      |  CAST(sum(dt) AS BIGINT) AS micros_covered,
+      |  round(CAST(sum(c * dt) AS DOUBLE) / sum(dt), 4) AS twa_cents
+      |FROM l WHERE dt IS NOT NULL
+      |GROUP BY user_id, day ORDER BY user_id, day""".stripMargin
+
   /** Sessionization: split each user's event stream into sessions at
     * inactivity gaps > `gapMinutes`. The lag + running-sum-of-boundaries
     * plan is one shuffle on user_id; session_window() is the streaming twin.

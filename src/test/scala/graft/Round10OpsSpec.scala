@@ -447,6 +447,47 @@ class Round10OpsSpec extends SparkSpec {
     assert(m1.weights.sameElements(m2.weights) && m1.bias == m2.bias)
   }
 
+  test("merkle anti-entropy: identical replicas are clean; known drift counted exactly") {
+    import spark.implicits._
+    import graft.operators.ReconcileOps
+    val a = (1L to 500L).map(k => (k, k * 7)).toDF("k", "c")
+    // clean: zero dirty buckets, zero row diffs
+    val clean = ReconcileOps.merkleDiffOver(a, a).first()
+    assert(clean.getLong(1) == 0 && clean.getLong(2) == 0 &&
+      clean.getLong(3) == 0 && clean.getLong(4) == 0)
+    // drift: drop 3 keys, corrupt 2, add 1 extra
+    val b = a.filter(!col("k").isin(10L, 20L, 30L))
+      .withColumn("c", when(col("k").isin(40L, 50L), col("c") + 1).otherwise(col("c")))
+      .unionByName(Seq((999L, 1L)).toDF("k", "c"))
+    val r = ReconcileOps.merkleDiffOver(a, b).first()
+    assert(r.getLong(0) <= 256)
+    assert(r.getLong(1) >= 1 && r.getLong(1) <= 6) // ≤ one bucket per touched key
+    assert(r.getLong(2) == 3, r)  // missing
+    assert(r.getLong(3) == 1, r)  // extra
+    assert(r.getLong(4) == 2, r)  // corrupt
+  }
+
+  test("time-weighted average: spans tile each day and TWA lies within [low, high]") {
+    import graft.operators.TimeSeriesOps
+    val rows = TimeSeriesOps.twaPrice(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // per (user, day): micros covered < 24 h, twa within that day's tick range
+    val ticks = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts").cast("date").as("day"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .filter(col("c") > 0)
+      .collect().groupBy(r => (r.getLong(0), r.getDate(1).toString))
+    rows.take(300).foreach { r =>
+      val key = (r.getLong(0), r.getDate(1).toString)
+      val cs = ticks(key).map(_.getLong(2))
+      assert(r.getLong(2) == cs.length - 1) // n_spans = ticks that day - 1
+      assert(r.getLong(3) > 0 && r.getLong(3) < 24L * 3600 * 1000000)
+      val twa = r.getDouble(4)
+      assert(twa >= cs.min - 1e-6 && twa <= cs.max + 1e-6,
+        s"$key twa=$twa range=[${cs.min},${cs.max}]")
+    }
+  }
+
   test("kappa: perfect agreement pins kappa to exactly 1 shape (synthetic)") {
     // identity check of the closed form on a crafted 2x2: n11=40, n00=60
     // -> po=1, kappa=1 regardless of marginals
