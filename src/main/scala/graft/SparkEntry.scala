@@ -297,6 +297,10 @@ object SparkEntry {
     "x_merkle_diff"     -> (graft.operators.ReconcileOps.merkleDiff _),
     // daily time-weighted average price (irregular-tick aggregate)
     "ts_twa"            -> (TimeSeriesOps.twaPrice _),
+    // CAPM beta vs the equal-weight market return
+    "ts_market_beta"    -> (TimeSeriesOps.marketBeta _),
+    // top-k most-correlated instrument pairs (pairs-trading screen)
+    "ts_pair_corr"      -> (TimeSeriesOps.pairCorrelation _),
     // ANALYZE-style per-column stats (count/null/NDV/min-max)
     "x_col_stats"       -> (graft.operators.ReconcileOps.colStats _),
     // join-view incremental maintenance: 4-term delta algebra == recompute
@@ -561,6 +565,8 @@ object SparkEntry {
     "x_snapshot_diff"   -> graft.operators.ReconcileOps.snapshotDiffSql,
     "x_merkle_diff"     -> graft.operators.ReconcileOps.merkleDiffSql,
     "ts_twa"            -> TimeSeriesOps.twaPriceSql,
+    "ts_market_beta"    -> TimeSeriesOps.marketBetaSql,
+    "ts_pair_corr"      -> TimeSeriesOps.pairCorrelationSql,
     "x_col_stats"       -> graft.operators.ReconcileOps.colStatsSql,
     "x_ivm_join"        -> AQ.ivmJoinSql,
     "x_ivm_agg"         -> AQ.ivmAggSql,

@@ -482,6 +482,139 @@ object TimeSeriesOps {
       |FROM l WHERE dt IS NOT NULL
       |GROUP BY user_id, day ORDER BY user_id, day""".stripMargin
 
+  /** Daily round-6 log returns per instrument — the shared input of
+    * [[marketBeta]] and [[pairCorrelation]]: close-to-close on the day's
+    * LAST tick (total (ts, event_id) order), exactly the series a daily
+    * risk system derives. One window per instrument + one lag over the
+    * per-day closes (day-count-sized).
+    */
+  private def dailyReturns(s: SparkSession, d: String): DataFrame = {
+    val byDay = Window.partitionBy("user_id", "day")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val lagW = Window.partitionBy("user_id").orderBy("day")
+    Tables.events(s, d)
+      .withColumn("c", (col("value").cast(DecimalType(18, 2)) * lit(100)).cast("long"))
+      .filter(col("c") > 0)
+      .withColumn("day", col("ts").cast("date"))
+      .withColumn("rn", row_number().over(byDay))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("c"))
+      .withColumn("pc", lag("c", 1).over(lagW))
+      .withColumn("r", round(log(col("c").cast("double") / col("pc").cast("double")), 6))
+      .filter(col("r").isNotNull)
+      .select("user_id", "day", "r")
+  }
+  private val dailyReturnsSql: String =
+    """SELECT user_id, day, round(ln(CAST(c AS DOUBLE) / pc), 6) AS r
+      |FROM (
+      |  SELECT user_id, day, c,
+      |         lag(c) OVER (PARTITION BY user_id ORDER BY day) AS pc
+      |  FROM (
+      |    SELECT user_id, day, c,
+      |           row_number() OVER (PARTITION BY user_id, day
+      |                              ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |            CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |          FROM events
+      |          WHERE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) > 0))
+      |  WHERE rn = 1)
+      |WHERE pc IS NOT NULL""".stripMargin
+
+  /** CAPM-style market beta per instrument: regress each instrument's
+    * daily log returns on the EQUAL-WEIGHT market return (the mean of all
+    * instruments' returns that day — the index a self-contained engine can
+    * build; swap in a cap-weighted index by changing one aggregate).
+    * β = Cov(r, m)/Var(m) per instrument, every moment a DECIMAL sum of
+    * round-6 terms. Two shuffles total (per-day market agg + per-
+    * instrument moments), both partial-aggregable; the market frame is
+    * day-count-sized and broadcast.
+    */
+  def marketBeta(s: SparkSession, d: String): DataFrame = {
+    val D6 = DecimalType(18, 6)
+    val r = dailyReturns(s, d)
+    val mkt = r.groupBy("day")
+      .agg(round(sum(col("r").cast(D6)).cast("double") / count(lit(1)), 6).as("m"))
+    r.join(broadcast(mkt), "day")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("r").cast(D6)).cast("double").as("sr"),
+        sum(col("m").cast(D6)).cast("double").as("sm"),
+        sum(round(col("r") * col("m"), 6).cast(D6)).cast("double").as("srm"),
+        sum(round(col("m") * col("m"), 6).cast(D6)).cast("double").as("smm"))
+      .select(col("user_id"), col("n_days"),
+        round((col("n_days") * col("srm") - col("sr") * col("sm")) /
+          (col("n_days") * col("smm") - col("sm") * col("sm")), 4).as("beta"))
+      .orderBy("user_id")
+  }
+  val marketBetaSql: String =
+    s"""WITH r AS ($dailyReturnsSql),
+       |mkt AS (SELECT day,
+       |          round(CAST(sum(CAST(r AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS m
+       |        FROM r GROUP BY day),
+       |j AS (SELECT r.user_id, r.r, mkt.m FROM r JOIN mkt USING (day)),
+       |f AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+       |        CAST(sum(CAST(r AS DECIMAL(18,6))) AS DOUBLE) AS sr,
+       |        CAST(sum(CAST(m AS DECIMAL(18,6))) AS DOUBLE) AS sm,
+       |        CAST(sum(CAST(round(r * m, 6) AS DECIMAL(18,6))) AS DOUBLE) AS srm,
+       |        CAST(sum(CAST(round(m * m, 6) AS DECIMAL(18,6))) AS DOUBLE) AS smm
+       |      FROM j GROUP BY user_id)
+       |SELECT user_id, n_days,
+       |  round((n_days * srm - sr * sm) / (n_days * smm - sm * sm), 4) AS beta
+       |FROM f ORDER BY user_id""".stripMargin
+
+  /** Top-k most-correlated instrument pairs by daily log returns — the
+    * pairs-trading screen. The pair frame is instrument² × shared days:
+    * here an inner join on day over the per-instrument daily-return frame
+    * (day-count × instruments² rows — at a large instrument universe,
+    * block by sector/liquidity bucket exactly as [[graft.operators
+    * .SimilarityOps.cosineNearDup]] blocks by label; the moment algebra is
+    * unchanged). Pearson corr from DECIMAL moment sums of round-6 terms;
+    * min overlap [[PairCorrMinDays]] days; ties broken by the pair key.
+    */
+  val PairCorrK = 20
+  val PairCorrMinDays = 10
+  def pairCorrelation(s: SparkSession, d: String): DataFrame = {
+    val D6 = DecimalType(18, 6)
+    val r = dailyReturns(s, d)
+    val b = r.select(col("user_id").as("u2"), col("day"), col("r").as("r2"))
+    val m = r.join(b, Seq("day")).filter(col("user_id") < col("u2"))
+      .groupBy(col("user_id").as("u1"), col("u2"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("r").cast(D6)).cast("double").as("s1"),
+        sum(col("r2").cast(D6)).cast("double").as("s2"),
+        sum(round(col("r") * col("r2"), 6).cast(D6)).cast("double").as("s12"),
+        sum(round(col("r") * col("r"), 6).cast(D6)).cast("double").as("s11"),
+        sum(round(col("r2") * col("r2"), 6).cast(D6)).cast("double").as("s22"))
+      .filter(col("n") >= PairCorrMinDays)
+      .withColumn("corr",
+        round((col("n") * col("s12") - col("s1") * col("s2")) /
+          sqrt((col("n") * col("s11") - col("s1") * col("s1")) *
+            (col("n") * col("s22") - col("s2") * col("s2"))), 4))
+      .filter(col("corr").isNotNull && !isnan(col("corr")))
+    m.orderBy(col("corr").desc, col("u1"), col("u2"))
+      .limit(PairCorrK)
+      .select("u1", "u2", "n", "corr")
+  }
+  val pairCorrelationSql: String =
+    s"""WITH r AS ($dailyReturnsSql),
+       |m AS (SELECT a.user_id AS u1, b.user_id AS u2, CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(CAST(a.r AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+       |        CAST(sum(CAST(b.r AS DECIMAL(18,6))) AS DOUBLE) AS s2,
+       |        CAST(sum(CAST(round(a.r * b.r, 6) AS DECIMAL(18,6))) AS DOUBLE) AS s12,
+       |        CAST(sum(CAST(round(a.r * a.r, 6) AS DECIMAL(18,6))) AS DOUBLE) AS s11,
+       |        CAST(sum(CAST(round(b.r * b.r, 6) AS DECIMAL(18,6))) AS DOUBLE) AS s22
+       |      FROM r a JOIN r b ON a.day = b.day AND a.user_id < b.user_id
+       |      GROUP BY 1, 2 HAVING count(*) >= $PairCorrMinDays),
+       |c AS (SELECT u1, u2, n,
+       |        round((n * s12 - s1 * s2) /
+       |          sqrt((n * s11 - s1 * s1) * (n * s22 - s2 * s2)), 4) AS corr
+       |      FROM m)
+       |SELECT u1, u2, n, corr FROM c WHERE corr IS NOT NULL AND NOT isnan(corr)
+       |ORDER BY corr DESC, u1, u2 LIMIT $PairCorrK""".stripMargin
+
   /** Sessionization: split each user's event stream into sessions at
     * inactivity gaps > `gapMinutes`. The lag + running-sum-of-boundaries
     * plan is one shuffle on user_id; session_window() is the streaming twin.

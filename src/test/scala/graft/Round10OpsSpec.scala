@@ -488,6 +488,34 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("market beta: the equal-weight market's own beta is exactly 1") {
+    import graft.operators.TimeSeriesOps
+    val betas = TimeSeriesOps.marketBeta(spark, sf0001).collect()
+    assert(betas.nonEmpty)
+    // instrument-count-weighted mean beta == 1 within rounding: each day's
+    // market return is the mean of members, so covariances sum to the
+    // market variance. (Exact only when every instrument trades every day;
+    // allow a small tolerance for ragged first days.)
+    val meanBeta = betas.map(_.getDouble(2)).sum / betas.length
+    assert(math.abs(meanBeta - 1.0) < 0.15, s"mean beta $meanBeta")
+    betas.foreach(r => assert(!r.getDouble(2).isNaN && r.getLong(1) >= 2))
+  }
+
+  test("pair correlation: bounded in [-1,1], ordered desc, honors min overlap") {
+    import graft.operators.TimeSeriesOps
+    val rows = TimeSeriesOps.pairCorrelation(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= TimeSeriesOps.PairCorrK)
+    var prev = 2.0
+    rows.foreach { r =>
+      val c = r.getDouble(3)
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      assert(c <= prev + 1e-12) // ordered
+      prev = c
+      assert(r.getLong(2) >= TimeSeriesOps.PairCorrMinDays)
+      assert(r.getLong(0) < r.getLong(1)) // canonical pair orientation
+    }
+  }
+
   test("kappa: perfect agreement pins kappa to exactly 1 shape (synthetic)") {
     // identity check of the closed form on a crafted 2x2: n11=40, n00=60
     // -> po=1, kappa=1 regardless of marginals
