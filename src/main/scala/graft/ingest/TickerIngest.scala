@@ -142,6 +142,12 @@ object TickerIngest {
   private def zorderEnabled(spark: SparkSession): Boolean =
     spark.conf.get("spark.graft.ingest.zorder", "false").toBoolean
 
+  /** Incremental per-partition ANALYZE at commit ([[PartitionStats]]);
+    * off by default like the z-order path.
+    */
+  private def statsEnabled(spark: SparkSession): Boolean =
+    spark.conf.get("spark.graft.ingest.stats", "false").toBoolean
+
   /** The warehouse's clustering dimensions: the order-preserving 2-char
     * ticker prefix (x) and minute-of-day (y) — see the class doc of the
     * z-order path. Shared by the ingest write and [[compactPartition]] so
@@ -209,8 +215,20 @@ object TickerIngest {
   private val maintenanceLock = new Object
 
   def commit(spark: SparkSession, staged: StagedIngest): Unit = maintenanceLock.synchronized {
+    // touched partitions must be listed BEFORE the rename empties staging
+    val statsDates =
+      if (statsEnabled(spark) && staged.stagingWh.nonEmpty)
+        PartitionStats.partitionDates(spark, staged.stagingWh)
+      else Nil
     if (staged.stagingWh.nonEmpty) moveTree(spark, staged.stagingWh, staged.warehouseDir)
     for (s <- staged.stagingQr; q <- staged.quarantineDir) moveTree(spark, s, q)
+    // incremental ANALYZE: recompute the touched partitions' stats rows
+    // from the now-committed data (still under the maintenance lock, so no
+    // concurrent commit/compaction can interleave). A crash before this
+    // line leaves stats one batch stale — healed on the partition's next
+    // touch; see PartitionStats' consistency contract.
+    if (statsDates.nonEmpty)
+      PartitionStats.refresh(spark, staged.warehouseDir, statsDates)
     // GC abandoned attempts: under the single-writer contract (one
     // processReady cycle stages at a time — same assumption the journal
     // makes), every _staging entry still present after a successful commit
