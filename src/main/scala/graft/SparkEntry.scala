@@ -143,6 +143,8 @@ object SparkEntry {
     // Training-data pipeline: text analysis
     "t_langid"          -> (TextOps.langIdDf _),
     "t_quality"         -> (TextOps.qualityDf _),
+    // Flesch reading ease with the vowel-group syllable proxy
+    "t_readability"     -> (TextOps.readabilityDf _),
     "t_token_count"     -> (TextOps.tokenCountDf _),
     "t_fingerprint"     -> (TextOps.fingerprintDf _),
     // native one-pass repetition stats (Gopher-style quality filtering)
@@ -299,6 +301,8 @@ object SparkEntry {
     "ts_twa"            -> (TimeSeriesOps.twaPrice _),
     // CAPM beta vs the equal-weight market return
     "ts_market_beta"    -> (TimeSeriesOps.marketBeta _),
+    // Amihud illiquidity: |return| per dollar volume
+    "ts_amihud"         -> (TimeSeriesOps.amihud _),
     // top-k most-correlated instrument pairs (pairs-trading screen)
     "ts_pair_corr"      -> (TimeSeriesOps.pairCorrelation _),
     // ANALYZE-style per-column stats (count/null/NDV/min-max)
@@ -448,6 +452,7 @@ object SparkEntry {
     "s_cluster_neardup" -> SimilarityOps.clusterNearDupSql,
     "t_langid"          -> TextOps.langIdSql,
     "t_quality"         -> TextOps.qualitySql,
+    "t_readability"     -> TextOps.readabilitySql,
     "t_token_count"     -> TextOps.tokenCountSql,
     "t_fingerprint"     -> TextOps.fingerprintSql,
     "t_repetition"      -> TextOps.repetitionSql,
@@ -566,6 +571,7 @@ object SparkEntry {
     "x_merkle_diff"     -> graft.operators.ReconcileOps.merkleDiffSql,
     "ts_twa"            -> TimeSeriesOps.twaPriceSql,
     "ts_market_beta"    -> TimeSeriesOps.marketBetaSql,
+    "ts_amihud"         -> TimeSeriesOps.amihudSql,
     "ts_pair_corr"      -> TimeSeriesOps.pairCorrelationSql,
     "x_col_stats"       -> graft.operators.ReconcileOps.colStatsSql,
     "x_ivm_join"        -> AQ.ivmJoinSql,

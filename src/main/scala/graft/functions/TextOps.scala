@@ -99,6 +99,42 @@ object TextOps {
   private val stopwords =
     Seq("the", "a", "of", "and", "in", "to", "is", "on", "for", "with")
 
+  /** Flesch-style readability score per document (Flesch 1948 — the
+    * public-domain reading-ease formula), with the classic syllable proxy
+    * of counting VOWEL GROUPS per word (a regex count — deterministic on
+    * Java regex and RE2 alike for this character-class pattern):
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`.
+    * Sentences = runs of terminal punctuation, floored at 1. All three
+    * counts are exact integers from codegen'd regexp_count projections;
+    * the score is one fixed double chain + round. Pure per-row projection,
+    * no shuffle — the cheapest member of the quality family, and the
+    * second most-quoted after stopword ratio.
+    */
+  def readabilityDf(s: SparkSession, d: String): DataFrame =
+    docsSorted(s, d)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_words"),
+        greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1)).cast("long")
+          .as("n_sentences"),
+        regexp_count(col("text"), lit("[aeiouyAEIOUY]+")).cast("long")
+          .as("n_syllables"))
+      .withColumn("flesch",
+        round(lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") / col("n_sentences")) -
+          lit(84.6) * (col("n_syllables").cast("double") /
+            greatest(col("n_words"), lit(1L))), 2))
+      .orderBy("doc_id")
+  val readabilitySql: String =
+    """WITH c AS (SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+      |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+      |    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT) AS n_syllables
+      |  FROM documents)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+      |        - 84.6 * (CAST(n_syllables AS DOUBLE) / greatest(n_words, 1)), 2) AS flesch
+      |FROM c ORDER BY doc_id""".stripMargin
+
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean token
     * length. Ratios are exact integer divisions cast to double + rounded, so
     * the DuckDB oracle hashes identically.

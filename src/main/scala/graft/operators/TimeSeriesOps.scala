@@ -261,6 +261,48 @@ object TimeSeriesOps {
       |       THEN round(CAST(sum(cents * vol) AS DOUBLE) / sum(vol) / 100.0, 4) END AS vwap
       |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Amihud illiquidity per instrument (Amihud 2002 — the standard
+    * price-impact proxy): the mean over days of |daily log return| /
+    * dollar volume, scaled ×10⁹ for legibility. Days join their volume
+    * from the same JSON `$.k` field [[vwap]] reads; zero-volume days are
+    * excluded (undefined impact). Per-day terms are round-6 doubles
+    * summed as DECIMAL; dollar volume is an exact integer. Two
+    * partial-aggregable groupBys + one day-keyed join of day-count-sized
+    * frames per instrument.
+    */
+  def amihud(s: SparkSession, d: String): DataFrame = {
+    val D6 = DecimalType(18, 6)
+    val r = dailyReturns(s, d)
+    val vol = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("date").as("day"),
+        (col("value").cast(DecimalType(18, 2)) * lit(100)).cast("long").as("cents"),
+        get_json_object(col("props"), "$.k").cast("long").as("v"))
+      .groupBy("user_id", "day")
+      .agg(sum(col("cents") * col("v")).as("dollar_cents"))
+    r.join(vol, Seq("user_id", "day"))
+      .filter(col("dollar_cents") > 0)
+      .withColumn("term",
+        round(abs(col("r")) / col("dollar_cents") * lit(1e9), 6).cast(D6))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_days"),
+        round(sum("term").cast("double") / count(lit(1)), 4).as("amihud_x1e9"))
+      .orderBy("user_id")
+  }
+  // lazy: declared above [[dailyReturnsSql]] in the file, so an eager val
+  // would interpolate null at object init
+  lazy val amihudSql: String =
+    s"""WITH r AS ($dailyReturnsSql),
+       |v AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+       |        CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) *
+       |                 CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS dollar_cents
+       |      FROM events GROUP BY 1, 2),
+       |t AS (SELECT r.user_id,
+       |        CAST(round(abs(r.r) / v.dollar_cents * 1e9, 6) AS DECIMAL(18,6)) AS term
+       |      FROM r JOIN v USING (user_id, day) WHERE v.dollar_cents > 0)
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+       |  round(CAST(sum(term) AS DOUBLE) / count(*), 4) AS amihud_x1e9
+       |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Candlestick pattern flags per hourly candle: doji (body ≤ a tenth of
     * the range), hammer (long lower shadow, short upper), bullish engulf
     * (green body swallowing the previous red body). Open/close are the

@@ -516,6 +516,29 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("amihud: strictly positive, day accounting bounded by return days") {
+    import graft.operators.TimeSeriesOps
+    val rows = TimeSeriesOps.amihud(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 31) // within the window
+      assert(r.getDouble(2) >= 0.0)
+    }
+  }
+
+  test("readability: the flesch formula replays from the engine's own counts") {
+    import graft.functions.TextOps
+    val rows = TextOps.readabilityDf(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.take(100).foreach { r =>
+      val (w, s0, sy) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(w >= 1 && s0 >= 1 && sy >= 0)
+      val f = 206.835 - 1.015 * (w.toDouble / s0) - 84.6 * (sy.toDouble / math.max(w, 1L))
+      assert(math.abs(r.getDouble(4) -
+        BigDecimal(f).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, r)
+    }
+  }
+
   test("kappa: perfect agreement pins kappa to exactly 1 shape (synthetic)") {
     // identity check of the closed form on a crafted 2x2: n11=40, n00=60
     // -> po=1, kappa=1 regardless of marginals
