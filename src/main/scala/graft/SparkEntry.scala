@@ -333,6 +333,12 @@ object SparkEntry {
     "w_decay_score"     -> (graft.operators.IntervalOps.decayScore _),
     // first-order behavioral Markov transition matrix
     "w_transitions"     -> (graft.operators.FunnelOps.transitions _),
+    // RFM quintile segmentation by exact midrank arithmetic
+    "w_rfm"             -> (graft.operators.FunnelOps.rfmSegments _),
+    // top-k 3-step session paths (the n-gram view of w_transitions)
+    "w_path_topk"       -> ((s, d) => graft.operators.FunnelOps.pathTopK(s, d)),
+    // nDCG@15 of the BM25 ranking vs a term-coverage gold
+    "r_ndcg"            -> ((s, d) => graft.operators.RetrievalOps.ndcgEval(s, d)),
     // greedy max-coverage corpus selection (facility-location subset pick)
     "t_greedy_cover"    -> ((s, d) => graft.operators.FeatureOps.greedyCover(s, d)),
     // LSH QA: confusion counts of LSH candidates vs exact-Jaccard truth
@@ -587,6 +593,9 @@ object SparkEntry {
     "g_pair_lift"       -> AQ.gPairLiftSql,
     "w_decay_score"     -> graft.operators.IntervalOps.decayScoreSql,
     "w_transitions"     -> graft.operators.FunnelOps.transitionsSql,
+    "w_rfm"             -> graft.operators.FunnelOps.rfmSegmentsSql,
+    "w_path_topk"       -> graft.operators.FunnelOps.pathTopKSql(),
+    "r_ndcg"            -> graft.operators.RetrievalOps.ndcgEvalSql,
     "t_greedy_cover"    -> graft.operators.FeatureOps.greedyCoverSql(),
     "d_lsh_eval"        -> DedupOps.lshEvalSql,
     "g_pareto_share"    -> AQ.gParetoShareSql,

@@ -289,4 +289,128 @@ object FunnelOps {
       |       CAST(c.n AS DOUBLE) / CAST(t.row_total AS DOUBLE) AS p
       |FROM c JOIN t USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin
+
+  /** RFM segmentation (Hughes 1994's recency/frequency/monetary scoring —
+    * the classic CRM cut, public): per user, days since last activity,
+    * event count, and total spend in cents, each scored into quintiles
+    * 1–5 by EXACT midrank arithmetic over the scale-safe cumulated value
+    * histograms ([[graft.queries.AnalyticsQueries.globalCumHistogram]]):
+    * `q = ((lo+hi−2)·5) div (2n) + 1` is integral and tie-stable, so no
+    * percentile interpolation can drift cross-engine. Recency inverts
+    * (recent = 5). One user-level groupBy (localCheckpointed: three
+    * histogram joins consume it), then value-NDV-sized joins.
+    */
+  def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      col("ts").cast("date").as("day"),
+      (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long").as("cents"))
+    val mx = ev.agg(max("day").as("mxd"))
+    val per = ev.groupBy("user_id")
+      .agg(max("day").as("last_day"), count(lit(1)).as("f"),
+        sum("cents").as("m"))
+      .crossJoin(broadcast(mx))
+      .withColumn("rec", datediff(col("mxd"), col("last_day")).cast("long"))
+      .select("user_id", "rec", "f", "m")
+      .localCheckpoint(true)
+    def quint(valCol: String, out: String): DataFrame =
+      graft.queries.AnalyticsQueries
+        .globalCumHistogram(per.select(col(valCol).as("v")), "v")
+        .select(col("v").as(valCol),
+          (expr("((lo + hi - 2) * 5) div (2 * n)") + 1).as(out))
+    per
+      .join(quint("rec", "rq"), "rec")
+      .join(quint("f", "fq"), "f")
+      .join(quint("m", "mq"), "m")
+      .select(col("user_id"), col("rec"), col("f"), col("m"),
+        (lit(6L) - col("rq")).as("r_score"), col("fq").as("f_score"),
+        col("mq").as("m_score"),
+        concat(lit(6L) - col("rq"), col("fq"), col("mq")).as("segment"))
+      .orderBy("user_id")
+  }
+  val rfmSegmentsSql: String =
+    """WITH ev AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
+      |mx AS (SELECT max(day) AS mxd FROM ev),
+      |per AS (SELECT user_id,
+      |    CAST(date_diff('day', max(day), (SELECT mxd FROM mx)) AS BIGINT) AS rec,
+      |    CAST(count(*) AS BIGINT) AS f, CAST(sum(cents) AS BIGINT) AS m
+      |  FROM ev GROUP BY user_id),
+      |hr AS (SELECT v, ((lo + hi - 2) * 5) // (2 * n) + 1 AS q FROM (
+      |    SELECT v, hi - cnt + 1 AS lo, hi, sum(cnt) OVER () AS n FROM (
+      |      SELECT rec AS v, CAST(count(*) AS BIGINT) AS cnt,
+      |             sum(count(*)) OVER (ORDER BY rec
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+      |      FROM per GROUP BY rec))),
+      |hf AS (SELECT v, ((lo + hi - 2) * 5) // (2 * n) + 1 AS q FROM (
+      |    SELECT v, hi - cnt + 1 AS lo, hi, sum(cnt) OVER () AS n FROM (
+      |      SELECT f AS v, CAST(count(*) AS BIGINT) AS cnt,
+      |             sum(count(*)) OVER (ORDER BY f
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+      |      FROM per GROUP BY f))),
+      |hm AS (SELECT v, ((lo + hi - 2) * 5) // (2 * n) + 1 AS q FROM (
+      |    SELECT v, hi - cnt + 1 AS lo, hi, sum(cnt) OVER () AS n FROM (
+      |      SELECT m AS v, CAST(count(*) AS BIGINT) AS cnt,
+      |             sum(count(*)) OVER (ORDER BY m
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+      |      FROM per GROUP BY m)))
+      |SELECT per.user_id, per.rec, per.f, per.m,
+      |  CAST(6 - hr.q AS BIGINT) AS r_score,
+      |  CAST(hf.q AS BIGINT) AS f_score,
+      |  CAST(hm.q AS BIGINT) AS m_score,
+      |  CAST(6 - hr.q AS VARCHAR) || CAST(hf.q AS VARCHAR) || CAST(hm.q AS VARCHAR) AS segment
+      |FROM per
+      |JOIN hr ON per.rec = hr.v
+      |JOIN hf ON per.f = hf.v
+      |JOIN hm ON per.m = hm.v
+      |ORDER BY per.user_id""".stripMargin
+
+  /** Top-k most common 3-step behavioral paths within sessions — the
+    * "what do users actually do" report next to [[transitions]]' 1-step
+    * matrix. Sessions use [[graft.operators.TimeSeriesOps.sessionize]]'s
+    * exact gap rule; each session's type sequence is ordered canonically
+    * by sort_array over (ts, event_id, type) structs (collect_list alone
+    * is partition-order-dependent), and the trigram explode fans out per
+    * event — data-scale but map-side, followed by one partial-aggregable
+    * count and a bounded-heap top-k.
+    */
+  def pathTopK(s: SparkSession, d: String, gapMinutes: Int = 30,
+      k: Int = 15): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val sess = Tables.events(s, d)
+      .withColumn("_prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("_new",
+        when(col("_prev").isNull ||
+          col("ts").cast("long") - col("_prev").cast("long") > gapMinutes * 60L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("_new").over(run))
+    val seqs = sess.groupBy("user_id", "sid")
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+      .select(transform(col("evs"), e => e.getField("event_type")).as("types"))
+    seqs.filter(size(col("types")) >= 3)
+      .select(explode(transform(sequence(lit(1), size(col("types")) - 2),
+        i => concat_ws(">", slice(col("types"), i, lit(3))))).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(k)
+  }
+  def pathTopKSql(gapMinutes: Int = 30, k: Int = 15): String =
+    s"""WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+       |l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts FROM ev),
+       |s AS (SELECT *, CAST(sum(CASE WHEN pts IS NULL OR
+       |          date_diff('second', pts, ts) > ${gapMinutes * 60} THEN 1 ELSE 0 END)
+       |        OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+       |      FROM l),
+       |q AS (SELECT user_id, sid, list(event_type ORDER BY ts, event_id) AS types
+       |      FROM s GROUP BY 1, 2),
+       |g AS (SELECT array_to_string(types[i:i+2], '>') AS path
+       |      FROM q CROSS JOIN UNNEST(generate_series(1, len(types) - 2)) AS u(i)
+       |      WHERE len(types) >= 3)
+       |SELECT path, CAST(count(*) AS BIGINT) AS n FROM g
+       |GROUP BY path ORDER BY n DESC, path LIMIT $k""".stripMargin
 }

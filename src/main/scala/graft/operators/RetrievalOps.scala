@@ -257,4 +257,55 @@ object RetrievalOps {
        |  CAST(count(*) AS BIGINT) AS n_terms
        |FROM sc GROUP BY doc_id
        |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin
+
+  /** nDCG@k of the BM25 ranking against a term-coverage gold standard
+    * (graded relevance = distinct query terms matched — the standard
+    * surrogate when no engagement labels exist; Järvelin & Kekäläinen
+    * 2002's measure, public). DCG terms use the exponential-gain form
+    * `(2^g − 1)/log₂(rank+1)`, each round-6 and DECIMAL-summed; IDCG
+    * re-ranks the same result list by gain (gain-desc, doc_id tiebreak).
+    * Ranks come from bounded self-joins over the k-row result — the
+    * [[graft.queries.AnalyticsQueries.skyline]] discipline, no
+    * partition-less window; 2^g is exact in doubles for small integer
+    * gains. One output row: the retrieval stack's quality number.
+    */
+  def ndcgEval(s: SparkSession, d: String, k: Int = 15): DataFrame = {
+    val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val top = bm25TopK(s, d, k).localCheckpoint(true) // k rows, 3 consumers
+    val o = top.select(col("doc_id").as("d2"), col("bm25").as("b2"),
+      col("n_terms").as("g2"))
+    val ranked = top.join(broadcast(o),
+        col("b2") > col("bm25") ||
+          (col("b2") === col("bm25") && col("d2") < col("doc_id")), "left")
+      .groupBy("doc_id", "bm25", "n_terms")
+      .agg((count(col("d2")) + 1).as("rnk"))
+    val ideal = top.join(broadcast(o),
+        col("g2") > col("n_terms") ||
+          (col("g2") === col("n_terms") && col("d2") < col("doc_id")), "left")
+      .groupBy("doc_id", "n_terms")
+      .agg((count(col("d2")) + 1).as("irnk"))
+    def term(g: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =
+      round((pow(lit(2.0), g.cast("double")) - 1) / log2(r.cast("double") + 1), 6)
+        .cast(D6)
+    val dcg = ranked.agg(sum(term(col("n_terms"), col("rnk")))
+      .cast("double").as("dcg"))
+    val idcg = ideal.agg(sum(term(col("n_terms"), col("irnk")))
+      .cast("double").as("idcg"))
+    dcg.crossJoin(broadcast(idcg))
+      .select(lit(k.toLong).as("k"), col("dcg"), col("idcg"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg"))
+  }
+  lazy val ndcgEvalSql: String =
+    s"""WITH $bm25Cte,
+       |topk AS (SELECT doc_id, CAST(sum(s) AS DOUBLE) AS bm25,
+       |           CAST(count(*) AS BIGINT) AS g
+       |         FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 15),
+       |r AS (SELECT g, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk,
+       |             row_number() OVER (ORDER BY g DESC, doc_id) AS irnk FROM topk),
+       |dd AS (SELECT
+       |    CAST(sum(CAST(round((power(2, g) - 1) / log2(rnk + 1), 6) AS DECIMAL(18,6))) AS DOUBLE) AS dcg,
+       |    CAST(sum(CAST(round((power(2, g) - 1) / log2(irnk + 1), 6) AS DECIMAL(18,6))) AS DOUBLE) AS idcg
+       |  FROM r)
+       |SELECT CAST(15 AS BIGINT) AS k, dcg, idcg, round(dcg / idcg, 6) AS ndcg
+       |FROM dd""".stripMargin
 }

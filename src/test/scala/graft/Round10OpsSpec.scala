@@ -539,6 +539,80 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("rfm: scores in 1..5, quintiles balanced, recency inversion holds") {
+    import graft.operators.FunnelOps
+    val rows = FunnelOps.rfmSegments(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    rows.foreach { r =>
+      Seq(4, 5, 6).foreach(i => assert(r.getLong(i) >= 1 && r.getLong(i) <= 5))
+      assert(r.getString(7) ==
+        s"${r.getLong(4)}${r.getLong(5)}${r.getLong(6)}")
+    }
+    // monetary is near-unique -> its quintiles are balanced within ties
+    val mBuckets = rows.groupBy(_.getLong(6)).view.mapValues(_.size)
+    mBuckets.values.foreach(c => assert(c <= 2 * n / 5 + 1, mBuckets))
+    // recency inversion: r_score is non-increasing in recency (ties share
+    // a quintile — with ONE distinct recency everyone lands mid-quintile,
+    // which is the tie-stable midrank semantics, so assert monotonicity
+    // over distinct values rather than a fixed top score)
+    val byRec = rows.groupBy(_.getLong(1)).view
+      .mapValues(_.map(_.getLong(4)).distinct).toSeq.sortBy(_._1)
+    byRec.foreach { case (_, scores) => assert(scores.size == 1) } // tie-stable
+    byRec.map(_._2.head).sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a)
+      case _ =>
+    }
+  }
+
+  test("path top-k: well-formed trigrams that match a driver-side replay") {
+    import graft.operators.FunnelOps
+    val rows = FunnelOps.pathTopK(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    var prev = Long.MaxValue
+    rows.foreach { r =>
+      assert(r.getString(0).split(">").length == 3)
+      assert(r.getLong(1) <= prev); prev = r.getLong(1)
+    }
+    // sequential replay: sessions by the 30-min gap rule, trigram counts
+    // order by full-resolution ts (micros) + event_id — the engine's sort —
+    // while the GAP rule compares floor-second values (ts.cast("long"))
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("um"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    var curUser = -1L; var lastSec = Long.MinValue
+    var session = List.empty[String]
+    def flush(): Unit = {
+      val s0 = session.reverse
+      if (s0.length >= 3) s0.sliding(3).foreach { g =>
+        val p = g.mkString(">")
+        counts(p) = counts.getOrElse(p, 0L) + 1
+      }
+      session = Nil
+    }
+    ev.foreach { case (u, um, _, tp) =>
+      val sec = Math.floorDiv(um, 1000000L)
+      if (u != curUser || sec - lastSec > 1800) { flush(); curUser = u }
+      session ::= tp; lastSec = sec
+    }
+    flush()
+    val expected = counts.toSeq.sortBy(t => (-t._2, t._1)).take(15)
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq == expected)
+  }
+
+  test("ndcg: bounded by 1, idcg dominates dcg, positive gains present") {
+    import graft.operators.RetrievalOps
+    val r = RetrievalOps.ndcgEval(spark, sf0001).first()
+    val (dcg, idcg, ndcg) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(dcg > 0 && idcg > 0)
+    assert(idcg >= dcg - 1e-9)
+    assert(ndcg > 0 && ndcg <= 1.0 + 1e-9)
+  }
+
   test("kappa: perfect agreement pins kappa to exactly 1 shape (synthetic)") {
     // identity check of the closed form on a crafted 2x2: n11=40, n00=60
     // -> po=1, kappa=1 regardless of marginals
