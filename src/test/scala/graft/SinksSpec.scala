@@ -136,6 +136,42 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("streamFromExactlyOnce: micro-batches publish once through the ledger") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val url = "jdbc:derby:memory:graftStreamEoDb;create=true"
+    val cfg = JdbcSinkConfig(url, "SEO_TICKS", user = "", password = "",
+      numPartitions = 2)
+    val sink = new JdbcSink(cfg)
+    try {
+      sink.append(Seq((0L, "BOOT", 0.0)).toDF("SEQ", "TICKER", "PRICE"))
+      sink.truncate(spark)
+      implicit val sq = spark.sqlContext
+      val in = MemoryStream[(Long, String, Double)]
+      val q = sink.streamFromExactlyOnce(
+        in.toDF().toDF("SEQ", "TICKER", "PRICE"),
+        tmpDir("seo-ckpt"),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      try {
+        in.addData((1L, "A", 1.0), (2L, "B", 2.0))
+        q.processAllAvailable()
+        in.addData((3L, "C", 3.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(sink.count(spark) == 3)
+      // the engine-level replay of a committed batch publishes nothing:
+      // foreachBatch ids are stable across checkpoint replays, and ids 0/1
+      // are in the ledger now
+      assert(!sink.appendExactlyOnce(
+        Seq((1L, "A", 1.0), (2L, "B", 2.0)).toDF("SEQ", "TICKER", "PRICE"), 0L))
+      assert(!sink.appendExactlyOnce(
+        Seq((3L, "C", 3.0)).toDF("SEQ", "TICKER", "PRICE"), 1L))
+      assert(sink.count(spark) == 3)
+    } finally {
+      try java.sql.DriverManager.getConnection("jdbc:derby:memory:graftStreamEoDb;drop=true")
+      catch { case _: java.sql.SQLException => () }
+    }
+  }
+
   test("JDBC read-back with filter pushdown reaches the external database") {
     val url = "jdbc:derby:memory:graftRbDb;create=true"
     val cfg = JdbcSinkConfig(url, "RB_TICKS", user = "", password = "",
