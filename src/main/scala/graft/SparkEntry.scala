@@ -315,8 +315,6 @@ object SparkEntry {
     "g_skew_gini"       -> (graft.operators.SkewOps.giniSkew _),
     // cumulative distinct users by first-seen day (growth curve)
     "w_cume_new_users"  -> (graft.operators.IntervalOps.cumeNewUsers _),
-    // zlib compression-ratio quality signal (rows-only: not SQL-expressible)
-    "t_compress_ratio"  -> (TextOps.compressRatio _),
     // Hilbert-curve clustering twin of x_zorder_layout (adjacency-preserving)
     "x_hilbert_layout"  -> (graft.operators.LayoutOps.hilbertLayout _),
     // MMR diversified re-ranking in the quantized integer domain
@@ -389,6 +387,19 @@ object SparkEntry {
     // systematic PPS sampling: draw k docs proportional to token budget,
     // exact integer grid arithmetic (Madow systematic sampling)
     "p_pps_sample"      -> (PQ.ppsSample _),
+  )
+
+  /** Operators with no SQL twin AND no replayable oracle — verified by
+    * property/reference-pinned specs only, kept out of [[queries]] so the
+    * driver's DuckDB gate never records them as perpetual `no_oracle`
+    * failures. Exactly one resident: `t_compress_ratio` (zlib Deflater
+    * byte counts — no SQL analog exists; TextAnalysisSpec pins monotone
+    * bounds and exact values on fixed inputs). The BPE train/encode loop,
+    * which used to live here, IS replayable (TokenizerOps.bpeTrainSql)
+    * and sits on the oracle board.
+    */
+  def specOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_compress_ratio"  -> (TextOps.compressRatio _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -489,6 +500,10 @@ object SparkEntry {
     "t_dsir_select"     -> PQ.dsirSelectSql,
     "p_curation_funnel" -> PQ.curationFunnelSql,
     "t_bpe_pairs"       -> graft.operators.TokenizerOps.bpePairFreqsSql,
+    // full k-round merge-loop replay, unrolled (greedy pass = even offsets
+    // within consecutive match-position chains — see TokenizerOps scaladoc)
+    "t_bpe_train"       -> graft.operators.TokenizerOps.bpeTrainSql(),
+    "t_bpe_encode"      -> graft.operators.TokenizerOps.bpeSegmentSql(),
     "d_cluster_canon"   -> DedupOps.clusterCanonSql,
     "p_train_split"     -> PQ.trainSplitSql,
     "p_stratified_sample" -> PQ.stratifiedSampleSql,
@@ -584,7 +599,7 @@ object SparkEntry {
     "x_ivm_agg"         -> AQ.ivmAggSql,
     "g_skew_gini"       -> graft.operators.SkewOps.giniSkewSql,
     "w_cume_new_users"  -> graft.operators.IntervalOps.cumeNewUsersSql,
-    // t_compress_ratio: rows-only (zlib byte counts are not SQL-expressible)
+    // t_compress_ratio: specOnlyQueries (zlib bytes have no SQL analog)
     "x_hilbert_layout"  -> graft.operators.LayoutOps.hilbertLayoutSql,
     "s_mmr_diversify"   -> SimilarityOps.mmrDiversifySql,
     "x_dq_report"       -> graft.operators.ReconcileOps.dqReportSql,

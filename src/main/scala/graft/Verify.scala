@@ -22,7 +22,11 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // -0.0 → +0.0 on every float/double output: value-identical (IEEE
+      // -0.0 + 0.0 = +0.0) but hash-identical to DuckDB's round(), which
+      // never emits the negative sign bit. See functions.NumOps.
+      try graft.functions.NumOps.normalizeSignedZeros(fn(spark, sfDir))
+        .coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -626,6 +626,40 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** Broadcast count-min sketch probe (Cormode & Muthukrishnan 2005, "An
+  * improved data stream summary: the count-min sketch and its
+  * applications") — the map-side replacement for a vocabulary-sized count
+  * join: the sketch rides to every task as a codegen reference object
+  * (like a broadcast variable, serialized once per executor), and each row
+  * pays one O(depth) probe instead of shuffling on the token key. CMS
+  * never under-estimates, so `estimate ≥ exact` always; width/depth come
+  * from the (eps, confidence) the sketch was built with.
+  *
+  * The probe stringifies through UTF-8 exactly as Spark's
+  * `count_min_sketch` aggregate inserts string keys (both hash the UTF-8
+  * bytes), so build and probe agree on every key.
+  */
+case class CmsEstimate(child: Expression, sketchBytes: Array[Byte])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"cms_estimate requires a string key, got ${t.sql}")
+  }
+  @transient private lazy val cms =
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(sketchBytes)
+  override def nullSafeEval(v: Any): Any =
+    cms.estimateCount(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cms", cms,
+      "org.apache.spark.util.sketch.CountMinSketch")
+    defineCodeGen(ctx, ev, c => s"$ref.estimateCount($c.toString())")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CmsEstimate =
+    copy(child = newChild)
+}
+
 object HashFunctions {
   import org.apache.spark.sql.GraftColumnBridge
   def simhash32(c: Column): Column =
@@ -661,6 +695,9 @@ object HashFunctions {
     GraftColumnBridge.column(
       MergePair(GraftColumnBridge.expression(arr),
         GraftColumnBridge.expression(l), GraftColumnBridge.expression(r)))
+  def cms_estimate(key: Column, sketchBytes: Array[Byte]): Column =
+    GraftColumnBridge.column(
+      CmsEstimate(GraftColumnBridge.expression(key), sketchBytes))
 }
 
 /** Native positional-equality count over two array<string> columns — the

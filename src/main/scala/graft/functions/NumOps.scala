@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Numeric output hygiene shared by the query board.
+  *
+  * The one class of false hash mismatch the oracle gate has ever produced
+  * is IEEE negative zero: `round(sum(x)/n, k)` of a tiny negative mean
+  * keeps the sign bit in Spark (`-0.0`), while DuckDB's `round` returns
+  * `+0.0`. The two values are `==`-equal in both engines but differ in the
+  * bit pattern the driver hashes. `-0.0` carries no information any query
+  * on this board intends to expose, so every rounded-double output column
+  * that can straddle zero is normalized through [[nzero]] — IEEE 754
+  * guarantees `-0.0 + 0.0 == +0.0` and `x + 0.0 == x` for every other
+  * value (including NaN propagation), so the transform is the identity
+  * everywhere except the sign bit of zero.
+  */
+object NumOps {
+
+  /** Collapse IEEE `-0.0` to `+0.0`; identity for every other double. */
+  def nzero(c: Column): Column = c + lit(0.0)
+
+  /** `round(c, scale)` with the negative-zero sign bit collapsed — the
+    * drop-in for every rounded-double output that can straddle zero.
+    */
+  def roundz(c: Column, scale: Int): Column = nzero(round(c, scale))
+
+  /** Normalize every float/double in a result frame — top level and one
+    * array level deep — so `-0.0` can never reach the correctness dump.
+    * Applied at the [[graft.Verify]] dump boundary as the systematic
+    * backstop: per-site [[roundz]] keeps individual operators honest, this
+    * keeps the whole 200+-query board immune to the class. Column names,
+    * types, and nullability are unchanged (`+ 0.0` preserves null and NaN).
+    */
+  def normalizeSignedZeros(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      val c = col(f.name)
+      val fixed = f.dataType match {
+        case DoubleType => nzero(c)
+        case FloatType  => (c.cast(DoubleType) + lit(0.0)).cast(FloatType)
+        case ArrayType(DoubleType, _) => transform(c, x => x + lit(0.0))
+        case ArrayType(FloatType, _) =>
+          transform(c, x => (x.cast(DoubleType) + lit(0.0)).cast(FloatType))
+        case _ => c
+      }
+      fixed.as(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+}

@@ -1,5 +1,6 @@
 package graft.ingest
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -16,17 +17,34 @@ import org.apache.spark.sql.types._
   * Consistency contract: [[refresh]] recomputes a touched partition's row
   * from the partition's full post-commit contents (partition-sized read,
   * NOT incremental-merge — so re-ingest, compaction and quarantine
-  * replays can never double-count) and overwrites its directory. The
-  * caller (commit) holds the ingest maintenance lock, so stats never race
-  * a concurrent commit/compaction of the same partition. A partition dir
-  * under `_stats/` therefore always describes a fully-committed partition;
-  * a crash between data commit and stats refresh leaves stats one batch
-  * stale, which the next touch of that partition heals (stats are an
-  * acceleration structure, not a source of truth).
+  * replays can never double-count) and replaces its directory atomically
+  * (build in a dot-hidden temp dir Spark's partition discovery never
+  * sees, then rename into place — a reader concurrent with a refresh
+  * observes either the old complete row or the new complete row, never a
+  * partially-written store). The caller (commit) holds the ingest
+  * maintenance lock, so stats never race a concurrent commit/compaction
+  * of the same partition. A crash between data commit and stats refresh
+  * leaves stats one batch stale, which the next touch of that partition
+  * heals — so:
+  *
+  *  - [[globalSummary]] / [[stats]] are ADVISORY (display aggregates,
+  *    monitoring): at most one batch stale, never torn.
+  *  - [[pruneByPrice]] is SAFE TO GATE A SCAN: every live warehouse
+  *    partition that has NO stats row (stats enabled late, pre-existing
+  *    warehouse, crash window) is unioned into the result as must-read,
+  *    so absent stats can only widen the scan, never drop matching rows.
+  *  - [[summaryExact]] is CORRECT BY CONSTRUCTION: each stats row records
+  *    the partition's file listing fingerprint at refresh time; the
+  *    summary is answered from stats only when every live partition's
+  *    CURRENT listing matches (a metadata-only check), and falls back to
+  *    the data scan otherwise — stale or missing stats degrade to the
+  *    scan, never to a wrong answer.
   *
   * 100 TB: refresh cost is one partition scan per touched partition per
   * batch (amortized by partition-locality of daily ingest); every read
-  * API below is partition-count-sized.
+  * API below is partition-count-sized, and the freshness check is one
+  * `listStatus` per partition — the same metadata pass a scan's file
+  * listing would do anyway.
   */
 object PartitionStats {
 
@@ -38,15 +56,35 @@ object PartitionStats {
     StructField("min_seq", LongType),
     StructField("max_seq", LongType),
     StructField("min_price_cents", LongType),
-    StructField("max_price_cents", LongType)))
+    StructField("max_price_cents", LongType),
+    StructField("files_fp", LongType)))
 
-  /** Recompute + overwrite the stats rows of `dates` from the committed
-    * warehouse. Call under the ingest maintenance lock, after commit.
+  /** Order-independent fingerprint of a partition's data-file listing
+    * (name + length per file, xor-folded hashes) — changes whenever a
+    * commit lands a file or a compaction rewrites the partition, which
+    * are exactly the events that stale a stats row.
+    */
+  private def listingFingerprint(spark: SparkSession, partDir: String): Long = {
+    val (fs, p) = HadoopFs.forPath(spark, partDir)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).iterator
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(s => scala.util.hashing.MurmurHash3
+        .stringHash(s"${s.getPath.getName}:${s.getLen}").toLong)
+      .foldLeft(0L)(_ ^ _)
+  }
+
+  /** Recompute + atomically replace the stats rows of `dates` from the
+    * committed warehouse. Call under the ingest maintenance lock, after
+    * commit (and after compaction — the rewrite changes the listing
+    * fingerprint, so the row must re-stamp to stay fresh).
     */
   def refresh(spark: SparkSession, warehouseDir: String,
       dates: Seq[String]): Unit =
     dates.foreach { dt =>
-      TickerIngest.warehouse(spark, warehouseDir)
+      val fp = listingFingerprint(spark, s"$warehouseDir/file_date=$dt")
+      val row = TickerIngest.warehouse(spark, warehouseDir)
         .filter(col("file_date") === dt)
         .agg(
           count(lit(1)).as("n_rows"),
@@ -55,19 +93,46 @@ object PartitionStats {
           max("sequence").as("max_seq"),
           min(round(col("price") * 100).cast("long")).as("min_price_cents"),
           max(round(col("price") * 100).cast("long")).as("max_price_cents"))
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"${statsDir(warehouseDir)}/file_date=$dt")
+        .withColumn("files_fp", lit(fp))
+      // atomic replace: build complete in a dot-hidden temp dir (invisible
+      // to partition discovery AND to the hive `file_date=` glob), then
+      // rename over the live dir. Spark's own overwrite is delete-then-
+      // write — a concurrent reader could catch the gap; this one's only
+      // window is between the two renames, where the partition is simply
+      // ABSENT (reads as "no stats row" — safe under the contract above).
+      val live = s"${statsDir(warehouseDir)}/file_date=$dt"
+      val tmp = s"${statsDir(warehouseDir)}/.stats_tmp_$dt"
+      row.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val (fs, livePath) = HadoopFs.forPath(spark, live)
+      val (_, tmpPath) = HadoopFs.forPath(spark, tmp)
+      if (fs.exists(livePath)) fs.delete(livePath, true)
+      require(fs.rename(tmpPath, livePath),
+        s"stats swap failed: $tmpPath -> $livePath")
     }
 
-  /** The stats table: one row per partition, partition-count-sized. */
+  private def hasStats(spark: SparkSession, warehouseDir: String): Boolean = {
+    val (fs, p) = HadoopFs.forPath(spark, statsDir(warehouseDir))
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("file_date="))
+  }
+
+  /** The stats table: one row per covered partition, partition-count-sized.
+    * An absent or empty store reads as zero rows, not an error — a fresh
+    * warehouse or one that enabled stats late is a normal state.
+    */
   def stats(spark: SparkSession, warehouseDir: String): DataFrame =
-    spark.read
+    if (!hasStats(spark, warehouseDir))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        statsSchema.add("file_date", StringType))
+    else spark.read
       .schema(statsSchema.add("file_date", StringType))
       .option("basePath", statsDir(warehouseDir))
       .parquet(statsDir(warehouseDir))
 
-  /** Table-wide COUNT/MIN/MAX answered purely from the stats store — zero
-    * data files read, the warehouse twin of the DSv2 aggregate pushdown.
+  /** Table-wide COUNT/MIN/MAX from the stats store alone — zero data files
+    * read. ADVISORY: at most one batch stale after a crash, and blind to
+    * partitions with no stats row; gate correctness-sensitive consumers
+    * through [[summaryExact]] instead.
     */
   def globalSummary(spark: SparkSession, warehouseDir: String): DataFrame =
     stats(spark, warehouseDir).agg(
@@ -77,22 +142,67 @@ object PartitionStats {
       min("min_price_cents").as("min_price_cents"),
       max("max_price_cents").as("max_price_cents"))
 
-  /** Partitions whose [min, max] price range intersects [loCents, hiCents]
-    * — the stats-driven pruning list a price-ranged scan needs to read.
+  /** Table-wide (COUNT(*), MAX(sequence)) — the warehouse's A11/A5 shape —
+    * answered from the stats store when it provably covers the live
+    * warehouse (every partition has a row AND the row's listing
+    * fingerprint matches the partition's current files), else from the
+    * data scan. Returns the answer plus whether stats served it. The
+    * freshness proof is pure file metadata: cost is one `listStatus` per
+    * partition on the accelerated path — at 1000 partitions that is 1000
+    * RPCs instead of a 100 TB scan.
+    */
+  def summaryExact(spark: SparkSession, warehouseDir: String): (Long, Option[Long], Boolean) = {
+    val liveDates = partitionDates(spark, warehouseDir)
+    val rows = stats(spark, warehouseDir)
+      .select("file_date", "n_rows", "max_seq", "files_fp").collect()
+    val byDate = rows.map(r => r.getString(0) ->
+      (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3))).toMap
+    val fresh = liveDates.nonEmpty && liveDates.forall { dt =>
+      byDate.get(dt).exists { case (_, _, fp) =>
+        fp == listingFingerprint(spark, s"$warehouseDir/file_date=$dt")
+      }
+    }
+    if (fresh) {
+      val covered = liveDates.map(byDate)
+      val maxSeq = covered.flatMap(_._2) match {
+        case s if s.isEmpty => None
+        case s => Some(s.max)
+      }
+      (covered.map(_._1).sum, maxSeq, true)
+    } else {
+      val wh = TickerIngest.warehouse(spark, warehouseDir)
+      val r = wh.agg(count(lit(1)), max("sequence")).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)), false)
+    }
+  }
+
+  /** Partitions a price-ranged scan must read: those whose recorded
+    * [min, max] price range intersects [loCents, hiCents], UNIONED with
+    * every live partition that has no stats row — missing stats mean
+    * "must read", so enabling stats late (or a crash before refresh) can
+    * only widen the scan, never silently drop matching rows. Stats-
+    * covered partitions follow the one-batch-staleness contract: the
+    * caller that needs scan-exact pruning refreshes the touched dates
+    * first (commit already does, under the lock).
     */
   def pruneByPrice(spark: SparkSession, warehouseDir: String,
-      loCents: Long, hiCents: Long): Seq[String] =
-    stats(spark, warehouseDir)
-      .filter(col("max_price_cents") >= loCents &&
-        col("min_price_cents") <= hiCents)
-      .select("file_date").collect().map(_.getString(0)).sorted.toSeq
+      loCents: Long, hiCents: Long): Seq[String] = {
+    val rows = stats(spark, warehouseDir)
+      .select("file_date", "min_price_cents", "max_price_cents").collect()
+    val covered = rows.map(_.getString(0)).toSet
+    val matching = rows.filter { r =>
+      !r.isNullAt(2) && !r.isNullAt(1) &&
+        r.getLong(2) >= loCents && r.getLong(1) <= hiCents
+    }.map(_.getString(0))
+    val mustRead = partitionDates(spark, warehouseDir).filterNot(covered)
+    (matching ++ mustRead).distinct.sorted.toSeq
+  }
 
   /** The `file_date=D` partition names present under a staged (or live)
     * warehouse tree — used by commit to know which partitions a batch
     * touched before the staging dirs are renamed away.
     */
   private[ingest] def partitionDates(spark: SparkSession, dir: String): Seq[String] = {
-    import org.apache.hadoop.fs.Path
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) Nil

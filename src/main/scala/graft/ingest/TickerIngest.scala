@@ -344,6 +344,11 @@ object TickerIngest {
       require(spark.read.parquet(newDir.toString).count() == rows,
         s"compaction verify failed for $live")
     }
+    // the rewrite changed the partition's file listing, which is exactly
+    // what PartitionStats' freshness fingerprint watches — re-stamp the
+    // row (values unchanged) so summaryExact keeps its accelerated path
+    if (statsEnabled(spark))
+      PartitionStats.refresh(spark, warehouseDir, Seq(date.toString))
     (before, partFileCount(fs, live))
   }
 

@@ -93,21 +93,28 @@ object FingerprintStore {
     * the anti-join). A non-deterministic source could yield a prefix set
     * inconsistent with the joined rows (a fingerprint whose prefix was
     * never collected would skip its history probe and be over-admitted).
-    * Expensive or non-deterministic inputs: `localCheckpoint()` first, as
-    * [[graft.streaming.StreamingDedup]] does.
+    * Expensive inputs: `localCheckpoint()` first, as
+    * [[graft.streaming.StreamingDedup]] does. NON-deterministic inputs are
+    * materialized here automatically — the plan is scanned for a
+    * non-deterministic expression and pinned with `localCheckpoint(eager)`
+    * before the first evaluation, because an inconsistent prefix set is an
+    * over-admission (silent duplicate) the caller could never see.
     */
   def admit(spark: SparkSession, newDocs: DataFrame, fpCol: String, dir: String,
       histFilter: Column = lit(true)): DataFrame = {
     import spark.implicits._
-    if (!hasData(spark, dir)) return newDocs
-    val prefixes = newDocs.select(prefixOf(fpCol).as("p"))
+    val nonDeterministic = newDocs.queryExecution.analyzed.exists(p =>
+      p.expressions.exists(e => e.exists(!_.deterministic)))
+    val docs = if (nonDeterministic) newDocs.localCheckpoint(true) else newDocs
+    if (!hasData(spark, dir)) return docs
+    val prefixes = docs.select(prefixOf(fpCol).as("p"))
       .filter(col("p").isNotNull).distinct().as[String].collect().toSeq
-    if (prefixes.isEmpty) return newDocs
+    if (prefixes.isEmpty) return docs
     val hist = spark.read.parquet(dir)
       .filter(histFilter)
       .filter(col(PrefixCol).isin(prefixes: _*))
       .select(col(fpCol))
-    newDocs.join(hist, Seq(fpCol), "left_anti")
+    docs.join(hist, Seq(fpCol), "left_anti")
   }
 
   private def fsFor(spark: SparkSession, dir: String) =

@@ -21,12 +21,17 @@ import graft.functions.TextOps
   * lineage does not replay rounds 1..N.
   *
   * Determinism: pair ties break lexicographically on (l, r), so the merge
-  * table is a pure function of the corpus. No oracle SQL — applying a
-  * learned merge to a symbol sequence needs greedy non-overlapping
-  * replacement, which SQL `replace` gets wrong on overlap runs
-  * ("a a a a" must become "aa aa", not "aa a a"); the driver records the
-  * rows-only check and [[graft.Round9OpsSpec]] pins the full merge table
-  * against an independent reference implementation.
+  * table is a pure function of the corpus. Oracle SQL: string `replace`
+  * gets greedy non-overlapping merges wrong on overlap runs ("a a a a"
+  * must become "aa aa", not "aa a a"), but the greedy pass itself IS
+  * SQL-expressible over an exploded symbol table — two matches of (l, r)
+  * can only overlap at consecutive positions (which forces r = l), so
+  * within each maximal chain of consecutive match positions the greedy
+  * scan takes exactly the even offsets. [[bpeTrainSql]]/[[bpeSegmentSql]]
+  * replay the full k-round loop that way, unrolled round by round the
+  * same way `x_pagerank` unrolls its iterations; [[graft.Round9OpsSpec]]
+  * additionally pins the merge table against an independent reference
+  * implementation.
   */
 object TokenizerOps {
 
@@ -105,7 +110,7 @@ object TokenizerOps {
       .limit(k)
 
   val bpePairFreqsSql: String =
-    """WITH wc AS (
+    """WITH wc AS MATERIALIZED (
       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
       |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
       |        FROM documents WHERE text IS NOT NULL)
@@ -148,4 +153,79 @@ object TokenizerOps {
         sum("n_subwords").as("n_subwords"))
       .orderBy("doc_id")
   }
+
+  /** The shared oracle prelude: the word-count table, the exploded symbol
+    * table `syms_1` (word, cnt, pos, sym), and `k` unrolled merge rounds.
+    * Round `i` computes the winning pair `win_i` (top-1 adjacent-pair
+    * frequency, ties on (l, r) — the exact [[bpeTrain]] rule), the greedy
+    * taken-position set `tk_i` (consecutive match chains via
+    * gaps-and-islands, even offsets kept), and the merged table
+    * `syms_{i+1}` (taken position concatenates, the position after a taken
+    * one drops, positions renumber).
+    */
+  private def bpeRoundsSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH wc AS MATERIALIZED (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+      |        FROM documents WHERE text IS NOT NULL)
+      |  GROUP BY word),
+      |syms_1 AS MATERIALIZED (
+      |  SELECT word, cnt, pos, substr(word, pos, 1) AS sym
+      |  FROM (SELECT word, cnt, unnest(generate_series(1, length(word))) AS pos
+      |        FROM wc))""".stripMargin
+    for (i <- 1 to k) {
+      sb ++= s""",
+        |win_$i AS MATERIALIZED (
+        |  SELECT a.sym AS l, b.sym AS r, CAST(sum(a.cnt) AS BIGINT) AS freq
+        |  FROM syms_$i a JOIN syms_$i b ON a.word = b.word AND b.pos = a.pos + 1
+        |  GROUP BY a.sym, b.sym
+        |  ORDER BY freq DESC, l, r LIMIT 1),
+        |tk_$i AS MATERIALIZED (
+        |  SELECT word, pos FROM (
+        |    SELECT word, pos, pos - min(pos) OVER (PARTITION BY word, chain) AS off
+        |    FROM (SELECT m.word, m.pos,
+        |                 m.pos - row_number() OVER (PARTITION BY m.word ORDER BY m.pos) AS chain
+        |          FROM (SELECT a.word, a.pos
+        |                FROM syms_$i a
+        |                JOIN syms_$i b ON a.word = b.word AND b.pos = a.pos + 1
+        |                CROSS JOIN win_$i w
+        |                WHERE a.sym = w.l AND b.sym = w.r) m))
+        |  WHERE off % 2 = 0),
+        |syms_${i + 1} AS MATERIALIZED (
+        |  SELECT s.word, s.cnt,
+        |         row_number() OVER (PARTITION BY s.word ORDER BY s.pos) AS pos,
+        |         CASE WHEN t.pos IS NOT NULL THEN s.sym || w.r ELSE s.sym END AS sym
+        |  FROM syms_$i s
+        |  CROSS JOIN win_$i w
+        |  LEFT JOIN tk_$i t  ON t.word = s.word AND t.pos = s.pos
+        |  LEFT JOIN tk_$i tp ON tp.word = s.word AND tp.pos = s.pos - 1
+        |  WHERE tp.pos IS NULL)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** Oracle for [[bpeTrain]]: the k winners with their ranks. */
+  def bpeTrainSql(k: Int = Merges): String = {
+    val rows = (1 to k)
+      .map(i => s"""SELECT $i AS rank, l AS "left", r AS "right", freq FROM win_$i""")
+      .mkString("\n  UNION ALL ")
+    bpeRoundsSql(k) + s"\nSELECT * FROM (\n  $rows\n) ORDER BY rank"
+  }
+
+  /** Oracle for [[bpeSegment]]: per-distinct-word subword counts off the
+    * final symbol table, joined back to the (doc_id, word) occurrence
+    * stream — value-identical to applying the merges per occurrence.
+    */
+  def bpeSegmentSql(k: Int = Merges): String =
+    bpeRoundsSql(k) + s""",
+      |sw AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS n_sub
+      |       FROM syms_${k + 1} GROUP BY word),
+      |occ AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+      |        FROM documents WHERE text IS NOT NULL)
+      |SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |       CAST(sum(length(occ.word)) AS BIGINT) AS n_chars,
+      |       CAST(sum(sw.n_sub) AS BIGINT) AS n_subwords
+      |FROM occ JOIN sw USING (word)
+      |GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin
 }

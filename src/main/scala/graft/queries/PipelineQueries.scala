@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
-import graft.functions.TextOps
+import graft.functions.{NumOps, TextOps}
 
 /** Round-2 widening of the query surface: the relational shapes a
   * training-data pipeline adds on top of the reference's ETL queries
@@ -608,30 +608,50 @@ object PipelineQueries {
     *
     * Scale shape: two partial-aggregable count tables (target, corpus) +
     * one shuffle join of token occurrences on the token key (both count
-    * sides partial-aggregable; a broadcast count-min sketch replaces them
-    * when vocabulary outgrows the shuffle budget), a partial-aggregable
-    * per-doc rollup, an NDV-sized cutoff histogram, and a one-row
-    * broadcast. No data-scale window, no collect.
+    * sides partial-aggregable). When the vocabulary outgrows the shuffle
+    * budget — `spark.graft.dsir.cmsVocabCutover`, checked with one HLL
+    * pass — the whole count join is replaced by [[dsirSelectCms]]'s two
+    * broadcast count-min sketches probed map-side (zero token-key
+    * shuffle). Then a partial-aggregable per-doc rollup, an NDV-sized
+    * cutoff histogram, and a one-row broadcast. No data-scale window, no
+    * collect.
     */
   def dsirSelect(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.fanOut(Tables.documents(s, d))
-      .select(col("doc_id"), col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+    val toks = dsirTokens(s, d)
+    if (dsirUseCms(s, toks)) return dsirSelectCms(s, d)
     val cs = toks.groupBy("w").agg(count(lit(1)).as("cs"))
     val ct = toks.filter(col("lang") === "en").groupBy("w").agg(count(lit(1)).as("ct"))
     val tot = cs.agg(sum("cs").as("ts"), count(lit(1)).as("v"))
       .crossJoin(ct.agg(coalesce(sum("ct"), lit(0L)).as("tt")))
-    val lp6 = (c: Column, t: Column) =>
-      round(log(c.cast("double") / t.cast("double")), 6).cast(DecimalType(18, 6))
     val scored = toks
       .join(cs, Seq("w"))
       .join(ct, Seq("w"), "left")
       .crossJoin(broadcast(tot))
       .withColumn("lp",
-        lp6(coalesce(col("ct"), lit(0L)) + 1, col("tt") + col("v")) -
-          lp6(col("cs") + 1, col("ts") + col("v")))
+        dsirLp6(coalesce(col("ct"), lit(0L)) + 1, col("tt") + col("v")) -
+          dsirLp6(col("cs") + 1, col("ts") + col("v")))
+    dsirTopQuartile(scored)
+  }
+
+  /** The shared DSIR token stream (one row per token occurrence). */
+  private def dsirTokens(s: SparkSession, d: String): DataFrame =
+    Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+
+  /** Round-6 add-1-smoothed log-probability term, carried as DECIMAL. */
+  private def dsirLp6(c: Column, t: Column): Column =
+    round(log(c.cast("double") / t.cast("double")), 6).cast(DecimalType(18, 6))
+
+  /** Shared completion of both DSIR paths: per-doc mean-LLR rollup off the
+    * `lp` column, exact top-quartile cutoff from the cumulated histogram,
+    * selection flags. Identical math in both paths — only where the
+    * per-token counts come from differs.
+    */
+  private def dsirTopQuartile(scoredToks: DataFrame): DataFrame = {
+    val scored = scoredToks
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"),
-        round(sum("lp").cast("double") / count(lit(1)), 4).as("llr"))
+        NumOps.roundz(sum("lp").cast("double") / count(lit(1)), 4).as("llr"))
       .withColumn("e4", round(col("llr") * 10000).cast("long"))
       .localCheckpoint(true) // feeds the cutoff histogram AND the output
     val cut = AnalyticsQueries.globalCumHistogram(scored.select("e4"), "e4")
@@ -641,6 +661,53 @@ object PipelineQueries {
       .select(col("doc_id"), col("n_toks"), col("llr"),
         (col("e4") >= col("c75")).as("selected"))
       .orderBy("doc_id")
+  }
+
+  /** The vocabulary-size cutover: when the approximate distinct-token count
+    * exceeds `spark.graft.dsir.cmsVocabCutover` (default: off), the
+    * count-join path would shuffle the full token stream against a count
+    * table too large to broadcast exactly — switch to the sketch path. The
+    * probe is HLL (one partial-aggregable pass, ±5%), paid only when a
+    * cutover is configured.
+    */
+  private def dsirUseCms(s: SparkSession, toks: DataFrame): Boolean = {
+    val cutover = s.conf.get("spark.graft.dsir.cmsVocabCutover", "0").toLong
+    cutover > 0 &&
+      toks.agg(approx_count_distinct("w").as("v")).first().getLong(0) >= cutover
+  }
+
+  /** The DSIR scale path the exact-join variant's scaladoc promises: both
+    * unigram count tables live in ONE broadcast count-min sketch each
+    * (built by Spark's `count_min_sketch` aggregate in a single pass with
+    * the exact totals), and every token occurrence probes them map-side
+    * via the codegen'd [[graft.catalyst.CmsEstimate]] — NO data-scale
+    * shuffle on the token key at all; the only shuffle left is the per-doc
+    * rollup, which is partial-aggregable. CMS never under-counts, so
+    * smoothed probabilities shift by at most eps·N mass; with the default
+    * eps the estimate is exact until the vocabulary is genuinely huge, and
+    * the top-quartile SELECTION (a rank statistic, stable under small
+    * monotone perturbations) is pinned ≥97% identical to the exact path in
+    * Round11OpsSpec. Driver/broadcast state is the two sketches
+    * (width ⌈e/eps⌉ × depth ⌈ln(1/δ)⌉ longs — ~2.7k columns at the default,
+    * independent of vocabulary size).
+    */
+  def dsirSelectCms(s: SparkSession, d: String,
+      eps: Double = 0.0001, confidence: Double = 0.999): DataFrame = {
+    import graft.catalyst.HashFunctions.cms_estimate
+    val toks = dsirTokens(s, d).localCheckpoint(true) // one pass feeds build AND probe
+    val agg = toks.agg(
+      count_min_sketch(col("w"), lit(eps), lit(confidence), lit(42)).as("cms_s"),
+      count_min_sketch(when(col("lang") === "en", col("w")), lit(eps),
+        lit(confidence), lit(42)).as("cms_t"),
+      count(lit(1)).as("ts"),
+      count(when(col("lang") === "en", lit(1))).as("tt"),
+      count_distinct(col("w")).as("v")).first()
+    val (csBytes, ctBytes) = (agg.getAs[Array[Byte]]("cms_s"), agg.getAs[Array[Byte]]("cms_t"))
+    val (tsv, ttv, vv) = (agg.getAs[Long]("ts"), agg.getAs[Long]("tt"), agg.getAs[Long]("v"))
+    val scored = toks.withColumn("lp",
+      dsirLp6(cms_estimate(col("w"), ctBytes) + 1, lit(ttv + vv)) -
+        dsirLp6(cms_estimate(col("w"), csBytes) + 1, lit(tsv + vv)))
+    dsirTopQuartile(scored)
   }
   val dsirSelectSql: String =
     """WITH tk AS (SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
@@ -1014,9 +1081,11 @@ object PipelineQueries {
       .withColumnRenamed("off", "blk_off")
     inBlk.join(if (nBlocks <= maxWindowRows) broadcast(blkOff) else blkOff, "blk")
       .withColumn("global_offset", col("blk_off") + col("in_off"))
+      // integer `div`, not floor(x / n): the double division rounds at
+      // 2^53 — exactly the token offsets a 100 TB corpus reaches
       .select(col("doc_id"), col("n_tokens"), col("global_offset"),
-        floor(col("global_offset") / seqLen).cast("long").as("seq_start"),
-        floor((col("global_offset") + col("n_tokens") - 1) / seqLen).cast("long").as("seq_end"),
+        expr(s"global_offset div $seqLen").as("seq_start"),
+        expr(s"(global_offset + n_tokens - 1) div $seqLen").as("seq_end"),
         (col("global_offset") % seqLen).as("off_in_seq"))
       .orderBy("doc_id")
   }

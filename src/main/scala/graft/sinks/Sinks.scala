@@ -105,15 +105,48 @@ class JdbcSink(cfg: JdbcSinkConfig) extends ExternalSink {
   private def ledgerTable = s"${cfg.table}_LEDGER"
   private def stageTable(batchId: Long) = s"${cfg.table}_STAGE_$batchId"
 
-  private def ensureLedger(c: java.sql.Connection): Unit = {
-    val tables = c.getMetaData.getTables(null, null, ledgerTable, null)
-    val exists = tables.next(); tables.close()
-    if (!exists) {
-      c.createStatement().execute(
-        s"CREATE TABLE $ledgerTable (BATCH_ID BIGINT PRIMARY KEY)")
-      ()
-    }
+  /** The identifier as the database's metadata catalog stores it —
+    * unquoted identifiers fold case per the driver (Derby/H2/ClickHouse
+    * store upper; Postgres stores lower), and a lookup in the wrong case
+    * silently misses an existing table.
+    */
+  private def metaCase(c: java.sql.Connection, name: String): String = {
+    val md = c.getMetaData
+    if (md.storesUpperCaseIdentifiers) name.toUpperCase(java.util.Locale.ROOT)
+    else if (md.storesLowerCaseIdentifiers) name.toLowerCase(java.util.Locale.ROOT)
+    else name
   }
+
+  /** Escape LIKE metacharacters for `DatabaseMetaData.getTables` patterns
+    * — `_` is a single-char wildcard there, so an unescaped
+    * `EO_TICKS_LEDGER` also matches `EOXTICKSXLEDGER`, and worse, an
+    * unescaped PREFIX match can sweep tables that are not ours.
+    */
+  private def escapeLike(c: java.sql.Connection, s: String): String = {
+    val esc = c.getMetaData.getSearchStringEscape
+    s.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
+  }
+
+  private def tableExists(c: java.sql.Connection, name: String): Boolean = {
+    val rs = c.getMetaData.getTables(null, null,
+      escapeLike(c, metaCase(c, name)), null)
+    try rs.next() finally rs.close()
+  }
+
+  private def ensureLedger(c: java.sql.Connection): Unit =
+    if (!tableExists(c, ledgerTable)) {
+      // CREATE can still lose a race (another writer, or a metadata miss on
+      // an exotic driver) — "already exists" is success, not failure; a
+      // permanently failing stream over a healthy ledger is the one
+      // outcome this method exists to prevent
+      try {
+        c.createStatement().execute(
+          s"CREATE TABLE $ledgerTable (BATCH_ID BIGINT PRIMARY KEY)")
+        ()
+      } catch {
+        case e: java.sql.SQLException if tableExists(c, ledgerTable) => ()
+      }
+    }
 
   private def ledgerHas(c: java.sql.Connection, batchId: Long): Boolean = {
     val ps = c.prepareStatement(
@@ -142,16 +175,30 @@ class JdbcSink(cfg: JdbcSinkConfig) extends ExternalSink {
     withConnection { c =>
       ensureLedger(c)
       c.setAutoCommit(false)
+      // explicit rollback on the exception path: closing a connection with
+      // an open transaction makes Derby throw from close(), which would
+      // mask the original failure in withConnection's finally (and leak
+      // the txn on drivers that don't throw). Exactly-once never depended
+      // on this — the retry re-publishes — but diagnosis does.
       val published =
-        if (ledgerHas(c, batchId)) { c.rollback(); false }
-        else {
-          c.createStatement()
-            .executeUpdate(s"INSERT INTO ${cfg.table} SELECT * FROM $stage")
-          val ps = c.prepareStatement(s"INSERT INTO $ledgerTable VALUES (?)")
-          ps.setLong(1, batchId); ps.executeUpdate(); ps.close()
-          c.commit(); true
+        try {
+          if (ledgerHas(c, batchId)) { c.rollback(); false }
+          else {
+            c.createStatement()
+              .executeUpdate(s"INSERT INTO ${cfg.table} SELECT * FROM $stage")
+            val ps = c.prepareStatement(s"INSERT INTO $ledgerTable VALUES (?)")
+            ps.setLong(1, batchId); ps.executeUpdate(); ps.close()
+            c.commit(); true
+          }
+        } catch {
+          case e: Throwable =>
+            try c.rollback()
+            catch { case s: java.sql.SQLException => e.addSuppressed(s) }
+            throw e
+        } finally {
+          try c.setAutoCommit(true)
+          catch { case _: java.sql.SQLException => () }
         }
-      c.setAutoCommit(true)
       // best-effort cleanup; a crash here leaves a stale stage for the sweep
       try { c.createStatement().execute(s"DROP TABLE $stage"); () }
       catch { case _: java.sql.SQLException => () }
@@ -163,8 +210,10 @@ class JdbcSink(cfg: JdbcSinkConfig) extends ExternalSink {
     * window between commit and stage drop). Returns the count reaped.
     */
   def sweepStaleStages(): Int = withConnection { c =>
-    val prefix = s"${cfg.table}_STAGE_"
-    val rs = c.getMetaData.getTables(null, null, s"$prefix%", null)
+    // stored-case prefix, LIKE-escaped (an unescaped `_` wildcard here
+    // could match — and then DROP — tables that are not our stages)
+    val prefix = metaCase(c, s"${cfg.table}_STAGE_")
+    val rs = c.getMetaData.getTables(null, null, escapeLike(c, prefix) + "%", null)
     var stale = List.empty[String]
     while (rs.next()) stale ::= rs.getString("TABLE_NAME")
     rs.close()

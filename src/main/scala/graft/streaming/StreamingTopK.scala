@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -27,18 +28,35 @@ import org.apache.spark.sql.types._
   * Replay safety is the [[StreamingDrift]] contract: a batch's sketch is a
   * pure function of its own rows, written by per-batch-directory
   * `overwrite` — a replayed batch rewrites its directory byte-identically.
-  * No read-modify-write of shared state, so admission/compaction-style
-  * locking is unnecessary.
+  * No read-modify-write of shared state for the PER-BATCH path, so
+  * admission/compaction-style locking is unnecessary there.
+  *
+  * The store does NOT grow with stream age: [[compact]] periodically folds
+  * every batch sketch into one k-row `folded/` sketch (sum + one MG
+  * compression — the same merge the read path performs), records the
+  * highest batch id folded (`upto`), and deletes the folded batch dirs.
+  * Readers combine the folded sketch with batch dirs `> upto` ONLY, so a
+  * checkpoint-replayed batch that rewrites an already-folded dir is
+  * ignored rather than double-counted (same data, same id — Structured
+  * Streaming's epoch contract), and the next fold sweeps it. Fold and
+  * read serialize on a per-store in-process lock (the
+  * [[graft.operators.FingerprintStore]] discipline), so a reader never
+  * observes the swap window; the swap itself is build-complete-then-rename
+  * (crash ⇒ old folded state intact or new one complete, never a mix).
   *
   * 100 TB posture: the only data-scale work per batch is one token count;
   * the sketch rows (≤ k), threshold scan (k+1 rows), and merge frame
-  * (k × batches, collapsible by the same compress whenever it grows) are
-  * all bounded. Driver materialization is capped at k+1 rows per batch.
+  * (k × batches-since-last-fold, k-bounded again after every [[compact]])
+  * are all bounded. Driver materialization is capped at k+1 rows per
+  * batch plus the k-row fold.
   */
 object StreamingTopK {
 
   /** Sketch capacity: survivors per batch sketch and per merged report. */
   val DefaultK = 32
+
+  /** [[start]] folds the store every this many batches by default. */
+  val DefaultFoldEvery = 64
 
   private def tokens(c: Column) = graft.functions.TextOps.tokens(c)
 
@@ -46,6 +64,16 @@ object StreamingTopK {
     StructField("token", StringType), StructField("counter", LongType)))
   private def metaSchema = StructType(Seq(
     StructField("m", LongType), StructField("n_tokens", LongType)))
+  private def foldedMetaSchema = StructType(Seq(
+    StructField("dec", LongType), StructField("n_tokens", LongType),
+    StructField("upto", LongType)))
+
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(dir: String): Object =
+    locks.computeIfAbsent(dir.stripSuffix("/"), _ => new Object)
+
+  private def fsFor(spark: SparkSession, dir: String) =
+    graft.ingest.HadoopFs.forPath(spark, dir)
 
   /** `(m, compressed)` — MG one-shot compression of an exact count table:
     * `m` = (k+1)-th largest count (0 when ≤ k rows), survivors keep
@@ -79,37 +107,177 @@ object StreamingTopK {
       .parquet(s"$storeDir/meta/batch_id=$batchId")
   }
 
-  /** Merge every stored batch sketch into one k-bounded heavy-hitter board:
+  // ---- folded state ------------------------------------------------------
+
+  private def foldedDir(storeDir: String) = s"$storeDir/folded"
+
+  /** Repair [[compact]]'s crash windows, under the store lock, before any
+    * read: folded absent + `.folded_old` present = crash between the two
+    * renames (the trash holds the ONLY folded copy — restore it); both
+    * present = finished trash (drop); a `.folded_tmp` is an incomplete
+    * build (live untouched — drop). The [[graft.ingest.DirSwap]] recovery
+    * rules, specialized to the one swapped dir this store has.
+    */
+  private def recoverFold(spark: SparkSession, storeDir: String): Unit = {
+    val (fs, _) = fsFor(spark, storeDir)
+    val live = new Path(foldedDir(storeDir))
+    val trash = new Path(s"$storeDir/.folded_old")
+    val tmp = new Path(s"$storeDir/.folded_tmp")
+    if (fs.exists(trash)) {
+      if (!fs.exists(live))
+        require(fs.rename(trash, live), s"fold recovery failed: $trash -> $live")
+      else fs.delete(trash, true)
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    ()
+  }
+
+  /** `(dec, n_tokens, upto)` of the folded sketch; upto = -1 when no fold
+    * has happened yet.
+    */
+  private def foldedMeta(spark: SparkSession, storeDir: String): (Long, Long, Long) = {
+    val (fs, p) = fsFor(spark, s"${foldedDir(storeDir)}/meta")
+    if (!fs.exists(p)) (0L, 0L, -1L)
+    else {
+      val r = spark.read.schema(foldedMetaSchema).parquet(p.toString).first()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+  }
+
+  private def foldedSums(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.schema(summarySchema)
+      .parquet(s"${foldedDir(storeDir)}/summaries")
+
+  private def batchIds(spark: SparkSession, dir: String): Seq[Long] = {
+    val (fs, p) = fsFor(spark, dir)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .flatMap(_.getPath.getName.stripPrefix("batch_id=").toLongOption)
+  }
+
+  /** Empty frames read cleanly because the schema is explicit — a fresh
+    * store (or one whose batch dirs were all folded away) is a normal
+    * state, not a PATH_NOT_FOUND crash for whoever polls the board.
+    */
+  private def batchFrame(spark: SparkSession, dir: String, schema: StructType,
+      pred: Column): DataFrame = {
+    val (fs, p) = fsFor(spark, dir)
+    if (!fs.exists(p))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        schema.add("batch_id", LongType))
+    else spark.read.schema(schema.add("batch_id", LongType))
+      .option("basePath", dir).parquet(dir).filter(pred)
+  }
+
+  /** Fold every batch sketch with id > the previous fold into the single
+    * k-row `folded/` sketch, then delete the folded batch dirs — the
+    * periodic maintenance that keeps the merge frame k-bounded no matter
+    * how old the stream is. Returns (batchesFolded, newUpto). Idempotent
+    * and crash-safe: the new folded dir is built complete beside the live
+    * one and renamed into place before any batch dir is deleted; a crash
+    * anywhere re-runs cleanly (leftover batch dirs ≤ upto are ignored by
+    * readers and swept by the next fold).
+    */
+  def compact(spark: SparkSession, storeDir: String,
+      k: Int = DefaultK): (Int, Long) = lockFor(storeDir).synchronized {
+    val sumsDir = s"$storeDir/summaries"
+    val metaDir = s"$storeDir/meta"
+    val (fs, _) = fsFor(spark, storeDir)
+    recoverFold(spark, storeDir)
+    val (baseDec, baseTok, upto0) = foldedMeta(spark, storeDir)
+    def dropBatchDirs(ids: Seq[Long]): Unit = ids.foreach { id =>
+      fs.delete(new Path(s"$sumsDir/batch_id=$id"), true)
+      fs.delete(new Path(s"$metaDir/batch_id=$id"), true)
+    }
+    // replay leftovers from before the previous fold: already counted in
+    // the folded sketch, invisible to readers — sweep and move on
+    dropBatchDirs(batchIds(spark, sumsDir).filter(_ <= upto0))
+    val foldable = batchIds(spark, sumsDir).filter(_ > upto0)
+    if (foldable.isEmpty) return (0, upto0)
+    val w = foldable.max
+    val inRange = col("batch_id") > upto0 && col("batch_id") <= w
+    val batchSums = batchFrame(spark, sumsDir, summarySchema, inRange)
+      .select("token", "counter")
+    val base =
+      if (upto0 >= 0) foldedSums(spark, storeDir) else batchSums.limit(0)
+    val sums = base.unionByName(batchSums)
+      .groupBy("token").agg(sum("counter").as("n"))
+    val (m2, sketch) = compress(sums, k)
+    // materialize BEFORE touching directories — the plan reads the live
+    // folded dir, which the swap below replaces. ≤ k rows by construction.
+    val sketchRows = sketch.collect().toSeq
+    val metaAgg = batchFrame(spark, metaDir, metaSchema, inRange)
+      .agg(coalesce(sum("m"), lit(0L)), coalesce(sum("n_tokens"), lit(0L))).first()
+    val (dec, ntok) = (baseDec + metaAgg.getLong(0) + m2,
+      baseTok + metaAgg.getLong(1))
+    // build complete in a temp dir, then rename into place; a crash
+    // between the two renames parks the only folded copy in .folded_old,
+    // which recoverFold restores before the next read or fold
+    val live = new Path(foldedDir(storeDir))
+    val tmp = new Path(s"$storeDir/.folded_tmp")
+    val trash = new Path(s"$storeDir/.folded_old")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(trash)) fs.delete(trash, true)
+    spark.createDataFrame(spark.sparkContext.parallelize(sketchRows, 1),
+        summarySchema)
+      .write.parquet(s"$tmp/summaries")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(dec, ntok, w)), 1),
+        foldedMetaSchema)
+      .write.parquet(s"$tmp/meta")
+    if (fs.exists(live))
+      require(fs.rename(live, trash), s"fold swap step 1 failed: $live")
+    require(fs.rename(tmp, live), s"fold swap step 2 failed: $tmp -> $live")
+    fs.delete(trash, true)
+    dropBatchDirs(foldable)
+    (foldable.size, w)
+  }
+
+  /** Merge the folded sketch (if any) with every batch sketch newer than
+    * the fold into one k-bounded heavy-hitter board:
     * `(token, counter, err_bound)` ordered by counter desc. `counter` is a
-    * certified lower bound on the token's true stream count; the true count
-    * is ≤ counter + err_bound. Tokens whose true count exceeds err_bound
-    * are guaranteed present (the MG guarantee survives merging).
+    * certified lower bound on the token's true stream count; the true
+    * count is ≤ counter + err_bound. Tokens whose true count exceeds
+    * err_bound are guaranteed present (the MG guarantee survives merging
+    * AND folding — a fold is exactly the read-path merge, persisted). A
+    * fresh store (no batches yet) reads as an empty board.
     */
   def mergedTopK(spark: SparkSession, storeDir: String,
-      k: Int = DefaultK): DataFrame = {
-    val sums = spark.read.schema(summarySchema.add("batch_id", LongType))
-      .option("basePath", s"$storeDir/summaries").parquet(s"$storeDir/summaries")
+      k: Int = DefaultK): DataFrame = lockFor(storeDir).synchronized {
+    recoverFold(spark, storeDir)
+    val (baseDec, _, upto) = foldedMeta(spark, storeDir)
+    val newer = col("batch_id") > upto
+    val batchSums = batchFrame(spark, s"$storeDir/summaries", summarySchema, newer)
+      .select("token", "counter")
+    val base =
+      if (upto >= 0) foldedSums(spark, storeDir) else batchSums.limit(0)
+    val sums = base.unionByName(batchSums)
       .groupBy("token").agg(sum("counter").as("n"))
     val (m2, merged) = compress(sums, k)
-    val decrements = spark.read.schema(metaSchema.add("batch_id", LongType))
-      .option("basePath", s"$storeDir/meta").parquet(s"$storeDir/meta")
+    val batchDec = batchFrame(spark, s"$storeDir/meta", metaSchema, newer)
       .agg(coalesce(sum("m"), lit(0L)).as("dec"))
       .first().getLong(0)
-    merged.withColumn("err_bound", lit(decrements + m2))
+    merged.withColumn("err_bound", lit(baseDec + batchDec + m2))
       .orderBy(col("counter").desc, col("token").asc)
   }
 
   /** Wire a streaming document source (`doc_id`, `text`) into the tracker.
-    * One sketch directory per micro-batch, replay-idempotent.
+    * One sketch directory per micro-batch, replay-idempotent; every
+    * `foldEvery` batches the store folds to its k-row bound (0 disables).
     */
   def start(docs: DataFrame, storeDir: String, checkpointDir: String,
       k: Int = DefaultK,
-      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime(0),
+      foldEvery: Int = DefaultFoldEvery): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (b: DataFrame, id: Long) =>
         processBatch(b, id, storeDir, k)
+        if (foldEvery > 0 && id > 0 && id % foldEvery == 0)
+          compact(b.sparkSession, storeDir, k)
+        ()
       }
       .start()
 }

@@ -34,7 +34,7 @@ class PartitionStatsSpec extends SparkSpec {
       TickerIngest.ingest(spark, Seq(f1, f2), wh)
 
       val st = PartitionStats.stats(spark, wh).collect()
-        .map(r => r.getString(6) -> r).toMap
+        .map(r => r.getAs[String]("file_date") -> r).toMap
       assert(st.keySet == Set("2024-03-14", "2024-03-15"))
       val d1 = st("2024-03-14")
       assert(d1.getLong(0) == 2 && d1.getLong(1) == 1)       // rows, tickers

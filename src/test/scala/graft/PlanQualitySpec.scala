@@ -179,7 +179,7 @@ class PlanQualitySpec extends SparkSpec {
   test("no query in the surface plans an unbroadcast CartesianProduct") {
     // s_ann_brute is brute force BY DESIGN (the exact baseline); its cross
     // join broadcasts the tiny query side, so even it must not cartesian
-    SparkEntry.queries.foreach { case (name, fn) =>
+    (SparkEntry.queries ++ SparkEntry.specOnlyQueries).foreach { case (name, fn) =>
       val plan = physicalPlan(fn(spark, sf0001))
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
     }

@@ -1,0 +1,380 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.NumOps
+import graft.ingest.{PartitionStats, TickerIngest}
+import graft.operators.FingerprintStore
+import graft.sinks.{JdbcSink, JdbcSinkConfig}
+import graft.streaming.StreamingTopK
+
+/** Round-11 hardening: negative-zero output hygiene, integer-domain
+  * sequence packing, non-deterministic-input pinning in the fingerprint
+  * store, JDBC identifier-case/LIKE-escape + txn rollback, the streaming
+  * top-k fold (k-bounded store at any stream age), and stats-store
+  * must-read pruning + verified-freshness acceleration.
+  */
+class Round11OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val negZeroBits = java.lang.Double.doubleToRawLongBits(-0.0)
+
+  // ---- NumOps -------------------------------------------------------------
+
+  test("nzero collapses -0.0 to +0.0 and is the identity elsewhere") {
+    val df = Seq(Some(-0.0), Some(0.0), Some(1.5), Some(-2.5),
+      Some(Double.NaN), None).toDF("x")
+    val out = df.select(NumOps.nzero(col("x")).as("x")).collect()
+    val zeroBits = out.take(2).map(r => java.lang.Double.doubleToRawLongBits(r.getDouble(0)))
+    assert(zeroBits.forall(_ == 0L), "both zeros must be +0.0")
+    assert(out(2).getDouble(0) == 1.5 && out(3).getDouble(0) == -2.5)
+    assert(out(4).getDouble(0).isNaN)
+    assert(out(5).isNullAt(0))
+  }
+
+  test("normalizeSignedZeros scrubs double, float and array<double> columns") {
+    val df = Seq((-0.0, -0.0f, Seq(-0.0, 1.0), "s"))
+      .toDF("d", "f", "a", "keep")
+    val out = NumOps.normalizeSignedZeros(df)
+    assert(out.columns.toSeq == Seq("d", "f", "a", "keep"))
+    val r = out.collect()(0)
+    assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) == 0L)
+    assert(java.lang.Float.floatToRawIntBits(r.getFloat(1)) == 0)
+    assert(java.lang.Double.doubleToRawLongBits(r.getSeq[Double](2).head) == 0L)
+    assert(r.getString(3) == "s")
+  }
+
+  test("dsirSelect llr never carries the -0.0 sign bit (the r10 hash fail)") {
+    val llr = graft.queries.PipelineQueries.dsirSelect(spark, sf0001)
+      .select("llr").collect().map(_.getDouble(0))
+    assert(llr.nonEmpty)
+    assert(!llr.exists(v => java.lang.Double.doubleToRawLongBits(v) == negZeroBits))
+  }
+
+  // ---- sequencePack integer domain ---------------------------------------
+
+  test("sequencePack sequence ids come from integer division (driver replay)") {
+    val rows = graft.queries.PipelineQueries.sequencePack(spark, sf0001)
+      .select("global_offset", "n_tokens", "seq_start", "seq_end").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (off, n) = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) == Math.floorDiv(off, 512L), s"seq_start at off=$off")
+      assert(r.getLong(3) == Math.floorDiv(off + n - 1, 512L), s"seq_end at off=$off")
+    }
+  }
+
+  // ---- FingerprintStore: non-deterministic inputs pinned ------------------
+
+  test("admit pins a non-deterministic input before evaluating it twice") {
+    val dir = tmpDir("fp-nondet")
+    // a genuinely random fingerprint column: without the localCheckpoint
+    // pin, the driver-side prefix collect and the anti-join would see two
+    // DIFFERENT sets of fingerprints
+    val wild = spark.range(64)
+      .withColumn("fp", md5(concat(col("id").cast("string"),
+        rand().cast("string"))))
+    val admitted = FingerprintStore.admit(spark, wild, "fp", dir)
+    val first = admitted.select("fp").collect().map(_.getString(0)).sorted.toSeq
+    val second = admitted.select("fp").collect().map(_.getString(0)).sorted.toSeq
+    assert(first == second, "admit's result must be stable across actions")
+    // and the pinned frame round-trips the store exactly: append it, admit
+    // it again -> zero rows (an unpinned plan would re-randomize and leak
+    // duplicates past the history probe)
+    FingerprintStore.append(admitted, "fp", dir)
+    assert(FingerprintStore.admit(spark, admitted, "fp", dir).count() == 0L)
+  }
+
+  // ---- JdbcSink: identifier case + LIKE escape + rollback -----------------
+
+  test("exactly-once publish survives a lowercase table name (Derby folds case)") {
+    val url = "jdbc:derby:memory:graftLcDb;create=true"
+    val cfg = JdbcSinkConfig(url, "eo_ticks_lc", user = "", password = "",
+      numPartitions = 2)
+    val sink = new JdbcSink(cfg)
+    def rows(xs: (Long, String, Double)*) = xs.toDF("SEQ", "TICKER", "PRICE")
+    try {
+      sink.append(rows((0L, "BOOT", 0.0)))
+      sink.truncate(spark)
+      // pre-fix, the SECOND call died here: the metadata lookup for
+      // 'eo_ticks_lc_LEDGER' (stored as EO_TICKS_LC_LEDGER) missed, and
+      // the retried CREATE TABLE threw on every subsequent batch
+      assert(sink.appendExactlyOnce(rows((1L, "A", 1.0)), 0L))
+      assert(sink.appendExactlyOnce(rows((2L, "B", 2.0)), 1L))
+      assert(!sink.appendExactlyOnce(rows((1L, "A", 1.0)), 0L)) // replay
+      assert(sink.count(spark) == 2)
+      // stale-stage sweep under the folded case: ledgered stage reaped,
+      // unledgered stage kept
+      rows((9L, "X", 9.0)).write.format("jdbc")
+        .option("url", url).option("dbtable", "eo_ticks_lc_STAGE_1")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
+      rows((7L, "Y", 7.0)).write.format("jdbc")
+        .option("url", url).option("dbtable", "eo_ticks_lc_STAGE_7")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
+      assert(sink.sweepStaleStages() == 1)
+      assert(sink.appendExactlyOnce(rows((7L, "Y", 7.0)), 7L))
+      assert(sink.count(spark) == 3)
+    } finally {
+      try java.sql.DriverManager.getConnection("jdbc:derby:memory:graftLcDb;drop=true")
+      catch { case _: java.sql.SQLException => () }
+    }
+  }
+
+  test("a failing publish txn rolls back and surfaces the ORIGINAL error") {
+    val url = "jdbc:derby:memory:graftRbDb;create=true"
+    val cfg = JdbcSinkConfig(url, "RB_TICKS", user = "", password = "",
+      numPartitions = 1)
+    val sink = new JdbcSink(cfg)
+    def rows(xs: (Long, String, Double)*) = xs.toDF("SEQ", "TICKER", "PRICE")
+    try {
+      sink.append(rows((0L, "BOOT", 0.0)))
+      sink.truncate(spark)
+      // sabotage: drop the target AFTER the stage write path is set up, so
+      // the transactional INSERT INTO target throws mid-txn
+      val c = java.sql.DriverManager.getConnection(url)
+      c.createStatement().execute("DROP TABLE RB_TICKS")
+      c.close()
+      val e = intercept[java.sql.SQLException] {
+        sink.appendExactlyOnce(rows((1L, "A", 1.0)), 0L)
+      }
+      // Derby's "connection closed with active transaction" error must NOT
+      // mask the real one: the surfaced exception names the missing table
+      assert(e.getMessage.toUpperCase.contains("RB_TICKS"), e.getMessage)
+    } finally {
+      try java.sql.DriverManager.getConnection("jdbc:derby:memory:graftRbDb;drop=true")
+      catch { case _: java.sql.SQLException => () }
+    }
+  }
+
+  // ---- StreamingTopK: fold + fresh-store + crash recovery -----------------
+
+  private def board(store: String, k: Int): Seq[(String, Long, Long)] =
+    StreamingTopK.mergedTopK(spark, store, k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("a fresh store reads as an empty board, not PATH_NOT_FOUND") {
+    val b = board(tmpDir("hh-fresh"), 8)
+    assert(b.isEmpty)
+  }
+
+  test("fold preserves the board exactly when k covers the vocabulary") {
+    val store = tmpDir("hh-fold-exact")
+    val k = 16
+    StreamingTopK.processBatch(
+      Seq(1L -> "a a a b b c").toDF("doc_id", "text"), 0L, store, k)
+    StreamingTopK.processBatch(
+      Seq(2L -> "b c c d").toDF("doc_id", "text"), 1L, store, k)
+    val before = board(store, k)
+    val (folded, upto) = StreamingTopK.compact(spark, store, k)
+    assert(folded == 2 && upto == 1L)
+    assert(board(store, k) == before)
+    // the store is k-bounded again: no batch dirs survive the fold
+    assert(!new java.io.File(s"$store/summaries").exists() ||
+      new java.io.File(s"$store/summaries").listFiles()
+        .count(_.getName.startsWith("batch_id=")) == 0)
+    // and new batches keep merging on top of the folded sketch
+    StreamingTopK.processBatch(
+      Seq(3L -> "a d d d").toDF("doc_id", "text"), 2L, store, k)
+    val counts = board(store, k).map(t => t._1 -> t._2).toMap
+    assert(counts("a") == 4L && counts("d") == 4L && counts("b") == 3L)
+  }
+
+  test("fold keeps MG bounds with small k; replayed folded batches are ignored") {
+    val store = tmpDir("hh-fold-k")
+    val k = 3
+    val b0 = Seq(1L -> "x x x x y y z w v", 2L -> "x y q")
+    val b1 = Seq(3L -> "y y y z z p o n m")
+    val truth = (b0 ++ b1).flatMap(_._2.trim.split("\\s+"))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    StreamingTopK.processBatch(b0.toDF("doc_id", "text"), 0L, store, k)
+    StreamingTopK.processBatch(b1.toDF("doc_id", "text"), 1L, store, k)
+    StreamingTopK.compact(spark, store, k)
+    val b = board(store, k)
+    assert(b.nonEmpty && b.length <= k)
+    val err = b.head._3
+    b.foreach { case (tok, lb, _) =>
+      assert(lb >= 1 && lb <= truth(tok), s"$tok lb=$lb true=${truth(tok)}")
+      assert(truth(tok) - lb <= err, s"$tok slack out of bound")
+    }
+    // checkpoint replay of an already-folded batch: the rewritten dir is
+    // invisible to readers (id <= upto) and swept by the next fold
+    StreamingTopK.processBatch(b0.toDF("doc_id", "text"), 0L, store, k)
+    assert(board(store, k) == b)
+    val (refolded, _) = StreamingTopK.compact(spark, store, k)
+    assert(refolded == 0)
+    assert(board(store, k) == b)
+  }
+
+  test("fold crash window: .folded_old is restored before the next read") {
+    val store = tmpDir("hh-fold-crash")
+    val k = 8
+    StreamingTopK.processBatch(
+      Seq(1L -> "r r r s s t").toDF("doc_id", "text"), 0L, store, k)
+    StreamingTopK.compact(spark, store, k)
+    val before = board(store, k)
+    // simulate a crash between the two swap renames: live parked in trash
+    val (fs, live) = graft.ingest.HadoopFs.forPath(spark, s"$store/folded")
+    val trash = new org.apache.hadoop.fs.Path(s"$store/.folded_old")
+    assert(fs.rename(live, trash))
+    assert(board(store, k) == before, "recovery must restore the folded sketch")
+    assert(fs.exists(live) && !fs.exists(trash))
+  }
+
+  test("a concurrent reader never throws while folds run") {
+    val store = tmpDir("hh-chaos")
+    val k = 4
+    StreamingTopK.processBatch(
+      Seq(0L -> "seed seed base").toDF("doc_id", "text"), 0L, store, k)
+    @volatile var readerError: Option[Throwable] = None
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop && readerError.isEmpty) {
+        try {
+          val b = board(store, k)
+          b.foreach { case (_, lb, _) => assert(lb >= 1) }
+        } catch { case t: Throwable => readerError = Some(t) }
+      }
+    })
+    reader.start()
+    try {
+      (1 to 6).foreach { i =>
+        StreamingTopK.processBatch(
+          Seq(i.toLong -> s"seed tok$i tok$i extra").toDF("doc_id", "text"),
+          i.toLong, store, k)
+        StreamingTopK.compact(spark, store, k)
+      }
+    } finally { stop = true; reader.join(30000) }
+    assert(readerError.isEmpty, s"reader failed: ${readerError.map(_.toString)}")
+    val b = board(store, k)
+    assert(b.map(_._1).contains("seed"))
+  }
+
+  // ---- DSIR count-min scale path ------------------------------------------
+
+  test("cms_estimate never under-counts and is exact at tight eps") {
+    import graft.catalyst.HashFunctions.cms_estimate
+    val words = Seq("alpha", "alpha", "alpha", "beta", "beta", "gamma")
+      .toDF("w")
+    val bytes = words
+      .agg(count_min_sketch(col("w"), lit(0.0001), lit(0.999), lit(42)))
+      .first().getAs[Array[Byte]](0)
+    val est = words.distinct()
+      .select(col("w"), cms_estimate(col("w"), bytes).as("est")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == Map("alpha" -> 3L, "beta" -> 2L, "gamma" -> 1L))
+  }
+
+  test("dsirSelectCms matches the exact path's selection (>= 97% overlap)") {
+    val exact = graft.queries.PipelineQueries.dsirSelect(spark, sf0001)
+      .select("doc_id", "selected").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val cms = graft.queries.PipelineQueries.dsirSelectCms(spark, sf0001)
+      .select("doc_id", "selected").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(exact.keySet == cms.keySet)
+    val agree = exact.keys.count(k => exact(k) == cms(k))
+    assert(agree.toDouble / exact.size >= 0.97,
+      s"selection overlap ${agree.toDouble / exact.size}")
+  }
+
+  test("the vocabulary cutover routes dsirSelect onto the sketch path") {
+    spark.conf.set("spark.graft.dsir.cmsVocabCutover", "1")
+    try {
+      val routed = graft.queries.PipelineQueries.dsirSelect(spark, sf0001)
+        .select("doc_id", "selected").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val direct = graft.queries.PipelineQueries.dsirSelectCms(spark, sf0001)
+        .select("doc_id", "selected").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(routed == direct, "cutover must route to the CMS path")
+    } finally spark.conf.set("spark.graft.dsir.cmsVocabCutover", "0")
+  }
+
+  // ---- PartitionStats: must-read pruning + verified acceleration ----------
+
+  private def line(ticker: String, seq: Long, price: Double, ts: String) =
+    s"$ticker,$seq,$price,15.2,${price + 0.001},100.0,${price - 0.001},80.5,$ts"
+
+  private def put(root: String, date: String, name: String,
+      lines: Seq[String]): String = {
+    new java.io.File(s"$root/$date").mkdirs()
+    val p = s"$root/$date/$name"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p),
+      lines.mkString("\n").getBytes)
+    p
+  }
+
+  test("pruneByPrice unions stats-less partitions as must-read") {
+    val root = tmpDir("ps-mr")
+    val wh = tmpDir("ps-mrwh")
+    // date 1 committed WITH stats, date 2 WITHOUT (feature enabled late /
+    // crash before refresh): pruning must still read date 2 for any window
+    spark.conf.set("spark.graft.ingest.stats", "true")
+    try {
+      TickerIngest.ingest(spark, Seq(put(root, "2024-03-14",
+        "AVA_1_2024-03-14",
+        Seq(line("AVA-USDT", 1, 0.50, "2024-03-14T10:00:00.000")))), wh)
+    } finally spark.conf.set("spark.graft.ingest.stats", "false")
+    TickerIngest.ingest(spark, Seq(put(root, "2024-03-15",
+      "BTC_1_2024-03-15",
+      Seq(line("BTC-USDT", 2, 64000.0, "2024-03-15T10:00:00.000")))), wh)
+    // window matches neither recorded range, but the uncovered partition
+    // is must-read — dropping it would silently lose matching rows
+    assert(PartitionStats.pruneByPrice(spark, wh, 100, 200) == Seq("2024-03-15"))
+    // window matching date 1 returns both (one by stats, one by must-read)
+    assert(PartitionStats.pruneByPrice(spark, wh, 40, 60)
+      == Seq("2024-03-14", "2024-03-15"))
+  }
+
+  test("summaryExact: stats-served when provably fresh, scan fallback when not") {
+    val root = tmpDir("ps-se")
+    val wh = tmpDir("ps-sewh")
+    spark.conf.set("spark.graft.ingest.stats", "true")
+    try {
+      TickerIngest.ingest(spark, Seq(
+        put(root, "2024-03-14", "AVA_1_2024-03-14",
+          Seq(line("AVA-USDT", 10, 0.50, "2024-03-14T10:00:00.000"),
+            line("AVA-USDT", 11, 0.52, "2024-03-14T10:00:01.000"))),
+        put(root, "2024-03-15", "BTC_1_2024-03-15",
+          Seq(line("BTC-USDT", 99, 64000.0, "2024-03-15T10:00:00.000")))), wh)
+      val (n1, max1, fast1) = PartitionStats.summaryExact(spark, wh)
+      assert(fast1, "fresh stats must serve the summary")
+      assert(n1 == 3L && max1.contains(99L))
+      // stale injection: a commit lands WITHOUT a stats refresh — the
+      // listing fingerprint no longer matches, so the answer must come
+      // from the scan (and still be right)
+      spark.conf.set("spark.graft.ingest.stats", "false")
+      TickerIngest.ingest(spark, Seq(
+        put(root, "2024-03-14", "AVA_2_2024-03-14",
+          Seq(line("AVA-USDT", 500, 0.61, "2024-03-14T11:00:00.000")))), wh)
+      val (n2, max2, fast2) = PartitionStats.summaryExact(spark, wh)
+      assert(!fast2, "stale stats must NOT serve the summary")
+      assert(n2 == 4L && max2.contains(500L))
+      // the next stats-on touch of the partition heals freshness
+      spark.conf.set("spark.graft.ingest.stats", "true")
+      TickerIngest.ingest(spark, Seq(
+        put(root, "2024-03-14", "AVA_3_2024-03-14",
+          Seq(line("AVA-USDT", 501, 0.62, "2024-03-14T12:00:00.000")))), wh)
+      val (n3, max3, fast3) = PartitionStats.summaryExact(spark, wh)
+      assert(fast3 && n3 == 5L && max3.contains(501L))
+    } finally spark.conf.set("spark.graft.ingest.stats", "false")
+  }
+
+  test("compaction re-stamps the stats fingerprint (freshness survives rewrite)") {
+    val root = tmpDir("ps-cf")
+    val wh = tmpDir("ps-cfwh")
+    spark.conf.set("spark.graft.ingest.stats", "true")
+    try {
+      (1 to 3).foreach { i =>
+        TickerIngest.ingest(spark, Seq(put(root, "2024-03-14",
+          s"AVA_${i}_2024-03-14",
+          Seq(line("AVA-USDT", 100L + i, 0.60, "2024-03-14T10:00:00.000")))), wh)
+      }
+      TickerIngest.compactPartition(spark, wh, dt("2024-03-14"))
+      val (n, maxSeq, fast) = PartitionStats.summaryExact(spark, wh)
+      assert(fast, "compaction must leave stats provably fresh")
+      assert(n == 3L && maxSeq.contains(103L))
+    } finally spark.conf.set("spark.graft.ingest.stats", "false")
+  }
+}
