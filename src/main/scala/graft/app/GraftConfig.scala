@@ -14,6 +14,15 @@ case class FlowConf(workCycleSec: Int, retry: RetryPolicy)
 case class IngestConf(maxFlushAttempts: Int, fanOutParts: Int, dataPath: String,
                       sleepOnRetryMs: Long, compressionBufferSize: Int)
 
+/** Log-sink flush knobs — the reference appender's `bufferSize` /
+  * `flushTimeoutSec` pair (`log4j2.origin.xml:5-6`), lifted out of the
+  * XML into the engine's one config tree so a deployment tunes log
+  * batching where it tunes everything else. Consumed by
+  * [[graft.streaming.LogSink]]: flush at `bufferSize` records OR after
+  * `flushTimeoutSec`, whichever first.
+  */
+case class LoggingConf(bufferSize: Int, flushTimeoutSec: Int)
+
 /** The engine's configuration tree — one case-class object mirroring the
   * reference's `application.origin.yaml:1-43` (same section and key names,
   * so a reference deployment's config carries over), loaded by
@@ -27,7 +36,8 @@ case class GraftConfig(
     proceedStatus: FlowConf,
     uploadData: FlowConf,
     cleanup: FlowConf,
-    ingest: IngestConf)
+    ingest: IngestConf,
+    logging: LoggingConf)
 
 object GraftConfig {
 
@@ -39,7 +49,8 @@ object GraftConfig {
     uploadData = FlowConf(30, RetryPolicy(3, 3000)),
     cleanup = FlowConf(3 * 3600, RetryPolicy(3, 3000)),
     ingest = IngestConf(maxFlushAttempts = 3, fanOutParts = 32, dataPath = "",
-      sleepOnRetryMs = 500, compressionBufferSize = 131072))
+      sleepOnRetryMs = 500, compressionBufferSize = 131072),
+    logging = LoggingConf(bufferSize = 8192, flushTimeoutSec = 15))
 
   def load(path: String): GraftConfig =
     fromYaml(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
@@ -87,6 +98,7 @@ object GraftConfig {
     val upload = section(flows, "UploadTickersDataConfig")
     val cleanup = section(flows, "CleanupUploadedFilesConfig")
     val data = section(root, "TickersDataConfig")
+    val logging = section(root, "LoggingConfig")
     val uploader = section(data, "TickersDataUploaderConfig")
     val compression = section(data, "CompressionHandlerConfig")
     val d = default
@@ -110,6 +122,9 @@ object GraftConfig {
         int(uploader, "divideDataPartsQuantity", d.ingest.fanOutParts),
         str(uploader, "tickersDataPath", d.ingest.dataPath),
         long(uploader, "sleepOnReconnectMs", d.ingest.sleepOnRetryMs),
-        int(compression, "compressionBufferSize", d.ingest.compressionBufferSize)))
+        int(compression, "compressionBufferSize", d.ingest.compressionBufferSize)),
+      logging = LoggingConf(
+        int(logging, "bufferSize", d.logging.bufferSize),
+        int(logging, "flushTimeoutSec", d.logging.flushTimeoutSec)))
   }
 }

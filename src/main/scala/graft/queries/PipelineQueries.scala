@@ -619,6 +619,17 @@ object PipelineQueries {
   def dsirSelect(s: SparkSession, d: String): DataFrame = {
     val toks = dsirTokens(s, d)
     if (dsirUseCms(s, toks)) return dsirSelectCms(s, d)
+    dsirSelectExact(toks)
+  }
+
+  /** [[dsirSelect]]'s exact path over a caller-supplied tokenized frame —
+    * the funnel's entry point (it shares one checkpointed tokenize pass
+    * across stages).
+    */
+  private[graft] def dsirSelectOver(tokDocs: DataFrame): DataFrame =
+    dsirSelectExact(tokenOccurrences(tokDocs))
+
+  private def dsirSelectExact(toks: DataFrame): DataFrame = {
     val cs = toks.groupBy("w").agg(count(lit(1)).as("cs"))
     val ct = toks.filter(col("lang") === "en").groupBy("w").agg(count(lit(1)).as("ct"))
     val tot = cs.agg(sum("cs").as("ts"), count(lit(1)).as("v"))
@@ -635,8 +646,19 @@ object PipelineQueries {
 
   /** The shared DSIR token stream (one row per token occurrence). */
   private def dsirTokens(s: SparkSession, d: String): DataFrame =
+    tokenOccurrences(tokenizedDocs(s, d))
+
+  /** `(doc_id, lang, toks)` — the tokenize pass both [[dsirSelect]] and
+    * [[contamination]] start from. [[curationFunnel]] localCheckpoints ONE
+    * of these and feeds it to both stages through their `Over` variants,
+    * so the funnel pays the tokenize projection once instead of twice.
+    */
+  private[graft] def tokenizedDocs(s: SparkSession, d: String): DataFrame =
     Tables.fanOut(Tables.documents(s, d))
-      .select(col("doc_id"), col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
+
+  private def tokenOccurrences(tokDocs: DataFrame): DataFrame =
+    tokDocs.select(col("doc_id"), col("lang"), explode(col("toks")).as("w"))
 
   /** Round-6 add-1-smoothed log-probability term, carried as DECIMAL. */
   private def dsirLp6(c: Column, t: Column): Column =
@@ -755,11 +777,14 @@ object PipelineQueries {
     val q = QualityClassifier.frozenScores(docs)
       .filter(col("zr") > QualityClassifier.KeepTau)
     val s2 = s1.join(q.select("doc_id"), Seq("doc_id"), "left_semi")
-    val dropSet = contamination(s, d).select(col("corpus_id").as("doc_id"))
+    // ONE tokenize pass feeds decontamination AND DSIR (round-11 sharing:
+    // previously each stage re-ran the tokenize projection over the corpus)
+    val tokDocs = tokenizedDocs(s, d).localCheckpoint(true)
+    val dropSet = contaminationOver(tokDocs).select(col("corpus_id").as("doc_id"))
       .union(docs.filter(col("doc_id") % 50 === 0).select("doc_id"))
       .distinct()
     val s3 = s2.join(dropSet, Seq("doc_id"), "left_anti")
-    val dsel = dsirSelect(s, d).filter(col("selected")).select("doc_id")
+    val dsel = dsirSelectOver(tokDocs).filter(col("selected")).select("doc_id")
     val s4 = s3.join(dsel, Seq("doc_id"), "left_semi")
     val stages = Seq(("0_corpus", s0), ("1_exact_dedup", s1), ("2_quality", s2),
       ("3_decontaminate", s3), ("4_dsir_select", s4))
@@ -826,12 +851,17 @@ object PipelineQueries {
     * doc_id % 50 = 0). The shingle-join is the contamination shape used on
     * real eval sets; at scale the benchmark side is tiny and broadcast.
     */
-  def contamination(s: SparkSession, d: String): DataFrame = {
+  def contamination(s: SparkSession, d: String): DataFrame =
+    contaminationOver(tokenizedDocs(s, d))
+
+  /** [[contamination]] over a caller-supplied tokenized frame — the
+    * funnel's entry point (shared tokenize pass with [[dsirSelectOver]]).
+    */
+  private[graft] def contaminationOver(tokDocs: DataFrame): DataFrame = {
     // materialized once — the benchmark and corpus sides both derive from
     // this shingle table; without the checkpoint each side re-runs the
     // tokenize→shingle→distinct pipeline
-    val sh = Tables.fanOut(Tables.documents(s, d))
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val sh = tokDocs
       .select(col("doc_id"),
         explode(graft.catalyst.HashFunctions.shingles3(col("toks"))).as("s"))
       .distinct()

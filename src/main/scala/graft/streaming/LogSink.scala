@@ -13,14 +13,39 @@ import graft.schema.LogRecord
   * second streaming query on the shared SparkSession — same size/time
   * micro-batch semantics (B3) via the trigger, exactly-once append via the
   * checkpoint.
+  *
+  * The two flush knobs are the reference appender's own
+  * (`bufferSize`/`flushTimeoutSec`, log4j2.origin.xml:5-6), config-exposed
+  * through [[graft.app.GraftConfig]].logging: records buffer in the sink
+  * until the buffer holds `bufferSize` records (the SIZE trigger — drained
+  * inside the enqueue that crossed the line) or `flushTimeoutSec` elapses
+  * (the TIMEOUT trigger — a daemon flusher started with the query), which-
+  * ever comes first. The default `bufferSize = 1` keeps the sink unbuffered
+  * (every enqueue flushes through immediately) unless a deployment opts in.
   */
-class LogSink(spark: SparkSession) {
+class LogSink(spark: SparkSession, bufferSize: Int = 1, flushTimeoutSec: Int = 15) {
   import spark.implicits._
 
   private val stream = MemoryStream[LogRecord](spark)
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[LogRecord]
+  private var flusher: Option[java.util.concurrent.ScheduledExecutorService] = None
 
-  /** Non-blocking enqueue — callable from any thread, like a log appender. */
-  def enqueue(records: LogRecord*): Unit = { stream.addData(records); () }
+  /** Non-blocking enqueue — callable from any thread, like a log appender.
+    * Crossing `bufferSize` flushes synchronously (the reference appender's
+    * size trigger); smaller residues wait for the timeout flusher.
+    */
+  def enqueue(records: LogRecord*): Unit = synchronized {
+    buf ++= records
+    if (buf.size >= bufferSize) flush()
+  }
+
+  /** Drain the buffer into the table stream (both triggers land here). */
+  def flush(): Unit = synchronized {
+    if (buf.nonEmpty) {
+      stream.addData(buf.toSeq)
+      buf.clear()
+    }
+  }
 
   /** The JSON wire shape of one record (LogMsgLayout.json round-trip). */
   def asJson(df: DataFrame): DataFrame =
@@ -30,9 +55,20 @@ class LogSink(spark: SparkSession) {
       struct(col("exception_class").as("class"),
         col("exception_message").as("message")).as("exception"))).as("json"))
 
-  /** Start the sink query appending to the `tickers_logs` parquet table. */
+  /** Start the sink query appending to the `tickers_logs` parquet table,
+    * plus the timeout flusher (daemon — stopped by [[close]]).
+    */
   def start(outDir: String, checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime("15 seconds")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("15 seconds")): StreamingQuery = {
+    synchronized {
+      flusher.foreach(_.shutdownNow())
+      val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+        (r: Runnable) => { val t = new Thread(r, "graft-log-flusher"); t.setDaemon(true); t })
+      ex.scheduleWithFixedDelay(() => flush(),
+        flushTimeoutSec.toLong, flushTimeoutSec.toLong,
+        java.util.concurrent.TimeUnit.SECONDS)
+      flusher = Some(ex)
+    }
     stream.toDF().writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -41,4 +77,23 @@ class LogSink(spark: SparkSession) {
         ()
       }
       .start()
+  }
+
+  /** Stop the timeout flusher (call after the streaming query stops). Any
+    * buffered residue is flushed into the stream first, so no record is
+    * lost between a final enqueue and shutdown.
+    */
+  def close(): Unit = synchronized {
+    flush()
+    flusher.foreach(_.shutdownNow())
+    flusher = None
+  }
+}
+
+object LogSink {
+  /** The config-wired constructor: flush knobs from
+    * [[graft.app.GraftConfig]].logging (the log4j2.origin.xml:5-6 pair).
+    */
+  def apply(spark: SparkSession, cfg: graft.app.GraftConfig): LogSink =
+    new LogSink(spark, cfg.logging.bufferSize, cfg.logging.flushTimeoutSec)
 }

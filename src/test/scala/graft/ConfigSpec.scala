@@ -60,6 +60,19 @@ class ConfigSpec extends AnyFunSuite {
     assert(c.ingest.compressionBufferSize == 65536)
   }
 
+  test("LoggingConfig binds the log4j2 appender's flush knobs; defaults mirror it") {
+    val c = GraftConfig.fromYaml(
+      """LoggingConfig:
+        |  bufferSize: 512
+        |  flushTimeoutSec: 3
+        |""".stripMargin)
+    assert(c.logging.bufferSize == 512)
+    assert(c.logging.flushTimeoutSec == 3)
+    // absent section -> the reference appender's shape with engine defaults
+    assert(GraftConfig.fromYaml("").logging.bufferSize == 8192)
+    assert(GraftConfig.fromYaml("").logging.flushTimeoutSec == 15)
+  }
+
   test("missing keys / empty file fall back to the reference's shipped defaults") {
     val partial = GraftConfig.fromYaml(
       """MainFlowsConfig:

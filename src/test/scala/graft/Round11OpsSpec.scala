@@ -250,6 +250,55 @@ class Round11OpsSpec extends SparkSpec {
     assert(b.map(_._1).contains("seed"))
   }
 
+  // ---- LogSink flush knobs (size + timeout triggers) ----------------------
+
+  private def rec(i: Int) = graft.schema.LogRecord(
+    ts("2024-08-08 10:00:00"), "INFO", "t", s"msg $i", Map.empty, None, None)
+
+  // tmpDir pre-creates the directory, so guard on part files, not existence
+  private def logRows(out: String): Long = {
+    val files = Option(new java.io.File(out).listFiles).map(_.toSeq).getOrElse(Nil)
+    if (files.exists(_.getName.endsWith(".parquet")))
+      spark.read.parquet(out).count()
+    else 0L
+  }
+
+  test("log sink size trigger: crossing bufferSize flushes without the timeout") {
+    // timeout deliberately enormous — only the size path can flush
+    val sink = new graft.streaming.LogSink(spark, bufferSize = 3,
+      flushTimeoutSec = 3600)
+    val out = tmpDir("lsize")
+    val q = sink.start(out, tmpDir("lsize-ckpt"),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      sink.enqueue(rec(1)); sink.enqueue(rec(2))
+      q.processAllAvailable()
+      assert(logRows(out) == 0, "below bufferSize: no flush yet")
+      sink.enqueue(rec(3)) // crosses the line -> synchronous flush
+      q.processAllAvailable()
+      assert(logRows(out) == 3)
+    } finally { q.stop(); sink.close() }
+  }
+
+  test("log sink timeout trigger: a sub-buffer residue flushes after flushTimeoutSec") {
+    val sink = new graft.streaming.LogSink(spark, bufferSize = 1000,
+      flushTimeoutSec = 1)
+    val out = tmpDir("ltime")
+    val q = sink.start(out, tmpDir("ltime-ckpt"),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      sink.enqueue(rec(1)) // far below bufferSize
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var n = 0L
+      while (n == 0L && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        q.processAllAvailable()
+        n = logRows(out)
+      }
+      assert(n == 1L, "timeout flusher must drain the residue")
+    } finally { q.stop(); sink.close() }
+  }
+
   // ---- DSIR count-min scale path ------------------------------------------
 
   test("cms_estimate never under-counts and is exact at tight eps") {
