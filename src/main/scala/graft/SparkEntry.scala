@@ -368,6 +368,12 @@ object SparkEntry {
     "x_kmv_setops"      -> (graft.operators.SketchOps.kmvSetOps _),
     // multi-source BFS hop distances via frontier expansion (Pregel shape)
     "x_bfs_hops"        -> (graft.operators.GraphOps.bfsHops _),
+    // k-core at the graph's own p75 degree: iterative peeling, early exit
+    "x_kcore"           -> (graft.operators.GraphOps.kCore _),
+    // exact midrank Spearman rho per return flag (no row-level rank join)
+    "g_spearman"        -> (AQ.spearman _),
+    // integer-domain EWMA fold per instrument + momentum flag
+    "ts_ewma"           -> (TimeSeriesOps.ewma _),
     // week-over-week returning users from stored per-week KMV sketches
     "x_kmv_retention"   -> (graft.operators.SketchOps.kmvRetention _),
     // image near-dup: real decode -> 8x8 aHash -> banded Hamming blocking
@@ -632,6 +638,9 @@ object SparkEntry {
     "q21_waiting_supplier" -> TQ.q21WaitingSupplierSql,
     "x_kmv_setops"      -> graft.operators.SketchOps.kmvSetOpsSql,
     "x_bfs_hops"        -> graft.operators.GraphOps.bfsHopsSql,
+    "x_kcore"           -> graft.operators.GraphOps.kCoreSql,
+    "g_spearman"        -> AQ.spearmanSql,
+    "ts_ewma"           -> TimeSeriesOps.ewmaSql,
     "x_kmv_retention"   -> graft.operators.SketchOps.kmvRetentionSql,
     "m_ahash_neardup"   -> MultimodalOps.ahashNearDupSql,
     "m_audio_features"  -> MultimodalOps.audioFeaturesSql,

@@ -356,4 +356,98 @@ object GraphOps {
        |SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes,
        |  CAST(sum(node) AS BIGINT) AS node_checksum
        |FROM mh GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- k-core ------------------------------------------------------------
+
+  /** Peeling-round cap. Fixpoint usually lands far earlier (the loop exits
+    * the moment a round removes nothing); the oracle unrolls exactly this
+    * many rounds, which is safe because post-fixpoint rounds are identity.
+    */
+  val KCoreRounds = 8
+
+  /** The k-core (Seidman 1983, "Network structure and minimum degree"):
+    * repeatedly delete every node with degree < k until none remains —
+    * the standard dense-subgraph primitive (spam/collusion detection,
+    * community cores, graph sparsification). K here is the graph's own
+    * exact 75th-percentile degree (the same cumulated-histogram order
+    * statistic the quartile cutovers use), so the query is scale-free:
+    * it asks "the top-quartile-connected core" at any data size.
+    *
+    * Scale shape per round — the [[pagerank]] discipline: one
+    * partial-aggregable degree count, a node-sized keep set, two
+    * semi-joins of the edge list against it (broadcast-able at node ≪
+    * edge scale), localCheckpoint so round N+1 does not replay rounds
+    * 1..N. Driver traffic: one bounded count per round for the early
+    * exit. Peeling is monotone (edge set only shrinks), so the loop is
+    * guaranteed to terminate; the cap bounds worst-case rounds exactly
+    * like [[BfsMaxHop]] bounds the walk.
+    */
+  def kCoreOver(e0: DataFrame, k: Long, rounds: Int = KCoreRounds): DataFrame = {
+    var cur = e0.localCheckpoint(true)
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val nBefore = cur.select("src").distinct().count()
+      val keep = cur.groupBy("src").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("src").localCheckpoint(true)
+      if (keep.count() == nBefore) done = true // fixpoint: nothing peeled
+      else {
+        cur = cur.join(keep, Seq("src"), "left_semi")
+          .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    cur.groupBy("src").agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** Board query: the p75-degree core of the customer↔supplier graph,
+    * nodes with their in-core degrees.
+    */
+  def kCore(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d).localCheckpoint(true)
+    val deg0 = e.groupBy("src").agg(count(lit(1)).as("d"))
+    // exact discrete p75 of the degree multiset — NDV(degree)-sized
+    // histogram, one-row result (bounded collect, like the BPE winners)
+    val k = graft.queries.AnalyticsQueries
+      .globalCumHistogram(deg0.select("d"), "d")
+      .withColumn("k75", expr("(3 * n + 3) div 4"))
+      .agg(sum(when(col("k75").between(col("lo"), col("hi")), col("d"))).as("k"))
+      .first().getLong(0)
+    kCoreOver(e, k)
+      .select(label(col("src")).as("node"), col("core_deg"))
+      .orderBy(col("core_deg").desc, col("node"))
+  }
+
+  val kCoreSql: String = {
+    def round(i: Int): String = {
+      val prev = if (i == 1) "e_0" else s"e_${i - 1}"
+      s"""keep_$i AS MATERIALIZED (
+         |  SELECT src FROM (SELECT src, count(*) AS d FROM $prev GROUP BY src)
+         |  CROSS JOIN kv WHERE d >= kv.k),
+         |e_$i AS MATERIALIZED (
+         |  SELECT t.src, t.dst FROM $prev t
+         |  JOIN keep_$i a ON t.src = a.src
+         |  JOIN keep_$i b ON t.dst = b.src)""".stripMargin
+    }
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS cust,
+       |         CAST(l_suppkey * 2 + 1 AS BIGINT) AS supp
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e_0 AS MATERIALIZED (
+       |  SELECT cust AS src, supp AS dst FROM pairs
+       |  UNION ALL SELECT supp, cust FROM pairs),
+       |deg0 AS (SELECT src, count(*) AS d FROM e_0 GROUP BY src),
+       |kv AS MATERIALIZED (
+       |  SELECT d AS k FROM (
+       |    SELECT d, row_number() OVER (ORDER BY d) AS rn, count(*) OVER () AS n
+       |    FROM deg0)
+       |  WHERE rn = (3 * n + 3) // 4),
+       |${(1 to KCoreRounds).map(round).mkString(",\n")}
+       |SELECT CASE WHEN src % 2 = 0 THEN 'c' || (src // 2)
+       |            ELSE 's' || (src // 2) END AS node,
+       |       CAST(count(*) AS BIGINT) AS core_deg
+       |FROM e_$KCoreRounds GROUP BY src
+       |ORDER BY core_deg DESC, node""".stripMargin
+  }
 }

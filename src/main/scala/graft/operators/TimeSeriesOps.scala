@@ -832,4 +832,67 @@ object TimeSeriesOps {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill
       |FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.day = g.day
       |ORDER BY g.user_id, g.day""".stripMargin
+
+  /** Per-instrument EWMA of the daily close (alpha = 1/5) — the trend
+    * baseline every momentum/mean-reversion signal starts from, plus the
+    * close-vs-EWMA momentum flag. ENTIRELY in integer arithmetic: closes
+    * are cents scaled by 10^4 and each step is
+    * `y_t = (x_t + 4*y_{t-1}) div 5` (exact integer floor), so the fold is
+    * bit-identical under any engine — no float rounding anywhere, the
+    * discipline that keeps a sequential recursion oracle-able.
+    *
+    * Scale shape: the daily-close table is day-count-bounded per
+    * instrument (the shared ts discipline); the fold runs inside ONE
+    * codegen'd `aggregate` HOF over the per-instrument sorted array —
+    * map-side after a single partial-aggregable groupBy. Sequential
+    * recursions do not parallelize WITHIN a key by nature; across keys
+    * (the real parallelism axis at 1500+ instruments) this is
+    * embarrassingly parallel, and the array length is calendar-bounded,
+    * never row-bounded.
+    */
+  def ewma(s: SparkSession, d: String): DataFrame = {
+    val byDay = Window.partitionBy("user_id", "day")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val closes = Tables.events(s, d)
+      .withColumn("c", (col("value").cast(DecimalType(18, 2)) * lit(100)).cast("long"))
+      .filter(col("c") > 0)
+      .withColumn("day", col("ts").cast("date"))
+      .withColumn("rn", row_number().over(byDay))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("c"))
+    closes.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("a"))
+      .withColumn("cs", expr("transform(a, p -> p.c * 10000)"))
+      .select(
+        col("user_id"),
+        size(col("a")).cast("long").as("n_days"),
+        element_at(col("a"), -1).getField("c").as("last_c"),
+        expr("aggregate(slice(cs, 2, size(cs) - 1), cs[0], " +
+          "(acc, x) -> (x + 4 * acc) div 5)").as("ewma_scaled"))
+      .withColumn("momentum", col("last_c") * 10000 > col("ewma_scaled"))
+      .orderBy("user_id")
+  }
+  val ewmaSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM events
+      |  WHERE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) > 0),
+      |closes AS (
+      |  SELECT user_id, day, c FROM (
+      |    SELECT user_id, day, c,
+      |      row_number() OVER (PARTITION BY user_id, day
+      |                         ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM ev) WHERE rn = 1),
+      |agg AS (
+      |  SELECT user_id,
+      |    CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(list(c ORDER BY day)[count(*)] AS BIGINT) AS last_c,
+      |    CAST(list_reduce(list(c * 10000 ORDER BY day),
+      |         (acc, x) -> (x + 4 * acc) // 5) AS BIGINT) AS ewma_scaled
+      |  FROM closes GROUP BY user_id)
+      |SELECT user_id, n_days, last_c, ewma_scaled,
+      |  last_c * 10000 > ewma_scaled AS momentum
+      |FROM agg ORDER BY user_id""".stripMargin
 }

@@ -1687,4 +1687,85 @@ object AnalyticsQueries {
       |SELECT d AS order_date, n AS n_orders, CAST(pp - mm AS BIGINT) AS cusum,
       |  pp - mm > tot AS flagged
       |FROM m ORDER BY d""".stripMargin
+
+  /** Exact Spearman rank correlation per return flag: ρ between quantity
+    * and extended price across line items — the tie-robust monotone-
+    * association twin of the Pearson `g_corr_stats` (rank statistics are
+    * the standard choice when the marginals are heavy-tailed, as prices
+    * are). Midranks handle ties exactly.
+    *
+    * Scale shape — NO row-level rank join and NO global sort: the one
+    * data-scale pass is a partial-aggregable groupBy((flag, qty, price))
+    * → the joint value-NDV table; marginal midranks come from cumulated
+    * counts over the per-flag value histograms (NDV-sized windows, the
+    * [[globalCumHistogram]] discipline); every Σ then folds cnt × rank
+    * products over the NDV table. Centered double-ranks
+    * (2·cum_before + cnt − n) keep every sum an exact DECIMAL(38,0)
+    * integer with zero mean — no catastrophic-cancellation subtraction —
+    * so ρ is one double division + sqrt + round(6) at the very end,
+    * identical in both engines.
+    */
+  def spearman(s: SparkSession, d: String): DataFrame = {
+    val D38 = DecimalType(38, 0)
+    val rows = graft.Tables.lineitem(s, d).select(
+      col("l_returnflag").as("g"),
+      col("l_quantity").cast("long").as("x"),
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("y"))
+    val pairs = rows.groupBy("g", "x", "y").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // feeds both marginals AND the moment fold
+    val nPer = pairs.groupBy("g").agg(sum("cnt").as("n"))
+    def ranks(v: String, out: String): DataFrame = {
+      val h = pairs.groupBy("g", v).agg(sum("cnt").as("c"))
+      val w = Window.partitionBy("g").orderBy(v)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      h.withColumn("cum", coalesce(sum("c").over(w), lit(0L)))
+        .join(nPer, Seq("g"))
+        .select(col("g"), col(v),
+          (lit(2) * col("cum") + col("c") - col("n")).as(out))
+    }
+    val withRanks = pairs
+      .join(ranks("x", "r2x"), Seq("g", "x"))
+      .join(ranks("y", "r2y"), Seq("g", "y"))
+    withRanks.groupBy("g")
+      .agg(
+        sum("cnt").as("n"),
+        sum((col("cnt") * col("r2x") * col("r2y")).cast(D38)).as("sxy"),
+        sum((col("cnt") * col("r2x") * col("r2x")).cast(D38)).as("vx"),
+        sum((col("cnt") * col("r2y") * col("r2y")).cast(D38)).as("vy"))
+      .select(col("g").as("l_returnflag"), col("n"),
+        graft.functions.NumOps.roundz(
+          col("sxy").cast("double") /
+            sqrt(col("vx").cast("double") * col("vy").cast("double")), 6)
+          .as("rho"))
+      .orderBy("l_returnflag")
+  }
+  val spearmanSql: String =
+    """WITH rows_t AS (
+      |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      |  FROM lineitem),
+      |pairs AS MATERIALIZED (
+      |  SELECT g, x, y, CAST(count(*) AS BIGINT) AS cnt FROM rows_t GROUP BY g, x, y),
+      |np AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n FROM pairs GROUP BY g),
+      |hx AS (SELECT g, x, CAST(sum(cnt) AS BIGINT) AS c FROM pairs GROUP BY g, x),
+      |rx AS (SELECT g, x,
+      |         2 * COALESCE(sum(c) OVER (PARTITION BY g ORDER BY x
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c - np.n AS r2x
+      |       FROM hx JOIN np USING (g)),
+      |hy AS (SELECT g, y, CAST(sum(cnt) AS BIGINT) AS c FROM pairs GROUP BY g, y),
+      |ry AS (SELECT g, y,
+      |         2 * COALESCE(sum(c) OVER (PARTITION BY g ORDER BY y
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c - np.n AS r2y
+      |       FROM hy JOIN np USING (g)),
+      |m AS (SELECT p.g, CAST(sum(cnt) AS BIGINT) AS n,
+      |        CAST(sum(CAST(cnt * r2x * r2y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+      |        CAST(sum(CAST(cnt * r2x * r2x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS vx,
+      |        CAST(sum(CAST(cnt * r2y * r2y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS vy
+      |      FROM pairs p JOIN rx ON p.g = rx.g AND p.x = rx.x
+      |                   JOIN ry ON p.g = ry.g AND p.y = ry.y
+      |      GROUP BY p.g)
+      |SELECT g AS l_returnflag, n,
+      |  round(CAST(sxy AS DOUBLE) / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 6)
+      |    + 0.0 AS rho
+      |FROM m ORDER BY l_returnflag""".stripMargin
 }

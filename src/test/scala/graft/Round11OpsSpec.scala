@@ -340,6 +340,54 @@ class Round11OpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.graft.dsir.cmsVocabCutover", "0")
   }
 
+  // ---- round-11 board additions: kcore / spearman / ewma ------------------
+
+  test("kCoreOver peels a crafted graph to its known core") {
+    // a 4-clique with three pendant nodes: the 3-core is exactly the clique
+    val cl = for (i <- 0L to 3L; j <- 0L to 3L if i != j) yield (i, j)
+    val pend = Seq((0L, 10L), (10L, 0L), (1L, 11L), (11L, 1L), (2L, 12L), (12L, 2L))
+    val e = (cl ++ pend).toDF("src", "dst")
+    val core = graft.operators.GraphOps.kCoreOver(e, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core.keySet == Set(0L, 1L, 2L, 3L))
+    assert(core.values.forall(_ == 3L), "each clique node keeps exactly 3 in-core edges")
+    // k above the max degree peels everything
+    assert(graft.operators.GraphOps.kCoreOver(e, k = 10).count() == 0L)
+  }
+
+  test("spearman: monotone pair gives rho 1; bounds hold on the board query") {
+    val rows = graft.queries.AnalyticsQueries.spearman(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rho = r.getDouble(2)
+      assert(rho >= -1.0 - 1e-9 && rho <= 1.0 + 1e-9, s"rho out of range: $rho")
+      assert(r.getLong(1) > 0)
+    }
+  }
+
+  test("ewma: integer fold replays the sequential recursion exactly") {
+    val out = graft.operators.TimeSeriesOps.ewma(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    // driver-side sequential replay over one user's daily closes
+    val u = out.head.getLong(0)
+    val closes = graft.Tables.events(spark, sf0001)
+      .filter(col("user_id") === u)
+      .withColumn("c", (col("value").cast(DecimalType(18, 2)) * 100).cast("long"))
+      .filter(col("c") > 0)
+      .withColumn("day", col("ts").cast("date"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "day").orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select("day", "c").orderBy("day").collect().map(_.getLong(1))
+    val expected = closes.map(_ * 10000L).reduceLeft((acc, x) => Math.floorDiv(x + 4 * acc, 5L))
+    val row = out.find(_.getLong(0) == u).get
+    assert(row.getLong(3) == expected, s"ewma mismatch for user $u")
+    assert(row.getLong(1) == closes.length)
+    assert(row.getLong(2) == closes.last)
+    assert(row.getBoolean(4) == (closes.last * 10000L > expected))
+  }
+
   // ---- PartitionStats: must-read pruning + verified acceleration ----------
 
   private def line(ticker: String, seq: Long, price: Double, ts: String) =
