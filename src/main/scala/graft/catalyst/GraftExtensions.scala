@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
     e.injectOptimizerRule(_ => HoistExpensiveProjectAboveSort)
+    e.injectOptimizerRule(_ => graft.plans.RollupRewrite)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
@@ -124,6 +125,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(HoistExpensiveProjectAboveSort))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ HoistExpensiveProjectAboveSort
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RollupRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RollupRewrite
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.{MaterializedRollup, RollupRewrite}
+
+/** The aggregate-navigator rewrite: registered rollups transparently answer
+  * matching COUNT/SUM/MIN/MAX group-bys; anything not provably subsumed —
+  * or any base write since the build — leaves the plan on the base scan.
+  */
+class MaterializedRollupSpec extends SparkSpec {
+
+  // the executed plan prints scan Locations; the optimized plan's
+  // `Relation ... parquet` line does not carry the path
+  private def optimized(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("matching group-by rewrites onto the rollup and answers exactly") {
+    graft.catalyst.GraftExtensions.register(spark)
+    val base = tmpDir("mr-base")
+    val roll = tmpDir("mr-roll") + "/r"
+    Tables.lineitem(spark, sf0001)
+      .select("l_returnflag", "l_linestatus", "l_quantity", "l_orderkey")
+      .write.mode("overwrite").parquet(base)
+
+    // ground truth BEFORE registration (plans against the base scan)
+    val q = () => spark.read.parquet(base)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sq"),
+        min("l_quantity").as("mn"), max("l_quantity").as("mx"))
+      .orderBy("l_returnflag", "l_linestatus")
+    val expected = q().collect().map(_.toSeq).toSeq
+
+    MaterializedRollup.build(spark, base, roll,
+      Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
+    try {
+      val plan = optimized(q())
+      assert(plan.contains(roll), s"plan must scan the rollup:\n$plan")
+      assert(!plan.contains(base), s"plan must NOT scan the base:\n$plan")
+      assert(q().collect().map(_.toSeq).toSeq == expected)
+
+      // a COARSER grouping re-aggregates the rollup soundly
+      val coarse = spark.read.parquet(base).groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("sq"), max("l_quantity").as("mx"))
+      assert(optimized(coarse).contains(roll))
+      val direct = Tables.lineitem(spark, sf0001).groupBy("l_returnflag")
+        .agg(sum("l_quantity").as("sq"), max("l_quantity").as("mx"))
+        .orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+      assert(coarse.orderBy("l_returnflag").collect().map(_.toSeq).toSeq == direct)
+    } finally MaterializedRollup.deregister(spark, base)
+  }
+
+  test("unsupported shapes and unregistered measures stay on the base scan") {
+    graft.catalyst.GraftExtensions.register(spark)
+    val base = tmpDir("mr-base2")
+    val roll = tmpDir("mr-roll2") + "/r"
+    Tables.lineitem(spark, sf0001)
+      .select("l_returnflag", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(base)
+    MaterializedRollup.build(spark, base, roll, Seq("l_returnflag"), Seq("l_quantity"))
+    try {
+      // AVG is not derivable in v1
+      val avg_ = spark.read.parquet(base).groupBy("l_returnflag")
+        .agg(avg("l_quantity").as("a"))
+      assert(!optimized(avg_).contains(roll))
+      // DISTINCT is never derivable from a rollup
+      val dis = spark.read.parquet(base).groupBy("l_returnflag")
+        .agg(count_distinct(col("l_quantity")).as("nd"))
+      assert(!optimized(dis).contains(roll))
+      // a measure the rollup does not carry
+      val other = spark.read.parquet(base).groupBy("l_returnflag")
+        .agg(sum("l_extendedprice").as("s"))
+      assert(!optimized(other).contains(roll))
+      // grouping outside the rollup's columns
+      val finer = spark.read.parquet(base).groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("n"))
+      assert(!optimized(finer).contains(roll))
+    } finally MaterializedRollup.deregister(spark, base)
+  }
+
+  test("a base write after build() disables the rewrite (staleness guard)") {
+    graft.catalyst.GraftExtensions.register(spark)
+    val base = tmpDir("mr-base3")
+    val roll = tmpDir("mr-roll3") + "/r"
+    import spark.implicits._
+    Seq(("A", 1L), ("B", 2L)).toDF("g", "v").write.mode("overwrite").parquet(base)
+    MaterializedRollup.build(spark, base, roll, Seq("g"), Seq("v"))
+    try {
+      val q = () => spark.read.parquet(base).groupBy("g")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      assert(optimized(q()).contains(roll))
+      // the new data must be visible the moment it lands
+      Seq(("A", 10L)).toDF("g", "v").write.mode("append").parquet(base)
+      assert(!optimized(q()).contains(roll), "stale rollup must not serve")
+      val got = q().orderBy("g").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq == Seq(("A", 11L, 2L), ("B", 2L, 1L)))
+      // rebuilding re-stamps freshness and re-enables the rewrite
+      MaterializedRollup.build(spark, base, roll, Seq("g"), Seq("v"))
+      assert(optimized(q()).contains(roll))
+      assert(q().orderBy("g").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq == Seq(("A", 11L, 2L), ("B", 2L, 1L)))
+    } finally MaterializedRollup.deregister(spark, base)
+  }
+}
