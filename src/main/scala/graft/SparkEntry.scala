@@ -374,6 +374,10 @@ object SparkEntry {
     "g_spearman"        -> (AQ.spearman _),
     // integer-domain EWMA fold per instrument + momentum flag
     "ts_ewma"           -> (TimeSeriesOps.ewma _),
+    // exact 5% VaR + expected shortfall per instrument (tail-risk pair)
+    "ts_var_es"         -> (TimeSeriesOps.varEs _),
+    // mutual information lang<->source (+ entropies, NMI) in exact DECIMAL terms
+    "g_mutual_info"     -> (AQ.mutualInfo _),
     // week-over-week returning users from stored per-week KMV sketches
     "x_kmv_retention"   -> (graft.operators.SketchOps.kmvRetention _),
     // image near-dup: real decode -> 8x8 aHash -> banded Hamming blocking
@@ -641,6 +645,8 @@ object SparkEntry {
     "x_kcore"           -> graft.operators.GraphOps.kCoreSql,
     "g_spearman"        -> AQ.spearmanSql,
     "ts_ewma"           -> TimeSeriesOps.ewmaSql,
+    "ts_var_es"         -> TimeSeriesOps.varEsSql,
+    "g_mutual_info"     -> AQ.mutualInfoSql,
     "x_kmv_retention"   -> graft.operators.SketchOps.kmvRetentionSql,
     "m_ahash_neardup"   -> MultimodalOps.ahashNearDupSql,
     "m_audio_features"  -> MultimodalOps.audioFeaturesSql,

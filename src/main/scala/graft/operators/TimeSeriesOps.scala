@@ -895,4 +895,60 @@ object TimeSeriesOps {
       |SELECT user_id, n_days, last_c, ewma_scaled,
       |  last_c * 10000 > ewma_scaled AS momentum
       |FROM agg ORDER BY user_id""".stripMargin
+
+  /** Historical 5% Value-at-Risk and Expected Shortfall per instrument —
+    * the tail-risk pair every desk publishes next to Sharpe: VaR is the
+    * exact 5th-percentile order statistic of the daily return multiset
+    * (k = ceil(n/20), tie-independent), ES the exact mean of the k worst
+    * returns. Returns live in round-6 micro units (BIGINT), so every sum
+    * is exact integer arithmetic; the only float op is the final ES
+    * division, identical in both engines.
+    *
+    * Scale shape: the shared daily-return pass, then everything happens on
+    * the per-instrument cumulated histogram (value-NDV-sized — the
+    * [[graft.queries.AnalyticsQueries.cumulatedHistogram]] discipline, no
+    * data-scale window): the cutoff row is rank-selected from [lo, hi]
+    * ranges, and the tail sum is Σ v·cnt below the cutoff plus the
+    * cutoff's partial multiplicity — the k-smallest sum recovered without
+    * ranking individual rows.
+    */
+  def varEs(s: SparkSession, d: String): DataFrame = {
+    val r = dailyReturns(s, d)
+      .select(col("user_id"), round(col("r") * 1000000).cast("long").as("rm"))
+    val hist = graft.queries.AnalyticsQueries
+      .cumulatedHistogram(r, "user_id", "rm")
+      .localCheckpoint(true) // feeds the cutoff pick AND the tail sum
+    val cut = hist.withColumn("k", expr("(n + 19) div 20"))
+      .filter(col("k").between(col("lo"), col("hi")))
+      .select(col("user_id"), col("rm").as("cut"), col("k"),
+        col("lo").as("cut_lo"), col("n"))
+    val below = hist.join(broadcast(cut.select("user_id", "cut")), Seq("user_id"))
+      .filter(col("rm") < col("cut"))
+      .groupBy("user_id").agg(sum(col("rm") * col("cnt")).as("sb"))
+    cut.join(below, Seq("user_id"), "left")
+      .select(col("user_id"), col("n").as("n_days"),
+        col("cut").as("var_micro"),
+        graft.functions.NumOps.roundz(
+          (coalesce(col("sb"), lit(0L)) +
+            (col("k") - col("cut_lo") + 1) * col("cut")).cast("double") /
+            (col("k").cast("double") * 1000000), 6).as("es"))
+      .orderBy("user_id")
+  }
+  lazy val varEsSql: String =
+    s"""WITH r AS (
+       |  SELECT user_id, CAST(round(r * 1000000) AS BIGINT) AS rm
+       |  FROM ($dailyReturnsSql)),
+       |rk AS (SELECT user_id, rm,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY rm) AS rn,
+       |         count(*) OVER (PARTITION BY user_id) AS n
+       |       FROM r),
+       |cut AS (SELECT user_id, rm AS cut, rn AS k, n
+       |        FROM rk WHERE rn = (n + 19) // 20),
+       |es AS (SELECT rk.user_id, CAST(sum(rk.rm) AS BIGINT) AS s_tail,
+       |         c.k, c.n, c.cut
+       |       FROM rk JOIN cut c USING (user_id) WHERE rk.rn <= c.k
+       |       GROUP BY rk.user_id, c.k, c.n, c.cut)
+       |SELECT user_id, CAST(n AS BIGINT) AS n_days, CAST(cut AS BIGINT) AS var_micro,
+       |  round(CAST(s_tail AS DOUBLE) / (CAST(k AS DOUBLE) * 1000000), 6) + 0.0 AS es
+       |FROM es ORDER BY user_id""".stripMargin
 }

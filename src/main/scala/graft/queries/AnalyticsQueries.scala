@@ -1768,4 +1768,80 @@ object AnalyticsQueries {
       |  round(CAST(sxy AS DOUBLE) / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 6)
       |    + 0.0 AS rho
       |FROM m ORDER BY l_returnflag""".stripMargin
+
+  /** Mutual information (and its normalized form) between a document's
+    * language and its source — the feature-selection / leakage-audit
+    * staple next to [[graft.operators.FeatureOps]]' χ²: how many nats of
+    * information one categorical column carries about another. NMI =
+    * MI / sqrt(H(X)·H(Y)) rescales to [0, 1].
+    *
+    * Determinism discipline (the bigramLm rules): every ln() is rounded
+    * to 6 dp and carried as DECIMAL multiplied by the exact integer cell
+    * count — partition-order-independent exact sums — with ONE double
+    * divide + round(6) per output. All frames after the first
+    * partial-aggregable groupBy are category-NDV-sized; the marginals
+    * re-aggregate the joint table (no second data pass); the total is a
+    * one-row broadcast.
+    */
+  def mutualInfo(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.NumOps.roundz
+    val D = DecimalType(18, 6)
+    val joint = graft.Tables.documents(s, d)
+      .groupBy("lang", "source").agg(count(lit(1)).as("nxy"))
+      .localCheckpoint(true) // feeds marginals, total, and the term fold
+    val nx = joint.groupBy("lang").agg(sum("nxy").as("nx"))
+    val ny = joint.groupBy("source").agg(sum("nxy").as("ny"))
+    val tot = joint.agg(sum("nxy").as("n"))
+    def ln6(c: Column): Column = round(log(c), 6).cast(D)
+    val miSum = joint.join(nx, "lang").join(ny, "source")
+      .crossJoin(broadcast(tot))
+      .select((col("nxy").cast(DecimalType(18, 0)) *
+        ln6(col("nxy").cast("double") * col("n").cast("double") /
+          (col("nx") * col("ny")).cast("double"))).as("t"), col("n"))
+      .groupBy("n").agg(sum("t").as("st"))
+    def entropy(m: DataFrame, c: String): DataFrame =
+      m.crossJoin(broadcast(tot))
+        .select((col(c).cast(DecimalType(18, 0)) *
+          ln6(col(c).cast("double") / col("n").cast("double"))).as("t"))
+        .agg((-sum(col("t"))).as(s"s$c"))
+    miSum
+      .crossJoin(broadcast(entropy(nx, "nx")))
+      .crossJoin(broadcast(entropy(ny, "ny")))
+      .select(
+        col("n").as("n_docs"),
+        roundz(col("st").cast("double") / col("n"), 6).as("mi"),
+        roundz(col("snx").cast("double") / col("n"), 6).as("hx"),
+        roundz(col("sny").cast("double") / col("n"), 6).as("hy"))
+      .withColumn("nmi",
+        when(col("hx") * col("hy") > 0,
+          roundz(col("mi") / sqrt(col("hx") * col("hy")), 6)))
+  }
+  val mutualInfoSql: String =
+    """WITH joint AS MATERIALIZED (
+      |  SELECT lang, source, CAST(count(*) AS BIGINT) AS nxy
+      |  FROM documents GROUP BY lang, source),
+      |nx AS (SELECT lang, CAST(sum(nxy) AS BIGINT) AS nx FROM joint GROUP BY lang),
+      |ny AS (SELECT source, CAST(sum(nxy) AS BIGINT) AS ny FROM joint GROUP BY source),
+      |tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM joint),
+      |mi AS (SELECT t.n, sum(CAST(j.nxy AS DECIMAL(18,0)) *
+      |         CAST(round(ln(CAST(j.nxy AS DOUBLE) * CAST(t.n AS DOUBLE) /
+      |           CAST(nx.nx * ny.ny AS DOUBLE)), 6) AS DECIMAL(18,6))) AS st
+      |       FROM joint j JOIN nx USING (lang) JOIN ny USING (source)
+      |       CROSS JOIN tot t GROUP BY t.n),
+      |hx AS (SELECT -sum(CAST(nx AS DECIMAL(18,0)) *
+      |         CAST(round(ln(CAST(nx AS DOUBLE) / CAST(t.n AS DOUBLE)), 6)
+      |           AS DECIMAL(18,6))) AS snx
+      |       FROM nx CROSS JOIN tot t),
+      |hy AS (SELECT -sum(CAST(ny AS DECIMAL(18,0)) *
+      |         CAST(round(ln(CAST(ny AS DOUBLE) / CAST(t.n AS DOUBLE)), 6)
+      |           AS DECIMAL(18,6))) AS sny
+      |       FROM ny CROSS JOIN tot t),
+      |o AS (SELECT mi.n AS n_docs,
+      |        round(CAST(mi.st AS DOUBLE) / mi.n, 6) + 0.0 AS mi,
+      |        round(CAST(hx.snx AS DOUBLE) / mi.n, 6) + 0.0 AS hx,
+      |        round(CAST(hy.sny AS DOUBLE) / mi.n, 6) + 0.0 AS hy
+      |      FROM mi CROSS JOIN hx CROSS JOIN hy)
+      |SELECT n_docs, mi, hx, hy,
+      |  CASE WHEN hx * hy > 0 THEN round(mi / sqrt(hx * hy), 6) + 0.0 END AS nmi
+      |FROM o""".stripMargin
 }

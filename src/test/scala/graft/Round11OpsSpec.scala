@@ -388,6 +388,28 @@ class Round11OpsSpec extends SparkSpec {
     assert(row.getBoolean(4) == (closes.last * 10000L > expected))
   }
 
+  test("varEs: ES never exceeds VaR; k-tail accounting holds") {
+    val rows = graft.operators.TimeSeriesOps.varEs(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, varMicro, es) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(n > 0)
+      // the mean of the k worst returns cannot exceed the k-th worst
+      assert(es <= varMicro.toDouble / 1e6 + 1e-9,
+        s"es=$es var=${varMicro / 1e6.toDouble}")
+    }
+  }
+
+  test("mutualInfo: information inequalities hold (0 <= MI <= min(H); NMI in [0,1])") {
+    val r = graft.queries.AnalyticsQueries.mutualInfo(spark, sf0001).collect()(0)
+    val (mi, hx, hy) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(mi >= -1e-6, s"MI must be non-negative: $mi")
+    assert(mi <= math.min(hx, hy) + 1e-6, s"MI <= min(H): $mi vs $hx/$hy")
+    assert(hx > 0 && hy > 0)
+    val nmi = r.getDouble(4)
+    assert(nmi >= -1e-6 && nmi <= 1 + 1e-6)
+  }
+
   // ---- PartitionStats: must-read pruning + verified acceleration ----------
 
   private def line(ticker: String, seq: Long, price: Double, ts: String) =
