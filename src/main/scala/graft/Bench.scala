@@ -104,10 +104,14 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,"failed":$failedJson,"queries":$fullQs,"queries_min":$fullMins,"sf":"$sfDir"}"""
-    try {
-      val w = new java.io.PrintWriter("BENCH_FULL.json", "UTF-8")
-      try w.println(fullLine) finally w.close()
-    } catch { case _: Throwable => () }
+    // a SPARK_GRAFT_ONLY iteration run must not clobber the committed
+    // full-board artifact with a partial map
+    if (only.isEmpty) {
+      try {
+        val w = new java.io.PrintWriter("BENCH_FULL.json", "UTF-8")
+        try w.println(fullLine) finally w.close()
+      } catch { case _: Throwable => () }
+    }
     // Stdout line: slowest-first, 2-decimal, capped so line + sbt suffix fit
     // the driver's 2000-char tail with margin.
     val budget = 1700

@@ -467,8 +467,18 @@ object AnalyticsQueries {
     * task: fine when NDV is small, a straggler when a near-unique measure
     * (price cents) meets a 3-value group key. `v` must be integral.
     */
-  private[graft] def cumulatedHistogram(vals: DataFrame, grp: String, v: String): DataFrame = {
-    val h = vals.groupBy(col(grp), col(v)).agg(count(lit(1)).as("cnt"))
+  private[graft] def cumulatedHistogram(vals: DataFrame, grp: String, v: String): DataFrame =
+    cumulatedHistogramOf(
+      vals.groupBy(col(grp), col(v)).agg(count(lit(1)).as("cnt")), grp, v)
+
+  /** [[cumulatedHistogram]] over a PRE-COUNTED `(grp, v, cnt)` frame — for
+    * callers whose multiplicities are already aggregated (e.g. the
+    * [[spearman]] pair table, where each value's count is a SUM of joint
+    * cell counts, not a row count).
+    */
+  private[graft] def cumulatedHistogramOf(counted: DataFrame, grp: String,
+      v: String): DataFrame = {
+    val h = counted
       .withColumn("_b", expr(s"`$v` div $HistBucketWidth"))
     val inBucket = Window.partitionBy(grp, "_b").orderBy(v)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1713,16 +1723,15 @@ object AnalyticsQueries {
       (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("y"))
     val pairs = rows.groupBy("g", "x", "y").agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true) // feeds both marginals AND the moment fold
-    val nPer = pairs.groupBy("g").agg(sum("cnt").as("n"))
-    def ranks(v: String, out: String): DataFrame = {
-      val h = pairs.groupBy("g", v).agg(sum("cnt").as("c"))
-      val w = Window.partitionBy("g").orderBy(v)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      h.withColumn("cum", coalesce(sum("c").over(w), lit(0L)))
-        .join(nPer, Seq("g"))
+    // bucketed two-level cumulated counts — no value-NDV-sized per-group
+    // window (the group key has only a handful of values, so a plain
+    // per-group window would put each group's whole value domain in ONE
+    // task); the centered double-rank falls out as lo + hi - 1 - n
+    def ranks(v: String, out: String): DataFrame =
+      cumulatedHistogramOf(
+        pairs.groupBy("g", v).agg(sum("cnt").as("cnt")), "g", v)
         .select(col("g"), col(v),
-          (lit(2) * col("cum") + col("c") - col("n")).as(out))
-    }
+          (col("lo") + col("hi") - 1 - col("n")).as(out))
     val withRanks = pairs
       .join(ranks("x", "r2x"), Seq("g", "x"))
       .join(ranks("y", "r2y"), Seq("g", "y"))
