@@ -8,7 +8,7 @@ import graft.ingest.TickerIngest
 import graft.journal.TickerFileJournal
 import graft.pipeline.{Lifecycle, Retry, RetryPolicy}
 import graft.schema.FileStatus
-import graft.streaming.{Discovery, StreamingDedup, StreamingDrift, StreamingTopK, StreamingVectorIndex}
+import graft.streaming.{Discovery, StreamingDedup, StreamingDrift, StreamingQuantiles, StreamingTopK, StreamingVectorIndex}
 
 /** The wired application (SURVEY §7.1 step 8) — replaces the reference's
   * `MainApplication.java:54-91` four-flow bootstrap with one SparkSession
@@ -188,6 +188,28 @@ object PipelineApp {
       s"$warehouseDir/_hh_ckpt", trigger = trigger)
   }
 
+  /** App flow 9 — continuous document-length quantiles over the same docs
+    * drop dir ([[graft.streaming.StreamingQuantiles]]): the curation
+    * health metric ("p50/p99 doc length right now") published as certified
+    * grid intervals, with the same replay-safe per-batch store + periodic
+    * fold as the heavy-hitter flow.
+    */
+  def docLengthTracker(spark: SparkSession, docsDir: String,
+      warehouseDir: String, maxFilesPerTrigger: Int,
+      trigger: Trigger): org.apache.spark.sql.streaming.StreamingQuery = {
+    val p = new org.apache.hadoop.fs.Path(docsDir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(p)
+    val docs = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(docsDir)
+    StreamingQuantiles.start(
+      docs.select(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")).cast("double").as("len")),
+      "len", s"$warehouseDir/_len_store", s"$warehouseDir/_len_ckpt",
+      trigger = trigger)
+  }
+
   private def now(): Timestamp = new Timestamp(System.currentTimeMillis())
 
   /** One synchronous cycle of all four flows over a seeded fixture tree. */
@@ -284,6 +306,16 @@ object PipelineApp {
       .map(r => s"${r.getString(0)}=${r.getLong(1)}±${r.getLong(2)}")
       .getOrElse("-")
     println(s"[demo] heavy hitters: tracked=${board.count()} top=$top")
+    // Flow 9 — doc-length quantiles over the same drops
+    val lq = docLengthTracker(spark, docsDir, warehouseDir,
+      maxFilesPerTrigger = 3, trigger = Trigger.ProcessingTime(0))
+    lq.processAllAvailable(); lq.stop()
+    val lens = StreamingQuantiles.quantiles(spark,
+      s"$warehouseDir/_len_store", Seq(0.5, 0.99)).collect()
+      .map(r => s"p${(r.getDouble(0) * 100).toInt}∈[${r.getLong(2) / 1000000}," +
+        s"${r.getLong(3) / 1000000 + 1})")
+      .mkString(" ")
+    println(s"[demo] doc length quantiles: $lens")
     putVecs("v1.json", Seq(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 1.0),
       3L -> Seq(0.9, 0.1)))
     val vq = vectorIndexer(spark, vecsDir, warehouseDir,
@@ -337,6 +369,10 @@ object PipelineApp {
       trigger = Trigger.ProcessingTime(s"${cfg.discovery.flushTimeoutSec} seconds"))
     // Flow 8 — heavy-hitter tracking over the same docs drop dir
     val hhQ = heavyHitterTracker(spark, s"$root/docs", warehouseDir,
+      maxFilesPerTrigger = cfg.discovery.filesBufferSize,
+      trigger = Trigger.ProcessingTime(s"${cfg.discovery.flushTimeoutSec} seconds"))
+    // Flow 9 — doc-length quantile tracking over the same docs drop dir
+    val lenQ = docLengthTracker(spark, s"$root/docs", warehouseDir,
       maxFilesPerTrigger = cfg.discovery.filesBufferSize,
       trigger = Trigger.ProcessingTime(s"${cfg.discovery.flushTimeoutSec} seconds"))
     // one thread per flow: with only 2 threads a stuck uploadData cycle
@@ -415,7 +451,7 @@ object PipelineApp {
     try spark.streams.awaitAnyTermination()
     finally {
       try {
-        for (qq <- Seq(q, corpusQ, vecQ, hhQ) ++ driftQ) {
+        for (qq <- Seq(q, corpusQ, vecQ, hhQ, lenQ) ++ driftQ) {
           qq.exception.foreach(e =>
             flowLog.error(s"[flow] streaming query terminated with: ${e.message}"))
           try qq.stop()
