@@ -386,12 +386,18 @@ object GraphOps {
     var cur = e0.localCheckpoint(true)
     var r = 0
     var done = false
+    // node count of `cur`: every round's survivor set IS the next round's
+    // node set (edges are filtered to keep × keep), so one count per round
+    // suffices — the first round pays the extra distinct to seed it
+    var nNodes = -1L
     while (r < rounds && !done) {
-      val nBefore = cur.select("src").distinct().count()
+      if (nNodes < 0) nNodes = cur.select("src").distinct().count()
       val keep = cur.groupBy("src").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select("src").localCheckpoint(true)
-      if (keep.count() == nBefore) done = true // fixpoint: nothing peeled
+      val kept = keep.count()
+      if (kept == nNodes) done = true // fixpoint: nothing peeled
       else {
+        nNodes = kept
         cur = cur.join(keep, Seq("src"), "left_semi")
           .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
           .localCheckpoint(true)
