@@ -334,6 +334,7 @@ object SparkEntry {
     // RFM quintile segmentation by exact midrank arithmetic
     "w_rfm"             -> (graft.operators.FunnelOps.rfmSegments _),
     // top-k 3-step session paths (the n-gram view of w_transitions)
+    "w_attribution"     -> ((s, d) => graft.operators.FunnelOps.attribution(s, d)),
     "w_path_topk"       -> ((s, d) => graft.operators.FunnelOps.pathTopK(s, d)),
     // nDCG@15 of the BM25 ranking vs a term-coverage gold
     "r_ndcg"            -> ((s, d) => graft.operators.RetrievalOps.ndcgEval(s, d)),
@@ -619,6 +620,7 @@ object SparkEntry {
     "w_decay_score"     -> graft.operators.IntervalOps.decayScoreSql,
     "w_transitions"     -> graft.operators.FunnelOps.transitionsSql,
     "w_rfm"             -> graft.operators.FunnelOps.rfmSegmentsSql,
+    "w_attribution"     -> graft.operators.FunnelOps.attributionSql(),
     "w_path_topk"       -> graft.operators.FunnelOps.pathTopKSql(),
     "r_ndcg"            -> graft.operators.RetrievalOps.ndcgEvalSql,
     "t_greedy_cover"    -> graft.operators.FeatureOps.greedyCoverSql(),

@@ -413,4 +413,103 @@ object FunnelOps {
        |      WHERE len(types) >= 3)
        |SELECT path, CAST(count(*) AS BIGINT) AS n FROM g
        |GROUP BY path ORDER BY n DESC, path LIMIT $k""".stripMargin
+
+  /** Multi-touch attribution — the marketing-analytics staple: every
+    * purchase (conversion) distributes credit over the click/view touches
+    * that preceded it within the lookback window, under the three
+    * canonical models at once: first-touch (the touch that opened the
+    * journey), last-touch (the one that closed it), and linear (every
+    * touch shares equally). Conversions with no in-window touch are
+    * unattributed and excluded (reported by the count delta vs
+    * `a11`-style totals).
+    *
+    * Exactness discipline: linear shares are 1/k — not finite decimals —
+    * so credit is carried as FLOOR-scaled integer micro-credits
+    * (`m * 10^6 div k` per conversion × channel), summed exactly; both
+    * engines produce the identical integers. First/last picks are
+    * min/max over (ts, event_id) structs — event_id breaks ties totally.
+    *
+    * Scale shape: one user-keyed join of conversions × touches with the
+    * window predicate (both sides pre-filtered at the scan; per-user
+    * event counts bound the pair fan-out, the `ts_sessionize` contract),
+    * then everything is conversion-count-sized: two partial-aggregable
+    * group-bys and a channel-count-sized stitch. No windows, no collect.
+    */
+  def attribution(s: SparkSession, d: String, lookbackDays: Int = 7): DataFrame =
+    attributionOver(Tables.events(s, d), lookbackDays)
+
+  /** [[attribution]] over any `(user_id, event_id, ts, event_type)` frame —
+    * public so specs replay the credit rules on crafted journeys.
+    */
+  def attributionOver(events: DataFrame, lookbackDays: Int = 7): DataFrame = {
+    val ev = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"), col("ts").as("cts"))
+    val touch = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_id").as("tid"), col("ts").as("tts"),
+        col("event_type").as("channel"))
+    val paired = conv.join(touch, Seq("user_id"))
+      .filter(col("tts") <= col("cts") &&
+        col("tts") >= col("cts") - expr(s"INTERVAL $lookbackDays DAYS"))
+      .localCheckpoint(true) // feeds per-conversion AND per-channel rollups
+    val perConv = paired.groupBy("conv_id").agg(
+      count(lit(1)).as("k"),
+      min(struct(col("tts"), col("tid"), col("channel"))).as("first"),
+      max(struct(col("tts"), col("tid"), col("channel"))).as("last"))
+    val linear = paired.groupBy("conv_id", "channel")
+      .agg(count(lit(1)).as("m"))
+      .join(perConv.select("conv_id", "k"), Seq("conv_id"))
+      .select(col("channel"), expr("(m * 1000000) div k").as("cr"))
+      .groupBy("channel").agg(sum("cr").as("linear_micro"))
+    val firsts = perConv.groupBy(col("first.channel").as("channel"))
+      .agg(count(lit(1)).as("first_touch"))
+    val lasts = perConv.groupBy(col("last.channel").as("channel"))
+      .agg(count(lit(1)).as("last_touch"))
+    val touches = paired.groupBy("channel").agg(count(lit(1)).as("n_touches"))
+    touches
+      .join(firsts, Seq("channel"), "left")
+      .join(lasts, Seq("channel"), "left")
+      .join(linear, Seq("channel"), "left")
+      .select(col("channel"), col("n_touches"),
+        coalesce(col("first_touch"), lit(0L)).as("first_touch"),
+        coalesce(col("last_touch"), lit(0L)).as("last_touch"),
+        coalesce(col("linear_micro"), lit(0L)).as("linear_micro"))
+      .orderBy("channel")
+  }
+  def attributionSql(lookbackDays: Int = 7): String =
+    s"""WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+       |            FROM events),
+       |conv AS (SELECT user_id, event_id AS conv_id, ts AS cts
+       |         FROM ev WHERE event_type = 'purchase'),
+       |touch AS (SELECT user_id, event_id AS tid, ts AS tts, event_type AS channel
+       |          FROM ev WHERE event_type IN ('click', 'view')),
+       |paired AS MATERIALIZED (
+       |  SELECT c.conv_id, t.tid, t.tts, t.channel
+       |  FROM conv c JOIN touch t USING (user_id)
+       |  WHERE t.tts <= c.cts AND t.tts >= c.cts - INTERVAL $lookbackDays DAY),
+       |pc AS MATERIALIZED (
+       |  SELECT conv_id, CAST(count(*) AS BIGINT) AS k,
+       |         min(ROW(tts, tid, channel)) AS fst,
+       |         max(ROW(tts, tid, channel)) AS lst
+       |  FROM paired GROUP BY conv_id),
+       |lin AS (SELECT channel, CAST(sum((m * 1000000) // k) AS BIGINT) AS linear_micro
+       |        FROM (SELECT p.conv_id, p.channel, CAST(count(*) AS BIGINT) AS m
+       |              FROM paired p GROUP BY p.conv_id, p.channel) x
+       |        JOIN pc USING (conv_id) GROUP BY channel),
+       |fst AS (SELECT fst[3] AS channel, CAST(count(*) AS BIGINT) AS first_touch
+       |        FROM pc GROUP BY 1),
+       |lst AS (SELECT lst[3] AS channel, CAST(count(*) AS BIGINT) AS last_touch
+       |        FROM pc GROUP BY 1),
+       |tch AS (SELECT channel, CAST(count(*) AS BIGINT) AS n_touches
+       |        FROM paired GROUP BY channel)
+       |SELECT tch.channel, tch.n_touches,
+       |  COALESCE(fst.first_touch, 0) AS first_touch,
+       |  COALESCE(lst.last_touch, 0) AS last_touch,
+       |  COALESCE(lin.linear_micro, 0) AS linear_micro
+       |FROM tch
+       |LEFT JOIN fst ON tch.channel = fst.channel
+       |LEFT JOIN lst ON tch.channel = lst.channel
+       |LEFT JOIN lin ON tch.channel = lin.channel
+       |ORDER BY tch.channel""".stripMargin
 }

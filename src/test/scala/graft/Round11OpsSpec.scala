@@ -410,6 +410,42 @@ class Round11OpsSpec extends SparkSpec {
     assert(nmi >= -1e-6 && nmi <= 1 + 1e-6)
   }
 
+  test("attribution: crafted journey splits credit by the three models exactly") {
+    // user 1: click(t1), view(t2), click(t3) -> purchase(t4):
+    //   first = click, last = click, linear = click 2/3, view 1/3
+    // user 2: view outside the 7-day window -> purchase unattributed
+    val ev = Seq(
+      (1L, 10L, ts("2024-03-10 10:00:00"), "click"),
+      (1L, 11L, ts("2024-03-11 10:00:00"), "view"),
+      (1L, 12L, ts("2024-03-12 10:00:00"), "click"),
+      (1L, 13L, ts("2024-03-13 10:00:00"), "purchase"),
+      (2L, 20L, ts("2024-03-01 10:00:00"), "view"),
+      (2L, 21L, ts("2024-03-13 10:00:00"), "purchase"),
+      (1L, 14L, ts("2024-03-12 11:00:00"), "error")) // non-touch noise
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = graft.operators.FunnelOps.attributionOver(ev).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("click") == ((2L, 1L, 1L, 666666L)))  // 2*1e6 div 3
+    assert(out("view") == ((1L, 0L, 0L, 333333L)))   // 1*1e6 div 3
+    // credit conservation: linear credit sums to ~1e6 per attributed
+    // conversion, short only the div-floor dust (< k per conversion)
+    val lin = out.values.map(_._4).sum
+    assert(lin <= 1000000L && lin > 1000000L - 3)
+  }
+
+  test("attribution board query: totals are conserved at sf0.001") {
+    val rows = graft.operators.FunnelOps.attribution(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val firstSum = rows.map(_.getLong(2)).sum
+    val lastSum = rows.map(_.getLong(3)).sum
+    assert(firstSum == lastSum, "every attributed conversion has exactly one first and one last")
+    val linSum = rows.map(_.getLong(4)).sum
+    // linear micro-credit sums to 1e6 per attributed conversion minus floor dust
+    assert(linSum <= firstSum * 1000000L)
+    assert(linSum >= firstSum * 1000000L - firstSum * 50L)
+  }
+
   // ---- PartitionStats: must-read pruning + verified acceleration ----------
 
   private def line(ticker: String, seq: Long, price: Double, ts: String) =
