@@ -40,7 +40,8 @@ import org.apache.spark.sql.types.LongType
 object MaterializedRollup {
 
   case class Spec(basePath: String, rollupPath: String,
-      groupCols: Seq[String], measureCols: Seq[String], baseFp: Long)
+      groupCols: Seq[String], measureCols: Seq[String], baseFp: Long,
+      files: Map[String, Long])
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Spec]()
@@ -50,24 +51,34 @@ object MaterializedRollup {
     p.toString
   }
 
-  /** Order-independent fingerprint of the base table's data files
-    * (recursive name+length, xor-folded) — changes exactly when a commit
-    * or compaction changes what a scan would read.
+  /** The base table's data files as (full path → length) — the source of
+    * both the freshness fingerprint and the incremental-refresh delta.
     */
-  private[plans] def fingerprint(spark: SparkSession, dir: String): Long = {
+  private[plans] def listDataFiles(spark: SparkSession, dir: String): Map[String, Long] = {
     val (fs, p) = graft.ingest.HadoopFs.forPath(spark, dir)
-    if (!fs.exists(p)) return 0L
+    if (!fs.exists(p)) return Map.empty
     val it = fs.listFiles(p, true)
-    var acc = 0L
+    val b = Map.newBuilder[String, Long]
     while (it.hasNext) {
       val f = it.next()
       val name = f.getPath.getName
       if (!name.startsWith("_") && !name.startsWith("."))
-        acc ^= scala.util.hashing.MurmurHash3
-          .stringHash(s"${f.getPath}:${f.getLen}").toLong
+        b += (f.getPath.toString -> f.getLen)
     }
-    acc
+    b.result()
   }
+
+  /** Order-independent fingerprint of the base table's data files
+    * (recursive name+length, xor-folded) — changes exactly when a commit
+    * or compaction changes what a scan would read.
+    */
+  private[plans] def fingerprint(spark: SparkSession, dir: String): Long =
+    fingerprintOf(listDataFiles(spark, dir))
+
+  private def fingerprintOf(files: Map[String, Long]): Long =
+    files.foldLeft(0L) { case (acc, (f, len)) =>
+      acc ^ scala.util.hashing.MurmurHash3.stringHash(s"$f:$len").toLong
+    }
 
   /** Build the rollup parquet (one pass over base: COUNT(*) plus
     * SUM/MIN/MAX per measure, grouped by `groupCols`), stamp the base
@@ -83,10 +94,57 @@ object MaterializedRollup {
     base.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(rollupPath)
+    val files = listDataFiles(spark, basePath)
     val spec = Spec(qualified(spark, basePath), rollupPath, groupCols,
-      measureCols, fingerprint(spark, basePath))
+      measureCols, fingerprintOf(files), files)
     registry.put(spec.basePath, spec)
     spec
+  }
+
+  /** Bring a registered rollup back to freshness after base writes — the
+    * maintenance a production aggregate table runs per ingest cycle.
+    * Append-only deltas (new files, nothing removed or resized) merge
+    * incrementally: aggregate ONLY the new files and re-combine with the
+    * existing rollup (SUM of sums, MIN of mins, MAX of maxes, count
+    * addition — delta cost is delta-sized, not base-sized). Anything else
+    * (compaction, overwrite, deletes) falls back to a full [[build]] —
+    * MIN/MAX are not self-maintainable under deletes (the same boundary
+    * `x_ivm_agg` documents). Returns the re-registered spec; a no-op when
+    * already fresh.
+    */
+  def refresh(spark: SparkSession, basePath: String): Spec = {
+    val key = qualified(spark, basePath)
+    val spec = Option(registry.get(key)).getOrElse(
+      throw new IllegalArgumentException(s"no rollup registered for $basePath"))
+    val now = listDataFiles(spark, basePath)
+    if (now == spec.files) return spec
+    val appendOnly = spec.files.forall { case (f, len) => now.get(f).contains(len) }
+    if (!appendOnly)
+      return build(spark, basePath, spec.rollupPath, spec.groupCols, spec.measureCols)
+    val newFiles = (now.keySet -- spec.files.keySet).toSeq.sorted
+    val delta = spark.read.parquet(newFiles: _*)
+    val aggs = count(lit(1)).as("_cnt") +: spec.measureCols.flatMap(m => Seq(
+      sum(col(m)).as(s"_sum_$m"),
+      min(col(m)).as(s"_min_$m"),
+      max(col(m)).as(s"_max_$m")))
+    val deltaRoll = delta.groupBy(spec.groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val existing = spark.read.parquet(spec.rollupPath)
+    // re-combine, then cast back to the stored schema (decimal SUM widens
+    // per re-aggregation; the rollup's column types must stay fixed)
+    val mergeAggs = sum("_cnt").cast("long").as("_cnt") +:
+      spec.measureCols.flatMap(m => Seq(
+        sum(s"_sum_$m").cast(existing.schema(s"_sum_$m").dataType).as(s"_sum_$m"),
+        min(s"_min_$m").as(s"_min_$m"),
+        max(s"_max_$m").as(s"_max_$m")))
+    val merged = existing.unionByName(deltaRoll.select(existing.columns.map(col): _*))
+      .groupBy(spec.groupCols.map(col): _*)
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
+      .localCheckpoint(true) // reads the live rollup dir the write replaces
+    merged.write.mode("overwrite").parquet(spec.rollupPath)
+    val fresh = spec.copy(baseFp = fingerprintOf(now), files = now)
+    registry.put(key, fresh)
+    fresh
   }
 
   def deregister(spark: SparkSession, basePath: String): Unit = {
@@ -119,11 +177,15 @@ object RollupRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg @ Aggregate(ge, ae, child, _) =>
-      (for {
-        path <- scanPath(child)
-        spec <- specFor(path)
-        rewritten <- tryRewrite(agg, ge, ae, spec)
-      } yield rewritten).getOrElse(agg)
+      // a failure anywhere (rollup dir mid-refresh, FS hiccup) must decline
+      // the rewrite, never fail the query — the base plan is always valid
+      (try {
+        for {
+          path <- scanPath(child)
+          spec <- specFor(path)
+          rewritten <- tryRewrite(agg, ge, ae, spec)
+        } yield rewritten
+      } catch { case scala.util.control.NonFatal(_) => None }).getOrElse(agg)
   }
 
   private def tryRewrite(agg: Aggregate, ge: Seq[Expression],

@@ -77,6 +77,49 @@ class MaterializedRollupSpec extends SparkSpec {
     } finally MaterializedRollup.deregister(spark, base)
   }
 
+  test("refresh: append-only deltas merge incrementally; rewrites serve again") {
+    graft.catalyst.GraftExtensions.register(spark)
+    val base = tmpDir("mr-base4")
+    val roll = tmpDir("mr-roll4") + "/r"
+    import spark.implicits._
+    Seq(("A", 1L), ("B", 5L)).toDF("g", "v").write.mode("overwrite").parquet(base)
+    MaterializedRollup.build(spark, base, roll, Seq("g"), Seq("v"))
+    try {
+      val q = () => spark.read.parquet(base).groupBy("g")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"),
+          min("v").as("mn"), max("v").as("mx"))
+      // append lands -> stale -> base scan
+      Seq(("A", 9L), ("C", 2L)).toDF("g", "v").write.mode("append").parquet(base)
+      assert(!optimized(q()).contains(roll))
+      // incremental refresh merges ONLY the delta and re-enables serving
+      MaterializedRollup.refresh(spark, base)
+      assert(optimized(q()).contains(roll))
+      val got = q().orderBy("g").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(got.toSeq == Seq(("A", 2L, 10L, 1L, 9L), ("B", 1L, 5L, 5L, 5L),
+        ("C", 1L, 2L, 2L, 2L)))
+      // refresh on an already-fresh rollup is a no-op
+      val spec = MaterializedRollup.refresh(spark, base)
+      assert(optimized(q()).contains(roll))
+      // a rewrite of existing files (compaction shape) falls back to a
+      // full rebuild and still serves correctly
+      spark.read.parquet(base).repartition(1)
+        .write.mode("overwrite").parquet(base + "2")
+      // simulate in-place compaction: replace base contents
+      val fs = new java.io.File(base)
+      fs.listFiles().foreach(_.delete())
+      new java.io.File(base + "2").listFiles()
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .foreach(f => java.nio.file.Files.copy(f.toPath,
+          new java.io.File(base, f.getName).toPath))
+      MaterializedRollup.refresh(spark, base)
+      assert(optimized(q()).contains(roll))
+      assert(q().orderBy("g").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+        Seq(("A", 2L, 10L), ("B", 1L, 5L), ("C", 1L, 2L)))
+    } finally MaterializedRollup.deregister(spark, base)
+  }
+
   test("a base write after build() disables the rewrite (staleness guard)") {
     graft.catalyst.GraftExtensions.register(spark)
     val base = tmpDir("mr-base3")
