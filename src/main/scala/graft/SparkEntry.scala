@@ -65,6 +65,8 @@ object SparkEntry {
     "x_skyline"         -> (AQ.skyline _),
     // two-proportion z-test on deterministic A/B cohorts
     "x_ab_test"         -> (AQ.abTest _),
+    // sample-ratio-mismatch chi-square gate on the same assignment
+    "x_srm_check"       -> (AQ.srmCheck _),
     // CUPED variance reduction: pre-period covariate adjustment of the A/B diff
     "x_cuped"           -> (AQ.cuped _),
     // Theil-Sen robust trend: exact median of pairwise daily slopes
@@ -576,6 +578,7 @@ object SparkEntry {
     "g_trimmed_mean"    -> AQ.gTrimmedMeanSql,
     "x_skyline"         -> AQ.skylineSql,
     "x_ab_test"         -> AQ.abTestSql,
+    "x_srm_check"       -> AQ.srmCheckSql,
     "x_cuped"           -> AQ.cupedSql,
     "ts_theil_sen"      -> AQ.theilSenSql,
     "x_bootstrap_ci"    -> AQ.bootstrapCiSql,

@@ -1002,6 +1002,45 @@ object AnalyticsQueries {
       |  FROM c)
       |SELECT n1, x1, n2, x2, zv AS z, abs(zv) > 1.96 AS significant FROM z""".stripMargin
 
+  /** Sample-ratio-mismatch check — the experimentation-platform health
+    * gate that runs BEFORE any effect readout (Fabijan et al. 2019,
+    * "Diagnosing sample ratio mismatch in online controlled experiments"):
+    * a chi-square test that the deterministic 50/50 user assignment
+    * actually produced a 50/50 user split. Counts are DISTINCT USERS per
+    * arm (SRM is about assignment, not traffic); expected counts follow
+    * from the design ratio; chi2 = Σ (O−E)²/E against the 3.841 critical
+    * value (df = 1, α = 0.05). An SRM-flagged experiment invalidates
+    * `x_ab_test`'s readout — which is why both live on the same board.
+    *
+    * Scale shape: one partial-aggregable distinct-user pass, then a
+    * four-long one-row frame; the only float math is one chi2 chain,
+    * round(6), identical in both engines.
+    */
+  def srmCheck(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d).select("user_id").distinct()
+    val agg = users.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(pmod(col("user_id"), lit(2)) === 0, 1L).otherwise(0L)).as("n_a"))
+      .withColumn("n_b", col("n_users") - col("n_a"))
+    val e = col("n_users").cast("double") / 2
+    val chi2 = (col("n_a") - e) * (col("n_a") - e) / e +
+      (col("n_b") - e) * (col("n_b") - e) / e
+    agg.select(col("n_users"), col("n_a"), col("n_b"),
+      graft.functions.NumOps.roundz(chi2, 6).as("chi2"))
+      .withColumn("srm_detected", col("chi2") > 3.841)
+  }
+  val srmCheckSql: String =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |c AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |        CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a
+      |      FROM u),
+      |x AS (SELECT n_users, n_a, n_users - n_a AS n_b,
+      |        round((n_a - n_users / 2.0) * (n_a - n_users / 2.0) / (n_users / 2.0)
+      |            + ((n_users - n_a) - n_users / 2.0) * ((n_users - n_a) - n_users / 2.0)
+      |              / (n_users / 2.0), 6) + 0.0 AS chi2
+      |      FROM c)
+      |SELECT n_users, n_a, n_b, chi2, chi2 > 3.841 AS srm_detected FROM x""".stripMargin
+
   /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013 — the
     * published experimentation-platform technique): adjust each user's
     * post-period metric by their PRE-period covariate before differencing

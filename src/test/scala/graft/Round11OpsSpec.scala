@@ -446,6 +446,17 @@ class Round11OpsSpec extends SparkSpec {
     assert(linSum >= firstSum * 1000000L - firstSum * 50L)
   }
 
+  test("srmCheck: accounting identity and the textbook chi2 replay") {
+    val r = graft.queries.AnalyticsQueries.srmCheck(spark, sf0001).collect()(0)
+    val (n, na, nb, chi2) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(na + nb == n && n > 0)
+    val e = n / 2.0
+    val expected = BigDecimal((na - e) * (na - e) / e + (nb - e) * (nb - e) / e)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(chi2 == expected)
+    assert(r.getBoolean(4) == (chi2 > 3.841))
+  }
+
   // ---- PartitionStats: must-read pruning + verified acceleration ----------
 
   private def line(ticker: String, seq: Long, price: Double, ts: String) =
