@@ -48,12 +48,8 @@ object StreamingQuantiles {
     StructField("n", LongType), StructField("min_m", LongType),
     StructField("max_m", LongType), StructField("upto", LongType)))
 
-  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def lockFor(dir: String): Object =
-    locks.computeIfAbsent(dir.stripSuffix("/"), _ => new Object)
-
-  private def fsFor(spark: SparkSession, dir: String) =
-    graft.ingest.HadoopFs.forPath(spark, dir)
+  import FoldedBatchStore.{batchFrame, batchIds, dropBatchDirs, foldedDir,
+    fsFor, lockFor, recoverFold, swapInFolded}
 
   /** Summarize one micro-batch of `valueCol` (double) into its grid
     * histogram + meta row. Values land on the round-6 micro-int grid
@@ -81,23 +77,7 @@ object StreamingQuantiles {
       .parquet(s"$storeDir/meta/batch_id=$batchId")
   }
 
-  // ---- folded state (the StreamingTopK pattern) ---------------------------
-
-  private def foldedDir(storeDir: String) = s"$storeDir/folded"
-
-  private def recoverFold(spark: SparkSession, storeDir: String): Unit = {
-    val (fs, _) = fsFor(spark, storeDir)
-    val live = new Path(foldedDir(storeDir))
-    val trash = new Path(s"$storeDir/.folded_old")
-    val tmp = new Path(s"$storeDir/.folded_tmp")
-    if (fs.exists(trash)) {
-      if (!fs.exists(live))
-        require(fs.rename(trash, live), s"fold recovery failed: $trash -> $live")
-      else fs.delete(trash, true)
-    }
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    ()
-  }
+  // ---- folded state (directory mechanics shared via FoldedBatchStore) ----
 
   /** `(n, min, max, upto)`; upto = -1 before the first fold. */
   private def foldedMeta(spark: SparkSession, storeDir: String): (Long, Long, Long, Long) = {
@@ -109,23 +89,6 @@ object StreamingQuantiles {
     }
   }
 
-  private def batchIds(spark: SparkSession, dir: String): Seq[Long] = {
-    val (fs, p) = fsFor(spark, dir)
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
-      .flatMap(_.getPath.getName.stripPrefix("batch_id=").toLongOption)
-  }
-
-  private def batchFrame(spark: SparkSession, dir: String, schema: StructType,
-      pred: Column): DataFrame = {
-    val (fs, p) = fsFor(spark, dir)
-    if (!fs.exists(p))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        schema.add("batch_id", LongType))
-    else spark.read.schema(schema.add("batch_id", LongType))
-      .option("basePath", dir).parquet(dir).filter(pred)
-  }
 
   /** Fold batch histograms newer than the previous fold into the single
     * grid-bounded `folded/` histogram (count addition — exact), then drop
@@ -136,14 +99,9 @@ object StreamingQuantiles {
     lockFor(storeDir).synchronized {
       val sumsDir = s"$storeDir/summaries"
       val metaDir = s"$storeDir/meta"
-      val (fs, _) = fsFor(spark, storeDir)
       recoverFold(spark, storeDir)
       val (bn, bmin, bmax, upto0) = foldedMeta(spark, storeDir)
-      def dropBatchDirs(ids: Seq[Long]): Unit = ids.foreach { id =>
-        fs.delete(new Path(s"$sumsDir/batch_id=$id"), true)
-        fs.delete(new Path(s"$metaDir/batch_id=$id"), true)
-      }
-      dropBatchDirs(batchIds(spark, sumsDir).filter(_ <= upto0))
+      dropBatchDirs(spark, storeDir, batchIds(spark, sumsDir).filter(_ <= upto0))
       val foldable = batchIds(spark, sumsDir).filter(_ > upto0)
       if (foldable.isEmpty) return (0, upto0)
       val w = foldable.max
@@ -163,22 +121,15 @@ object StreamingQuantiles {
           coalesce(max("max_m"), lit(Long.MinValue))).first()
       val (n2, mn2, mx2) =
         (bn + ma.getLong(0), math.min(bmin, ma.getLong(1)), math.max(bmax, ma.getLong(2)))
-      val live = new Path(foldedDir(storeDir))
-      val tmp = new Path(s"$storeDir/.folded_tmp")
-      val trash = new Path(s"$storeDir/.folded_old")
-      if (fs.exists(tmp)) fs.delete(tmp, true)
-      if (fs.exists(trash)) fs.delete(trash, true)
-      spark.createDataFrame(spark.sparkContext.parallelize(merged, 1), histSchema)
-        .write.parquet(s"$tmp/summaries")
-      spark.createDataFrame(
-          spark.sparkContext.parallelize(Seq(Row(n2, mn2, mx2, w)), 1),
-          foldedMetaSchema)
-        .write.parquet(s"$tmp/meta")
-      if (fs.exists(live))
-        require(fs.rename(live, trash), s"fold swap step 1 failed: $live")
-      require(fs.rename(tmp, live), s"fold swap step 2 failed: $tmp -> $live")
-      fs.delete(trash, true)
-      dropBatchDirs(foldable)
+      swapInFolded(spark, storeDir) { tmp =>
+        spark.createDataFrame(spark.sparkContext.parallelize(merged, 1), histSchema)
+          .write.parquet(s"$tmp/summaries")
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(Seq(Row(n2, mn2, mx2, w)), 1),
+            foldedMetaSchema)
+          .write.parquet(s"$tmp/meta")
+      }
+      dropBatchDirs(spark, storeDir, foldable)
       (foldable.size, w)
     }
 

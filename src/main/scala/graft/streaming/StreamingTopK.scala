@@ -68,12 +68,8 @@ object StreamingTopK {
     StructField("dec", LongType), StructField("n_tokens", LongType),
     StructField("upto", LongType)))
 
-  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def lockFor(dir: String): Object =
-    locks.computeIfAbsent(dir.stripSuffix("/"), _ => new Object)
-
-  private def fsFor(spark: SparkSession, dir: String) =
-    graft.ingest.HadoopFs.forPath(spark, dir)
+  import FoldedBatchStore.{batchFrame, batchIds, dropBatchDirs, foldedDir,
+    fsFor, lockFor, recoverFold, swapInFolded}
 
   /** `(m, compressed)` — MG one-shot compression of an exact count table:
     * `m` = (k+1)-th largest count (0 when ≤ k rows), survivors keep
@@ -107,30 +103,7 @@ object StreamingTopK {
       .parquet(s"$storeDir/meta/batch_id=$batchId")
   }
 
-  // ---- folded state ------------------------------------------------------
-
-  private def foldedDir(storeDir: String) = s"$storeDir/folded"
-
-  /** Repair [[compact]]'s crash windows, under the store lock, before any
-    * read: folded absent + `.folded_old` present = crash between the two
-    * renames (the trash holds the ONLY folded copy — restore it); both
-    * present = finished trash (drop); a `.folded_tmp` is an incomplete
-    * build (live untouched — drop). The [[graft.ingest.DirSwap]] recovery
-    * rules, specialized to the one swapped dir this store has.
-    */
-  private def recoverFold(spark: SparkSession, storeDir: String): Unit = {
-    val (fs, _) = fsFor(spark, storeDir)
-    val live = new Path(foldedDir(storeDir))
-    val trash = new Path(s"$storeDir/.folded_old")
-    val tmp = new Path(s"$storeDir/.folded_tmp")
-    if (fs.exists(trash)) {
-      if (!fs.exists(live))
-        require(fs.rename(trash, live), s"fold recovery failed: $trash -> $live")
-      else fs.delete(trash, true)
-    }
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    ()
-  }
+  // ---- folded state (directory mechanics shared via FoldedBatchStore) ----
 
   /** `(dec, n_tokens, upto)` of the folded sketch; upto = -1 when no fold
     * has happened yet.
@@ -148,27 +121,6 @@ object StreamingTopK {
     spark.read.schema(summarySchema)
       .parquet(s"${foldedDir(storeDir)}/summaries")
 
-  private def batchIds(spark: SparkSession, dir: String): Seq[Long] = {
-    val (fs, p) = fsFor(spark, dir)
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
-      .flatMap(_.getPath.getName.stripPrefix("batch_id=").toLongOption)
-  }
-
-  /** Empty frames read cleanly because the schema is explicit — a fresh
-    * store (or one whose batch dirs were all folded away) is a normal
-    * state, not a PATH_NOT_FOUND crash for whoever polls the board.
-    */
-  private def batchFrame(spark: SparkSession, dir: String, schema: StructType,
-      pred: Column): DataFrame = {
-    val (fs, p) = fsFor(spark, dir)
-    if (!fs.exists(p))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        schema.add("batch_id", LongType))
-    else spark.read.schema(schema.add("batch_id", LongType))
-      .option("basePath", dir).parquet(dir).filter(pred)
-  }
 
   /** Fold every batch sketch with id > the previous fold into the single
     * k-row `folded/` sketch, then delete the folded batch dirs — the
@@ -182,17 +134,11 @@ object StreamingTopK {
   def compact(spark: SparkSession, storeDir: String,
       k: Int = DefaultK): (Int, Long) = lockFor(storeDir).synchronized {
     val sumsDir = s"$storeDir/summaries"
-    val metaDir = s"$storeDir/meta"
-    val (fs, _) = fsFor(spark, storeDir)
     recoverFold(spark, storeDir)
     val (baseDec, baseTok, upto0) = foldedMeta(spark, storeDir)
-    def dropBatchDirs(ids: Seq[Long]): Unit = ids.foreach { id =>
-      fs.delete(new Path(s"$sumsDir/batch_id=$id"), true)
-      fs.delete(new Path(s"$metaDir/batch_id=$id"), true)
-    }
     // replay leftovers from before the previous fold: already counted in
     // the folded sketch, invisible to readers — sweep and move on
-    dropBatchDirs(batchIds(spark, sumsDir).filter(_ <= upto0))
+    dropBatchDirs(spark, storeDir, batchIds(spark, sumsDir).filter(_ <= upto0))
     val foldable = batchIds(spark, sumsDir).filter(_ > upto0)
     if (foldable.isEmpty) return (0, upto0)
     val w = foldable.max
@@ -207,30 +153,20 @@ object StreamingTopK {
     // materialize BEFORE touching directories — the plan reads the live
     // folded dir, which the swap below replaces. ≤ k rows by construction.
     val sketchRows = sketch.collect().toSeq
-    val metaAgg = batchFrame(spark, metaDir, metaSchema, inRange)
+    val metaAgg = batchFrame(spark, s"$storeDir/meta", metaSchema, inRange)
       .agg(coalesce(sum("m"), lit(0L)), coalesce(sum("n_tokens"), lit(0L))).first()
     val (dec, ntok) = (baseDec + metaAgg.getLong(0) + m2,
       baseTok + metaAgg.getLong(1))
-    // build complete in a temp dir, then rename into place; a crash
-    // between the two renames parks the only folded copy in .folded_old,
-    // which recoverFold restores before the next read or fold
-    val live = new Path(foldedDir(storeDir))
-    val tmp = new Path(s"$storeDir/.folded_tmp")
-    val trash = new Path(s"$storeDir/.folded_old")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    if (fs.exists(trash)) fs.delete(trash, true)
-    spark.createDataFrame(spark.sparkContext.parallelize(sketchRows, 1),
-        summarySchema)
-      .write.parquet(s"$tmp/summaries")
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(Seq(Row(dec, ntok, w)), 1),
-        foldedMetaSchema)
-      .write.parquet(s"$tmp/meta")
-    if (fs.exists(live))
-      require(fs.rename(live, trash), s"fold swap step 1 failed: $live")
-    require(fs.rename(tmp, live), s"fold swap step 2 failed: $tmp -> $live")
-    fs.delete(trash, true)
-    dropBatchDirs(foldable)
+    swapInFolded(spark, storeDir) { tmp =>
+      spark.createDataFrame(spark.sparkContext.parallelize(sketchRows, 1),
+          summarySchema)
+        .write.parquet(s"$tmp/summaries")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(Row(dec, ntok, w)), 1),
+          foldedMetaSchema)
+        .write.parquet(s"$tmp/meta")
+    }
+    dropBatchDirs(spark, storeDir, foldable)
     (foldable.size, w)
   }
 
