@@ -716,7 +716,11 @@ object PipelineQueries {
   def dsirSelectCms(s: SparkSession, d: String,
       eps: Double = 0.0001, confidence: Double = 0.999): DataFrame = {
     import graft.catalyst.HashFunctions.cms_estimate
-    val toks = dsirTokens(s, d).localCheckpoint(true) // one pass feeds build AND probe
+    // deliberately NOT checkpointed: the token stream is corpus-sized —
+    // materializing it would cost more than the two deterministic
+    // recomputes (build pass + probe pass), and at 100 TB it could not be
+    // pinned at all. Tokenize is a projection; the scan is the cost.
+    val toks = dsirTokens(s, d)
     val agg = toks.agg(
       count_min_sketch(col("w"), lit(eps), lit(confidence), lit(42)).as("cms_s"),
       count_min_sketch(when(col("lang") === "en", col("w")), lit(eps),

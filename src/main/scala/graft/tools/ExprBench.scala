@@ -157,6 +157,37 @@ object ExprBench {
     val fewer = if (rBloom == 0) "inf" else f"${rPlain.toDouble / rBloom}%.1f"
     println(f"${"bloom_semi (vs plain)"}%-24s $tBloom%10.3f $tPlain%10.3f ${f"${tPlain / tBloom}%.1fx"}%8s" +
       f"   probe_shuffle_records: bloom=$rBloom plain=$rPlain (${fewer}x fewer)")
+
+    // DSIR exact-join vs broadcast-CMS A/B. Local wall clock is close (the
+    // single-JVM shuffle is cheap and the sketch build is an extra pass);
+    // the figure that scales is the TOTAL SHUFFLE RECORD count — the exact
+    // path shuffles the full token stream onto the token key, the CMS path
+    // shuffles only the per-doc rollup. Counted with a task-metrics
+    // listener, not plan metrics: both paths localCheckpoint intermediate
+    // frames, whose internal exchanges a plan walk cannot see.
+    def totalShuffleRecords(df: => DataFrame): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) { acc.addAndGet(m.shuffleWriteMetrics.recordsWritten); () }
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        df.write.format("noop").mode("overwrite").save()
+        Thread.sleep(300) // listener bus drains asynchronously
+      } finally spark.sparkContext.removeSparkListener(listener)
+      acc.get()
+    }
+    val tExact = bench("dsir_exact") { graft.queries.PipelineQueries.dsirSelect(spark, sfDir) }
+    val tCms = bench("dsir_cms") { graft.queries.PipelineQueries.dsirSelectCms(spark, sfDir) }
+    val (rExact, rCms) = (
+      totalShuffleRecords(graft.queries.PipelineQueries.dsirSelect(spark, sfDir)),
+      totalShuffleRecords(graft.queries.PipelineQueries.dsirSelectCms(spark, sfDir)))
+    val fewerD = if (rCms == 0) "inf" else f"${rExact.toDouble / rCms}%.1f"
+    println(f"${"dsir_cms (vs exact)"}%-24s $tCms%10.3f $tExact%10.3f ${f"${tExact / tCms}%.1fx"}%8s" +
+      f"   total_shuffle_records: cms=$rCms exact=$rExact (${fewerD}x fewer)")
     spark.stop()
   }
 }
