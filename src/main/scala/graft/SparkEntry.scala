@@ -317,6 +317,8 @@ object SparkEntry {
     "g_skew_gini"       -> (graft.operators.SkewOps.giniSkew _),
     // cumulative distinct users by first-seen day (growth curve)
     "w_cume_new_users"  -> (graft.operators.IntervalOps.cumeNewUsers _),
+    // DAU/MAU stickiness per month (exact distinct passes, one double chain)
+    "w_stickiness"      -> (graft.operators.IntervalOps.stickiness _),
     // Hilbert-curve clustering twin of x_zorder_layout (adjacency-preserving)
     "x_hilbert_layout"  -> (graft.operators.LayoutOps.hilbertLayout _),
     // MMR diversified re-ranking in the quantized integer domain
@@ -613,6 +615,7 @@ object SparkEntry {
     "x_ivm_agg"         -> AQ.ivmAggSql,
     "g_skew_gini"       -> graft.operators.SkewOps.giniSkewSql,
     "w_cume_new_users"  -> graft.operators.IntervalOps.cumeNewUsersSql,
+    "w_stickiness"      -> graft.operators.IntervalOps.stickinessSql,
     // t_compress_ratio: specOnlyQueries (zlib bytes have no SQL analog)
     "x_hilbert_layout"  -> graft.operators.LayoutOps.hilbertLayoutSql,
     "s_mmr_diversify"   -> SimilarityOps.mmrDiversifySql,

@@ -218,4 +218,43 @@ object IntervalOps {
       |o AS (SELECT day AS wend, CAST(count(*) AS BIGINT) AS active_1d FROM p GROUP BY day)
       |SELECT o.wend, active_1d, CAST(active_7d AS BIGINT) AS active_7d
       |FROM o JOIN w USING (wend) ORDER BY wend""".stripMargin
+
+  /** DAU/MAU stickiness per calendar month — the product-analytics pulse
+    * metric: how much of the monthly audience shows up on an average day.
+    * `stickiness = Σ_day DAU / (n_days · MAU)` — exact integer counts up
+    * to one final double divide + round(6).
+    *
+    * Scale shape: two partial-aggregable distinct passes ((month, day,
+    * user) and (month, user) — both shuffle once on their keys, outputs
+    * are day- and user-NDV sized), then month-count-sized arithmetic.
+    */
+  def stickiness(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d).select(
+      date_format(col("ts").cast("date"), "yyyy-MM").as("month"),
+      col("ts").cast("date").as("day"), col("user_id"))
+    val byMonth = ev.select("month", "day", "user_id").distinct()
+      .groupBy("month", "day").agg(count(lit(1)).as("dau"))
+      .groupBy("month").agg(count(lit(1)).as("n_days"), sum("dau").as("sum_dau"))
+    val mau = ev.select("month", "user_id").distinct()
+      .groupBy("month").agg(count(lit(1)).as("mau"))
+    byMonth.join(mau, Seq("month"))
+      .select(col("month"), col("n_days"), col("mau"), col("sum_dau"),
+        graft.functions.NumOps.roundz(
+          col("sum_dau").cast("double") / (col("n_days") * col("mau")), 6)
+          .as("stickiness"))
+      .orderBy("month")
+  }
+  val stickinessSql: String =
+    """WITH ev AS (SELECT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m') AS month,
+      |              CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+      |            FROM events),
+      |dau AS (SELECT month, day, CAST(count(*) AS BIGINT) AS dau
+      |        FROM (SELECT DISTINCT month, day, user_id FROM ev) GROUP BY month, day),
+      |bm AS (SELECT month, CAST(count(*) AS BIGINT) AS n_days,
+      |         CAST(sum(dau) AS BIGINT) AS sum_dau FROM dau GROUP BY month),
+      |mau AS (SELECT month, CAST(count(*) AS BIGINT) AS mau
+      |        FROM (SELECT DISTINCT month, user_id FROM ev) GROUP BY month)
+      |SELECT bm.month, bm.n_days, mau.mau, bm.sum_dau,
+      |  round(CAST(bm.sum_dau AS DOUBLE) / (bm.n_days * mau.mau), 6) + 0.0 AS stickiness
+      |FROM bm JOIN mau USING (month) ORDER BY bm.month""".stripMargin
 }

@@ -457,6 +457,19 @@ class Round11OpsSpec extends SparkSpec {
     assert(r.getBoolean(4) == (chi2 > 3.841))
   }
 
+  test("stickiness: bounds and accounting hold (avg DAU never exceeds MAU)") {
+    val rows = graft.operators.IntervalOps.stickiness(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDays, mau, sumDau, st) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nDays > 0 && mau > 0)
+      assert(sumDau >= mau, "every monthly-active user has at least one active day")
+      assert(sumDau <= nDays * mau, "no day's DAU can exceed MAU")
+      assert(st > 0 && st <= 1.0 + 1e-9)
+    }
+  }
+
   // ---- PartitionStats: must-read pruning + verified acceleration ----------
 
   private def line(ticker: String, seq: Long, price: Double, ts: String) =
