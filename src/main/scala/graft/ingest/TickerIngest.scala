@@ -229,6 +229,13 @@ object TickerIngest {
     // touch; see PartitionStats' consistency contract.
     if (statsDates.nonEmpty)
       PartitionStats.refresh(spark, staged.warehouseDir, statsDates)
+    // registered materialized rollups over this warehouse re-freshen at the
+    // same point (append-only commit ⇒ delta-cost refresh) so the rewrite
+    // keeps serving across ingest cycles instead of falling back to scans
+    // until someone remembers to refresh. Still under the maintenance lock.
+    if (staged.stagingWh.nonEmpty &&
+        graft.plans.MaterializedRollup.registered(spark, staged.warehouseDir))
+      graft.plans.MaterializedRollup.refresh(spark, staged.warehouseDir)
     // GC abandoned attempts: under the single-writer contract (one
     // processReady cycle stages at a time — same assumption the journal
     // makes), every _staging entry still present after a successful commit

@@ -151,6 +151,12 @@ object MaterializedRollup {
     registry.remove(qualified(spark, basePath)); ()
   }
 
+  /** Whether a rollup is registered for this base — lets maintenance hooks
+    * (ingest commit) refresh opportunistically without knowing specs.
+    */
+  def registered(spark: SparkSession, basePath: String): Boolean =
+    registry.containsKey(qualified(spark, basePath))
+
   private[plans] def specFor(path: String): Option[Spec] =
     Option(registry.get(path))
 }

@@ -120,6 +120,39 @@ class MaterializedRollupSpec extends SparkSpec {
     } finally MaterializedRollup.deregister(spark, base)
   }
 
+  test("ingest commit auto-refreshes a registered warehouse rollup") {
+    graft.catalyst.GraftExtensions.register(spark)
+    val root = tmpDir("mr-ing")
+    val wh = tmpDir("mr-ingwh")
+    val roll = tmpDir("mr-ingroll") + "/r"
+    def line(seq: Long, price: Double) =
+      s"AVA-USDT,$seq,$price,15.2,${price + 0.001},100.0,${price - 0.001},80.5,2024-03-14T10:00:00.000"
+    def put(name: String, lines: Seq[String]): String = {
+      new java.io.File(s"$root/2024-03-14").mkdirs()
+      val p = s"$root/2024-03-14/$name"
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        lines.mkString("\n").getBytes)
+      p
+    }
+    graft.ingest.TickerIngest.ingest(spark,
+      Seq(put("AVA_1_2024-03-14", Seq(line(1, 0.50), line(2, 0.60)))), wh)
+    graft.plans.MaterializedRollup.build(spark, wh, roll,
+      Seq("ticker"), Seq("sequence"))
+    try {
+      val q = () => spark.read.parquet(wh).groupBy("ticker")
+        .agg(count(lit(1)).as("n"), max("sequence").as("mx"))
+      assert(optimized(q()).contains(roll))
+      // a second ingest cycle lands new rows; commit refreshes the rollup
+      // under the same maintenance pass as the stats store
+      graft.ingest.TickerIngest.ingest(spark,
+        Seq(put("AVA_2_2024-03-14", Seq(line(9, 0.70)))), wh)
+      assert(optimized(q()).contains(roll),
+        "the rollup must keep serving across ingest cycles")
+      val r = q().collect()(0)
+      assert(r.getLong(1) == 3L && r.getLong(2) == 9L)
+    } finally graft.plans.MaterializedRollup.deregister(spark, wh)
+  }
+
   test("a base write after build() disables the rewrite (staleness guard)") {
     graft.catalyst.GraftExtensions.register(spark)
     val base = tmpDir("mr-base3")
