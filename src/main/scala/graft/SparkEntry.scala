@@ -383,6 +383,8 @@ object SparkEntry {
     "ts_var_es"         -> (TimeSeriesOps.varEs _),
     // mutual information lang<->source (+ entropies, NMI) in exact DECIMAL terms
     "g_mutual_info"     -> (AQ.mutualInfo _),
+    // chi-square independence + Cramér's V over the same contingency table
+    "g_cramers_v"       -> (AQ.cramersV _),
     // week-over-week returning users from stored per-week KMV sketches
     "x_kmv_retention"   -> (graft.operators.SketchOps.kmvRetention _),
     // image near-dup: real decode -> 8x8 aHash -> banded Hamming blocking
@@ -655,6 +657,7 @@ object SparkEntry {
     "ts_ewma"           -> TimeSeriesOps.ewmaSql,
     "ts_var_es"         -> TimeSeriesOps.varEsSql,
     "g_mutual_info"     -> AQ.mutualInfoSql,
+    "g_cramers_v"       -> AQ.cramersVSql,
     "x_kmv_retention"   -> graft.operators.SketchOps.kmvRetentionSql,
     "m_ahash_neardup"   -> MultimodalOps.ahashNearDupSql,
     "m_audio_features"  -> MultimodalOps.audioFeaturesSql,

@@ -1002,6 +1002,61 @@ object AnalyticsQueries {
       |  FROM c)
       |SELECT n1, x1, n2, x2, zv AS z, abs(zv) > 1.96 AS significant FROM z""".stripMargin
 
+  /** Chi-square test of independence + Cramér's V effect size between a
+    * document's language and source — the contingency-table twin of
+    * [[mutualInfo]] (same joint NDV table, the frequentist reading):
+    * χ² = Σ_cells (O − E)²/E with E = nx·ny/n, V = sqrt(χ²/(n·(min(r,c)−1))).
+    *
+    * Determinism discipline: each cell's (O−E)²/E is one fixed double
+    * chain rounded to 6 dp and carried as DECIMAL, so the sum is exact and
+    * partition-order-independent; r, c, n are exact integers; V is one
+    * final double chain over the already-rounded χ².
+    */
+  def cramersV(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.NumOps.roundz
+    val D = DecimalType(18, 6)
+    val joint = graft.Tables.documents(s, d)
+      .groupBy("lang", "source").agg(count(lit(1)).as("nxy"))
+      .localCheckpoint(true)
+    val nx = joint.groupBy("lang").agg(sum("nxy").as("nx"))
+    val ny = joint.groupBy("source").agg(sum("nxy").as("ny"))
+    val tot = joint.agg(sum("nxy").as("n"),
+      count_distinct(col("lang")).as("r"),
+      count_distinct(col("source")).as("c"))
+    val e = (col("nx") * col("ny")).cast("double") / col("n").cast("double")
+    val chi2 = joint.join(nx, "lang").join(ny, "source")
+      .crossJoin(broadcast(tot))
+      .select(round((col("nxy").cast("double") - e) *
+          (col("nxy").cast("double") - e) / e, 6).cast(D).as("t"),
+        col("n"), col("r"), col("c"))
+      .groupBy("n", "r", "c").agg(sum("t").as("chi2d"))
+    chi2.select(col("n"), col("r"), col("c"),
+        roundz(col("chi2d").cast("double"), 6).as("chi2"))
+      .withColumn("cramers_v",
+        roundz(sqrt(col("chi2") /
+          (col("n") * (least(col("r"), col("c")) - 1)).cast("double")), 6))
+  }
+  val cramersVSql: String =
+    """WITH joint AS MATERIALIZED (
+      |  SELECT lang, source, CAST(count(*) AS BIGINT) AS nxy
+      |  FROM documents GROUP BY lang, source),
+      |nx AS (SELECT lang, CAST(sum(nxy) AS BIGINT) AS nx FROM joint GROUP BY lang),
+      |ny AS (SELECT source, CAST(sum(nxy) AS BIGINT) AS ny FROM joint GROUP BY source),
+      |tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n,
+      |          CAST(count(DISTINCT lang) AS BIGINT) AS r,
+      |          CAST(count(DISTINCT source) AS BIGINT) AS c FROM joint),
+      |cells AS (SELECT t.n, t.r, t.c,
+      |            CAST(round((CAST(j.nxy AS DOUBLE) - CAST(nx.nx * ny.ny AS DOUBLE) / t.n)
+      |              * (CAST(j.nxy AS DOUBLE) - CAST(nx.nx * ny.ny AS DOUBLE) / t.n)
+      |              / (CAST(nx.nx * ny.ny AS DOUBLE) / t.n), 6) AS DECIMAL(18,6)) AS t2
+      |          FROM joint j JOIN nx USING (lang) JOIN ny USING (source)
+      |          CROSS JOIN tot t),
+      |agg AS (SELECT n, r, c, round(CAST(sum(t2) AS DOUBLE), 6) + 0.0 AS chi2
+      |        FROM cells GROUP BY n, r, c)
+      |SELECT n, r, c, chi2,
+      |  round(sqrt(chi2 / CAST(n * (least(r, c) - 1) AS DOUBLE)), 6) + 0.0 AS cramers_v
+      |FROM agg""".stripMargin
+
   /** Sample-ratio-mismatch check — the experimentation-platform health
     * gate that runs BEFORE any effect readout (Fabijan et al. 2019,
     * "Diagnosing sample ratio mismatch in online controlled experiments"):

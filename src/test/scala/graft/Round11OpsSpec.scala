@@ -470,6 +470,19 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("cramersV: chi2 >= 0 and V in [0, 1]; consistent with mutual info") {
+    val r = graft.queries.AnalyticsQueries.cramersV(spark, sf0001).collect()(0)
+    val (n, rr, cc, chi2, v) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+    assert(n > 0 && rr > 1 && cc > 1)
+    assert(chi2 >= 0)
+    assert(v >= 0 && v <= 1 + 1e-9)
+    // both association measures must agree on (near-)independence
+    val mi = graft.queries.AnalyticsQueries.mutualInfo(spark, sf0001)
+      .collect()(0).getDouble(1)
+    if (mi < 0.001) assert(v < 0.2, s"MI ~ 0 but V = $v")
+  }
+
   // ---- PartitionStats: must-read pruning + verified acceleration ----------
 
   private def line(ticker: String, seq: Long, price: Double, ts: String) =
