@@ -385,6 +385,8 @@ object SparkEntry {
     "g_mutual_info"     -> (AQ.mutualInfo _),
     // chi-square independence + Cramér's V over the same contingency table
     "g_cramers_v"       -> (AQ.cramersV _),
+    // histogram-method decision-tree split finder (best Gini-gain threshold)
+    "x_best_split"      -> (AQ.bestSplit _),
     // week-over-week returning users from stored per-week KMV sketches
     "x_kmv_retention"   -> (graft.operators.SketchOps.kmvRetention _),
     // image near-dup: real decode -> 8x8 aHash -> banded Hamming blocking
@@ -658,6 +660,7 @@ object SparkEntry {
     "ts_var_es"         -> TimeSeriesOps.varEsSql,
     "g_mutual_info"     -> AQ.mutualInfoSql,
     "g_cramers_v"       -> AQ.cramersVSql,
+    "x_best_split"      -> AQ.bestSplitSql,
     "x_kmv_retention"   -> graft.operators.SketchOps.kmvRetentionSql,
     "m_ahash_neardup"   -> MultimodalOps.ahashNearDupSql,
     "m_audio_features"  -> MultimodalOps.audioFeaturesSql,

@@ -1057,6 +1057,90 @@ object AnalyticsQueries {
       |  round(sqrt(chi2 / CAST(n * (least(r, c) - 1) AS DOUBLE)), 6) + 0.0 AS cramers_v
       |FROM agg""".stripMargin
 
+  /** Best binary split of a numeric feature by Gini gain — the inner
+    * primitive of every distributed decision-tree/GBDT learner (per-node
+    * split finding over feature histograms; cf. XGBoost/LightGBM's
+    * histogram method): which `n_chars` threshold best separates English
+    * from non-English documents. Every candidate threshold's left/right
+    * class counts come from prefix sums over the (value, count, positive
+    * count) histogram — one partial-aggregable pass over the data, then
+    * everything is value-NDV-sized.
+    *
+    * Determinism: the gain is one fixed double chain per candidate,
+    * rounded to micro units (LONG), and the argmax runs in the integer
+    * domain via `max(struct(gain_e6, −threshold))` — ties resolve to the
+    * smallest threshold, a total order both engines replay. The prefix
+    * sums use the [[globalCumHistogram]] bucket discipline (bucket-
+    * partitioned windows + a bounded bucket-offset self-join — no
+    * partition-less window anywhere).
+    */
+  def bestSplit(s: SparkSession, d: String): DataFrame = {
+    val rows = graft.Tables.documents(s, d).select(
+      col("n_chars").cast("long").as("x"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val h = rows.groupBy("x").agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
+      .withColumn("_b", expr("x div 65536"))
+    val inBucket = Window.partitionBy("_b").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hh = h
+      .withColumn("_ct_in", sum("cnt").over(inBucket))
+      .withColumn("_ps_in", sum("pos").over(inBucket))
+    val bt = h.groupBy("_b").agg(sum("cnt").as("_bc"), sum("pos").as("_bp"))
+    val off = bt
+      .join(bt.select(col("_b").as("_b2"), col("_bc").as("_c2"), col("_bp").as("_p2")),
+        col("_b2") < col("_b"), "left")
+      .groupBy("_b")
+      .agg(coalesce(sum("_c2"), lit(0L)).as("_coff"),
+        coalesce(sum("_p2"), lit(0L)).as("_poff"))
+    val tot = bt.agg(sum("_bc").cast("long").as("n"), sum("_bp").cast("long").as("p"))
+    val cum = hh.join(broadcast(off), Seq("_b")).crossJoin(broadcast(tot))
+      .select(col("x"),
+        (col("_coff") + col("_ct_in")).as("nl"),
+        (col("_poff") + col("_ps_in")).as("pl"),
+        col("n"), col("p"))
+      .filter(col("nl") < col("n")) // the right side must be non-empty
+    def gini(pos: Column, cnt: Column): Column = {
+      val q = pos.cast("double") / cnt.cast("double")
+      lit(1.0) - q * q - (lit(1.0) - q) * (lit(1.0) - q)
+    }
+    val parent = gini(col("p"), col("n"))
+    val weighted =
+      col("nl").cast("double") / col("n").cast("double") * gini(col("pl"), col("nl")) +
+      (col("n") - col("nl")).cast("double") / col("n").cast("double") *
+        gini(col("p") - col("pl"), col("n") - col("nl"))
+    val scored = cum.withColumn("gain_e6",
+      round((parent - weighted) * 1000000).cast("long"))
+    scored
+      .groupBy("n", "p")
+      .agg(max(struct(col("gain_e6"), (-col("x")).as("nx"))).as("m"))
+      .select(col("n").as("n_docs"), col("p").as("n_pos"),
+        (-col("m.nx")).as("threshold"), col("m.gain_e6").as("gain_e6"))
+  }
+  val bestSplitSql: String =
+    """WITH rows_t AS (SELECT CAST(n_chars AS BIGINT) AS x,
+      |                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |               FROM documents),
+      |h AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(y) AS BIGINT) AS pos
+      |      FROM rows_t GROUP BY x),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS p FROM h),
+      |cum AS (SELECT x,
+      |          sum(cnt) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS nl,
+      |          sum(pos) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS pl
+      |        FROM h),
+      |scored AS (SELECT c.x, t.n, t.p,
+      |    CAST(round(((1.0 - (CAST(t.p AS DOUBLE)/t.n)*(CAST(t.p AS DOUBLE)/t.n)
+      |                     - (1.0 - CAST(t.p AS DOUBLE)/t.n)*(1.0 - CAST(t.p AS DOUBLE)/t.n))
+      |      - (CAST(c.nl AS DOUBLE)/t.n
+      |          * (1.0 - (CAST(c.pl AS DOUBLE)/c.nl)*(CAST(c.pl AS DOUBLE)/c.nl)
+      |                 - (1.0 - CAST(c.pl AS DOUBLE)/c.nl)*(1.0 - CAST(c.pl AS DOUBLE)/c.nl))
+      |       + CAST(t.n - c.nl AS DOUBLE)/t.n
+      |          * (1.0 - (CAST(t.p - c.pl AS DOUBLE)/(t.n - c.nl))*(CAST(t.p - c.pl AS DOUBLE)/(t.n - c.nl))
+      |                 - (1.0 - CAST(t.p - c.pl AS DOUBLE)/(t.n - c.nl))*(1.0 - CAST(t.p - c.pl AS DOUBLE)/(t.n - c.nl)))))
+      |      * 1000000) AS BIGINT) AS gain_e6
+      |  FROM cum c CROSS JOIN tot t WHERE c.nl < t.n)
+      |SELECT n AS n_docs, p AS n_pos, x AS threshold, gain_e6
+      |FROM scored ORDER BY gain_e6 DESC, x ASC LIMIT 1""".stripMargin
+
   /** Sample-ratio-mismatch check — the experimentation-platform health
     * gate that runs BEFORE any effect readout (Fabijan et al. 2019,
     * "Diagnosing sample ratio mismatch in online controlled experiments"):

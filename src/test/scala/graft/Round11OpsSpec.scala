@@ -483,6 +483,37 @@ class Round11OpsSpec extends SparkSpec {
     if (mi < 0.001) assert(v < 0.2, s"MI ~ 0 but V = $v")
   }
 
+  test("bestSplit: driver brute-force replay agrees; gain is non-negative") {
+    val r = graft.queries.AnalyticsQueries.bestSplit(spark, sf0001).collect()(0)
+    val (n, p, thr, gain) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n > 0 && p > 0 && p < n)
+    assert(gain >= 0, "splitting can never increase impurity")
+    // brute-force: recompute the best threshold driver-side
+    val xs = graft.Tables.documents(spark, sf0001)
+      .select(col("n_chars").cast("long"),
+        when(col("lang") === "en", 1L).otherwise(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def gini(pos: Long, cnt: Long): Double = {
+      val q = pos.toDouble / cnt; 1.0 - q * q - (1 - q) * (1 - q)
+    }
+    val parent = gini(p, n)
+    val hist = xs.groupBy(_._1).map { case (x, g) =>
+      (x, g.length.toLong, g.map(_._2).sum) }.toSeq.sortBy(_._1)
+    var (nl, pl) = (0L, 0L)
+    var best = (Long.MinValue, Long.MinValue) // (gain_e6, -x)
+    for ((x, c, pp) <- hist) {
+      nl += c; pl += pp
+      if (nl < n) {
+        val w = nl.toDouble / n * gini(pl, nl) +
+          (n - nl).toDouble / n * gini(p - pl, n - nl)
+        val g6 = math.round((parent - w) * 1000000)
+        if (g6 > best._1 || (g6 == best._1 && -x > best._2)) best = (g6, -x)
+      }
+    }
+    assert(thr == -best._2 && gain == best._1,
+      s"engine ($thr, $gain) vs replay (${-best._2}, ${best._1})")
+  }
+
   // ---- PartitionStats: must-read pruning + verified acceleration ----------
 
   private def line(ticker: String, seq: Long, price: Double, ts: String) =
