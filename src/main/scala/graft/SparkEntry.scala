@@ -381,6 +381,8 @@ object SparkEntry {
     "ts_ewma"           -> (TimeSeriesOps.ewma _),
     // exact 5% VaR + expected shortfall per instrument (tail-risk pair)
     "ts_var_es"         -> (TimeSeriesOps.varEs _),
+    // weekly-seasonality strength of order flow + peak weekday
+    "ts_dow_strength"   -> (TimeSeriesOps.dowStrength _),
     // mutual information lang<->source (+ entropies, NMI) in exact DECIMAL terms
     "g_mutual_info"     -> (AQ.mutualInfo _),
     // chi-square independence + Cramér's V over the same contingency table
@@ -658,6 +660,7 @@ object SparkEntry {
     "g_spearman"        -> AQ.spearmanSql,
     "ts_ewma"           -> TimeSeriesOps.ewmaSql,
     "ts_var_es"         -> TimeSeriesOps.varEsSql,
+    "ts_dow_strength"   -> TimeSeriesOps.dowStrengthSql,
     "g_mutual_info"     -> AQ.mutualInfoSql,
     "g_cramers_v"       -> AQ.cramersVSql,
     "x_best_split"      -> AQ.bestSplitSql,

@@ -951,4 +951,64 @@ object TimeSeriesOps {
        |SELECT user_id, CAST(n AS BIGINT) AS n_days, CAST(cut AS BIGINT) AS var_micro,
        |  round(CAST(s_tail AS DOUBLE) / (CAST(k AS DOUBLE) * 1000000), 6) + 0.0 AS es
        |FROM es ORDER BY user_id""".stripMargin
+
+  /** Day-of-week seasonality strength of order flow — the forecasting
+    * diagnostic (Hyndman & Athanasopoulos, "Forecasting: Principles and
+    * Practice", seasonal-strength measure): the share of daily-count
+    * variance explained by the weekly profile,
+    * `1 − SS_resid/SS_total`, plus the peak weekday. Near 1 = strongly
+    * weekly; near 0 = the weekday tells you nothing.
+    *
+    * Determinism discipline: day-of-week is pure integer arithmetic
+    * (`epoch_day mod 7` — engine date functions disagree on week origin),
+    * group means are rounded to 6 dp before differencing, every squared
+    * residual is rounded to 6 dp and carried as DECIMAL, and the final
+    * ratio is one double chain. Scale shape: one partial-aggregable
+    * daily count, then day-count- and 7-sized frames only.
+    */
+  def dowStrength(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.NumOps.roundz
+    val D = DecimalType(18, 6)
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").as("day")).agg(count(lit(1)).as("n"))
+      .withColumn("dow", pmod(datediff(col("day"), lit("1970-01-01")), lit(7)))
+      .localCheckpoint(true) // feeds both mean passes and the residual fold
+    val tot = daily.agg(count(lit(1)).as("n_days"),
+      round(avg("n"), 6).as("m_all"))
+    val byDow = daily.groupBy("dow").agg(round(avg("n"), 6).as("m_dow"))
+    val ss = daily.join(broadcast(byDow), Seq("dow"))
+      .crossJoin(broadcast(tot))
+      .agg(
+        sum(round((col("n") - col("m_all")) * (col("n") - col("m_all")), 6)
+          .cast(D)).as("sst"),
+        sum(round((col("n") - col("m_dow")) * (col("n") - col("m_dow")), 6)
+          .cast(D)).as("ssr"))
+    val peak = byDow
+      .agg(max(struct(round(col("m_dow") * 1000000).cast("long").as("m6"),
+        (-col("dow")).as("nd"))).as("pk"))
+      .select((-col("pk.nd")).as("peak_dow"))
+    ss.crossJoin(broadcast(tot)).crossJoin(broadcast(peak))
+      .select(col("n_days"),
+        roundz(lit(1.0) - col("ssr").cast("double") / col("sst").cast("double"), 6)
+          .as("strength"),
+        col("peak_dow"))
+  }
+  val dowStrengthSql: String =
+    """WITH daily AS MATERIALIZED (
+      |  SELECT o_orderdate AS day, CAST(count(*) AS BIGINT) AS n,
+      |         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 7 AS dow
+      |  FROM orders GROUP BY o_orderdate),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_days, round(avg(n), 6) AS m_all
+      |        FROM daily),
+      |bd AS (SELECT dow, round(avg(n), 6) AS m_dow FROM daily GROUP BY dow),
+      |ss AS (SELECT
+      |         sum(CAST(round((d.n - t.m_all) * (d.n - t.m_all), 6) AS DECIMAL(18,6))) AS sst,
+      |         sum(CAST(round((d.n - b.m_dow) * (d.n - b.m_dow), 6) AS DECIMAL(18,6))) AS ssr
+      |       FROM daily d JOIN bd b USING (dow) CROSS JOIN tot t),
+      |pk AS (SELECT dow AS peak_dow FROM bd
+      |       ORDER BY CAST(round(m_dow * 1000000) AS BIGINT) DESC, dow ASC LIMIT 1)
+      |SELECT t.n_days,
+      |  round(1.0 - CAST(ss.ssr AS DOUBLE) / CAST(ss.sst AS DOUBLE), 6) + 0.0 AS strength,
+      |  CAST(pk.peak_dow AS BIGINT) AS peak_dow
+      |FROM ss CROSS JOIN tot t CROSS JOIN pk""".stripMargin
 }

@@ -514,6 +514,15 @@ class Round11OpsSpec extends SparkSpec {
       s"engine ($thr, $gain) vs replay (${-best._2}, ${best._1})")
   }
 
+  test("dowStrength: bounded in [~0, 1]; peak dow is a valid weekday index") {
+    val r = graft.operators.TimeSeriesOps.dowStrength(spark, sf0001).collect()(0)
+    val (nDays, strength, peak) = (r.getLong(0), r.getDouble(1), r.getInt(2))
+    assert(nDays > 7)
+    // residual SS can exceed total SS only by rounding dust
+    assert(strength <= 1.0 + 1e-9 && strength >= -0.1, s"strength=$strength")
+    assert(peak >= 0 && peak <= 6)
+  }
+
   // ---- PartitionStats: must-read pruning + verified acceleration ----------
 
   private def line(ticker: String, seq: Long, price: Double, ts: String) =
