@@ -389,6 +389,8 @@ object SparkEntry {
     "g_cramers_v"       -> (AQ.cramersV _),
     // histogram-method decision-tree split finder (best Gini-gain threshold)
     "x_best_split"      -> (AQ.bestSplit _),
+    // feature-importance sweep: 3 features ranked by best-split gain
+    "x_feature_rank"    -> (AQ.featureRank _),
     // week-over-week returning users from stored per-week KMV sketches
     "x_kmv_retention"   -> (graft.operators.SketchOps.kmvRetention _),
     // image near-dup: real decode -> 8x8 aHash -> banded Hamming blocking
@@ -664,6 +666,7 @@ object SparkEntry {
     "g_mutual_info"     -> AQ.mutualInfoSql,
     "g_cramers_v"       -> AQ.cramersVSql,
     "x_best_split"      -> AQ.bestSplitSql,
+    "x_feature_rank"    -> AQ.featureRankSql,
     "x_kmv_retention"   -> graft.operators.SketchOps.kmvRetentionSql,
     "m_ahash_neardup"   -> MultimodalOps.ahashNearDupSql,
     "m_audio_features"  -> MultimodalOps.audioFeaturesSql,

@@ -1141,6 +1141,104 @@ object AnalyticsQueries {
       |SELECT n AS n_docs, p AS n_pos, x AS threshold, gain_e6
       |FROM scored ORDER BY gain_e6 DESC, x ASC LIMIT 1""".stripMargin
 
+  /** Feature ranking by best-split Gini gain — [[bestSplit]] swept over
+    * three document features at once (chars, tokens, distinct tokens; the
+    * feature-importance scan a tree learner runs per node): every
+    * (feature, threshold) candidate's gain from grouped prefix sums over
+    * the per-feature value histograms. One partial-aggregable pass builds
+    * all histograms (the features ride in a `stack`), windows are
+    * (feature, bucket)-partitioned, the bucket-offset window is
+    * bucket-count-sized per feature, and each feature's argmax runs in
+    * the integer domain with the smallest-threshold tiebreak.
+    */
+  def featureRank(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.fanOut(graft.Tables.documents(s, d)).select(
+      col("n_chars").cast("long").as("f_chars"),
+      size(graft.functions.TextOps.tokens(col("text"))).cast("long").as("f_tokens"),
+      size(array_distinct(graft.functions.TextOps.tokens(col("text"))))
+        .cast("long").as("f_uniq"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val long = docs.selectExpr(
+      "stack(3, 'chars', f_chars, 'tokens', f_tokens, 'uniq', f_uniq) AS (feature, x)",
+      "y")
+    val h = long.groupBy("feature", "x")
+      .agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
+      .withColumn("_b", expr("x div 65536"))
+    val inBucket = Window.partitionBy("feature", "_b").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hh = h
+      .withColumn("_ct_in", sum("cnt").over(inBucket))
+      .withColumn("_ps_in", sum("pos").over(inBucket))
+    val priorBuckets = Window.partitionBy("feature").orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = h.groupBy("feature", "_b")
+      .agg(sum("cnt").as("_bc"), sum("pos").as("_bp"))
+      .withColumn("_coff", coalesce(sum("_bc").over(priorBuckets), lit(0L)))
+      .withColumn("_poff", coalesce(sum("_bp").over(priorBuckets), lit(0L)))
+      .select("feature", "_b", "_coff", "_poff")
+    val tot = h.groupBy("feature")
+      .agg(sum("cnt").as("n"), sum("pos").as("p"))
+    val cum = hh.join(off, Seq("feature", "_b"))
+      .join(broadcast(tot), Seq("feature"))
+      .select(col("feature"), col("x"),
+        (col("_coff") + col("_ct_in")).as("nl"),
+        (col("_poff") + col("_ps_in")).as("pl"),
+        col("n"), col("p"))
+      .filter(col("nl") < col("n"))
+    def gini(pos: Column, cnt: Column): Column = {
+      val q = pos.cast("double") / cnt.cast("double")
+      lit(1.0) - q * q - (lit(1.0) - q) * (lit(1.0) - q)
+    }
+    val parent = gini(col("p"), col("n"))
+    val weighted =
+      col("nl").cast("double") / col("n").cast("double") * gini(col("pl"), col("nl")) +
+      (col("n") - col("nl")).cast("double") / col("n").cast("double") *
+        gini(col("p") - col("pl"), col("n") - col("nl"))
+    cum.withColumn("gain_e6", round((parent - weighted) * 1000000).cast("long"))
+      .groupBy("feature")
+      .agg(max(struct(col("gain_e6"), (-col("x")).as("nx"))).as("m"))
+      .select(col("feature"), (-col("m.nx")).as("threshold"),
+        col("m.gain_e6").as("gain_e6"))
+      .orderBy(col("gain_e6").desc, col("feature"))
+  }
+  val featureRankSql: String =
+    """WITH docs AS (
+      |  SELECT CAST(n_chars AS BIGINT) AS f_chars,
+      |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS f_tokens,
+      |         CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS f_uniq,
+      |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |long_t AS (
+      |  SELECT 'chars' AS feature, f_chars AS x, y FROM docs
+      |  UNION ALL SELECT 'tokens', f_tokens, y FROM docs
+      |  UNION ALL SELECT 'uniq', f_uniq, y FROM docs),
+      |h AS (SELECT feature, x, CAST(count(*) AS BIGINT) AS cnt,
+      |        CAST(sum(y) AS BIGINT) AS pos
+      |      FROM long_t GROUP BY feature, x),
+      |tot AS (SELECT feature, CAST(sum(cnt) AS BIGINT) AS n,
+      |          CAST(sum(pos) AS BIGINT) AS p FROM h GROUP BY feature),
+      |cum AS (SELECT feature, x,
+      |          sum(cnt) OVER (PARTITION BY feature ORDER BY x ROWS UNBOUNDED PRECEDING) AS nl,
+      |          sum(pos) OVER (PARTITION BY feature ORDER BY x ROWS UNBOUNDED PRECEDING) AS pl
+      |        FROM h),
+      |scored AS (SELECT c.feature, c.x, t.n, t.p, c.nl, c.pl,
+      |    CAST(round(((1.0 - (CAST(t.p AS DOUBLE)/t.n)*(CAST(t.p AS DOUBLE)/t.n)
+      |                     - (1.0 - CAST(t.p AS DOUBLE)/t.n)*(1.0 - CAST(t.p AS DOUBLE)/t.n))
+      |      - (CAST(c.nl AS DOUBLE)/t.n
+      |          * (1.0 - (CAST(c.pl AS DOUBLE)/c.nl)*(CAST(c.pl AS DOUBLE)/c.nl)
+      |                 - (1.0 - CAST(c.pl AS DOUBLE)/c.nl)*(1.0 - CAST(c.pl AS DOUBLE)/c.nl))
+      |       + CAST(t.n - c.nl AS DOUBLE)/t.n
+      |          * (1.0 - (CAST(t.p - c.pl AS DOUBLE)/(t.n - c.nl))*(CAST(t.p - c.pl AS DOUBLE)/(t.n - c.nl))
+      |                 - (1.0 - CAST(t.p - c.pl AS DOUBLE)/(t.n - c.nl))*(1.0 - CAST(t.p - c.pl AS DOUBLE)/(t.n - c.nl)))))
+      |      * 1000000) AS BIGINT) AS gain_e6
+      |  FROM cum c JOIN tot t USING (feature) WHERE c.nl < t.n),
+      |best AS (SELECT feature, x AS threshold, gain_e6,
+      |           row_number() OVER (PARTITION BY feature
+      |             ORDER BY gain_e6 DESC, x ASC) AS rn
+      |         FROM scored)
+      |SELECT feature, CAST(threshold AS BIGINT) AS threshold, gain_e6
+      |FROM best WHERE rn = 1 ORDER BY gain_e6 DESC, feature""".stripMargin
+
   /** Sample-ratio-mismatch check — the experimentation-platform health
     * gate that runs BEFORE any effect readout (Fabijan et al. 2019,
     * "Diagnosing sample ratio mismatch in online controlled experiments"):

@@ -76,7 +76,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("every round-11 addition audits clean of errors") {
     for (q <- Seq("x_kcore", "g_spearman", "ts_ewma", "ts_var_es",
-      "g_mutual_info", "w_attribution", "x_srm_check", "w_stickiness", "g_cramers_v", "x_best_split", "ts_dow_strength")) {
+      "g_mutual_info", "w_attribution", "x_srm_check", "w_stickiness", "g_cramers_v", "x_best_split", "ts_dow_strength", "x_feature_rank")) {
       val df = SparkEntry.queries(q)(spark, sf0001)
       val errs = PlanAudit.audit(df).filter(_.severity == "error")
       assert(errs.isEmpty, s"$q: $errs")

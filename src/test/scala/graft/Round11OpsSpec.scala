@@ -523,6 +523,19 @@ class Round11OpsSpec extends SparkSpec {
     assert(peak >= 0 && peak <= 6)
   }
 
+  test("featureRank: three features ranked; chars agrees with bestSplit") {
+    val rows = graft.queries.AnalyticsQueries.featureRank(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("chars", "tokens", "uniq"))
+    rows.foreach(r => assert(r.getLong(2) >= 0, "gain is non-negative"))
+    // gains are sorted descending
+    val gains = rows.map(_.getLong(2)).toSeq
+    assert(gains == gains.sorted.reverse)
+    // the chars row must equal the single-feature bestSplit answer
+    val bs = graft.queries.AnalyticsQueries.bestSplit(spark, sf0001).collect()(0)
+    val chars = rows.find(_.getString(0) == "chars").get
+    assert(chars.getLong(1) == bs.getLong(2) && chars.getLong(2) == bs.getLong(3))
+  }
+
   // ---- PartitionStats: must-read pruning + verified acceleration ----------
 
   private def line(ticker: String, seq: Long, price: Double, ts: String) =
