@@ -389,6 +389,14 @@ object SparkEntry {
     "g_cramers_v"       -> (AQ.cramersV _),
     // histogram-method decision-tree split finder (best Gini-gain threshold)
     "x_best_split"      -> (AQ.bestSplit _),
+    // two-sample Kolmogorov-Smirnov over pooled value-domain CDFs
+    "x_ks_test"         -> (AQ.ksTest _),
+    // Mann-Whitney U rank-sum with tie-corrected normal approximation
+    "x_mann_whitney"    -> (AQ.mannWhitney _),
+    // weight of evidence + information value of a bucketed feature
+    "g_woe_iv"          -> (AQ.woeIv _),
+    // two-regressor OLS by DECIMAL-exact normal equations + Cramer solve
+    "x_linreg_2f"       -> (AQ.linreg2f _),
     // feature-importance sweep: 3 features ranked by best-split gain
     "x_feature_rank"    -> (AQ.featureRank _),
     // week-over-week returning users from stored per-week KMV sketches
@@ -667,6 +675,10 @@ object SparkEntry {
     "g_cramers_v"       -> AQ.cramersVSql,
     "x_best_split"      -> AQ.bestSplitSql,
     "x_feature_rank"    -> AQ.featureRankSql,
+    "x_ks_test"         -> AQ.ksTestSql,
+    "x_mann_whitney"    -> AQ.mannWhitneySql,
+    "g_woe_iv"          -> AQ.woeIvSql,
+    "x_linreg_2f"       -> AQ.linreg2fSql,
     "x_kmv_retention"   -> graft.operators.SketchOps.kmvRetentionSql,
     "m_ahash_neardup"   -> MultimodalOps.ahashNearDupSql,
     "m_audio_features"  -> MultimodalOps.audioFeaturesSql,

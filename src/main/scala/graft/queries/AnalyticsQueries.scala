@@ -2129,4 +2129,331 @@ object AnalyticsQueries {
       |SELECT n_docs, mi, hx, hy,
       |  CASE WHEN hx * hy > 0 THEN round(mi / sqrt(hx * hy), 6) + 0.0 END AS nmi
       |FROM o""".stripMargin
+
+  /** Per-value cumulated counts of TWO samples over one pooled value domain
+    * — the shared kernel of the two-sample tests ([[ksTest]],
+    * [[mannWhitney]]). Input: one row per distinct value `v` with that
+    * value's per-sample counts `c1`/`c2`. Output adds `hi1`/`hi2` (each
+    * sample's cumulative count up to and including `v` in pooled order) and
+    * the broadcast totals `n1`/`n2`. Same bucketed two-level shape as
+    * [[cumulatedHistogramOf]]: the data-scale window is value-bucket-
+    * partitioned; bucket offsets come from an inequality self-join over the
+    * bucket totals (a valueRange/width-bounded frame, planned as a broadcast
+    * nested loop over the bounded side), so no partition-less window exists
+    * in the plan at any data scale.
+    */
+  private def twoSampleCum(h0: DataFrame, width: Long): DataFrame = {
+    val h = h0.withColumn("_b", expr(s"v div $width"))
+    val inBucket = Window.partitionBy("_b").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hh = h
+      .withColumn("_h1_in", sum("c1").over(inBucket))
+      .withColumn("_h2_in", sum("c2").over(inBucket))
+    val bt = h.groupBy("_b").agg(sum("c1").as("_bc1"), sum("c2").as("_bc2"))
+    val off = bt
+      .join(bt.select(col("_b").as("_bj"), col("_bc1").as("_j1"),
+        col("_bc2").as("_j2")), col("_bj") < col("_b"), "left")
+      .groupBy("_b")
+      .agg(coalesce(sum("_j1"), lit(0L)).as("_o1"),
+        coalesce(sum("_j2"), lit(0L)).as("_o2"))
+    val tot = bt.agg(sum("_bc1").cast("long").as("n1"),
+      sum("_bc2").cast("long").as("n2"))
+    hh.join(broadcast(off), Seq("_b")).crossJoin(broadcast(tot))
+      .withColumn("hi1", col("_o1") + col("_h1_in"))
+      .withColumn("hi2", col("_o2") + col("_h2_in"))
+      .drop("_b", "_h1_in", "_h2_in", "_o1", "_o2")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov test: did the `purchase` and `view`
+    * event-value populations come from the same distribution? The drift /
+    * holdout-vs-treatment distribution gate next to PSI ([[graft.streaming
+    * .StreamingDrift]]) — KS is the assumption-free one: D = sup |F₁ − F₂|
+    * over the pooled empirical CDFs, compared against the large-sample 5%
+    * critical value c(α)·√((n₁+n₂)/(n₁n₂)), c(0.05) = 1.358.
+    *
+    * Scale shape: values land on a cents grid (exact in both engines), the
+    * CDF difference is evaluated only at observed values via the bucketed
+    * [[twoSampleCum]] kernel (partial-aggregable histogram → value-bucket-
+    * partitioned windows), and the sup is an integer-domain max of
+    * |hi₁·n₂ − hi₂·n₁| carried in DECIMAL(38,0) so n₁n₂ can reach 10²⁴
+    * before any double appears. One double divide + round(6) per output.
+    */
+  def ksTest(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.NumOps.roundz
+    val D38 = DecimalType(38, 0)
+    val rows = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(round(col("value") * 100).cast("long").as("v"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("s1"))
+    val h = rows.groupBy("v").agg(sum("s1").as("c1"),
+      (count(lit(1)) - sum("s1")).as("c2"))
+    val m = twoSampleCum(h, 4096L)
+      .select(col("n1"), col("n2"),
+        abs(col("hi1").cast(D38) * col("n2") -
+          col("hi2").cast(D38) * col("n1")).as("dnum"))
+      .groupBy("n1", "n2").agg(max("dnum").as("dnum"))
+    m.select(col("n1"), col("n2"),
+        roundz(col("dnum").cast("double") /
+          (col("n1").cast("double") * col("n2").cast("double")), 6).as("ks"),
+        roundz(lit(1.358) * sqrt((col("n1") + col("n2")).cast("double") /
+          (col("n1").cast("double") * col("n2").cast("double"))), 6).as("crit_05"))
+      .withColumn("reject_05", col("ks") > col("crit_05"))
+  }
+  val ksTestSql: String =
+    """WITH rows_t AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s1
+      |  FROM events WHERE event_type IN ('purchase', 'view')),
+      |h AS (SELECT v, CAST(sum(s1) AS BIGINT) AS c1,
+      |        CAST(count(*) - sum(s1) AS BIGINT) AS c2
+      |      FROM rows_t GROUP BY v),
+      |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+      |          CAST(sum(c2) AS BIGINT) AS n2 FROM h),
+      |cum AS (SELECT v,
+      |          sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS hi1,
+      |          sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS hi2
+      |        FROM h),
+      |m AS (SELECT t.n1, t.n2,
+      |        max(abs(CAST(c.hi1 * t.n2 - c.hi2 * t.n1 AS DECIMAL(38,0)))) AS dnum
+      |      FROM cum c CROSS JOIN tot t GROUP BY t.n1, t.n2),
+      |o AS (SELECT n1, n2,
+      |        round(CAST(dnum AS DOUBLE) /
+      |          (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) + 0.0 AS ks,
+      |        round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) /
+      |          (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))), 6) + 0.0 AS crit_05
+      |      FROM m)
+      |SELECT n1, n2, ks, crit_05, ks > crit_05 AS reject_05 FROM o""".stripMargin
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) with tie correction: the
+    * nonparametric "is one population stochastically larger" companion to
+    * [[ksTest]] over the same two event-value samples. Midranks come from
+    * the pooled cumulated histogram (doubled as lo+hi so every rank term is
+    * an exact integer); U₁ = R₁ − n₁(n₁+1)/2 is carried ×2 in
+    * DECIMAL(38,0); the tie term Σ(t³−t) folds per distinct value. The
+    * normal approximation z = (U₁ − n₁n₂/2)/σ_U uses the tie-corrected
+    * σ²_U = n₁n₂/12·((N+1) − Σ(t³−t)/(N(N−1))). One double expression per
+    * output, rounded via roundz.
+    *
+    * Scale shape: identical to [[ksTest]] — partial-aggregable value
+    * histogram, bucket-partitioned windows, decimal-exact integer moments,
+    * O(1) output.
+    */
+  def mannWhitney(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.NumOps.roundz
+    val D38 = DecimalType(38, 0)
+    val rows = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(round(col("value") * 100).cast("long").as("v"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("s1"))
+    val h = rows.groupBy("v").agg(sum("s1").as("c1"),
+      (count(lit(1)) - sum("s1")).as("c2"))
+    val cum = twoSampleCum(h, 4096L)
+    val t = col("c1") + col("c2")
+    val hi = col("hi1") + col("hi2")
+    val lo = hi - t + lit(1L)
+    val m = cum
+      .select(col("n1"), col("n2"),
+        (col("c1").cast(D38) * (lo + hi)).as("r1x2"),
+        (t.cast(D38) * t * t - t).as("tc"))
+      .groupBy("n1", "n2")
+      .agg(sum("r1x2").as("r1x2"), sum("tc").as("tc"))
+    val nd1 = col("n1").cast("double")
+    val nd2 = col("n2").cast("double")
+    val nd = (col("n1") + col("n2")).cast("double")
+    val u1x2 = col("r1x2") - col("n1").cast(D38) * (col("n1") + 1)
+    val varU = nd1 * nd2 / lit(12.0) *
+      ((nd + lit(1.0)) - col("tc").cast("double") / (nd * (nd - lit(1.0))))
+    val z = (u1x2 - col("n1").cast(D38) * col("n2")).cast("double") /
+      (lit(2.0) * sqrt(varU))
+    m.select(col("n1"), col("n2"),
+        roundz(u1x2.cast("double") / 2, 1).as("u"),
+        roundz(z, 6).as("z"))
+      .withColumn("reject_05", abs(col("z")) > lit(1.96))
+  }
+  val mannWhitneySql: String =
+    """WITH rows_t AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s1
+      |  FROM events WHERE event_type IN ('purchase', 'view')),
+      |h AS (SELECT v, CAST(sum(s1) AS BIGINT) AS c1,
+      |        CAST(count(*) - sum(s1) AS BIGINT) AS c2
+      |      FROM rows_t GROUP BY v),
+      |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+      |          CAST(sum(c2) AS BIGINT) AS n2 FROM h),
+      |cum AS (SELECT v, c1, c2,
+      |          sum(c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS hi
+      |        FROM h),
+      |m AS (SELECT t.n1, t.n2,
+      |        sum(CAST(c.c1 *
+      |          ((c.hi - (c.c1 + c.c2) + 1) + c.hi) AS DECIMAL(38,0))) AS r1x2,
+      |        sum(CAST((c.c1 + c.c2) * (c.c1 + c.c2) * (c.c1 + c.c2)
+      |          - (c.c1 + c.c2) AS DECIMAL(38,0))) AS tc
+      |      FROM cum c CROSS JOIN tot t GROUP BY t.n1, t.n2),
+      |o AS (SELECT n1, n2,
+      |        r1x2 - CAST(n1 * (n1 + 1) AS DECIMAL(38,0)) AS u1x2, tc
+      |      FROM m)
+      |SELECT n1, n2,
+      |  round(CAST(u1x2 AS DOUBLE) / 2, 1) + 0.0 AS u,
+      |  round(CAST(u1x2 - CAST(n1 * n2 AS DECIMAL(38,0)) AS DOUBLE) /
+      |    (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+      |      ((CAST(n1 + n2 AS DOUBLE) + 1.0) - CAST(tc AS DOUBLE) /
+      |        (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1.0))))), 6)
+      |    + 0.0 AS z,
+      |  abs(round(CAST(u1x2 - CAST(n1 * n2 AS DECIMAL(38,0)) AS DOUBLE) /
+      |    (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+      |      ((CAST(n1 + n2 AS DOUBLE) + 1.0) - CAST(tc AS DOUBLE) /
+      |        (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1.0))))), 6)
+      |    + 0.0) > 1.96 AS reject_05
+      |FROM o""".stripMargin
+
+  /** Weight of evidence + information value of a bucketed feature against a
+    * binary target — the credit-scoring / feature-screening staple beside
+    * [[mutualInfo]] and χ²: per n_chars bucket, WOE = ln(P_b/N_b) of the
+    * +0.5-smoothed class distribution fractions, and IV = Σ(P_b − N_b)·WOE
+    * says how separative the whole feature is (rule of thumb: <0.02 useless,
+    * >0.3 strong).
+    *
+    * Determinism: WOE is rounded to 6 dp FIRST, each bucket's IV term is the
+    * rounded-double product re-rounded and carried as DECIMAL(18,6), so the
+    * cross-bucket IV sum is exact and partition-order-independent. Scale:
+    * one partial-aggregable groupBy to a bucket-count-sized frame; totals
+    * broadcast back; output is bucket-count rows.
+    */
+  def woeIv(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.NumOps.roundz
+    val D6 = DecimalType(18, 6)
+    val h = Tables.documents(s, d)
+      .select(expr("n_chars div 100").as("bucket"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .groupBy("bucket")
+      .agg(sum("y").as("pos"), (count(lit(1)) - sum("y")).as("neg"))
+    val tot = h.agg(sum("pos").as("pt"), sum("neg").as("nt"))
+    val pb = (col("pos").cast("double") + lit(0.5)) / col("pt").cast("double")
+    val nb = (col("neg").cast("double") + lit(0.5)) / col("nt").cast("double")
+    val scored = h.crossJoin(broadcast(tot))
+      .withColumn("woe", roundz(log(pb / nb), 6))
+      .withColumn("iv_term", roundz((pb - nb) * col("woe"), 6))
+    val ivTot = scored.agg(sum(col("iv_term").cast(D6)).as("ivt"))
+    scored.crossJoin(broadcast(ivTot))
+      .select(col("bucket"), col("pos"), col("neg"), col("woe"), col("iv_term"),
+        roundz(col("ivt").cast("double"), 6).as("iv_total"))
+      .orderBy("bucket")
+  }
+  val woeIvSql: String =
+    """WITH h AS (
+      |  SELECT n_chars // 100 AS bucket,
+      |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+      |         CAST(count(*) - sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS neg
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(sum(pos) AS BIGINT) AS pt,
+      |          CAST(sum(neg) AS BIGINT) AS nt FROM h),
+      |scored AS (SELECT h.bucket, h.pos, h.neg,
+      |    round(ln(((CAST(h.pos AS DOUBLE) + 0.5) / CAST(t.pt AS DOUBLE)) /
+      |             ((CAST(h.neg AS DOUBLE) + 0.5) / CAST(t.nt AS DOUBLE))), 6)
+      |      + 0.0 AS woe,
+      |    (CAST(h.pos AS DOUBLE) + 0.5) / CAST(t.pt AS DOUBLE) AS pb,
+      |    (CAST(h.neg AS DOUBLE) + 0.5) / CAST(t.nt AS DOUBLE) AS nb
+      |  FROM h CROSS JOIN tot t),
+      |terms AS (SELECT bucket, pos, neg, woe,
+      |    round((pb - nb) * woe, 6) + 0.0 AS iv_term FROM scored),
+      |ivt AS (SELECT sum(CAST(iv_term AS DECIMAL(18,6))) AS ivt FROM terms)
+      |SELECT t.bucket, t.pos, t.neg, t.woe, t.iv_term,
+      |  round(CAST(i.ivt AS DOUBLE), 6) + 0.0 AS iv_total
+      |FROM terms t CROSS JOIN ivt i ORDER BY t.bucket""".stripMargin
+
+  /** Two-regressor OLS by exact normal equations: an order's summed line
+    * revenue (cents) regressed on its line count and total quantity — the
+    * closed-form distributed linear regression every feature-audit /
+    * leakage-check pipeline wants before reaching for an iterative solver
+    * ([[graft.operators.QualityClassifier]] is the iterative counterpart).
+    * One partial-aggregable pass folds the nine Gram-matrix moments as
+    * DECIMAL(38,0)-exact integer sums (products stay in the BIGINT domain
+    * first — bounded by the value domains, not the row count); the 3×3
+    * Cramer solve and R² happen on the one-row moment frame in doubles.
+    *
+    * Scale shape: one groupBy on the order key (AQE-planned data-scale
+    * shuffle), then a single partial-agg fold to ONE row — no window, no
+    * driver state beyond the moment row.
+    */
+  def linreg2f(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.NumOps.roundz
+    val D38 = DecimalType(38, 0)
+    val rows = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(count(lit(1)).as("x1"),
+        sum(col("l_quantity").cast("long")).as("x2"),
+        sum((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long")).as("y"))
+    val mm = rows.agg(
+      count(lit(1)).as("n"),
+      sum(col("x1").cast(D38)).as("s1"),
+      sum(col("x2").cast(D38)).as("s2"),
+      sum((col("x1") * col("x1")).cast(D38)).as("s11"),
+      sum((col("x1") * col("x2")).cast(D38)).as("s12"),
+      sum((col("x2") * col("x2")).cast(D38)).as("s22"),
+      sum(col("y").cast(D38)).as("sy"),
+      sum((col("x1") * col("y")).cast(D38)).as("s1y"),
+      sum((col("x2") * col("y")).cast(D38)).as("s2y"),
+      sum((col("y").cast(D38) * col("y"))).as("syy"))
+    def dd(c: String): Column = col(c).cast("double")
+    val (n, s1, s2) = (col("n").cast("double"), dd("s1"), dd("s2"))
+    val (s11, s12, s22) = (dd("s11"), dd("s12"), dd("s22"))
+    val (sy, s1y, s2y, syy) = (dd("sy"), dd("s1y"), dd("s2y"), dd("syy"))
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val det0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      s2 * (s1y * s12 - s11 * s2y)
+    val det1 = n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)
+    val det2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)
+    val (b0, b1, b2) = (det0 / det, det1 / det, det2 / det)
+    val sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+    val sst = syy - sy * sy / n
+    mm.select(col("n"),
+      roundz(b0, 2).as("b0"), roundz(b1, 4).as("b1"), roundz(b2, 4).as("b2"),
+      roundz(lit(1.0) - sse / sst, 6).as("r2"))
+  }
+  val linreg2fSql: String =
+    """WITH rows_t AS (
+      |  SELECT l_orderkey AS ok, CAST(count(*) AS BIGINT) AS x1,
+      |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x2,
+      |         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |           AS BIGINT)) AS BIGINT) AS y
+      |  FROM lineitem GROUP BY 1),
+      |mm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(x1 AS DECIMAL(38,0))) AS s1,
+      |    sum(CAST(x2 AS DECIMAL(38,0))) AS s2,
+      |    sum(CAST(x1 * x1 AS DECIMAL(38,0))) AS s11,
+      |    sum(CAST(x1 * x2 AS DECIMAL(38,0))) AS s12,
+      |    sum(CAST(x2 * x2 AS DECIMAL(38,0))) AS s22,
+      |    sum(CAST(y AS DECIMAL(38,0))) AS sy,
+      |    sum(CAST(x1 * y AS DECIMAL(38,0))) AS s1y,
+      |    sum(CAST(x2 * y AS DECIMAL(38,0))) AS s2y,
+      |    sum(CAST(y AS DECIMAL(38,0)) * y) AS syy
+      |  FROM rows_t),
+      |d AS (SELECT CAST(n AS BIGINT) AS n,
+      |    CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+      |    CAST(s11 AS DOUBLE) AS s11, CAST(s12 AS DOUBLE) AS s12,
+      |    CAST(s22 AS DOUBLE) AS s22, CAST(sy AS DOUBLE) AS sy,
+      |    CAST(s1y AS DOUBLE) AS s1y, CAST(s2y AS DOUBLE) AS s2y,
+      |    CAST(syy AS DOUBLE) AS syy
+      |  FROM mm),
+      |k AS (SELECT n, sy, s1y, s2y, syy, nd,
+      |    nd * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+      |      + s2 * (s1 * s12 - s11 * s2) AS det,
+      |    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+      |      + s2 * (s1y * s12 - s11 * s2y) AS det0,
+      |    nd * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+      |      + s2 * (s1 * s2y - s1y * s2) AS det1,
+      |    nd * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+      |      + sy * (s1 * s12 - s11 * s2) AS det2
+      |  FROM d)
+      |SELECT n,
+      |  round(det0 / det, 2) + 0.0 AS b0,
+      |  round(det1 / det, 4) + 0.0 AS b1,
+      |  round(det2 / det, 4) + 0.0 AS b2,
+      |  round(1.0 - (syy - (det0 / det) * sy - (det1 / det) * s1y
+      |      - (det2 / det) * s2y) / (syy - sy * sy / nd), 6) + 0.0 AS r2
+      |FROM k""".stripMargin
 }
