@@ -397,6 +397,10 @@ object SparkEntry {
     "g_woe_iv"          -> (AQ.woeIv _),
     // two-regressor OLS by DECIMAL-exact normal equations + Cramer solve
     "x_linreg_2f"       -> (AQ.linreg2f _),
+    // Welch's unequal-variance t-test off exact per-group moments
+    "x_welch_ttest"     -> (AQ.welchTTest _),
+    // one-way ANOVA F + eta-squared across all event types
+    "x_anova_f"         -> (AQ.anovaF _),
     // feature-importance sweep: 3 features ranked by best-split gain
     "x_feature_rank"    -> (AQ.featureRank _),
     // week-over-week returning users from stored per-week KMV sketches
@@ -679,6 +683,8 @@ object SparkEntry {
     "x_mann_whitney"    -> AQ.mannWhitneySql,
     "g_woe_iv"          -> AQ.woeIvSql,
     "x_linreg_2f"       -> AQ.linreg2fSql,
+    "x_welch_ttest"     -> AQ.welchTTestSql,
+    "x_anova_f"         -> AQ.anovaFSql,
     "x_kmv_retention"   -> graft.operators.SketchOps.kmvRetentionSql,
     "m_ahash_neardup"   -> MultimodalOps.ahashNearDupSql,
     "m_audio_features"  -> MultimodalOps.audioFeaturesSql,

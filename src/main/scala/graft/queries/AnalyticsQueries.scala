@@ -2130,6 +2130,136 @@ object AnalyticsQueries {
       |  CASE WHEN hx * hy > 0 THEN round(mi / sqrt(hx * hy), 6) + 0.0 END AS nmi
       |FROM o""".stripMargin
 
+  /** Welch's unequal-variance t-test on the same two event-value samples as
+    * [[ksTest]]/[[mannWhitney]] — the parametric member of the two-sample
+    * family: t = (m₁−m₂)/√(s₁²/n₁ + s₂²/n₂) with the Welch–Satterthwaite
+    * effective degrees of freedom. Values land on the cents grid so the
+    * per-group moment fold (n, Σv, Σv²) is DECIMAL(38,0)-exact and
+    * partition-order-independent; means, variances, t and df are single
+    * double expressions off the two-row moment frame, rounded via roundz.
+    *
+    * Scale shape: ONE partial-aggregable groupBy to a 2-row frame, then a
+    * self-stitch (1-row broadcast each side) — no window, no data-scale
+    * second pass.
+    */
+  def welchTTest(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.NumOps.roundz
+    val D38 = DecimalType(38, 0)
+    val m = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("event_type").as("g"),
+        round(col("value") * 100).cast("long").as("v"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("v").cast(D38)).as("sv"),
+        sum((col("v") * col("v")).cast(D38)).as("svv"))
+    def side(tag: String): DataFrame = m.filter(col("g") === tag).select(
+      col("n").as(s"n_$tag"), col("sv").as(s"sv_$tag"), col("svv").as(s"svv_$tag"))
+    def nd(c: String): Column = col(c).cast("double")
+    // mean and unbiased variance in CENTS off the exact moments
+    def mean(t: String): Column = nd(s"sv_$t") / nd(s"n_$t")
+    def vr(t: String): Column =
+      (nd(s"svv_$t") - nd(s"sv_$t") * nd(s"sv_$t") / nd(s"n_$t")) /
+        (nd(s"n_$t") - lit(1.0))
+    val se2a = vr("purchase") / nd("n_purchase")
+    val se2b = vr("view") / nd("n_view")
+    val t = (mean("purchase") - mean("view")) / sqrt(se2a + se2b)
+    val df = (se2a + se2b) * (se2a + se2b) /
+      (se2a * se2a / (nd("n_purchase") - lit(1.0)) +
+        se2b * se2b / (nd("n_view") - lit(1.0)))
+    broadcast(side("purchase")).crossJoin(broadcast(side("view")))
+      .select(col("n_purchase").as("n1"), col("n_view").as("n2"),
+        roundz(mean("purchase") / 100, 4).as("mean1"),
+        roundz(mean("view") / 100, 4).as("mean2"),
+        roundz(t, 6).as("t"), roundz(df, 2).as("df"))
+      .withColumn("reject_05", abs(col("t")) > lit(1.96))
+  }
+  val welchTTestSql: String =
+    """WITH m AS (
+      |  SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n,
+      |         sum(CAST(CAST(round(value * 100) AS BIGINT) AS DECIMAL(38,0))) AS sv,
+      |         sum(CAST(CAST(round(value * 100) AS BIGINT)
+      |           * CAST(round(value * 100) AS BIGINT) AS DECIMAL(38,0))) AS svv
+      |  FROM events WHERE event_type IN ('purchase', 'view') GROUP BY 1),
+      |w AS (SELECT
+      |    a.n AS n1, b.n AS n2,
+      |    CAST(a.sv AS DOUBLE) / CAST(a.n AS DOUBLE) AS m1,
+      |    CAST(b.sv AS DOUBLE) / CAST(b.n AS DOUBLE) AS m2,
+      |    (CAST(a.svv AS DOUBLE) - CAST(a.sv AS DOUBLE) * CAST(a.sv AS DOUBLE)
+      |       / CAST(a.n AS DOUBLE)) / (CAST(a.n AS DOUBLE) - 1.0)
+      |       / CAST(a.n AS DOUBLE) AS se2a,
+      |    (CAST(b.svv AS DOUBLE) - CAST(b.sv AS DOUBLE) * CAST(b.sv AS DOUBLE)
+      |       / CAST(b.n AS DOUBLE)) / (CAST(b.n AS DOUBLE) - 1.0)
+      |       / CAST(b.n AS DOUBLE) AS se2b
+      |  FROM (SELECT * FROM m WHERE g = 'purchase') a
+      |  CROSS JOIN (SELECT * FROM m WHERE g = 'view') b),
+      |o AS (SELECT n1, n2,
+      |    round(m1 / 100, 4) + 0.0 AS mean1, round(m2 / 100, 4) + 0.0 AS mean2,
+      |    round((m1 - m2) / sqrt(se2a + se2b), 6) + 0.0 AS t,
+      |    round((se2a + se2b) * (se2a + se2b) /
+      |      (se2a * se2a / (CAST(n1 AS DOUBLE) - 1.0)
+      |       + se2b * se2b / (CAST(n2 AS DOUBLE) - 1.0)), 2) + 0.0 AS df
+      |  FROM w)
+      |SELECT n1, n2, mean1, mean2, t, df, abs(t) > 1.96 AS reject_05
+      |FROM o""".stripMargin
+
+  /** One-way ANOVA across ALL event types: does mean event value differ by
+    * type? F = (SSB/(k−1))/(SSW/(N−k)) decomposed entirely from per-group
+    * exact moments (n, Σv, Σv² on the cents grid, DECIMAL(38,0)), plus
+    * η² = SSB/SST as the effect size. The k-group generalization of
+    * [[welchTTest]] — one partial-aggregable pass to a k-row frame, the
+    * grand totals re-aggregate that frame (no second data pass), and the F
+    * assembly happens on one broadcast row.
+    */
+  def anovaF(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.NumOps.roundz
+    val D38 = DecimalType(38, 0)
+    val m = Tables.events(s, d)
+      .select(col("event_type").as("g"),
+        round(col("value") * 100).cast("long").as("v"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("v").cast(D38)).as("sv"),
+        sum((col("v") * col("v")).cast(D38)).as("svv"))
+      .localCheckpoint(true) // k-row frame feeds both the totals and SSB
+    val tot = m.agg(sum("n").cast("long").as("nn"),
+      sum("sv").as("tsv"), sum("svv").as("tsvv"), count(lit(1)).as("k"))
+    // SSB = sum_g sv_g^2/n_g - tsv^2/N ; SST = tsvv - tsv^2/N (cents^2)
+    val ssbTerms = m.agg(
+      sum(col("sv").cast("double") * col("sv").cast("double") /
+        col("n").cast("double")).as("sq"))
+    val nn = col("nn").cast("double")
+    val gm2 = col("tsv").cast("double") * col("tsv").cast("double") / nn
+    val sst = col("tsvv").cast("double") - gm2
+    val ssb = col("sq") - gm2
+    val ssw = sst - ssb
+    val kd = col("k").cast("double")
+    broadcast(tot).crossJoin(broadcast(ssbTerms))
+      .select(col("nn").as("n"), col("k"),
+        roundz(ssb / (kd - lit(1.0)) / (ssw / (nn - kd)), 6).as("f"),
+        roundz(ssb / sst, 6).as("eta_sq"))
+  }
+  val anovaFSql: String =
+    """WITH m AS (
+      |  SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n,
+      |         sum(CAST(CAST(round(value * 100) AS BIGINT) AS DECIMAL(38,0))) AS sv,
+      |         sum(CAST(CAST(round(value * 100) AS BIGINT)
+      |           * CAST(round(value * 100) AS BIGINT) AS DECIMAL(38,0))) AS svv
+      |  FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, sum(sv) AS tsv,
+      |          sum(svv) AS tsvv, CAST(count(*) AS BIGINT) AS k FROM m),
+      |sq AS (SELECT sum(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+      |           / CAST(n AS DOUBLE)) AS sq FROM m),
+      |o AS (SELECT t.nn AS n, t.k,
+      |    (s.sq - CAST(t.tsv AS DOUBLE) * CAST(t.tsv AS DOUBLE)
+      |       / CAST(t.nn AS DOUBLE)) AS ssb,
+      |    (CAST(t.tsvv AS DOUBLE) - CAST(t.tsv AS DOUBLE) * CAST(t.tsv AS DOUBLE)
+      |       / CAST(t.nn AS DOUBLE)) AS sst,
+      |    CAST(t.nn AS DOUBLE) AS nd, CAST(t.k AS DOUBLE) AS kd
+      |  FROM tot t CROSS JOIN sq s)
+      |SELECT n, k,
+      |  round(ssb / (kd - 1.0) / ((sst - ssb) / (nd - kd)), 6) + 0.0 AS f,
+      |  round(ssb / sst, 6) + 0.0 AS eta_sq
+      |FROM o""".stripMargin
+
   /** Per-value cumulated counts of TWO samples over one pooled value domain
     * — the shared kernel of the two-sample tests ([[ksTest]],
     * [[mannWhitney]]). Input: one row per distinct value `v` with that

@@ -80,6 +80,52 @@ class TwoSampleStatsSpec extends SparkSpec {
     assert(r.getBoolean(4) == (math.abs(z) > 1.96))
   }
 
+  test("welchTTest: t and df agree with a driver moment replay") {
+    val r = AQ.welchTTest(spark, sf0001).collect()(0)
+    val (n1, n2, t, df) =
+      (r.getLong(0), r.getLong(1), r.getDouble(4), r.getDouble(5))
+    val (a, b) = samples()
+    assert(n1 == a.length && n2 == b.length)
+    def moments(s: Array[Long]): (Double, Double) = {
+      val n = s.length.toDouble
+      val m = s.map(BigInt(_)).sum.toDouble / n
+      val v = s.map(x => (x - m) * (x - m)).sum / (n - 1.0)
+      (m, v)
+    }
+    val (m1, v1) = moments(a)
+    val (m2, v2) = moments(b)
+    val se2 = v1 / n1 + v2 / n2
+    val tRep = (m1 - m2) / math.sqrt(se2)
+    val dfRep = se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1.0) +
+      (v2 / n2) * (v2 / n2) / (n2 - 1.0))
+    assert(math.abs(t - tRep) < 1e-5, s"t $t vs $tRep")
+    assert(math.abs(df - dfRep) < 0.1, s"df $df vs $dfRep")
+    assert(df > 1 && df <= (n1 + n2 - 2).toDouble + 1e-9)
+    assert(r.getBoolean(6) == (math.abs(t) > 1.96))
+  }
+
+  test("anovaF: F and eta-squared agree with a driver decomposition") {
+    val r = AQ.anovaF(spark, sf0001).collect()(0)
+    val (n, k, f, eta) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    val rows = Tables.events(spark, sf0001)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(n == rows.length)
+    val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2.toDouble)).toMap
+    assert(k == byG.size)
+    val grand = rows.map(_._2.toDouble).sum / n
+    val ssb = byG.values.map { vs =>
+      val m = vs.sum / vs.length; vs.length * (m - grand) * (m - grand) }.sum
+    val ssw = byG.values.flatMap { vs =>
+      val m = vs.sum / vs.length; vs.map(x => (x - m) * (x - m)) }.sum
+    val fRep = ssb / (k - 1.0) / (ssw / (n.toDouble - k))
+    val etaRep = ssb / (ssb + ssw)
+    assert(math.abs(f - fRep) < 1e-4, s"F $f vs $fRep")
+    assert(math.abs(eta - etaRep) < 1e-6, s"eta $eta vs $etaRep")
+    assert(eta >= 0 && eta <= 1.0)
+  }
+
   test("woeIv: per-bucket WOE/IV agree with a driver replay; IV totals") {
     val rows = AQ.woeIv(spark, sf0001).collect()
     assert(rows.nonEmpty)
