@@ -401,6 +401,8 @@ object SparkEntry {
     "x_welch_ttest"     -> (AQ.welchTTest _),
     // one-way ANOVA F + eta-squared across all event types
     "x_anova_f"         -> (AQ.anovaF _),
+    // Cochran-Mantel-Haenszel stratified 2x2 test + MH pooled odds ratio
+    "x_cmh_test"        -> (AQ.cmhTest _),
     // feature-importance sweep: 3 features ranked by best-split gain
     "x_feature_rank"    -> (AQ.featureRank _),
     // week-over-week returning users from stored per-week KMV sketches
@@ -685,6 +687,7 @@ object SparkEntry {
     "x_linreg_2f"       -> AQ.linreg2fSql,
     "x_welch_ttest"     -> AQ.welchTTestSql,
     "x_anova_f"         -> AQ.anovaFSql,
+    "x_cmh_test"        -> AQ.cmhTestSql,
     "x_kmv_retention"   -> graft.operators.SketchOps.kmvRetentionSql,
     "m_ahash_neardup"   -> MultimodalOps.ahashNearDupSql,
     "m_audio_features"  -> MultimodalOps.audioFeaturesSql,

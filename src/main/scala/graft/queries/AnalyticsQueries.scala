@@ -2260,6 +2260,94 @@ object AnalyticsQueries {
       |  round(ssb / sst, 6) + 0.0 AS eta_sq
       |FROM o""".stripMargin
 
+  /** Cochran–Mantel–Haenszel stratified 2×2 association test: is document
+    * length (≥200 chars) associated with being English AFTER controlling
+    * for the source? The confounder-aware sibling of the marginal χ²
+    * ([[cramersV]]) — Simpson's-paradox insurance for corpus audits. Per
+    * stratum k: a_k = n₁₁, E_k = row₁·col₁/n, V_k = row₁row₀col₁col₀ /
+    * (n²(n−1)); CMH = (|Σa−ΣE| − ½)² / ΣV with continuity correction,
+    * plus the Mantel–Haenszel pooled odds ratio Σ(ad/n)/Σ(bc/n).
+    *
+    * Determinism: per-stratum E/V/ad/bc terms are single double
+    * expressions rounded to 6 dp and summed as DECIMAL(18,6) — exact,
+    * partition-order-independent — with one double assembly at the end.
+    * Scale: one partial-aggregable groupBy to a strata-count-sized frame;
+    * everything after is O(strata).
+    */
+  def cmhTest(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.NumOps.roundz
+    val D6 = DecimalType(18, 6)
+    val cells = Tables.documents(s, d)
+      .select(col("source"),
+        when(col("n_chars") >= 200, 1L).otherwise(0L).as("e"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .groupBy("source")
+      .agg(sum(col("e") * col("y")).as("n11"),
+        sum(col("e") * (lit(1L) - col("y"))).as("n10"),
+        sum((lit(1L) - col("e")) * col("y")).as("n01"),
+        sum((lit(1L) - col("e")) * (lit(1L) - col("y"))).as("n00"))
+    val n = (col("n11") + col("n10") + col("n01") + col("n00")).cast("double")
+    val r1 = (col("n11") + col("n10")).cast("double")
+    val r0 = (col("n01") + col("n00")).cast("double")
+    val c1 = (col("n11") + col("n01")).cast("double")
+    val c0 = (col("n10") + col("n00")).cast("double")
+    val terms = cells.select(
+      col("n11"),
+      round(r1 * c1 / n, 6).cast(D6).as("ek"),
+      round(r1 * r0 * c1 * c0 / (n * n * (n - lit(1.0))), 6).cast(D6).as("vk"),
+      round(col("n11").cast("double") * col("n00").cast("double") / n, 6)
+        .cast(D6).as("adk"),
+      round(col("n10").cast("double") * col("n01").cast("double") / n, 6)
+        .cast(D6).as("bck"))
+    val agg = terms.agg(count(lit(1)).as("n_strata"),
+      sum("n11").cast("long").as("sa"), sum("ek").as("se"),
+      sum("vk").as("sv"), sum("adk").as("sad"), sum("bck").as("sbc"))
+    val num = abs(col("sa").cast("double") - col("se").cast("double")) - lit(0.5)
+    agg.select(col("n_strata"),
+        roundz(num * num / col("sv").cast("double"), 6).as("chi2_cmh"),
+        roundz(col("sad").cast("double") / col("sbc").cast("double"), 6)
+          .as("or_mh"))
+      .withColumn("reject_05", col("chi2_cmh") > lit(3.841))
+  }
+  val cmhTestSql: String =
+    """WITH cells AS (
+      |  SELECT source,
+      |    CAST(sum(CASE WHEN n_chars >= 200 AND lang = 'en' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n11,
+      |    CAST(sum(CASE WHEN n_chars >= 200 AND lang <> 'en' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n10,
+      |    CAST(sum(CASE WHEN n_chars < 200 AND lang = 'en' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n01,
+      |    CAST(sum(CASE WHEN n_chars < 200 AND lang <> 'en' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n00
+      |  FROM documents GROUP BY 1),
+      |terms AS (SELECT n11,
+      |    CAST(round(CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+      |      / CAST(n11 + n10 + n01 + n00 AS DOUBLE), 6) AS DECIMAL(18,6)) AS ek,
+      |    CAST(round(CAST(n11 + n10 AS DOUBLE) * CAST(n01 + n00 AS DOUBLE)
+      |        * CAST(n11 + n01 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE)
+      |      / (CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+      |         * CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+      |         * (CAST(n11 + n10 + n01 + n00 AS DOUBLE) - 1.0)), 6)
+      |      AS DECIMAL(18,6)) AS vk,
+      |    CAST(round(CAST(n11 AS DOUBLE) * CAST(n00 AS DOUBLE)
+      |      / CAST(n11 + n10 + n01 + n00 AS DOUBLE), 6) AS DECIMAL(18,6)) AS adk,
+      |    CAST(round(CAST(n10 AS DOUBLE) * CAST(n01 AS DOUBLE)
+      |      / CAST(n11 + n10 + n01 + n00 AS DOUBLE), 6) AS DECIMAL(18,6)) AS bck
+      |  FROM cells),
+      |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+      |    CAST(sum(n11) AS BIGINT) AS sa, sum(ek) AS se, sum(vk) AS sv,
+      |    sum(adk) AS sad, sum(bck) AS sbc
+      |  FROM terms),
+      |o AS (SELECT n_strata,
+      |    round((abs(CAST(sa AS DOUBLE) - CAST(se AS DOUBLE)) - 0.5)
+      |        * (abs(CAST(sa AS DOUBLE) - CAST(se AS DOUBLE)) - 0.5)
+      |      / CAST(sv AS DOUBLE), 6) + 0.0 AS chi2_cmh,
+      |    round(CAST(sad AS DOUBLE) / CAST(sbc AS DOUBLE), 6) + 0.0 AS or_mh
+      |  FROM agg)
+      |SELECT n_strata, chi2_cmh, or_mh, chi2_cmh > 3.841 AS reject_05
+      |FROM o""".stripMargin
+
   /** Per-value cumulated counts of TWO samples over one pooled value domain
     * — the shared kernel of the two-sample tests ([[ksTest]],
     * [[mannWhitney]]). Input: one row per distinct value `v` with that

@@ -79,7 +79,7 @@ class PlanAuditSpec extends SparkSpec {
       "g_mutual_info", "w_attribution", "x_srm_check", "w_stickiness",
       "g_cramers_v", "x_best_split", "ts_dow_strength", "x_feature_rank",
       "x_ks_test", "x_mann_whitney", "g_woe_iv", "x_linreg_2f",
-      "x_welch_ttest", "x_anova_f")) {
+      "x_welch_ttest", "x_anova_f", "x_cmh_test")) {
       val df = SparkEntry.queries(q)(spark, sf0001)
       val errs = PlanAudit.audit(df).filter(_.severity == "error")
       assert(errs.isEmpty, s"$q: $errs")

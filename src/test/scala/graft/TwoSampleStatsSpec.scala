@@ -126,6 +126,39 @@ class TwoSampleStatsSpec extends SparkSpec {
     assert(eta >= 0 && eta <= 1.0)
   }
 
+  test("cmhTest: statistic and MH odds ratio agree with a driver replay") {
+    val r = AQ.cmhTest(spark, sf0001).collect()(0)
+    val (k, chi2, or) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("source"), (col("n_chars") >= 200).as("e"),
+        (col("lang") === "en").as("y"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2)))
+    val strata = docs.groupBy(_._1)
+    assert(k == strata.size)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var (sa, se, sv, sad, sbc) =
+      (0L, BigDecimal(0), BigDecimal(0), BigDecimal(0), BigDecimal(0))
+    for ((_, g) <- strata) {
+      val n11 = g.count(x => x._2 && x._3).toDouble
+      val n10 = g.count(x => x._2 && !x._3).toDouble
+      val n01 = g.count(x => !x._2 && x._3).toDouble
+      val n00 = g.count(x => !x._2 && !x._3).toDouble
+      val n = n11 + n10 + n01 + n00
+      sa += n11.toLong
+      se += BigDecimal(r6((n11 + n10) * (n11 + n01) / n))
+      sv += BigDecimal(r6((n11 + n10) * (n01 + n00) * (n11 + n01) * (n10 + n00) /
+        (n * n * (n - 1.0))))
+      sad += BigDecimal(r6(n11 * n00 / n))
+      sbc += BigDecimal(r6(n10 * n01 / n))
+    }
+    val num = math.abs(sa.toDouble - se.toDouble) - 0.5
+    assert(math.abs(chi2 - num * num / sv.toDouble) < 1e-5, s"chi2 $chi2")
+    assert(math.abs(or - sad.toDouble / sbc.toDouble) < 1e-5, s"OR $or")
+    assert(or > 0)
+    assert(r.getBoolean(3) == (chi2 > 3.841))
+  }
+
   test("woeIv: per-bucket WOE/IV agree with a driver replay; IV totals") {
     val rows = AQ.woeIv(spark, sf0001).collect()
     assert(rows.nonEmpty)
