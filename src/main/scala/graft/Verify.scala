@@ -32,9 +32,18 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      oracleManifest(only))
+    spark.stop()
+  }
+
+  /** The oracle map as a JSON object — the exact artifact the driver's
+    * DuckDB gate (and tools/negzero_audit.py) consumes. JSON string
+    * escape covers backslash, quote, and ALL control chars (<0x20) — a
+    * tab or CR in builder-authored SQL would otherwise make the driver's
+    * json.load fail and silently zero the round's correctness.
+    */
+  def oracleManifest(only: Option[Set[String]] = None): String = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -44,10 +53,8 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

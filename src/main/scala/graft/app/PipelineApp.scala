@@ -440,6 +440,15 @@ object PipelineApp {
         // bucket per admitted batch; its own lock serializes against the
         // corpus-admission stream's probe-then-append batches)
         graft.operators.FingerprintStore.compact(spark, s"$warehouseDir/_fp_store")
+        // fold the streaming sketch stores on the same cadence: flows 8/9
+        // write one batch dir per micro-batch, and the in-stream fold only
+        // fires every foldEvery batches — a slow drip (few files per cycle)
+        // would otherwise accumulate dirs for days before the counter trips.
+        // Each fold serializes against its live stream on the store's own
+        // per-path lock (the FingerprintStore discipline), so running here
+        // concurrently with flows 8/9 is safe.
+        graft.streaming.StreamingTopK.compact(spark, s"$warehouseDir/_hh_store")
+        graft.streaming.StreamingQuantiles.compact(spark, s"$warehouseDir/_len_store")
       }
     }
     // awaitANYTermination: a dead corpus-admission stream must stop the app

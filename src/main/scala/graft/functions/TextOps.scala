@@ -132,7 +132,7 @@ object TextOps {
       |  FROM documents)
       |SELECT doc_id, n_words, n_sentences, n_syllables,
       |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
-      |        - 84.6 * (CAST(n_syllables AS DOUBLE) / greatest(n_words, 1)), 2) AS flesch
+      |        - 84.6 * (CAST(n_syllables AS DOUBLE) / greatest(n_words, 1)), 2) + 0.0 AS flesch
       |FROM c ORDER BY doc_id""".stripMargin
 
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean token

@@ -60,7 +60,7 @@ object SimilarityOps {
       |  FROM embeddings)
       |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
       |  round(list_sum(list_transform(generate_series(1, 64),
-      |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm), 4) AS cos
+      |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm), 4) + 0.0 AS cos
       |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
       |WHERE round(list_sum(list_transform(generate_series(1, 64),
       |        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm), 4) >= 0.35
@@ -107,7 +107,7 @@ object SimilarityOps {
        |scored AS (
        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
        |    round(list_sum(list_transform(generate_series(1, 64),
-       |          i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm), 4) AS cos
+       |          i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm), 4) + 0.0 AS cos
        |  FROM e q JOIN e c ON q.vec_id < $NumQueries AND q.vec_id <> c.vec_id),
        |ranked AS (SELECT q_id, c_id, cos,
        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk FROM scored)
@@ -200,7 +200,7 @@ object SimilarityOps {
        |scored AS (
        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
        |    round(list_sum(list_transform(generate_series(1, 64),
-       |          i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm), 4) AS cos
+       |          i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm), 4) + 0.0 AS cos
        |  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id < $NumQueries AND q.vec_id <> c.vec_id),
        |ranked AS (SELECT q_id, c_id, cos,
        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk FROM scored)
@@ -248,7 +248,7 @@ object SimilarityOps {
        |scored AS (
        |  SELECT q_id, c_id, label,
        |    round(list_sum(list_transform(generate_series(1, $Dim),
-       |          i -> eq[i]::DOUBLE * ec[i]::DOUBLE)) / (nq * nc), 4) AS cos
+       |          i -> eq[i]::DOUBLE * ec[i]::DOUBLE)) / (nq * nc), 4) + 0.0 AS cos
        |  FROM q CROSS JOIN c),
        |top AS (SELECT q_id, label FROM (
        |  SELECT q_id, label, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
@@ -304,7 +304,7 @@ object SimilarityOps {
        |scored AS (
        |  SELECT q.vec_id AS q_id, q.label AS ql, c.vec_id AS c_id, c.label AS cl,
        |    round(list_sum(list_transform(generate_series(1, $Dim),
-       |          i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm), 4) AS cos
+       |          i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (q.nrm * c.nrm), 4) + 0.0 AS cos
        |  FROM e q JOIN e c ON q.vec_id < $NumQueries AND q.vec_id <> c.vec_id),
        |pos AS (SELECT q_id, ql AS label, c_id AS pos_id, cos AS pos_cos FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
@@ -313,7 +313,7 @@ object SimilarityOps {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
        |  FROM scored WHERE cl <> ql) WHERE rn = 1)
        |SELECT p.q_id, p.label, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos,
-       |  round(p.pos_cos - n.neg_cos, 4) AS margin
+       |  round(p.pos_cos - n.neg_cos, 4) + 0.0 AS margin
        |FROM pos p JOIN neg n ON p.q_id = n.q_id ORDER BY p.q_id""".stripMargin
 
   val IvfProbes = 2
@@ -390,7 +390,7 @@ object SimilarityOps {
        |scored AS (
        |  SELECT p.q_id, e.vec_id AS c_id,
        |    round(list_sum(list_transform(generate_series(1, $Dim),
-       |          i -> p.eq[i]::DOUBLE * e.embedding[i]::DOUBLE)) / (p.nq * e.nrm), 4) AS cos
+       |          i -> p.eq[i]::DOUBLE * e.embedding[i]::DOUBLE)) / (p.nq * e.nrm), 4) + 0.0 AS cos
        |  FROM probes p JOIN e ON p.label = e.label AND p.q_id <> e.vec_id),
        |ranked AS (SELECT q_id, c_id, cos,
        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk FROM scored)
@@ -531,7 +531,7 @@ object SimilarityOps {
        |      FROM q JOIN a2 USING (vec_id)),
        |pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cid,
        |    round(list_sum(list_transform(generate_series(1, $Dim),
-       |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm), 4) AS cos
+       |      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm), 4) + 0.0 AS cos
        |  FROM e a JOIN e b ON a.cid = b.cid AND a.vec_id < b.vec_id)
        |SELECT a_id, b_id, cid, cos FROM pairs WHERE cos >= 0.35
        |ORDER BY a_id, b_id""".stripMargin

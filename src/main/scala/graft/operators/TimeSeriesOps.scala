@@ -470,12 +470,12 @@ object TimeSeriesOps {
       |    CAST(sr2n AS DOUBLE) / n AS ddv
       |  FROM m)
       |SELECT user_id, n AS n_returns,
-      |  round(mean_r, 6) AS mean_r,
+      |  round(mean_r, 6) + 0.0 AS mean_r,
       |  round(sqrt(varr) * sqrt(252.0), 4) AS ann_vol,
       |  CASE WHEN sqrt(varr) > 0
-      |       THEN round(mean_r / sqrt(varr) * sqrt(252.0), 4) END AS sharpe,
+      |       THEN round(mean_r / sqrt(varr) * sqrt(252.0), 4) + 0.0 END AS sharpe,
       |  CASE WHEN sqrt(ddv) > 0
-      |       THEN round(mean_r / sqrt(ddv) * sqrt(252.0), 4) END AS sortino
+      |       THEN round(mean_r / sqrt(ddv) * sqrt(252.0), 4) + 0.0 END AS sortino
       |FROM f ORDER BY user_id""".stripMargin
 
   /** Daily time-weighted average price per instrument — the aggregate an
@@ -603,7 +603,7 @@ object TimeSeriesOps {
        |        CAST(sum(CAST(round(m * m, 6) AS DECIMAL(18,6))) AS DOUBLE) AS smm
        |      FROM j GROUP BY user_id)
        |SELECT user_id, n_days,
-       |  round((n_days * srm - sr * sm) / (n_days * smm - sm * sm), 4) AS beta
+       |  round((n_days * srm - sr * sm) / (n_days * smm - sm * sm), 4) + 0.0 AS beta
        |FROM f ORDER BY user_id""".stripMargin
 
   /** Top-k most-correlated instrument pairs by daily log returns — the
@@ -672,7 +672,7 @@ object TimeSeriesOps {
        |      GROUP BY 1, 2 HAVING count(*) >= $PairCorrMinDays),
        |c AS (SELECT u1, u2, n,
        |        round((n * s12 - s1 * s2) /
-       |          sqrt((n * s11 - s1 * s1) * (n * s22 - s2 * s2)), 4) AS corr
+       |          sqrt((n * s11 - s1 * s1) * (n * s22 - s2 * s2)), 4) + 0.0 AS corr
        |      FROM m)
        |SELECT u1, u2, n, corr FROM c WHERE corr IS NOT NULL AND NOT isnan(corr)
        |ORDER BY corr DESC, u1, u2 LIMIT $PairCorrK""".stripMargin

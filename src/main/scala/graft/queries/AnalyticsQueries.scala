@@ -841,7 +841,7 @@ object AnalyticsQueries {
       |SELECT digit, n_orders,
       |  round(n_orders::DOUBLE / t, 4) AS share,
       |  round(log10(1.0 + 1.0 / digit), 4) AS benford_p,
-      |  round(round(n_orders::DOUBLE / t, 4) - round(log10(1.0 + 1.0 / digit), 4), 4) AS dev
+      |  round(round(n_orders::DOUBLE / t, 4) - round(log10(1.0 + 1.0 / digit), 4), 4) + 0.0 AS dev
       |FROM c CROSS JOIN t ORDER BY digit""".stripMargin
 
   /** Conversion LATENCY for the [[graft.operators.FunnelOps]] funnel — the
@@ -933,7 +933,7 @@ object AnalyticsQueries {
       |      FROM p WHERE x IS NOT NULL)
       |SELECT k AS n_pairs,
       |  round((k * sxy - sx * sy)::DOUBLE /
-      |    sqrt((k * sxx - sx * sx)::DOUBLE * (k * syy - sy * sy)::DOUBLE), 4) AS acf1
+      |    sqrt((k * sxx - sx * sx)::DOUBLE * (k * syy - sy * sy)::DOUBLE), 4) + 0.0 AS acf1
       |FROM m""".stripMargin
 
   /** Day-of-week seasonality profile of order volume: per weekday, the
@@ -1000,7 +1000,7 @@ object AnalyticsQueries {
       |      sqrt(((x1 + x2)::DOUBLE / (n1 + n2)) * (1.0 - (x1 + x2)::DOUBLE / (n1 + n2))
       |           * (1.0 / n1 + 1.0 / n2)), 4) AS zv
       |  FROM c)
-      |SELECT n1, x1, n2, x2, zv AS z, abs(zv) > 1.96 AS significant FROM z""".stripMargin
+      |SELECT n1, x1, n2, x2, zv + 0.0 AS z, abs(zv) > 1.96 AS significant FROM z""".stripMargin
 
   /** Chi-square test of independence + Cramér's V effect size between a
     * document's language and source — the contingency-table twin of
@@ -1354,7 +1354,7 @@ object AnalyticsQueries {
       |    CAST(sxa AS DOUBLE) / na - CAST(sx - sxa AS DOUBLE) / (n - na) AS diff_x
       |  FROM m)
       |SELECT na AS n_a, nb AS n_b,
-      |  round(covn / varxn, 6) AS theta,
+      |  round(covn / varxn, 6) + 0.0 AS theta,
       |  round(diff_raw, 4) AS diff_raw_cents,
       |  round(diff_raw - covn / varxn * diff_x, 4) AS diff_cuped_cents,
       |  round(covn * covn / (varxn * varyn), 6) AS rho2
@@ -1671,7 +1671,7 @@ object AnalyticsQueries {
       |             WHEN s_stat < 0 THEN s_stat + 1 ELSE 0 END AS znum
       |      FROM sp CROSS JOIN nn CROSS JOIN tg)
       |SELECT n_days, s_stat, CAST(var18 AS BIGINT) AS var18,
-      |  round(CAST(znum AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0), 4) AS z,
+      |  round(CAST(znum AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0), 4) + 0.0 AS z,
       |  abs(round(CAST(znum AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0), 4)) > 1.96 AS trend
       |FROM f""".stripMargin
 

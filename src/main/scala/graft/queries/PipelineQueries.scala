@@ -253,8 +253,8 @@ object PipelineQueries {
        |        CAST(sum(CAST(xy AS DECIMAL(18,6))) AS DOUBLE) AS sxy
        |      FROM p2)
        |SELECT k AS n_terms,
-       |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) AS slope,
-       |  round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 4) AS intercept
+       |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) + 0.0 AS slope,
+       |  round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 4) + 0.0 AS intercept
        |FROM m""".stripMargin
 
   /** Population-Stability-Index drift between two corpus slices — the
@@ -747,7 +747,7 @@ object PipelineQueries {
       |  - CAST(round(ln((cs.cs + 1)::DOUBLE / (tot.ts + tot.v)), 6) AS DECIMAL(18,6)) AS lp
       |  FROM tk JOIN cs USING (w) LEFT JOIN ct USING (w) CROSS JOIN tot),
       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
-      |          round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS llr
+      |          round(CAST(sum(lp) AS DOUBLE) / count(*), 4) + 0.0 AS llr
       |        FROM sc GROUP BY doc_id),
       |e AS (SELECT doc_id, n_toks, llr, CAST(round(llr * 10000) AS BIGINT) AS e4 FROM agg),
       |r AS (SELECT e4, row_number() OVER (ORDER BY e4) AS rn, count(*) OVER () AS n FROM e),
@@ -2010,8 +2010,8 @@ object PipelineQueries {
       |        CAST(sum(CAST(xy AS DECIMAL(18,6))) AS DOUBLE) AS sxy
       |      FROM p2)
       |SELECT k AS n_docs,
-      |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) AS beta,
-      |  round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 4) AS intercept
+      |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) + 0.0 AS beta,
+      |  round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 4) + 0.0 AS intercept
       |FROM m""".stripMargin
 
   /** Systematic probability-proportional-to-size sampling (Madow 1949 —

@@ -180,22 +180,33 @@ object StreamingTopK {
     * fresh store (no batches yet) reads as an empty board.
     */
   def mergedTopK(spark: SparkSession, storeDir: String,
-      k: Int = DefaultK): DataFrame = lockFor(storeDir).synchronized {
-    recoverFold(spark, storeDir)
-    val (baseDec, _, upto) = foldedMeta(spark, storeDir)
-    val newer = col("batch_id") > upto
-    val batchSums = batchFrame(spark, s"$storeDir/summaries", summarySchema, newer)
-      .select("token", "counter")
-    val base =
-      if (upto >= 0) foldedSums(spark, storeDir) else batchSums.limit(0)
-    val sums = base.unionByName(batchSums)
-      .groupBy("token").agg(sum("counter").as("n"))
-    val (m2, merged) = compress(sums, k)
-    val batchDec = batchFrame(spark, s"$storeDir/meta", metaSchema, newer)
-      .agg(coalesce(sum("m"), lit(0L)).as("dec"))
-      .first().getLong(0)
-    merged.withColumn("err_bound", lit(baseDec + batchDec + m2))
-      .orderBy(col("counter").desc, col("token").asc)
+      k: Int = DefaultK): DataFrame = {
+    // Materialize (≤ k rows) INSIDE the per-store lock and return a local
+    // relation: a lazy plan would snapshot the batch-dir file index under
+    // the lock but execute after release, racing a concurrent [[compact]]
+    // (auto-triggered by [[start]]) that deletes those dirs mid-read —
+    // the same discipline as compact's sketchRows and
+    // StreamingQuantiles.quantiles.
+    val rows = lockFor(storeDir).synchronized {
+      recoverFold(spark, storeDir)
+      val (baseDec, _, upto) = foldedMeta(spark, storeDir)
+      val newer = col("batch_id") > upto
+      val batchSums = batchFrame(spark, s"$storeDir/summaries", summarySchema, newer)
+        .select("token", "counter")
+      val base =
+        if (upto >= 0) foldedSums(spark, storeDir) else batchSums.limit(0)
+      val sums = base.unionByName(batchSums)
+        .groupBy("token").agg(sum("counter").as("n"))
+      val (m2, merged) = compress(sums, k)
+      val batchDec = batchFrame(spark, s"$storeDir/meta", metaSchema, newer)
+        .agg(coalesce(sum("m"), lit(0L)).as("dec"))
+        .first().getLong(0)
+      val bound = baseDec + batchDec + m2
+      merged.orderBy(col("counter").desc, col("token").asc).collect()
+        .toSeq.map(r => Row(r.get(0), r.get(1), bound))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      summarySchema.add(StructField("err_bound", LongType)))
   }
 
   /** Wire a streaming document source (`doc_id`, `text`) into the tracker.
