@@ -49,6 +49,7 @@ object SparkEntry {
     "w_time_bucket_ohlc" -> (AQ.wTimeBucketOhlc _),
     "w_ohlc_merge"      -> (AQ.wOhlcMerge _),
     "g_rollup"          -> (AQ.gRollup _),
+    "g_rollup_serve"    -> (AQ.gRollupServe _),
     "g_distinct_agg"    -> (AQ.gDistinctAgg _),
     "g_cube"            -> (AQ.gCube _),
     "g_pivot"           -> (AQ.gPivot _),
@@ -468,6 +469,7 @@ object SparkEntry {
     "w_time_bucket_ohlc" -> AQ.wTimeBucketOhlcSql,
     "w_ohlc_merge"      -> AQ.wOhlcMergeSql,
     "g_rollup"          -> AQ.gRollupSql,
+    "g_rollup_serve"    -> AQ.gRollupServeSql,
     "g_distinct_agg"    -> AQ.gDistinctAggSql,
     "g_cube"            -> AQ.gCubeSql,
     "g_pivot"           -> AQ.gPivotSql,

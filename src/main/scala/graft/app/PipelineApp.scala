@@ -349,6 +349,12 @@ object PipelineApp {
     // but recovery always runs before the stream starts)
     val vecRepaired = StreamingVectorIndex.recover(spark, s"$warehouseDir/_vec_index")
     if (vecRepaired > 0) println(s"[recover] restored $vecRepaired vector-index cells")
+    // re-register persisted materialized rollups (the registry is
+    // in-process; without this a restart silently stops every rollup
+    // rewrite from firing until someone rebuilds by hand)
+    val rollups = graft.plans.MaterializedRollup
+      .recoverAll(spark, s"$warehouseDir/_rollups")
+    if (rollups > 0) println(s"[recover] re-registered $rollups materialized rollups")
     Discovery.catchUp(spark, journal, root, LocalDate.now(), now())
     val q = Discovery.stream(spark, journal, root, s"$warehouseDir/_discovery_ckpt",
       maxFilesPerTrigger = cfg.discovery.filesBufferSize,

@@ -59,20 +59,28 @@ object PartitionStats {
     StructField("max_price_cents", LongType),
     StructField("files_fp", LongType)))
 
-  /** Order-independent fingerprint of a partition's data-file listing
-    * (name + length per file, xor-folded hashes) — changes whenever a
+  /** Fingerprint of a partition's data-file listing — changes whenever a
     * commit lands a file or a compaction rewrites the partition, which
-    * are exactly the events that stale a stats row.
+    * are exactly the events that stale a stats row. 64 bits of an MD5
+    * over the SORTED (name, length, mtime) listing: [[summaryExact]]
+    * serves ANSWERS from rows this guards, so a collision is a silent
+    * wrong answer — no xor folding (pairwise cancellation could hide a
+    * two-file swap), no 32-bit truncation, and mtime makes a same-name
+    * same-length rewrite visible.
     */
   private def listingFingerprint(spark: SparkSession, partDir: String): Long = {
     val (fs, p) = HadoopFs.forPath(spark, partDir)
     if (!fs.exists(p)) 0L
-    else fs.listStatus(p).iterator
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith("."))
-      .map(s => scala.util.hashing.MurmurHash3
-        .stringHash(s"${s.getPath.getName}:${s.getLen}").toLong)
-      .foldLeft(0L)(_ ^ _)
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      fs.listStatus(p)
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime} ")
+        .sorted
+        .foreach(e => md.update(e.getBytes("UTF-8")))
+      java.nio.ByteBuffer.wrap(md.digest()).getLong
+    }
   }
 
   /** Recompute + atomically replace the stats rows of `dates` from the

@@ -386,18 +386,18 @@ object GraphOps {
     var cur = e0.localCheckpoint(true)
     var r = 0
     var done = false
-    // node count of `cur`: every round's survivor set IS the next round's
-    // node set (edges are filtered to keep × keep), so one count per round
-    // suffices — the first round pays the extra distinct to seed it
-    var nNodes = -1L
     while (r < rounds && !done) {
-      if (nNodes < 0) nNodes = cur.select("src").distinct().count()
-      val keep = cur.groupBy("src").agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select("src").localCheckpoint(true)
+      // the degree table IS the round's node set (node-sized, checkpointed
+      // once, feeds both counts) — deriving nNodes from last round's keep
+      // count would overcount: a keep node whose surviving edges all
+      // pointed at peeled nodes vanishes from `cur` after the semi-joins,
+      // and the phantom node would cost one extra no-op round under the cap
+      val deg = cur.groupBy("src").agg(count(lit(1)).as("d"))
+        .localCheckpoint(true)
+      val keep = deg.filter(col("d") >= k).select("src").localCheckpoint(true)
       val kept = keep.count()
-      if (kept == nNodes) done = true // fixpoint: nothing peeled
+      if (kept == deg.count()) done = true // fixpoint: nothing peeled
       else {
-        nNodes = kept
         cur = cur.join(keep, Seq("src"), "left_semi")
           .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
           .localCheckpoint(true)

@@ -181,6 +181,11 @@ object TokenizerOps {
         |  FROM syms_$i a JOIN syms_$i b ON a.word = b.word AND b.pos = a.pos + 1
         |  GROUP BY a.sym, b.sym
         |  ORDER BY freq DESC, l, r LIMIT 1),
+        |wins_$i AS MATERIALIZED (
+        |  SELECT l, r FROM win_$i
+        |  UNION ALL
+        |  SELECT CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |  WHERE (SELECT count(*) FROM win_$i) = 0),
         |tk_$i AS MATERIALIZED (
         |  SELECT word, pos FROM (
         |    SELECT word, pos, pos - min(pos) OVER (PARTITION BY word, chain) AS off
@@ -189,7 +194,7 @@ object TokenizerOps {
         |          FROM (SELECT a.word, a.pos
         |                FROM syms_$i a
         |                JOIN syms_$i b ON a.word = b.word AND b.pos = a.pos + 1
-        |                CROSS JOIN win_$i w
+        |                CROSS JOIN wins_$i w
         |                WHERE a.sym = w.l AND b.sym = w.r) m))
         |  WHERE off % 2 = 0),
         |syms_${i + 1} AS MATERIALIZED (
@@ -197,13 +202,22 @@ object TokenizerOps {
         |         row_number() OVER (PARTITION BY s.word ORDER BY s.pos) AS pos,
         |         CASE WHEN t.pos IS NOT NULL THEN s.sym || w.r ELSE s.sym END AS sym
         |  FROM syms_$i s
-        |  CROSS JOIN win_$i w
+        |  CROSS JOIN wins_$i w
         |  LEFT JOIN tk_$i t  ON t.word = s.word AND t.pos = s.pos
         |  LEFT JOIN tk_$i tp ON tp.word = s.word AND tp.pos = s.pos - 1
         |  WHERE tp.pos IS NULL)""".stripMargin
     }
     sb.toString
   }
+
+  // Degenerate-corpus guard (ADVICE r12): `wins_$i` is the CROSS JOIN side
+  // — exactly one row always, the winner or a NULL sentinel when the corpus
+  // exhausts adjacent pairs before k merges. With the sentinel, the NULL
+  // equality in tk_$i takes nothing and syms_{i+1} = syms_$i (identity past
+  // the fixpoint), instead of the empty win_$i zeroing every later table
+  // while the Spark side still emits per-doc counts. `win_$i` (possibly
+  // empty) still feeds bpeTrainSql's rank rows, matching bpeTrain's
+  // early-stop.
 
   /** Oracle for [[bpeTrain]]: the k winners with their ranks. */
   def bpeTrainSql(k: Int = Merges): String = {

@@ -310,6 +310,64 @@ object AnalyticsQueries {
       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  /** The materialized-rollup SERVE path as a board query — the aggregate
+    * navigator ([[graft.plans.RollupRewrite]]) answering a COUNT(*) /
+    * COUNT(col) / SUM / AVG / MIN / MAX group-by from a pre-built rollup
+    * instead of the base scan, hash-checked against DuckDB running the
+    * same aggregate over the raw table. The base is a scratch COPY of
+    * lineitem's three needed columns (registering the shared sfDir table
+    * itself would couple every other lineitem query to the rewrite),
+    * keyed by the source file's (path, len, mtime) so a regenerated
+    * testdata set rebuilds rather than serving stale. The `require` makes
+    * this a real end-to-end pin: if the rewrite ever stops firing, the
+    * query errors in the correctness gate instead of silently passing on
+    * a base scan. AVG is hash-safe here because l_quantity is integral —
+    * the sums are exact in double, so SUM(sums)/SUM(counts) is the same
+    * IEEE division DuckDB performs.
+    *
+    * 100 TB: this is the pattern a dashboard runs — the scan is
+    * group-NDV-sized (6 rows) regardless of base size, and the freshness
+    * probe is one listing.
+    */
+  def gRollupServe(s: SparkSession, d: String): DataFrame = {
+    val src = new java.io.File(s"$d/lineitem.parquet")
+    val key = math.abs(scala.util.hashing.MurmurHash3.stringHash(
+      s"${src.getAbsolutePath}:${src.length}:${src.lastModified}"))
+    val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_rollup_$key"
+    val base = s"$scratch/base"
+    val roll = s"$scratch/rollup/r"
+    if (!new java.io.File(base).isDirectory) {
+      Tables.lineitem(s, d)
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .write.mode("overwrite").parquet(base)
+      graft.plans.MaterializedRollup.build(s, base, roll,
+        Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"))
+    } else if (!graft.plans.MaterializedRollup.registered(s, base))
+      graft.plans.MaterializedRollup.recover(s, roll) // the restart path
+    val q = s.read.parquet(base).groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        count(col("l_quantity")).as("n_qty"),
+        sum("l_quantity").as("sum_qty"),
+        avg("l_quantity").as("avg_qty"),
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+    val plan = q.queryExecution.executedPlan.toString
+    require(plan.contains(roll) && !plan.contains(base),
+      s"rollup rewrite must serve this query; got plan:\n$plan")
+    q
+  }
+  val gRollupServeSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(l_quantity) AS BIGINT) AS n_qty,
+      |  sum(l_quantity) AS sum_qty,
+      |  avg(l_quantity) AS avg_qty,
+      |  min(l_quantity) AS min_qty,
+      |  max(l_quantity) AS max_qty
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   /** Unpivot (melt) — the inverse of [[gPivot]]'s wide shape: per-flag
     * measure columns stacked into (measure, value) rows via the `stack`
     * generator. Runs AFTER the aggregation, so the generator fans out over

@@ -29,6 +29,7 @@ class LogSink(spark: SparkSession, bufferSize: Int = 1, flushTimeoutSec: Int = 1
   private val stream = MemoryStream[LogRecord](spark)
   private val buf = scala.collection.mutable.ArrayBuffer.empty[LogRecord]
   private var flusher: Option[java.util.concurrent.ScheduledExecutorService] = None
+  private var query: Option[StreamingQuery] = None
 
   /** Non-blocking enqueue — callable from any thread, like a log appender.
     * Crossing `bufferSize` flushes synchronously (the reference appender's
@@ -69,7 +70,7 @@ class LogSink(spark: SparkSession, bufferSize: Int = 1, flushTimeoutSec: Int = 1
         java.util.concurrent.TimeUnit.SECONDS)
       flusher = Some(ex)
     }
-    stream.toDF().writeStream
+    val q = stream.toDF().writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -77,16 +78,34 @@ class LogSink(spark: SparkSession, bufferSize: Int = 1, flushTimeoutSec: Int = 1
         ()
       }
       .start()
+    synchronized { query = Some(q) }
+    q
   }
 
-  /** Stop the timeout flusher (call after the streaming query stops). Any
-    * buffered residue is flushed into the stream first, so no record is
-    * lost between a final enqueue and shutdown.
+  /** Orderly shutdown — call this INSTEAD of stopping the query yourself:
+    * flush the buffered residue into the stream, run one final micro-batch
+    * cycle so it reaches the parquet table, THEN stop the query and the
+    * timeout flusher. A record added to a MemoryStream after the last
+    * micro-batch is never written, so flushing after `query.stop()` (the
+    * pre-round-12 contract) silently dropped up to a full buffer at
+    * shutdown; draining before the stop is what makes "no record is lost"
+    * true. Stopping an already-stopped query is a no-op, so a caller that
+    * stopped the query first loses only what that ordering always lost.
     */
-  def close(): Unit = synchronized {
-    flush()
-    flusher.foreach(_.shutdownNow())
-    flusher = None
+  def close(): Unit = {
+    val q = synchronized { flush(); query }
+    // drain OUTSIDE the sink lock: processAllAvailable blocks on the
+    // micro-batch thread, and a concurrent enqueue (appenders log from any
+    // thread) must not deadlock against it
+    q.foreach { qq =>
+      try { if (qq.isActive) { qq.processAllAvailable(); qq.stop() } }
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    synchronized {
+      flusher.foreach(_.shutdownNow())
+      flusher = None
+      query = None
+    }
   }
 }
 

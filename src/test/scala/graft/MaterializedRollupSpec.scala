@@ -58,10 +58,6 @@ class MaterializedRollupSpec extends SparkSpec {
       .write.mode("overwrite").parquet(base)
     MaterializedRollup.build(spark, base, roll, Seq("l_returnflag"), Seq("l_quantity"))
     try {
-      // AVG is not derivable in v1
-      val avg_ = spark.read.parquet(base).groupBy("l_returnflag")
-        .agg(avg("l_quantity").as("a"))
-      assert(!optimized(avg_).contains(roll))
       // DISTINCT is never derivable from a rollup
       val dis = spark.read.parquet(base).groupBy("l_returnflag")
         .agg(count_distinct(col("l_quantity")).as("nd"))
@@ -74,6 +70,104 @@ class MaterializedRollupSpec extends SparkSpec {
       val finer = spark.read.parquet(base).groupBy("l_returnflag", "l_quantity")
         .agg(count(lit(1)).as("n"))
       assert(!optimized(finer).contains(roll))
+      // decimal AVG (scale-adjustment semantics) declines even over a
+      // registered measure
+      val dec = spark.read.parquet(base)
+        .select(col("l_returnflag"), col("l_quantity").cast("decimal(12,2)").as("q"))
+      dec.write.mode("overwrite").parquet(base + "_dec")
+      MaterializedRollup.build(spark, base + "_dec", tmpDir("mr-rolldec") + "/r",
+        Seq("l_returnflag"), Seq("q"))
+      try {
+        val davg = spark.read.parquet(base + "_dec").groupBy("l_returnflag")
+          .agg(avg("q").as("a"))
+        assert(!optimized(davg).contains("mr-rolldec"))
+      } finally MaterializedRollup.deregister(spark, base + "_dec")
+    } finally MaterializedRollup.deregister(spark, base)
+  }
+
+  test("AVG and COUNT(col) rewrite onto the rollup and answer exactly") {
+    graft.catalyst.GraftExtensions.register(spark)
+    val base = tmpDir("mr-base5")
+    val roll = tmpDir("mr-roll5") + "/r"
+    import spark.implicits._
+    // nulls in the measure: COUNT(v) must count non-nulls only, AVG(v)
+    // must divide by the non-null count, and an all-null group must read
+    // NULL avg / 0 count (the LEGACY-divide path)
+    Seq(("A", Some(1L)), ("A", Some(3L)), ("A", None),
+      ("B", Some(10L)), ("C", None)).toDF("g", "v")
+      .write.mode("overwrite").parquet(base)
+    val q = () => spark.read.parquet(base).groupBy("g")
+      .agg(avg("v").as("a"), count(col("v")).as("nv"), count(lit(1)).as("n"))
+      .orderBy("g")
+    val expected = q().collect().map(_.toSeq).toSeq
+    MaterializedRollup.build(spark, base, roll, Seq("g"), Seq("v"))
+    try {
+      val plan = optimized(q())
+      assert(plan.contains(roll), s"plan must scan the rollup:\n$plan")
+      assert(!plan.contains(base), s"plan must NOT scan the base:\n$plan")
+      assert(q().collect().map(_.toSeq).toSeq == expected)
+      // and the coarse global form
+      val g = spark.read.parquet(base).agg(avg("v").as("a"), count(col("v")).as("nv"))
+      assert(optimized(g).contains(roll))
+      assert(g.collect()(0).toSeq == Seq(14.0 / 3, 3L))
+    } finally MaterializedRollup.deregister(spark, base)
+  }
+
+  test("persisted spec recovers after a registry restart; rewrite fires again") {
+    graft.catalyst.GraftExtensions.register(spark)
+    val base = tmpDir("mr-base6")
+    val rollRoot = tmpDir("mr-roll6")
+    val roll = rollRoot + "/r"
+    import spark.implicits._
+    Seq(("A", 1L), ("B", 5L)).toDF("g", "v").write.mode("overwrite").parquet(base)
+    val built = MaterializedRollup.build(spark, base, roll, Seq("g"), Seq("v"))
+    val q = () => spark.read.parquet(base).groupBy("g")
+      .agg(sum("v").as("s"), avg("v").as("a"))
+    try {
+      // simulate the restart: the in-memory registry loses the spec
+      MaterializedRollup.deregister(spark, base)
+      assert(!optimized(q()).contains(roll))
+      // the PipelineApp recover slot re-registers from _spec.json
+      val rec = MaterializedRollup.recover(spark, roll)
+      assert(rec.contains(built), "recovered spec must round-trip exactly")
+      assert(optimized(q()).contains(roll))
+      val got = q().orderBy("g").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(got.toSeq == Seq(("A", 1L, 1.0), ("B", 5L, 5.0)))
+      // recoverAll over a rollups root finds it too
+      MaterializedRollup.deregister(spark, base)
+      assert(MaterializedRollup.recoverAll(spark, rollRoot) == 1)
+      assert(optimized(q()).contains(roll))
+    } finally MaterializedRollup.deregister(spark, base)
+  }
+
+  test("freshness probe lists the base once per optimizer pass, not per aggregate") {
+    val base = tmpDir("mr-base7")
+    val roll = tmpDir("mr-roll7") + "/r"
+    import spark.implicits._
+    Seq(("A", 1L), ("B", 5L)).toDF("g", "v").write.mode("overwrite").parquet(base)
+    MaterializedRollup.build(spark, base, roll, Seq("g"), Seq("v"))
+    try {
+      // two candidate aggregates over the same base in ONE plan
+      val two = spark.read.parquet(base).groupBy("g").agg(sum("v").as("x"))
+        .union(spark.read.parquet(base).groupBy("g").agg(min("v").as("x")))
+        .queryExecution.analyzed
+      val before = MaterializedRollup.listings.get()
+      val rewritten = RollupRewrite(two)
+      val after = MaterializedRollup.listings.get()
+      assert(after - before == 1,
+        s"one listing per pass expected, saw ${after - before}")
+      // and both aggregates did rewrite
+      val leafPaths = rewritten.collectLeaves().collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.mkString(",")
+            case _ => ""
+          }
+      }
+      assert(leafPaths.nonEmpty && leafPaths.forall(_.contains("mr-roll7")),
+        s"both branches must scan the rollup: $leafPaths")
     } finally MaterializedRollup.deregister(spark, base)
   }
 

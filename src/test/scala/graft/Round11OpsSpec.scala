@@ -277,7 +277,7 @@ class Round11OpsSpec extends SparkSpec {
       sink.enqueue(rec(3)) // crosses the line -> synchronous flush
       q.processAllAvailable()
       assert(logRows(out) == 3)
-    } finally { q.stop(); sink.close() }
+    } finally sink.close()
   }
 
   test("log sink timeout trigger: a sub-buffer residue flushes after flushTimeoutSec") {
@@ -296,7 +296,7 @@ class Round11OpsSpec extends SparkSpec {
         n = logRows(out)
       }
       assert(n == 1L, "timeout flusher must drain the residue")
-    } finally { q.stop(); sink.close() }
+    } finally sink.close()
   }
 
   // ---- DSIR count-min scale path ------------------------------------------
