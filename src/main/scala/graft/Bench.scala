@@ -93,6 +93,26 @@ object Bench {
         // can run slower than its plan under contention, never faster — so
         // a regression is real only if the MIN moved too.
         } else Some(name -> ((ok(ok.length / 2), ok.head)))
+      }
+      .zipWithIndex.map { case (r, i) =>
+        // Deterministic storage hygiene between queries: every run builds
+        // its frames (and localCheckpoints) afresh, so blocks pinned by a
+        // FINISHED query are dead by construction — but the ContextCleaner
+        // only reclaims them after a GC surfaces their weak refs, and its
+        // safety-net System.gc() fires every 30 MIN by default (longer
+        // than the board run) on a heap too large to GC naturally. ~250
+        // queries × 4 runs of eager checkpoints then pile up as
+        // dead-but-pinned storage and late-alphabet queries inherit the
+        // pressure (r11's p_pps_sample 1.13 s → 3.24 s with zero code
+        // change). Unpersist is the direct fix (no GC involved); an
+        // explicit GC every 64 queries additionally releases broadcast
+        // and shuffle weak refs OUTSIDE any timed section — lowering
+        // periodicGC.interval instead puts multi-second full-heap pauses
+        // INSIDE timed runs (measured: +10% board-wide).
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        if ((i + 1) % 64 == 0) System.gc()
+        r
       }.flatten
     val total = results.map(_._2._1).sum
     // Full-precision maps for the judge (stdout tail can't hold all 96 names).

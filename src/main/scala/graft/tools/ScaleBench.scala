@@ -1,0 +1,130 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{SparkEntry, Tables}
+
+/** Two-point scaling measurement for the heaviest board queries: replicate
+  * the sf tables K× locally (disjoint key spaces — weak scaling, the way a
+  * corpus actually grows), time each query at 1× and K×, and report the
+  * measured exponent `ln(tK/t1) / ln(K)`. An exponent ≈ 1 is the evidence
+  * behind SCALE.md's "would survive 100×" arguments: a plan with a hidden
+  * quadratic term (all-pairs frame, value-domain window that grew with
+  * data) shows up here as exponent ≫ 1 long before a cluster run would.
+  *
+  * Replication semantics:
+  *  - documents: doc_id shifted per replica; text gets a per-replica
+  *    suffix token so content-keyed stages (exact dedup) see K× distinct
+  *    docs instead of collapsing the replicas to 1× survivors (which
+  *    would measure the suffix of the pipeline at 1× and fake a sublinear
+  *    exponent).
+  *  - lineitem/orders: order/cust/supp/part keys shifted per replica —
+  *    the graph queries then grow as K disjoint copies (weak scaling)
+  *    rather than densifying a fixed node set (which is a DIFFERENT
+  *    asymptotic regime: triangle counts superlinear in edge multiplicity).
+  *  - events: event_id/user_id shifted, timestamps unchanged — the
+  *    time-series queries keep their bounded day domain (their documented
+  *    scale argument) while the user population grows K×.
+  *
+  * Usage: runMain graft.tools.ScaleBench [sfDir] [factor] [outRoot] [q1,q2,...]
+  */
+object ScaleBench {
+
+  /** The heaviest board queries per BENCH_FULL (r11) — the ones whose
+    * scaling claims are worth two data points.
+    */
+  val DefaultQueries: Seq[String] = Seq(
+    "g_spearman", "p_quality_lr", "x_bfs_hops", "ts_theil_sen",
+    "ts_pair_corr", "p_pps_sample", "p_curation_funnel", "t_greedy_cover",
+    "x_triangles", "x_kcore")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 5
+    val outRoot = if (args.length > 2) args(2) else "/tmp/graft_scale"
+    val queries = if (args.length > 3) args(3).split(",").toSeq else DefaultQueries
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt.max(1)
+    val spark = graft.Sessions.localBuilder(
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.catalyst.GraftExtensions.register(spark)
+
+    val scaled = s"$outRoot/x$factor"
+    buildScaled(spark, sfDir, scaled, factor)
+
+    def bench(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      fn(spark, dir).write.format("noop").mode("overwrite").save() // warm
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+
+    println(f"${"query"}%-20s ${"t_1x_s"}%8s ${s"t_${factor}x_s"}%8s ${"ratio"}%7s ${"exponent"}%8s")
+    val rows = queries.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t1 = bench(fn, sfDir)
+        val tk = bench(fn, scaled)
+        val ratio = tk / t1
+        val exp = math.log(ratio) / math.log(factor.toDouble)
+        println(f"$name%-20s $t1%8.2f $tk%8.2f $ratio%7.2f $exp%8.2f")
+        (name, t1, tk, ratio, exp)
+      }
+    }
+    // one machine-readable line for the round artifacts
+    println("{" + rows.map { case (n, t1, tk, r, e) =>
+      f""""$n":{"t1":$t1%.3f,"tk":$tk%.3f,"ratio":$r%.3f,"exp":$e%.3f}"""
+    }.mkString(",") + s""","factor":$factor}""")
+    spark.stop()
+  }
+
+  /** Build the K× replicated dir once; reused across runs (delete to force
+    * a rebuild). Tables outside the replication set are copied as-is so
+    * every board query still resolves.
+    */
+  def buildScaled(spark: SparkSession, sfDir: String, outDir: String,
+      factor: Int): Unit = {
+    if (new java.io.File(s"$outDir/_SCALED_OK").isFile) return
+    new java.io.File(outDir).mkdirs()
+    def stride(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).first().getLong(0) + 1L
+
+    def replicate(df: DataFrame, keys: Seq[String],
+        text: Boolean = false): DataFrame = {
+      val strides = keys.map(k => k -> stride(df, k)).toMap
+      (0 until factor).map { r =>
+        val shifted = keys.foldLeft(df)((d, k) =>
+          d.withColumn(k, col(k) + lit(r * strides(k))))
+        if (text && r > 0)
+          shifted
+            .withColumn("text", concat(col("text"), lit(s" zq$r")))
+            .withColumn("n_chars", col("n_chars") + lit(s" zq$r".length.toLong))
+        else shifted
+      }.reduce(_ unionByName _)
+    }
+
+    def write(df: DataFrame, name: String): Unit =
+      df.repartition(32).write.mode("overwrite")
+        .parquet(s"$outDir/$name.parquet")
+
+    write(replicate(Tables.documents(spark, sfDir), Seq("doc_id"),
+      text = true), "documents")
+    write(replicate(Tables.lineitem(spark, sfDir),
+      Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
+    write(replicate(Tables.orders(spark, sfDir),
+      Seq("o_orderkey", "o_custkey")), "orders")
+    write(replicate(Tables.load(spark, sfDir, "events"),
+      Seq("event_id", "user_id")), "events")
+    Seq("region", "nation", "customer", "supplier", "part", "embeddings")
+      .foreach(t => write(Tables.load(spark, sfDir, t), t))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/_SCALED_OK"), s"factor=$factor\n")
+    ()
+  }
+}
