@@ -50,6 +50,7 @@ object SparkEntry {
     "w_ohlc_merge"      -> (AQ.wOhlcMerge _),
     "g_rollup"          -> (AQ.gRollup _),
     "g_rollup_serve"    -> (AQ.gRollupServe _),
+    "g_rollup_filtered" -> (AQ.gRollupFiltered _),
     "g_distinct_agg"    -> (AQ.gDistinctAgg _),
     "g_cube"            -> (AQ.gCube _),
     "g_pivot"           -> (AQ.gPivot _),
@@ -470,6 +471,7 @@ object SparkEntry {
     "w_ohlc_merge"      -> AQ.wOhlcMergeSql,
     "g_rollup"          -> AQ.gRollupSql,
     "g_rollup_serve"    -> AQ.gRollupServeSql,
+    "g_rollup_filtered" -> AQ.gRollupFilteredSql,
     "g_distinct_agg"    -> AQ.gDistinctAggSql,
     "g_cube"            -> AQ.gCubeSql,
     "g_pivot"           -> AQ.gPivotSql,

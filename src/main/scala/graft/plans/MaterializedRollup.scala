@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
@@ -20,9 +20,13 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * expressed as one Catalyst optimizer rule.
   *
   * Subsumption rules (deliberately strict):
-  *  - the query scans exactly the registered base path (bare scan or a
-  *    column-pruning Project over it — the shape the main optimizer
-  *    leaves for [[RollupRewrite]], which runs in the user batch after it);
+  *  - the query scans exactly the registered base path — a bare scan, or
+  *    column-pruning Projects / deterministic Filters over it (the shape
+  *    the main optimizer leaves for [[RollupRewrite]]); a Filter is
+  *    re-anchored onto the rollup iff it references ONLY grouping columns
+  *    (the dashboard `WHERE group_key ... GROUP BY group_key` shape — a
+  *    group-key predicate partitions base rows exactly along rollup rows),
+  *    anything touching a measure declines;
   *  - every grouping expression is a plain column ⊆ the rollup's grouping
   *    columns (coarser rollups of a finer rollup re-aggregate soundly —
   *    SUM of sums, MIN of mins, MAX of maxes, COUNT(*) as SUM of counts,
@@ -275,20 +279,29 @@ object MaterializedRollup {
 object RollupRewrite extends Rule[LogicalPlan] {
   import MaterializedRollup._
 
-  /** The base-table scan under an aggregate: the relation itself, or a
-    * pure column-pruning Project over it. Returns the scan's root path.
+  /** The base-table scan under an aggregate: the relation itself, or any
+    * interleaving of pure column-pruning Projects and DETERMINISTIC
+    * Filters over it. Returns the scan's root path plus the filter
+    * conditions found on the way down (outermost first) — whether each is
+    * derivable on the rollup is [[tryRewrite]]'s call (every referenced
+    * column must be a grouping column: a group-key predicate partitions
+    * base rows exactly along rollup rows, so filtering groups ≡ filtering
+    * rows; a measure predicate would filter pre-aggregation rows and must
+    * decline).
     */
-  private def scanPath(plan: LogicalPlan): Option[String] = plan match {
+  private def scanPath(plan: LogicalPlan): Option[(String, Seq[Expression])] = plan match {
     case l: LogicalRelation => l.relation match {
       case h: HadoopFsRelation =>
         h.location.rootPaths match {
-          case Seq(one) => Some(one.toString)
+          case Seq(one) => Some((one.toString, Nil))
           case _ => None
         }
       case _ => None
     }
     case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
       scanPath(child)
+    case Filter(cond, child) if cond.deterministic =>
+      scanPath(child).map { case (p, fs) => (p, cond +: fs) }
     case _ => None
   }
 
@@ -305,16 +318,16 @@ object RollupRewrite extends Rule[LogicalPlan] {
         // the rewrite, never fail the query — the base plan is always valid
         (try {
           for {
-            path <- scanPath(child)
+            (path, filters) <- scanPath(child)
             spec <- specFor(path)
-            rewritten <- tryRewrite(agg, ge, ae, spec, fpMemo)
+            rewritten <- tryRewrite(agg, ge, ae, filters, spec, fpMemo)
           } yield rewritten
         } catch { case scala.util.control.NonFatal(_) => None }).getOrElse(agg)
     }
   }
 
   private def tryRewrite(agg: Aggregate, ge: Seq[Expression],
-      ae: Seq[NamedExpression], spec: Spec,
+      ae: Seq[NamedExpression], filters: Seq[Expression], spec: Spec,
       fpMemo: scala.collection.mutable.Map[String, Long]): Option[LogicalPlan] = {
     val spark = SparkSession.active
     val groupOk = ge.forall {
@@ -330,6 +343,23 @@ object RollupRewrite extends Rule[LogicalPlan] {
 
     val rollupPlan = spark.read.parquet(spec.rollupPath).queryExecution.analyzed
     val byName = rollupPlan.output.map(a => a.name -> a).toMap
+
+    // re-anchor each pushed-down filter onto the rollup: sound iff every
+    // referenced column is a GROUPING column (see scanPath's contract);
+    // any other reference — a measure, a column the rollup doesn't carry —
+    // declines the whole rewrite
+    val childPlan: Option[LogicalPlan] = {
+      val translated = filters.map { cond =>
+        if (!cond.references.toSeq.forall(a => spec.groupCols.contains(a.name) &&
+              byName.contains(a.name))) None
+        else Some(cond.transformUp {
+          case a: AttributeReference => byName(a.name)
+        })
+      }
+      if (translated.exists(_.isEmpty)) None
+      else Some(translated.flatten.foldRight(rollupPlan: LogicalPlan)(Filter(_, _)))
+    }
+    if (childPlan.isEmpty) return None
 
     def aggExpr(f: AggregateFunction): Expression =
       AggregateExpression(f, Complete, isDistinct = false)
@@ -389,6 +419,6 @@ object RollupRewrite extends Rule[LogicalPlan] {
     }
     if (newGroups.exists(_.isEmpty) || newAggs.exists(_.isEmpty)) None
     else Some(Aggregate(newGroups.flatten, newAggs.flatten
-      .map(_.asInstanceOf[NamedExpression]), rollupPlan, None))
+      .map(_.asInstanceOf[NamedExpression]), childPlan.get, None))
   }
 }

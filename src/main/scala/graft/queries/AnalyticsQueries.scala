@@ -329,13 +329,24 @@ object AnalyticsQueries {
     * group-NDV-sized (6 rows) regardless of base size, and the freshness
     * probe is one listing.
     */
-  def gRollupServe(s: SparkSession, d: String): DataFrame = {
+  /** (base, rollup) scratch paths for the rollup board queries, keyed by
+    * the source file's (path, len, mtime) so a regenerated testdata set
+    * rebuilds rather than serving stale.
+    */
+  private def rollupScratch(d: String): (String, String) = {
     val src = new java.io.File(s"$d/lineitem.parquet")
     val key = math.abs(scala.util.hashing.MurmurHash3.stringHash(
       s"${src.getAbsolutePath}:${src.length}:${src.lastModified}"))
     val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_rollup_$key"
-    val base = s"$scratch/base"
-    val roll = s"$scratch/rollup/r"
+    (s"$scratch/base", s"$scratch/rollup/r")
+  }
+
+  def gRollupServe(s: SparkSession, d: String): DataFrame = {
+    // idempotent: the query must serve from the rewrite in ANY session
+    // (the driver's Verify/Bench register too, but the plan-audit suites
+    // iterate the whole board on a bare SparkSpec session)
+    graft.catalyst.GraftExtensions.register(s)
+    val (base, roll) = rollupScratch(d)
     if (!new java.io.File(base).isDirectory) {
       Tables.lineitem(s, d)
         .select("l_returnflag", "l_linestatus", "l_quantity")
@@ -357,6 +368,35 @@ object AnalyticsQueries {
       s"rollup rewrite must serve this query; got plan:\n$plan")
     q
   }
+  /** The FILTERED serve path — `WHERE group_key ... GROUP BY group_key`,
+    * the single most common dashboard shape: the predicate re-anchors onto
+    * the rollup (a group-key filter partitions base rows exactly along
+    * rollup rows), so the whole query is answered from the NDV-sized
+    * table under the filter. Shares [[gRollupServe]]'s scratch + registry.
+    */
+  def gRollupFiltered(s: SparkSession, d: String): DataFrame = {
+    gRollupServe(s, d) // ensures the scratch copy + registration exist
+    val (base, roll) = rollupScratch(d)
+    val q = s.read.parquet(base)
+      .filter(col("l_returnflag") =!= "N" && col("l_linestatus") === "F")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum("l_quantity").as("sum_qty"),
+        avg("l_quantity").as("avg_qty"))
+      .orderBy("l_returnflag")
+    val plan = q.queryExecution.executedPlan.toString
+    require(plan.contains(roll) && !plan.contains(base),
+      s"filtered rollup rewrite must serve this query; got plan:\n$plan")
+    q
+  }
+  val gRollupFilteredSql: String =
+    """SELECT l_returnflag,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  sum(l_quantity) AS sum_qty,
+      |  avg(l_quantity) AS avg_qty
+      |FROM lineitem WHERE l_returnflag <> 'N' AND l_linestatus = 'F'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val gRollupServeSql: String =
     """SELECT l_returnflag, l_linestatus,
       |  CAST(count(*) AS BIGINT) AS n,

@@ -113,6 +113,44 @@ class MaterializedRollupSpec extends SparkSpec {
     } finally MaterializedRollup.deregister(spark, base)
   }
 
+  test("group-column filters re-anchor onto the rollup; measure filters decline") {
+    graft.catalyst.GraftExtensions.register(spark)
+    val base = tmpDir("mr-base8")
+    val roll = tmpDir("mr-roll8") + "/r"
+    import spark.implicits._
+    Seq(("A", "x", 1L), ("A", "y", 3L), ("B", "x", 10L), ("C", "y", 7L))
+      .toDF("g", "h", "v").write.mode("overwrite").parquet(base)
+    MaterializedRollup.build(spark, base, roll, Seq("g", "h"), Seq("v"))
+    try {
+      // WHERE on grouping columns + GROUP BY — the dashboard shape
+      val q = () => spark.read.parquet(base)
+        .filter(col("g") =!= "B" && col("h") === "y")
+        .groupBy("g")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"), avg("v").as("a"))
+        .orderBy("g")
+      assert(optimized(q()).contains(roll), s"must serve:\n${optimized(q())}")
+      assert(!optimized(q()).contains(base))
+      val got = q().collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(got.toSeq == Seq(("A", 3L, 1L, 3.0), ("C", 7L, 1L, 7.0)))
+      // a coarser grouping under the same filter still serves
+      val coarse = spark.read.parquet(base).filter(col("h") === "x")
+        .groupBy().agg(sum("v").as("s"))
+      assert(optimized(coarse).contains(roll))
+      assert(coarse.collect()(0).getLong(0) == 11L)
+      // filter on a MEASURE is a pre-aggregation row predicate — declines
+      val onMeasure = spark.read.parquet(base).filter(col("v") > 2)
+        .groupBy("g").agg(sum("v").as("s"))
+      assert(!optimized(onMeasure).contains(roll))
+      // non-deterministic filter declines (a non-trivial predicate — the
+      // optimizer eliminates always-true ones like rand < 2 before us,
+      // leaving a bare scan that legitimately rewrites)
+      val nonDet = spark.read.parquet(base).filter(rand(7) < 0.5)
+        .groupBy("g").agg(sum("v").as("s"))
+      assert(!optimized(nonDet).contains(roll))
+    } finally MaterializedRollup.deregister(spark, base)
+  }
+
   test("persisted spec recovers after a registry restart; rewrite fires again") {
     graft.catalyst.GraftExtensions.register(spark)
     val base = tmpDir("mr-base6")
