@@ -1,0 +1,172 @@
+package graft.sinks
+
+import java.net.{HttpURLConnection, URL, URLEncoder}
+import java.util.zip.GZIPOutputStream
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Connection settings for the ClickHouse HTTP wire path — the knob set
+  * the reference's `ConnectionHandler` exposes
+  * (`/root/reference/MainService/src/main/java/com/crypto/service/util/ConnectionHandler.java:44-67`:
+  * host/port/database/credentials + custom HTTP params + socket/connect
+  * timeouts), minus SSL (no egress in this sandbox to prove it against).
+  * `customParams` defaults to the reference deployment's async-insert pair
+  * (SURVEY §7.4.5): the server buffers small inserts and the client waits
+  * for the flush acknowledgement.
+  */
+case class ClickHouseHttpConfig(
+    host: String,
+    port: Int,
+    database: String,
+    table: String,
+    user: String = "default",
+    password: String = "",
+    customParams: Map[String, String] =
+      Map("async_insert" -> "1", "wait_for_async_insert" -> "1"),
+    connectTimeoutMs: Int = 5000,
+    socketTimeoutMs: Int = 30000)
+
+/** The reference's actual wire path, re-expressed Spark-first: ClickHouse
+  * HTTP inserts of GZIP-compressed CSV
+  * (`dao/ClickHouseDAO.java:146-158` — `ClickHousePassThruStream.of(pin,
+  * ClickHouseCompression.GZIP, ClickHouseFormat.CSV)` fed by a
+  * `PipedOutputStream` a compression thread writes into,
+  * `data/TickersDataLoader.java:113-137`). Differences that ARE the
+  * Spark design, not omissions:
+  *
+  *  - **Per-partition uploads from executors.** The reference pipelines
+  *    one compression thread into one insert stream per batch on a single
+  *    JVM; here every partition opens its own chunked-streaming POST, so
+  *    upload parallelism is the data's partitioning (32-way locally, any
+  *    width on a cluster) and nothing funnels through the driver.
+  *  - **The pipe is the stream stack, not threads.** The hand-rolled
+  *    PipedInput/OutputStream pair + AtomicBoolean handshake collapses
+  *    into `GZIPOutputStream(chunked HTTP output)`: rows compress and
+  *    upload as they serialize, whole-batch buffering never happens
+  *    (`setChunkedStreamingMode` — the Content-Length is never needed).
+  *  - **Same delivery contract.** ClickHouse HTTP insert is at-least-once
+  *    under retry, exactly like the reference's
+  *    `maxFlushDataAttempts` loop; the engine's B4 retry layers wrap
+  *    [[append]] unchanged. (The exactly-once ledger upgrade lives in
+  *    [[JdbcSink.appendExactlyOnce]] for transactional targets —
+  *    ClickHouse async inserts are not transactional, so this sink keeps
+  *    the reference's semantics and documents them.)
+  *
+  * Wire shape per request: `POST /?query=INSERT INTO <db>.<table> FORMAT
+  * CSV&async_insert=1&...` with `Content-Encoding: gzip`,
+  * `X-ClickHouse-User`/`X-ClickHouse-Key` auth headers, body = gzip'd
+  * ClickHouse-CSV rows (`"`-quoted with `""` doubling, `\N` for NULL).
+  * Proven against an in-process protocol double (ClickHouseHttpSinkSpec)
+  * that validates method, query, params, gzip, chunking, and row
+  * round-trips — the real server is unreachable from this sandbox.
+  *
+  * 100 TB: one POST per partition per batch; executor-side gzip (the same
+  * ~12× ticker-CSV ratio as the ingest path); no driver-side collect;
+  * upload width follows `df.rdd.getNumPartitions`, so the B11 32-way
+  * fan-out (or a cluster's thousands) applies unchanged.
+  */
+class ClickHouseHttpSink(cfg: ClickHouseHttpConfig) extends ExternalSink {
+  import ClickHouseHttpSink._
+
+  override def append(df: DataFrame): Unit = {
+    val c = cfg // serializable snapshot for the executor closure
+    df.foreachPartition { rows: Iterator[Row] =>
+      if (rows.hasNext) postRows(c, rows)
+    }
+  }
+
+  override def truncate(spark: SparkSession): Unit = {
+    exec(cfg, s"TRUNCATE TABLE ${cfg.database}.${cfg.table}"); ()
+  }
+
+  override def count(spark: SparkSession): Long =
+    exec(cfg, s"SELECT count() FROM ${cfg.database}.${cfg.table} FORMAT TabSeparated")
+      .trim.toLong
+}
+
+object ClickHouseHttpSink {
+
+  private def endpoint(cfg: ClickHouseHttpConfig, query: String): URL = {
+    val params = (Map("query" -> query, "database" -> cfg.database) ++
+      cfg.customParams).toSeq.sortBy(_._1)
+      .map { case (k, v) =>
+        s"${URLEncoder.encode(k, "UTF-8")}=${URLEncoder.encode(v, "UTF-8")}"
+      }.mkString("&")
+    new URL(s"http://${cfg.host}:${cfg.port}/?$params")
+  }
+
+  private def open(cfg: ClickHouseHttpConfig, query: String): HttpURLConnection = {
+    val conn = endpoint(cfg, query).openConnection().asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(cfg.connectTimeoutMs)
+    conn.setReadTimeout(cfg.socketTimeoutMs)
+    conn.setRequestMethod("POST")
+    conn.setRequestProperty("X-ClickHouse-User", cfg.user)
+    conn.setRequestProperty("X-ClickHouse-Key", cfg.password)
+    conn
+  }
+
+  /** Read the response; non-200 must THROW with the server's message so
+    * the caller's retry layer engages — a swallowed error here would be a
+    * silent data-loss path (the one failure mode an at-least-once
+    * contract cannot have).
+    */
+  private def finish(conn: HttpURLConnection): String = {
+    val code = conn.getResponseCode
+    val body = {
+      val in = if (code == 200) conn.getInputStream else conn.getErrorStream
+      if (in == null) "" else try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    if (code != 200)
+      throw new java.io.IOException(s"clickhouse http $code: ${body.take(500)}")
+    body
+  }
+
+  /** One streaming insert: rows serialize → gzip → chunked POST, all in
+    * one pass (the PipedStream pipeline as a stream stack). Executor-side.
+    */
+  private def postRows(cfg: ClickHouseHttpConfig, rows: Iterator[Row]): Unit = {
+    val conn = open(cfg,
+      s"INSERT INTO ${cfg.database}.${cfg.table} FORMAT CSV")
+    conn.setDoOutput(true)
+    conn.setChunkedStreamingMode(64 * 1024) // pipelined: no whole-batch buffer
+    conn.setRequestProperty("Content-Encoding", "gzip")
+    val out = new GZIPOutputStream(conn.getOutputStream, 64 * 1024)
+    try {
+      val sb = new java.lang.StringBuilder(256)
+      rows.foreach { r =>
+        sb.setLength(0)
+        var i = 0
+        val n = r.length
+        while (i < n) {
+          if (i > 0) sb.append(',')
+          sb.append(csvField(r.get(i)))
+          i += 1
+        }
+        sb.append('\n')
+        out.write(sb.toString.getBytes("UTF-8"))
+      }
+    } finally out.close() // flushes the gzip trailer before the response read
+    finish(conn)
+    ()
+  }
+
+  /** Non-insert statements (TRUNCATE, SELECT count()): empty POST body. */
+  private def exec(cfg: ClickHouseHttpConfig, query: String): String = {
+    val conn = open(cfg, query)
+    conn.setDoOutput(true)
+    conn.getOutputStream.close()
+    finish(conn)
+  }
+
+  /** ClickHouse CSV cell: `\N` for NULL, `"` quoting with `""` doubling
+    * when the value contains a comma, quote, or newline; everything else
+    * as its plain string form (numbers/booleans/timestamps).
+    */
+  private[graft] def csvField(v: Any): String = v match {
+    case null => "\\N"
+    case s: String =>
+      if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    case other => other.toString
+  }
+}

@@ -1,0 +1,204 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicInteger
+import java.util.zip.GZIPInputStream
+import scala.jdk.CollectionConverters._
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.functions._
+import graft.sinks.{ClickHouseHttpConfig, ClickHouseHttpSink}
+
+/** An in-process ClickHouse HTTP protocol double: accepts the wire shape
+  * the real server accepts for the subset the sink speaks (gzip'd CSV
+  * INSERT ... FORMAT CSV, TRUNCATE, SELECT count() FORMAT TabSeparated),
+  * records per-request metadata (gzip? chunked? params?), and injects
+  * failures for the retry contract. The real server is unreachable from
+  * this sandbox; this pins the CLIENT side of the wire byte-for-byte.
+  */
+class FakeClickHouse {
+  case class Req(query: String, params: Map[String, String], gzip: Boolean,
+      chunked: Boolean, user: String, rows: Int)
+
+  val stored = new ConcurrentLinkedQueue[Seq[String]]()
+  val requests = new ConcurrentLinkedQueue[Req]()
+  val failNext = new AtomicInteger(0)
+  private var server: HttpServer = _
+
+  def start(): Int = {
+    server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    server.createContext("/", (ex: HttpExchange) => handle(ex))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val b = body.getBytes("UTF-8")
+    ex.sendResponseHeaders(code, if (b.isEmpty) -1 else b.length)
+    if (b.nonEmpty) ex.getResponseBody.write(b)
+    ex.close()
+  }
+
+  private def handle(ex: HttpExchange): Unit = try {
+    val params = Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&")
+      .filter(_.nonEmpty).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+    val query = params.getOrElse("query", "")
+    val gzip = Option(ex.getRequestHeaders.getFirst("Content-encoding"))
+      .exists(_.equalsIgnoreCase("gzip"))
+    val chunked = Option(ex.getRequestHeaders.getFirst("Transfer-encoding"))
+      .exists(_.toLowerCase.contains("chunked"))
+    val user = Option(ex.getRequestHeaders.getFirst("X-clickhouse-user")).getOrElse("")
+    if (failNext.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+      // drain the body first (a reset mid-upload surfaces as IOException
+      // client-side, which is also fine for the retry contract — but a
+      // clean 500 pins the error-message path)
+      ex.getRequestBody.readAllBytes()
+      respond(ex, 500, "Code: 252. DB::Exception: Too many parts (simulated)")
+      return
+    }
+    if (query.startsWith("INSERT INTO")) {
+      require(query.endsWith("FORMAT CSV"), s"unexpected insert format: $query")
+      val raw = ex.getRequestBody
+      val in = if (gzip) new GZIPInputStream(raw) else raw
+      val text = new String(in.readAllBytes(), "UTF-8")
+      val rows = parseCsv(text)
+      rows.foreach(stored.add)
+      requests.add(Req(query, params, gzip, chunked, user, rows.size))
+      respond(ex, 200, "")
+    } else if (query.startsWith("TRUNCATE TABLE")) {
+      stored.clear()
+      requests.add(Req(query, params, gzip, chunked, user, 0))
+      respond(ex, 200, "")
+    } else if (query.startsWith("SELECT count()")) {
+      requests.add(Req(query, params, gzip, chunked, user, 0))
+      respond(ex, 200, s"${stored.size()}\n")
+    } else respond(ex, 400, s"unsupported query: $query")
+  } catch {
+    case t: Throwable => respond(ex, 500, s"double error: $t")
+  }
+
+  /** Minimal ClickHouse-CSV parser: `"`-quoted fields with `""` doubling,
+    * `\N` = NULL (represented here as the literal string "NULL__").
+    */
+  private def parseCsv(text: String): Seq[Seq[String]] = {
+    val out = Seq.newBuilder[Seq[String]]
+    val field = new StringBuilder
+    val row = Seq.newBuilder[String]
+    var inQuotes = false
+    var i = 0
+    def endField(): Unit = {
+      val s = field.toString
+      row += (if (s == "\\N") "NULL__" else s)
+      field.clear()
+    }
+    def endRow(): Unit = { endField(); out += row.result(); row.clear() }
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inQuotes) {
+        if (c == '"' && i + 1 < text.length && text.charAt(i + 1) == '"') {
+          field += '"'; i += 1
+        } else if (c == '"') inQuotes = false
+        else field += c
+      } else c match {
+        case '"' => inQuotes = true
+        case ',' => endField()
+        case '\n' => endRow()
+        case '\r' => ()
+        case other => field += other
+      }
+      i += 1
+    }
+    if (field.nonEmpty || row.result().nonEmpty) endRow()
+    out.result()
+  }
+}
+
+/** The ClickHouse HTTP wire client, proven against the protocol double:
+  * request shape, gzip, chunked pipelining, per-partition fan-out, CSV
+  * round-trips, and the at-least-once retry contract.
+  */
+class ClickHouseHttpSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withServer[T](f: (FakeClickHouse, ClickHouseHttpConfig) => T): T = {
+    val fake = new FakeClickHouse
+    val port = fake.start()
+    try f(fake, ClickHouseHttpConfig("127.0.0.1", port, "tickers_data_db", "tickers_data"))
+    finally fake.stop()
+  }
+
+  test("per-partition gzip'd chunked CSV inserts round-trip, params ride along") {
+    withServer { (fake, cfg) =>
+      val sink = new ClickHouseHttpSink(cfg)
+      val df = Seq(
+        ("AVA-USDT", 1L, 0.5, "plain"),
+        ("B,C", 2L, 0.75, "with \"quotes\""),
+        ("line\nbreak", 3L, 1.25, null),
+        ("unicode ✓", 4L, 2.0, "ok")
+      ).toDF("ticker", "seq", "price", "note").repartition(3)
+      sink.append(df)
+      val got = fake.stored.asScala.toSeq.map(_.mkString("|")).sorted
+      assert(got == Seq(
+        "AVA-USDT|1|0.5|plain",
+        "B,C|2|0.75|with \"quotes\"",
+        "line\nbreak|3|1.25|NULL__",
+        "unicode ✓|4|2.0|ok").sorted, got)
+      val inserts = fake.requests.asScala.filter(_.query.startsWith("INSERT")).toSeq
+      assert(inserts.nonEmpty && inserts.size <= 3, s"one POST per non-empty partition: $inserts")
+      inserts.foreach { r =>
+        assert(r.query == "INSERT INTO tickers_data_db.tickers_data FORMAT CSV", r.query)
+        assert(r.gzip, "body must be gzip'd (the reference's pass-thru compression)")
+        assert(r.chunked, "upload must stream chunked — no whole-batch buffering")
+        assert(r.params.get("async_insert").contains("1") &&
+          r.params.get("wait_for_async_insert").contains("1"),
+          s"async-insert params must ride every insert: ${r.params}")
+        assert(r.params.get("database").contains("tickers_data_db"))
+        assert(r.user == "default")
+      }
+    }
+  }
+
+  test("truncate and count speak the statement wire path") {
+    withServer { (fake, cfg) =>
+      val sink = new ClickHouseHttpSink(cfg)
+      sink.append(Seq(("X", 1L), ("Y", 2L)).toDF("t", "s").coalesce(1))
+      assert(sink.count(spark) == 2L)
+      sink.truncate(spark)
+      assert(sink.count(spark) == 0L)
+      val qs = fake.requests.asScala.map(_.query).toSeq
+      assert(qs.contains("TRUNCATE TABLE tickers_data_db.tickers_data"))
+      assert(qs.count(_.startsWith("SELECT count()")) == 2)
+    }
+  }
+
+  test("a 500 surfaces as an exception and the retry layer recovers (at-least-once)") {
+    withServer { (fake, cfg) =>
+      val sink = new ClickHouseHttpSink(cfg)
+      val df = Seq(("R", 9L)).toDF("t", "s").coalesce(1)
+      fake.failNext.set(1)
+      val err = intercept[Exception] { sink.append(df) }
+      assert(err.getMessage != null, "failure must propagate, never be swallowed")
+      // the engine's B4 retry wrapper around the whole cycle — the same
+      // two-layer contract the reference runs (maxFlushDataAttempts)
+      graft.pipeline.Retry(graft.pipeline.RetryPolicy(maxAttempts = 3, sleepMs = 1),
+        "ch-append") { sink.append(df) }
+      assert(fake.stored.asScala.toSeq == Seq(Seq("R", "9")))
+    }
+  }
+
+  test("csvField: ClickHouse CSV cell rules") {
+    import ClickHouseHttpSink.csvField
+    assert(csvField(null) == "\\N")
+    assert(csvField("plain") == "plain")
+    assert(csvField("a,b") == "\"a,b\"")
+    assert(csvField("say \"hi\"") == "\"say \"\"hi\"\"\"")
+    assert(csvField("two\nlines") == "\"two\nlines\"")
+    assert(csvField(1.5) == "1.5")
+    assert(csvField(42L) == "42")
+  }
+}
