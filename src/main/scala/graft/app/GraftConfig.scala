@@ -14,6 +14,26 @@ case class FlowConf(workCycleSec: Int, retry: RetryPolicy)
 case class IngestConf(maxFlushAttempts: Int, fanOutParts: Int, dataPath: String,
                       sleepOnRetryMs: Long, compressionBufferSize: Int)
 
+/** The reference's `DatabaseConfig` section (`application.origin.yaml:1-11`,
+  * `config/DatabaseConfig.java:4-13`) — connection material for the
+  * OPTIONAL external ClickHouse sink
+  * ([[graft.sinks.ClickHouseHttpSink]]). Key names match the reference,
+  * so a deployment's config file carries over verbatim; an empty `host`
+  * (the shipped default) means "no external sink", and the engine's
+  * parquet warehouse remains the only store.
+  */
+case class DatabaseConf(
+    host: String,
+    port: Int,
+    username: String,
+    password: String,
+    database: String,
+    customHttpParams: String,
+    socketTimeoutMs: Int,
+    connectTimeoutMs: Int) {
+  def enabled: Boolean = host.trim.nonEmpty
+}
+
 /** Log-sink flush knobs — the reference appender's `bufferSize` /
   * `flushTimeoutSec` pair (`log4j2.origin.xml:5-6`), lifted out of the
   * XML into the engine's one config tree so a deployment tunes log
@@ -26,10 +46,12 @@ case class LoggingConf(bufferSize: Int, flushTimeoutSec: Int)
 /** The engine's configuration tree — one case-class object mirroring the
   * reference's `application.origin.yaml:1-43` (same section and key names,
   * so a reference deployment's config carries over), loaded by
-  * [[PipelineApp]] via `--config <path>`. The `DatabaseConfig` section is
-  * connection material for a ClickHouse server this engine replaces with
-  * parquet/JDBC sinks — unknown keys are simply ignored, so it may remain
-  * in the file.
+  * [[PipelineApp]] via `--config <path>`. The `DatabaseConfig` section
+  * binds to [[DatabaseConf]] for the optional external ClickHouse sink
+  * ([[graft.sinks.ClickHouseHttpSink.fromConfig]]); with the shipped
+  * empty `host` it stays disabled and parquet remains the only store.
+  * Unknown keys anywhere are ignored, so the file may keep reference-only
+  * entries (`ssl`, `socketKeepAlive`).
   */
 case class GraftConfig(
     discovery: DiscoveryConf,
@@ -37,7 +59,8 @@ case class GraftConfig(
     uploadData: FlowConf,
     cleanup: FlowConf,
     ingest: IngestConf,
-    logging: LoggingConf)
+    logging: LoggingConf,
+    database: DatabaseConf)
 
 object GraftConfig {
 
@@ -50,7 +73,11 @@ object GraftConfig {
     cleanup = FlowConf(3 * 3600, RetryPolicy(3, 3000)),
     ingest = IngestConf(maxFlushAttempts = 3, fanOutParts = 32, dataPath = "",
       sleepOnRetryMs = 500, compressionBufferSize = 131072),
-    logging = LoggingConf(bufferSize = 8192, flushTimeoutSec = 15))
+    logging = LoggingConf(bufferSize = 8192, flushTimeoutSec = 15),
+    database = DatabaseConf(host = "", port = 8123, username = "default",
+      password = "", database = "default",
+      customHttpParams = "async_insert=1, wait_for_async_insert=1",
+      socketTimeoutMs = 300000, connectTimeoutMs = 5000))
 
   def load(path: String): GraftConfig =
     fromYaml(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
@@ -125,6 +152,18 @@ object GraftConfig {
         int(compression, "compressionBufferSize", d.ingest.compressionBufferSize)),
       logging = LoggingConf(
         int(logging, "bufferSize", d.logging.bufferSize),
-        int(logging, "flushTimeoutSec", d.logging.flushTimeoutSec)))
+        int(logging, "flushTimeoutSec", d.logging.flushTimeoutSec)),
+      database = {
+        val db = section(root, "DatabaseConfig")
+        DatabaseConf(
+          str(db, "host", d.database.host),
+          int(db, "port", d.database.port),
+          str(db, "username", d.database.username),
+          str(db, "password", d.database.password),
+          str(db, "database", d.database.database),
+          str(db, "customHttpParams", d.database.customHttpParams),
+          int(db, "socketTimeout", d.database.socketTimeoutMs),
+          int(db, "connectTimeout", d.database.connectTimeoutMs))
+      })
   }
 }

@@ -118,11 +118,17 @@ object TextOps {
           .as("n_sentences"),
         regexp_count(col("text"), lit("[aeiouyAEIOUY]+")).cast("long")
           .as("n_syllables"))
+      // integer-domain rounding (x*100 → round → /100), NOT round(x, 2):
+      // Spark's round(double, n) goes through BigDecimal on the EXACT
+      // binary value while DuckDB multiplies by 10^n first — a score
+      // sitting on the .005 boundary flips between engines (sf0.001 hit
+      // one: 85.165→85.16 vs 85.17). Rounding x*100 to an integer is the
+      // same IEEE multiply and the same away-from-zero tie rule in both.
       .withColumn("flesch",
-        round(lit(206.835) -
+        round((lit(206.835) -
           lit(1.015) * (col("n_words").cast("double") / col("n_sentences")) -
           lit(84.6) * (col("n_syllables").cast("double") /
-            greatest(col("n_words"), lit(1L))), 2))
+            greatest(col("n_words"), lit(1L)))) * 100).cast("long") / 100.0)
       .orderBy("doc_id")
   val readabilitySql: String =
     """WITH c AS (SELECT doc_id,
@@ -131,8 +137,9 @@ object TextOps {
       |    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT) AS n_syllables
       |  FROM documents)
       |SELECT doc_id, n_words, n_sentences, n_syllables,
-      |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
-      |        - 84.6 * (CAST(n_syllables AS DOUBLE) / greatest(n_words, 1)), 2) + 0.0 AS flesch
+      |  CAST(round((206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+      |        - 84.6 * (CAST(n_syllables AS DOUBLE) / greatest(n_words, 1))) * 100) AS BIGINT)
+      |    / 100.0 + 0.0 AS flesch
       |FROM c ORDER BY doc_id""".stripMargin
 
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean token

@@ -928,10 +928,15 @@ object TimeSeriesOps {
     cut.join(below, Seq("user_id"), "left")
       .select(col("user_id"), col("n").as("n_days"),
         col("cut").as("var_micro"),
-        graft.functions.NumOps.roundz(
-          (coalesce(col("sb"), lit(0L)) +
+        // tail-mean in the micro-int domain: round(s_tail/k) to an integer
+        // (same IEEE division + same away-from-zero tie rule in both
+        // engines), then one exact /1e6 — round(x, 6) on the double flips
+        // on .0000005 boundaries between Spark's BigDecimal path and
+        // DuckDB's multiply-first path (sf0.001 hit one). Integer domain
+        // also kills -0.0 for free (roundz no longer needed).
+        (round((coalesce(col("sb"), lit(0L)) +
             (col("k") - col("cut_lo") + 1) * col("cut")).cast("double") /
-            (col("k").cast("double") * 1000000), 6).as("es"))
+            col("k").cast("double")).cast("long") / 1000000.0).as("es"))
       .orderBy("user_id")
   }
   lazy val varEsSql: String =
@@ -949,7 +954,7 @@ object TimeSeriesOps {
        |       FROM rk JOIN cut c USING (user_id) WHERE rk.rn <= c.k
        |       GROUP BY rk.user_id, c.k, c.n, c.cut)
        |SELECT user_id, CAST(n AS BIGINT) AS n_days, CAST(cut AS BIGINT) AS var_micro,
-       |  round(CAST(s_tail AS DOUBLE) / (CAST(k AS DOUBLE) * 1000000), 6) + 0.0 AS es
+       |  CAST(round(CAST(s_tail AS DOUBLE) / CAST(k AS DOUBLE)) AS BIGINT) / 1000000.0 + 0.0 AS es
        |FROM es ORDER BY user_id""".stripMargin
 
   /** Day-of-week seasonality strength of order flow — the forecasting

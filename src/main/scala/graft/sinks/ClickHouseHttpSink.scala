@@ -85,6 +85,26 @@ class ClickHouseHttpSink(cfg: ClickHouseHttpConfig) extends ExternalSink {
 
 object ClickHouseHttpSink {
 
+  /** Build the sink from the reference-shaped config tree's
+    * `DatabaseConfig` section — the comma-separated `customHttpParams`
+    * string ("async_insert=1, wait_for_async_insert=1") parses to the
+    * per-request param map exactly as the reference's CUSTOM_PARAMS
+    * option does. Callers should check `db.enabled` first; an empty host
+    * means the deployment runs without an external sink.
+    */
+  def fromConfig(db: graft.app.DatabaseConf, table: String): ClickHouseHttpSink = {
+    val params = db.customHttpParams.split(",").iterator
+      .map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k.trim -> v.trim
+      }.toMap
+    new ClickHouseHttpSink(ClickHouseHttpConfig(
+      host = db.host, port = db.port, database = db.database, table = table,
+      user = db.username, password = db.password, customParams = params,
+      connectTimeoutMs = db.connectTimeoutMs, socketTimeoutMs = db.socketTimeoutMs))
+  }
+
   private def endpoint(cfg: ClickHouseHttpConfig, query: String): URL = {
     val params = (Map("query" -> query, "database" -> cfg.database) ++
       cfg.customParams).toSeq.sortBy(_._1)

@@ -58,6 +58,30 @@ class ConfigSpec extends AnyFunSuite {
     assert(c.ingest.dataPath == "/data/ticks")
     assert(c.ingest.sleepOnRetryMs == 250)
     assert(c.ingest.compressionBufferSize == 65536)
+    // the DatabaseConfig section binds for the optional ClickHouse sink
+    assert(c.database.enabled && c.database.host == "example")
+    assert(c.database.customHttpParams == "async_insert=1, wait_for_async_insert=1")
+  }
+
+  test("DatabaseConfig carries into the ClickHouse HTTP sink factory; empty host disables") {
+    val c = GraftConfig.fromYaml(
+      """DatabaseConfig:
+        |  host: ch.internal
+        |  port: 8443
+        |  username: writer
+        |  password: s3cret
+        |  database: tickers_data_db
+        |  customHttpParams: async_insert=1, wait_for_async_insert=1
+        |  socketTimeout: 300000
+        |  connectTimeout: 5000
+        |""".stripMargin)
+    assert(c.database.enabled)
+    // the factory parses the reference's comma-separated CUSTOM_PARAMS form
+    val sink = graft.sinks.ClickHouseHttpSink.fromConfig(c.database, "tickers_data")
+    assert(sink != null)
+    // shipped default: empty host = no external sink (parquet is the store)
+    assert(!GraftConfig.default.database.enabled)
+    assert(!GraftConfig.fromYaml("DatabaseConfig:\n  host:\n").database.enabled)
   }
 
   test("LoggingConfig binds the log4j2 appender's flush knobs; defaults mirror it") {
