@@ -335,6 +335,16 @@ object PipelineApp {
   /** Continuous mode — config-driven cadences (B5), defaults = reference's. */
   private def runContinuous(spark: SparkSession, journal: TickerFileJournal,
       root: String, warehouseDir: String, cfg: GraftConfig): Unit = {
+    // optional external ClickHouse warehouse (DatabaseConfig section — the
+    // reference's wire, carried over verbatim): each upload cycle publishes
+    // the staged batch before finalize; empty host = parquet-only
+    val externalSink: Option[graft.sinks.ExternalSink] =
+      if (cfg.database.enabled)
+        Some(graft.sinks.ClickHouseHttpSink.fromConfig(cfg.database, "tickers_data"))
+      else None
+    if (externalSink.nonEmpty)
+      println(s"[app] external ClickHouse sink enabled: " +
+        s"${cfg.database.host}:${cfg.database.port}/${cfg.database.database}")
     // crash recovery before anything claims: files a dead predecessor left
     // IN_PROGRESS go back to READY (their staged-but-uncommitted data was
     // never visible, so the re-ingest is exactly-once — see LifecycleSpec)
@@ -422,10 +432,12 @@ object PipelineApp {
         // quarantined set waits for manual ERROR->READY re-queue and the
         // next fixed-delay cycle picks up the rest
         var rep = Lifecycle.processReady(spark, journal, root, warehouseDir, now(),
-          retry = RetryPolicy(cfg.ingest.maxFlushAttempts, cfg.ingest.sleepOnRetryMs))
+          retry = RetryPolicy(cfg.ingest.maxFlushAttempts, cfg.ingest.sleepOnRetryMs),
+          external = externalSink)
         while (rep.finished > 0 && rep.errored == 0 && rep.remainingReady > 0) {
           rep = Lifecycle.processReady(spark, journal, root, warehouseDir, now(),
-            retry = RetryPolicy(cfg.ingest.maxFlushAttempts, cfg.ingest.sleepOnRetryMs))
+            retry = RetryPolicy(cfg.ingest.maxFlushAttempts, cfg.ingest.sleepOnRetryMs),
+            external = externalSink)
         }
       }
     }

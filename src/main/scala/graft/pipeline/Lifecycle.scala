@@ -73,7 +73,8 @@ object Lifecycle {
       quarantineDir: Option[String] = None,
       retry: RetryPolicy = RetryPolicy(1, 0L),
       ingestFn: (SparkSession, Seq[String], String, Option[String]) => TickerIngest.StagedIngest =
-        TickerIngest.stage): ProcessReport = {
+        TickerIngest.stage,
+      external: Option[graft.sinks.ExternalSink] = None): ProcessReport = {
     val claimed = journal.claimReady(now)
     if (claimed.isEmpty) return ProcessReport(0, 0, 0, 0L, 0L)
     // B8/B9 path resolution: <root>/<yyyy-MM-dd>/<filename>, sorted (B10)
@@ -82,6 +83,20 @@ object Lifecycle {
       try {
         val staged = Retry(retry, "processReady.stage") {
           ingestFn(spark, paths, warehouseDir, quarantineDir)
+        }
+        // optional external warehouse (DatabaseConfig) — published from the
+        // STAGED parquet, before the commit and the status flip: the
+        // reference's ordering (upload to ClickHouse, then finalize), and
+        // the right crash matrix — a publish failure routes the claim to
+        // ERROR with the warehouse untouched; a crash after publish but
+        // before finalize re-stages AND re-publishes on requeue
+        // (at-least-once to the external sink, the reference's own
+        // contract), while the parquet commit stays exactly-once.
+        external.foreach { sink =>
+          if (staged.stagingWh.nonEmpty)
+            Retry(retry, "processReady.publish") {
+              sink.append(spark.read.parquet(staged.stagingWh))
+            }
         }
         TickerIngest.commit(spark, staged) // renames only — never retried
         val report: IngestReport = staged.report

@@ -191,6 +191,57 @@ class ClickHouseHttpSinkSpec extends SparkSpec {
     }
   }
 
+  test("upload cycle publishes the staged batch to the external sink before finalize") {
+    withServer { (fake, cfg0) =>
+      val cfg = cfg0.copy(table = "tickers_data")
+      val sink = new ClickHouseHttpSink(cfg)
+      val root = tmpDir("ch-root")
+      val wh = tmpDir("ch-wh")
+      def seed(j: graft.journal.TickerFileJournal, name: String, date: String,
+          at: String): Unit = {
+        new java.io.File(s"$root/$date").mkdirs()
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/$date/$name"),
+          ("AVA-USDT,1,0.5,15.2,0.501,100.0,0.499,80.5,2024-03-14T12:34:56.123\n" +
+           "AVA-USDT,2,0.6,15.2,0.601,100.0,0.599,80.5,2024-03-14T12:35:56.123").getBytes)
+        j.appendDiscovered(
+          Seq((name, date)).toDF("filename", "cd")
+            .select(col("filename"), col("cd").cast("date").as("create_date")),
+          ts(s"$at:00"))
+        j.transition(Seq(name), graft.schema.FileStatus.ReadyForProcessing, ts(s"$at:30"))
+        ()
+      }
+      val j = new graft.journal.TickerFileJournal(spark, tmpDir("ch-journal"))
+      seed(j, "AVA_1_2024-08-06", "2024-08-06", "2024-08-08 09:00")
+      val rep = graft.pipeline.Lifecycle.processReady(spark, j, root, wh,
+        ts("2024-08-08 10:00:00"), external = Some(sink))
+      assert(rep.finished == 1 && rep.errored == 0 && rep.rows == 2)
+      // both stores saw the batch: parquet committed AND the wire received it
+      assert(graft.ingest.TickerIngest.warehouse(spark, wh).count() == 2)
+      assert(fake.stored.size() == 2, s"external sink must receive the batch")
+      // sequences 1 and 2 rode the wire
+      assert(fake.stored.asScala.map(_(1)).toSet == Set("1", "2"))
+
+      // publish failure: claim quarantined to ERROR, warehouse NOT committed
+      fake.failNext.set(99)
+      seed(j, "AVA_2_2024-08-07", "2024-08-07", "2024-08-08 11:00")
+      val rep2 = graft.pipeline.Lifecycle.processReady(spark, j, root, wh,
+        ts("2024-08-08 12:00:00"), external = Some(sink))
+      assert(rep2.errored == 1, "publish exhaustion must quarantine the claim")
+      assert(j.statusOf("AVA_2_2024-08-07").contains(graft.schema.FileStatus.Error))
+      assert(graft.ingest.TickerIngest.warehouse(spark, wh).count() == 2,
+        "a failed publish must leave the warehouse uncommitted")
+      // ERROR -> READY requeue + a healthy server: at-least-once delivery
+      fake.failNext.set(0)
+      j.transition(Seq("AVA_2_2024-08-07"), graft.schema.FileStatus.ReadyForProcessing,
+        ts("2024-08-08 12:30:00"))
+      val rep3 = graft.pipeline.Lifecycle.processReady(spark, j, root, wh,
+        ts("2024-08-08 13:00:00"), external = Some(sink))
+      assert(rep3.finished == 1)
+      assert(graft.ingest.TickerIngest.warehouse(spark, wh).count() == 4)
+      assert(fake.stored.size() == 4)
+    }
+  }
+
   test("csvField: ClickHouse CSV cell rules") {
     import ClickHouseHttpSink.csvField
     assert(csvField(null) == "\\N")
