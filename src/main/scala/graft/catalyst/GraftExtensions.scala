@@ -117,7 +117,16 @@ object GraftExtensions {
   )
 
   /** Runtime registration on an existing session. */
+  // once per session: register() is called from library entry points that
+  // run per-query (e.g. the rollup board queries), and re-replacing every
+  // temp function each time costs a registry write + a WARN line per call
+  private val registeredSessions =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
   def register(spark: SparkSession): Unit = {
+    if (!registeredSessions.add(spark)) return
     functions.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "scala_udf")
