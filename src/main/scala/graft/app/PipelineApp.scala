@@ -365,6 +365,9 @@ object PipelineApp {
     val rollups = graft.plans.MaterializedRollup
       .recoverAll(spark, s"$warehouseDir/_rollups")
     if (rollups > 0) println(s"[recover] re-registered $rollups materialized rollups")
+    // observe-mode advisor: accumulates servable aggregate shapes; advice
+    // is logged on the cleanup cadence below
+    graft.plans.RollupAdvisor.install(spark)
     Discovery.catchUp(spark, journal, root, LocalDate.now(), now())
     val q = Discovery.stream(spark, journal, root, s"$warehouseDir/_discovery_ckpt",
       maxFilesPerTrigger = cfg.discovery.filesBufferSize,
@@ -467,6 +470,14 @@ object PipelineApp {
         // concurrently with flows 8/9 is safe.
         graft.streaming.StreamingTopK.compact(spark, s"$warehouseDir/_hh_store")
         graft.streaming.StreamingQuantiles.compact(spark, s"$warehouseDir/_len_store")
+        // surface the rollup advisor's accumulated recommendations on the
+        // maintenance cadence — building is the OPERATOR's call (the NDV
+        // trade is theirs), so the app logs, never auto-materializes
+        graft.plans.RollupAdvisor.advise(3).foreach { c =>
+          flowLog.info(s"[advisor] rollup candidate: base=${c.basePath} " +
+            s"group=(${c.groupCols.mkString(",")}) " +
+            s"measures=(${c.measureCols.mkString(",")}) hits=${c.hits}")
+        }
       }
     }
     // awaitANYTermination: a dead corpus-admission stream must stop the app
