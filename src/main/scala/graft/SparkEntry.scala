@@ -125,6 +125,7 @@ object SparkEntry {
     "sql_recursive"     -> (SQ.sqlRecursive _),
     // Training-data pipeline: dedup
     "d_exact_dedup"     -> (DedupOps.exactDedup _),
+    "d_substring_spans" -> (DedupOps.substringSpans _),
     "d_ngram_jaccard"   -> ((s, d) => DedupOps.ngramJaccardPairs(s, d)),
     "d_minhash_lsh"     -> (DedupOps.minhashLshPairs _),
     "d_simhash"         -> (DedupOps.simhash _),
@@ -495,6 +496,7 @@ object SparkEntry {
     "sql_lateral"       -> SQ.sqlLateralSql,
     "sql_recursive"     -> SQ.sqlRecursiveSql,
     "d_exact_dedup"     -> DedupOps.exactDedupSql,
+    "d_substring_spans" -> DedupOps.substringSpansSql,
     "d_ngram_jaccard"   -> DedupOps.ngramJaccardSql,
     "d_minhash_lsh"     -> DedupOps.minhashLshSql,
     "d_simhash"         -> DedupOps.simhashSql,

@@ -548,4 +548,97 @@ object DedupOps {
        |FROM p JOIN c ca ON ca.doc_id = a_id JOIN c cb ON cb.doc_id = b_id
        |WHERE common * $PfDen >= (ca.n + cb.n - common) * $PfNum
        |ORDER BY a_id, b_id""".stripMargin
+
+  // ---- exact substring-span dedup (Lee et al. 2021) ----------------------
+
+  /** Window width in tokens. Lee et al. use 50; the synthetic corpus' docs
+    * average ~54 tokens, so 10 keeps the operator's behavior visible at
+    * test scale — the construction is width-independent.
+    */
+  val SpanW = 10
+
+  /** EXACT substring-span dedup accounting (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499 — the ExactSubstr method): every `SpanW`-token
+    * window is hashed; a window whose hash occurs in ≥2 DISTINCT documents
+    * is a duplicated span, and per document the report carries the window
+    * count, the duplicated-window count, and the number of tokens covered
+    * by the union of duplicated spans (the "how much of this doc is
+    * boilerplate shared with the corpus" number a cleaning pass thresholds
+    * on). Lee et al. suffix-array the corpus on one machine; the
+    * distributed equivalent is this hash-and-shuffle: one
+    * partial-aggregable groupBy on the window hash replaces the global
+    * suffix sort.
+    *
+    * Scale shape: windows ≈ tokens (one row per position) — the ONE
+    * data-scale shuffle is the groupBy(hash) for cross-doc counts
+    * (partial-aggregable), then a semi-join back. The interval-union pass
+    * runs in windows PARTITIONED BY doc_id and bounded by the document's
+    * own window count — never a global sort. The md5-of-joined-span hash
+    * is the oracle-replayable form; a production run swaps in a rolling /
+    * native hash ([[graft.catalyst.ShingleHashes3]]'s shape generalized to
+    * W) to avoid materializing the W-token span string per position, and
+    * widens W to 50.
+    */
+  def substringSpans(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.fanOut(Tables.documents(s, d))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), graft.functions.TextOps.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= SpanW)
+    val win = t.select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${SpanW - 1}), " +
+          s"p -> struct(p AS p, md5(array_join(slice(w, p, $SpanW), ' ')) AS h))")).as("x"))
+      .select(col("doc_id"), col("x.p").as("p"), col("x.h").as("h"))
+      .localCheckpoint(true) // feeds the cross-doc counts AND the semi-join
+    val crossDoc = win.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("nd")).filter(col("nd") >= 2)
+      .select("h")
+    val dw = win.join(crossDoc, Seq("h"), "left_semi")
+    // interval union of [p, p+W-1] per doc: gaps-and-islands on the sorted
+    // positions — a window spans a NEW island iff it starts past the
+    // running max end of everything before it
+    val before = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upToHere = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cover = dw
+      .withColumn("pmax", max("p").over(before))
+      .withColumn("ni", when(col("pmax").isNull ||
+        col("p") > col("pmax") + lit(SpanW - 1), 1).otherwise(0))
+      .withColumn("isl", sum("ni").over(upToHere))
+      .groupBy("doc_id", "isl")
+      .agg((max("p") + lit(SpanW - 1) - min("p") + 1).as("cov"),
+        count(lit(1)).as("nw"))
+      .groupBy("doc_id")
+      .agg(sum("cov").as("covered_tokens"), sum("nw").as("n_dup_windows"))
+    win.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+      .join(cover, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+      .orderBy("doc_id")
+  }
+  val substringSpansSql: String =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |           FROM documents WHERE text IS NOT NULL),
+       |tw AS (SELECT doc_id, w FROM t WHERE len(w) >= $SpanW),
+       |win AS (SELECT doc_id, unnest(generate_series(1, len(w) - ${SpanW - 1})) AS p, w FROM tw),
+       |h AS (SELECT doc_id, p, md5(array_to_string(w[p:p+${SpanW - 1}], ' ')) AS h FROM win),
+       |dup AS (SELECT h FROM h GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |dw AS (SELECT doc_id, p FROM h JOIN dup USING (h)),
+       |m AS (SELECT doc_id, p, max(p) OVER (PARTITION BY doc_id ORDER BY p
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM dw),
+       |i AS (SELECT doc_id, p,
+       |        CASE WHEN pmax IS NULL OR p > pmax + ${SpanW - 1} THEN 1 ELSE 0 END AS ni FROM m),
+       |s AS (SELECT doc_id, p, sum(ni) OVER (PARTITION BY doc_id ORDER BY p) AS isl FROM i),
+       |c AS (SELECT doc_id, isl, max(p) + ${SpanW - 1} - min(p) + 1 AS cov, count(*) AS nw
+       |      FROM s GROUP BY doc_id, isl),
+       |cd AS (SELECT doc_id, CAST(sum(cov) AS BIGINT) AS covered_tokens,
+       |         CAST(sum(nw) AS BIGINT) AS n_dup_windows FROM c GROUP BY doc_id),
+       |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM h GROUP BY doc_id)
+       |SELECT tot.doc_id, n_windows,
+       |  COALESCE(n_dup_windows, 0) AS n_dup_windows,
+       |  COALESCE(covered_tokens, 0) AS covered_tokens
+       |FROM tot LEFT JOIN cd USING (doc_id) ORDER BY tot.doc_id""".stripMargin
 }
