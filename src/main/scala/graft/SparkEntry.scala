@@ -189,6 +189,7 @@ object SparkEntry {
     "t_doc_freq"        -> (PQ.docFreq _),
     "t_vocab_oov"       -> ((s, d) => PQ.vocabOov(s, d)),
     "t_bigram_lm"       -> (PQ.bigramLm _),
+    "t_kn_bigram"       -> (PQ.knBigram _),
     // CCNet head/middle/tail quality tiers from exact xent order statistics
     "t_ppl_bucket"      -> (PQ.pplBucket _),
     // DSIR importance selection: unigram LLR vs target domain, top-quartile keep
@@ -539,6 +540,7 @@ object SparkEntry {
     "t_doc_freq"        -> PQ.docFreqSql,
     "t_vocab_oov"       -> PQ.vocabOovSql,
     "t_bigram_lm"       -> PQ.bigramLmSql,
+    "t_kn_bigram"       -> PQ.knBigramSql,
     "t_ppl_bucket"      -> PQ.pplBucketSql,
     "t_dsir_select"     -> PQ.dsirSelectSql,
     "p_curation_funnel" -> PQ.curationFunnelSql,

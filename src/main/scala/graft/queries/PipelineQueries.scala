@@ -515,6 +515,83 @@ object PipelineQueries {
        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Interpolated Kneser–Ney bigram scoring — the smoothing KenLM actually
+    * ships (Kneser & Ney 1995; Chen & Goodman 1998), next to the add-1
+    * baseline of [[bigramLm]]: each document's cross-entropy under the
+    * CONDITIONAL model
+    * `P(w2|w1) = max(c(w1,w2)−D, 0)/c(w1·) + D·N1+(w1·)/c(w1·) · P_cont(w2)`
+    * with the standard discount D = 0.75 and the continuation probability
+    * `P_cont(w2) = N1+(·w2) / N1+(··)` — the "how many contexts has this
+    * word followed" distribution that makes KN beat raw frequency on
+    * high-count-single-context words ("Francisco"). The two LM scores
+    * disagree exactly where KN's design says they should, which is the
+    * point of carrying both on a curation board.
+    *
+    * Cross-engine float determinism: every count is an exact integer; the
+    * probability is ONE double expression with identical association in
+    * both engines (IEEE-determined), ln'd and rounded to 6 dp ONCE PER
+    * DISTINCT BIGRAM TYPE, then per-doc sums run in DECIMAL(18,6) — the
+    * [[bigramLm]] discipline. Documents with < 2 tokens score NULL.
+    *
+    * Scale shape: the three stat tables (left totals + following-type
+    * counts per w1, continuation counts per w2, one global type count) are
+    * all NDV-sized rollups OF the bigram count table, stitched onto it
+    * NDV-side — so the token stream takes exactly ONE data-scale shuffle
+    * join (occurrence → per-type lp, on the bigram key), then one
+    * partial-aggregable per-doc rollup. At 100 TB the lp table swaps for a
+    * broadcast count-min sketch pair exactly like [[dsirSelectCms]].
+    */
+  val KnDiscount = 0.75
+  def knBigram(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, d))
+    val bi = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val cbg = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    // NDV-sized stats OF the count table — no second pass over occurrences
+    val left = cbg.groupBy("w1").agg(sum("c").as("cl"), count(lit(1)).as("n1l"))
+    val cont = cbg.groupBy("w2").agg(count(lit(1)).as("n1r"))
+    val tot = cbg.agg(count(lit(1)).as("n1tot"))
+    val lp = cbg.join(left, "w1").join(cont, "w2").crossJoin(broadcast(tot))
+      .withColumn("lp", round(log(
+        (greatest(col("c") - lit(KnDiscount), lit(0.0)) +
+          lit(KnDiscount) * col("n1l") * (col("n1r").cast("double") / col("n1tot"))) /
+          col("cl")), 6).cast("decimal(18,6)"))
+      .select("w1", "w2", "lp")
+    docs.select("doc_id").join(
+        bi.join(lp, Seq("w1", "w2")).groupBy("doc_id").agg(
+          count(lit(1)).as("n_bigrams"),
+          round((-sum(col("lp")).cast("double")) / count(lit(1)), 4).as("xent_kn")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (col("xent_kn") + lit(0.0)).as("xent_kn"))
+      .orderBy("doc_id")
+  }
+  val knBigramSql: String =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       |bi AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+       |       FROM t CROSS JOIN UNNEST(generate_series(1, len(toks) - 1)) AS u(i)),
+       |cbg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY w1, w2),
+       |lft AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cl, CAST(count(*) AS BIGINT) AS n1l
+       |        FROM cbg GROUP BY w1),
+       |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1r FROM cbg GROUP BY w2),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n1tot FROM cbg),
+       |lp AS (SELECT w1, w2,
+       |    CAST(round(ln((greatest(c - $KnDiscount, 0.0)
+       |      + $KnDiscount * n1l * (n1r::DOUBLE / n1tot)) / cl), 6) AS DECIMAL(18,6)) AS lp
+       |  FROM cbg JOIN lft USING (w1) JOIN cont USING (w2) CROSS JOIN tot),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |          round(-CAST(sum(lp) AS DOUBLE) / count(*), 4) + 0.0 AS xent_kn
+       |        FROM bi JOIN lp USING (w1, w2) GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(agg.n_bigrams, 0) AS n_bigrams, agg.xent_kn
+       |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** CCNet-style perplexity bucketing on top of [[bigramLm]]: the corpus is
     * cut into head / middle / tail terciles of LM cross-entropy (CCNet's
     * exact quality-tiering move, with the self-trained bigram LM standing in

@@ -70,4 +70,32 @@ class Round12OpsSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 1L,
       "the residue buffered at shutdown must reach the table")
   }
+
+  test("Kneser-Ney bigram xent matches the hand-computed model on a toy " +
+      "corpus, and sub-2-token docs stay unscored") {
+    // corpus: d1 = "a b a b", d2 = "a b c", d3 = "x" (unscorable)
+    // cbg: (a,b)=3 (b,a)=1 (b,c)=1; left: a->(cl 3,n1l 1), b->(cl 2,n1l 2)
+    // cont: a=1 b=1 c=1; n1tot=3; D=0.75
+    // P(b|a) = (2.25 + .75*1*(1/3))/3 = 2.5/3   -> ln r6 = -0.182322
+    // P(a|b) = (0.25 + .75*2*(1/3))/2 = 0.375   -> ln r6 = -0.980829
+    // P(c|b) = same shape as P(a|b)             -> ln r6 = -0.980829
+    // d1 xent = (2*0.182322 + 0.980829)/3 -> 0.4485
+    // d2 xent = (0.182322 + 0.980829)/2   -> 0.5816
+    val dir = tmpDir("r12-kn")
+    Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.PipelineQueries.knBigram(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(rows(1L) == ((3L, Some(0.4485))), s"d1: ${rows(1L)}")
+    assert(rows(2L) == ((2L, Some(0.5816))), s"d2: ${rows(2L)}")
+    assert(rows(3L) == ((0L, None)), s"d3 must be unscored: ${rows(3L)}")
+    // the KN-vs-add-1 divergence the operator exists to expose: the add-1
+    // unconditional LM scores d1 and d2 with DIFFERENT xent too, but KN's
+    // conditional model must agree with the hand model, not the add-1 one
+    val add1 = graft.queries.PipelineQueries.bigramLm(spark, dir).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(add1(1L) != rows(1L)._2.map(identity),
+      "KN and add-1 must not collapse to the same score on the toy corpus")
+  }
 }
