@@ -190,6 +190,7 @@ object SparkEntry {
     "t_vocab_oov"       -> ((s, d) => PQ.vocabOov(s, d)),
     "t_bigram_lm"       -> (PQ.bigramLm _),
     "t_kn_bigram"       -> (PQ.knBigram _),
+    "t_textrank"        -> (PQ.textrank _),
     // CCNet head/middle/tail quality tiers from exact xent order statistics
     "t_ppl_bucket"      -> (PQ.pplBucket _),
     // DSIR importance selection: unigram LLR vs target domain, top-quartile keep
@@ -541,6 +542,7 @@ object SparkEntry {
     "t_vocab_oov"       -> PQ.vocabOovSql,
     "t_bigram_lm"       -> PQ.bigramLmSql,
     "t_kn_bigram"       -> PQ.knBigramSql,
+    "t_textrank"        -> PQ.textrankSql,
     "t_ppl_bucket"      -> PQ.pplBucketSql,
     "t_dsir_select"     -> PQ.dsirSelectSql,
     "p_curation_funnel" -> PQ.curationFunnelSql,

@@ -592,6 +592,91 @@ object PipelineQueries {
        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): weighted
+    * PageRank over the corpus token co-occurrence graph — nodes are
+    * distinct tokens, an undirected edge weights how often two tokens
+    * appear adjacent (window 2), and the stationary score ranks "which
+    * terms the corpus is about" without any labeled data. Scores follow
+    * the paper: init 1.0 per node, `WS(v) = (1−d) + d·Σ_u w(u,v)/wdeg(u)
+    * ·WS(u)`, d = 0.85, a fixed [[TextRankIters]] synchronous rounds
+    * (convergence not required — the fixed-round run is the oracle-able
+    * object, the [[graft.operators.GraphOps.pagerank]] discipline). Output
+    * is the global top-[[TextRankTopN]] terms by (score desc, term asc).
+    *
+    * Cross-engine determinism — the integer nano-space rule from
+    * [[graft.operators.GraphOps]]: scores are BIGINT parts-per-billion;
+    * each contribution does ONE double multiply-divide then rounds at
+    * scale 0 (where Spark and DuckDB agree), and the per-node sum is exact
+    * integer addition, partition-order-independent.
+    *
+    * Scale shape: the only data-scale pass is the adjacent-pair groupBy
+    * (the [[knBigram]] count table); everything after is NDV-sized —
+    * symmetrize, weighted degree, then [[TextRankIters]] rounds of one
+    * broadcast join + one partial-aggregable groupBy each. The edge frame
+    * is checkpointed once and never reshuffles. Beyond broadcast reach
+    * (vocab > executor memory) drop the hints and hash-partition the edge
+    * list by src once, reusing the partitioning every round.
+    */
+  val TextRankIters = 3
+  val TextRankTopN = 50
+  private val TrNano = 1000000000L // score unit: parts-per-billion
+  def textrank(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, d))
+    val bi = docs.select(TextOps.tokens(col("text")).as("toks"))
+      .select(explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .where(col("w1") =!= col("w2")) // no self-loops
+    val cbg = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val e = cbg.select(col("w1").as("src"), col("w2").as("dst"), col("c"))
+      .unionAll(cbg.select(col("w2").as("src"), col("w1").as("dst"), col("c")))
+      .groupBy("src", "dst").agg(sum("c").as("w"))
+    val wdeg = e.groupBy("src").agg(sum("w").as("wdeg"))
+    val eDeg = e.join(broadcast(wdeg), "src").localCheckpoint(true)
+    var rank = eDeg.select(col("src").as("term")).distinct()
+      .withColumn("rank_ppb", lit(TrNano))
+    for (_ <- 1 to TextRankIters) {
+      rank = eDeg.join(broadcast(rank), eDeg("src") === rank("term"))
+        .select(col("dst"),
+          round(col("rank_ppb").cast("double") * col("w") / col("wdeg"))
+            .cast("long").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("in_sum"))
+        .select(col("dst").as("term"),
+          round(lit(0.15) * TrNano + lit(0.85) * col("in_sum").cast("double"))
+            .cast("long").as("rank_ppb"))
+    }
+    rank.orderBy(col("rank_ppb").desc, col("term")).limit(TextRankTopN)
+  }
+  val textrankSql: String = {
+    def iter(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT e.dst AS term,
+         |    CAST(round(CAST(0.15 AS DOUBLE) * $TrNano + CAST(0.85 AS DOUBLE) *
+         |      CAST(sum(CAST(round(CAST(r.rank_ppb AS DOUBLE) * e.w / e.wdeg) AS BIGINT)) AS DOUBLE))
+         |      AS BIGINT) AS rank_ppb
+         |  FROM ed e JOIN $prev r ON e.src = r.term
+         |  GROUP BY e.dst)""".stripMargin
+    s"""WITH t AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       |bi AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+       |       FROM t CROSS JOIN UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+       |       WHERE toks[i] <> toks[i+1]),
+       |cbg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY w1, w2),
+       |e AS (SELECT src, dst, CAST(sum(c) AS BIGINT) AS w FROM (
+       |        SELECT w1 AS src, w2 AS dst, c FROM cbg
+       |        UNION ALL SELECT w2, w1, c FROM cbg)
+       |      GROUP BY src, dst),
+       |deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wdeg FROM e GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, e.w, d.wdeg FROM e JOIN deg d ON e.src = d.src),
+       |r0 AS (SELECT DISTINCT src AS term, CAST($TrNano AS BIGINT) AS rank_ppb FROM e),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT term, rank_ppb FROM r3 ORDER BY rank_ppb DESC, term LIMIT $TextRankTopN""".stripMargin
+  }
+
   /** CCNet-style perplexity bucketing on top of [[bigramLm]]: the corpus is
     * cut into head / middle / tail terciles of LM cross-entropy (CCNet's
     * exact quality-tiering move, with the self-trained bigram LM standing in

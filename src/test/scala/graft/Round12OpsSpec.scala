@@ -98,4 +98,19 @@ class Round12OpsSpec extends SparkSpec {
     assert(add1(1L) != rows(1L)._2.map(identity),
       "KN and add-1 must not collapse to the same score on the toy corpus")
   }
+
+  test("TextRank replays the weighted update rule exactly on a hand-computed " +
+      "3-node graph (nano-space integer scores)") {
+    // corpus "a b", "b c", "a b" -> edges a-b w2, b-c w1; wdeg a=2 b=3 c=1
+    // init 1e9; three synchronous rounds of
+    //   WS(v) = round(0.15e9 + 0.85 * sum(round(WS(u) * w / wdeg(u))))
+    // hand-rolled: r3 = b 1741625000, a 788916667, c 469458333
+    val dir = tmpDir("r12-textrank")
+    Seq((1L, "a b"), (2L, "b c"), (3L, "a b"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = graft.queries.PipelineQueries.textrank(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toList
+    assert(got == List(("b", 1741625000L), ("a", 788916667L), ("c", 469458333L)),
+      s"got $got")
+  }
 }
