@@ -200,6 +200,8 @@ object SparkEntry {
     "t_bpe_train"       -> ((s, d) => graft.operators.TokenizerOps.bpeTrain(s, d)),
     "t_bpe_encode"      -> ((s, d) => graft.operators.TokenizerOps.bpeSegment(s, d)),
     "t_bpe_pairs"       -> ((s, d) => graft.operators.TokenizerOps.bpePairFreqs(s, d)),
+    "t_uni_vocab"       -> ((s, d) => graft.operators.TokenizerOps.unigramVocab(s, d)),
+    "t_uni_encode"      -> ((s, d) => graft.operators.TokenizerOps.unigramSegment(s, d)),
     "d_cluster_canon"   -> ((s, d) => graft.operators.DedupPipeline
       .clusters(DedupOps.ngramJaccardPairs(s, d)).orderBy("doc_id")),
     // Round 2: deterministic splits / sampling / balancing
@@ -551,6 +553,10 @@ object SparkEntry {
     // within consecutive match-position chains — see TokenizerOps scaladoc)
     "t_bpe_train"       -> graft.operators.TokenizerOps.bpeTrainSql(),
     "t_bpe_encode"      -> graft.operators.TokenizerOps.bpeSegmentSql(),
+    // unigram-LM (SentencePiece) seed vocab + Viterbi encode, DP unrolled
+    // position-by-position in exact packed integers (TokenizerOps scaladoc)
+    "t_uni_vocab"       -> graft.operators.TokenizerOps.unigramVocabSql,
+    "t_uni_encode"      -> graft.operators.TokenizerOps.unigramSegSql,
     "d_cluster_canon"   -> DedupOps.clusterCanonSql,
     "p_train_split"     -> PQ.trainSplitSql,
     "p_stratified_sample" -> PQ.stratifiedSampleSql,

@@ -466,6 +466,44 @@ object HashUtil {
       jaro + pl * 0.1 * (1.0 - jaro)
     } else jaro
   }
+
+  /** Viterbi unigram-LM segmentation DP for [[UnigramSeg]]. Costs live in
+    * exact integer micro-nats; the DP value packs `(total_cost_micro,
+    * n_pieces)` into one long (`cost*100 + np`, np < 100 structurally — a
+    * word of ≤ [[graft.operators.TokenizerOps.UniMaxWordLen]] code points
+    * yields ≤ that many pieces), so the min is the lexicographic
+    * (cost asc, pieces asc) order both engines replay exactly — no float
+    * compares anywhere. Code-point indexed to match Spark `substring` and
+    * DuckDB `substr` semantics. Returns null only if some position is
+    * unreachable, which full single-character coverage of the vocab rules
+    * out by construction.
+    */
+  def unigramSeg(word: UTF8String,
+      vocab: java.util.HashMap[String, java.lang.Long], maxPiece: Int): InternalRow = {
+    val cps = word.toString.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return InternalRow(0, 0L)
+    val dp = new Array[Long](n + 1)
+    java.util.Arrays.fill(dp, 1, n + 1, Long.MaxValue)
+    var j = 1
+    while (j <= n) {
+      val maxI = math.min(maxPiece, j)
+      var i = 1
+      while (i <= maxI) {
+        if (dp(j - i) != Long.MaxValue) {
+          val cu = vocab.get(new String(cps, j - i, i))
+          if (cu != null) {
+            val cand = dp(j - i) + cu.longValue() * 100L + 1L
+            if (cand < dp(j)) dp(j) = cand
+          }
+        }
+        i += 1
+      }
+      j += 1
+    }
+    if (dp(n) == Long.MaxValue) null
+    else InternalRow((dp(n) % 100L).toInt, dp(n) / 100L)
+  }
 }
 
 /** Native 32-bit SimHash over an array<string> token column. One projection
@@ -660,6 +698,47 @@ case class CmsEstimate(child: Expression, sketchBytes: Array[Byte])
     copy(child = newChild)
 }
 
+/** Native Viterbi unigram-LM segmentation (the SentencePiece inference
+  * step, Kudo 2018) over a word column: given a broadcast-style vocabulary
+  * of (piece, cost-in-micro-nats), emits `struct(np, cost_u)` — the
+  * min-cost segmentation's piece count and total cost, both exact
+  * integers. The DP is O(len × maxPiece) per word with zero allocation
+  * beyond the code-point array; the vocab rides along as one reference
+  * object shared across the whole-stage-codegen span, so applying a
+  * 10k-piece tokenizer model to a distinct-word table is a map-only
+  * projection. See [[HashUtil.unigramSeg]] for the packed-long
+  * determinism argument.
+  */
+case class UnigramSeg(child: Expression, pieces: Array[String],
+    costsU: Array[Long], maxPiece: Int) extends UnaryExpression {
+  require(pieces.length == costsU.length, "pieces/costs arity mismatch")
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("np", IntegerType, nullable = false),
+    StructField("cost_u", LongType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"unigram_seg requires a string word, got ${t.sql}")
+  }
+  @transient private lazy val vocab = {
+    val m = new java.util.HashMap[String, java.lang.Long](pieces.length * 2)
+    var i = 0
+    while (i < pieces.length) { m.put(pieces(i), costsU(i)); i += 1 }
+    m
+  }
+  override def nullSafeEval(w: Any): Any =
+    HashUtil.unigramSeg(w.asInstanceOf[UTF8String], vocab, maxPiece)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramVocab", vocab, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.catalyst.HashUtil.unigramSeg($c, $ref, $maxPiece);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  }
+  override protected def withNewChildInternal(newChild: Expression): UnigramSeg =
+    copy(child = newChild)
+}
+
 object HashFunctions {
   import org.apache.spark.sql.GraftColumnBridge
   def simhash32(c: Column): Column =
@@ -698,6 +777,10 @@ object HashFunctions {
   def cms_estimate(key: Column, sketchBytes: Array[Byte]): Column =
     GraftColumnBridge.column(
       CmsEstimate(GraftColumnBridge.expression(key), sketchBytes))
+  def unigram_seg(word: Column, pieces: Array[String], costsU: Array[Long],
+      maxPiece: Int): Column =
+    GraftColumnBridge.column(
+      UnigramSeg(GraftColumnBridge.expression(word), pieces, costsU, maxPiece))
 }
 
 /** Native positional-equality count over two array<string> columns — the

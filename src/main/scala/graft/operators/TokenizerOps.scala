@@ -242,4 +242,172 @@ object TokenizerOps {
       |       CAST(sum(sw.n_sub) AS BIGINT) AS n_subwords
       |FROM occ JOIN sw USING (word)
       |GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Unigram-LM (SentencePiece) subword tokenizer — Kudo 2018's inference
+  // step, with the seed-vocabulary construction Kudo uses to initialize
+  // EM (frequent substrings scored by corpus frequency).
+  // ------------------------------------------------------------------
+
+  /** Word-length cap (code points) for the unigram board. Structural
+    * requirement of the packed-long Viterbi DP ([[graft.catalyst.UnigramSeg]]):
+    * piece count must stay < 100, so any cap ≤ 99 is sound; 16 also bounds
+    * the oracle's unrolled DP at 16 rounds. */
+  val UniMaxWordLen = 16
+
+  /** Longest vocabulary piece (code points). */
+  val UniMaxPiece = 4
+
+  /** Multi-character vocabulary budget on top of full single-character
+    * coverage. */
+  val UniVocabK = 48
+
+  /** Word-count table restricted to the unigram board's length cap —
+    * the shared data-scale prelude of [[unigramVocab]] and
+    * [[unigramSegment]] (same discipline as [[wordCounts]] for BPE).
+    * The ≥ 1 bound matters: Spark's `sequence(1, 0)` is DESCENDING
+    * (`[1, 0]`), not empty like DuckDB's `generate_series(1, 0)`, so a
+    * zero-length word must never reach the position expansion; the oracle
+    * side drops it structurally (empty series / length-≥1 `seg`). */
+  private def uniWords(s: SparkSession, d: String): DataFrame =
+    wordCounts(s, d).filter(length(col("word")).between(1, UniMaxWordLen))
+
+  /** Train the unigram-LM seed vocabulary: every single character (full
+    * coverage — makes every corpus word segmentable by construction) plus
+    * the [[UniVocabK]] most frequent substrings of length 2..[[UniMaxPiece]]
+    * (ties lexicographic), each costed at `round(1e6·ln(total/freq))`
+    * micro-nats — the exact-integer form of the unigram negative
+    * log-likelihood, chosen so the Viterbi DP on BOTH engines sums and
+    * compares only integers (the single `ln` per vocab entry is the whole
+    * float surface, and a cross-engine flip needs `1e6·ln` within ~1e-10
+    * of a half-integer).
+    *
+    * Scale shape: substring extraction runs over the DISTINCT-WORD table
+    * (vocabulary-sized, never corpus-sized), one partial-aggregated
+    * groupBy; the top-K is a bounded `TakeOrderedAndProject`; the total is
+    * a 1-row broadcast stitch.
+    */
+  def unigramVocab(s: SparkSession, d: String): DataFrame = {
+    val subs = uniWords(s, d)
+      .select(col("word"), col("cnt"),
+        explode(sequence(lit(1), length(col("word")))).as("pos"))
+      .select(col("word"), col("cnt"), col("pos"),
+        explode(sequence(lit(1), lit(UniMaxPiece))).as("len"))
+      .filter(col("pos") + col("len") - 1 <= length(col("word")))
+      .select(col("word").substr(col("pos"), col("len")).as("piece"), col("cnt"))
+      .groupBy("piece").agg(sum("cnt").as("freq"))
+      .localCheckpoint(true)
+    val vocab = subs.filter(length(col("piece")) === 1)
+      .unionAll(subs.filter(length(col("piece")) >= 2)
+        .orderBy(col("freq").desc, col("piece")).limit(UniVocabK))
+    val tot = vocab.agg(sum("freq").as("total"))
+    vocab.crossJoin(broadcast(tot))
+      .select(col("piece"), col("freq"),
+        round(lit(1e6) * log(col("total").cast("double") / col("freq")))
+          .cast("long").as("cost_u"))
+      .orderBy("piece")
+  }
+
+  /** Segment the corpus with the trained unigram LM: the vocabulary
+    * ([[unigramVocab]], collected — bounded at ≤ distinct-chars +
+    * [[UniVocabK]] rows) rides into the codegen'd
+    * [[graft.catalyst.UnigramSeg]] Viterbi expression as one broadcast-style
+    * reference object, so segmentation is a MAP-ONLY projection over the
+    * occurrence stream (O(len·maxPiece) hash probes per word, no join, no
+    * extra shuffle beyond the final doc_id partial aggregate). Output is
+    * per-document word/piece counts plus the exact-integer total cost
+    * re-expressed in nats.
+    */
+  def unigramSegment(s: SparkSession, d: String): DataFrame = {
+    import graft.catalyst.HashFunctions.unigram_seg
+    val v = unigramVocab(s, d).collect() // bounded: ≤ |chars| + UniVocabK rows
+    val pieces = v.map(_.getString(0))
+    val costs = v.map(_.getLong(2))
+    Tables.fanOut(Tables.documents(s, d))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+      .filter(length(col("word")).between(1, UniMaxWordLen))
+      .select(col("doc_id"),
+        unigram_seg(col("word"), pieces, costs, UniMaxPiece).as("sg"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("sg.np")).as("n_pieces"),
+        round(sum(col("sg.cost_u")) / lit(1e6), 4).as("cost_nats"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared oracle prelude: the capped word table `fw`, the substring
+    * frequency table, the selected vocabulary and its integer micro-nat
+    * costs `vc` — a line-for-line SQL replay of [[unigramVocab]]. */
+  private def uniVocabCte: String = s"""WITH wc AS MATERIALIZED (
+    |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+    |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+    |        FROM documents WHERE text IS NOT NULL)
+    |  GROUP BY word),
+    |fw AS MATERIALIZED (SELECT word, cnt FROM wc WHERE length(word) <= $UniMaxWordLen),
+    |subs AS MATERIALIZED (
+    |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS freq FROM (
+    |    SELECT substr(word, pos, len) AS piece, cnt
+    |    FROM (SELECT word, cnt, pos, unnest(generate_series(1, $UniMaxPiece)) AS len
+    |          FROM (SELECT word, cnt, unnest(generate_series(1, length(word))) AS pos
+    |                FROM fw))
+    |    WHERE pos + len - 1 <= length(word))
+    |  GROUP BY piece),
+    |vocab AS MATERIALIZED (
+    |  SELECT piece, freq FROM subs WHERE length(piece) = 1
+    |  UNION ALL
+    |  SELECT piece, freq FROM (
+    |    SELECT piece, freq FROM subs WHERE length(piece) >= 2
+    |    ORDER BY freq DESC, piece LIMIT $UniVocabK)),
+    |vc AS MATERIALIZED (
+    |  SELECT piece, freq,
+    |         CAST(round(1000000.0 * ln(CAST(t.total AS DOUBLE) / freq)) AS BIGINT) AS cost_u
+    |  FROM vocab CROSS JOIN (SELECT CAST(sum(freq) AS BIGINT) AS total FROM vocab) t)""".stripMargin
+
+  /** Oracle for [[unigramVocab]]. */
+  def unigramVocabSql: String =
+    uniVocabCte + "\nSELECT piece, freq, cost_u FROM vc ORDER BY piece"
+
+  /** Oracle for [[unigramSegment]]: the Viterbi DP unrolled position by
+    * position over the capped word table. `dp_j` holds, per word of length
+    * ≥ j, the packed `(min cost)·100 + pieces` of the best segmentation of
+    * the first j code points — min over the ≤ [[UniMaxPiece]] pieces that
+    * could end at j, exactly [[graft.catalyst.HashUtil.unigramSeg]]'s
+    * recurrence, in exact integers (the packed long keeps the
+    * (cost asc, pieces asc) lexicographic order both engines replay).
+    * Full single-character coverage makes every position reachable, so the
+    * LEFT-JOIN-free replay is total on `fw`.
+    */
+  def unigramSegSql: String = {
+    val sb = new StringBuilder(uniVocabCte)
+    sb ++= """,
+      |dp_0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS val FROM fw)""".stripMargin
+    for (j <- 1 to UniMaxWordLen) {
+      val branches = (1 to math.min(UniMaxPiece, j)).map { i =>
+        s"""SELECT d.word, d.val + v.cost_u * 100 + 1 AS val
+           |    FROM dp_${j - i} d JOIN vc v ON v.piece = substr(d.word, ${j - i + 1}, $i)
+           |    WHERE length(d.word) >= $j""".stripMargin
+      }.mkString("\n    UNION ALL\n    ")
+      sb ++= s""",
+        |dp_$j AS MATERIALIZED (
+        |  SELECT word, min(val) AS val FROM (
+        |    $branches
+        |  ) GROUP BY word)""".stripMargin
+    }
+    val seg = (1 to UniMaxWordLen)
+      .map(j => s"SELECT word, val FROM dp_$j WHERE length(word) = $j")
+      .mkString("\n  UNION ALL ")
+    sb ++= s""",
+      |seg AS MATERIALIZED (
+      |  $seg),
+      |occ AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+      |        FROM documents WHERE text IS NOT NULL)
+      |SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |       CAST(sum(sg.val % 100) AS BIGINT) AS n_pieces,
+      |       round(CAST(sum(sg.val // 100) AS DOUBLE) / 1000000.0, 4) AS cost_nats
+      |FROM occ JOIN seg sg USING (word)
+      |GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin
+    sb.toString
+  }
 }

@@ -99,6 +99,35 @@ class Round12OpsSpec extends SparkSpec {
       "KN and add-1 must not collapse to the same score on the toy corpus")
   }
 
+  test("unigram-LM vocab costs and Viterbi encode match the hand-computed " +
+      "model on a toy corpus; degenerate words are filtered structurally") {
+    // corpus: d1 = "ab ab ab", d2 = "abc", d3 = whitespace-only,
+    //         d4 = one 20-char word (over the UniMaxWordLen=16 cap)
+    // substring freqs (len 1..4 over distinct words, weighted by count):
+    //   a=4 b=4 c=1 ab=4 bc=1 abc=1  -> total = 15
+    // cost_u(f) = round(1e6 * ln(15/f))
+    val dir = tmpDir("r12-uni")
+    Seq((1L, "ab ab ab"), (2L, "abc"), (3L, "   "), (4L, "a" * 20))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    def cu(f: Long): Long = Math.round(1e6 * Math.log(15.0 / f))
+    val vocab = graft.operators.TokenizerOps.unigramVocab(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(vocab == Map(
+      "a" -> ((4L, cu(4))), "b" -> ((4L, cu(4))), "c" -> ((1L, cu(1))),
+      "ab" -> ((4L, cu(4))), "bc" -> ((1L, cu(1))), "abc" -> ((1L, cu(1)))),
+      s"vocab: $vocab")
+    // Viterbi: "ab" -> [ab] (1 piece, cost cu(4) beats [a,b] = 2*cu(4));
+    // "abc" -> [abc] (cu(1) beats cu(4)+cu(1) for [ab,c]/[a,bc])
+    def nats(totalU: Long): Double =
+      BigDecimal(totalU / 1e6).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val seg = graft.operators.TokenizerOps.unigramSegment(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(seg == Map(
+      1L -> ((3L, 3L, nats(3 * cu(4)))),
+      2L -> ((1L, 1L, nats(cu(1))))),
+      s"whitespace-only and over-cap docs must vanish, rest exact: $seg")
+  }
+
   test("TextRank replays the weighted update rule exactly on a hand-computed " +
       "3-node graph (nano-space integer scores)") {
     // corpus "a b", "b c", "a b" -> edges a-b w2, b-c w1; wdeg a=2 b=3 c=1
