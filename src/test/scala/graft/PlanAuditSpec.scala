@@ -74,6 +74,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("every round-12 addition audits clean of errors") {
+    // d_substring_spans / t_textrank / t_uni_encode window only PARTITIONED
+    // BY doc_id (document-bounded); the vocab/cutoff crossJoins are 1-row
+    // or vocab-bounded broadcast stitches (warn-level at most)
+    for (q <- Seq("d_substring_spans", "t_kn_bigram", "t_textrank",
+      "t_uni_vocab", "t_uni_encode", "g_rollup_serve", "g_rollup_filtered")) {
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      val errs = PlanAudit.audit(df).filter(_.severity == "error")
+      assert(errs.isEmpty, s"$q: $errs")
+    }
+  }
+
   test("every round-11 addition audits clean of errors") {
     for (q <- Seq("x_kcore", "g_spearman", "ts_ewma", "ts_var_es",
       "g_mutual_info", "w_attribution", "x_srm_check", "w_stickiness",
