@@ -202,6 +202,8 @@ object SparkEntry {
     "t_bpe_pairs"       -> ((s, d) => graft.operators.TokenizerOps.bpePairFreqs(s, d)),
     "t_uni_vocab"       -> ((s, d) => graft.operators.TokenizerOps.unigramVocab(s, d)),
     "t_uni_encode"      -> ((s, d) => graft.operators.TokenizerOps.unigramSegment(s, d)),
+    "t_wp_vocab"        -> ((s, d) => graft.operators.TokenizerOps.wordpieceVocab(s, d)),
+    "t_wp_encode"       -> ((s, d) => graft.operators.TokenizerOps.wordpieceSegment(s, d)),
     "d_cluster_canon"   -> ((s, d) => graft.operators.DedupPipeline
       .clusters(DedupOps.ngramJaccardPairs(s, d)).orderBy("doc_id")),
     // Round 2: deterministic splits / sampling / balancing
@@ -557,6 +559,8 @@ object SparkEntry {
     // position-by-position in exact packed integers (TokenizerOps scaladoc)
     "t_uni_vocab"       -> graft.operators.TokenizerOps.unigramVocabSql,
     "t_uni_encode"      -> graft.operators.TokenizerOps.unigramSegSql,
+    "t_wp_vocab"        -> graft.operators.TokenizerOps.wordpieceVocabSql,
+    "t_wp_encode"       -> graft.operators.TokenizerOps.wordpieceSegSql,
     "d_cluster_canon"   -> DedupOps.clusterCanonSql,
     "p_train_split"     -> PQ.trainSplitSql,
     "p_stratified_sample" -> PQ.stratifiedSampleSql,

@@ -504,6 +504,37 @@ object HashUtil {
     if (dp(n) == Long.MaxValue) null
     else InternalRow((dp(n) % 100L).toInt, dp(n) / 100L)
   }
+
+  /** Greedy longest-match-first WordPiece segmentation (Schuster &
+    * Nakajima 2012; BERT's inference rule) for [[WordPieceSeg]]: at each
+    * position take the LONGEST vocabulary piece that matches, preferring
+    * word-initial pieces at position 0 and continuation pieces elsewhere.
+    * Returns the piece count, or -1 if some position has no match (full
+    * single-character coverage per role rules that out by construction —
+    * kept as a defensive UNK signal rather than an exception). Code-point
+    * indexed like [[unigramSeg]]. No floats anywhere: greedy max-length is
+    * pure string matching, so cross-engine determinism is structural.
+    */
+  def wordpieceSeg(word: UTF8String, initPieces: java.util.HashSet[String],
+      contPieces: java.util.HashSet[String], maxPiece: Int): Int = {
+    val cps = word.toString.codePoints().toArray
+    val n = cps.length
+    var pos = 0
+    var np = 0
+    while (pos < n) {
+      val set = if (pos == 0) initPieces else contPieces
+      var len = math.min(maxPiece, n - pos)
+      var hit = 0
+      while (len >= 1 && hit == 0) {
+        if (set.contains(new String(cps, pos, len))) hit = len
+        len -= 1
+      }
+      if (hit == 0) return -1
+      pos += hit
+      np += 1
+    }
+    np
+  }
 }
 
 /** Native 32-bit SimHash over an array<string> token column. One projection
@@ -739,6 +770,42 @@ case class UnigramSeg(child: Expression, pieces: Array[String],
     copy(child = newChild)
 }
 
+/** Native greedy longest-match WordPiece segmentation over a word column:
+  * the two role-split vocabularies (word-initial / continuation) ride along
+  * as reference HashSets shared across the whole-stage-codegen span, so
+  * applying the tokenizer is a map-only projection — same scale posture as
+  * [[UnigramSeg]], with [[HashUtil.wordpieceSeg]]'s greedy rule instead of
+  * the Viterbi DP. Emits the piece count (-1 = unmatchable/UNK, impossible
+  * under full per-role single-character coverage).
+  */
+case class WordPieceSeg(child: Expression, initPieces: Array[String],
+    contPieces: Array[String], maxPiece: Int) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"wordpiece_seg requires a string word, got ${t.sql}")
+  }
+  @transient private lazy val initSet = {
+    val s = new java.util.HashSet[String](initPieces.length * 2)
+    initPieces.foreach(s.add); s
+  }
+  @transient private lazy val contSet = {
+    val s = new java.util.HashSet[String](contPieces.length * 2)
+    contPieces.foreach(s.add); s
+  }
+  override def nullSafeEval(w: Any): Any =
+    HashUtil.wordpieceSeg(w.asInstanceOf[UTF8String], initSet, contSet, maxPiece)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ri = ctx.addReferenceObj("wpInit", initSet, "java.util.HashSet")
+    val rc = ctx.addReferenceObj("wpCont", contSet, "java.util.HashSet")
+    defineCodeGen(ctx, ev,
+      c => s"graft.catalyst.HashUtil.wordpieceSeg($c, $ri, $rc, $maxPiece)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): WordPieceSeg =
+    copy(child = newChild)
+}
+
 object HashFunctions {
   import org.apache.spark.sql.GraftColumnBridge
   def simhash32(c: Column): Column =
@@ -781,6 +848,10 @@ object HashFunctions {
       maxPiece: Int): Column =
     GraftColumnBridge.column(
       UnigramSeg(GraftColumnBridge.expression(word), pieces, costsU, maxPiece))
+  def wordpiece_seg(word: Column, initPieces: Array[String],
+      contPieces: Array[String], maxPiece: Int): Column =
+    GraftColumnBridge.column(
+      WordPieceSeg(GraftColumnBridge.expression(word), initPieces, contPieces, maxPiece))
 }
 
 /** Native positional-equality count over two array<string> columns — the

@@ -410,4 +410,138 @@ object TokenizerOps {
       |GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin
     sb.toString
   }
+
+  // ------------------------------------------------------------------
+  // WordPiece (Schuster & Nakajima 2012; BERT) — greedy longest-match
+  // inference over a role-split (word-initial vs "##"-continuation)
+  // vocabulary. Completes the subword trilogy next to BPE (merge-rank
+  // greedy) and unigram LM (Viterbi min-cost).
+  // ------------------------------------------------------------------
+
+  /** Multi-character WordPiece vocabulary budget on top of full per-role
+    * single-character coverage. */
+  val WpVocabK = 48
+
+  /** Train the WordPiece seed vocabulary: substrings of length
+    * 1..[[UniMaxPiece]] are counted PER ROLE — word-initial (pos = 1) vs
+    * continuation (pos > 1), BERT's `##` distinction — every single
+    * character is kept in each role where it occurs (full coverage makes
+    * greedy matching total), plus the [[WpVocabK]] most frequent
+    * multi-character pieces across both roles (ties: role, then
+    * lexicographic).
+    *
+    * Scale shape: identical to [[unigramVocab]] — substring extraction over
+    * the DISTINCT-WORD table, one partial-aggregated groupBy, a bounded
+    * top-K. Nothing here is corpus-sized.
+    */
+  def wordpieceVocab(s: SparkSession, d: String): DataFrame = {
+    val subs = uniWords(s, d)
+      .select(col("word"), col("cnt"),
+        explode(sequence(lit(1), length(col("word")))).as("pos"))
+      .select(col("word"), col("cnt"), col("pos"),
+        explode(sequence(lit(1), lit(UniMaxPiece))).as("len"))
+      .filter(col("pos") + col("len") - 1 <= length(col("word")))
+      .select(col("word").substr(col("pos"), col("len")).as("piece"),
+        (col("pos") > 1).as("is_cont"), col("cnt"))
+      .groupBy("piece", "is_cont").agg(sum("cnt").as("freq"))
+      .localCheckpoint(true)
+    subs.filter(length(col("piece")) === 1)
+      .unionAll(subs.filter(length(col("piece")) >= 2)
+        .orderBy(col("freq").desc, col("is_cont"), col("piece")).limit(WpVocabK))
+      .orderBy("piece", "is_cont")
+  }
+
+  /** Segment the corpus with the trained WordPiece vocabulary: the two
+    * role vocabularies (bounded, collected) ride into the codegen'd
+    * [[graft.catalyst.WordPieceSeg]] greedy matcher as reference sets, so
+    * segmentation is MAP-ONLY over the occurrence stream — no join, no
+    * shuffle beyond the final doc_id partial aggregate. `n_whole` counts
+    * words the vocabulary covers in one piece (the tokenizer-fit signal
+    * teams track as vocabulary hit rate); piece counts are exact integers,
+    * so there is no float surface at all.
+    */
+  def wordpieceSegment(s: SparkSession, d: String): DataFrame = {
+    import graft.catalyst.HashFunctions.wordpiece_seg
+    val v = wordpieceVocab(s, d).collect() // bounded: ≤ 2·|chars| + WpVocabK
+    val init = v.filter(!_.getBoolean(1)).map(_.getString(0))
+    val cont = v.filter(_.getBoolean(1)).map(_.getString(0))
+    Tables.fanOut(Tables.documents(s, d))
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+      .filter(length(col("word")).between(1, UniMaxWordLen))
+      .select(col("doc_id"),
+        wordpiece_seg(col("word"), init, cont, UniMaxPiece).as("np"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("np")).as("n_pieces"),
+        sum(when(col("np") === 1, 1L).otherwise(0L)).as("n_whole"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared oracle prelude: capped words `fw` and the role-split WordPiece
+    * vocabulary `wpv` — a line-for-line SQL replay of [[wordpieceVocab]]. */
+  private def wpVocabCte: String = s"""WITH wc AS MATERIALIZED (
+    |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+    |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+    |        FROM documents WHERE text IS NOT NULL)
+    |  GROUP BY word),
+    |fw AS MATERIALIZED (SELECT word, cnt FROM wc WHERE length(word) <= $UniMaxWordLen),
+    |subs AS MATERIALIZED (
+    |  SELECT piece, is_cont, CAST(sum(cnt) AS BIGINT) AS freq FROM (
+    |    SELECT substr(word, pos, len) AS piece, pos > 1 AS is_cont, cnt
+    |    FROM (SELECT word, cnt, pos, unnest(generate_series(1, $UniMaxPiece)) AS len
+    |          FROM (SELECT word, cnt, unnest(generate_series(1, length(word))) AS pos
+    |                FROM fw))
+    |    WHERE pos + len - 1 <= length(word))
+    |  GROUP BY piece, is_cont),
+    |wpv AS MATERIALIZED (
+    |  SELECT piece, is_cont, freq FROM subs WHERE length(piece) = 1
+    |  UNION ALL
+    |  SELECT piece, is_cont, freq FROM (
+    |    SELECT piece, is_cont, freq FROM subs WHERE length(piece) >= 2
+    |    ORDER BY freq DESC, is_cont, piece LIMIT $WpVocabK))""".stripMargin
+
+  /** Oracle for [[wordpieceVocab]]. */
+  def wordpieceVocabSql: String =
+    wpVocabCte + "\nSELECT piece, is_cont, freq FROM wpv ORDER BY piece, is_cont"
+
+  /** Oracle for [[wordpieceSegment]]: the greedy longest-match scan
+    * unrolled step by step over the capped word table — step `i` advances
+    * every unfinished word by its LONGEST matching piece (max over an
+    * equi-join of the candidate substring against the role's vocabulary,
+    * exactly [[graft.catalyst.HashUtil.wordpieceSeg]]'s rule). Each step
+    * consumes ≥ 1 code point, so [[UniMaxWordLen]] steps finish every word;
+    * full per-role single-character coverage makes the scan total (no UNK
+    * branch needed in the replay).
+    */
+  def wordpieceSegSql: String = {
+    val sb = new StringBuilder(wpVocabCte)
+    sb ++= """,
+      |st_0 AS MATERIALIZED (SELECT word, 0 AS pos, 0 AS np FROM fw)""".stripMargin
+    for (i <- 1 to UniMaxWordLen) {
+      sb ++= s""",
+        |st_$i AS MATERIALIZED (
+        |  SELECT word, pos, np FROM st_${i - 1} WHERE pos >= length(word)
+        |  UNION ALL
+        |  SELECT m.word, m.pos + m.len AS pos, m.np + 1 AS np
+        |  FROM (SELECT s.word, s.pos, s.np, max(length(v.piece)) AS len
+        |        FROM st_${i - 1} s JOIN wpv v
+        |          ON v.is_cont = (s.pos > 0)
+        |         AND v.piece = substr(s.word, s.pos + 1, length(v.piece))
+        |        WHERE s.pos < length(s.word)
+        |        GROUP BY s.word, s.pos, s.np) m)""".stripMargin
+    }
+    sb ++= s""",
+      |seg AS MATERIALIZED (
+      |  SELECT word, np FROM st_$UniMaxWordLen WHERE length(word) >= 1),
+      |occ AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+      |        FROM documents WHERE text IS NOT NULL)
+      |SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |       CAST(sum(sg.np) AS BIGINT) AS n_pieces,
+      |       CAST(sum(CASE WHEN sg.np = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_whole
+      |FROM occ JOIN seg sg USING (word)
+      |GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin
+    sb.toString
+  }
 }

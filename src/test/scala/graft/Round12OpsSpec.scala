@@ -128,6 +128,32 @@ class Round12OpsSpec extends SparkSpec {
       s"whitespace-only and over-cap docs must vanish, rest exact: $seg")
   }
 
+  test("WordPiece role-split vocab and greedy longest-match encode match the " +
+      "hand model; greedy is longest-first, not fewest-pieces") {
+    // corpus: d1 = "abcde abcde", d2 = "ab", d3 = whitespace-only,
+    //         d4 = one 20-char word (over the cap) — words: abcde(2), ab(1)
+    val dir = tmpDir("r12-wp")
+    Seq((1L, "abcde abcde"), (2L, "ab"), (3L, "   "), (4L, "a" * 20))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val vocab = graft.operators.TokenizerOps.wordpieceVocab(spark, dir).collect()
+      .map(r => (r.getString(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    // per-role substring counts weighted by word count (abcde×2, ab×1)
+    assert(vocab == Map(
+      ("a", false) -> 3L, ("ab", false) -> 3L, ("abc", false) -> 2L,
+      ("abcd", false) -> 2L,
+      ("b", true) -> 3L, ("bc", true) -> 2L, ("bcd", true) -> 2L,
+      ("bcde", true) -> 2L, ("c", true) -> 2L, ("cd", true) -> 2L,
+      ("cde", true) -> 2L, ("d", true) -> 2L, ("de", true) -> 2L,
+      ("e", true) -> 2L), s"vocab: $vocab")
+    // greedy on "abcde": longest initial piece "abcd" (maxPiece=4), then
+    // cont "e" -> 2 pieces — NOT the 1-piece optimum a Viterbi would want
+    // if "abcde" fit, and NOT [ab][cde] (fewest-lookups); "ab" -> whole
+    val seg = graft.operators.TokenizerOps.wordpieceSegment(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(seg == Map(1L -> ((2L, 4L, 0L)), 2L -> ((1L, 1L, 1L))),
+      s"whitespace-only and over-cap docs must vanish, rest exact: $seg")
+  }
+
   test("TextRank replays the weighted update rule exactly on a hand-computed " +
       "3-node graph (nano-space integer scores)") {
     // corpus "a b", "b c", "a b" -> edges a-b w2, b-c w1; wdeg a=2 b=3 c=1
