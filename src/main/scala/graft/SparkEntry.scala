@@ -145,6 +145,7 @@ object SparkEntry {
     "s_kmeans"          -> (SimilarityOps.kmeans(_, _)),
     // cluster-then-dedup composition: k-means cells as the blocking key
     "s_cluster_neardup" -> (SimilarityOps.clusterNearDup(_, _)),
+    "s_silhouette"      -> ((s, d) => SimilarityOps.silhouette(s, d)),
     // Training-data pipeline: text analysis
     "t_langid"          -> (TextOps.langIdDf _),
     "t_quality"         -> (TextOps.qualityDf _),
@@ -384,6 +385,7 @@ object SparkEntry {
     "x_bfs_hops"        -> (graft.operators.GraphOps.bfsHops _),
     // k-core at the graph's own p75 degree: iterative peeling, early exit
     "x_kcore"           -> (graft.operators.GraphOps.kCore _),
+    "x_adamic_adar"     -> (graft.operators.GraphOps.adamicAdar _),
     // exact midrank Spearman rho per return flag (no row-level rank join)
     "g_spearman"        -> (AQ.spearman _),
     // integer-domain EWMA fold per instrument + momentum flag
@@ -516,6 +518,7 @@ object SparkEntry {
     "s_triplet_mine"    -> SimilarityOps.tripletMineSql,
     "s_kmeans"          -> SimilarityOps.kmeansSql,
     "s_cluster_neardup" -> SimilarityOps.clusterNearDupSql,
+    "s_silhouette"      -> SimilarityOps.silhouetteSql,
     "t_langid"          -> TextOps.langIdSql,
     "t_quality"         -> TextOps.qualitySql,
     "t_readability"     -> TextOps.readabilitySql,
@@ -693,6 +696,7 @@ object SparkEntry {
     "x_kmv_setops"      -> graft.operators.SketchOps.kmvSetOpsSql,
     "x_bfs_hops"        -> graft.operators.GraphOps.bfsHopsSql,
     "x_kcore"           -> graft.operators.GraphOps.kCoreSql,
+    "x_adamic_adar"     -> graft.operators.GraphOps.adamicAdarSql,
     "g_spearman"        -> AQ.spearmanSql,
     "ts_ewma"           -> TimeSeriesOps.ewmaSql,
     "ts_var_es"         -> TimeSeriesOps.varEsSql,

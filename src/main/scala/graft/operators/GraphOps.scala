@@ -45,15 +45,20 @@ object GraphOps {
     * renders the public `c…`/`s…` form in final projections only.
     */
   def edges(s: SparkSession, d: String): DataFrame = {
-    val pairs = Tables.lineitem(s, d)
+    val pairs = custSuppPairs(s, d)
+    pairs.select(col("cust").as("src"), col("supp").as("dst"))
+      .union(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+  }
+
+  /** The distinct customer–supplier incidence underlying [[edges]], one
+    * row per (customer, supplier) relationship, ids packed as in [[edges]]. */
+  private def custSuppPairs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .select(
         (col("o_custkey").cast("long") * 2).as("cust"),
         (col("l_suppkey").cast("long") * 2 + 1).as("supp"))
       .distinct()
-    pairs.select(col("cust").as("src"), col("supp").as("dst"))
-      .union(pairs.select(col("supp").as("src"), col("cust").as("dst")))
-  }
 
   /** Public node label for a packed id: `c<k>` / `s<k>`. `shiftright` is
     * exact integer halving for both parities (Column `/` would widen to
@@ -456,4 +461,74 @@ object GraphOps {
        |FROM e_$KCoreRounds GROUP BY src
        |ORDER BY core_deg DESC, node""".stripMargin
   }
+
+  // ---- Adamic–Adar link prediction --------------------------------------
+
+  /** Degree cap for the wedge side of [[adamicAdar]]. Inactive on the test
+    * corpus (max customer degree 102 at sf0.1) — it exists as the
+    * structural bound that keeps the wedge expansion Σ deg² from a hub
+    * blow-up at 100 TB, and dropping capped hubs is principled here: AA's
+    * 1/ln(deg) weight makes a huge hub's per-wedge contribution vanish
+    * while its wedge COUNT explodes quadratically — the worst
+    * cost-per-signal rows in the whole computation.
+    */
+  val AaMaxDeg = 128
+
+  val AaTopK = 20
+
+  /** Adamic–Adar link prediction (Adamic & Adar 2003) over the bipartite
+    * customer–supplier graph: score a supplier pair by
+    * Σ 1/ln(deg(c)) over their common customers — the classic
+    * common-neighbor signal, wedged through the BOUNDED side of the
+    * bipartite graph (customer degrees: median 38, max 102 at sf0.1;
+    * supplier degrees run 518–679, so wedging through suppliers would cost
+    * 13× the rows for customer-pair predictions nobody asked for).
+    *
+    * Scale shape: one distinct() for the incidence, a node-sized degree
+    * table broadcast back, the wedge self-join on the customer key
+    * (Σ deg² rows, deg capped by [[AaMaxDeg]]), then ONE partial-aggregable
+    * groupBy(b, c) and a bounded TakeOrderedAndProject. No existing-edge
+    * anti-join is needed: candidate pairs are same-side by construction,
+    * and the bipartite graph has no same-side edges.
+    *
+    * Determinism: weights are integer micro-nats (`round(1e6/ln(deg))`, one
+    * `ln` per DISTINCT DEGREE is the whole float surface); scores are exact
+    * integer sums; the top-K total-orders on (score desc, b, c).
+    */
+  def adamicAdar(s: SparkSession, d: String): DataFrame = {
+    val pairs = custSuppPairs(s, d).localCheckpoint(true) // degrees + both wedge sides
+    // deg ≥ 2: a single-supplier customer spans no wedge (and ln(1) = 0)
+    val w = pairs.groupBy("cust").agg(count(lit(1)).as("deg"))
+      .filter(col("deg").between(2, AaMaxDeg))
+      .select(col("cust"),
+        round(lit(1e6) / log(col("deg").cast("double"))).cast("long").as("w_u"))
+    val nb = pairs.join(broadcast(w), Seq("cust"))
+    nb.select(col("cust"), col("supp").as("b"), col("w_u"))
+      .join(nb.select(col("cust"), col("supp").as("c")), Seq("cust"))
+      .filter(col("b") < col("c"))
+      .groupBy("b", "c")
+      .agg(count(lit(1)).as("n_common"), sum("w_u").as("score_u"))
+      .orderBy(col("score_u").desc, col("b"), col("c"))
+      .limit(AaTopK)
+      .select(label(col("b")).as("u"), label(col("c")).as("v"),
+        col("n_common"), col("score_u"))
+  }
+
+  val adamicAdarSql: String =
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS cust,
+       |         CAST(l_suppkey * 2 + 1 AS BIGINT) AS supp
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |w AS (SELECT cust,
+       |        CAST(round(1000000.0 / ln(CAST(deg AS DOUBLE))) AS BIGINT) AS w_u
+       |      FROM (SELECT cust, count(*) AS deg FROM pairs GROUP BY cust)
+       |      WHERE deg BETWEEN 2 AND $AaMaxDeg),
+       |nb AS (SELECT p.cust, p.supp, w.w_u FROM pairs p JOIN w USING (cust))
+       |SELECT 's' || CAST(a.supp // 2 AS VARCHAR) AS u,
+       |       's' || CAST(b.supp // 2 AS VARCHAR) AS v,
+       |       CAST(count(*) AS BIGINT) AS n_common,
+       |       CAST(sum(a.w_u) AS BIGINT) AS score_u
+       |FROM nb a JOIN nb b ON a.cust = b.cust AND a.supp < b.supp
+       |GROUP BY a.supp, b.supp
+       |ORDER BY score_u DESC, a.supp, b.supp LIMIT $AaTopK""".stripMargin
 }

@@ -562,6 +562,108 @@ object SimilarityOps {
        |FROM (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM a2 GROUP BY 1) f
        |JOIN cs USING (cid) ORDER BY cid""".stripMargin
 
+  /** Simplified (centroid-based) silhouette per k-means cluster — the
+    * clustering-quality gate a curation pipeline runs before trusting a
+    * cluster-blocked dedup or a cluster-stratified sample. The CLASSIC
+    * silhouette needs all pairwise distances (O(n²), dead at scale); the
+    * simplified form (Hruschka et al. 2004) replaces mean-distance-to-
+    * cluster with distance-to-centroid: a(i) = d(x, own centroid),
+    * b(i) = min over other centroids, s(i) = (b−a)/max(a,b) — O(n·k),
+    * MAP-ONLY once the k centroids ride in as literals.
+    *
+    * Determinism: centroids are re-derived from the FINAL assignment as
+    * exact integer rationals and rounded half-up to the integer grid via
+    * floor-division ((2·sv + c) ÷ 2c — `Math.floorDiv` on the driver, the
+    * pmod form in the oracle, since DuckDB's `//` truncates toward zero on
+    * negatives), so every distance is an exact integer; per-point scores
+    * go to integer micro-units (one round per point), sums are exact, and
+    * the single mean division rounds at 4 with the signed-zero
+    * normalization on both dump and oracle.
+    */
+  def silhouette(s: SparkSession, d: String): DataFrame = {
+    val a2 = kmeansAssignments(s, d)
+      .select(col("vec_id"), col("cid"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000 + 0.5).cast("long")).as("qe"))
+      .localCheckpoint(true) // centroid-stats pass + scoring pass
+    val stats = a2.select(col("cid"), posexplode(col("qe")).as(Seq("pos", "v")))
+      .groupBy("cid", "pos").agg(sum("v").as("sv"), count(lit(1)).as("c"))
+      .collect() // k·dim cells
+    val cents: Seq[(Int, Array[Long])] = stats
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (cid, rows) =>
+        val mu = new Array[Long](Dim)
+        rows.foreach(r => mu(r.getInt(1)) =
+          Math.floorDiv(2 * r.getLong(2) + r.getLong(3), 2 * r.getLong(3)))
+        cid -> mu
+      }
+    // distances to ALL present centroids in one map-only projection; own
+    // centroid located positionally via the sorted present-cid list (an
+    // empty cluster after iteration 2 must not shift the array index)
+    val ds = transform(
+      array(cents.map { case (_, mu) => array(mu.map(lit): _*) }: _*),
+      cvec => aggregate(zip_with(col("qe"), cvec, (x, y) => (x - y) * (x - y)),
+        lit(0L), _ + _))
+    a2.withColumn("ds", ds)
+      .withColumn("ix",
+        array_position(array(cents.map(c => lit(c._1)): _*), col("cid")).cast("int"))
+      .withColumn("a", element_at(col("ds"), col("ix")))
+      .withColumn("b", array_min(expr(
+        "filter(transform(ds, (x, i) -> IF(i = ix - 1, CAST(NULL AS BIGINT), x)), x -> x IS NOT NULL)")))
+      .withColumn("s_u", when(greatest(col("a"), col("b")) === 0, lit(0L))
+        .otherwise(round(lit(1e6) * (col("b") - col("a")).cast("double")
+          / greatest(col("a"), col("b")).cast("double")).cast("long")))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"),
+        round(sum("s_u").cast("double") / count(lit(1)) / lit(1e6), 4).as("mean_sil"))
+      .orderBy("cid")
+  }
+
+  val silhouetteSql: String =
+    s"""WITH q AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe
+       |  FROM embeddings),
+       |init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qe AS c
+       |         FROM (SELECT * FROM q ORDER BY vec_id LIMIT $KmeansK)),
+       |a1 AS (SELECT vec_id, qe, cid FROM (
+       |         SELECT q.vec_id, q.qe, init.cid,
+       |           list_sum(list_transform(generate_series(1, len(q.qe)),
+       |             i -> (q.qe[i] - init.c[i]) * (q.qe[i] - init.c[i]))) AS dist
+       |         FROM q CROSS JOIN init)
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+       |m AS (SELECT cid, i, CAST(sum(v) AS DOUBLE) / count(*) AS mu
+       |      FROM (SELECT cid, unnest(generate_series(1, len(qe))) AS i, unnest(qe) AS v FROM a1)
+       |      GROUP BY 1, 2),
+       |c2 AS (SELECT cid, list(mu ORDER BY i) AS c FROM m GROUP BY 1),
+       |a2 AS (SELECT vec_id, qe, cid FROM (
+       |         SELECT q.vec_id, q.qe, c2.cid,
+       |           list_sum(list_transform(generate_series(1, len(q.qe)),
+       |             i -> (CAST(q.qe[i] AS DOUBLE) - c2.c[i]) * (CAST(q.qe[i] AS DOUBLE) - c2.c[i]))) AS dist
+       |         FROM q CROSS JOIN c2)
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+       |st AS (SELECT cid, i, CAST(sum(v) AS BIGINT) AS sv, CAST(count(*) AS BIGINT) AS c
+       |       FROM (SELECT cid, unnest(generate_series(1, len(qe))) AS i, unnest(qe) AS v FROM a2)
+       |       GROUP BY 1, 2),
+       |muq AS (SELECT cid, i,
+       |          (2*sv + c - ((((2*sv + c) % (2*c)) + 2*c) % (2*c))) // (2*c) AS mq
+       |        FROM st),
+       |mc AS (SELECT cid, list(mq ORDER BY i) AS mu FROM muq GROUP BY cid),
+       |dd AS (SELECT a2.vec_id, a2.cid AS own, mc.cid AS cand,
+       |         list_sum(list_transform(generate_series(1, len(a2.qe)),
+       |           i -> (a2.qe[i] - mc.mu[i]) * (a2.qe[i] - mc.mu[i]))) AS dist
+       |       FROM a2 CROSS JOIN mc),
+       |ab AS (SELECT vec_id, own,
+       |         max(CASE WHEN cand = own THEN dist END) AS a,
+       |         min(CASE WHEN cand <> own THEN dist END) AS b
+       |       FROM dd GROUP BY 1, 2),
+       |su AS (SELECT own AS cid,
+       |         CASE WHEN greatest(a, b) = 0 THEN CAST(0 AS BIGINT)
+       |              ELSE CAST(round(1000000.0 * (b - a) / greatest(a, b)) AS BIGINT) END AS s_u
+       |       FROM ab)
+       |SELECT cid, CAST(count(*) AS BIGINT) AS n,
+       |       round(CAST(sum(s_u) AS DOUBLE) / count(*) / 1000000.0, 4) + 0.0 AS mean_sil
+       |FROM su GROUP BY cid ORDER BY cid""".stripMargin
+
   /** Symmetric int8 scalar quantization of the embedding column — the
     * standard 4× compression before ANN index build (FAISS SQ8 shape).
     * Per-vector scale = max|x| / 127; each component is rounded HALF-UP
