@@ -126,6 +126,7 @@ object SparkEntry {
     // Training-data pipeline: dedup
     "d_exact_dedup"     -> (DedupOps.exactDedup _),
     "d_substring_spans" -> (DedupOps.substringSpans _),
+    "d_source_overlap"  -> (DedupOps.sourceOverlap _),
     "d_ngram_jaccard"   -> ((s, d) => DedupOps.ngramJaccardPairs(s, d)),
     "d_minhash_lsh"     -> (DedupOps.minhashLshPairs _),
     "d_simhash"         -> (DedupOps.simhash _),
@@ -192,6 +193,7 @@ object SparkEntry {
     "t_bigram_lm"       -> (PQ.bigramLm _),
     "t_kn_bigram"       -> (PQ.knBigram _),
     "t_textrank"        -> (PQ.textrank _),
+    "t_js_sources"      -> (PQ.jsSources _),
     // CCNet head/middle/tail quality tiers from exact xent order statistics
     "t_ppl_bucket"      -> (PQ.pplBucket _),
     // DSIR importance selection: unigram LLR vs target domain, top-quartile keep
@@ -505,6 +507,7 @@ object SparkEntry {
     "sql_recursive"     -> SQ.sqlRecursiveSql,
     "d_exact_dedup"     -> DedupOps.exactDedupSql,
     "d_substring_spans" -> DedupOps.substringSpansSql,
+    "d_source_overlap"  -> DedupOps.sourceOverlapSql,
     "d_ngram_jaccard"   -> DedupOps.ngramJaccardSql,
     "d_minhash_lsh"     -> DedupOps.minhashLshSql,
     "d_simhash"         -> DedupOps.simhashSql,
@@ -550,6 +553,7 @@ object SparkEntry {
     "t_bigram_lm"       -> PQ.bigramLmSql,
     "t_kn_bigram"       -> PQ.knBigramSql,
     "t_textrank"        -> PQ.textrankSql,
+    "t_js_sources"      -> PQ.jsSourcesSql,
     "t_ppl_bucket"      -> PQ.pplBucketSql,
     "t_dsir_select"     -> PQ.dsirSelectSql,
     "p_curation_funnel" -> PQ.curationFunnelSql,

@@ -641,4 +641,53 @@ object DedupOps {
        |  COALESCE(n_dup_windows, 0) AS n_dup_windows,
        |  COALESCE(covered_tokens, 0) AS covered_tokens
        |FROM tot LEFT JOIN cd USING (doc_id) ORDER BY tot.doc_id""".stripMargin
+
+  /** Cross-source shingle-set overlap matrix: per source pair, the Jaccard
+    * of their DISTINCT 3-word-shingle sets — the "which corpora duplicate
+    * each other" triage (CommonCrawl-vs-C4-style) a mixture designer runs
+    * before weighting sources, at corpus granularity instead of
+    * [[ngramJaccardPairs]]'s document granularity.
+    *
+    * Scale shape: one (source, 64-bit-shingle-hash) distinct projection
+    * (shuffle #1), then the per-shingle source fan-out — bounded by the
+    * SOURCE COUNT squared per shingle, never by documents — feeds one
+    * partial-aggregable groupBy(pair). Source sizes are a |sources|-row
+    * broadcast. The Spark side never materializes a shingle string
+    * (native [[graft.catalyst.ShingleHashes3]]); the oracle replays on
+    * strings — counts agree barring a 64-bit collision (~n²/2⁶⁵, and the
+    * gate would flag one).
+    */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.fanOut(Tables.documents(s, d))
+      .filter(col("text").isNotNull)
+      .select(col("source"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("source"), explode(HashFunctions.shingle_hashes3(col("toks"))).as("h"))
+      .distinct()
+      .localCheckpoint(true) // sizes + both sides of the pair join
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    sh.select(col("h"), col("source").as("src_a"))
+      .join(sh.select(col("h"), col("source").as("src_b")), Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("nb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared") * lit(1.0) / (col("na") + col("nb") - col("n_shared")), 4)
+          .as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val sourceOverlapSql: String =
+    """WITH toks AS (SELECT source, regexp_split_to_array(trim(text), '\s+') AS t
+      |              FROM documents WHERE text IS NOT NULL),
+      |sh AS (SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |       FROM (SELECT source, t, unnest(generate_series(1, len(t)-2)) AS i
+      |             FROM toks WHERE len(t) >= 3)),
+      |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source),
+      |p AS (SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_shared
+      |      FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source GROUP BY 1, 2)
+      |SELECT src_a, src_b, n_shared,
+      |       round(n_shared * 1.0 / (ca.n + cb.n - n_shared), 4) AS jaccard
+      |FROM p JOIN c ca ON ca.source = src_a JOIN c cb ON cb.source = src_b
+      |ORDER BY src_a, src_b""".stripMargin
 }

@@ -2238,4 +2238,82 @@ object PipelineQueries {
        |FROM c CROSS JOIN t
        |WHERE (ci * $PpsSampleK) // tw - ((ci - w) * $PpsSampleK) // tw >= 1
        |ORDER BY doc_id""".stripMargin
+
+  /** Pairwise Jensen–Shannon divergence between per-source unigram token
+    * distributions — the domain-similarity matrix a mixture designer reads
+    * next to [[graft.operators.DedupOps.sourceOverlap]]'s set-overlap form
+    * (JSD sees FREQUENCY shift where Jaccard only sees vocabulary
+    * membership; DoReMi-style reweighting keys off exactly this).
+    *
+    * Exactness discipline: JSD decomposes into shared-token terms plus a
+    * closed-form remainder for one-sided tokens (a token absent from `b`
+    * contributes pa·ln2/2, so the one-sided mass needs no join rows at
+    * all: Σ = ln2/2 · (2 − Σ_shared pa − Σ_shared pb)). Each shared-token
+    * term is rounded to integer MICRO-NATS (one round per term, identical
+    * float expression tree in both engines), summed exactly, and the
+    * remainder — a single double op per pair off exact integer count sums
+    * — is rounded once. Order-independent, partition-safe.
+    *
+    * Scale shape: one data-scale groupBy((source, word)); the pair join
+    * fans each word out by its source count (≤ |sources| per word, the
+    * same bound [[graft.operators.DedupOps.sourceOverlap]] rides), then
+    * one partial-aggregable groupBy(pair). Totals are a |sources|-row
+    * broadcast.
+    */
+  def jsSources(s: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.fanOut(Tables.documents(s, d))
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // totals + both sides of the pair join
+    val tot = cnt.groupBy("source").agg(sum("c").as("n"))
+    val pa = col("ca").cast("double") / col("na")
+    val pb = col("cb").cast("double") / col("nb")
+    cnt.select(col("word"), col("source").as("src_a"), col("c").as("ca"))
+      .join(cnt.select(col("word"), col("source").as("src_b"), col("c").as("cb")),
+        Seq("word"))
+      .filter(col("src_a") < col("src_b"))
+      .join(broadcast(tot.select(col("source").as("src_a"), col("n").as("na"))), Seq("src_a"))
+      .join(broadcast(tot.select(col("source").as("src_b"), col("n").as("nb"))), Seq("src_b"))
+      .withColumn("t_u", round(lit(1e6) * (
+          lit(0.5) * pa * log(lit(2.0) * pa / (pa + pb)) +
+          lit(0.5) * pb * log(lit(2.0) * pb / (pa + pb)))).cast("long"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"), sum("t_u").as("su"),
+        sum("ca").as("sca"), sum("cb").as("scb"),
+        first("na").as("na"), first("nb").as("nb"))
+      .withColumn("r_u", round(lit(1e6) * lit(0.5) * log(lit(2.0)) *
+        ((lit(1.0) - col("sca").cast("double") / col("na")) +
+         (lit(1.0) - col("scb").cast("double") / col("nb")))).cast("long"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round((col("su") + col("r_u")).cast("double") / lit(1e6), 4).as("jsd"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val jsSourcesSql: String =
+    """WITH cnt AS MATERIALIZED (
+      |  SELECT source, word, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+      |        FROM documents WHERE text IS NOT NULL)
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+      |sp AS (SELECT a.source AS src_a, b.source AS src_b, a.c AS ca, b.c AS cb,
+      |         ta.n AS na, tb.n AS nb,
+      |         CAST(a.c AS DOUBLE) / ta.n AS pa, CAST(b.c AS DOUBLE) / tb.n AS pb
+      |       FROM cnt a JOIN cnt b ON a.word = b.word AND a.source < b.source
+      |       JOIN tot ta ON ta.source = a.source
+      |       JOIN tot tb ON tb.source = b.source),
+      |tu AS (SELECT src_a, src_b, ca, cb, na, nb,
+      |         CAST(round(1000000.0 * (0.5 * pa * ln(2.0 * pa / (pa + pb))
+      |                               + 0.5 * pb * ln(2.0 * pb / (pa + pb)))) AS BIGINT) AS t_u
+      |       FROM sp),
+      |g AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared,
+      |        CAST(sum(t_u) AS BIGINT) AS su, CAST(sum(ca) AS BIGINT) AS sca,
+      |        CAST(sum(cb) AS BIGINT) AS scb, max(na) AS na, max(nb) AS nb
+      |      FROM tu GROUP BY 1, 2)
+      |SELECT src_a, src_b, n_shared,
+      |       round(CAST(su + CAST(round(1000000.0 * 0.5 * ln(2.0) *
+      |         ((1.0 - CAST(sca AS DOUBLE) / na) + (1.0 - CAST(scb AS DOUBLE) / nb)))
+      |         AS BIGINT) AS DOUBLE) / 1000000.0, 4) + 0.0 AS jsd
+      |FROM g ORDER BY src_a, src_b""".stripMargin
 }
