@@ -53,6 +53,18 @@ object ExprBench {
     val dvecs = emb
       .select(transform(col("embedding"), x => x.cast("double")).as("dv"))
       .localCheckpoint(true)
+    // tokenizer-inference A/B: the occurrence stream + the trained vocabs,
+    // collected once OUTSIDE timing (both designs pay the training pass)
+    val occ = docs.select(explode(col("toks")).as("word"))
+      .filter(length(col("word")).between(1, graft.operators.TokenizerOps.UniMaxWordLen))
+      .localCheckpoint(true)
+    val uniV = graft.operators.TokenizerOps.unigramVocab(spark, sfDir).collect()
+    val uniPieces = uniV.map(_.getString(0))
+    val uniCosts = uniV.map(_.getLong(2))
+    val wpV = graft.operators.TokenizerOps.wordpieceVocab(spark, sfDir).collect()
+    val wpInit = wpV.filter(!_.getBoolean(1)).map(_.getString(0))
+    val wpCont = wpV.filter(_.getBoolean(1)).map(_.getString(0))
+    val maxP = graft.operators.TokenizerOps.UniMaxPiece
 
     val results = Seq(
       ("dot_product",
@@ -95,6 +107,27 @@ object ExprBench {
                 .cast("long")).otherwise(0L)).as("micro"))
           .select((log(col("n").cast("double")) -
             col("micro").cast("double") / 1e6 / col("n")).as("e")) }),
+      // tokenizer inference: the map-only design (vocab rides in as a
+      // reference object, zero shuffles) vs the natural alternative — run
+      // the expression over the DISTINCT-WORD table and join the stream
+      // back on the word key (one distinct + one data-scale shuffle join,
+      // the cost a 1000-executor exchange actually pays)
+      ("unigram_seg (map vs join)",
+        bench("map-only") { occ.select(
+          HashFunctions.unigram_seg(col("word"), uniPieces, uniCosts, maxP).as("sg")) },
+        bench("word-join") {
+          val segTab = occ.distinct().select(col("word"),
+            HashFunctions.unigram_seg(col("word"), uniPieces, uniCosts, maxP).as("sg"))
+          occ.join(segTab, Seq("word")).select(col("sg"))
+        }),
+      ("wordpiece_seg (map vs join)",
+        bench("map-only") { occ.select(
+          HashFunctions.wordpiece_seg(col("word"), wpInit, wpCont, maxP).as("np")) },
+        bench("word-join") {
+          val segTab = occ.distinct().select(col("word"),
+            HashFunctions.wordpiece_seg(col("word"), wpInit, wpCont, maxP).as("np"))
+          occ.join(segTab, Seq("word")).select(col("np"))
+        }),
       ("count_between", {
         bench("native") { dvecs.select(
           HashFunctions.count_between(col("dv"), lit(-0.5), lit(0.5)).as("c")) }
