@@ -147,6 +147,7 @@ object SparkEntry {
     // cluster-then-dedup composition: k-means cells as the blocking key
     "s_cluster_neardup" -> (SimilarityOps.clusterNearDup(_, _)),
     "s_silhouette"      -> ((s, d) => SimilarityOps.silhouette(s, d)),
+    "s_ncc_confusion"   -> ((s, d) => SimilarityOps.nearestCentroid(s, d)),
     // Training-data pipeline: text analysis
     "t_langid"          -> (TextOps.langIdDf _),
     "t_quality"         -> (TextOps.qualityDf _),
@@ -522,6 +523,7 @@ object SparkEntry {
     "s_kmeans"          -> SimilarityOps.kmeansSql,
     "s_cluster_neardup" -> SimilarityOps.clusterNearDupSql,
     "s_silhouette"      -> SimilarityOps.silhouetteSql,
+    "s_ncc_confusion"   -> SimilarityOps.nearestCentroidSql,
     "t_langid"          -> TextOps.langIdSql,
     "t_quality"         -> TextOps.qualitySql,
     "t_readability"     -> TextOps.readabilitySql,

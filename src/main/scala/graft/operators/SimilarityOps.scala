@@ -664,6 +664,64 @@ object SimilarityOps {
        |       round(CAST(sum(s_u) AS DOUBLE) / count(*) / 1000000.0, 4) + 0.0 AS mean_sil
        |FROM su GROUP BY cid ORDER BY cid""".stripMargin
 
+  /** Nearest-centroid (Rocchio) classification eval over the labeled
+    * embeddings: one integer-grid centroid per LABEL (exact floor-division
+    * rounding, the [[silhouette]] discipline), every vector assigned to its
+    * nearest label centroid, confusion matrix out — the cheapest linear
+    * probe of embedding quality, and the scale counterpoint to
+    * [[knnLabel]]: kNN pays a candidate join per query; this is MAP-ONLY
+    * scoring against |labels| literal centroids (O(n·k·dim), no join, no
+    * shuffle before the ≤ labels² confusion aggregate). Distances are exact
+    * integers; ties go to the lowest label in both engines.
+    */
+  def nearestCentroid(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.fanOut(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000 + 0.5).cast("long")).as("qe"))
+      .localCheckpoint(true) // centroid pass + scoring pass
+    val stats = e.select(col("label"), posexplode(col("qe")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(sum("v").as("sv"), count(lit(1)).as("c"))
+      .collect() // |labels|·dim cells
+    val cents: Seq[(Int, Array[Long])] = stats
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (lbl, rows) =>
+        val mu = new Array[Long](Dim)
+        rows.foreach(r => mu(r.getInt(1)) =
+          Math.floorDiv(2 * r.getLong(2) + r.getLong(3), 2 * r.getLong(3)))
+        lbl -> mu
+      }
+    val ds = transform(
+      array(cents.map { case (_, mu) => array(mu.map(lit): _*) }: _*),
+      cvec => aggregate(zip_with(col("qe"), cvec, (x, y) => (x - y) * (x - y)),
+        lit(0L), _ + _))
+    e.withColumn("ds", ds)
+      .withColumn("pred", element_at(array(cents.map(c => lit(c._1)): _*),
+        array_position(col("ds"), array_min(col("ds"))).cast("int")))
+      .groupBy("label", "pred").agg(count(lit(1)).as("n"))
+      .orderBy("label", "pred")
+  }
+
+  val nearestCentroidSql: String =
+    """WITH q AS (SELECT vec_id, label,
+      |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe
+      |  FROM embeddings),
+      |st AS (SELECT label, i, CAST(sum(v) AS BIGINT) AS sv, CAST(count(*) AS BIGINT) AS c
+      |       FROM (SELECT label, unnest(generate_series(1, len(qe))) AS i, unnest(qe) AS v FROM q)
+      |       GROUP BY 1, 2),
+      |muq AS (SELECT label, i,
+      |          (2*sv + c - ((((2*sv + c) % (2*c)) + 2*c) % (2*c))) // (2*c) AS mq
+      |        FROM st),
+      |mc AS (SELECT label, list(mq ORDER BY i) AS mu FROM muq GROUP BY label),
+      |pr AS (SELECT vec_id, label, pred FROM (
+      |         SELECT q.vec_id, q.label, mc.label AS pred,
+      |           list_sum(list_transform(generate_series(1, len(q.qe)),
+      |             i -> (q.qe[i] - mc.mu[i]) * (q.qe[i] - mc.mu[i]))) AS dist
+      |         FROM q CROSS JOIN mc)
+      |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, pred) = 1)
+      |SELECT label, pred, CAST(count(*) AS BIGINT) AS n
+      |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Symmetric int8 scalar quantization of the embedding column — the
     * standard 4× compression before ANN index build (FAISS SQ8 shape).
     * Per-vector scale = max|x| / 127; each component is rounded HALF-UP
