@@ -389,6 +389,7 @@ object SparkEntry {
     // k-core at the graph's own p75 degree: iterative peeling, early exit
     "x_kcore"           -> (graft.operators.GraphOps.kCore _),
     "x_adamic_adar"     -> (graft.operators.GraphOps.adamicAdar _),
+    "x_hits"            -> (graft.operators.GraphOps.hits _),
     // exact midrank Spearman rho per return flag (no row-level rank join)
     "g_spearman"        -> (AQ.spearman _),
     // integer-domain EWMA fold per instrument + momentum flag
@@ -703,6 +704,7 @@ object SparkEntry {
     "x_bfs_hops"        -> graft.operators.GraphOps.bfsHopsSql,
     "x_kcore"           -> graft.operators.GraphOps.kCoreSql,
     "x_adamic_adar"     -> graft.operators.GraphOps.adamicAdarSql,
+    "x_hits"            -> graft.operators.GraphOps.hitsSql,
     "g_spearman"        -> AQ.spearmanSql,
     "ts_ewma"           -> TimeSeriesOps.ewmaSql,
     "ts_var_es"         -> TimeSeriesOps.varEsSql,

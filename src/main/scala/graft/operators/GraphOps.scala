@@ -514,6 +514,74 @@ object GraphOps {
         col("n_common"), col("score_u"))
   }
 
+  /** HITS hubs/authorities (Kleinberg 1999) over the bipartite
+    * customer–supplier graph: 3 unrolled mutual-reinforcement rounds
+    * (authority = Σ hub over in-edges, hub = Σ authority), reported as the
+    * top-10 of each side in parts-per-million of the side's max.
+    *
+    * Exactness: iterations run UNNORMALIZED in exact integer space
+    * (DECIMAL(38,0) sums — per-round scalar normalization only rescales,
+    * so rankings and the final ppm are unchanged, and skipping it removes
+    * every intermediate division). The single final division is the
+    * pmod floor-div form ((x·1e6 − pmod)/mx), exact in both engines —
+    * Spark's rounded DECIMAL division never runs on a non-multiple.
+    *
+    * Scale shape: each round is one edges⋈scores join (shuffle on the
+    * node key) + a partial-aggregable groupBy — [[pagerank]]'s plan with
+    * the sides alternating; score frames are node-sized; the max is a
+    * 1-row broadcast stitch; output bounded by TakeOrderedAndProject.
+    */
+  def hits(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val e = custSuppPairs(s, d).localCheckpoint(true)
+    var h = e.select(col("cust")).distinct()
+      .withColumn("h", lit(1L).cast(dec))
+    var a: DataFrame = h // placeholder; set in round 1
+    for (_ <- 1 to Iterations) {
+      a = e.join(h, Seq("cust")).groupBy("supp")
+        .agg(sum("h").cast(dec).as("a")).localCheckpoint(true)
+      h = e.join(a, Seq("supp")).groupBy("cust")
+        .agg(sum("a").cast(dec).as("h")).localCheckpoint(true)
+    }
+    def top(df: DataFrame, c: String, kind: String,
+        node: org.apache.spark.sql.Column): DataFrame = {
+      val mx = df.agg(max(col(c)).as("mx"))
+      val num = col(c) * lit(1000000L).cast(dec)
+      df.crossJoin(broadcast(mx))
+        .select(lit(kind).as("kind"), node.as("node"),
+          ((num - pmod(num, col("mx"))) / col("mx")).cast("long").as("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("node"))
+        .limit(10)
+    }
+    top(a, "a", "auth", label(col("supp")))
+      .unionAll(top(h, "h", "hub", label(col("cust"))))
+      .orderBy(col("kind"), col("score_ppm").desc, col("node"))
+  }
+
+  val hitsSql: String = {
+    val rounds = (1 to Iterations).map { i =>
+      s"""a_$i AS MATERIALIZED (
+         |  SELECT supp, sum(h) AS a FROM pairs JOIN h_${i - 1} USING (cust) GROUP BY supp),
+         |h_$i AS MATERIALIZED (
+         |  SELECT cust, sum(a) AS h FROM pairs JOIN a_$i USING (supp) GROUP BY cust)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS cust,
+       |         CAST(l_suppkey * 2 + 1 AS BIGINT) AS supp
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |h_0 AS (SELECT DISTINCT cust, CAST(1 AS HUGEINT) AS h FROM pairs),
+       |$rounds,
+       |ta AS (SELECT 'auth' AS kind, 's' || CAST(supp // 2 AS VARCHAR) AS node,
+       |         CAST((a * 1000000) // (SELECT max(a) FROM a_$Iterations) AS BIGINT) AS score_ppm
+       |       FROM a_$Iterations ORDER BY score_ppm DESC, node LIMIT 10),
+       |th AS (SELECT 'hub' AS kind, 'c' || CAST(cust // 2 AS VARCHAR) AS node,
+       |         CAST((h * 1000000) // (SELECT max(h) FROM h_$Iterations) AS BIGINT) AS score_ppm
+       |       FROM h_$Iterations ORDER BY score_ppm DESC, node LIMIT 10)
+       |SELECT * FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
+       |ORDER BY kind, score_ppm DESC, node""".stripMargin
+  }
+
   val adamicAdarSql: String =
     s"""WITH pairs AS MATERIALIZED (
        |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS cust,
