@@ -154,6 +154,72 @@ class Round12OpsSpec extends SparkSpec {
       s"whitespace-only and over-cap docs must vanish, rest exact: $seg")
   }
 
+  test("UnigramSeg Viterbi equals brute-force min over ALL segmentations on " +
+      "200 random vocab/word draws (packed cost-then-pieces order)") {
+    val rnd = new scala.util.Random(12021)
+    val chars = Array("a", "b", "c")
+    for (_ <- 1 to 200) {
+      val multis = Seq.fill(rnd.nextInt(7))(
+        Seq.fill(2 + rnd.nextInt(3))(chars(rnd.nextInt(3))).mkString).distinct
+      val pieces = (chars.toSeq ++ multis).distinct
+      val vocab = new java.util.HashMap[String, java.lang.Long]
+      pieces.foreach(p => vocab.put(p, 1L + rnd.nextInt(1000000).toLong))
+      val word = Seq.fill(1 + rnd.nextInt(10))(chars(rnd.nextInt(3))).mkString
+      val n = word.length
+      // brute force: every cut mask; segment valid iff every piece is in
+      // the vocab and <= maxPiece chars; value packs (cost, pieces)
+      var best = Long.MaxValue
+      for (mask <- 0 until (1 << (n - 1))) {
+        var ok = true; var v = 0L; var start = 0
+        for (pos <- 1 to n if ok) {
+          if (pos == n || ((mask >> (pos - 1)) & 1) == 1) {
+            val seg = word.substring(start, pos)
+            val c = vocab.get(seg)
+            if (seg.length > 4 || c == null) ok = false
+            else { v += c.longValue() * 100L + 1L; start = pos }
+          }
+        }
+        if (ok && v < best) best = v
+      }
+      val got = graft.catalyst.HashUtil.unigramSeg(
+        org.apache.spark.unsafe.types.UTF8String.fromString(word), vocab, 4)
+      assert(got != null && got.getInt(0) == (best % 100).toInt &&
+        got.getLong(1) == best / 100,
+        s"word=$word vocab=$pieces got=$got want np=${best % 100} cost=${best / 100}")
+    }
+  }
+
+  test("WordPieceSeg greedy equals an independent recursive reference on " +
+      "200 random role-split vocab/word draws") {
+    val rnd = new scala.util.Random(31337)
+    val chars = Array("a", "b", "c")
+    def refGreedy(word: String, init: Set[String], cont: Set[String]): Int = {
+      def go(rest: String, first: Boolean, acc: Int): Int =
+        if (rest.isEmpty) acc
+        else {
+          val set = if (first) init else cont
+          (math.min(4, rest.length) to 1 by -1)
+            .find(l => set.contains(rest.take(l))) match {
+            case Some(l) => go(rest.drop(l), first = false, acc + 1)
+            case None    => -1
+          }
+        }
+      go(word, first = true, 0)
+    }
+    for (_ <- 1 to 200) {
+      def draw(): Seq[String] = (chars.toSeq ++ Seq.fill(rnd.nextInt(7))(
+        Seq.fill(2 + rnd.nextInt(3))(chars(rnd.nextInt(3))).mkString)).distinct
+      val init = draw(); val cont = draw()
+      val is = new java.util.HashSet[String]; init.foreach(is.add)
+      val cs = new java.util.HashSet[String]; cont.foreach(cs.add)
+      val word = Seq.fill(1 + rnd.nextInt(12))(chars(rnd.nextInt(3))).mkString
+      val want = refGreedy(word, init.toSet, cont.toSet)
+      val got = graft.catalyst.HashUtil.wordpieceSeg(
+        org.apache.spark.unsafe.types.UTF8String.fromString(word), is, cs, 4)
+      assert(got == want, s"word=$word init=$init cont=$cont got=$got want=$want")
+    }
+  }
+
   test("TextRank replays the weighted update rule exactly on a hand-computed " +
       "3-node graph (nano-space integer scores)") {
     // corpus "a b", "b c", "a b" -> edges a-b w2, b-c w1; wdeg a=2 b=3 c=1
