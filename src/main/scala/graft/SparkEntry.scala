@@ -390,6 +390,7 @@ object SparkEntry {
     "x_kcore"           -> (graft.operators.GraphOps.kCore _),
     "x_adamic_adar"     -> (graft.operators.GraphOps.adamicAdar _),
     "x_hits"            -> (graft.operators.GraphOps.hits _),
+    "x_assortativity"   -> (graft.operators.GraphOps.assortativity _),
     // exact midrank Spearman rho per return flag (no row-level rank join)
     "g_spearman"        -> (AQ.spearman _),
     // integer-domain EWMA fold per instrument + momentum flag
@@ -705,6 +706,7 @@ object SparkEntry {
     "x_kcore"           -> graft.operators.GraphOps.kCoreSql,
     "x_adamic_adar"     -> graft.operators.GraphOps.adamicAdarSql,
     "x_hits"            -> graft.operators.GraphOps.hitsSql,
+    "x_assortativity"   -> graft.operators.GraphOps.assortativitySql,
     "g_spearman"        -> AQ.spearmanSql,
     "ts_ewma"           -> TimeSeriesOps.ewmaSql,
     "ts_var_es"         -> TimeSeriesOps.varEsSql,

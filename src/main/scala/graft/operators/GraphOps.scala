@@ -582,6 +582,59 @@ object GraphOps {
        |ORDER BY kind, score_ppm DESC, node""".stripMargin
   }
 
+  /** Degree assortativity of the bipartite incidence (Newman 2002): the
+    * Pearson correlation between customer degree and supplier degree across
+    * relationships — "do busy customers concentrate on busy suppliers"
+    * (r > 0) or spread across the tail (r < 0). The one-number topology
+    * summary read before trusting degree-based caps like
+    * [[AaMaxDeg]].
+    *
+    * Exactness: degrees are exact integers, the five moment sums fold in
+    * DECIMAL(38,0) (partial-aggregable, order-free) and cross the double
+    * boundary once each; the final Pearson chain is the same fixed IEEE
+    * expression tree in both engines ([[graft.queries.PipelineQueries.corrStats]]'s
+    * discipline). Scale shape: two node-sized degree tables broadcast back
+    * onto the edge list, ONE partial-agg pass, a 1-row result.
+    */
+  def assortativity(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val pairs = custSuppPairs(s, d).localCheckpoint(true)
+    val dc = pairs.groupBy("cust").agg(count(lit(1)).cast(dec).as("dx"))
+    val dsp = pairs.groupBy("supp").agg(count(lit(1)).cast(dec).as("dy"))
+    pairs.join(broadcast(dc), Seq("cust")).join(broadcast(dsp), Seq("supp"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("dx")).cast("double").as("sx"),
+        sum(col("dy")).cast("double").as("sy"),
+        sum(col("dx") * col("dx")).cast("double").as("sxx"),
+        sum(col("dy") * col("dy")).cast("double").as("syy"),
+        sum(col("dx") * col("dy")).cast("double").as("sxy"))
+      .select(col("n_edges"),
+        ((col("n_edges") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n_edges") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n_edges") * col("syy") - col("sy") * col("sy"))))
+          .as("assortativity"))
+  }
+
+  val assortativitySql: String =
+    """WITH pairs AS MATERIALIZED (
+      |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS cust,
+      |         CAST(l_suppkey * 2 + 1 AS BIGINT) AS supp
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |dc AS (SELECT cust, CAST(count(*) AS DECIMAL(38,0)) AS dx FROM pairs GROUP BY cust),
+      |dsp AS (SELECT supp, CAST(count(*) AS DECIMAL(38,0)) AS dy FROM pairs GROUP BY supp),
+      |m AS (SELECT count(*) AS n,
+      |        CAST(CAST(sum(dx) AS VARCHAR) AS DOUBLE) AS sx,
+      |        CAST(CAST(sum(dy) AS VARCHAR) AS DOUBLE) AS sy,
+      |        CAST(CAST(sum(dx * dx) AS VARCHAR) AS DOUBLE) AS sxx,
+      |        CAST(CAST(sum(dy * dy) AS VARCHAR) AS DOUBLE) AS syy,
+      |        CAST(CAST(sum(dx * dy) AS VARCHAR) AS DOUBLE) AS sxy
+      |      FROM pairs JOIN dc USING (cust) JOIN dsp USING (supp))
+      |SELECT CAST(n AS BIGINT) AS n_edges,
+      |  (n * sxy - sx * sy) /
+      |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) + 0.0 AS assortativity
+      |FROM m""".stripMargin
+
   val adamicAdarSql: String =
     s"""WITH pairs AS MATERIALIZED (
        |  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS cust,

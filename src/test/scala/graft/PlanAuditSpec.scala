@@ -81,7 +81,8 @@ class PlanAuditSpec extends SparkSpec {
     for (q <- Seq("d_substring_spans", "t_kn_bigram", "t_textrank",
       "t_uni_vocab", "t_uni_encode", "t_wp_vocab", "t_wp_encode",
       "g_rollup_serve", "g_rollup_filtered", "x_adamic_adar", "s_silhouette",
-      "d_source_overlap", "t_js_sources", "s_ncc_confusion", "x_hits")) {
+      "d_source_overlap", "t_js_sources", "s_ncc_confusion", "x_hits",
+      "x_assortativity")) {
       val df = SparkEntry.queries(q)(spark, sf0001)
       val errs = PlanAudit.audit(df).filter(_.severity == "error")
       assert(errs.isEmpty, s"$q: $errs")
