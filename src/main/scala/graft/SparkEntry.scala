@@ -208,6 +208,7 @@ object SparkEntry {
     "t_uni_encode"      -> ((s, d) => graft.operators.TokenizerOps.unigramSegment(s, d)),
     "t_wp_vocab"        -> ((s, d) => graft.operators.TokenizerOps.wordpieceVocab(s, d)),
     "t_wp_encode"       -> ((s, d) => graft.operators.TokenizerOps.wordpieceSegment(s, d)),
+    "t_wp_fertility"    -> ((s, d) => graft.operators.TokenizerOps.wordpieceFertility(s, d)),
     "d_cluster_canon"   -> ((s, d) => graft.operators.DedupPipeline
       .clusters(DedupOps.ngramJaccardPairs(s, d)).orderBy("doc_id")),
     // Round 2: deterministic splits / sampling / balancing
@@ -572,6 +573,7 @@ object SparkEntry {
     "t_uni_encode"      -> graft.operators.TokenizerOps.unigramSegSql,
     "t_wp_vocab"        -> graft.operators.TokenizerOps.wordpieceVocabSql,
     "t_wp_encode"       -> graft.operators.TokenizerOps.wordpieceSegSql,
+    "t_wp_fertility"    -> graft.operators.TokenizerOps.wordpieceFertilitySql,
     "d_cluster_canon"   -> DedupOps.clusterCanonSql,
     "p_train_split"     -> PQ.trainSplitSql,
     "p_stratified_sample" -> PQ.stratifiedSampleSql,

@@ -479,6 +479,56 @@ object TokenizerOps {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer fertility per language: pieces-per-word and the
+    * single-piece (whole-word) hit rate of the trained WordPiece
+    * vocabulary, split by the `lang` column — the multilingual-coverage
+    * report every shared-vocabulary tokenizer gets judged on (a language
+    * whose fertility runs high is under-served by the vocab and its
+    * documents tokenize into more, less meaningful pieces).
+    *
+    * Same map-only inference as [[wordpieceSegment]] (vocab as a reference
+    * object), grouped by language instead of document — |langs| output
+    * rows, exact integer counts, two guarded divisions at the end.
+    */
+  def wordpieceFertility(s: SparkSession, d: String): DataFrame = {
+    import graft.catalyst.HashFunctions.wordpiece_seg
+    val v = wordpieceVocab(s, d).collect()
+    val init = v.filter(!_.getBoolean(1)).map(_.getString(0))
+    val cont = v.filter(_.getBoolean(1)).map(_.getString(0))
+    Tables.fanOut(Tables.documents(s, d))
+      .filter(col("text").isNotNull)
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("word"))
+      .filter(length(col("word")).between(1, UniMaxWordLen))
+      .select(col("lang"),
+        wordpiece_seg(col("word"), init, cont, UniMaxPiece).as("np"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("np")).as("n_pieces"),
+        sum(when(col("np") === 1, 1L).otherwise(0L)).as("n_whole"))
+      .select(col("lang"), col("n_words"), col("n_pieces"),
+        round(col("n_pieces").cast("double") / col("n_words"), 4).as("fertility"),
+        round(col("n_whole").cast("double") / col("n_words"), 4).as("whole_rate"))
+      .orderBy("lang")
+  }
+
+  /** Oracle for [[wordpieceFertility]]: the [[wordpieceSegSql]] greedy
+    * replay re-aggregated by language. */
+  def wordpieceFertilitySql: String = {
+    val base = wordpieceSegSql
+    val cut = base.lastIndexOf("occ AS")
+    base.substring(0, cut) +
+      s"""occ AS (SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+         |        FROM documents WHERE text IS NOT NULL)
+         |SELECT occ.lang, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(sg.np) AS BIGINT) AS n_pieces,
+         |       round(CAST(sum(sg.np) AS DOUBLE) / count(*), 4) AS fertility,
+         |       round(CAST(sum(CASE WHEN sg.np = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / count(*), 4) AS whole_rate
+         |FROM occ JOIN seg sg USING (word)
+         |GROUP BY occ.lang ORDER BY occ.lang""".stripMargin
+  }
+
   /** Shared oracle prelude: capped words `fw` and the role-split WordPiece
     * vocabulary `wpv` — a line-for-line SQL replay of [[wordpieceVocab]]. */
   private def wpVocabCte: String = s"""WITH wc AS MATERIALIZED (
