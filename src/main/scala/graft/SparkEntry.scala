@@ -148,6 +148,7 @@ object SparkEntry {
     "s_cluster_neardup" -> (SimilarityOps.clusterNearDup(_, _)),
     "s_silhouette"      -> ((s, d) => SimilarityOps.silhouette(s, d)),
     "s_ncc_confusion"   -> ((s, d) => SimilarityOps.nearestCentroid(s, d)),
+    "s_label_outliers"  -> ((s, d) => SimilarityOps.labelOutliers(s, d)),
     // Training-data pipeline: text analysis
     "t_langid"          -> (TextOps.langIdDf _),
     "t_quality"         -> (TextOps.qualityDf _),
@@ -195,6 +196,7 @@ object SparkEntry {
     "t_kn_bigram"       -> (PQ.knBigram _),
     "t_textrank"        -> (PQ.textrank _),
     "t_js_sources"      -> (PQ.jsSources _),
+    "p_temp_alloc"      -> (PQ.tempAlloc _),
     // CCNet head/middle/tail quality tiers from exact xent order statistics
     "t_ppl_bucket"      -> (PQ.pplBucket _),
     // DSIR importance selection: unigram LLR vs target domain, top-quartile keep
@@ -211,6 +213,7 @@ object SparkEntry {
     "t_wp_fertility"    -> ((s, d) => graft.operators.TokenizerOps.wordpieceFertility(s, d)),
     "d_cluster_canon"   -> ((s, d) => graft.operators.DedupPipeline
       .clusters(DedupOps.ngramJaccardPairs(s, d)).orderBy("doc_id")),
+    "d_canon_longest"   -> (graft.operators.DedupPipeline.canonLongest _),
     // Round 2: deterministic splits / sampling / balancing
     "p_train_split"     -> (PQ.trainSplit _),
     "p_stratified_sample" -> (PQ.stratifiedSample _),
@@ -527,6 +530,7 @@ object SparkEntry {
     "s_cluster_neardup" -> SimilarityOps.clusterNearDupSql,
     "s_silhouette"      -> SimilarityOps.silhouetteSql,
     "s_ncc_confusion"   -> SimilarityOps.nearestCentroidSql,
+    "s_label_outliers"  -> SimilarityOps.labelOutliersSql,
     "t_langid"          -> TextOps.langIdSql,
     "t_quality"         -> TextOps.qualitySql,
     "t_readability"     -> TextOps.readabilitySql,
@@ -559,6 +563,7 @@ object SparkEntry {
     "t_kn_bigram"       -> PQ.knBigramSql,
     "t_textrank"        -> PQ.textrankSql,
     "t_js_sources"      -> PQ.jsSourcesSql,
+    "p_temp_alloc"      -> PQ.tempAllocSql,
     "t_ppl_bucket"      -> PQ.pplBucketSql,
     "t_dsir_select"     -> PQ.dsirSelectSql,
     "p_curation_funnel" -> PQ.curationFunnelSql,
@@ -575,6 +580,7 @@ object SparkEntry {
     "t_wp_encode"       -> graft.operators.TokenizerOps.wordpieceSegSql,
     "t_wp_fertility"    -> graft.operators.TokenizerOps.wordpieceFertilitySql,
     "d_cluster_canon"   -> DedupOps.clusterCanonSql,
+    "d_canon_longest"   -> DedupOps.canonLongestSql,
     "p_train_split"     -> PQ.trainSplitSql,
     "p_stratified_sample" -> PQ.stratifiedSampleSql,
     "p_seq_pack"        -> PQ.sequencePackSql,

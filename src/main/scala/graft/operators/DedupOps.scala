@@ -202,6 +202,36 @@ object DedupOps {
        |SELECT node AS doc_id, min(lbl) AS cluster_id
        |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin
 
+  /** Oracle for the keep-longest canonicalization over the same clusters:
+    * the connected-components CTE joined back to document lengths, argmax
+    * (n_chars desc, doc_id asc) per cluster — the removal policy real
+    * dedup pipelines apply (keep the most complete copy), vs
+    * `d_cluster_canon`'s min-id canonical LABEL.
+    */
+  val canonLongestSql: String =
+    s"""WITH RECURSIVE $ngramPairsCtes,
+       |pairs AS (
+       |  SELECT a_id, b_id
+       |  FROM p JOIN c ca ON ca.doc_id = a_id JOIN c cb ON cb.doc_id = b_id
+       |  WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.8),
+       |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+       |          UNION SELECT b_id, a_id FROM pairs),
+       |cc(node, lbl) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.u, cc.lbl FROM cc JOIN edges e ON cc.node = e.v),
+       |cl AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM cc GROUP BY node),
+       |j AS (SELECT cl.cluster_id, cl.doc_id, coalesce(d.n_chars, 0) AS nc
+       |      FROM cl JOIN documents d USING (doc_id)),
+       |k AS (SELECT cluster_id, doc_id AS keep_doc, nc AS keep_chars FROM (
+       |        SELECT cluster_id, doc_id, nc,
+       |          row_number() OVER (PARTITION BY cluster_id ORDER BY nc DESC, doc_id) AS rn
+       |        FROM j) WHERE rn = 1),
+       |n AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members FROM j GROUP BY cluster_id)
+       |SELECT k.cluster_id, k.keep_doc, CAST(k.keep_chars AS BIGINT) AS keep_chars,
+       |       n.n_members, CAST(n.n_members - 1 AS BIGINT) AS n_dropped
+       |FROM k JOIN n USING (cluster_id) ORDER BY cluster_id""".stripMargin
+
   /** Duplicated-span fraction per document (the RefinedWeb/Gopher
     * "characters in duplicated n-grams" signal, at 3-word-shingle
     * granularity): the share of a doc's distinct shingles that appear in at

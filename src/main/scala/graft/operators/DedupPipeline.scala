@@ -194,4 +194,26 @@ object DedupPipeline {
 
     (quality, PipelineReport(input, afterExact, afterNearDup, afterQuality, nClusters))
   }
+
+  /** Keep-longest canonicalization over the near-dup clusters: per cluster
+    * keep the document with the most characters (doc_id breaks ties) — the
+    * removal POLICY real dedup passes apply (preserve the most complete
+    * copy; ExactSubstr/C4 practice), where [[clusters]]' min-id output is
+    * only the canonical LABEL. The argmax is one `max(struct(...))`
+    * partial-aggregable fold — no per-cluster window, no second shuffle
+    * beyond the groupBy(cluster).
+    */
+  def canonLongest(s: SparkSession, d: String): DataFrame = {
+    val cl = clusters(DedupOps.ngramJaccardPairs(s, d))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"))
+    cl.join(docs, Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("nc"), (-col("doc_id")).as("nd"))).as("m"))
+      .select(col("cluster_id"), (-col("m.nd")).as("keep_doc"),
+        col("m.nc").as("keep_chars"), col("n_members"),
+        (col("n_members") - 1).as("n_dropped"))
+      .orderBy("cluster_id")
+  }
 }

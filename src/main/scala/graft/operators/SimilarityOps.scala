@@ -722,6 +722,74 @@ object SimilarityOps {
       |SELECT label, pred, CAST(count(*) AS BIGINT) AS n
       |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Confident-mislabeling candidates (the Confident Learning / cleanlab
+    * triage): embeddings whose OWN-label centroid sits farther away than
+    * some other label's centroid, ranked by the exact integer margin
+    * `d(own) − min d(other)` — the top of this list is what a labeling
+    * team reviews first. Same map-only scoring as [[nearestCentroid]];
+    * the margin needs NO division at all (distances are exact longs), so
+    * the ranking is bit-deterministic by construction.
+    */
+  def labelOutliers(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val e = Tables.fanOut(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000 + 0.5).cast("long")).as("qe"))
+      .localCheckpoint(true)
+    val stats = e.select(col("label"), posexplode(col("qe")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(sum("v").as("sv"), count(lit(1)).as("c"))
+      .collect()
+    val cents: Seq[(Int, Array[Long])] = stats
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (lbl, rows) =>
+        val mu = new Array[Long](Dim)
+        rows.foreach(r => mu(r.getInt(1)) =
+          Math.floorDiv(2 * r.getLong(2) + r.getLong(3), 2 * r.getLong(3)))
+        lbl -> mu
+      }
+    val ds = transform(
+      array(cents.map { case (_, mu) => array(mu.map(lit): _*) }: _*),
+      cvec => aggregate(zip_with(col("qe"), cvec, (x, y) => (x - y) * (x - y)),
+        lit(0L), _ + _))
+    e.withColumn("ds", ds)
+      .withColumn("ix",
+        array_position(array(cents.map(c => lit(c._1)): _*), col("label")).cast("int"))
+      .withColumn("pred", element_at(array(cents.map(c => lit(c._1)): _*),
+        array_position(col("ds"), array_min(col("ds"))).cast("int")))
+      .withColumn("margin", element_at(col("ds"), col("ix")) - array_min(expr(
+        "filter(transform(ds, (x, i) -> IF(i = ix - 1, CAST(NULL AS BIGINT), x)), x -> x IS NOT NULL)")))
+      .select("vec_id", "label", "pred", "margin")
+      .orderBy(col("margin").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  val labelOutliersSql: String =
+    """WITH q AS (SELECT vec_id, label,
+      |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qe
+      |  FROM embeddings),
+      |st AS (SELECT label, i, CAST(sum(v) AS BIGINT) AS sv, CAST(count(*) AS BIGINT) AS c
+      |       FROM (SELECT label, unnest(generate_series(1, len(qe))) AS i, unnest(qe) AS v FROM q)
+      |       GROUP BY 1, 2),
+      |muq AS (SELECT label, i,
+      |          (2*sv + c - ((((2*sv + c) % (2*c)) + 2*c) % (2*c))) // (2*c) AS mq
+      |        FROM st),
+      |mc AS (SELECT label, list(mq ORDER BY i) AS mu FROM muq GROUP BY label),
+      |dd AS (SELECT q.vec_id, q.label, mc.label AS cand,
+      |         list_sum(list_transform(generate_series(1, len(q.qe)),
+      |           i -> (q.qe[i] - mc.mu[i]) * (q.qe[i] - mc.mu[i]))) AS dist
+      |       FROM q CROSS JOIN mc),
+      |ab AS (SELECT vec_id, label,
+      |         max(CASE WHEN cand = label THEN dist END) AS a,
+      |         min(CASE WHEN cand <> label THEN dist END) AS b
+      |       FROM dd GROUP BY 1, 2),
+      |pr AS (SELECT vec_id, pred FROM (
+      |         SELECT vec_id, cand AS pred,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cand) AS rn
+      |         FROM dd) WHERE rn = 1)
+      |SELECT ab.vec_id, ab.label, pr.pred, CAST(ab.a - ab.b AS BIGINT) AS margin
+      |FROM ab JOIN pr USING (vec_id)
+      |ORDER BY margin DESC, ab.vec_id LIMIT 20""".stripMargin
+
   /** Symmetric int8 scalar quantization of the embedding column — the
     * standard 4× compression before ANN index build (FAISS SQ8 shape).
     * Per-vector scale = max|x| / 127; each component is rounded HALF-UP

@@ -2239,6 +2239,66 @@ object PipelineQueries {
        |WHERE (ci * $PpsSampleK) // tw - ((ci - w) * $PpsSampleK) // tw >= 1
        |ORDER BY doc_id""".stripMargin
 
+  /** Temperature-scaled mixture allocation: split a fixed sample budget of
+    * [[TempAllocK]] documents across sources with probabilities ∝ mass^α —
+    * the standard low-resource up-weighting of multilingual/multi-corpus
+    * sampling (α < 1 flattens the head). α is fixed at 0.5 because `sqrt`
+    * is an IEEE CORRECTLY-ROUNDED primitive on both engines, while a
+    * general `pow(x, 0.7)` may differ by 1 ulp across libm builds — the
+    * one float op per source is then bit-stable, and everything after it
+    * (weights, floor quotas, largest-remainder top-up) is exact integer
+    * arithmetic, so Σ n_alloc = K holds bit-for-bit in both engines.
+    *
+    * Scale shape: one partial-aggregable groupBy(source); everything
+    * downstream operates on the |sources|-row table (the remainder rank is
+    * a bounded self-join, NOT a partition-less window).
+    */
+  val TempAllocK = 1000
+  def tempAlloc(s: SparkSession, d: String): DataFrame = {
+    val w = Tables.fanOut(Tables.documents(s, d))
+      .filter(col("text").isNotNull)
+      .groupBy("source").agg(sum(coalesce(col("n_chars"), lit(0L))).as("mass"))
+      .withColumn("w_u",
+        round(lit(1e6) * sqrt(col("mass").cast("double"))).cast("long"))
+      .localCheckpoint(true) // |sources| rows; feeds totals, rank, output
+    val tot = w.agg(sum("w_u").as("tw"))
+    val b = w.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($TempAllocK * w_u) div tw"))
+      .withColumn("rem", expr(s"($TempAllocK * w_u) % tw"))
+      .localCheckpoint(true)
+    val extra = b.agg((lit(TempAllocK.toLong) - sum("base")).as("extra"))
+    val rk = b.select(col("source"), col("rem"))
+      .join(b.select(col("source").as("s2"), col("rem").as("r2")),
+        col("r2") > col("rem") ||
+          (col("r2") === col("rem") && col("s2") < col("source")), "left")
+      .groupBy("source").agg(count(col("s2")).as("nbetter"))
+    b.join(rk, Seq("source")).crossJoin(broadcast(extra))
+      .select(col("source"), col("mass"), col("w_u"),
+        (col("base") + when(col("nbetter") + 1 <= col("extra"), 1L).otherwise(0L))
+          .as("n_alloc"))
+      .orderBy("source")
+  }
+
+  val tempAllocSql: String =
+    s"""WITH m AS (SELECT source, CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS mass
+       |           FROM documents WHERE text IS NOT NULL GROUP BY source),
+       |w AS (SELECT source, mass,
+       |        CAST(round(1000000.0 * sqrt(CAST(mass AS DOUBLE))) AS BIGINT) AS w_u
+       |      FROM m),
+       |t AS (SELECT CAST(sum(w_u) AS BIGINT) AS tw FROM w),
+       |b AS (SELECT source, mass, w_u,
+       |        ($TempAllocK * w_u) // tw AS base, ($TempAllocK * w_u) % tw AS rem
+       |      FROM w CROSS JOIN t),
+       |x AS (SELECT CAST($TempAllocK - sum(base) AS BIGINT) AS extra FROM b),
+       |r AS (SELECT a.source, CAST(count(bb.source) AS BIGINT) AS nbetter
+       |      FROM b a LEFT JOIN b bb
+       |        ON bb.rem > a.rem OR (bb.rem = a.rem AND bb.source < a.source)
+       |      GROUP BY a.source)
+       |SELECT b.source, b.mass, b.w_u,
+       |       CAST(b.base + CASE WHEN r.nbetter + 1 <= x.extra THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
+       |FROM b JOIN r USING (source) CROSS JOIN x
+       |ORDER BY source""".stripMargin
+
   /** Pairwise Jensen–Shannon divergence between per-source unigram token
     * distributions — the domain-similarity matrix a mixture designer reads
     * next to [[graft.operators.DedupOps.sourceOverlap]]'s set-overlap form
