@@ -220,6 +220,43 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  test("temp-alloc sums exactly to K, label-outlier margins agree with " +
+      "predictions, keep-longest canon picks the true cluster maximum") {
+    // p_temp_alloc: largest-remainder allocation is exact by construction
+    val alloc = graft.queries.PipelineQueries.tempAlloc(spark, sf0001).collect()
+    assert(alloc.map(_.getLong(3)).sum == graft.queries.PipelineQueries.TempAllocK,
+      "sum(n_alloc) must equal the budget exactly")
+    assert(alloc.forall(_.getLong(3) >= 0L))
+    // s_label_outliers: margin > 0 iff some other centroid is strictly
+    // closer, which forces pred != label; margin <= 0 forces pred == label
+    // (argmin ties break to the LOWEST label, and a tie at the own-label
+    // distance can only lower the argmin to it or below)
+    val lo = graft.operators.SimilarityOps.labelOutliers(spark, sf0001, k = 500)
+      .collect()
+    assert(lo.nonEmpty)
+    lo.foreach { r =>
+      val (lbl, pred, margin) = (r.getInt(1), r.getInt(2), r.getLong(3))
+      if (margin > 0) assert(pred != lbl, s"margin>0 must flip the pred: $r")
+      else assert(pred == lbl || margin == 0, s"margin<0 must keep the label: $r")
+    }
+    // d_canon_longest: the kept doc really is its cluster's (nc, -doc_id) max
+    val cl = graft.operators.DedupPipeline
+      .clusters(graft.operators.DedupOps.ngramJaccardPairs(spark, sf0001))
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"))
+    val byCluster = cl.join(docs, Seq("doc_id")).collect()
+      .groupBy(_.getLong(1))
+      .map { case (c, rs) =>
+        c -> rs.map(r => (r.getLong(2), -r.getLong(0))).max }
+    val canon = graft.operators.DedupPipeline.canonLongest(spark, sf0001).collect()
+    assert(canon.nonEmpty)
+    canon.foreach { r =>
+      val (c, keep, nc) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(byCluster(c) == ((nc, -keep)), s"cluster $c: kept ($keep,$nc) " +
+        s"but true max is ${byCluster(c)}")
+    }
+  }
+
   test("TextRank replays the weighted update rule exactly on a hand-computed " +
       "3-node graph (nano-space integer scores)") {
     // corpus "a b", "b c", "a b" -> edges a-b w2, b-c w1; wdeg a=2 b=3 c=1
