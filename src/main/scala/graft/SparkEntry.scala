@@ -197,6 +197,7 @@ object SparkEntry {
     "t_textrank"        -> (PQ.textrank _),
     "t_js_sources"      -> (PQ.jsSources _),
     "p_temp_alloc"      -> (PQ.tempAlloc _),
+    "t_pmi_colloc"      -> (PQ.pmiColloc _),
     // CCNet head/middle/tail quality tiers from exact xent order statistics
     "t_ppl_bucket"      -> (PQ.pplBucket _),
     // DSIR importance selection: unigram LLR vs target domain, top-quartile keep
@@ -214,6 +215,7 @@ object SparkEntry {
     "d_cluster_canon"   -> ((s, d) => graft.operators.DedupPipeline
       .clusters(DedupOps.ngramJaccardPairs(s, d)).orderBy("doc_id")),
     "d_canon_longest"   -> (graft.operators.DedupPipeline.canonLongest _),
+    "d_containment"     -> ((s, d) => DedupOps.containmentPairs(s, d)),
     // Round 2: deterministic splits / sampling / balancing
     "p_train_split"     -> (PQ.trainSplit _),
     "p_stratified_sample" -> (PQ.stratifiedSample _),
@@ -564,6 +566,7 @@ object SparkEntry {
     "t_textrank"        -> PQ.textrankSql,
     "t_js_sources"      -> PQ.jsSourcesSql,
     "p_temp_alloc"      -> PQ.tempAllocSql,
+    "t_pmi_colloc"      -> PQ.pmiCollocSql,
     "t_ppl_bucket"      -> PQ.pplBucketSql,
     "t_dsir_select"     -> PQ.dsirSelectSql,
     "p_curation_funnel" -> PQ.curationFunnelSql,
@@ -581,6 +584,7 @@ object SparkEntry {
     "t_wp_fertility"    -> graft.operators.TokenizerOps.wordpieceFertilitySql,
     "d_cluster_canon"   -> DedupOps.clusterCanonSql,
     "d_canon_longest"   -> DedupOps.canonLongestSql,
+    "d_containment"     -> DedupOps.containmentPairsSql,
     "p_train_split"     -> PQ.trainSplitSql,
     "p_stratified_sample" -> PQ.stratifiedSampleSql,
     "p_seq_pack"        -> PQ.sequencePackSql,

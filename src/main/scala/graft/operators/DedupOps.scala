@@ -202,6 +202,49 @@ object DedupOps {
        |SELECT node AS doc_id, min(lbl) AS cluster_id
        |FROM cc GROUP BY node ORDER BY doc_id""".stripMargin
 
+  /** Containment near-dup (asymmetric): `|A∩B| / |A|` ≥ threshold flags A
+    * as (near-)CONTAINED in B — the quote/aggregator/boilerplate-wrapper
+    * duplication Jaccard structurally misses when the two documents differ
+    * in size (|A∩B|/|A∪B| stays low however completely A sits inside B).
+    * Same two-shuffle posting-list plan as [[ngramJaccardPairs]]; the
+    * unordered pair explodes into its two directed containment readings at
+    * the very end (output-sized, not plan-sized).
+    */
+  def containmentPairs(s: SparkSession, d: String, threshold: Double = 0.9): DataFrame = {
+    val p = shingleHashDocs(s, d)
+      .select(struct(col("doc_id"), col("n")).as("dn"), explode(col("sh")).as("s"))
+      .groupBy("s").agg(collect_list(col("dn")).as("ds"))
+      .filter(size(col("ds")) >= 2 && size(col("ds")) <= StopShingleCap)
+      .select(explode(HashFunctions.pair_combos(col("ds"))).as("p"))
+      .select(col("p.a_id"), col("p.b_id"), col("p.nn"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("common"), first(col("nn")).as("nn"))
+      .withColumn("na", shiftrightunsigned(col("nn"), 32))
+      .withColumn("nb", col("nn").bitwiseAND(lit(0xffffffffL)))
+    p.select(col("a_id").as("inner_id"), col("b_id").as("outer_id"),
+        col("common"), col("na").as("n_inner"))
+      .unionAll(p.select(col("b_id").as("inner_id"), col("a_id").as("outer_id"),
+        col("common"), col("nb").as("n_inner")))
+      .filter(col("common") * lit(1.0) / col("n_inner") >= threshold)
+      .select(col("inner_id"), col("outer_id"), col("common"), col("n_inner"),
+        round(col("common") * lit(1.0) / col("n_inner"), 4).as("containment"))
+      .orderBy("inner_id", "outer_id")
+  }
+
+  val containmentPairsSql: String =
+    s"""WITH $ngramPairsCtes,
+       |b AS (
+       |  SELECT a_id AS inner_id, b_id AS outer_id, common, ca.n AS n_inner
+       |  FROM p JOIN c ca ON ca.doc_id = a_id
+       |  UNION ALL
+       |  SELECT b_id, a_id, common, cb.n
+       |  FROM p JOIN c cb ON cb.doc_id = b_id)
+       |SELECT inner_id, outer_id, CAST(common AS BIGINT) AS common,
+       |       CAST(n_inner AS BIGINT) AS n_inner,
+       |       round(common * 1.0 / n_inner, 4) AS containment
+       |FROM b WHERE common * 1.0 / n_inner >= 0.9
+       |ORDER BY inner_id, outer_id""".stripMargin
+
   /** Oracle for the keep-longest canonicalization over the same clusters:
     * the connected-components CTE joined back to document lengths, argmax
     * (n_chars desc, doc_id asc) per cluster — the removal policy real

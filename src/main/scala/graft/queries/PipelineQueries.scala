@@ -2299,6 +2299,61 @@ object PipelineQueries {
        |FROM b JOIN r USING (source) CROSS JOIN x
        |ORDER BY source""".stripMargin
 
+  /** Top-k PMI collocations (Church & Hanks 1990): bigrams whose observed
+    * corpus frequency most exceeds the independence expectation,
+    * `PMI = ln(c_xy · N / (c_x⋅ · c⋅_y))` over the bigram stream's own
+    * position counts (left-slot and right-slot marginals, so the three
+    * count tables share one denominator N and the ratio is an exact
+    * integer rational). One `ln` per SURVIVING bigram type is the whole
+    * float surface, rounded once to integer micro-nats; min-support
+    * `c_xy ≥ [[PmiMinSupport]]` applies the standard sparse-PMI guard.
+    *
+    * Scale shape: one bigram explode → three partial-aggregable groupBys
+    * (bigram, left token, right token — the marginals are vocabulary-sized
+    * joins back), a 1-row N stitch, bounded TakeOrderedAndProject.
+    */
+  val PmiMinSupport = 5
+  val PmiTopK = 20
+  def pmiColloc(s: SparkSession, d: String): DataFrame = {
+    val bg = Tables.fanOut(Tables.documents(s, d))
+      .filter(col("text").isNotNull)
+      .select(TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS l, t[i] AS r))")).as("b"))
+      .select(col("b.l"), col("b.r"))
+      .localCheckpoint(true) // joint + two marginals + N read this
+    val cxy = bg.groupBy("l", "r").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= PmiMinSupport)
+    val cl = bg.groupBy("l").agg(count(lit(1)).as("cl"))
+    val cr = bg.groupBy("r").agg(count(lit(1)).as("cr"))
+    val n = bg.agg(count(lit(1)).as("n"))
+    cxy.join(cl, Seq("l")).join(cr, Seq("r")).crossJoin(broadcast(n))
+      .select(col("l"), col("r"), col("c").as("n_pair"),
+        round(lit(1e6) * log(col("c").cast("double") * col("n") /
+          (col("cl").cast("double") * col("cr")))).cast("long").as("pmi_u"))
+      .orderBy(col("pmi_u").desc, col("l"), col("r"))
+      .limit(PmiTopK)
+  }
+
+  val pmiCollocSql: String =
+    s"""WITH toks AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+       |              FROM documents WHERE text IS NOT NULL),
+       |bg AS MATERIALIZED (
+       |  SELECT t[i] AS l, t[i+1] AS r
+       |  FROM (SELECT t, unnest(generate_series(1, len(t)-1)) AS i
+       |        FROM toks WHERE len(t) >= 2)),
+       |cxy AS (SELECT l, r, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+       |cl AS (SELECT l, CAST(count(*) AS BIGINT) AS cl FROM bg GROUP BY 1),
+       |cr AS (SELECT r, CAST(count(*) AS BIGINT) AS cr FROM bg GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bg)
+       |SELECT l, r, c AS n_pair,
+       |  CAST(round(1000000.0 * ln(CAST(c AS DOUBLE) * n.n /
+       |    (CAST(cl.cl AS DOUBLE) * cr.cr))) AS BIGINT) AS pmi_u
+       |FROM cxy JOIN cl USING (l) JOIN cr USING (r) CROSS JOIN n
+       |WHERE c >= $PmiMinSupport
+       |ORDER BY pmi_u DESC, l, r LIMIT $PmiTopK""".stripMargin
+
   /** Pairwise Jensen–Shannon divergence between per-source unigram token
     * distributions — the domain-similarity matrix a mixture designer reads
     * next to [[graft.operators.DedupOps.sourceOverlap]]'s set-overlap form
