@@ -333,6 +333,8 @@ object SparkEntry {
     // aggregate-view maintenance under CDC retractions (signed deltas)
     "x_ivm_agg"         -> (AQ.ivmAgg _),
     // exact Gini skew audit from the count-of-counts fold (no global rank)
+    "g_hhi"             -> (AQ.gHhi _),
+    "x_bh_fdr"          -> (AQ.bhFdr _),
     "g_skew_gini"       -> (graft.operators.SkewOps.giniSkew _),
     // cumulative distinct users by first-seen day (growth curve)
     "w_cume_new_users"  -> (graft.operators.IntervalOps.cumeNewUsers _),
@@ -697,6 +699,8 @@ object SparkEntry {
     "t_greedy_cover"    -> graft.operators.FeatureOps.greedyCoverSql(),
     "d_lsh_eval"        -> DedupOps.lshEvalSql,
     "g_pareto_share"    -> AQ.gParetoShareSql,
+    "g_hhi"             -> AQ.gHhiSql,
+    "x_bh_fdr"          -> AQ.bhFdrSql,
     "ts_drawdown"       -> AQ.tsDrawdownSql,
     "w_cohort_matrix"   -> graft.operators.FunnelOps.cohortMatrixSql,
     "t_langid_eval"     -> TextOps.langIdEvalSql,

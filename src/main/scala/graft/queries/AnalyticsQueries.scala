@@ -816,6 +816,107 @@ object AnalyticsQueries {
       |    CAST(sum(v) AS DOUBLE) AS share
       |FROM r GROUP BY g ORDER BY g""".stripMargin
 
+  /** Herfindahl–Hirschman concentration index per nation: Σ share² of
+    * suppliers in the nation's lineitem volume — the antitrust-style
+    * concentration number next to [[gParetoShare]]'s top-decile share and
+    * the Gini's full curve. HHI = Σ cᵢ² / N² needs NO per-row share: both
+    * the numerator (Σ cᵢ², one partial-aggregable fold over the
+    * (nation, supplier) count table) and N² are exact integers, so the
+    * single IEEE division at the end is the entire float surface.
+    */
+  def gHhi(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("l_suppkey"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum("c").as("n_lines"),
+        sum(col("c") * col("c")).as("sc2"))
+      .select(col("s_nationkey"), col("n_suppliers"), col("n_lines"),
+        round(col("sc2").cast("double") / (col("n_lines") * col("n_lines")), 6)
+          .as("hhi"))
+      .orderBy("s_nationkey")
+  }
+  val gHhiSql: String =
+    """WITH c AS (SELECT s_nationkey, l_suppkey, CAST(count(*) AS BIGINT) AS c
+      |           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |           GROUP BY 1, 2)
+      |SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+      |       CAST(sum(c) AS BIGINT) AS n_lines,
+      |       round(CAST(sum(c * c) AS DOUBLE) /
+      |             (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)), 6) AS hhi
+      |FROM c GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
+  /** Benjamini–Hochberg FDR correction (1995) over a FAMILY of tests —
+    * the multiple-testing control an experimentation platform applies
+    * before reading a dashboard of per-segment p-values. The family here:
+    * per order priority, a 3-cell goodness-of-fit chi-square of order
+    * counts across date-mod-3 buckets (df = 2), chosen because the df-2
+    * survival function is ELEMENTARY — p = exp(−χ²/2) — so no incomplete-
+    * gamma approximation enters the cross-engine surface. χ² reduces to
+    * (3·Σo² − n²)/n with exact integer numerator (uniform-expected closed
+    * form; absent cells contribute 0 to Σo² exactly as the formula needs).
+    *
+    * Determinism: one division and one exp per group, p rounded to integer
+    * micro-units; the BH step-up condition `p_(k) ≤ k·α/m` is evaluated as
+    * the all-integer comparison `p_u·m ≤ k·α_µ`; ranks come from a bounded
+    * self-join over the |family| rows (never a partition-less window).
+    */
+  val BhAlphaMicro = 50000L // α = 0.05 in micro-units
+  def bhFdr(s: SparkSession, d: String): DataFrame = {
+    val st = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("grp"),
+        pmod(datediff(col("o_orderdate"), lit("1970-01-01")), lit(3)).as("b"))
+      .groupBy("grp", "b").agg(count(lit(1)).as("o"))
+      .groupBy("grp")
+      .agg(sum("o").as("n"), sum(col("o") * col("o")).as("so2"))
+      .withColumn("x",
+        (lit(3) * col("so2") - col("n") * col("n")).cast("double") / col("n"))
+      .select(col("grp"), col("n"), round(col("x"), 4).as("chi2"),
+        round(lit(1e6) * exp(negate(col("x")) / lit(2.0))).cast("long").as("p_u"))
+      .localCheckpoint(true) // |family| rows; rank join + m + kstar read it
+    val m = st.agg(count(lit(1)).as("m"))
+    val rk = st.select(col("grp"), col("p_u"))
+      .join(st.select(col("grp").as("g2"), col("p_u").as("p2")),
+        col("p2") < col("p_u") ||
+          (col("p2") === col("p_u") && col("g2") < col("grp")), "left")
+      .groupBy("grp").agg((count(col("g2")) + 1).as("rk"))
+    val ranked = st.join(rk, Seq("grp")).crossJoin(broadcast(m))
+      .localCheckpoint(true) // kstar scan + final projection
+    val kstar = ranked
+      .agg(max(when(col("p_u") * col("m") <= col("rk") * lit(BhAlphaMicro),
+        col("rk"))).as("kstar"))
+    ranked.crossJoin(broadcast(kstar))
+      .select(col("grp"), col("n"), col("chi2"), col("p_u"), col("rk"),
+        (col("kstar").isNotNull && col("rk") <= col("kstar")).as("rejected"))
+      .orderBy("grp")
+  }
+  val bhFdrSql: String =
+    s"""WITH cells AS (SELECT o_orderpriority AS grp,
+       |        datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 3 AS b,
+       |        CAST(count(*) AS BIGINT) AS o
+       |      FROM orders GROUP BY 1, 2),
+       |st AS (SELECT grp, CAST(sum(o) AS BIGINT) AS n,
+       |         CAST(sum(o * o) AS BIGINT) AS so2 FROM cells GROUP BY 1),
+       |pv AS (SELECT grp, n,
+       |         round(CAST(3 * so2 - n * n AS DOUBLE) / n, 4) AS chi2,
+       |         CAST(round(1000000.0 *
+       |           exp(-(CAST(3 * so2 - n * n AS DOUBLE) / n) / 2.0)) AS BIGINT) AS p_u
+       |       FROM st),
+       |mt AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pv),
+       |rkt AS (SELECT a.grp, CAST(1 + count(b.grp) AS BIGINT) AS rk
+       |        FROM pv a LEFT JOIN pv b
+       |          ON b.p_u < a.p_u OR (b.p_u = a.p_u AND b.grp < a.grp)
+       |        GROUP BY a.grp),
+       |ks AS (SELECT max(CASE WHEN pv.p_u * mt.m <= rkt.rk * $BhAlphaMicro
+       |                       THEN rkt.rk END) AS kstar
+       |       FROM pv JOIN rkt USING (grp) CROSS JOIN mt)
+       |SELECT pv.grp, pv.n, pv.chi2, pv.p_u, rkt.rk,
+       |       (ks.kstar IS NOT NULL AND rkt.rk <= ks.kstar) AS rejected
+       |FROM pv JOIN rkt USING (grp) CROSS JOIN ks
+       |ORDER BY pv.grp""".stripMargin
+
   /** Maximum drawdown per event type — the classic risk statistic: the
     * deepest fall from a running peak, over the (ts, event_id)-ordered
     * value series in integer cents. Two stacked frames on ONE

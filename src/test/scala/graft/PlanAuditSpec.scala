@@ -83,7 +83,8 @@ class PlanAuditSpec extends SparkSpec {
       "g_rollup_serve", "g_rollup_filtered", "x_adamic_adar", "s_silhouette",
       "d_source_overlap", "t_js_sources", "s_ncc_confusion", "x_hits",
       "x_assortativity", "t_wp_fertility", "s_label_outliers", "p_temp_alloc",
-      "d_canon_longest", "t_pmi_colloc", "d_containment")) {
+      "d_canon_longest", "t_pmi_colloc", "d_containment", "g_hhi",
+      "x_bh_fdr")) {
       val df = SparkEntry.queries(q)(spark, sf0001)
       val errs = PlanAudit.audit(df).filter(_.severity == "error")
       assert(errs.isEmpty, s"$q: $errs")
