@@ -257,6 +257,50 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  test("Adamic-Adar and HITS replay hand-computed models on a 3x3 bipartite " +
+      "graph (integer micro-nat weights; unnormalized integer iterations)") {
+    // incidence: c1-{s1,s2}, c2-{s1,s2,s3}, c3-{s3}
+    val dir = tmpDir("r12-graph")
+    Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L), (5L, 2L), (6L, 3L))
+      .toDF("o_orderkey", "o_custkey").write.parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, 2L), (5L, 3L), (6L, 3L))
+      .toDF("l_orderkey", "l_suppkey").write.parquet(s"$dir/lineitem.parquet")
+    // AA wedges through c1 (deg 2, w=round(1e6/ln2)=1442695) and c2 (deg 3,
+    // w=round(1e6/ln3)=910239); c3 is structurally wedge-free at deg 1
+    val aa = graft.operators.GraphOps.adamicAdar(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toList
+    assert(aa == List(("s1", "s2", 2L, 2352934L),
+      ("s1", "s3", 1L, 910239L), ("s2", "s3", 1L, 910239L)), s"aa=$aa")
+    // HITS hand iteration: a3 = (s1 48, s2 48, s3 36), h3 = (c1 96, c2 132,
+    // c3 36); ppm vs side max with exact floor division
+    val hits = graft.operators.GraphOps.hits(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toList
+    assert(hits == List(
+      ("auth", "s1", 1000000L), ("auth", "s2", 1000000L), ("auth", "s3", 750000L),
+      ("hub", "c2", 1000000L), ("hub", "c1", 727272L), ("hub", "c3", 272727L)),
+      s"hits=$hits")
+  }
+
+  test("Benjamini-Hochberg replays a hand family: uniform group accepted, " +
+      "concentrated group rejected, kstar stops the step-up exactly") {
+    // priority a: 9 orders spread 3/3/3 over date-mod-3 -> chi2 0, p_u 1e6
+    // priority b: 8 orders all in bucket 0 -> chi2 16, p = exp(-8) -> 335
+    val dir = tmpDir("r12-bh")
+    val d0 = java.sql.Date.valueOf("1970-01-01")
+    val d1 = java.sql.Date.valueOf("1970-01-02")
+    val d2 = java.sql.Date.valueOf("1970-01-03")
+    val rows = Seq.fill(3)(("a", d0)) ++ Seq.fill(3)(("a", d1)) ++
+      Seq.fill(3)(("a", d2)) ++ Seq.fill(8)(("b", d0))
+    rows.toDF("o_orderpriority", "o_orderdate")
+      .write.parquet(s"$dir/orders.parquet")
+    val got = graft.queries.AnalyticsQueries.bhFdr(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(got("a") == ((9L, 0.0, 1000000L, 2L, false)), s"a=${got("a")}")
+    assert(got("b") == ((8L, 16.0, 335L, 1L, true)), s"b=${got("b")}")
+  }
+
   test("TextRank replays the weighted update rule exactly on a hand-computed " +
       "3-node graph (nano-space integer scores)") {
     // corpus "a b", "b c", "a b" -> edges a-b w2, b-c w1; wdeg a=2 b=3 c=1
