@@ -70,7 +70,7 @@ object Bench {
     // the timing map never ingest a sentinel.
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected
-      .map { case (name, fn) =>
+      .zipWithIndex.flatMap { case ((name, fn), i) =>
         var lastErr: Throwable = null
         val ok = (1 to repeat).flatMap { _ =>
           val t0 = System.nanoTime()
@@ -79,6 +79,29 @@ object Bench {
             Some((System.nanoTime() - t0) / 1e9)
           } catch { case t: Throwable => lastErr = t; None }
         }.sorted
+        // Deterministic storage hygiene BETWEEN queries (after this query's
+        // repeats, before the next query's first timed run): every run builds
+        // its frames (and localCheckpoints) afresh, so blocks pinned by a
+        // FINISHED query are dead by construction — but the ContextCleaner
+        // only reclaims them after a GC surfaces their weak refs, and its
+        // safety-net System.gc() fires every 30 MIN by default (longer
+        // than the board run) on a heap too large to GC naturally. ~250
+        // queries × 4 runs of eager checkpoints then pile up as
+        // dead-but-pinned storage and late-alphabet queries inherit the
+        // pressure (r11's p_pps_sample 1.13 s → 3.24 s with zero code
+        // change). Unpersist is the direct fix (no GC involved); an
+        // explicit GC every 64 queries additionally releases broadcast
+        // and shuffle weak refs OUTSIDE any timed section — lowering
+        // periodicGC.interval instead puts multi-second full-heap pauses
+        // INSIDE timed runs (measured: +10% board-wide).
+        // (Round 12 chained this as a SECOND .map over the strict Seq, so
+        // all ~277 unpersists ran AFTER the whole board finished — i.e.
+        // never between queries. That left the r11 accumulation defect
+        // live and is the pinned cause of r12's correlated late-alphabet
+        // drift: g_spearman +0.71 s, x_kcore +0.59, g_trimmed_mean +0.59.)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        if ((i + 1) % 64 == 0) System.gc()
         if (ok.isEmpty) {
           failed(name) = Option(lastErr).map(t =>
             // strip quote/backslash and EVERY control char — one raw \b or
@@ -94,26 +117,6 @@ object Bench {
         // a regression is real only if the MIN moved too.
         } else Some(name -> ((ok(ok.length / 2), ok.head)))
       }
-      .zipWithIndex.map { case (r, i) =>
-        // Deterministic storage hygiene between queries: every run builds
-        // its frames (and localCheckpoints) afresh, so blocks pinned by a
-        // FINISHED query are dead by construction — but the ContextCleaner
-        // only reclaims them after a GC surfaces their weak refs, and its
-        // safety-net System.gc() fires every 30 MIN by default (longer
-        // than the board run) on a heap too large to GC naturally. ~250
-        // queries × 4 runs of eager checkpoints then pile up as
-        // dead-but-pinned storage and late-alphabet queries inherit the
-        // pressure (r11's p_pps_sample 1.13 s → 3.24 s with zero code
-        // change). Unpersist is the direct fix (no GC involved); an
-        // explicit GC every 64 queries additionally releases broadcast
-        // and shuffle weak refs OUTSIDE any timed section — lowering
-        // periodicGC.interval instead puts multi-second full-heap pauses
-        // INSIDE timed runs (measured: +10% board-wide).
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
-        if ((i + 1) % 64 == 0) System.gc()
-        r
-      }.flatten
     val total = results.map(_._2._1).sum
     // Full-precision maps for the judge (stdout tail can't hold all 96 names).
     val fullQs = results.map { case (k, (med, _)) => s"\"" + k + "\":" + med }

@@ -333,7 +333,16 @@ object TokenizerOps {
       .agg(
         count(lit(1)).as("n_words"),
         sum(col("sg.np")).as("n_pieces"),
-        round(sum(col("sg.cost_u")) / lit(1e6), 4).as("cost_nats"))
+        // 4-dp half-up in EXACT integers, then one exact-input division:
+        // round(Σu/1e6, 4) on a double hits half-way cases (Σu ending in
+        // ...50 → x.xxxx5) where Spark's HALF_UP and DuckDB's
+        // binary-double rounding disagree by one ulp-of-the-4th-decimal
+        // (sf0.001 surfaced 808.97485 → 808.9749 vs 808.9748). Both
+        // engines floor-divide the SAME integer, so the final doubles are
+        // bit-identical. Σ cost_u ≥ 0 always (ln(total/freq) ≥ 0), so
+        // floor division IS half-up here.
+        (floor((sum(col("sg.cost_u")) + lit(50)) / lit(100)).cast("long") /
+          lit(10000.0)).as("cost_nats"))
       .orderBy("doc_id")
   }
 
@@ -405,7 +414,7 @@ object TokenizerOps {
       |        FROM documents WHERE text IS NOT NULL)
       |SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_words,
       |       CAST(sum(sg.val % 100) AS BIGINT) AS n_pieces,
-      |       round(CAST(sum(sg.val // 100) AS DOUBLE) / 1000000.0, 4) AS cost_nats
+      |       CAST((CAST(sum(sg.val // 100) AS BIGINT) + 50) // 100 AS DOUBLE) / 10000.0 AS cost_nats
       |FROM occ JOIN seg sg USING (word)
       |GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin
     sb.toString

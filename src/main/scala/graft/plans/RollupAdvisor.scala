@@ -55,7 +55,13 @@ object RollupAdvisor {
       shapes: Seq[Shape])
 
   private case class Obs(hits: Long, bytes: Long)
-  // (basePath, groups, measures) -> accumulated observations
+  // (basePath, groups, measures) -> accumulated observations.
+  // Bounded: a long-running PipelineApp serving varied ad-hoc workloads
+  // would otherwise accumulate one entry per distinct shape forever. Beyond
+  // the cap, NEW shapes are dropped (existing shapes keep counting) — the
+  // advisor's job is the head of the workload distribution, and a shape
+  // that first appears after 4096 others is tail by construction.
+  private[plans] val MaxShapes = 4096
   private val seen =
     new ConcurrentHashMap[(String, Seq[String], Seq[String]), Obs]()
 
@@ -108,10 +114,12 @@ object RollupAdvisor {
         val groupSet = (groups.flatten ++ filterCols).distinct.sorted
         if (derivable) {
           val key = (path, groupSet, measures.distinct.sorted)
-          val bytes = try child.stats.sizeInBytes.toLong catch { case _: Throwable => 0L }
-          seen.merge(key, Obs(1L, bytes),
-            (a, b) => Obs(a.hits + b.hits, a.bytes + b.bytes))
-          ()
+          if (seen.size < MaxShapes || seen.containsKey(key)) {
+            val bytes = try child.stats.sizeInBytes.toLong catch { case _: Throwable => 0L }
+            seen.merge(key, Obs(1L, bytes),
+              (a, b) => Obs(a.hits + b.hits, a.bytes + b.bytes))
+            ()
+          }
         }
       }
     case _ => ()
@@ -140,15 +148,49 @@ object RollupAdvisor {
     * child dir per base — the PipelineApp recover convention) and register
     * them; subsequent matching queries serve from the rollups immediately.
     * Returns the built specs.
+    *
+    * Size gate: a rollup only pays when it is meaningfully smaller than
+    * its base — a near-unique union grouping (filter columns unioned into
+    * the grouping compound NDV) would auto-build a rollup ~the size of the
+    * base: wasted build I/O and a serve path with no gain. Before
+    * [[MaterializedRollup.build]], one column-pruned probe estimates
+    * (distinct union groups) / (base rows) with `approx_count_distinct`
+    * over the grouping struct; candidates above `maxGroupRatio` are
+    * DECLINED (and returned in no spec). 100 TB posture: the probe scans
+    * only the grouping columns (parquet-pruned, partial-agg, ~row-count
+    * bytes of shuffle: one HLL sketch per partition), which is the cheap
+    * insurance against committing a FULL-width build scan that produces a
+    * useless rollup.
     */
   def buildTop(spark: SparkSession, rollupsRoot: String,
-      n: Int = 1): Seq[MaterializedRollup.Spec] =
-    advise(n).filter(_.groupCols.nonEmpty).map { c =>
-      val name = java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(c.basePath) & 0xffffffffL)
-      MaterializedRollup.build(spark, c.basePath,
-        s"$rollupsRoot/advised_$name", c.groupCols, c.measureCols)
+      n: Int = 1, maxGroupRatio: Double = 0.5): Seq[MaterializedRollup.Spec] =
+    advise(n).filter(_.groupCols.nonEmpty).flatMap { c =>
+      if (!worthBuilding(spark, c, maxGroupRatio)) None
+      else {
+        val name = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(c.basePath) & 0xffffffffL)
+        Some(MaterializedRollup.build(spark, c.basePath,
+          s"$rollupsRoot/advised_$name", c.groupCols, c.measureCols))
+      }
     }
+
+  /** The [[buildTop]] size gate, exposed for specs: estimated distinct
+    * union-grouping NDV over base rows must be ≤ `maxGroupRatio`. An empty
+    * or unreadable base declines (nothing to serve); estimation errors
+    * decline (never build on a failed probe).
+    */
+  def worthBuilding(spark: SparkSession, c: Candidate,
+      maxGroupRatio: Double): Boolean =
+    try {
+      import org.apache.spark.sql.functions.{approx_count_distinct, col, count, lit, struct}
+      val probe = spark.read.parquet(c.basePath)
+        .agg(approx_count_distinct(struct(c.groupCols.map(col): _*)).as("g"),
+          count(lit(1)).as("n"))
+        .head()
+      val groups = probe.getLong(0)
+      val rows = probe.getLong(1)
+      rows > 0 && groups.toDouble / rows <= maxGroupRatio
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   // ---- shape analysis (the rewrite's subsumption rules, observe side) ----
 

@@ -43,13 +43,16 @@ case class ClickHouseHttpConfig(
   *    into `GZIPOutputStream(chunked HTTP output)`: rows compress and
   *    upload as they serialize, whole-batch buffering never happens
   *    (`setChunkedStreamingMode` — the Content-Length is never needed).
-  *  - **Same delivery contract.** ClickHouse HTTP insert is at-least-once
-  *    under retry, exactly like the reference's
-  *    `maxFlushDataAttempts` loop; the engine's B4 retry layers wrap
-  *    [[append]] unchanged. (The exactly-once ledger upgrade lives in
-  *    [[JdbcSink.appendExactlyOnce]] for transactional targets —
-  *    ClickHouse async inserts are not transactional, so this sink keeps
-  *    the reference's semantics and documents them.)
+  *  - **Same delivery contract, plus a wire-exactly-once upgrade.**
+  *    [[append]] is at-least-once under retry, exactly like the
+  *    reference's `maxFlushDataAttempts` loop; the engine's B4 retry
+  *    layers wrap it unchanged. [[appendBatch]] additionally sends a
+  *    per-partition `insert_deduplication_token` (stable across task
+  *    retries AND checkpoint replays), so the server itself drops the
+  *    duplicate a half-consumed-then-retried POST would otherwise
+  *    create — the one exposure a client-side ledger cannot close.
+  *    (The transactional ledger upgrade lives in
+  *    [[JdbcSink.appendExactlyOnce]] for transactional targets.)
   *
   * Wire shape per request: `POST /?query=INSERT INTO <db>.<table> FORMAT
   * CSV&async_insert=1&...` with `Content-Encoding: gzip`,
@@ -70,9 +73,43 @@ class ClickHouseHttpSink(cfg: ClickHouseHttpConfig) extends ExternalSink {
   override def append(df: DataFrame): Unit = {
     val c = cfg // serializable snapshot for the executor closure
     df.foreachPartition { rows: Iterator[Row] =>
-      if (rows.hasNext) postRows(c, rows)
+      if (rows.hasNext) postRows(c, rows, token = None)
     }
   }
+
+  /** Wire-exactly-once append: each partition's POST carries an
+    * `insert_deduplication_token` derived from (batchId, partitionId) —
+    * both stable across Spark task retries — so a retry after the server
+    * consumed part (or all) of a half-acknowledged POST dedups SERVER-side
+    * (ClickHouse drops an insert whose token matches one in the table's
+    * dedup window) instead of duplicating rows. This closes the one gap
+    * `append` + task retry leaves: a mid-stream HTTP failure after the
+    * server consumed rows. The ledger above ([[JdbcSink.appendExactlyOnce]]'s
+    * contract) dedups whole batches; the token dedups partition POSTs.
+    * `batchId` must be stable across replays (foreachBatch's id is, by
+    * Structured Streaming's contract).
+    */
+  def appendBatch(df: DataFrame, batchId: Long): Unit = {
+    val c = cfg
+    df.foreachPartition { rows: Iterator[Row] =>
+      if (rows.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        postRows(c, rows, token = Some(s"graft-${c.table}-b$batchId-p$pid"))
+      }
+    }
+  }
+
+  /** Stream attachment upgraded to the tokened path: the foreachBatch id
+    * keys the per-partition dedup tokens, so a checkpoint replay OR a task
+    * retry inserts each partition at most once server-side.
+    */
+  override def streamFrom(df: DataFrame, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) => appendBatch(batch, id) }
+      .start()
 
   override def truncate(spark: SparkSession): Unit = {
     exec(cfg, s"TRUNCATE TABLE ${cfg.database}.${cfg.table}"); ()
@@ -92,30 +129,52 @@ object ClickHouseHttpSink {
     * option does. Callers should check `db.enabled` first; an empty host
     * means the deployment runs without an external sink.
     */
+  /** Params the sink itself owns; a config entry using one of these would
+    * silently override the statement being executed (`query`, `database`)
+    * or defeat the wire-exactly-once token — reject loudly at startup.
+    */
+  private val ReservedParams = Set("query", "database", "insert_deduplication_token")
+
   def fromConfig(db: graft.app.DatabaseConf, table: String): ClickHouseHttpSink = {
     val params = db.customHttpParams.split(",").iterator
       .map(_.trim).filter(_.nonEmpty)
       .map { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        k.trim -> v.trim
+        kv.split("=", 2) match {
+          case Array(k, v) if k.trim.nonEmpty => k.trim -> v.trim
+          case _ => throw new IllegalArgumentException(
+            s"customHttpParams entry '$kv' is not key=value " +
+              s"(full setting: '${db.customHttpParams}')")
+        }
       }.toMap
+    params.keys.find(ReservedParams)
+      .foreach { k =>
+        throw new IllegalArgumentException(
+          s"customHttpParams may not set reserved param '$k' " +
+            s"(reserved: ${ReservedParams.mkString(", ")})")
+      }
     new ClickHouseHttpSink(ClickHouseHttpConfig(
       host = db.host, port = db.port, database = db.database, table = table,
       user = db.username, password = db.password, customParams = params,
       connectTimeoutMs = db.connectTimeoutMs, socketTimeoutMs = db.socketTimeoutMs))
   }
 
-  private def endpoint(cfg: ClickHouseHttpConfig, query: String): URL = {
-    val params = (Map("query" -> query, "database" -> cfg.database) ++
-      cfg.customParams).toSeq.sortBy(_._1)
+  private def endpoint(cfg: ClickHouseHttpConfig, query: String,
+      extra: Map[String, String]): URL = {
+    // custom params FIRST so the sink-owned ones (query/database/token)
+    // always win — a customParams entry named "query" must never replace
+    // the statement being executed
+    val params = (cfg.customParams ++
+      Map("query" -> query, "database" -> cfg.database) ++ extra)
+      .toSeq.sortBy(_._1)
       .map { case (k, v) =>
         s"${URLEncoder.encode(k, "UTF-8")}=${URLEncoder.encode(v, "UTF-8")}"
       }.mkString("&")
     new URL(s"http://${cfg.host}:${cfg.port}/?$params")
   }
 
-  private def open(cfg: ClickHouseHttpConfig, query: String): HttpURLConnection = {
-    val conn = endpoint(cfg, query).openConnection().asInstanceOf[HttpURLConnection]
+  private def open(cfg: ClickHouseHttpConfig, query: String,
+      extra: Map[String, String] = Map.empty): HttpURLConnection = {
+    val conn = endpoint(cfg, query, extra).openConnection().asInstanceOf[HttpURLConnection]
     conn.setConnectTimeout(cfg.connectTimeoutMs)
     conn.setReadTimeout(cfg.socketTimeoutMs)
     conn.setRequestMethod("POST")
@@ -143,9 +202,11 @@ object ClickHouseHttpSink {
   /** One streaming insert: rows serialize → gzip → chunked POST, all in
     * one pass (the PipedStream pipeline as a stream stack). Executor-side.
     */
-  private def postRows(cfg: ClickHouseHttpConfig, rows: Iterator[Row]): Unit = {
+  private def postRows(cfg: ClickHouseHttpConfig, rows: Iterator[Row],
+      token: Option[String]): Unit = {
     val conn = open(cfg,
-      s"INSERT INTO ${cfg.database}.${cfg.table} FORMAT CSV")
+      s"INSERT INTO ${cfg.database}.${cfg.table} FORMAT CSV",
+      token.map("insert_deduplication_token" -> _).toMap)
     conn.setDoOutput(true)
     conn.setChunkedStreamingMode(64 * 1024) // pipelined: no whole-batch buffer
     conn.setRequestProperty("Content-Encoding", "gzip")
@@ -178,13 +239,18 @@ object ClickHouseHttpSink {
   }
 
   /** ClickHouse CSV cell: `\N` for NULL, `"` quoting with `""` doubling
-    * when the value contains a comma, quote, or newline; everything else
-    * as its plain string form (numbers/booleans/timestamps).
+    * when the value contains a comma, quote, or newline — or STARTS with a
+    * backslash: an unquoted `\N` is ClickHouse's NULL literal (a silent
+    * value→NULL corruption for that exact string value), and unquoted
+    * leading backslashes are escape-prefix territory the quoted form
+    * round-trips verbatim. Everything else as its plain string form
+    * (numbers/booleans/timestamps).
     */
   private[graft] def csvField(v: Any): String = v match {
     case null => "\\N"
     case s: String =>
-      if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      if (s.startsWith("\\") ||
+          s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
         "\"" + s.replace("\"", "\"\"") + "\""
       else s
     case other => other.toString

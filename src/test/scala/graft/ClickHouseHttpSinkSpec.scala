@@ -242,6 +242,61 @@ class ClickHouseHttpSinkSpec extends SparkSpec {
     }
   }
 
+  test("appendBatch: per-partition dedup token, stable across a simulated retry") {
+    withServer { (fake, cfg) =>
+      val sink = new ClickHouseHttpSink(cfg)
+      val df = Seq(("A", 1L), ("B", 2L), ("C", 3L)).toDF("t", "s").repartition(3)
+      sink.appendBatch(df, batchId = 7L)
+      val tok1 = fake.requests.asScala.filter(_.query.startsWith("INSERT"))
+        .flatMap(_.params.get("insert_deduplication_token")).toSeq
+      assert(tok1.nonEmpty && tok1.size <= 3)
+      // token shape: (table, batch id, partition id) — nothing attempt-scoped
+      tok1.foreach(t => assert(t.matches("graft-tickers_data-b7-p\\d+"), t))
+      assert(tok1.distinct.size == tok1.size, s"one token per partition: $tok1")
+
+      // a retry of the SAME batch re-sends byte-identical tokens — the
+      // server-side dedup key; a different batch gets different tokens
+      fake.requests.clear()
+      sink.appendBatch(df, batchId = 7L)
+      val tok2 = fake.requests.asScala.filter(_.query.startsWith("INSERT"))
+        .flatMap(_.params.get("insert_deduplication_token")).toSeq
+      assert(tok2.sorted == tok1.sorted, s"retry tokens must match: $tok1 vs $tok2")
+      fake.requests.clear()
+      sink.appendBatch(df, batchId = 8L)
+      val tok3 = fake.requests.asScala.filter(_.query.startsWith("INSERT"))
+        .flatMap(_.params.get("insert_deduplication_token")).toSeq
+      assert(tok3.toSet.intersect(tok1.toSet).isEmpty, s"new batch, new tokens: $tok3")
+
+      // the plain at-least-once append carries NO token
+      fake.requests.clear()
+      sink.append(df)
+      assert(fake.requests.asScala.filter(_.query.startsWith("INSERT"))
+        .forall(!_.params.contains("insert_deduplication_token")))
+    }
+  }
+
+  test("fromConfig rejects malformed and reserved custom params") {
+    def conf(params: String) = graft.app.DatabaseConf(
+      host = "h", port = 8123, username = "u", password = "p",
+      database = "db", customHttpParams = params,
+      socketTimeoutMs = 1000, connectTimeoutMs = 1000)
+    // well-formed parses
+    ClickHouseHttpSink.fromConfig(conf("async_insert=1, wait_for_async_insert=1"), "t")
+    // missing '=' is a loud startup error, not an opaque MatchError
+    val e1 = intercept[IllegalArgumentException] {
+      ClickHouseHttpSink.fromConfig(conf("async_insert"), "t")
+    }
+    assert(e1.getMessage.contains("key=value"), e1.getMessage)
+    // a reserved key would silently replace the statement being executed
+    Seq("query=DROP TABLE x", "database=other",
+        "insert_deduplication_token=fixed").foreach { bad =>
+      val e = intercept[IllegalArgumentException] {
+        ClickHouseHttpSink.fromConfig(conf(bad), "t")
+      }
+      assert(e.getMessage.contains("reserved"), s"$bad: ${e.getMessage}")
+    }
+  }
+
   test("csvField: ClickHouse CSV cell rules") {
     import ClickHouseHttpSink.csvField
     assert(csvField(null) == "\\N")
@@ -249,6 +304,10 @@ class ClickHouseHttpSinkSpec extends SparkSpec {
     assert(csvField("a,b") == "\"a,b\"")
     assert(csvField("say \"hi\"") == "\"say \"\"hi\"\"\"")
     assert(csvField("two\nlines") == "\"two\nlines\"")
+    // the string value "\N" must NOT round-trip as NULL (unquoted it is
+    // ClickHouse's null literal); leading backslashes quote in general
+    assert(csvField("\\N") == "\"\\N\"")
+    assert(csvField("\\other") == "\"\\other\"")
     assert(csvField(1.5) == "1.5")
     assert(csvField(42L) == "42")
   }

@@ -46,9 +46,11 @@ class RollupAdvisorSpec extends SparkSpec {
     // two distinct normalized shapes: ((g,h),(v)) x3 and ((g),(v)) x1
     assert(c.shapes.map(_.hits).sum == 4L && c.shapes.size == 2, c.shapes.toString)
 
-    // materialize the advice: both observed shapes now serve from it
+    // materialize the advice: both observed shapes now serve from it.
+    // (maxGroupRatio relaxed — this 4-row fixture is all-distinct under the
+    // union grouping by construction; the size gate has its own test below.)
     val rollupsRoot = tmpDir("adv-roots")
-    val specs = RollupAdvisor.buildTop(spark, rollupsRoot, n = 1)
+    val specs = RollupAdvisor.buildTop(spark, rollupsRoot, n = 1, maxGroupRatio = 1.0)
     assert(specs.size == 1)
     try {
       val expected1 = Seq(("A", "x", 1L, 1L), ("A", "y", 3L, 1L),
@@ -91,6 +93,38 @@ class RollupAdvisorSpec extends SparkSpec {
         .agg(sum("_cnt").as("n")).queryExecution.optimizedPlan)
       assert(RollupAdvisor.advise().isEmpty)
     } finally MaterializedRollup.deregister(spark, base)
+  }
+
+  test("buildTop size gate: near-unique grouping declines, coarse grouping builds") {
+    graft.catalyst.GraftExtensions.register(spark)
+    import spark.implicits._
+    val root = tmpDir("adv-gate-roots")
+
+    // near-unique union grouping (id is a key): the rollup would be
+    // base-sized — the gate must DECLINE the auto-build entirely
+    RollupAdvisor.reset()
+    val uniq = tmpDir("adv-gate-uniq")
+    (1 to 500).map(i => (i.toLong, i * 2L)).toDF("id", "v")
+      .write.mode("overwrite").parquet(uniq)
+    RollupAdvisor.record(spark.read.parquet(uniq).groupBy("id")
+      .agg(sum("v").as("s")).queryExecution.optimizedPlan)
+    assert(RollupAdvisor.advise().nonEmpty) // the SHAPE is observed...
+    assert(RollupAdvisor.buildTop(spark, root, n = 1).isEmpty) // ...but declined
+    assert(Option(new java.io.File(root).listFiles()).getOrElse(Array.empty).isEmpty)
+
+    // coarse grouping (4 groups over 500 rows): builds and serves as before
+    RollupAdvisor.reset()
+    val coarse = tmpDir("adv-gate-coarse")
+    (1 to 500).map(i => ("g" + (i % 4), i.toLong)).toDF("g", "v")
+      .write.mode("overwrite").parquet(coarse)
+    val q = () => spark.read.parquet(coarse).groupBy("g").agg(sum("v").as("s"))
+    RollupAdvisor.record(q().queryExecution.optimizedPlan)
+    val specs = RollupAdvisor.buildTop(spark, root, n = 1)
+    assert(specs.size == 1)
+    try {
+      assert(physical(q()).contains(root))
+      assert(q().collect().map(_.getLong(1)).sum == (1 to 500).map(_.toLong).sum)
+    } finally MaterializedRollup.deregister(spark, coarse)
   }
 
   test("listener path: successful actions feed the advisor asynchronously") {
