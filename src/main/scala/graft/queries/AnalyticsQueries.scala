@@ -862,6 +862,16 @@ object AnalyticsQueries {
     * micro-units; the BH step-up condition `p_(k) ≤ k·α/m` is evaluated as
     * the all-integer comparison `p_u·m ≤ k·α_µ`; ranks come from a bounded
     * self-join over the |family| rows (never a partition-less window).
+    *
+    * FAMILY-SIZE BOUND: the rank self-join is O(m²) in the family size m —
+    * correct and cheap ONLY because m is tiny and statically known (here
+    * m = 5 order priorities; sound up to m ≈ 10⁴, where 10⁸ comparisons
+    * still beat a single-partition sort's straggler). Pointing this at a
+    * LARGE family (per-feature tests, m ≈ 10⁶) gets an all-pairs join —
+    * at that scale switch the rank step to the cumulated-histogram
+    * discipline the rest of the board uses (bucket p_u, one partial-agg
+    * histogram, broadcast the cumulated counts back as the rank), which is
+    * one data-scale shuffle of m rows instead of m².
     */
   val BhAlphaMicro = 50000L // α = 0.05 in micro-units
   def bhFdr(s: SparkSession, d: String): DataFrame = {

@@ -538,19 +538,16 @@ object PipelineQueries {
     * all NDV-sized rollups OF the bigram count table, stitched onto it
     * NDV-side — so the token stream takes exactly ONE data-scale shuffle
     * join (occurrence → per-type lp, on the bigram key), then one
-    * partial-aggregable per-doc rollup. At 100 TB the lp table swaps for a
-    * broadcast count-min sketch pair exactly like [[dsirSelectCms]].
+    * partial-aggregable per-doc rollup. At 100 TB the lp table swaps for
+    * [[knBigramCms]]'s broadcast count-min sketches — the
+    * `spark.graft.kn.cmsTypeCutover` HLL probe routes there automatically,
+    * exactly like [[dsirSelect]]'s vocabulary cutover.
     */
   val KnDiscount = 0.75
   def knBigram(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.fanOut(Tables.documents(s, d))
-    val bi = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(when(size(col("toks")) >= 2,
-        transform(sequence(lit(1), size(col("toks")) - 1),
-          i => struct(element_at(col("toks"), i).as("w1"),
-            element_at(col("toks"), i + 1).as("w2"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bi = knBigramOcc(docs)
+    if (knUseCms(s, bi)) return knBigramCms(s, d)
     val cbg = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
     // NDV-sized stats OF the count table — no second pass over occurrences
     val left = cbg.groupBy("w1").agg(sum("c").as("cl"), count(lit(1)).as("n1l"))
@@ -572,6 +569,93 @@ object PipelineQueries {
         (col("xent_kn") + lit(0.0)).as("xent_kn"))
       .orderBy("doc_id")
   }
+  /** The bigram occurrence stream `(doc_id, w1, w2)` both KN paths start
+    * from — a map-only projection (tokenize + adjacent-pair explode).
+    */
+  private def knBigramOcc(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** The bigram-type cutover twin of [[dsirSelect]]'s `dsirUseCms`: when
+    * the approximate distinct-bigram count exceeds
+    * `spark.graft.kn.cmsTypeCutover` (default: off), the exact path's
+    * occurrence⋈lp shuffle join outgrows the shuffle budget — switch to
+    * the sketch path. One partial-aggregable HLL pass, paid only when a
+    * cutover is configured.
+    */
+  private def knUseCms(s: SparkSession, bi: DataFrame): Boolean = {
+    val cutover = s.conf.get("spark.graft.kn.cmsTypeCutover", "0").toLong
+    cutover > 0 &&
+      bi.agg(approx_count_distinct(struct(col("w1"), col("w2"))).as("v"))
+        .first().getLong(0) >= cutover
+  }
+
+  /** [[knBigram]]'s 100 TB path — the [[dsirSelectCms]] design applied to
+    * the KN stat tables: ALL four per-occurrence lookups come from
+    * broadcast count-min sketches probed map-side by the codegen'd
+    * [[graft.catalyst.CmsEstimate]], so the occurrence stream is NEVER
+    * shuffled on the bigram key. Two sketch-build passes replace the
+    * exact path's occurrence⋈lp join:
+    *
+    *  1. over OCCURRENCES: `c(w1,w2)` (bigram counts, keyed `"w1 w2"` —
+    *     tokens are whitespace-split so the space-joined key is
+    *     collision-free) and `c(w1·)` (left totals, keyed w1);
+    *  2. over the DISTINCT-TYPE table (one partial-aggregable distinct,
+    *     NDV-sized after map-side combine — the same shuffle class as the
+    *     exact path's count table): `N1+(w1·)` keyed w1, `N1+(·w2)` keyed
+    *     w2 (a CMS fed one row per TYPE estimates a distinct-count the
+    *     way one fed occurrences estimates a frequency), plus the exact
+    *     scalar `N1+(··)`.
+    *
+    * Accuracy: CMS never under-counts, so every estimate shifts the
+    * probability by at most eps·N mass in a direction the ln dampens; the
+    * per-doc RANKING (the signal a curation board consumes) is pinned
+    * ≥97% top-quartile-identical to the exact path in Round13OpsSpec.
+    * Driver/broadcast state is four sketches, independent of vocabulary.
+    */
+  def knBigramCms(s: SparkSession, d: String,
+      eps: Double = 0.0001, confidence: Double = 0.999): DataFrame = {
+    import graft.catalyst.HashFunctions.cms_estimate
+    val docs = Tables.fanOut(Tables.documents(s, d))
+    // NOT checkpointed — corpus-sized; recompute beats materialize (the
+    // dsirSelectCms rationale): tokenize is a projection, the scan is the cost
+    val bi = knBigramOcc(docs)
+    val occ = bi.agg(
+      count_min_sketch(concat_ws(" ", col("w1"), col("w2")),
+        lit(eps), lit(confidence), lit(42)).as("cms_bg"),
+      count_min_sketch(col("w1"), lit(eps), lit(confidence), lit(42)).as("cms_l"))
+      .first()
+    val typ = bi.select("w1", "w2").distinct().agg(
+      count_min_sketch(col("w1"), lit(eps), lit(confidence), lit(42)).as("cms_n1l"),
+      count_min_sketch(col("w2"), lit(eps), lit(confidence), lit(42)).as("cms_n1r"),
+      count(lit(1)).as("n1tot"))
+      .first()
+    val (bgB, lB) = (occ.getAs[Array[Byte]]("cms_bg"), occ.getAs[Array[Byte]]("cms_l"))
+    val (n1lB, n1rB) = (typ.getAs[Array[Byte]]("cms_n1l"), typ.getAs[Array[Byte]]("cms_n1r"))
+    val n1tot = typ.getAs[Long]("n1tot")
+    // the exact path's formula with the SAME association, counts from probes
+    val scored = bi.withColumn("lp", round(log(
+      (greatest(cms_estimate(concat_ws(" ", col("w1"), col("w2")), bgB) - lit(KnDiscount),
+        lit(0.0)) +
+        lit(KnDiscount) * cms_estimate(col("w1"), n1lB) *
+          (cms_estimate(col("w2"), n1rB).cast("double") / lit(n1tot))) /
+        cms_estimate(col("w1"), lB)), 6).cast("decimal(18,6)"))
+    docs.select("doc_id").join(
+        scored.groupBy("doc_id").agg(
+          count(lit(1)).as("n_bigrams"),
+          round((-sum(col("lp")).cast("double")) / count(lit(1)), 4).as("xent_kn")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (col("xent_kn") + lit(0.0)).as("xent_kn"))
+      .orderBy("doc_id")
+  }
+
   val knBigramSql: String =
     s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
        |bi AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2

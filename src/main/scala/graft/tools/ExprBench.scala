@@ -221,6 +221,20 @@ object ExprBench {
     val fewerD = if (rCms == 0) "inf" else f"${rExact.toDouble / rCms}%.1f"
     println(f"${"dsir_cms (vs exact)"}%-24s $tCms%10.3f $tExact%10.3f ${f"${tExact / tCms}%.1fx"}%8s" +
       f"   total_shuffle_records: cms=$rCms exact=$rExact (${fewerD}x fewer)")
+
+    // Kneser–Ney exact-join vs broadcast-CMS A/B — same reading discipline
+    // as the DSIR row: the scale figure is total shuffle records (the exact
+    // path shuffles the full bigram occurrence stream onto the bigram key;
+    // the CMS path's only occurrence-keyed shuffle is the partial-aggregated
+    // distinct-type pass, NDV-sized after map-side combine).
+    val tKnExact = bench("kn_exact") { graft.queries.PipelineQueries.knBigram(spark, sfDir) }
+    val tKnCms = bench("kn_cms") { graft.queries.PipelineQueries.knBigramCms(spark, sfDir) }
+    val (rKnExact, rKnCms) = (
+      totalShuffleRecords(graft.queries.PipelineQueries.knBigram(spark, sfDir)),
+      totalShuffleRecords(graft.queries.PipelineQueries.knBigramCms(spark, sfDir)))
+    val fewerK = if (rKnCms == 0) "inf" else f"${rKnExact.toDouble / rKnCms}%.1f"
+    println(f"${"kn_cms (vs exact)"}%-24s $tKnCms%10.3f $tKnExact%10.3f ${f"${tKnExact / tKnCms}%.1fx"}%8s" +
+      f"   total_shuffle_records: cms=$rKnCms exact=$rKnExact (${fewerK}x fewer)")
     spark.stop()
   }
 }

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.queries.PipelineQueries
+
+/** Round-13 hardening: the Kneser–Ney sketch path ([[PipelineQueries
+  * .knBigramCms]]) must preserve the exact path's document ranking, route
+  * automatically under the type-count cutover, and keep the sketch-free
+  * figures (n_bigrams, doc set) exactly.
+  */
+class Round13OpsSpec extends SparkSpec {
+
+  private def byDoc(df: DataFrame): Map[Long, (Long, Option[Double])] =
+    df.collect().map { r =>
+      r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    }.toMap
+
+  /** Top-quartile doc set by (xent desc, doc_id) — the rank statistic a
+    * curation board consumes (high xent = improbable text to drop).
+    */
+  private def topQuartile(m: Map[Long, (Long, Option[Double])]): Set[Long] = {
+    val scored = m.toSeq.collect { case (id, (_, Some(x))) => (id, x) }
+      .sortBy { case (id, x) => (-x, id) }
+    scored.take(math.max(1, scored.size / 4)).map(_._1).toSet
+  }
+
+  test("knBigramCms preserves the exact ranking (>= 97% top-quartile overlap)") {
+    val exact = byDoc(PipelineQueries.knBigram(spark, sf0001))
+    val cms = byDoc(PipelineQueries.knBigramCms(spark, sf0001))
+    // sketch-free figures are EXACT: same docs, same bigram counts, same
+    // NULL set (docs with < 2 tokens)
+    assert(exact.keySet == cms.keySet)
+    assert(exact.forall { case (k, (n, x)) =>
+      cms(k)._1 == n && cms(k)._2.isDefined == x.isDefined })
+    val (qe, qc) = (topQuartile(exact), topQuartile(cms))
+    val overlap = qe.intersect(qc).size.toDouble / qe.size
+    assert(overlap >= 0.97, s"top-quartile overlap $overlap")
+  }
+
+  test("the type-count cutover routes knBigram onto the sketch path") {
+    spark.conf.set("spark.graft.kn.cmsTypeCutover", "1")
+    try {
+      val routed = byDoc(PipelineQueries.knBigram(spark, sf0001))
+      val direct = byDoc(PipelineQueries.knBigramCms(spark, sf0001))
+      assert(routed == direct, "cutover must route to the CMS path")
+    } finally spark.conf.set("spark.graft.kn.cmsTypeCutover", "0")
+  }
+}
