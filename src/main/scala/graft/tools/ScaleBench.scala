@@ -38,12 +38,25 @@ object ScaleBench {
     "ts_pair_corr", "p_pps_sample", "p_curation_funnel", "t_greedy_cover",
     "x_triangles", "x_kcore")
 
+  /** One measured two-point row. */
+  case class Row(name: String, t1: Double, tk: Double, ratio: Double, exp: Double)
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = if (args.length > 1) args(1).toInt else 5
     val outRoot = if (args.length > 2) args(2) else "/tmp/graft_scale"
     val queries = if (args.length > 3) args(3).split(",").toSeq else DefaultQueries
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt.max(1)
+    val spark = session()
+    val rows = measure(spark, sfDir, factor, outRoot, queries, reps)
+    // one machine-readable line for the round artifacts
+    println("{" + rows.map { r =>
+      f""""${r.name}":{"t1":${r.t1}%.3f,"tk":${r.tk}%.3f,"ratio":${r.ratio}%.3f,"exp":${r.exp}%.3f}"""
+    }.mkString(",") + s""","factor":$factor}""")
+    spark.stop()
+  }
+
+  def session(): SparkSession = {
     val spark = graft.Sessions.localBuilder(
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.adaptive.enabled", "true")
@@ -53,7 +66,16 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.catalyst.GraftExtensions.register(spark)
+    spark
+  }
 
+  /** The two-point measurement, reusable by [[ScaleGate]]: builds (or
+    * reuses) the K× replica dir, times each named query warm at 1× and K×
+    * (min over `reps`), returns measured rows. Unknown query names are
+    * skipped.
+    */
+  def measure(spark: SparkSession, sfDir: String, factor: Int,
+      outRoot: String, queries: Seq[String], reps: Int): Seq[Row] = {
     val scaled = s"$outRoot/x$factor"
     buildScaled(spark, sfDir, scaled, factor)
 
@@ -67,21 +89,20 @@ object ScaleBench {
     }
 
     println(f"${"query"}%-20s ${"t_1x_s"}%8s ${s"t_${factor}x_s"}%8s ${"ratio"}%7s ${"exponent"}%8s")
-    val rows = queries.flatMap { name =>
+    queries.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t1 = bench(fn, sfDir)
         val tk = bench(fn, scaled)
         val ratio = tk / t1
         val exp = math.log(ratio) / math.log(factor.toDouble)
         println(f"$name%-20s $t1%8.2f $tk%8.2f $ratio%7.2f $exp%8.2f")
-        (name, t1, tk, ratio, exp)
+        // storage hygiene between queries (the Bench discipline): blocks
+        // pinned by a finished query must not tax the next measurement
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        Row(name, t1, tk, ratio, exp)
       }
     }
-    // one machine-readable line for the round artifacts
-    println("{" + rows.map { case (n, t1, tk, r, e) =>
-      f""""$n":{"t1":$t1%.3f,"tk":$tk%.3f,"ratio":$r%.3f,"exp":$e%.3f}"""
-    }.mkString(",") + s""","factor":$factor}""")
-    spark.stop()
   }
 
   /** Build the K× replicated dir once; reused across runs (delete to force

@@ -1,0 +1,85 @@
+package graft.tools
+
+/** The weak-scaling REGRESSION GATE: re-measures the pinned heavy-query
+  * set ([[ScaleBench.measure]], default 2× disjoint-key replicas) and
+  * fails — nonzero exit via exception — when any measured exponent
+  * exceeds its committed bound in `SCALE_BOUNDS.json` (pinned SCALE.md
+  * §7i exponent, floored at 0, plus a shared noise margin). The one-shot
+  * §7i table proved the plans linear ONCE; this makes that property
+  * re-checkable, so a change that re-introduces a quadratic (an all-pairs
+  * frame, a data-sized window) fails a command instead of surviving until
+  * the next hand audit. A quadratic reads exponent ≈ 2 at any factor —
+  * far above every bound + margin (max 1.12) — while factor-2 timing
+  * noise stays inside the margin (+30% ratio wobble ≈ +0.38 exponent).
+  *
+  * Usage: `sbt "runMain graft.tools.ScaleGate [sfDir] [factor] [outRoot] [boundsPath]"`
+  *   defaults: /root/testdata/sf0.01, 4, /tmp/graft_scale_gate, SCALE_BOUNDS.json
+  *
+  * Factor 4, not 2: the exponent divides by ln(factor), so the box's
+  * wall-clock wobble (measured: a one-off +0.8 s on a 1.4 s query across
+  * both reps = ratio 1.6) reads 0.68 exponent at factor 2 — indistinguishable
+  * from a real super-linearity — but 0.34 at factor 4, well inside every
+  * margin. Three timed reps (min) on top reject single-rep spikes. Run
+  * EXCLUSIVELY: a concurrent sbt/Spark JVM inflates random queries.
+  *
+  * ScaleGateSpec covers the verdict logic (synthetic rows) inside
+  * `sbt test`; the full measurement run is this main (or the spec's
+  * SPARK_GRAFT_SCALEGATE=1 end-to-end variant).
+  */
+object ScaleGate {
+
+  case class Bounds(margin: Double, perQuery: Map[String, Double])
+
+  /** Parse SCALE_BOUNDS.json — flat {"margin":x,"bounds":{"q":y,...}},
+    * hand-parsed (no JSON lib on the zero-egress classpath); tolerant of
+    * whitespace/order, strict about the two required fields.
+    */
+  def parseBounds(json: String): Bounds = {
+    val margin = """"margin"\s*:\s*(-?[0-9.]+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toDouble)
+      .getOrElse(throw new IllegalArgumentException("SCALE_BOUNDS.json: no margin"))
+    val boundsBlock = """"bounds"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(json)
+      .map(_.group(1))
+      .getOrElse(throw new IllegalArgumentException("SCALE_BOUNDS.json: no bounds"))
+    val perQuery = """"([^"]+)"\s*:\s*(-?[0-9.]+)""".r.findAllMatchIn(boundsBlock)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    if (perQuery.isEmpty)
+      throw new IllegalArgumentException("SCALE_BOUNDS.json: empty bounds")
+    Bounds(margin, perQuery)
+  }
+
+  /** The verdict: queries whose measured exponent exceeds
+    * max(pinned, 0) + margin. Pure — spec-tested with synthetic rows.
+    */
+  def violations(rows: Seq[ScaleBench.Row], b: Bounds): Seq[(ScaleBench.Row, Double)] =
+    rows.flatMap { r =>
+      b.perQuery.get(r.name).map(p => (r, math.max(p, 0.0) + b.margin))
+    }.filter { case (r, bound) => r.exp > bound }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val factor = if (args.length > 1) args(1).toInt else 4
+    val outRoot = if (args.length > 2) args(2) else "/tmp/graft_scale_gate"
+    val boundsPath = if (args.length > 3) args(3) else "SCALE_BOUNDS.json"
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt.max(1)
+    val bounds = parseBounds(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(boundsPath)), "UTF-8"))
+    val spark = ScaleBench.session()
+    val rows =
+      try ScaleBench.measure(spark, sfDir, factor, outRoot,
+        bounds.perQuery.keys.toSeq.sorted, reps)
+      finally spark.stop()
+    val bad = violations(rows, bounds)
+    rows.foreach { r =>
+      val bound = math.max(bounds.perQuery(r.name), 0.0) + bounds.margin
+      val mark = if (r.exp > bound) "VIOLATION" else "ok"
+      println(f"[scalegate] ${r.name}%-20s exp=${r.exp}%6.2f bound=$bound%5.2f  $mark")
+    }
+    if (bad.nonEmpty)
+      throw new RuntimeException(
+        s"scale gate FAILED: ${bad.map { case (r, bound) =>
+          f"${r.name} exp=${r.exp}%.2f > bound=$bound%.2f" }.mkString("; ")}")
+    println(s"[scalegate] PASS: ${rows.size} queries within bounds (factor=$factor, $sfDir)")
+  }
+}

@@ -12,12 +12,53 @@ import graft.streaming.StreamingAnalytics
   * over date dirs, PERMISSIVE validation, exactly-once append into the
   * partitioned parquet warehouse, end-to-end through the checkpoint.
   *
-  * Usage: runMain graft.tools.StreamIngestBench [totalRows] [files]
+  * Two measurements, one query:
+  *  1. THROUGHPUT (waves 1–2): rows/s cold and steady-state.
+  *  2. LATENCY SLO: the reference's "300–500k rows/s SUSTAINED" headline
+  *     is really a latency-under-sustained-load claim, so this phase
+  *     publishes `latWaves` uniform waves at a fixed cadence (default 80
+  *     waves / 250 ms ≈ 300k rows/s offered load) and measures, per wave,
+  *     file-visible → queryable-warehouse-row: the wall clock from the
+  *     atomic rename to the completion of the exactly-once micro-batch
+  *     that committed the wave's last row (a `StreamingQueryListener`
+  *     progress event timestamps the commit; waves are uniform, so
+  *     cumulative input rows identify exactly which waves each batch
+  *     completed — FIFO discovery holds because waves are renamed in
+  *     order with a full cadence gap). Reported as p50/p95/p99.
+  *
+  * Usage: runMain graft.tools.StreamIngestBench [totalRows] [files] [latWaves] [latIntervalMs]
+  *   latWaves=0 skips the latency phase.
   */
 object StreamIngestBench {
+
+  /** Per-wave latency: for wave i (0-based), the first progress event
+    * whose cumulative row count covers `base + (i+1)·rowsPerWave`, minus
+    * the wave's publish instant. Pure — spec-tested. `events` are
+    * (wallNanos, cumulativeRows) in arrival order; a wave no event covers
+    * is a dropped-row bug and throws.
+    */
+  def waveLatencies(publishNanos: Seq[Long], events: Seq[(Long, Long)],
+      rowsPerWave: Long, base: Long): Seq[Long] =
+    publishNanos.zipWithIndex.map { case (p, i) =>
+      val need = base + (i + 1) * rowsPerWave
+      events.find(_._2 >= need).map(_._1 - p).getOrElse(
+        throw new IllegalStateException(
+          s"wave $i never fully committed (need $need rows, " +
+            s"saw ${events.lastOption.map(_._2).getOrElse(0L)})"))
+    }
+
+  /** Nearest-rank percentile over an UNSORTED sample. */
+  def percentile(xs: Seq[Double], p: Double): Double = {
+    require(xs.nonEmpty)
+    val s = xs.sorted
+    s(math.max(0, math.min(s.size - 1, math.ceil(p / 100.0 * s.size).toInt - 1)))
+  }
+
   def main(args: Array[String]): Unit = {
     val totalRows = args.headOption.map(_.toInt).getOrElse(4_000_000)
     val nFiles = args.lift(1).map(_.toInt).getOrElse(32)
+    val latWaves = args.lift(2).map(_.toInt).getOrElse(80)
+    val latIntervalMs = args.lift(3).map(_.toLong).getOrElse(250L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Sessions.localBuilder(cpus)
       .config("spark.sql.files.maxPartitionBytes", "4m")
@@ -34,14 +75,15 @@ object StreamIngestBench {
     // (this bench failed its row-count assert exactly that way before the
     // rename). Same contract as the reference's upload protocol and our
     // ingest staging: only complete files may become visible.
-    def stageWave(wave: Int): Seq[(java.nio.file.Path, java.nio.file.Path)] =
-      (0 until nFiles).map { f =>
+    def stageWave(wave: Int, files: Int = nFiles,
+        rows: Int = rowsPerFile): Seq[(java.nio.file.Path, java.nio.file.Path)] =
+      (0 until files).map { f =>
         val date = day.plusDays(f % 4)
         new java.io.File(s"$root/$date").mkdirs()
         val tmp = java.nio.file.Files.createTempFile("stream-stage", ".csv")
         val w = new java.io.BufferedWriter(new java.io.FileWriter(tmp.toFile), 1 << 20)
         var i = 0
-        while (i < rowsPerFile) {
+        while (i < rows) {
           val mm = i % 60
           val ss = (i / 60) % 60
           w.write(f"TCK$f%d-USDT,${(wave * 100 + f) * 10000000L + i}%d,0.${1000 + i % 9000}%d,${i % 50}%d.5," +
@@ -95,6 +137,59 @@ object StreamIngestBench {
         f"steady-state: $waveRows%d rows in $warmSec%.2f s = $warmRps%d rows/sec " +
         "(reference baseline: 300k-500k rows/sec to remote ClickHouse)")
       println(s"""{"metric":"stream_ingest_rows_per_sec","value":$warmRps,"unit":"rows/sec","cold":$coldRps,"rows":$rows,"cold_sec":$coldSec,"warm_sec":$warmSec}""")
+
+      // ---- latency SLO phase: file-visible -> queryable, sustained load ----
+      if (latWaves > 0) {
+        val latFiles = 4
+        // offered load ≈ reference headline: rows/wave sized so that
+        // rows/wave / interval ≈ 300k rows/s at the defaults
+        val latRowsPerFile = math.max(1,
+          (300_000L * latIntervalMs / 1000 / latFiles).toInt)
+        val rowsPerWave = latFiles.toLong * latRowsPerFile
+        // ALL waves staged before the clock starts: generation must never
+        // steal cadence from the publisher (renames are instant)
+        val staged = (0 until latWaves)
+          .map(i => stageWave(100 + i, latFiles, latRowsPerFile))
+        println(s"[stream-bench] staged $latWaves latency waves x $rowsPerWave rows " +
+          s"(offered ${rowsPerWave * 1000 / latIntervalMs} rows/s)")
+        val events = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        val cum = new java.util.concurrent.atomic.AtomicLong(0L)
+        val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit = {
+            val c = cum.addAndGet(e.progress.numInputRows)
+            events.synchronized { events += ((System.nanoTime(), c)); () }
+          }
+        }
+        spark.streams.addListener(listener)
+        // drain any straggler wave-2 progress events, then baseline the
+        // cumulative counter so `need` offsets are exact
+        Thread.sleep(1000)
+        val base = cum.get()
+        val publishNanos = new Array[Long](latWaves)
+        val start = System.nanoTime()
+        staged.zipWithIndex.foreach { case (wave, i) =>
+          val deadline = start + i * latIntervalMs * 1000000L
+          val wait = (deadline - System.nanoTime()) / 1000000L
+          if (wait > 0) Thread.sleep(wait)
+          publishNanos(i) = System.nanoTime()
+          publish(wave)
+        }
+        q.processAllAvailable()
+        Thread.sleep(1000) // listener bus drains asynchronously
+        spark.streams.removeListener(listener)
+        val lats = waveLatencies(publishNanos.toSeq,
+          events.synchronized(events.toSeq), rowsPerWave, base)
+          .map(_ / 1e6) // ms
+        val (p50, p95, p99) = (percentile(lats, 50), percentile(lats, 95),
+          percentile(lats, 99))
+        println(f"[stream-bench] latency SLO (file-visible -> queryable row, " +
+          f"$latWaves waves @ ${latIntervalMs}ms): p50=$p50%.0f ms p95=$p95%.0f ms " +
+          f"p99=$p99%.0f ms max=${lats.max}%.0f ms")
+        println(f"""{"metric":"stream_ingest_latency_ms","p50":$p50%.1f,"p95":$p95%.1f,"p99":$p99%.1f,"max":${lats.max}%.1f,"waves":$latWaves,"interval_ms":$latIntervalMs,"rows_per_wave":$rowsPerWave}""")
+      }
     } finally q.stop()
     spark.stop()
   }

@@ -46,4 +46,29 @@ class Round13OpsSpec extends SparkSpec {
       assert(routed == direct, "cutover must route to the CMS path")
     } finally spark.conf.set("spark.graft.kn.cmsTypeCutover", "0")
   }
+
+  // ---- streaming-ingest latency SLO measurement machinery ----------------
+
+  test("waveLatencies maps each wave to its committing batch's wall clock") {
+    import graft.tools.StreamIngestBench.waveLatencies
+    // 3 waves of 100 rows published at t=0/10/20; batches commit at
+    // t=5 (80 rows: covers nothing), t=12 (220: covers waves 1+2),
+    // t=30 (300: covers wave 3). base=1000 rows from an earlier phase.
+    val events = Seq((5L, 1080L), (12L, 1220L), (30L, 1300L))
+    val lats = waveLatencies(Seq(0L, 10L, 20L), events, 100L, base = 1000L)
+    assert(lats == Seq(12L, 2L, 10L))
+    // a wave the stream never commits is a dropped-row bug, not a sample
+    intercept[IllegalStateException] {
+      waveLatencies(Seq(0L, 10L), Seq((5L, 1100L)), 100L, base = 1000L)
+    }
+  }
+
+  test("percentile: nearest-rank on small SLO samples") {
+    import graft.tools.StreamIngestBench.percentile
+    val xs = Seq(5.0, 1.0, 3.0, 2.0, 4.0)
+    assert(percentile(xs, 50) == 3.0)
+    assert(percentile(xs, 99) == 5.0)
+    assert(percentile(xs, 1) == 1.0)
+    assert(percentile(Seq(7.5), 99) == 7.5)
+  }
 }

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.tools.{ScaleBench, ScaleGate}
+
+/** The scale regression gate's verdict logic, plus the committed bounds
+  * artifact itself: a quadratic exponent must fail, pinned-level noise
+  * must pass, and SCALE_BOUNDS.json must parse and cover the heavy set.
+  * (The full timed 2×-replica measurement is `runMain graft.tools
+  * .ScaleGate`; the end-to-end variant runs here only under
+  * SPARK_GRAFT_SCALEGATE=1 so `sbt test` stays fast.)
+  */
+class ScaleGateSpec extends AnyFunSuite {
+
+  private def row(name: String, exp: Double) =
+    ScaleBench.Row(name, 1.0, math.pow(2.0, exp), math.pow(2.0, exp), exp)
+
+  test("violations: a quadratic fails every bound, noise stays inside the margin") {
+    val b = ScaleGate.Bounds(0.5, Map("q_lin" -> 0.45, "q_flat" -> 0.0))
+    // measured at pinned level + sub-margin noise: pass
+    assert(ScaleGate.violations(Seq(row("q_lin", 0.80), row("q_flat", 0.49)), b).isEmpty)
+    // a genuine quadratic (exp ≈ 2): fail, and the verdict names it
+    val bad = ScaleGate.violations(Seq(row("q_lin", 1.97), row("q_flat", 0.2)), b)
+    assert(bad.map(_._1.name) == Seq("q_lin"))
+    // unknown queries are not the gate's business
+    assert(ScaleGate.violations(Seq(row("q_other", 3.0)), b).isEmpty)
+    // negative pinned exponents floor at 0 (a measured -0.01 must not
+    // tighten the bound below the margin)
+    assert(ScaleGate.violations(Seq(row("q_flat", 0.49)), b).isEmpty)
+    assert(ScaleGate.violations(Seq(row("q_flat", 0.51)), b).nonEmpty)
+  }
+
+  test("the committed SCALE_BOUNDS.json parses and covers the pinned heavy set") {
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SCALE_BOUNDS.json")), "UTF-8")
+    val b = ScaleGate.parseBounds(json)
+    assert(b.margin > 0 && b.margin < 1.0, s"margin ${b.margin}")
+    // every ScaleBench default (the §7i top-10) is bounded, plus the
+    // round-12 additions
+    ScaleBench.DefaultQueries.foreach(q =>
+      assert(b.perQuery.contains(q), s"unbounded heavy query: $q"))
+    Seq("x_hits", "x_adamic_adar", "d_substring_spans", "t_kn_bigram")
+      .foreach(q => assert(b.perQuery.contains(q), s"unbounded: $q"))
+    // every bound is a plausible linear-or-below pin — a committed bound
+    // of 1.5+ would let a quadratic-ish plan through
+    b.perQuery.foreach { case (q, p) =>
+      assert(p >= -0.2 && p <= 1.0, s"$q pinned at $p")
+      // every bounded name must exist on the board, or the gate would
+      // silently measure nothing for it
+      assert(SparkEntry.queries.contains(q), s"$q not on the query board")
+    }
+  }
+
+  test("parseBounds rejects malformed artifacts loudly") {
+    intercept[IllegalArgumentException] { ScaleGate.parseBounds("{}") }
+    intercept[IllegalArgumentException] {
+      ScaleGate.parseBounds("""{"margin": 0.5}""")
+    }
+    intercept[IllegalArgumentException] {
+      ScaleGate.parseBounds("""{"margin": 0.5, "bounds": {}}""")
+    }
+  }
+
+  test("end-to-end gate run (opt-in: SPARK_GRAFT_SCALEGATE=1)") {
+    assume(sys.env.get("SPARK_GRAFT_SCALEGATE").contains("1"))
+    // the real measurement at sf0.001/2× — slow, so opt-in; a quadratic
+    // regression in any pinned query makes ScaleGate.main throw
+    ScaleGate.main(Array("/root/testdata/sf0.001", "2", "/tmp/graft_scale_gate_spec"))
+  }
+}
