@@ -92,6 +92,13 @@ object Lifecycle {
         // before finalize re-stages AND re-publishes on requeue
         // (at-least-once to the external sink, the reference's own
         // contract), while the parquet commit stays exactly-once.
+        // Deliberately append(), NOT the tokened appendBatch(): ClickHouse
+        // dedups by token alone, and a requeue RE-STAGES the batch — the
+        // re-read can partition differently, so a reused (batch, partition)
+        // token could silently drop rows whose partition contents shifted.
+        // The token is only safe where replays are partition-deterministic
+        // (within-job task retries; streaming foreachBatch replays —
+        // ClickHouseHttpSink.streamFrom uses it there).
         external.foreach { sink =>
           if (staged.stagingWh.nonEmpty)
             Retry(retry, "processReady.publish") {

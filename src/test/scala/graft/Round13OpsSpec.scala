@@ -47,6 +47,30 @@ class Round13OpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.graft.kn.cmsTypeCutover", "0")
   }
 
+  test("knBigramCms audits clean and never shuffles on the bigram key") {
+    val df = PipelineQueries.knBigramCms(spark, sf0001)
+    val errs = graft.tools.PlanAudit.audit(df).filter(_.severity == "error")
+    assert(errs.isEmpty, errs.toString)
+    // the design claim: after the sketch builds, scoring is map-only —
+    // no exchange in the SCORING plan may hash-partition on w1/w2/bg
+    // (the only legal shuffles are the per-doc rollup and the sort).
+    // AQE off for the walk: AdaptiveSparkPlanExec hides its children from
+    // a pre-execution collect.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exchanges = PipelineQueries.knBigramCms(spark, sf0001)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            e.outputPartitioning.toString
+        }
+      assert(exchanges.nonEmpty) // per-doc rollup exists
+      exchanges.foreach { p =>
+        assert(!p.contains("w1") && !p.contains("w2") && !p.contains("bg"),
+          s"bigram-key shuffle in the CMS scoring plan: $p")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   // ---- streaming-ingest latency SLO measurement machinery ----------------
 
   test("waveLatencies maps each wave to its committing batch's wall clock") {
