@@ -26,8 +26,9 @@ import graft.streaming.StreamingAnalytics
   *     completed — FIFO discovery holds because waves are renamed in
   *     order with a full cadence gap). Reported as p50/p95/p99.
   *
-  * Usage: runMain graft.tools.StreamIngestBench [totalRows] [files] [latWaves] [latIntervalMs]
-  *   latWaves=0 skips the latency phase.
+  * Usage: runMain graft.tools.StreamIngestBench [totalRows] [files] [latWaves] [latIntervalMs] [latOfferedRps]
+  *   latWaves=0 skips the latency phase; latOfferedRps sizes the waves
+  *   (default 300000 = the reference band's floor; 500000 = its ceiling).
   */
 object StreamIngestBench {
 
@@ -59,6 +60,7 @@ object StreamIngestBench {
     val nFiles = args.lift(1).map(_.toInt).getOrElse(32)
     val latWaves = args.lift(2).map(_.toInt).getOrElse(80)
     val latIntervalMs = args.lift(3).map(_.toLong).getOrElse(250L)
+    val latOfferedRps = args.lift(4).map(_.toLong).getOrElse(300_000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Sessions.localBuilder(cpus)
       .config("spark.sql.files.maxPartitionBytes", "4m")
@@ -141,10 +143,10 @@ object StreamIngestBench {
       // ---- latency SLO phase: file-visible -> queryable, sustained load ----
       if (latWaves > 0) {
         val latFiles = 4
-        // offered load ≈ reference headline: rows/wave sized so that
-        // rows/wave / interval ≈ 300k rows/s at the defaults
+        // rows/wave sized so rows/wave / interval ≈ the requested offered
+        // load (defaults to the reference headline band's floor)
         val latRowsPerFile = math.max(1,
-          (300_000L * latIntervalMs / 1000 / latFiles).toInt)
+          (latOfferedRps * latIntervalMs / 1000 / latFiles).toInt)
         val rowsPerWave = latFiles.toLong * latRowsPerFile
         // ALL waves staged before the clock starts: generation must never
         // steal cadence from the publisher (renames are instant)
