@@ -38,8 +38,15 @@ object ScaleBench {
     "ts_pair_corr", "p_pps_sample", "p_curation_funnel", "t_greedy_cover",
     "x_triangles", "x_kcore")
 
-  /** One measured two-point row. */
-  case class Row(name: String, t1: Double, tk: Double, ratio: Double, exp: Double)
+  /** One measured two-point row. `exp` is the WALL-CLOCK exponent
+    * (load-sensitive; the classic figure); `recExp` is the TOTAL SHUFFLE
+    * RECORD exponent (counted by a task-metrics listener on the warm runs
+    * — a data-determined figure external load cannot move, so it is the
+    * gate signal of record for quadratic detection: an all-pairs frame
+    * that feeds any shuffle reads ≈ 2 there, deterministically).
+    */
+  case class Row(name: String, t1: Double, tk: Double, ratio: Double,
+      exp: Double, rec1: Long = 0L, recK: Long = 0L, recExp: Double = 0.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -51,7 +58,7 @@ object ScaleBench {
     val rows = measure(spark, sfDir, factor, outRoot, queries, reps)
     // one machine-readable line for the round artifacts
     println("{" + rows.map { r =>
-      f""""${r.name}":{"t1":${r.t1}%.3f,"tk":${r.tk}%.3f,"ratio":${r.ratio}%.3f,"exp":${r.exp}%.3f}"""
+      f""""${r.name}":{"t1":${r.t1}%.3f,"tk":${r.tk}%.3f,"ratio":${r.ratio}%.3f,"exp":${r.exp}%.3f,"rec1":${r.rec1},"recK":${r.recK},"rec_exp":${r.recExp}%.3f}"""
     }.mkString(",") + s""","factor":$factor}""")
     spark.stop()
   }
@@ -79,28 +86,49 @@ object ScaleBench {
     val scaled = s"$outRoot/x$factor"
     buildScaled(spark, sfDir, scaled, factor)
 
-    def bench(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
-      fn(spark, dir).write.format("noop").mode("overwrite").save() // warm
-      (1 to reps).map { _ =>
+    // shuffle records are counted on the WARM run (free: it executes
+    // anyway) with a task-metrics listener — the ExprBench discipline,
+    // which also sees exchanges hidden inside localCheckpoints
+    def bench(fn: (SparkSession, String) => DataFrame, dir: String): (Double, Long) = {
+      val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) { acc.addAndGet(m.shuffleWriteMetrics.recordsWritten); () }
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        fn(spark, dir).write.format("noop").mode("overwrite").save() // warm
+        Thread.sleep(300) // listener bus drains asynchronously
+      } finally spark.sparkContext.removeSparkListener(listener)
+      val t = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, dir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }.min
+      (t, acc.get())
     }
 
-    println(f"${"query"}%-20s ${"t_1x_s"}%8s ${s"t_${factor}x_s"}%8s ${"ratio"}%7s ${"exponent"}%8s")
+    println(f"${"query"}%-20s ${"t_1x_s"}%8s ${s"t_${factor}x_s"}%8s ${"ratio"}%7s ${"exponent"}%8s ${"rec_1x"}%10s ${s"rec_${factor}x"}%10s ${"rec_exp"}%8s")
     queries.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val t1 = bench(fn, sfDir)
-        val tk = bench(fn, scaled)
+        val (t1, r1) = bench(fn, sfDir)
+        val (tk, rk) = bench(fn, scaled)
         val ratio = tk / t1
         val exp = math.log(ratio) / math.log(factor.toDouble)
-        println(f"$name%-20s $t1%8.2f $tk%8.2f $ratio%7.2f $exp%8.2f")
+        // both zero: a shuffle-free (map-only) plan stays exponent 0; a
+        // plan that GREW a shuffle from nothing is flagged at infinity
+        val recExp =
+          if (r1 == 0L && rk == 0L) 0.0
+          else if (r1 == 0L) Double.PositiveInfinity
+          else math.log(rk.toDouble / r1) / math.log(factor.toDouble)
+        println(f"$name%-20s $t1%8.2f $tk%8.2f $ratio%7.2f $exp%8.2f $r1%10d $rk%10d $recExp%8.2f")
         // storage hygiene between queries (the Bench discipline): blocks
         // pinned by a finished query must not tax the next measurement
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
-        Row(name, t1, tk, ratio, exp)
+        Row(name, t1, tk, ratio, exp, r1, rk, recExp)
       }
     }
   }

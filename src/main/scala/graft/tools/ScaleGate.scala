@@ -28,16 +28,42 @@ package graft.tools
   */
 object ScaleGate {
 
-  case class Bounds(margin: Double, perQuery: Map[String, Double])
+  case class Bounds(margin: Double, perQuery: Map[String, Double],
+      recCap: Double = DefaultRecCap)
 
-  /** Parse SCALE_BOUNDS.json — flat {"margin":x,"bounds":{"q":y,...}},
+  /** Global cap on the SHUFFLE-RECORD exponent — the deterministic
+    * signal: records are data-determined, so no noise margin is needed
+    * and one cap covers every query. Linear plans read ≤ 1 (disjoint-key
+    * replicas grow every shuffle at most linearly), NDV-bounded plans
+    * less; an all-pairs frame feeding any shuffle reads ≈ 2. The 1.3
+    * headroom absorbs mild super-linearity from AQE partition decisions
+    * and replica-boundary effects, nothing more.
+    */
+  val DefaultRecCap = 1.3
+
+  /** The cap applies only when the 1× run shuffles at least this many
+    * records. Below it, the count is partial-agg OUTPUT on a tiny-NDV
+    * frame — `partitions × NDV`, which tracks FILE COUNT, not data
+    * (measured: `p_quality_lr`, one groupBy over a handful of sources,
+    * reads 40→636 records purely because the 4× replica has more input
+    * splits — exponent 2.0 with zero data-scale meaning). A genuine
+    * data-scale quadratic always has data-scale rec1, far above this
+    * floor; quadratics on BOUNDED frames (the bhFdr pattern) are design
+    * choices the wall gate and PlanAudit govern, not this cap.
+    */
+  val DefaultRecFloor = 2048L
+
+  /** Parse SCALE_BOUNDS.json — flat {"margin":x,"rec_cap":z,"bounds":{"q":y,...}},
     * hand-parsed (no JSON lib on the zero-egress classpath); tolerant of
-    * whitespace/order, strict about the two required fields.
+    * whitespace/order, strict about the two required fields (`rec_cap`
+    * is optional, defaulting to [[DefaultRecCap]]).
     */
   def parseBounds(json: String): Bounds = {
     val margin = """"margin"\s*:\s*(-?[0-9.]+)""".r.findFirstMatchIn(json)
       .map(_.group(1).toDouble)
       .getOrElse(throw new IllegalArgumentException("SCALE_BOUNDS.json: no margin"))
+    val recCap = """"rec_cap"\s*:\s*(-?[0-9.]+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toDouble).getOrElse(DefaultRecCap)
     val boundsBlock = """"bounds"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(json)
       .map(_.group(1))
       .getOrElse(throw new IllegalArgumentException("SCALE_BOUNDS.json: no bounds"))
@@ -45,16 +71,24 @@ object ScaleGate {
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
     if (perQuery.isEmpty)
       throw new IllegalArgumentException("SCALE_BOUNDS.json: empty bounds")
-    Bounds(margin, perQuery)
+    Bounds(margin, perQuery, recCap)
   }
 
-  /** The verdict: queries whose measured exponent exceeds
-    * max(pinned, 0) + margin. Pure — spec-tested with synthetic rows.
+  /** The verdict: queries whose WALL exponent exceeds max(pinned, 0) +
+    * margin, or whose RECORD exponent exceeds the global cap (reason in
+    * the returned string). Pure — spec-tested with synthetic rows.
     */
-  def violations(rows: Seq[ScaleBench.Row], b: Bounds): Seq[(ScaleBench.Row, Double)] =
+  def violations(rows: Seq[ScaleBench.Row], b: Bounds): Seq[(ScaleBench.Row, String)] =
     rows.flatMap { r =>
-      b.perQuery.get(r.name).map(p => (r, math.max(p, 0.0) + b.margin))
-    }.filter { case (r, bound) => r.exp > bound }
+      b.perQuery.get(r.name).flatMap { p =>
+        val bound = math.max(p, 0.0) + b.margin
+        if (r.exp > bound)
+          Some((r, f"wall exp=${r.exp}%.2f > bound=$bound%.2f"))
+        else if (r.rec1 >= DefaultRecFloor && r.recExp > b.recCap)
+          Some((r, f"shuffle-record exp=${r.recExp}%.2f > cap=${b.recCap}%.2f (rec ${r.rec1}->${r.recK})"))
+        else None
+      }
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -71,15 +105,16 @@ object ScaleGate {
         bounds.perQuery.keys.toSeq.sorted, reps)
       finally spark.stop()
     val bad = violations(rows, bounds)
+    val badNames = bad.map(_._1.name).toSet
     rows.foreach { r =>
       val bound = math.max(bounds.perQuery(r.name), 0.0) + bounds.margin
-      val mark = if (r.exp > bound) "VIOLATION" else "ok"
-      println(f"[scalegate] ${r.name}%-20s exp=${r.exp}%6.2f bound=$bound%5.2f  $mark")
+      val mark = if (badNames(r.name)) "VIOLATION" else "ok"
+      println(f"[scalegate] ${r.name}%-20s exp=${r.exp}%6.2f bound=$bound%5.2f  " +
+        f"rec_exp=${r.recExp}%6.2f cap=${bounds.recCap}%4.2f  $mark")
     }
     if (bad.nonEmpty)
       throw new RuntimeException(
-        s"scale gate FAILED: ${bad.map { case (r, bound) =>
-          f"${r.name} exp=${r.exp}%.2f > bound=$bound%.2f" }.mkString("; ")}")
+        s"scale gate FAILED: ${bad.map { case (r, why) => s"${r.name}: $why" }.mkString("; ")}")
     println(s"[scalegate] PASS: ${rows.size} queries within bounds (factor=$factor, $sfDir)")
   }
 }

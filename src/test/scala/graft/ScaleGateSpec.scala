@@ -12,8 +12,9 @@ import graft.tools.{ScaleBench, ScaleGate}
   */
 class ScaleGateSpec extends AnyFunSuite {
 
-  private def row(name: String, exp: Double) =
-    ScaleBench.Row(name, 1.0, math.pow(2.0, exp), math.pow(2.0, exp), exp)
+  private def row(name: String, exp: Double, recExp: Double = 0.0) =
+    ScaleBench.Row(name, 1.0, math.pow(2.0, exp), math.pow(2.0, exp), exp,
+      100000L, (100000L * math.pow(2.0, recExp)).toLong, recExp)
 
   test("violations: a quadratic fails every bound, noise stays inside the margin") {
     val b = ScaleGate.Bounds(0.5, Map("q_lin" -> 0.45, "q_flat" -> 0.0))
@@ -22,6 +23,7 @@ class ScaleGateSpec extends AnyFunSuite {
     // a genuine quadratic (exp ≈ 2): fail, and the verdict names it
     val bad = ScaleGate.violations(Seq(row("q_lin", 1.97), row("q_flat", 0.2)), b)
     assert(bad.map(_._1.name) == Seq("q_lin"))
+    assert(bad.head._2.contains("wall"))
     // unknown queries are not the gate's business
     assert(ScaleGate.violations(Seq(row("q_other", 3.0)), b).isEmpty)
     // negative pinned exponents floor at 0 (a measured -0.01 must not
@@ -30,11 +32,33 @@ class ScaleGateSpec extends AnyFunSuite {
     assert(ScaleGate.violations(Seq(row("q_flat", 0.51)), b).nonEmpty)
   }
 
+  test("violations: the shuffle-record exponent is a load-immune second gate") {
+    val b = ScaleGate.Bounds(0.5, Map("q" -> 0.45))
+    // wall fine + records linear: pass
+    assert(ScaleGate.violations(Seq(row("q", 0.3, recExp = 1.0)), b).isEmpty)
+    // wall fine (quiet box!) but records quadratic: FAIL with the record reason
+    val bad = ScaleGate.violations(Seq(row("q", 0.3, recExp = 1.97)), b)
+    assert(bad.size == 1 && bad.head._2.contains("shuffle-record"))
+    // below the floor the count is partitions×NDV partial-agg output, not
+    // data (the measured p_quality_lr 40->636 artifact): exempt
+    val tiny = ScaleBench.Row("q", 1.0, 1.0, 1.0, 0.0, 40L, 636L, 2.0)
+    assert(ScaleGate.violations(Seq(tiny), b).isEmpty)
+    // ...but a shuffle grown from a data-scale base fails even at wall 0
+    val big = ScaleBench.Row("q", 1.0, 1.0, 1.0, 0.0,
+      ScaleGate.DefaultRecFloor, ScaleGate.DefaultRecFloor * 16, 2.0)
+    assert(ScaleGate.violations(Seq(big), b).nonEmpty)
+    // map-only both sides (0 -> 0) is exponent 0: pass
+    assert(ScaleGate.violations(
+      Seq(ScaleBench.Row("q", 1.0, 1.0, 1.0, 0.0, 0L, 0L, 0.0)), b).isEmpty)
+  }
+
   test("the committed SCALE_BOUNDS.json parses and covers the pinned heavy set") {
     val json = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SCALE_BOUNDS.json")), "UTF-8")
     val b = ScaleGate.parseBounds(json)
     assert(b.margin > 0 && b.margin < 1.0, s"margin ${b.margin}")
+    // the record cap must sit between linear (1) and quadratic (2)
+    assert(b.recCap > 1.0 && b.recCap < 2.0, s"rec_cap ${b.recCap}")
     // every ScaleBench default (the §7i top-10) is bounded, plus the
     // round-12 additions
     ScaleBench.DefaultQueries.foreach(q =>
