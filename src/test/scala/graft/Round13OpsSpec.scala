@@ -38,6 +38,27 @@ class Round13OpsSpec extends SparkSpec {
     assert(overlap >= 0.97, s"top-quartile overlap $overlap")
   }
 
+  test("knBigramCms is EXACTLY knBigram where the sketch is collision-free") {
+    // a toy corpus keeps every CMS estimate exact (no collisions at this
+    // cardinality), so the sketch path must reproduce the exact path
+    // bit-for-bit — scores included, not just ranks
+    import spark.implicits._
+    val dir = tmpDir("kn-toy")
+    Seq(
+      (1L, "en", "src", "the cat sat on the mat"),
+      (2L, "en", "src", "the cat ran"),
+      (3L, "en", "src", "a dog sat"),
+      (4L, "en", "src", "single"),           // < 2 tokens -> NULL xent
+      (5L, "en", "src", "the mat sat on the cat")
+    ).toDF("doc_id", "lang", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val exact = byDoc(PipelineQueries.knBigram(spark, dir))
+    val cms = byDoc(PipelineQueries.knBigramCms(spark, dir))
+    assert(exact == cms, s"\nexact: $exact\ncms:   $cms")
+    assert(exact(4L)._2.isEmpty, "a 1-token doc must score NULL")
+    assert(exact.size == 5)
+  }
+
   test("the type-count cutover routes knBigram onto the sketch path") {
     spark.conf.set("spark.graft.kn.cmsTypeCutover", "1")
     try {
