@@ -46,6 +46,22 @@ object Bench {
       try spark.read.parquet(f.getPath).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // Noise canary: a fixed, deterministic, CPU-bound job (no I/O, no
+    // data dependence) timed before and after the board. Its wall time IS
+    // the box's effective speed, so the artifact carries the evidence to
+    // read its own totals against: r13 measured a ~7% box-wide slowdown
+    // that cost a judge-isolation cycle to pin — with the canary in the
+    // JSON, "the board is slower because the box was slower" is a number,
+    // not an investigation. min-of-3: the canary must be load-robust too.
+    def canary(): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0, 200_000_000L, 1, 32)
+        .selectExpr("sum((id % 1000003) * 31) as s").write // bounded: no ANSI overflow
+        .format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    canary() // warm the range/codegen path before the measured one
+    val canaryStart = canary()
     // SPARK_GRAFT_ONLY=a,b,c restricts to named queries (local iteration)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq
@@ -117,6 +133,7 @@ object Bench {
         // a regression is real only if the MIN moved too.
         } else Some(name -> ((ok(ok.length / 2), ok.head)))
       }
+    val canaryEnd = canary()
     val total = results.map(_._2._1).sum
     // Full-precision maps for the judge (stdout tail can't hold all 96 names).
     val fullQs = results.map { case (k, (med, _)) => s"\"" + k + "\":" + med }
@@ -126,7 +143,7 @@ object Bench {
     val failedJson = failed.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,"failed":$failedJson,"queries":$fullQs,"queries_min":$fullMins,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,"canary_start_s":$canaryStart,"canary_end_s":$canaryEnd,"failed":$failedJson,"queries":$fullQs,"queries_min":$fullMins,"sf":"$sfDir"}"""
     // a SPARK_GRAFT_ONLY iteration run must not clobber the committed
     // full-board artifact with a partial map
     if (only.isEmpty) {
@@ -154,7 +171,7 @@ object Bench {
         sb.append(entry); sbMin.append(entryMin); n += 1
       }
     }
-    println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","n":${results.size + failed.size},"shown":$n,"failed":${failed.size},"queries":{${sb.result()}},"qmin":{${sbMin.result()}},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","n":${results.size + failed.size},"shown":$n,"failed":${failed.size},"canary":[${fmt2(canaryStart)},${fmt2(canaryEnd)}],"queries":{${sb.result()}},"qmin":{${sbMin.result()}},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
