@@ -547,7 +547,7 @@ object PipelineQueries {
   def knBigram(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.fanOut(Tables.documents(s, d))
     val bi = knBigramOcc(docs)
-    if (knUseCms(s, bi)) return knBigramCms(s, d)
+    if (knUseCms(s, d, bi)) return knBigramCms(s, d)
     val cbg = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
     // NDV-sized stats OF the count table — no second pass over occurrences
     val left = cbg.groupBy("w1").agg(sum("c").as("cl"), count(lit(1)).as("n1l"))
@@ -585,14 +585,31 @@ object PipelineQueries {
     * the approximate distinct-bigram count exceeds
     * `spark.graft.kn.cmsTypeCutover` (default: off), the exact path's
     * occurrence⋈lp shuffle join outgrows the shuffle budget — switch to
-    * the sketch path. One partial-aggregable HLL pass, paid only when a
-    * cutover is configured.
+    * the sketch path.
+    *
+    * COST: the probe is one FULL HLL pass over the occurrence stream,
+    * paid PER [[knBigram]] INVOCATION whenever a cutover is configured —
+    * partial-aggregable (map-side HLL merge, one tiny shuffle), so it is
+    * a scan, not a join, but a scan nonetheless. Repeated calls in one
+    * session therefore memoize the routing decision per (input dir,
+    * cutover): the corpus behind a dir is immutable within a session by
+    * the engine's ingest contract (dirs are append-via-rename, and a
+    * session that rewrote a dir would re-create the session conf anyway),
+    * and a wrong stale answer is only a ROUTING pessimization, never a
+    * correctness issue — both paths return rank-consistent scores. The
+    * cache is bounded (256 entries, cleared on overflow) so a dir-sweep
+    * driver cannot leak it.
     */
-  private def knUseCms(s: SparkSession, bi: DataFrame): Boolean = {
+  private val knRouteCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Boolean]()
+  private def knUseCms(s: SparkSession, d: String, bi: DataFrame): Boolean = {
     val cutover = s.conf.get("spark.graft.kn.cmsTypeCutover", "0").toLong
-    cutover > 0 &&
-      bi.agg(approx_count_distinct(struct(col("w1"), col("w2"))).as("v"))
-        .first().getLong(0) >= cutover
+    cutover > 0 && {
+      if (knRouteCache.size() > 256) knRouteCache.clear()
+      knRouteCache.computeIfAbsent((d, cutover), _ =>
+        bi.agg(approx_count_distinct(struct(col("w1"), col("w2"))).as("v"))
+          .first().getLong(0) >= cutover).booleanValue()
+    }
   }
 
   /** [[knBigram]]'s 100 TB path — the [[dsirSelectCms]] design applied to
@@ -1137,19 +1154,28 @@ object PipelineQueries {
       |ORDER BY corpus_id, bench_id""".stripMargin
 
   /** Fuzzy near-match via blocked Levenshtein: candidate pairs share
-    * (lang, n_chars) — a cheap deterministic blocking key — and are scored
-    * on their 60-char prefixes. The block join caps the quadratic term the
-    * way real fuzzy-dedup blocks (sorted-neighborhood / LSH) do at scale.
+    * (lang, n_chars ÷ 16) — a cheap deterministic blocking key — and are
+    * scored on their 60-char prefixes. Length-BUCKET blocking rather than
+    * exact length: edits change length, so exact-length blocking misses
+    * the near-duplicates the operator exists to find (and at sf0.01 found
+    * NOTHING — a vacuously-green 0-row oracle, r13 "What's missing" #4;
+    * the bucketed key yields real matches at every test SF, and
+    * Round14OpsSpec pins the exact match set on a seeded micro-corpus).
+    * The block join caps the quadratic term the way real fuzzy-dedup
+    * blocks (sorted-neighborhood / LSH) do at scale; boundary-straddling
+    * pairs are the documented recall tradeoff every blocking scheme makes
+    * (production runs would add the ±1-bucket pass).
     */
   def levFuzzy(s: SparkSession, d: String): DataFrame = {
     val doc = Tables.fanOut(Tables.documents(s, d))
-      .select(col("doc_id"), col("lang"), col("n_chars"),
+      .select(col("doc_id"), col("lang"),
+        floor(col("n_chars") / 16).as("len_bkt"),
         substring(col("text"), 1, 60).as("pfx"))
-    val a = doc.select(col("doc_id").as("a_id"), col("lang"), col("n_chars"),
+    val a = doc.select(col("doc_id").as("a_id"), col("lang"), col("len_bkt"),
       col("pfx").as("pa"))
-    val b = doc.select(col("doc_id").as("b_id"), col("lang"), col("n_chars"),
+    val b = doc.select(col("doc_id").as("b_id"), col("lang"), col("len_bkt"),
       col("pfx").as("pb"))
-    a.join(b, Seq("lang", "n_chars")).filter(col("a_id") < col("b_id"))
+    a.join(b, Seq("lang", "len_bkt")).filter(col("a_id") < col("b_id"))
       .withColumn("lev", levenshtein(col("pa"), col("pb")))
       .filter(col("lev") <= 30)
       .select("a_id", "b_id", "lev")
@@ -1159,7 +1185,7 @@ object PipelineQueries {
     """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
       |  CAST(levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) AS INT) AS lev
       |FROM documents a JOIN documents b
-      |  ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+      |  ON a.lang = b.lang AND a.n_chars // 16 = b.n_chars // 16 AND a.doc_id < b.doc_id
       |WHERE levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) <= 30
       |ORDER BY a_id, b_id""".stripMargin
 

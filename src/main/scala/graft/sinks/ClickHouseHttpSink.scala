@@ -88,28 +88,54 @@ class ClickHouseHttpSink(cfg: ClickHouseHttpConfig) extends ExternalSink {
     * contract) dedups whole batches; the token dedups partition POSTs.
     * `batchId` must be stable across replays (foreachBatch's id is, by
     * Structured Streaming's contract).
+    *
+    * `streamId` namespaces the token with the writing stream's identity
+    * (see [[streamInstanceId]]): WITHOUT it, a checkpoint reset (batchId
+    * restarts at 0) or two streaming queries writing the same table would
+    * REUSE tokens, and ClickHouse would silently DROP fresh rows whose
+    * token matches one still in the dedup window — data loss, not failed
+    * dedup. Direct batch callers with a single writer may omit it.
+    *
+    * Server-side contract for the token to actually dedup (documented
+    * here because the client cannot verify it over the wire): the target
+    * must be a MergeTree-family table with a live deduplication window —
+    * Replicated*MergeTree dedups by default; NON-replicated MergeTree
+    * requires `non_replicated_deduplication_window > 0` or the token is
+    * ignored and delivery silently stays at-least-once. Async inserts
+    * ignore the token too unless `async_insert_deduplicate=1`, so
+    * [[ClickHouseHttpSink.postRows]] pins that setting on every tokened
+    * request (harmlessly ignored when the insert is synchronous).
     */
-  def appendBatch(df: DataFrame, batchId: Long): Unit = {
+  def appendBatch(df: DataFrame, batchId: Long,
+      streamId: Option[String] = None): Unit = {
     val c = cfg
+    val ns = streamId.map(s => s"-s$s").getOrElse("")
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        postRows(c, rows, token = Some(s"graft-${c.table}-b$batchId-p$pid"))
+        postRows(c, rows, token = Some(s"graft-${c.table}$ns-b$batchId-p$pid"))
       }
     }
   }
 
   /** Stream attachment upgraded to the tokened path: the foreachBatch id
-    * keys the per-partition dedup tokens, so a checkpoint replay OR a task
-    * retry inserts each partition at most once server-side.
+    * keys the per-partition dedup tokens — namespaced by a per-checkpoint
+    * stream id — so a checkpoint replay OR a task retry inserts each
+    * partition at most once server-side, while a checkpoint RESET or a
+    * second stream into the same table gets a fresh namespace instead of
+    * colliding with tokens still in the server's dedup window.
     */
   override def streamFrom(df: DataFrame, checkpointDir: String,
-      trigger: org.apache.spark.sql.streaming.Trigger): org.apache.spark.sql.streaming.StreamingQuery =
+      trigger: org.apache.spark.sql.streaming.Trigger): org.apache.spark.sql.streaming.StreamingQuery = {
+    val sid = ClickHouseHttpSink.streamInstanceId(df.sparkSession, checkpointDir)
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, id: Long) => appendBatch(batch, id) }
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        appendBatch(batch, id, Some(sid))
+      }
       .start()
+  }
 
   override def truncate(spark: SparkSession): Unit = {
     exec(cfg, s"TRUNCATE TABLE ${cfg.database}.${cfg.table}"); ()
@@ -134,6 +160,37 @@ object ClickHouseHttpSink {
     * or defeat the wire-exactly-once token — reject loudly at startup.
     */
   private val ReservedParams = Set("query", "database", "insert_deduplication_token")
+
+  /** The stable per-stream token namespace: a short random id persisted as
+    * `<checkpointDir>/graft-sink-id` next to the stream's own state. The
+    * lifecycle is exactly the checkpoint's — a restart of the same
+    * checkpoint rereads the same id (so replayed batches re-send
+    * byte-identical tokens and dedup correctly), while a checkpoint RESET
+    * (wiped dir, batchId back to 0) or a second stream (its own
+    * checkpoint) mints a fresh id, so their tokens can never collide with
+    * ones still in the server's dedup window. Hadoop FS API: checkpoints
+    * live on cluster storage, not the local disk. Create-exclusive
+    * handles the (degenerate) race of two attachments to one checkpoint:
+    * the loser rereads the winner's id.
+    */
+  private[graft] def streamInstanceId(spark: SparkSession,
+      checkpointDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir, "graft-sink-id")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def read(): String = {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+    }
+    if (fs.exists(p)) read()
+    else {
+      val id = java.util.UUID.randomUUID().toString.take(8)
+      try {
+        val out = fs.create(p, /* overwrite = */ false)
+        try out.write(id.getBytes("UTF-8")) finally out.close()
+        id
+      } catch { case _: java.io.IOException => read() }
+    }
+  }
 
   def fromConfig(db: graft.app.DatabaseConf, table: String): ClickHouseHttpSink = {
     val params = db.customHttpParams.split(",").iterator
@@ -204,9 +261,15 @@ object ClickHouseHttpSink {
     */
   private def postRows(cfg: ClickHouseHttpConfig, rows: Iterator[Row],
       token: Option[String]): Unit = {
+    // a token without async_insert_deduplicate=1 is a silent no-op under
+    // the default async_insert=1 (ClickHouse ignores the token for async
+    // inserts unless that setting is on; for sync inserts the setting is
+    // ignored, so pinning it is always safe) — the wire-exactly-once
+    // claim must not depend on the deployment remembering a second knob
     val conn = open(cfg,
       s"INSERT INTO ${cfg.database}.${cfg.table} FORMAT CSV",
-      token.map("insert_deduplication_token" -> _).toMap)
+      token.map(t => Map("insert_deduplication_token" -> t,
+        "async_insert_deduplicate" -> "1")).getOrElse(Map.empty))
     conn.setDoOutput(true)
     conn.setChunkedStreamingMode(64 * 1024) // pipelined: no whole-batch buffer
     conn.setRequestProperty("Content-Encoding", "gzip")

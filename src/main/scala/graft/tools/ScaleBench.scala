@@ -100,7 +100,10 @@ object ScaleBench {
       spark.sparkContext.addSparkListener(listener)
       try {
         fn(spark, dir).write.format("noop").mode("overwrite").save() // warm
-        Thread.sleep(300) // listener bus drains asynchronously
+        // drain DETERMINISTICALLY, not with a fixed sleep: stragglers
+        // missed on a loaded box undercount rec1/recK, which can fake a
+        // floor exemption or mask a super-linear shuffle in ScaleGate
+        org.apache.spark.graft.SparkInternals.drainListenerBus(spark.sparkContext)
       } finally spark.sparkContext.removeSparkListener(listener)
       val t = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

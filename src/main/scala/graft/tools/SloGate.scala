@@ -1,0 +1,95 @@
+package graft.tools
+
+/** The latency-SLO REGRESSION GATE — the [[ScaleGate]] discipline applied
+  * to the one pipeline property the query board never measures: per-wave
+  * file-visible → queryable-warehouse-row commit latency under sustained
+  * offered load. Round 13 measured it once (sub-second p99 across the
+  * reference's whole published 300–500k rows/s band) and published a
+  * README number; a regression in micro-batch commit latency (a new
+  * per-batch listing cost, a checkpoint fsync amplification) would have
+  * survived until the next hand run. This makes the SLO a failing
+  * command: re-measure every tier pinned in `SLO_BOUNDS.json` via
+  * [[StreamIngestBench.measureLatencyTier]] and exit nonzero when any
+  * tier's p99 exceeds its committed bound.
+  *
+  * Usage: `sbt "runMain graft.tools.SloGate [boundsPath]"`
+  *   default boundsPath: SLO_BOUNDS.json. Run EXCLUSIVELY — a concurrent
+  *   sbt/Spark JVM steals publisher cadence and inflates tail latencies.
+  *
+  * Bounds are p99 per offered-load tier, generous vs the measured idle
+  * band (≈1.0 s p99 measured, 1.5 s bound): the gate exists to catch a
+  * REGRESSION CLASS (per-batch costs that scale with warehouse size or
+  * batch count), not to re-litigate scheduler jitter. The verdict logic
+  * ([[violations]]) is pure and spec-tested; the measurement is this main.
+  */
+object SloGate {
+
+  /** Parsed SLO_BOUNDS.json: waves/cadence shared across tiers, a p99
+    * bound (ms) per offered rows/s tier.
+    */
+  case class Bounds(waves: Int, intervalMs: Long, p99MsByRps: Map[Long, Double])
+
+  /** Hand-parsed (no JSON lib on the zero-egress classpath) — flat
+    * {"waves":n,"interval_ms":n,"p99_ms":{"<rps>":ms,...}}; strict about
+    * all three fields so a typo'd artifact fails loudly, not vacuously.
+    */
+  def parseBounds(json: String): Bounds = {
+    def num(field: String): Long = (s""""$field"\\s*:\\s*([0-9]+)""").r
+      .findFirstMatchIn(json).map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(s"SLO_BOUNDS.json: no $field"))
+    val block = """"p99_ms"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(json)
+      .map(_.group(1))
+      .getOrElse(throw new IllegalArgumentException("SLO_BOUNDS.json: no p99_ms"))
+    val tiers = """"([0-9]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(block)
+      .map(m => m.group(1).toLong -> m.group(2).toDouble).toMap
+    if (tiers.isEmpty)
+      throw new IllegalArgumentException("SLO_BOUNDS.json: empty p99_ms")
+    Bounds(num("waves").toInt, num("interval_ms"), tiers)
+  }
+
+  /** The verdict: tiers whose measured p99 exceeds the committed bound.
+    * Pure — spec-tested with synthetic results. A measured tier with no
+    * bound is a coverage bug, not a pass: flag it too, so the gate cannot
+    * silently measure nothing.
+    */
+  def violations(results: Seq[StreamIngestBench.LatencyResult],
+      b: Bounds): Seq[(StreamIngestBench.LatencyResult, String)] =
+    results.flatMap { r =>
+      b.p99MsByRps.get(r.offeredRps) match {
+        case None => Some((r, s"tier ${r.offeredRps} rows/s has no committed bound"))
+        case Some(bound) if r.p99 > bound =>
+          Some((r, f"p99=${r.p99}%.0f ms > bound=$bound%.0f ms"))
+        case _ => None
+      }
+    }
+
+  def main(args: Array[String]): Unit = {
+    val boundsPath = args.headOption.getOrElse("SLO_BOUNDS.json")
+    val bounds = parseBounds(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(boundsPath)), "UTF-8"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.Sessions.localBuilder(cpus)
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val results =
+      try bounds.p99MsByRps.keys.toSeq.sorted.map { rps =>
+        StreamIngestBench.measureLatencyTier(spark, rps,
+          bounds.waves, bounds.intervalMs)
+      } finally spark.stop()
+    val bad = violations(results, bounds)
+    val badRps = bad.map(_._1.offeredRps).toSet
+    results.foreach { r =>
+      val bound = bounds.p99MsByRps(r.offeredRps)
+      val mark = if (badRps(r.offeredRps)) "VIOLATION" else "ok"
+      println(f"[slogate] ${r.offeredRps}%8d rows/s  p50=${r.p50}%5.0f p95=${r.p95}%5.0f " +
+        f"p99=${r.p99}%5.0f max=${r.maxMs}%5.0f ms  bound=$bound%5.0f  $mark")
+    }
+    if (bad.nonEmpty)
+      throw new RuntimeException("slo gate FAILED: " +
+        bad.map { case (r, why) => s"${r.offeredRps} rows/s: $why" }.mkString("; "))
+    println(s"[slogate] PASS: ${results.size} tiers within p99 bounds " +
+      s"(${bounds.waves} waves @ ${bounds.intervalMs} ms)")
+  }
+}

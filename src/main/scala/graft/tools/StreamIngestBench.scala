@@ -55,6 +55,109 @@ object StreamIngestBench {
     s(math.max(0, math.min(s.size - 1, math.ceil(p / 100.0 * s.size).toInt - 1)))
   }
 
+  /** One latency-tier measurement (all figures ms). */
+  case class LatencyResult(offeredRps: Long, p50: Double, p95: Double,
+      p99: Double, maxMs: Double, waves: Int, intervalMs: Long,
+      rowsPerWave: Long)
+
+  /** Self-contained latency-SLO measurement of ONE offered-load tier:
+    * fresh watched tree / warehouse / checkpoint, a warm-up wave to absorb
+    * stream startup (source init, first listing, codegen), then `waves`
+    * uniform waves published at a fixed `intervalMs` cadence with per-wave
+    * file-visible → queryable-warehouse-row wall time measured through a
+    * `StreamingQueryListener` (see the class doc). Reusable by both the
+    * one-shot bench main and [[SloGate]] — the gate needs tiers isolated
+    * from each other (no inherited backlog), so each tier gets its own
+    * stream.
+    */
+  def measureLatencyTier(spark: SparkSession, offeredRps: Long,
+      waves: Int, intervalMs: Long): LatencyResult = {
+    val root = java.nio.file.Files.createTempDirectory("slo-src").toString
+    val wh = java.nio.file.Files.createTempDirectory("slo-wh").toString
+    val ck = java.nio.file.Files.createTempDirectory("slo-ck").toString
+    val day = LocalDate.parse("2024-03-14")
+    val latFiles = 4
+    val latRowsPerFile = math.max(1, (offeredRps * intervalMs / 1000 / latFiles).toInt)
+    val rowsPerWave = latFiles.toLong * latRowsPerFile
+    // warm-up wave published before the stream starts: its batch absorbs
+    // startup cost and seeds the cumulative-row baseline
+    publish(stageWave(root, day, 1, latFiles, latRowsPerFile))
+    val q = StreamingAnalytics.ingestStream(spark, root, wh, ck,
+      maxFilesPerTrigger = 8192, trigger = Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      // ALL waves staged before the clock starts: generation must never
+      // steal cadence from the publisher (renames are instant)
+      val staged = (0 until waves)
+        .map(i => stageWave(root, day, 100 + i, latFiles, latRowsPerFile))
+      val events = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      val cum = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val c = cum.addAndGet(e.progress.numInputRows)
+          events.synchronized { events += ((System.nanoTime(), c)); () }
+        }
+      }
+      spark.streams.addListener(listener)
+      // deterministic drain (straggler warm-up progress events must land
+      // BEFORE the baseline is read), then baseline the counter
+      org.apache.spark.graft.SparkInternals.drainListenerBus(spark.sparkContext)
+      val base = cum.get()
+      val publishNanos = new Array[Long](waves)
+      val start = System.nanoTime()
+      staged.zipWithIndex.foreach { case (wave, i) =>
+        val deadline = start + i * intervalMs * 1000000L
+        val wait = (deadline - System.nanoTime()) / 1000000L
+        if (wait > 0) Thread.sleep(wait)
+        publishNanos(i) = System.nanoTime()
+        publish(wave)
+      }
+      q.processAllAvailable()
+      org.apache.spark.graft.SparkInternals.drainListenerBus(spark.sparkContext)
+      spark.streams.removeListener(listener)
+      val lats = waveLatencies(publishNanos.toSeq,
+        events.synchronized(events.toSeq), rowsPerWave, base)
+        .map(_ / 1e6) // ms
+      LatencyResult(offeredRps, percentile(lats, 50), percentile(lats, 95),
+        percentile(lats, 99), lats.max, waves, intervalMs, rowsPerWave)
+    } finally q.stop()
+  }
+
+  /** Stage one wave of `files` CSV files OUTSIDE the watched tree (see the
+    * staging note in main); returns (tmp, destination) pairs for
+    * [[publish]]. Deterministic content keyed by (wave, file, row).
+    */
+  def stageWave(root: String, day: LocalDate, wave: Int, files: Int,
+      rows: Int): Seq[(java.nio.file.Path, java.nio.file.Path)] =
+    (0 until files).map { f =>
+      val date = day.plusDays(f % 4)
+      new java.io.File(s"$root/$date").mkdirs()
+      val tmp = java.nio.file.Files.createTempFile("stream-stage", ".csv")
+      val w = new java.io.BufferedWriter(new java.io.FileWriter(tmp.toFile), 1 << 20)
+      var i = 0
+      while (i < rows) {
+        val mm = i % 60
+        val ss = (i / 60) % 60
+        w.write(f"TCK$f%d-USDT,${(wave * 100 + f) * 10000000L + i}%d,0.${1000 + i % 9000}%d,${i % 50}%d.5," +
+          f"0.${1100 + i % 900}%d,100.0,0.${900 + i % 900}%d,80.5," +
+          f"2024-03-14T12:$mm%02d:$ss%02d.${i % 1000}%03d")
+        w.newLine(); i += 1
+      }
+      w.close()
+      tmp -> java.nio.file.Paths.get(s"$root/$date/TCK$f-USDT_W${wave}_PST_$date")
+    }
+
+  /** Atomically rename staged files into the watched tree — only complete
+    * files may become visible (the reference's upload protocol).
+    */
+  def publish(staged: Seq[(java.nio.file.Path, java.nio.file.Path)]): Unit =
+    staged.foreach { case (tmp, dst) =>
+      java.nio.file.Files.move(tmp, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+
   def main(args: Array[String]): Unit = {
     val totalRows = args.headOption.map(_.toInt).getOrElse(4_000_000)
     val nFiles = args.lift(1).map(_.toInt).getOrElse(32)
@@ -71,37 +174,15 @@ object StreamIngestBench {
     val root = java.nio.file.Files.createTempDirectory("stream-bench").toString
     val rowsPerFile = totalRows / nFiles
     val day = LocalDate.parse("2024-03-14")
-    // Files are STAGED outside the watched tree and atomically renamed in:
-    // the file source reads each path exactly once, so a producer writing
-    // in place would be observed half-written and the tail silently lost
-    // (this bench failed its row-count assert exactly that way before the
-    // rename). Same contract as the reference's upload protocol and our
-    // ingest staging: only complete files may become visible.
-    def stageWave(wave: Int, files: Int = nFiles,
-        rows: Int = rowsPerFile): Seq[(java.nio.file.Path, java.nio.file.Path)] =
-      (0 until files).map { f =>
-        val date = day.plusDays(f % 4)
-        new java.io.File(s"$root/$date").mkdirs()
-        val tmp = java.nio.file.Files.createTempFile("stream-stage", ".csv")
-        val w = new java.io.BufferedWriter(new java.io.FileWriter(tmp.toFile), 1 << 20)
-        var i = 0
-        while (i < rows) {
-          val mm = i % 60
-          val ss = (i / 60) % 60
-          w.write(f"TCK$f%d-USDT,${(wave * 100 + f) * 10000000L + i}%d,0.${1000 + i % 9000}%d,${i % 50}%d.5," +
-            f"0.${1100 + i % 900}%d,100.0,0.${900 + i % 900}%d,80.5," +
-            f"2024-03-14T12:$mm%02d:$ss%02d.${i % 1000}%03d")
-          w.newLine(); i += 1
-        }
-        w.close()
-        tmp -> java.nio.file.Paths.get(s"$root/$date/TCK$f-USDT_W${wave}_PST_$date")
-      }
-    // all generation done before any rename; the renames land near-simultaneously
-    def publish(staged: Seq[(java.nio.file.Path, java.nio.file.Path)]): Unit =
-      staged.foreach { case (tmp, dst) =>
-        java.nio.file.Files.move(tmp, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      }
-    def writeWave(wave: Int): Unit = publish(stageWave(wave))
+    // Files are STAGED outside the watched tree and atomically renamed in
+    // ([[stageWave]]/[[publish]]): the file source reads each path exactly
+    // once, so a producer writing in place would be observed half-written
+    // and the tail silently lost (this bench failed its row-count assert
+    // exactly that way before the rename). Same contract as the
+    // reference's upload protocol and our ingest staging: only complete
+    // files may become visible.
+    def writeWave(wave: Int): Unit =
+      publish(stageWave(root, day, wave, nFiles, rowsPerFile))
 
     val wh = java.nio.file.Files.createTempDirectory("stream-wh").toString
     val ck = java.nio.file.Files.createTempDirectory("stream-ck").toString
@@ -117,7 +198,7 @@ object StreamIngestBench {
     try {
       q.processAllAvailable()
       val coldSec = (System.nanoTime() - t0) / 1e9
-      val staged2 = stageWave(2)
+      val staged2 = stageWave(root, day, 2, nFiles, rowsPerFile)
       println(s"[stream-bench] staged wave 2: $nFiles files x $rowsPerFile rows")
       // the timer starts BEFORE the renames: the running Trigger(0) stream
       // may begin processing as soon as the first file becomes visible, so
@@ -140,59 +221,18 @@ object StreamIngestBench {
         "(reference baseline: 300k-500k rows/sec to remote ClickHouse)")
       println(s"""{"metric":"stream_ingest_rows_per_sec","value":$warmRps,"unit":"rows/sec","cold":$coldRps,"rows":$rows,"cold_sec":$coldSec,"warm_sec":$warmSec}""")
 
-      // ---- latency SLO phase: file-visible -> queryable, sustained load ----
-      if (latWaves > 0) {
-        val latFiles = 4
-        // rows/wave sized so rows/wave / interval ≈ the requested offered
-        // load (defaults to the reference headline band's floor)
-        val latRowsPerFile = math.max(1,
-          (latOfferedRps * latIntervalMs / 1000 / latFiles).toInt)
-        val rowsPerWave = latFiles.toLong * latRowsPerFile
-        // ALL waves staged before the clock starts: generation must never
-        // steal cadence from the publisher (renames are instant)
-        val staged = (0 until latWaves)
-          .map(i => stageWave(100 + i, latFiles, latRowsPerFile))
-        println(s"[stream-bench] staged $latWaves latency waves x $rowsPerWave rows " +
-          s"(offered ${rowsPerWave * 1000 / latIntervalMs} rows/s)")
-        val events = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-        val cum = new java.util.concurrent.atomic.AtomicLong(0L)
-        val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-          import org.apache.spark.sql.streaming.StreamingQueryListener._
-          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-          override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-          override def onQueryProgress(e: QueryProgressEvent): Unit = {
-            val c = cum.addAndGet(e.progress.numInputRows)
-            events.synchronized { events += ((System.nanoTime(), c)); () }
-          }
-        }
-        spark.streams.addListener(listener)
-        // drain any straggler wave-2 progress events, then baseline the
-        // cumulative counter so `need` offsets are exact
-        Thread.sleep(1000)
-        val base = cum.get()
-        val publishNanos = new Array[Long](latWaves)
-        val start = System.nanoTime()
-        staged.zipWithIndex.foreach { case (wave, i) =>
-          val deadline = start + i * latIntervalMs * 1000000L
-          val wait = (deadline - System.nanoTime()) / 1000000L
-          if (wait > 0) Thread.sleep(wait)
-          publishNanos(i) = System.nanoTime()
-          publish(wave)
-        }
-        q.processAllAvailable()
-        Thread.sleep(1000) // listener bus drains asynchronously
-        spark.streams.removeListener(listener)
-        val lats = waveLatencies(publishNanos.toSeq,
-          events.synchronized(events.toSeq), rowsPerWave, base)
-          .map(_ / 1e6) // ms
-        val (p50, p95, p99) = (percentile(lats, 50), percentile(lats, 95),
-          percentile(lats, 99))
-        println(f"[stream-bench] latency SLO (file-visible -> queryable row, " +
-          f"$latWaves waves @ ${latIntervalMs}ms): p50=$p50%.0f ms p95=$p95%.0f ms " +
-          f"p99=$p99%.0f ms max=${lats.max}%.0f ms")
-        println(f"""{"metric":"stream_ingest_latency_ms","p50":$p50%.1f,"p95":$p95%.1f,"p99":$p99%.1f,"max":${lats.max}%.1f,"waves":$latWaves,"interval_ms":$latIntervalMs,"rows_per_wave":$rowsPerWave}""")
-      }
     } finally q.stop()
+    // ---- latency SLO phase: file-visible -> queryable, sustained load ----
+    // isolated tier measurement (own stream/dirs) so the throughput
+    // phase's backlog never pollutes the cadence — the same function
+    // SloGate gates per-tier
+    if (latWaves > 0) {
+      val r = measureLatencyTier(spark, latOfferedRps, latWaves, latIntervalMs)
+      println(f"[stream-bench] latency SLO (file-visible -> queryable row, " +
+        f"${r.waves}%d waves @ ${r.intervalMs}%dms): p50=${r.p50}%.0f ms p95=${r.p95}%.0f ms " +
+        f"p99=${r.p99}%.0f ms max=${r.maxMs}%.0f ms")
+      println(f"""{"metric":"stream_ingest_latency_ms","p50":${r.p50}%.1f,"p95":${r.p95}%.1f,"p99":${r.p99}%.1f,"max":${r.maxMs}%.1f,"waves":${r.waves}%d,"interval_ms":${r.intervalMs}%d,"rows_per_wave":${r.rowsPerWave}%d}""")
+    }
     spark.stop()
   }
 }

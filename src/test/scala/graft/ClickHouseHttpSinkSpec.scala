@@ -275,6 +275,61 @@ class ClickHouseHttpSinkSpec extends SparkSpec {
     }
   }
 
+  test("tokened inserts pin async_insert_deduplicate=1; plain appends do not") {
+    withServer { (fake, cfg) =>
+      // under the default async_insert=1 ClickHouse IGNORES the dedup
+      // token unless async_insert_deduplicate=1 — without it the
+      // wire-exactly-once claim silently degrades to at-least-once, so
+      // every tokened request must carry the pair together
+      val sink = new ClickHouseHttpSink(cfg)
+      val df = Seq(("A", 1L), ("B", 2L)).toDF("t", "s").repartition(2)
+      sink.appendBatch(df, batchId = 1L)
+      val tokened = fake.requests.asScala.filter(_.query.startsWith("INSERT"))
+      assert(tokened.nonEmpty)
+      tokened.foreach { r =>
+        assert(r.params.contains("insert_deduplication_token"))
+        assert(r.params.get("async_insert_deduplicate").contains("1"),
+          s"token without async_insert_deduplicate=1 is a silent no-op: ${r.params}")
+      }
+      fake.requests.clear()
+      sink.append(df)
+      assert(fake.requests.asScala.filter(_.query.startsWith("INSERT"))
+        .forall(!_.params.contains("async_insert_deduplicate")))
+    }
+  }
+
+  test("appendBatch stream identity: same checkpoint replays tokens, a reset cannot collide") {
+    withServer { (fake, cfg) =>
+      val sink = new ClickHouseHttpSink(cfg)
+      val df = Seq(("A", 1L)).toDF("t", "s").repartition(1)
+      def tokens(): Seq[String] = {
+        val t = fake.requests.asScala.filter(_.query.startsWith("INSERT"))
+          .flatMap(_.params.get("insert_deduplication_token")).toSeq
+        fake.requests.clear(); t
+      }
+      val ck1 = tmpDir("sid-ck1")
+      val ck2 = tmpDir("sid-ck2")
+      // the id persists WITH the checkpoint: re-attaching the same
+      // checkpoint rereads it (replayed batches re-send byte-identical
+      // tokens and dedup), a different checkpoint mints a different one
+      val sid1 = ClickHouseHttpSink.streamInstanceId(spark, ck1)
+      assert(ClickHouseHttpSink.streamInstanceId(spark, ck1) == sid1)
+      val sid2 = ClickHouseHttpSink.streamInstanceId(spark, ck2)
+      assert(sid1 != sid2, "two streams must never share a token namespace")
+      // a checkpoint RESET (wiped dir, batchId restarts at 0) would reuse
+      // batch-keyed tokens and make ClickHouse silently DROP fresh rows;
+      // the namespace makes the post-reset tokens disjoint
+      sink.appendBatch(df, batchId = 0L, streamId = Some(sid1))
+      val before = tokens()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ck1))
+      val sid1b = ClickHouseHttpSink.streamInstanceId(spark, ck1)
+      assert(sid1b != sid1, "a reset checkpoint must mint a fresh id")
+      sink.appendBatch(df, batchId = 0L, streamId = Some(sid1b))
+      assert(tokens().toSet.intersect(before.toSet).isEmpty,
+        "post-reset batch 0 must not collide with pre-reset batch 0")
+    }
+  }
+
   test("fromConfig rejects malformed and reserved custom params") {
     def conf(params: String) = graft.app.DatabaseConf(
       host = "h", port = 8123, username = "u", password = "p",

@@ -52,6 +52,28 @@ class ScaleGateSpec extends AnyFunSuite {
       Seq(ScaleBench.Row("q", 1.0, 1.0, 1.0, 0.0, 0L, 0L, 0.0)), b).isEmpty)
   }
 
+  test("violations: the floor exemption re-arms when recK is data-scale") {
+    val b = ScaleGate.Bounds(0.5, Map("q" -> 0.45))
+    val factor = 4
+    // a plan that GREW a data-scale shuffle from NOTHING: rec1=0 makes
+    // recExp=Infinity — must fail, not slip under the rec1 floor
+    val fromNothing = ScaleBench.Row("q", 1.0, 1.0, 1.0, 0.0,
+      0L, ScaleGate.DefaultRecFloor * factor, Double.PositiveInfinity)
+    val v = ScaleGate.violations(Seq(fromNothing), b, factor)
+    assert(v.size == 1 && v.head._2.contains("shuffle-record"), v.toString)
+    // sub-floor rec1 but recK at floor×factor = super-linear by
+    // construction (linear growth from a floor-sized rec1 lands exactly
+    // there; from a SUB-floor rec1 it can't): re-armed, fails
+    val subFloor = ScaleBench.Row("q", 1.0, 1.0, 1.0, 0.0,
+      100L, ScaleGate.DefaultRecFloor * factor, 3.17)
+    assert(ScaleGate.violations(Seq(subFloor), b, factor).nonEmpty)
+    // the measured partitions×NDV artifact (p_quality_lr 40->636 at
+    // factor 4) stays exempt: recK far below floor×factor
+    val ndv = ScaleBench.Row("q", 1.0, 1.0, 1.0, 0.0, 40L, 636L, 2.0)
+    assert(ScaleGate.violations(Seq(ndv), b, factor).isEmpty)
+  }
+
+
   test("the committed SCALE_BOUNDS.json parses and covers the pinned heavy set") {
     val json = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SCALE_BOUNDS.json")), "UTF-8")
