@@ -21,19 +21,28 @@ object Bench {
     * pinned idle band) that overstated the board by ~30% and two queries
     * by 5×, costing a judge-isolation cycle — the canary existed but
     * nothing ACTED on it. Now an out-of-bounds canary (either end above
-    * `bound`) or a run the box's speed changed under (ends diverging more
+    * `bound`) or load ARRIVING mid-board (end exceeding start by more
     * than `maxRatio`×) refuses the overwrite; the stdout line still
     * carries the full evidence, and SPARK_GRAFT_FORCE_BENCH=1 overrides
     * for deliberate loaded-box captures.
+    *
+    * The drift check is DIRECTIONAL by measurement, not leniency: idle
+    * runs read start 0.14 / end 0.06 routinely, because the end canary
+    * executes in a JVM matured by ~280 queries of C2 compilation while
+    * the start canary runs six warm reps into a young one — a faster end
+    * is JVM maturity and makes the committed figures conservative at
+    * worst. Only a SLOWER end means contention arrived after the board
+    * started, which is the case that silently inflates the late alphabet
+    * (the r12 g_spearman/x_kcore drift).
     */
   def canaryVerdict(start: Double, end: Double,
       bound: Double, maxRatio: Double): Option[String] =
     if (start > bound || end > bound)
       Some(f"canary out of bounds: start=$start%.3f / end=$end%.3f s vs " +
         f"pinned quiet-box bound $bound%.3f s — box was loaded")
-    else if (math.max(start, end) > maxRatio * math.min(start, end))
-      Some(f"canary ends diverge: start=$start%.3f / end=$end%.3f s " +
-        f"(> $maxRatio%.1fx) — load changed mid-board")
+    else if (end > maxRatio * start)
+      Some(f"canary slowed mid-board: start=$start%.3f -> end=$end%.3f s " +
+        f"(> $maxRatio%.1fx) — load arrived after the board started")
     else None
 
   def main(args: Array[String]): Unit = {

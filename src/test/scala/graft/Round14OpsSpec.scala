@@ -23,10 +23,16 @@ class Round14OpsSpec extends SparkSpec {
     assert(r13.exists(_.contains("out of bounds")), r13.toString)
     // end loaded is just as disqualifying as start loaded
     assert(canaryVerdict(0.08, 0.20, 0.14, 1.5).exists(_.contains("out of bounds")))
-    // both ends under the bound but diverging: load CHANGED mid-board,
-    // per-query medians are not comparable — refuse with the other reason
+    // both ends under the bound but the END slowed: load ARRIVED
+    // mid-board — the late alphabet silently inflated (the r12 drift
+    // signature) — refuse with the drift reason
     val shift = canaryVerdict(0.06, 0.13, bound = 0.14, maxRatio = 1.5)
-    assert(shift.exists(_.contains("diverge")), shift.toString)
+    assert(shift.exists(_.contains("slowed mid-board")), shift.toString)
+    // the drift check is DIRECTIONAL: a faster end is JVM maturity (the
+    // end canary runs after ~280 queries of C2 compilation; measured idle
+    // runs read start 0.14 / end 0.06) and only makes the figures
+    // conservative — commit
+    assert(canaryVerdict(0.139, 0.058, 0.14, 1.5).isEmpty)
     // boundary: exactly at the bound and exactly at the ratio both pass
     assert(canaryVerdict(0.14, 0.14, 0.14, 1.5).isEmpty)
     assert(canaryVerdict(0.06, 0.09, 0.14, 1.5).isEmpty)

@@ -97,6 +97,26 @@ class ScaleGateSpec extends AnyFunSuite {
     }
   }
 
+  test("every committed BENCH_FULL top-12 heavy query carries a scale bound") {
+    // the gate must not be dodgeable by omission: a new heavy query
+    // entering the board's top-12 by median time without a pinned bound
+    // fails HERE, forcing a ScaleBench pin before it ships
+    val bench = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("BENCH_FULL.json")), "UTF-8")
+    val qBlock = """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(bench)
+      .map(_.group(1)).getOrElse(fail("BENCH_FULL.json: no queries map"))
+    val medians = """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(qBlock)
+      .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+    assert(medians.size > 100, s"suspiciously small board: ${medians.size}")
+    val top12 = medians.sortBy(-_._2).take(12).map(_._1)
+    val b = ScaleGate.parseBounds(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SCALE_BOUNDS.json")), "UTF-8"))
+    val unbounded = top12.filterNot(b.perQuery.contains)
+    assert(unbounded.isEmpty,
+      s"heavy queries without a committed scale bound: $unbounded " +
+        "(pin via: sbt 'runMain graft.tools.ScaleBench /root/testdata/sf0.01 4')")
+  }
+
   test("parseBounds rejects malformed artifacts loudly") {
     intercept[IllegalArgumentException] { ScaleGate.parseBounds("{}") }
     intercept[IllegalArgumentException] {
