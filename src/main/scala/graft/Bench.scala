@@ -178,15 +178,21 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","repeat":$repeat,"canary_start_s":$canaryStart,"canary_end_s":$canaryEnd,"failed":$failedJson,"queries":$fullQs,"queries_min":$fullMins,"sf":"$sfDir"}"""
     // a SPARK_GRAFT_ONLY iteration run must not clobber the committed
     // full-board artifact with a partial map — and neither may a run the
-    // canary proves was load-contaminated (see canaryVerdict). The bound
-    // is pinned for local[32] (the canary is CPU-count-sensitive);
-    // override via env when benching another profile.
-    val canaryBound = sys.env.getOrElse("SPARK_GRAFT_CANARY_BOUND", "0.14").toDouble
+    // canary proves was load-contaminated (see canaryVerdict). The pinned
+    // bound is 0.14 s for local[32]; the canary is a 32-partition
+    // CPU-bound job, so at other SPARK_GRAFT_CPUS profiles it slows
+    // ~linearly in 32/cpus — scale the default so a quiet local[4] run
+    // (canary ≈ 1 s) is not misdiagnosed as a loaded box. Env overrides
+    // for profiles where the linear model is off.
+    val canaryBound = sys.env.get("SPARK_GRAFT_CANARY_BOUND").map(_.toDouble)
+      .getOrElse(0.14 * 32.0 / cpus.toInt)
     val refusal = canaryVerdict(canaryStart, canaryEnd, canaryBound, maxRatio = 1.5)
       .filterNot(_ => sys.env.get("SPARK_GRAFT_FORCE_BENCH").contains("1"))
     refusal.foreach(why => System.err.println(
       s"[bench] REFUSING to overwrite BENCH_FULL.json: $why " +
-        "(stdout artifact printed anyway; SPARK_GRAFT_FORCE_BENCH=1 to force)"))
+        s"(bound $canaryBound for SPARK_GRAFT_CPUS=$cpus; " +
+        "SPARK_GRAFT_CANARY_BOUND re-pins it, SPARK_GRAFT_FORCE_BENCH=1 forces; " +
+        "stdout artifact printed anyway)"))
     if (only.isEmpty && refusal.isEmpty) {
       try {
         val w = new java.io.PrintWriter("BENCH_FULL.json", "UTF-8")

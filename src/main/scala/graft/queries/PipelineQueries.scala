@@ -591,24 +591,34 @@ object PipelineQueries {
     * paid PER [[knBigram]] INVOCATION whenever a cutover is configured —
     * partial-aggregable (map-side HLL merge, one tiny shuffle), so it is
     * a scan, not a join, but a scan nonetheless. Repeated calls in one
-    * session therefore memoize the routing decision per (input dir,
-    * cutover): the corpus behind a dir is immutable within a session by
-    * the engine's ingest contract (dirs are append-via-rename, and a
-    * session that rewrote a dir would re-create the session conf anyway),
-    * and a wrong stale answer is only a ROUTING pessimization, never a
-    * correctness issue — both paths return rank-consistent scores. The
+    * JVM therefore memoize the routing decision per (input dir, cutover)
+    * — but only the POSITIVE verdict, because it is the monotone-safe
+    * one: a corpus only grows under the engine's append-via-rename ingest
+    * contract, so once the distinct-bigram count crosses the cutover it
+    * stays crossed, while a cached "stay exact" could silently pin a
+    * since-grown corpus to the occurrence⋈lp join the cutover exists to
+    * avoid. The asymmetry matches the costs: past the cutover (the 100 TB
+    * steady state) the probe is never paid again; below it the re-paid
+    * probe is the same shuffle class as the exact path it precedes. The
     * cache is bounded (256 entries, cleared on overflow) so a dir-sweep
     * driver cannot leak it.
     */
   private val knRouteCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Boolean]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long)]()
   private def knUseCms(s: SparkSession, d: String, bi: DataFrame): Boolean = {
     val cutover = s.conf.get("spark.graft.kn.cmsTypeCutover", "0").toLong
     cutover > 0 && {
-      if (knRouteCache.size() > 256) knRouteCache.clear()
-      knRouteCache.computeIfAbsent((d, cutover), _ =>
-        bi.agg(approx_count_distinct(struct(col("w1"), col("w2"))).as("v"))
-          .first().getLong(0) >= cutover).booleanValue()
+      val key = (d, cutover)
+      knRouteCache.contains(key) || {
+        val crossed =
+          bi.agg(approx_count_distinct(struct(col("w1"), col("w2"))).as("v"))
+            .first().getLong(0) >= cutover
+        if (crossed) {
+          if (knRouteCache.size() > 256) knRouteCache.clear()
+          knRouteCache.add(key); ()
+        }
+        crossed
+      }
     }
   }
 

@@ -109,7 +109,10 @@ class ClickHouseHttpSink(cfg: ClickHouseHttpConfig) extends ExternalSink {
   def appendBatch(df: DataFrame, batchId: Long,
       streamId: Option[String] = None): Unit = {
     val c = cfg
-    val ns = streamId.map(s => s"-s$s").getOrElse("")
+    // an EMPTY stream id is the legacy (pre-namespace) checkpoint marker —
+    // those tokens must stay byte-identical to what the checkpoint's
+    // in-flight batch already sent (see streamInstanceId)
+    val ns = streamId.filter(_.nonEmpty).map(s => s"-s$s").getOrElse("")
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -159,7 +162,8 @@ object ClickHouseHttpSink {
     * silently override the statement being executed (`query`, `database`)
     * or defeat the wire-exactly-once token — reject loudly at startup.
     */
-  private val ReservedParams = Set("query", "database", "insert_deduplication_token")
+  private val ReservedParams = Set("query", "database",
+    "insert_deduplication_token", "async_insert_deduplicate")
 
   /** The stable per-stream token namespace: a short random id persisted as
     * `<checkpointDir>/graft-sink-id` next to the stream's own state. The
@@ -169,27 +173,42 @@ object ClickHouseHttpSink {
     * (wiped dir, batchId back to 0) or a second stream (its own
     * checkpoint) mints a fresh id, so their tokens can never collide with
     * ones still in the server's dedup window. Hadoop FS API: checkpoints
-    * live on cluster storage, not the local disk. Create-exclusive
-    * handles the (degenerate) race of two attachments to one checkpoint:
-    * the loser rereads the winner's id.
+    * live on cluster storage, not the local disk.
+    *
+    * Two subtleties the simple create-then-write version got wrong:
+    *  - The id is written to a temp name and RENAMED into place, so a
+    *    concurrent second attachment (degenerate — Structured Streaming
+    *    itself locks a checkpoint — but the utility must not rely on
+    *    that) can never observe a created-but-empty id file and silently
+    *    adopt a different namespace; the rename loser rereads the
+    *    winner's complete id.
+    *  - A checkpoint that PREDATES the namespace (has committed offsets
+    *    but no id file) continues with the LEGACY un-namespaced tokens —
+    *    persisted as an empty id — because a batch in flight across the
+    *    upgrade replays with whatever tokens its first attempt sent, and
+    *    switching namespaces mid-checkpoint would re-insert it (the
+    *    exact duplication the token exists to prevent). Fresh checkpoints
+    *    get a real id.
     */
   private[graft] def streamInstanceId(spark: SparkSession,
       checkpointDir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(checkpointDir, "graft-sink-id")
+    val dir = new org.apache.hadoop.fs.Path(checkpointDir)
+    val p = new org.apache.hadoop.fs.Path(dir, "graft-sink-id")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     def read(): String = {
       val in = fs.open(p)
       try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
     }
-    if (fs.exists(p)) read()
-    else {
-      val id = java.util.UUID.randomUUID().toString.take(8)
-      try {
-        val out = fs.create(p, /* overwrite = */ false)
-        try out.write(id.getBytes("UTF-8")) finally out.close()
-        id
-      } catch { case _: java.io.IOException => read() }
-    }
+    if (fs.exists(p)) return read()
+    val offsets = new org.apache.hadoop.fs.Path(dir, "offsets")
+    val legacy = fs.exists(offsets) && fs.listStatus(offsets).nonEmpty
+    val id = if (legacy) "" else java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s".graft-sink-id.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, /* overwrite = */ false)
+    try out.write(id.getBytes("UTF-8")) finally out.close()
+    if (fs.rename(tmp, p)) id
+    else { fs.delete(tmp, false); read() } // lost the race: adopt the winner's
   }
 
   def fromConfig(db: graft.app.DatabaseConf, table: String): ClickHouseHttpSink = {

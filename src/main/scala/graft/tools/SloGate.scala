@@ -18,9 +18,14 @@ package graft.tools
   *
   * Bounds are p99 per offered-load tier, generous vs the measured idle
   * band (≈1.0 s p99 measured, 1.5 s bound): the gate exists to catch a
-  * REGRESSION CLASS (per-batch costs that scale with warehouse size or
-  * batch count), not to re-litigate scheduler jitter. The verdict logic
-  * ([[violations]]) is pure and spec-tested; the measurement is this main.
+  * REGRESSION CLASS (per-batch costs that scale with accumulated state —
+  * source-dir census, seen-files bookkeeping, warehouse listings), not to
+  * re-litigate scheduler jitter. Each tier's source tree is SEEDED with
+  * ~600 already-ingested files before the timed waves precisely so that
+  * class registers at measurement scale instead of vanishing against a
+  * fresh empty dir (see [[StreamIngestBench.measureLatencyTier]]). The
+  * verdict logic ([[violations]]) is pure and spec-tested; the
+  * measurement is this main.
   */
 object SloGate {
 

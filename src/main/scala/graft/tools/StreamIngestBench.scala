@@ -61,17 +61,27 @@ object StreamIngestBench {
       rowsPerWave: Long)
 
   /** Self-contained latency-SLO measurement of ONE offered-load tier:
-    * fresh watched tree / warehouse / checkpoint, a warm-up wave to absorb
-    * stream startup (source init, first listing, codegen), then `waves`
-    * uniform waves published at a fixed `intervalMs` cadence with per-wave
-    * file-visible → queryable-warehouse-row wall time measured through a
+    * fresh watched tree / warehouse / checkpoint, a SEEDED source tree +
+    * warm-up wave, then `waves` uniform waves published at a fixed
+    * `intervalMs` cadence with per-wave file-visible →
+    * queryable-warehouse-row wall time measured through a
     * `StreamingQueryListener` (see the class doc). Reusable by both the
     * one-shot bench main and [[SloGate]] — the gate needs tiers isolated
     * from each other (no inherited backlog), so each tier gets its own
     * stream.
+    *
+    * The seed phase (`seedWaves` tiny bulk waves, processed before the
+    * baseline) exists because a FRESH tree cannot register the regression
+    * class the gate hunts: per-batch costs that scale with accumulated
+    * state. After seeding, every timed micro-batch pays the source-dir
+    * file census and seen-files bookkeeping over ~600 already-ingested
+    * files (plus the 320 the timed waves themselves accrue), so an
+    * O(files-seen) cost regression shows up at measurement scale instead
+    * of vanishing against an empty dir. Seed rows are tiny — file COUNT
+    * drives listing-class costs, not bytes.
     */
   def measureLatencyTier(spark: SparkSession, offeredRps: Long,
-      waves: Int, intervalMs: Long): LatencyResult = {
+      waves: Int, intervalMs: Long, seedWaves: Int = 150): LatencyResult = {
     val root = java.nio.file.Files.createTempDirectory("slo-src").toString
     val wh = java.nio.file.Files.createTempDirectory("slo-wh").toString
     val ck = java.nio.file.Files.createTempDirectory("slo-ck").toString
@@ -79,33 +89,35 @@ object StreamIngestBench {
     val latFiles = 4
     val latRowsPerFile = math.max(1, (offeredRps * intervalMs / 1000 / latFiles).toInt)
     val rowsPerWave = latFiles.toLong * latRowsPerFile
-    // warm-up wave published before the stream starts: its batch absorbs
-    // startup cost and seeds the cumulative-row baseline
+    // seed + warm-up published before the stream starts: the first batches
+    // absorb startup cost, ingest the seed census, and set the baseline
+    (0 until seedWaves).foreach(i =>
+      publish(stageWave(root, day, 1000 + i, latFiles, rows = 50)))
     publish(stageWave(root, day, 1, latFiles, latRowsPerFile))
     val q = StreamingAnalytics.ingestStream(spark, root, wh, ck,
       maxFilesPerTrigger = 8192, trigger = Trigger.ProcessingTime(0))
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      val events = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      val cum = new java.util.concurrent.atomic.AtomicLong(0L)
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val c = cum.addAndGet(e.progress.numInputRows)
+        events.synchronized { events += ((System.nanoTime(), c)); () }
+      }
+    }
+    spark.streams.addListener(listener)
     try {
       q.processAllAvailable()
       // ALL waves staged before the clock starts: generation must never
       // steal cadence from the publisher (renames are instant)
       val staged = (0 until waves)
         .map(i => stageWave(root, day, 100 + i, latFiles, latRowsPerFile))
-      val events = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-      val cum = new java.util.concurrent.atomic.AtomicLong(0L)
-      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-        import org.apache.spark.sql.streaming.StreamingQueryListener._
-        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-        override def onQueryProgress(e: QueryProgressEvent): Unit = {
-          val c = cum.addAndGet(e.progress.numInputRows)
-          events.synchronized { events += ((System.nanoTime(), c)); () }
-        }
-      }
-      spark.streams.addListener(listener)
-      // deterministic drain (straggler warm-up progress events must land
-      // BEFORE the baseline is read), then baseline the counter
+      // deterministic drain (straggler seed/warm-up progress events must
+      // land BEFORE the baseline is read), then baseline the counter
       org.apache.spark.graft.SparkInternals.drainListenerBus(spark.sparkContext)
-      val base = cum.get()
+      val base = listener.cum.get()
       val publishNanos = new Array[Long](waves)
       val start = System.nanoTime()
       staged.zipWithIndex.foreach { case (wave, i) =>
@@ -117,13 +129,21 @@ object StreamIngestBench {
       }
       q.processAllAvailable()
       org.apache.spark.graft.SparkInternals.drainListenerBus(spark.sparkContext)
-      spark.streams.removeListener(listener)
       val lats = waveLatencies(publishNanos.toSeq,
-        events.synchronized(events.toSeq), rowsPerWave, base)
+        listener.events.synchronized(listener.events.toSeq), rowsPerWave, base)
         .map(_ / 1e6) // ms
       LatencyResult(offeredRps, percentile(lats, 50), percentile(lats, 95),
         percentile(lats, 99), lats.max, waves, intervalMs, rowsPerWave)
-    } finally q.stop()
+    } finally {
+      // listener removal and temp cleanup must survive a failed tier: a
+      // leaked listener accumulates events for the session's lifetime and
+      // repeated gate runs would otherwise fill /tmp
+      spark.streams.removeListener(listener)
+      try q.stop() finally Seq(root, wh, ck).foreach { d =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+        catch { case _: java.io.IOException => () }
+      }
+    }
   }
 
   /** Stage one wave of `files` CSV files OUTSIDE the watched tree (see the

@@ -327,6 +327,23 @@ class ClickHouseHttpSinkSpec extends SparkSpec {
       sink.appendBatch(df, batchId = 0L, streamId = Some(sid1b))
       assert(tokens().toSet.intersect(before.toSet).isEmpty,
         "post-reset batch 0 must not collide with pre-reset batch 0")
+
+      // pre-namespace checkpoint (committed offsets, no id file): the id
+      // comes back EMPTY and the tokens stay byte-identical to the legacy
+      // format — an in-flight batch replayed across the code upgrade must
+      // re-send the tokens its first attempt already registered, or the
+      // server inserts it twice
+      val ckLegacy = tmpDir("sid-legacy")
+      new java.io.File(s"$ckLegacy/offsets").mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$ckLegacy/offsets/0"), "v1".getBytes)
+      val sidL = ClickHouseHttpSink.streamInstanceId(spark, ckLegacy)
+      assert(sidL.isEmpty, s"legacy checkpoint must keep legacy tokens, got '$sidL'")
+      sink.appendBatch(df, batchId = 3L, streamId = Some(sidL))
+      val legacyToks = tokens()
+      assert(legacyToks.nonEmpty &&
+        legacyToks.forall(_.matches("graft-tickers_data-b3-p\\d+")),
+        s"legacy tokens must carry no -s segment: $legacyToks")
     }
   }
 
@@ -343,8 +360,11 @@ class ClickHouseHttpSinkSpec extends SparkSpec {
     }
     assert(e1.getMessage.contains("key=value"), e1.getMessage)
     // a reserved key would silently replace the statement being executed
+    // (or, for async_insert_deduplicate, be silently overridden on every
+    // tokened request — rejecting loudly beats contradicting the config)
     Seq("query=DROP TABLE x", "database=other",
-        "insert_deduplication_token=fixed").foreach { bad =>
+        "insert_deduplication_token=fixed",
+        "async_insert_deduplicate=0").foreach { bad =>
       val e = intercept[IllegalArgumentException] {
         ClickHouseHttpSink.fromConfig(conf(bad), "t")
       }
