@@ -101,6 +101,29 @@ class Round14OpsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 0)), s"match set: ${got.toList}")
   }
 
+  test("q22NoOrders pins its predicate directions on a seeded micro-warehouse") {
+    // the board's one remaining 0-row-green oracle (data-legitimate at
+    // sf0.01: every above-average-balance customer has orders there) — a
+    // 0-row hash match cannot distinguish the correct anti-join from an
+    // inverted one, so pin the exact output on seeded data where every
+    // branch matters: 3 has orders (anti-join must drop), 5 doesn't
+    // (keep), 6 sits EXACTLY at the positive-balance average (strict >
+    // must drop), 4 is negative (excluded from the average)
+    import spark.implicits._
+    val dir = tmpDir("q22-seed")
+    Seq(
+      (1L, "SEG_A", 100.0), (2L, "SEG_A", 500.0), (3L, "SEG_B", 900.0),
+      (4L, "SEG_B", -50.0), (5L, "SEG_A", 600.0), (6L, "SEG_C", 525.0)
+    ).toDF("c_custkey", "c_mktsegment", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((10L, 3L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // positive-balance average = (100+500+900+600+525)/5 = 525.0 exactly
+    val got = PipelineQueries.q22NoOrders(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("SEG_A", 1L, 600.0)), s"q22 result: ${got.toList}")
+  }
+
   test("d_lev_fuzzy is non-vacuous at every committed test SF") {
     // the r13 vacuity: 0 rows at sf0.01 hash-matched a 0-row oracle. The
     // bucketed blocking key must yield real matches at the smallest SF
