@@ -891,7 +891,7 @@ object PipelineQueries {
     */
   def dsirSelect(s: SparkSession, d: String): DataFrame = {
     val toks = dsirTokens(s, d)
-    if (dsirUseCms(s, toks)) return dsirSelectCms(s, d)
+    if (dsirUseCms(s, d, toks)) return dsirSelectCms(s, d)
     dsirSelectExact(toks)
   }
 
@@ -962,13 +962,29 @@ object PipelineQueries {
     * exceeds `spark.graft.dsir.cmsVocabCutover` (default: off), the
     * count-join path would shuffle the full token stream against a count
     * table too large to broadcast exactly — switch to the sketch path. The
-    * probe is HLL (one partial-aggregable pass, ±5%), paid only when a
-    * cutover is configured.
+    * probe is HLL (one partial-aggregable pass, ±5%), paid per invocation
+    * while the corpus sits below the cutover; the POSITIVE verdict is
+    * memoized per (dir, cutover), exactly like [[knUseCms]] and for the
+    * same monotonicity reason — vocabulary only grows under append-only
+    * ingest, so "crossed" stays crossed, while caching "stay exact" could
+    * pin a since-grown corpus to the join the cutover exists to avoid.
     */
-  private def dsirUseCms(s: SparkSession, toks: DataFrame): Boolean = {
+  private val dsirRouteCache =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long)]()
+  private def dsirUseCms(s: SparkSession, d: String, toks: DataFrame): Boolean = {
     val cutover = s.conf.get("spark.graft.dsir.cmsVocabCutover", "0").toLong
-    cutover > 0 &&
-      toks.agg(approx_count_distinct("w").as("v")).first().getLong(0) >= cutover
+    cutover > 0 && {
+      val key = (d, cutover)
+      dsirRouteCache.contains(key) || {
+        val crossed =
+          toks.agg(approx_count_distinct("w").as("v")).first().getLong(0) >= cutover
+        if (crossed) {
+          if (dsirRouteCache.size() > 256) dsirRouteCache.clear()
+          dsirRouteCache.add(key); ()
+        }
+        crossed
+      }
+    }
   }
 
   /** The DSIR scale path the exact-join variant's scaladoc promises: both
