@@ -90,6 +90,11 @@ object MaterializedRollup {
   private[plans] def listDataFiles(spark: SparkSession,
       dir: String): Map[String, (Long, Long)] = {
     listings.incrementAndGet()
+    walkDataFiles(spark, dir)
+  }
+
+  private def walkDataFiles(spark: SparkSession,
+      dir: String): Map[String, (Long, Long)] = {
     val (fs, root) = graft.ingest.HadoopFs.forPath(spark, dir)
     if (!fs.exists(root)) return Map.empty
     val b = Map.newBuilder[String, (Long, Long)]
@@ -113,6 +118,16 @@ object MaterializedRollup {
     */
   private[plans] def fingerprint(spark: SparkSession, dir: String): Long =
     fingerprintOf(listDataFiles(spark, dir))
+
+  /** The same 64-bit listing fingerprint for callers OUTSIDE the rollup
+    * lifecycle (the kn/dsir route caches key on it as the data-identity
+    * component — a corpus REPLACED under the same path must re-probe).
+    * Deliberately does not count against [[listings]]: that counter pins
+    * the rewrite rule's one-listing-per-optimizer-pass contract
+    * (MaterializedRollupSpec) and must not see unrelated probes.
+    */
+  private[graft] def dataFingerprint(spark: SparkSession, dir: String): Long =
+    fingerprintOf(walkDataFiles(spark, dir))
 
   private def fingerprintOf(files: Map[String, (Long, Long)]): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")

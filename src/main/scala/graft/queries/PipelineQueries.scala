@@ -591,33 +591,29 @@ object PipelineQueries {
     * paid PER [[knBigram]] INVOCATION whenever a cutover is configured —
     * partial-aggregable (map-side HLL merge, one tiny shuffle), so it is
     * a scan, not a join, but a scan nonetheless. Repeated calls in one
-    * JVM therefore memoize the routing decision per (input dir, cutover)
-    * — but only the POSITIVE verdict, because it is the monotone-safe
-    * one: a corpus only grows under the engine's append-via-rename ingest
-    * contract, so once the distinct-bigram count crosses the cutover it
-    * stays crossed, while a cached "stay exact" could silently pin a
-    * since-grown corpus to the occurrence⋈lp join the cutover exists to
-    * avoid. The asymmetry matches the costs: past the cutover (the 100 TB
-    * steady state) the probe is never paid again; below it the re-paid
-    * probe is the same shuffle class as the exact path it precedes. The
-    * cache is bounded (256 entries, cleared on overflow) so a dir-sweep
-    * driver cannot leak it.
+    * JVM therefore memoize the routing decision through a shared
+    * [[MonotoneRouteCache]], keyed on (dir, cutover, LISTING FINGERPRINT)
+    * — the fingerprint (the same 64-bit listing MD5 the rollup freshness
+    * guard computes) is the data-identity component: under the engine's
+    * append-via-rename ingest contract a corpus only grows, so once the
+    * distinct-bigram count crosses the cutover it stays crossed FOR THAT
+    * LISTING; a corpus REPLACED under the same path (a rebuilt bench dir,
+    * reused test fixtures — `d` is an arbitrary caller-supplied path, not
+    * a warehouse) changes the fingerprint, misses the memo, and re-probes
+    * instead of silently staying on the sketch path after the data
+    * shrank. Only the POSITIVE verdict is memoized, and why that
+    * asymmetry matches the costs, is the cache's own scaladoc; the
+    * fingerprint listing the memo pays per call is driver-side O(#files)
+    * — noise against the corpus-scale HLL scan it avoids.
     */
-  private val knRouteCache =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long)]()
-  private def knUseCms(s: SparkSession, d: String, bi: DataFrame): Boolean = {
+  private[graft] val knRouteCache = new MonotoneRouteCache()
+  private[graft] def knUseCms(s: SparkSession, d: String, bi: DataFrame): Boolean = {
     val cutover = s.conf.get("spark.graft.kn.cmsTypeCutover", "0").toLong
     cutover > 0 && {
-      val key = (d, cutover)
-      knRouteCache.contains(key) || {
-        val crossed =
-          bi.agg(approx_count_distinct(struct(col("w1"), col("w2"))).as("v"))
-            .first().getLong(0) >= cutover
-        if (crossed) {
-          if (knRouteCache.size() > 256) knRouteCache.clear()
-          knRouteCache.add(key); ()
-        }
-        crossed
+      val fp = graft.plans.MaterializedRollup.dataFingerprint(s, s"$d/documents.parquet")
+      knRouteCache.crossed((d, cutover, fp)) {
+        bi.agg(approx_count_distinct(struct(col("w1"), col("w2"))).as("v"))
+          .first().getLong(0) >= cutover
       }
     }
   }
@@ -964,25 +960,19 @@ object PipelineQueries {
     * table too large to broadcast exactly — switch to the sketch path. The
     * probe is HLL (one partial-aggregable pass, ±5%), paid per invocation
     * while the corpus sits below the cutover; the POSITIVE verdict is
-    * memoized per (dir, cutover), exactly like [[knUseCms]] and for the
-    * same monotonicity reason — vocabulary only grows under append-only
-    * ingest, so "crossed" stays crossed, while caching "stay exact" could
-    * pin a since-grown corpus to the join the cutover exists to avoid.
+    * memoized through the shared [[MonotoneRouteCache]], keyed on (dir,
+    * cutover, listing fingerprint) exactly like [[knUseCms]] and for the
+    * same reasons — monotone under append-only ingest, re-probed when the
+    * corpus is replaced under the same path (see the kn twin's scaladoc
+    * for the full argument).
     */
-  private val dsirRouteCache =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long)]()
-  private def dsirUseCms(s: SparkSession, d: String, toks: DataFrame): Boolean = {
+  private[graft] val dsirRouteCache = new MonotoneRouteCache()
+  private[graft] def dsirUseCms(s: SparkSession, d: String, toks: DataFrame): Boolean = {
     val cutover = s.conf.get("spark.graft.dsir.cmsVocabCutover", "0").toLong
     cutover > 0 && {
-      val key = (d, cutover)
-      dsirRouteCache.contains(key) || {
-        val crossed =
-          toks.agg(approx_count_distinct("w").as("v")).first().getLong(0) >= cutover
-        if (crossed) {
-          if (dsirRouteCache.size() > 256) dsirRouteCache.clear()
-          dsirRouteCache.add(key); ()
-        }
-        crossed
+      val fp = graft.plans.MaterializedRollup.dataFingerprint(s, s"$d/documents.parquet")
+      dsirRouteCache.crossed((d, cutover, fp)) {
+        toks.agg(approx_count_distinct("w").as("v")).first().getLong(0) >= cutover
       }
     }
   }
