@@ -49,7 +49,16 @@ object SloGate {
       .map(m => m.group(1).toLong -> m.group(2).toDouble).toMap
     if (tiers.isEmpty)
       throw new IllegalArgumentException("SLO_BOUNDS.json: empty p99_ms")
-    Bounds(num("waves").toInt, num("interval_ms"), tiers)
+    val b = Bounds(num("waves").toInt, num("interval_ms"), tiers)
+    // waves=0 would crash DEEP in measurement (lats.max on an empty
+    // sample, after the stream already ran) and interval_ms=0 publishes
+    // with no cadence at all — reject a typo'd artifact at parse time,
+    // matching the "strict about all three fields" contract above
+    if (b.waves <= 0 || b.intervalMs <= 0)
+      throw new IllegalArgumentException(
+        s"SLO_BOUNDS.json: waves (${b.waves}) and interval_ms " +
+          s"(${b.intervalMs}) must be positive")
+    b
   }
 
   /** The verdict: tiers whose measured p99 exceeds the committed bound.
