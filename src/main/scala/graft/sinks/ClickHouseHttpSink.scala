@@ -12,6 +12,16 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * `customParams` defaults to the reference deployment's async-insert pair
   * (SURVEY §7.4.5): the server buffers small inserts and the client waits
   * for the flush acknowledgement.
+  *
+  * `asyncInsertDeduplicate` (default ON) pins `async_insert_deduplicate=1`
+  * on every TOKENED insert — without it ClickHouse ignores the dedup token
+  * for async inserts and wire-exactly-once silently degrades to
+  * at-least-once. The setting exists server-side since ClickHouse 22.9,
+  * the minimum version the tokened path supports with the flag on; a
+  * pre-22.9 server rejects the unknown setting over HTTP, so deployments
+  * stuck below it must set this false and accept the documented
+  * degradation (or insert synchronously: the token dedups sync inserts
+  * into a *MergeTree dedup window without this setting).
   */
 case class ClickHouseHttpConfig(
     host: String,
@@ -23,7 +33,8 @@ case class ClickHouseHttpConfig(
     customParams: Map[String, String] =
       Map("async_insert" -> "1", "wait_for_async_insert" -> "1"),
     connectTimeoutMs: Int = 5000,
-    socketTimeoutMs: Int = 30000)
+    socketTimeoutMs: Int = 30000,
+    asyncInsertDeduplicate: Boolean = true)
 
 /** The reference's actual wire path, re-expressed Spark-first: ClickHouse
   * HTTP inserts of GZIP-compressed CSV
@@ -207,8 +218,17 @@ object ClickHouseHttpSink {
       s".graft-sink-id.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, /* overwrite = */ false)
     try out.write(id.getBytes("UTF-8")) finally out.close()
-    if (fs.rename(tmp, p)) id
-    else { fs.delete(tmp, false); read() } // lost the race: adopt the winner's
+    // read-after-rename on BOTH outcomes: RawLocalFileSystem's rename
+    // overwrites an existing destination and returns true, so under a
+    // bypassed checkpoint lock TWO racers can both "win" — returning the
+    // local `id` would let the first winner keep sending tokens under a
+    // namespace the second winner's rename just replaced on disk,
+    // splitting the namespace this file exists to unify. Converging on
+    // whatever byte content actually landed is correct on every FS: with
+    // atomic no-overwrite renames (HDFS) the read returns the winner's id
+    // anyway, and on local FS both racers adopt the last landed content.
+    if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+    read()
   }
 
   def fromConfig(db: graft.app.DatabaseConf, table: String): ClickHouseHttpSink = {
@@ -283,12 +303,16 @@ object ClickHouseHttpSink {
     // a token without async_insert_deduplicate=1 is a silent no-op under
     // the default async_insert=1 (ClickHouse ignores the token for async
     // inserts unless that setting is on; for sync inserts the setting is
-    // ignored, so pinning it is always safe) — the wire-exactly-once
-    // claim must not depend on the deployment remembering a second knob
+    // ignored, so pinning it is always safe ON SERVERS THAT KNOW IT) —
+    // the wire-exactly-once claim must not depend on the deployment
+    // remembering a second knob. Pre-22.9 servers reject the unknown
+    // setting outright, hence the config escape hatch (see
+    // ClickHouseHttpConfig.asyncInsertDeduplicate for the tradeoff).
     val conn = open(cfg,
       s"INSERT INTO ${cfg.database}.${cfg.table} FORMAT CSV",
-      token.map(t => Map("insert_deduplication_token" -> t,
-        "async_insert_deduplicate" -> "1")).getOrElse(Map.empty))
+      token.map(t => Map("insert_deduplication_token" -> t) ++
+        (if (cfg.asyncInsertDeduplicate) Map("async_insert_deduplicate" -> "1")
+         else Map.empty)).getOrElse(Map.empty))
     conn.setDoOutput(true)
     conn.setChunkedStreamingMode(64 * 1024) // pipelined: no whole-batch buffer
     conn.setRequestProperty("Content-Encoding", "gzip")

@@ -24,6 +24,33 @@ class FakeClickHouse {
   val failNext = new AtomicInteger(0)
   private var server: HttpServer = _
 
+  /** The server-side dedup-window BEHAVIOR (not just request shape): the
+    * last `DedupWindow` distinct tokens, FIFO-evicted — ClickHouse keeps
+    * the last N block hashes/tokens per table the same way
+    * (non_replicated_deduplication_window). An insert whose token is
+    * still in the window is acknowledged 200 but its rows are DROPPED;
+    * and, faithfully to the real server, the token only engages when the
+    * insert is synchronous OR `async_insert_deduplicate=1` rides along —
+    * an async insert without it keeps the token as a no-op (the silent
+    * at-least-once degradation the sink's config flag documents).
+    */
+  val DedupWindow = 100
+  private val dedupTokens =
+    java.util.Collections.newSetFromMap[String](
+      new java.util.LinkedHashMap[String, java.lang.Boolean]() {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+          size() > DedupWindow
+      })
+
+  /** True iff this request's rows must be dropped as a dedup-window hit. */
+  private def dedupHit(params: Map[String, String]): Boolean =
+    params.get("insert_deduplication_token").exists { t =>
+      val engaged = !params.get("async_insert").contains("1") ||
+        params.get("async_insert_deduplicate").contains("1")
+      engaged && dedupTokens.synchronized(!dedupTokens.add(t))
+    }
+
   def start(): Int = {
     server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
@@ -67,7 +94,9 @@ class FakeClickHouse {
       val in = if (gzip) new GZIPInputStream(raw) else raw
       val text = new String(in.readAllBytes(), "UTF-8")
       val rows = parseCsv(text)
-      rows.foreach(stored.add)
+      // the real server acknowledges a dedup-window replay with 200 and
+      // drops the data — the client cannot tell (and must not need to)
+      if (!dedupHit(params)) rows.foreach(stored.add)
       requests.add(Req(query, params, gzip, chunked, user, rows.size))
       respond(ex, 200, "")
     } else if (query.startsWith("TRUNCATE TABLE")) {
@@ -344,6 +373,74 @@ class ClickHouseHttpSinkSpec extends SparkSpec {
       assert(legacyToks.nonEmpty &&
         legacyToks.forall(_.matches("graft-tickers_data-b3-p\\d+")),
         s"legacy tokens must carry no -s segment: $legacyToks")
+    }
+  }
+
+  test("dedup window BEHAVIOR: a checkpoint replay inserts zero duplicate rows") {
+    withServer { (fake, cfg) =>
+      // the strongest exactly-once evidence obtainable without a real
+      // server: the double now DROPS a replayed token's rows (not merely
+      // records the request shape), so duplicate-freedom is asserted
+      // through the double's STATE
+      val sink = new ClickHouseHttpSink(cfg)
+      val df = Seq(("A", 1L), ("B", 2L), ("C", 3L)).toDF("t", "s").repartition(3)
+      sink.appendBatch(df, batchId = 7L, streamId = Some("ab12cd34"))
+      assert(fake.stored.size() == 3)
+      // a checkpoint replay (same stream id, same batch id — Structured
+      // Streaming's foreachBatch contract) re-sends byte-identical
+      // tokens: the server acknowledges and drops every partition
+      sink.appendBatch(df, batchId = 7L, streamId = Some("ab12cd34"))
+      assert(fake.stored.size() == 3, "replayed batch must insert ZERO rows")
+      // a task-retry-shaped replay (ONE partition re-POSTs its rows under
+      // the same token) is the same server-side path: single-partition
+      // frame so the (batch, partition) token is deterministic
+      val one = Seq(("R", 9L)).toDF("t", "s").coalesce(1)
+      sink.appendBatch(one, batchId = 9L, streamId = Some("ab12cd34"))
+      assert(fake.stored.size() == 4)
+      sink.appendBatch(one, batchId = 9L, streamId = Some("ab12cd34"))
+      assert(fake.stored.size() == 4, "partition retry must not duplicate")
+      // the NEXT batch's tokens are fresh: rows land
+      sink.appendBatch(df, batchId = 8L, streamId = Some("ab12cd34"))
+      assert(fake.stored.size() == 7)
+    }
+  }
+
+  test("dedup window BEHAVIOR: a checkpoint reset's fresh stream id inserts them all") {
+    withServer { (fake, cfg) =>
+      val sink = new ClickHouseHttpSink(cfg)
+      val df = Seq(("A", 1L)).toDF("t", "s").coalesce(1)
+      val ck = tmpDir("dedup-reset-ck")
+      val sid1 = ClickHouseHttpSink.streamInstanceId(spark, ck)
+      sink.appendBatch(df, batchId = 0L, streamId = Some(sid1))
+      assert(fake.stored.size() == 1)
+      // without the namespace, post-reset batch 0 would re-use the
+      // pre-reset token still in the server's window and the fresh row
+      // would be SILENTLY DROPPED (data loss, not failed dedup); the
+      // fresh id keeps it disjoint and the row lands
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ck))
+      val sid2 = ClickHouseHttpSink.streamInstanceId(spark, ck)
+      assert(sid2 != sid1)
+      sink.appendBatch(df, batchId = 0L, streamId = Some(sid2))
+      assert(fake.stored.size() == 2,
+        "post-reset batch 0 must insert through the double's dedup state")
+    }
+  }
+
+  test("asyncInsertDeduplicate=false: tokened async inserts degrade to at-least-once") {
+    withServer { (fake, cfg0) =>
+      // the pre-22.9-server escape hatch: the param is withheld, so the
+      // double (faithful to the real server) keeps the token as a no-op
+      // under async_insert=1 and a replay DOES duplicate — the documented
+      // tradeoff, asserted through behavior so it can never rot silently
+      val sink = new ClickHouseHttpSink(cfg0.copy(asyncInsertDeduplicate = false))
+      val df = Seq(("A", 1L)).toDF("t", "s").coalesce(1)
+      sink.appendBatch(df, batchId = 1L, streamId = Some("ab12cd34"))
+      sink.appendBatch(df, batchId = 1L, streamId = Some("ab12cd34"))
+      val inserts = fake.requests.asScala.filter(_.query.startsWith("INSERT")).toSeq
+      assert(inserts.forall(r => r.params.contains("insert_deduplication_token") &&
+        !r.params.contains("async_insert_deduplicate")))
+      assert(fake.stored.size() == 2,
+        "with the flag off the token must NOT dedup async inserts")
     }
   }
 
