@@ -117,6 +117,43 @@ class ScaleGateSpec extends AnyFunSuite {
         "(pin via: sbt 'runMain graft.tools.ScaleBench /root/testdata/sf0.01 4')")
   }
 
+  test("the committed scale-gate artifact and SCALE_BOUNDS.json can never diverge") {
+    // the re-pinning rule ("a bound raise ships WITH a regenerated gate
+    // artifact, and the artifact's bound/cap columns ARE the committed
+    // bounds") lived in a comment through r14 — and r13 shipped an
+    // artifact at cap 1.30 beside a JSON at 1.45. Encode it: this test is
+    // red whenever the LATEST committed SCALEGATE_r*.txt disagrees with
+    // the committed SCALE_BOUNDS.json on any query's bound or on the cap,
+    // or when either side covers queries the other doesn't.
+    val arts = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("SCALEGATE_r\\d+\\.txt"))
+    assert(arts.nonEmpty, "no committed scale-gate artifact")
+    val latest = arts.maxBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
+    val txt = new String(java.nio.file.Files.readAllBytes(latest.toPath), "UTF-8")
+    assert(!txt.contains("VIOLATION"), s"${latest.getName} is not a PASS artifact")
+    assert(txt.contains("[scalegate] PASS"), s"${latest.getName} lacks the PASS verdict")
+    val line = ("""\[scalegate\] (\S+)\s+exp=\s*(-?[0-9.]+) bound=\s*(-?[0-9.]+)""" +
+      """\s+rec_exp=\s*(-?[0-9.]+) cap=([0-9.]+)""").r
+    val rows = line.findAllMatchIn(txt)
+      .map(m => (m.group(1), m.group(3).toDouble, m.group(5).toDouble)).toSeq
+    assert(rows.nonEmpty, s"no [scalegate] verdict lines in ${latest.getName}")
+    val b = ScaleGate.parseBounds(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SCALE_BOUNDS.json")), "UTF-8"))
+    assert(rows.map(_._1).toSet == b.perQuery.keySet,
+      s"artifact/JSON coverage mismatch: artifact-only=" +
+        s"${rows.map(_._1).toSet -- b.perQuery.keySet}, json-only=" +
+        s"${b.perQuery.keySet -- rows.map(_._1).toSet}")
+    rows.foreach { case (q, bound, cap) =>
+      val expect = math.max(b.perQuery(q), 0.0) + b.margin
+      // the artifact prints 2 decimals; 0.005 is exactly its rounding slack
+      assert(math.abs(bound - expect) < 0.005,
+        s"$q: artifact bound $bound vs committed pin+margin $expect — " +
+          "re-pin SCALE_BOUNDS.json and the gate artifact in the SAME commit")
+      assert(math.abs(cap - b.recCap) < 0.005,
+        s"$q: artifact cap $cap vs committed rec_cap ${b.recCap}")
+    }
+  }
+
   test("parseBounds rejects malformed artifacts loudly") {
     intercept[IllegalArgumentException] { ScaleGate.parseBounds("{}") }
     intercept[IllegalArgumentException] {
