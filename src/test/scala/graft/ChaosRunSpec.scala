@@ -213,4 +213,137 @@ class ChaosRunSpec extends SparkSpec {
     assert(p50.getLong(2) <= 11000000L && 11000000L <= p50.getLong(3),
       s"p50 interval [${p50.getLong(2)}, ${p50.getLong(3)}] must cover 11 chars")
   }
+
+  // ---- seeded sweep: the composed run generalized over trajectories --------
+
+  /** One sweep trajectory: WHERE in the ticker cycle the kill lands and
+    * WHICH stores are parked in DirSwap's between-renames window when it
+    * does (plus whether producers keep dropping during the outage). The
+    * composed run above is the hand-picked worst case (kill after stage,
+    * everything parked at once); the sweep covers the orderings it can't
+    * — e.g. a kill BEFORE the claim with only the vector index mid-swap,
+    * where a recovery step that implicitly depended on `recoverOrphaned`
+    * having requeued something would break.
+    */
+  private case class Trajectory(seed: Int, killPoint: Int, parkWh: Boolean,
+      parkFp: Boolean, parkVec: Boolean, drops: Boolean)
+
+  private def trajectory(seed: Int): Trajectory = {
+    val rnd = new scala.util.Random(seed)
+    Trajectory(seed, rnd.nextInt(3), rnd.nextBoolean(), rnd.nextBoolean(),
+      rnd.nextBoolean(), rnd.nextBoolean())
+  }
+
+  private def runTrajectory(t: Trajectory): Unit = {
+    val clue = s"[trajectory $t] "
+    val root = tmpDir(s"sweepRoot${t.seed}")
+    val wh = tmpDir(s"sweepWh${t.seed}")
+    val j = new TickerFileJournal(spark, tmpDir(s"sweepJournal${t.seed}"))
+    val docsDir = s"$root/docs"
+    val vecsDir = s"$root/vecs"
+    val trig = Trigger.ProcessingTime(0)
+    def admitCorpus(): Unit = locally {
+      val q = PipelineApp.corpusAdmission(spark, docsDir, wh, 3, trig)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def indexVectors(): Unit = locally {
+      val q = PipelineApp.vectorIndexer(spark, vecsDir, wh, 3, trig)
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // ---- healthy cycle 1: the state the crash will park -------------------
+    writeCsv(root, "2024-08-05", "AVA-USDT_PST_2024-08-05", Seq(goodLine))
+    assert(Discovery.catchUp(spark, j, root, today, ts("2024-08-08 09:00:00")) == 1, clue)
+    Lifecycle.advanceStatuses(j, today, ts("2024-08-08 09:01:00"))
+    val rep1 = Lifecycle.processReady(spark, j, root, wh, ts("2024-08-08 09:02:00"))
+    assert(rep1.finished == 1 && rep1.rows == 1, clue + rep1)
+    putJson(docsDir, "b1.json", Seq(
+      """{"doc_id":1,"text":"alpha beta"}""",
+      """{"doc_id":2,"text":"gamma delta"}"""))
+    admitCorpus()
+    assert(StreamingDedup.corpus(spark, s"$wh/_corpus").count() == 2, clue)
+    if (t.parkVec) {
+      putJson(vecsDir, "v1.json", Seq(
+        """{"vec_id":1,"embedding":[1.0,0.0]}""",
+        """{"vec_id":2,"embedding":[0.0,1.0]}""",
+        """{"vec_id":3,"embedding":[0.9,0.1]}"""))
+      indexVectors()
+    }
+
+    // ---- the crash: cycle 2 dies at killPoint with stores parked ----------
+    writeCsv(root, "2024-08-06", "BTC-USDT_PST_2024-08-06", Seq(goodLine))
+    assert(Discovery.catchUp(spark, j, root, today, ts("2024-08-08 10:00:00")) == 1, clue)
+    Lifecycle.advanceStatuses(j, today, ts("2024-08-08 10:01:00"))
+    if (t.killPoint >= 1) {
+      val claimed = j.claimReady(ts("2024-08-08 10:02:00"))
+      assert(claimed.size == 1, clue + claimed)
+      if (t.killPoint == 2)
+        TickerIngest.stage(spark, claimed.map { case (f, d) => s"$root/$d/$f" }, wh)
+    }
+    // ...JVM "dies" here; park the chosen stores in the crash window
+    if (t.parkWh) parkMidSwap(new java.io.File(s"$wh/file_date=2024-08-05"))
+    if (t.parkFp) parkMidSwap(new java.io.File(s"$wh/_fp_store").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("fp_prefix=")).head)
+    if (t.parkVec) parkMidSwap(new java.io.File(s"$wh/_vec_index").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cid=")).head)
+    if (t.drops) {
+      // producers don't stop for the outage; doc 4 is a content dup of
+      // doc 2 and must be rejected through whatever fingerprint state the
+      // restart restores (parked or not)
+      putJson(docsDir, "b2.json", Seq(
+        """{"doc_id":4,"text":"gamma delta"}""",
+        """{"doc_id":5,"text":"epsilon zeta"}"""))
+      if (t.parkVec)
+        putJson(vecsDir, "v2.json", Seq("""{"vec_id":4,"embedding":[0.1,0.95]}"""))
+    }
+
+    // ---- restart, in PipelineApp.runContinuous order -----------------------
+    assert(Lifecycle.recoverOrphaned(j, ts("2024-08-08 10:10:00")) ==
+      (if (t.killPoint >= 1) 1 else 0), clue + "orphan requeue count")
+    assert(TickerIngest.recoverCompaction(spark, wh) ==
+      (if (t.parkWh) 1 else 0), clue + "warehouse partition recovery count")
+    assert(graft.operators.FingerprintStore.recover(spark, s"$wh/_fp_store") ==
+      (if (t.parkFp) 1 else 0), clue + "fingerprint bucket recovery count")
+    if (t.parkVec)
+      assert(StreamingVectorIndex.recover(spark, s"$wh/_vec_index") == 1,
+        clue + "vector cell recovery count")
+    val rep2 = Lifecycle.processReady(spark, j, root, wh, ts("2024-08-08 10:11:00"))
+    assert(rep2.claimed == 1 && rep2.finished == 1, clue + rep2)
+    admitCorpus()
+    if (t.parkVec) indexVectors()
+
+    // ---- invariants, store by store ----------------------------------------
+    val whRows = TickerIngest.warehouse(spark, wh)
+    assert(whRows.count() == 2, clue + s"warehouse rows: ${whRows.count()}")
+    assert(whRows.filter(col("file_date") === lit(dt("2024-08-05"))).count() == 1,
+      clue + "the (possibly parked) partition must lose nothing")
+    assert(!new java.io.File(s"$wh/_staging").exists, clue + "staging swept")
+    assert(j.byStatus(FileStatus.InProgress).count() == 0, clue + "no wedged claims")
+    assert(j.byStatus(FileStatus.Finished).count() == 2, clue)
+    val corpusIds = StreamingDedup.corpus(spark, s"$wh/_corpus")
+      .select("doc_id").as[Long].collect().toSet
+    val expect = Set(1L, 2L) ++ (if (t.drops) Set(5L) else Set.empty[Long])
+    assert(corpusIds == expect, clue + s"corpus: $corpusIds != $expect")
+    if (t.parkVec) {
+      val ids = StreamingVectorIndex.indexed(spark, s"$wh/_vec_index")
+        .select("vec_id").as[Long].collect().toSeq.sorted
+      val want = if (t.drops) Seq(1L, 2L, 3L, 4L) else Seq(1L, 2L, 3L)
+      assert(ids == want, clue + s"indexed: $ids != $want")
+    }
+  }
+
+  test("chaos sweep: 10 seeded trajectories (kill point x parked stores) all recover") {
+    // 8 seeded draws over the (3 kill points x 2^4 park/drop subsets)
+    // space plus the two pinned corners the draws may miss: the everything
+    // corner (kill after stage, all stores parked, producers dropping) and
+    // the nothing corner (kill before the claim, nothing parked — the
+    // recovery steps must all be clean no-ops). Fixed seeds: a failure
+    // reproduces exactly, and the clue names the trajectory.
+    val corners = Seq(
+      Trajectory(-1, killPoint = 2, parkWh = true, parkFp = true,
+        parkVec = true, drops = true),
+      Trajectory(-2, killPoint = 0, parkWh = false, parkFp = false,
+        parkVec = false, drops = false))
+    (corners ++ (1 to 8).map(trajectory)).foreach(runTrajectory)
+  }
 }
