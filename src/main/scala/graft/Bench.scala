@@ -119,32 +119,16 @@ object Bench {
       try spark.read.parquet(f.getPath).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    // Noise canary: a fixed, deterministic, CPU-bound job (no I/O, no
-    // data dependence) timed before and after the board. Its wall time IS
-    // the box's effective speed, so the artifact carries the evidence to
-    // read its own totals against: r13 measured a ~7% box-wide slowdown
-    // that cost a judge-isolation cycle to pin — with the canary in the
-    // JSON, "the board is slower because the box was slower" is a number,
-    // not an investigation. min-of-3: the canary must be load-robust too.
-    def canary(): Double = (1 to 3).map { _ =>
-      val t0 = System.nanoTime()
-      spark.range(0, 200_000_000L, 1, 32)
-        .selectExpr("sum((id % 1000003) * 31) as s").write // bounded: no ANSI overflow
-        .format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }.min
-    // The pinned quiet-box bound is 0.14 s for local[32]; the canary is a
-    // 32-partition CPU-bound job, so at SMALLER SPARK_GRAFT_CPUS profiles
-    // it slows ~linearly in 32/cpus — scale the default so a quiet
-    // local[4] run (canary ≈ 1 s) is not misdiagnosed as a loaded box.
-    // The factor clamps at 1: above 32 cores the canary still has only 32
-    // partitions, so it cannot run FASTER than the local[32] pin and a
-    // shrunken bound would refuse quiet boxes. A non-numeric cpus value
-    // (the local[*] builder path tolerates "*") falls back to 32 instead
-    // of throwing AFTER the whole board has run. Env overrides for
-    // profiles where the linear model is off.
-    val canaryBound = sys.env.get("SPARK_GRAFT_CANARY_BOUND").map(_.toDouble)
-      .getOrElse(0.14 * math.max(1.0, 32.0 / cpus.toIntOption.getOrElse(32)))
+    // Noise canary (shared job + bound model: graft.tools.BoxCanary):
+    // timed before and after the board, its wall time IS the box's
+    // effective speed, so the artifact carries the evidence to read its
+    // own totals against — r13 measured a ~7% box-wide slowdown that cost
+    // a judge-isolation cycle to pin; with the canary in the JSON, "the
+    // board is slower because the box was slower" is a number, not an
+    // investigation.
+    def canary(): Double = graft.tools.BoxCanary.measure(spark)
+    val canaryBound = graft.tools.BoxCanary.quietBound(cpus,
+      sys.env.get("SPARK_GRAFT_CANARY_BOUND"))
     canary() // warm the range/codegen path before the measured one
     var canaryStart = canary()
     // A loaded START canary means the ~280-query board would be measured

@@ -120,10 +120,17 @@ object ScaleGate {
       new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(boundsPath)), "UTF-8"))
     val spark = ScaleBench.session()
-    val rows =
-      try ScaleBench.measure(spark, sfDir, factor, outRoot,
-        bounds.perQuery.keys.toSeq.sorted, reps)
-      finally spark.stop()
+    // the record exponents are load-immune, but the WALL exponents are
+    // not: abort on a loaded box (one cooldown retry, distinct verdict)
+    // instead of recording a phantom super-linearity, and stamp the quiet
+    // canary into the artifact
+    val (canary, rows) =
+      try {
+        val c = BoxCanary.requireQuiet(spark, "scalegate")
+        (c, ScaleBench.measure(spark, sfDir, factor, outRoot,
+          bounds.perQuery.keys.toSeq.sorted, reps))
+      } finally spark.stop()
+    println(f"[scalegate] box canary $canary%.3f s (quiet)")
     val bad = violations(rows, bounds, factor)
     val badNames = bad.map(_._1.name).toSet
     rows.foreach { r =>

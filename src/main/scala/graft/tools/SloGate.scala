@@ -87,11 +87,18 @@ object SloGate {
       .config("spark.sql.files.openCostInBytes", "1m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results =
-      try bounds.p99MsByRps.keys.toSeq.sorted.map { rps =>
-        StreamIngestBench.measureLatencyTier(spark, rps,
-          bounds.waves, bounds.intervalMs)
+    // a loaded box ABORTS here (distinct verdict, one cooldown retry)
+    // instead of recording a phantom p99 regression; the quiet canary is
+    // printed with the verdict so the artifact carries its box evidence
+    val (canary, results) =
+      try {
+        val c = BoxCanary.requireQuiet(spark, "slogate")
+        (c, bounds.p99MsByRps.keys.toSeq.sorted.map { rps =>
+          StreamIngestBench.measureLatencyTier(spark, rps,
+            bounds.waves, bounds.intervalMs)
+        })
       } finally spark.stop()
+    println(f"[slogate] box canary $canary%.3f s (quiet)")
     val bad = violations(results, bounds)
     val badRps = bad.map(_._1.offeredRps).toSet
     results.foreach { r =>

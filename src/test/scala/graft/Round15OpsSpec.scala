@@ -157,6 +157,26 @@ class Round15OpsSpec extends SparkSpec {
     assert(bad.size == 1 && bad.head._2.contains("p99"), bad.toString)
   }
 
+  test("BoxCanary: shared quiet-bound model and loaded-box verdict") {
+    import graft.tools.BoxCanary
+    // the Bench bound model, now shared by both gates: 0.14 s pinned at
+    // local[32], ~linear in 32/cpus below, clamped at the pin above
+    assert(BoxCanary.quietBound("32", None) == 0.14)
+    assert(math.abs(BoxCanary.quietBound("4", None) - 1.12) < 1e-9)
+    assert(BoxCanary.quietBound("64", None) == 0.14,
+      "a 32-partition canary cannot beat the local[32] pin — don't shrink the bound")
+    // non-numeric cpus (the local[*] builder path) falls back instead of
+    // throwing after a full measurement has already run
+    assert(BoxCanary.quietBound("*", None) == 0.14)
+    assert(BoxCanary.quietBound("32", Some("0.5")) == 0.5, "explicit re-pin wins")
+    // the verdict that turns a gate failure into "loaded box", never
+    // "phantom regression"
+    assert(BoxCanary.verdict(0.12, 0.14).isEmpty)
+    assert(BoxCanary.verdict(0.14, 0.14).isEmpty, "exactly at the bound is quiet")
+    val loaded = BoxCanary.verdict(0.31, 0.14)
+    assert(loaded.exists(_.contains("loaded")), loaded.toString)
+  }
+
   test("SloGate.parseBounds rejects non-positive waves/interval at parse time") {
     // waves=0 used to crash DEEP in measurement (lats.max on an empty
     // sample, after the stream already ran); the contract is strict parse
