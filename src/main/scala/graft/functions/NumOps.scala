@@ -27,6 +27,31 @@ object NumOps {
     */
   def roundz(c: Column, scale: Int): Column = nzero(round(c, scale))
 
+  /** Degenerate-denominator-safe division: NULL when `den` is zero, else
+    * `num / den` — the pinned contract for every statistic whose
+    * denominator can reach zero on a degenerate but schema-valid corpus
+    * (a zero-variance group under a correlation, an all-tied two-sample
+    * pool under a rank test's tie-corrected σ_U, a one-class pool under
+    * n₁·n₂). Two failure modes this closes, found by
+    * [[graft.RandomizedDifferentialSpec]]:
+    *
+    *  1. Under ANSI mode (Spark 4's default, and what every session
+    *     builder here runs) a raw `x / 0.0` THROWS `DIVIDE_BY_ZERO` and
+    *     kills the whole job — at 100 TB one constant column in one group
+    *     partition must degrade that group's statistic, not the query.
+    *  2. DuckDB (the oracle engine) returns NULL for x/0 in every numeric
+    *     type, so NULL — not NaN — is the cross-engine value for
+    *     "statistic undefined here"; a NaN would hash-mismatch the oracle
+    *     the first time real data produced the degenerate case.
+    *
+    * The `when` guard is the lazy-branch idiom the board already relies on
+    * (theilSen's join-local division): CaseWhen branches are not evaluated
+    * speculatively in codegen, so the division cannot trip ANSI even
+    * transiently.
+    */
+  def safeDiv(num: Column, den: Column): Column =
+    when(den =!= lit(0.0), num / den)
+
   /** Normalize every float/double in a result frame — top level and one
     * array level deep — so `-0.0` can never reach the correctness dump.
     * Applied at the [[graft.Verify]] dump boundary as the systematic

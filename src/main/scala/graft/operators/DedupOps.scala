@@ -419,10 +419,13 @@ object DedupOps {
         sum(when(col("t").isNotNull && col("c").isNotNull, 1L).otherwise(0L)).as("tp"),
         sum(when(col("t").isNull && col("c").isNotNull, 1L).otherwise(0L)).as("fp"),
         sum(when(col("t").isNotNull && col("c").isNull, 1L).otherwise(0L)).as("fn"))
-      .withColumn("precision",
-        col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
-      .withColumn("recall",
-        col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+      // an all-unique corpus produces ZERO candidates (precision 0/0) or
+      // ZERO true pairs (recall 0/0): NULL via the NumOps.safeDiv contract
+      // (= DuckDB's native x/0 → NULL), never an ANSI DIVIDE_BY_ZERO
+      .withColumn("precision", graft.functions.NumOps.safeDiv(
+        col("tp").cast("double"), (col("tp") + col("fp")).cast("double")))
+      .withColumn("recall", graft.functions.NumOps.safeDiv(
+        col("tp").cast("double"), (col("tp") + col("fn")).cast("double")))
   }
 
   /** Oracle composes the two legs' own oracle SQL as subqueries — the

@@ -95,14 +95,19 @@ object EvalOps {
       sum(col("p") * (col("lo") + col("hi"))).cast("long").as("rs2"),
       sum("p").cast("long").as("pp"),
       max("n").cast("long").as("n"))
+    // a ONE-CLASS corpus (every doc English, or none) zeroes P·N: AUC and
+    // Gini are NULL (NumOps.safeDiv contract, = DuckDB's native x/0 →
+    // NULL), never an ANSI DIVIDE_BY_ZERO job failure
+    import graft.functions.NumOps.safeDiv
+    val aucC = safeDiv(
+      (col("rs2") - col("pp") * (col("pp") + 1)).cast("double"),
+      lit(2.0) * col("pp") * (col("n") - col("pp")))
     t.select(
       col("pp").as("n_pos"),
       (col("n") - col("pp")).as("n_neg"),
       (col("rs2") - col("pp") * (col("pp") + 1)).as("u2"),
-      ((col("rs2") - col("pp") * (col("pp") + 1)).cast("double") /
-        (lit(2.0) * col("pp") * (col("n") - col("pp")))).as("auc"),
-      (lit(2.0) * ((col("rs2") - col("pp") * (col("pp") + 1)).cast("double") /
-        (lit(2.0) * col("pp") * (col("n") - col("pp")))) - lit(1.0)).as("gini"))
+      aucC.as("auc"),
+      (lit(2.0) * aucC - lit(1.0)).as("gini"))
   }
 
   val rocAucSql: String = {
@@ -206,12 +211,16 @@ object EvalOps {
       (((col("n11") + col("n10")) * (col("n11") + col("n01")) +
         (col("n01") + col("n00")) * (col("n10") + col("n00"))).cast("double") /
         (col("n") * col("n"))).as("pe"),
-      ((col("n") * (col("n11") + col("n00")) -
-        ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
-         (col("n01") + col("n00")) * (col("n10") + col("n00")))).cast("double") /
-       (col("n") * col("n") -
-        ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
-         (col("n01") + col("n00")) * (col("n10") + col("n00")))).cast("double"))
+      // two CONSTANT raters (pe = 1 — e.g. both always vote keep) zero
+      // κ's 1−pe denominator: NULL via the NumOps.safeDiv contract
+      // (DuckDB's x/0 is NULL), never an ANSI DIVIDE_BY_ZERO
+      graft.functions.NumOps.safeDiv(
+        (col("n") * (col("n11") + col("n00")) -
+          ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+           (col("n01") + col("n00")) * (col("n10") + col("n00")))).cast("double"),
+        (col("n") * col("n") -
+          ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+           (col("n01") + col("n00")) * (col("n10") + col("n00")))).cast("double"))
         .as("kappa"))
   }
 

@@ -174,7 +174,12 @@ object RetrievalOps {
     val dense = e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .withColumn("cos",
-        round(dot_product(col("embedding"), col("eq")) / (col("nrm") * col("nq")), 4))
+        // a zero-norm embedding (failed encoder output) zeroes the
+        // denominator: NULL cosine (NumOps.safeDiv contract), ranked last
+        // and dropped by the top-k — never an ANSI DIVIDE_BY_ZERO
+        round(graft.functions.NumOps.safeDiv(
+          dot_product(col("embedding"), col("eq")),
+          col("nrm") * col("nq")), 4))
       .select(col("vec_id").as("doc_id"), col("cos"))
       .orderBy(col("cos").desc, col("doc_id")).limit(LegK)
       .withColumn("r_dense", row_number().over(wDense))
@@ -291,9 +296,12 @@ object RetrievalOps {
       .cast("double").as("dcg"))
     val idcg = ideal.agg(sum(term(col("n_terms"), col("irnk")))
       .cast("double").as("idcg"))
+    // a query with NO relevant documents has IDCG = 0: nDCG is undefined
+    // → NULL (NumOps.safeDiv contract), never an ANSI DIVIDE_BY_ZERO
     dcg.crossJoin(broadcast(idcg))
       .select(lit(k.toLong).as("k"), col("dcg"), col("idcg"),
-        round(col("dcg") / col("idcg"), 6).as("ndcg"))
+        round(graft.functions.NumOps.safeDiv(col("dcg"), col("idcg")), 6)
+          .as("ndcg"))
   }
   lazy val ndcgEvalSql: String =
     s"""WITH $bm25Cte,

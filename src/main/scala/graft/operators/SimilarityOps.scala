@@ -33,6 +33,17 @@ object SimilarityOps {
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Round-4 cosine from a dot product and a norm product, with the
+    * ZERO-NORM degenerate guarded: an all-zero embedding (a failed encoder
+    * emits exactly that at corpus scale) zeroes the denominator, and the
+    * raw division would ANSI-throw and kill the whole search. NULL instead
+    * (the NumOps.safeDiv contract, = DuckDB's native x/0 → NULL), which
+    * every downstream threshold filter / top-k ranking then drops — the
+    * zero vector has no direction, so no cosine, in both engines.
+    */
+  private def cos4(dp: Column, nrmProduct: Column): Column =
+    round(graft.functions.NumOps.safeDiv(dp, nrmProduct), 4)
+
   /** Exact cosine near-duplicates within label blocks (embedding-cosine
     * near-dup; label is the blocking key, standing in for any cheap
     * pre-cluster at scale).
@@ -49,7 +60,7 @@ object SimilarityOps {
     val b = e.select(col("vec_id").as("b_id"), col("label"),
       col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, Seq("label")).filter(col("a_id") < col("b_id"))
-      .withColumn("cos", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
+      .withColumn("cos", cos4(dot(col("ea"), col("eb")), col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select("a_id", "b_id", "label", "cos")
       .orderBy("a_id", "b_id")
@@ -97,7 +108,7 @@ object SimilarityOps {
       .select(col("vec_id").as("q_id"), col("embedding").as("eq"), col("nrm").as("nq"))
     val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ec"), col("nrm").as("nc"))
     val scored = q.crossJoin(c).filter(col("q_id") =!= col("c_id"))
-      .withColumn("cos", round(dot(col("eq"), col("ec")) / (col("nq") * col("nc")), 4))
+      .withColumn("cos", cos4(dot(col("eq"), col("ec")), col("nq") * col("nc")))
     rankTopK(s, scored)
   }
   val annBruteForceSql: String =
@@ -185,7 +196,7 @@ object SimilarityOps {
     // no (q_id, c_id) pair appears twice: probed buckets are pairwise
     // distinct and every candidate lives in exactly one bucket
     val scored = q.join(c, Seq("bucket")).filter(col("q_id") =!= col("c_id"))
-      .withColumn("cos", round(dot(col("eq"), col("ec")) / (col("nq") * col("nc")), 4))
+      .withColumn("cos", cos4(dot(col("eq"), col("ec")), col("nq") * col("nc")))
     rankTopK(s, scored)
   }
   def annLshSql: String = {
@@ -229,7 +240,7 @@ object SimilarityOps {
       .select(col("vec_id").as("c_id"), col("label"),
         col("embedding").as("ec"), col("nrm").as("nc"))
     val scored = q.crossJoin(c)
-      .withColumn("cos", round(dot(col("eq"), col("ec")) / (col("nq") * col("nc")), 4))
+      .withColumn("cos", cos4(dot(col("eq"), col("ec")), col("nq") * col("nc")))
       .select("q_id", "c_id", "label", "cos")
     val top = graft.plans.NativeTopK.perGroup(
       scored, Seq("q_id"), Seq("cos" -> false, "c_id" -> true), TopK)
@@ -282,7 +293,7 @@ object SimilarityOps {
     val c = e.select(col("vec_id").as("c_id"), col("label").as("cl"),
       col("embedding").as("ec"), col("nrm").as("nc"))
     val scored = q.crossJoin(c).filter(col("q_id") =!= col("c_id"))
-      .withColumn("cos", round(dot(col("eq"), col("ec")) / (col("nq") * col("nc")), 4))
+      .withColumn("cos", cos4(dot(col("eq"), col("ec")), col("nq") * col("nc")))
       .select("q_id", "ql", "c_id", "cl", "cos")
       .localCheckpoint(true) // both the positive and negative legs read it
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
@@ -353,8 +364,8 @@ object SimilarityOps {
         sqrt(dot(col("centroid"), col("centroid"))).as("cnorm"))
     // probe selection: top cells per query by rounded centroid cosine
     val qc = q.crossJoin(broadcast(cent))
-      .withColumn("ccos", round(
-        dot(col("eq"), col("centroid")) / (col("nq") * col("cnorm")), 4))
+      .withColumn("ccos", cos4(
+        dot(col("eq"), col("centroid")), col("nq") * col("cnorm")))
     val wCell = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("label"))
     val probed = qc.withColumn("cell_rank", row_number().over(wCell))
       .filter(col("cell_rank") <= probes)
@@ -363,7 +374,7 @@ object SimilarityOps {
     val c = e.select(col("vec_id").as("c_id"), col("label"),
       col("embedding").as("ec"), col("nrm").as("nc"))
     val scored = probed.join(c, Seq("label")).filter(col("q_id") =!= col("c_id"))
-      .withColumn("cos", round(dot(col("eq"), col("ec")) / (col("nq") * col("nc")), 4))
+      .withColumn("cos", cos4(dot(col("eq"), col("ec")), col("nq") * col("nc")))
     rankTopK(s, scored)
   }
   def annIvfSql: String =
@@ -499,7 +510,7 @@ object SimilarityOps {
     val b = e.select(col("vec_id").as("b_id"), col("cid"),
       col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, Seq("cid")).filter(col("a_id") < col("b_id"))
-      .withColumn("cos", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
+      .withColumn("cos", cos4(dot(col("ea"), col("eb")), col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select("a_id", "b_id", "cid", "cos")
       .orderBy("a_id", "b_id")

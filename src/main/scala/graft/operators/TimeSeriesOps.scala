@@ -505,8 +505,12 @@ object TimeSeriesOps {
       .agg(
         count(lit(1)).as("n_spans"),
         sum(col("dt")).as("micros_covered"),
-        round(sum((col("c").cast(D38) * col("dt"))).cast("double") /
-          sum(col("dt")), 4).as("twa_cents"))
+        // every span zero-width (all ticks on one microsecond) → the
+        // weight sum is 0 and the average is NULL (NumOps.safeDiv
+        // contract, = DuckDB's x/0), not an ANSI DIVIDE_BY_ZERO
+        round(graft.functions.NumOps.safeDiv(
+          sum((col("c").cast(D38) * col("dt"))).cast("double"),
+          sum(col("dt"))), 4).as("twa_cents"))
       .orderBy("user_id", "day")
   }
   val twaPriceSql: String =
@@ -586,8 +590,12 @@ object TimeSeriesOps {
         sum(round(col("r") * col("m"), 6).cast(D6)).cast("double").as("srm"),
         sum(round(col("m") * col("m"), 6).cast(D6)).cast("double").as("smm"))
       .select(col("user_id"), col("n_days"),
-        round((col("n_days") * col("srm") - col("sr") * col("sm")) /
-          (col("n_days") * col("smm") - col("sm") * col("sm")), 4).as("beta"))
+        // Var(market) = 0 over an instrument's days — n_days = 1 does it
+        // exactly — makes β NULL (NumOps.safeDiv contract, = the oracle's
+        // native x/0 → NULL), never an ANSI DIVIDE_BY_ZERO job failure
+        round(graft.functions.NumOps.safeDiv(
+          col("n_days") * col("srm") - col("sr") * col("sm"),
+          col("n_days") * col("smm") - col("sm") * col("sm")), 4).as("beta"))
       .orderBy("user_id")
   }
   val marketBetaSql: String =
@@ -649,9 +657,13 @@ object TimeSeriesOps {
         sum(round(col("r2") * col("r2"), 6).cast(D6)).cast("double").as("s22"))
       .filter(col("n") >= PairCorrMinDays)
       .withColumn("corr",
-        round((col("n") * col("s12") - col("s1") * col("s2")) /
+        // a constant instrument over the shared days zeroes its σ: the
+        // pair's ρ is NULL (NumOps.safeDiv contract) and the very next
+        // filter drops it — the oracle's WHERE corr IS NOT NULL twin
+        round(graft.functions.NumOps.safeDiv(
+          col("n") * col("s12") - col("s1") * col("s2"),
           sqrt((col("n") * col("s11") - col("s1") * col("s1")) *
-            (col("n") * col("s22") - col("s2") * col("s2"))), 4))
+            (col("n") * col("s22") - col("s2") * col("s2")))), 4))
       .filter(col("corr").isNotNull && !isnan(col("corr")))
     m.orderBy(col("corr").desc, col("u1"), col("u2"))
       .limit(PairCorrK)
@@ -992,9 +1004,13 @@ object TimeSeriesOps {
       .agg(max(struct(round(col("m_dow") * 1000000).cast("long").as("m6"),
         (-col("dow")).as("nd"))).as("pk"))
       .select((-col("pk.nd")).as("peak_dow"))
+    // an all-tied daily series (SS_total = 0 — constant order flow) makes
+    // seasonal strength undefined: NULL via the NumOps.safeDiv contract
+    // (DuckDB's x/0 is NULL), never an ANSI DIVIDE_BY_ZERO
     ss.crossJoin(broadcast(tot)).crossJoin(broadcast(peak))
       .select(col("n_days"),
-        roundz(lit(1.0) - col("ssr").cast("double") / col("sst").cast("double"), 6)
+        roundz(lit(1.0) - graft.functions.NumOps.safeDiv(
+          col("ssr").cast("double"), col("sst").cast("double")), 6)
           .as("strength"),
         col("peak_dow"))
   }

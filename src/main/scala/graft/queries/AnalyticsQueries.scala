@@ -795,7 +795,11 @@ object AnalyticsQueries {
         sum(col("v") * col("cnt")).as("total_cents"),
         sum(col("v") * col("overlap")).as("top_decile_cents"))
       .withColumn("share",
-        col("top_decile_cents").cast("double") / col("total_cents").cast("double"))
+        // an all-zero-revenue group (every total rounds to 0 cents —
+        // schema-valid degenerate) has no shares to apportion: NULL via
+        // the NumOps.safeDiv contract, never an ANSI DIVIDE_BY_ZERO
+        graft.functions.NumOps.safeDiv(col("top_decile_cents").cast("double"),
+          col("total_cents").cast("double")))
       .select(col("g").as("c_nationkey"), col("n_customers"),
         col("total_cents"), col("top_decile_cents"), col("share"))
       .orderBy("c_nationkey")
@@ -1031,9 +1035,15 @@ object AnalyticsQueries {
     * and expected shares, deviation.
     */
   def benford(s: SparkSession, d: String): DataFrame = {
+    // abs + digit > 0: a zero-cents total would put digit 0 into 1/digit
+    // (ANSI DIVIDE_BY_ZERO) and a negative one would lead with '-' (ANSI
+    // cast failure) — in BOTH engines; Benford's law is only defined on
+    // leading digits 1-9, so non-positive amounts are excluded, mirrored
+    // in the oracle SQL. No-op on real ledgers (positive totals).
     val c = Tables.orders(s, d)
-      .select(substring(round(col("o_totalprice") * 100).cast("long").cast("string"), 1, 1)
-        .cast("int").as("digit"))
+      .select(substring(abs(round(col("o_totalprice") * 100).cast("long"))
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .filter(col("digit") > 0)
       .groupBy("digit").agg(count(lit(1)).as("n_orders"))
     c.crossJoin(broadcast(c.agg(sum("n_orders").as("t"))))
       .withColumn("share", round(col("n_orders").cast("double") / col("t"), 4))
@@ -1043,9 +1053,10 @@ object AnalyticsQueries {
       .orderBy("digit")
   }
   val benfordSql: String =
-    """WITH c AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
-      |    CAST(count(*) AS BIGINT) AS n_orders
-      |  FROM orders GROUP BY 1),
+    """WITH c0 AS (SELECT CAST(substr(CAST(abs(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR), 1, 1) AS INT) AS digit
+      |  FROM orders),
+      |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM c0 WHERE digit > 0 GROUP BY 1),
       |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS t FROM c)
       |SELECT digit, n_orders,
       |  round(n_orders::DOUBLE / t, 4) AS share,
@@ -1125,10 +1136,14 @@ object AnalyticsQueries {
       sum(col("x") * col("y")).as("sxy"),
       sum(col("x") * col("x")).as("sxx"),
       sum(col("y") * col("y")).as("syy"))
+    // a CONSTANT daily series (k = 1 does it too) zeroes a variance term:
+    // ACF(1) is NULL (safeDiv contract, = DuckDB's x/0), never ANSI-fatal
     m.select(col("k").as("n_pairs"),
-      round((col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      round(graft.functions.NumOps.safeDiv(
+        (col("k") * col("sxy") - col("sx") * col("sy")).cast("double"),
         sqrt((col("k") * col("sxx") - col("sx") * col("sx")).cast("double") *
-          (col("k") * col("syy") - col("sy") * col("sy")).cast("double")), 4).as("acf1"))
+          (col("k") * col("syy") - col("sy") * col("sy")).cast("double"))), 4)
+        .as("acf1"))
   }
   val acf1Sql: String =
     """WITH dly AS (SELECT CAST(o_orderdate AS DATE) AS dt, CAST(count(*) AS BIGINT) AS n
@@ -1188,11 +1203,18 @@ object AnalyticsQueries {
         sum(when(col("a") && col("x"), 1L).otherwise(0L)).as("x1"),
         sum(when(!col("a"), 1L).otherwise(0L)).as("n2"),
         sum(when(!col("a") && col("x"), 1L).otherwise(0L)).as("x2"))
-    val p1 = col("x1").cast("double") / col("n1")
-    val p2 = col("x2").cast("double") / col("n2")
+    // degenerate-capable denominators guarded (safeDiv contract): an empty
+    // cohort (n1/n2 = 0) or a zero/saturated pooled rate (pp(1-pp) = 0 —
+    // a window with no clicks at all is REALISTIC data) yields z = NULL
+    // instead of an ANSI DIVIDE_BY_ZERO job failure; NULL propagates to
+    // `significant` identically in DuckDB, whose x/0 is NULL natively
+    import graft.functions.NumOps.safeDiv
+    val p1 = safeDiv(col("x1").cast("double"), col("n1"))
+    val p2 = safeDiv(col("x2").cast("double"), col("n2"))
     val pp = (col("x1") + col("x2")).cast("double") / (col("n1") + col("n2"))
-    val z = (p1 - p2) /
-      sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / col("n1") + lit(1.0) / col("n2")))
+    val z = safeDiv(p1 - p2,
+      sqrt(pp * (lit(1.0) - pp) *
+        (safeDiv(lit(1.0), col("n1")) + safeDiv(lit(1.0), col("n2")))))
     agg.select(col("n1"), col("x1"), col("n2"), col("x2"),
       round(z, 4).as("z"),
       (abs(round(z, 4)) > 1.96).as("significant"))
@@ -1242,8 +1264,11 @@ object AnalyticsQueries {
     chi2.select(col("n"), col("r"), col("c"),
         roundz(col("chi2d").cast("double"), 6).as("chi2"))
       .withColumn("cramers_v",
-        roundz(sqrt(col("chi2") /
-          (col("n") * (least(col("r"), col("c")) - 1)).cast("double")), 6))
+        // a single-category variable (min(r,c) = 1 — e.g. every doc the
+        // same language) makes V undefined: NULL via the NumOps.safeDiv
+        // contract (= DuckDB's x/0), never an ANSI DIVIDE_BY_ZERO
+        roundz(sqrt(graft.functions.NumOps.safeDiv(col("chi2"),
+          (col("n") * (least(col("r"), col("c")) - 1)).cast("double"))), 6))
   }
   val cramersVSql: String =
     """WITH joint AS MATERIALIZED (
@@ -1527,18 +1552,23 @@ object AnalyticsQueries {
     val covn = (col("n").cast(D38) * col("sxy") - col("sx") * col("sy")).cast("double")
     val varxn = (col("n").cast(D38) * col("sxx") - col("sx") * col("sx")).cast("double")
     val varyn = (col("n").cast(D38) * col("syy") - col("sy") * col("sy")).cast("double")
-    val theta = covn / varxn
+    // a constant pre-period covariate (Var(X) = 0 — e.g. every user new,
+    // all x = 0) or an empty arm zeroes a denominator: θ/diffs/ρ² go NULL
+    // (safeDiv contract) instead of ANSI-failing the job; DuckDB's x/0 is
+    // NULL natively so the oracle agrees on the same degenerate corpus
+    import graft.functions.NumOps.safeDiv
+    val theta = safeDiv(covn, varxn)
     val nb = col("n") - col("na")
-    val diffRaw = col("sya").cast("double") / col("na") -
-      (col("sy") - col("sya")).cast("double") / nb
-    val diffX = col("sxa").cast("double") / col("na") -
-      (col("sx") - col("sxa")).cast("double") / nb
+    val diffRaw = safeDiv(col("sya").cast("double"), col("na")) -
+      safeDiv((col("sy") - col("sya")).cast("double"), nb)
+    val diffX = safeDiv(col("sxa").cast("double"), col("na")) -
+      safeDiv((col("sx") - col("sxa")).cast("double"), nb)
     m.select(
       col("na").as("n_a"), nb.as("n_b"),
       round(theta, 6).as("theta"),
       round(diffRaw, 4).as("diff_raw_cents"),
       round(diffRaw - theta * diffX, 4).as("diff_cuped_cents"),
-      round(covn * covn / (varxn * varyn), 6).as("rho2"))
+      round(safeDiv(covn * covn, varxn * varyn), 6).as("rho2"))
   }
   val cupedSql: String =
     """WITH per AS (SELECT user_id,
@@ -1860,9 +1890,11 @@ object AnalyticsQueries {
           col("tie_term"))
     val zNum = when(col("s_stat") > 0, col("s_stat") - 1)
       .when(col("s_stat") < 0, col("s_stat") + 1).otherwise(lit(0L))
+    // Var(S) = 0 exactly when every daily count ties (or n_days = 1):
+    // z is NULL (safeDiv contract), never an ANSI DIVIDE_BY_ZERO
     j.select(col("n_days"), col("s_stat"), col("var18"),
-        round(zNum.cast("double") / sqrt(col("var18").cast("double") / lit(18.0)), 4)
-          .as("z"))
+        round(graft.functions.NumOps.safeDiv(zNum.cast("double"),
+          sqrt(col("var18").cast("double") / lit(18.0))), 4).as("z"))
       .withColumn("trend", abs(col("z")) > 1.96)
   }
   val mannKendallSql: String =
@@ -2227,9 +2259,12 @@ object AnalyticsQueries {
         sum((col("cnt") * col("r2x") * col("r2x")).cast(D38)).as("vx"),
         sum((col("cnt") * col("r2y") * col("r2y")).cast(D38)).as("vy"))
       .select(col("g").as("l_returnflag"), col("n"),
-        graft.functions.NumOps.roundz(
-          col("sxy").cast("double") /
-            sqrt(col("vx").cast("double") * col("vy").cast("double")), 6)
+        // NULL — not a crash, not NaN — for a zero-variance group: the
+        // safeDiv degenerate contract (DuckDB's x/0 is NULL; ANSI Spark
+        // would otherwise throw DIVIDE_BY_ZERO and kill the query)
+        graft.functions.NumOps.roundz(graft.functions.NumOps.safeDiv(
+          col("sxy").cast("double"),
+          sqrt(col("vx").cast("double") * col("vy").cast("double"))), 6)
           .as("rho"))
       .orderBy("l_returnflag")
   }
@@ -2364,16 +2399,21 @@ object AnalyticsQueries {
     def side(tag: String): DataFrame = m.filter(col("g") === tag).select(
       col("n").as(s"n_$tag"), col("sv").as(s"sv_$tag"), col("svv").as(s"svv_$tag"))
     def nd(c: String): Column = col(c).cast("double")
-    // mean and unbiased variance in CENTS off the exact moments
+    import graft.functions.NumOps.safeDiv
+    // mean and unbiased variance in CENTS off the exact moments; the
+    // degenerate-capable denominators (n = 1 singleton samples, both
+    // samples CONSTANT so se²a + se²b = 0) are safeDiv-guarded — t/df go
+    // NULL on them, matching the oracle's native x/0 → NULL, instead of
+    // ANSI-failing the job
     def mean(t: String): Column = nd(s"sv_$t") / nd(s"n_$t")
     def vr(t: String): Column =
-      (nd(s"svv_$t") - nd(s"sv_$t") * nd(s"sv_$t") / nd(s"n_$t")) /
-        (nd(s"n_$t") - lit(1.0))
+      safeDiv(nd(s"svv_$t") - nd(s"sv_$t") * nd(s"sv_$t") / nd(s"n_$t"),
+        nd(s"n_$t") - lit(1.0))
     val se2a = vr("purchase") / nd("n_purchase")
     val se2b = vr("view") / nd("n_view")
-    val t = (mean("purchase") - mean("view")) / sqrt(se2a + se2b)
-    val df = (se2a + se2b) * (se2a + se2b) /
-      (se2a * se2a / (nd("n_purchase") - lit(1.0)) +
+    val t = safeDiv(mean("purchase") - mean("view"), sqrt(se2a + se2b))
+    val df = safeDiv((se2a + se2b) * (se2a + se2b),
+      se2a * se2a / (nd("n_purchase") - lit(1.0)) +
         se2b * se2b / (nd("n_view") - lit(1.0)))
     broadcast(side("purchase")).crossJoin(broadcast(side("view")))
       .select(col("n_purchase").as("n1"), col("n_view").as("n2"),
@@ -2441,10 +2481,16 @@ object AnalyticsQueries {
     val ssb = col("sq") - gm2
     val ssw = sst - ssb
     val kd = col("k").cast("double")
+    // degenerate designs guarded (safeDiv contract): k = 1 (single group),
+    // n = k (all-singleton groups, SSW df = 0), SSW = 0 (perfect
+    // separation), SST = 0 (all-tied values) each yield NULL F / η²
+    // instead of an ANSI DIVIDE_BY_ZERO — DuckDB's x/0 is NULL natively
+    import graft.functions.NumOps.safeDiv
     broadcast(tot).crossJoin(broadcast(ssbTerms))
       .select(col("nn").as("n"), col("k"),
-        roundz(ssb / (kd - lit(1.0)) / (ssw / (nn - kd)), 6).as("f"),
-        roundz(ssb / sst, 6).as("eta_sq"))
+        roundz(safeDiv(safeDiv(ssb, kd - lit(1.0)), safeDiv(ssw, nn - kd)), 6)
+          .as("f"),
+        roundz(safeDiv(ssb, sst), 6).as("eta_sq"))
   }
   val anovaFSql: String =
     """WITH m AS (
@@ -2500,10 +2546,17 @@ object AnalyticsQueries {
     val r0 = (col("n01") + col("n00")).cast("double")
     val c1 = (col("n11") + col("n01")).cast("double")
     val c0 = (col("n10") + col("n00")).cast("double")
+    // degenerate strata guarded (safeDiv contract): a single-doc stratum
+    // zeroes vk's n(n-1) factor (its NULL vk drops out of the sum — the
+    // zero-information stratum — identically in DuckDB, whose x/0 is NULL
+    // and whose sum() skips NULLs); all-concordant data zeroes sbc so the
+    // MH odds ratio is NULL; all-degenerate marginals zero sv so χ² is NULL
+    import graft.functions.NumOps.safeDiv
     val terms = cells.select(
       col("n11"),
       round(r1 * c1 / n, 6).cast(D6).as("ek"),
-      round(r1 * r0 * c1 * c0 / (n * n * (n - lit(1.0))), 6).cast(D6).as("vk"),
+      round(safeDiv(r1 * r0 * c1 * c0, n * n * (n - lit(1.0))), 6)
+        .cast(D6).as("vk"),
       round(col("n11").cast("double") * col("n00").cast("double") / n, 6)
         .cast(D6).as("adk"),
       round(col("n10").cast("double") * col("n01").cast("double") / n, 6)
@@ -2513,8 +2566,8 @@ object AnalyticsQueries {
       sum("vk").as("sv"), sum("adk").as("sad"), sum("bck").as("sbc"))
     val num = abs(col("sa").cast("double") - col("se").cast("double")) - lit(0.5)
     agg.select(col("n_strata"),
-        roundz(num * num / col("sv").cast("double"), 6).as("chi2_cmh"),
-        roundz(col("sad").cast("double") / col("sbc").cast("double"), 6)
+        roundz(safeDiv(num * num, col("sv").cast("double")), 6).as("chi2_cmh"),
+        roundz(safeDiv(col("sad").cast("double"), col("sbc").cast("double")), 6)
           .as("or_mh"))
       .withColumn("reject_05", col("chi2_cmh") > lit(3.841))
   }
@@ -2619,11 +2672,15 @@ object AnalyticsQueries {
         abs(col("hi1").cast(D38) * col("n2") -
           col("hi2").cast(D38) * col("n1")).as("dnum"))
       .groupBy("n1", "n2").agg(max("dnum").as("dnum"))
+    // a ONE-CLASS pool (n1 or n2 = 0) zeroes both denominators: ks and
+    // crit_05 go NULL (safeDiv contract — the raw division inside the
+    // sqrt arg would ANSI-throw), and NULL > NULL keeps reject_05 NULL
     m.select(col("n1"), col("n2"),
-        roundz(col("dnum").cast("double") /
-          (col("n1").cast("double") * col("n2").cast("double")), 6).as("ks"),
-        roundz(lit(1.358) * sqrt((col("n1") + col("n2")).cast("double") /
-          (col("n1").cast("double") * col("n2").cast("double"))), 6).as("crit_05"))
+        roundz(graft.functions.NumOps.safeDiv(col("dnum").cast("double"),
+          col("n1").cast("double") * col("n2").cast("double")), 6).as("ks"),
+        roundz(lit(1.358) * sqrt(graft.functions.NumOps.safeDiv(
+          (col("n1") + col("n2")).cast("double"),
+          col("n1").cast("double") * col("n2").cast("double"))), 6).as("crit_05"))
       .withColumn("reject_05", col("ks") > col("crit_05"))
   }
   val ksTestSql: String =
@@ -2688,10 +2745,16 @@ object AnalyticsQueries {
     val nd2 = col("n2").cast("double")
     val nd = (col("n1") + col("n2")).cast("double")
     val u1x2 = col("r1x2") - col("n1").cast(D38) * (col("n1") + 1)
+    // both degenerate-capable denominators guarded (safeDiv contract):
+    // N = 1 zeroes the tie term's N(N−1); an ALL-TIED pool zeroes σ_U
+    // exactly (Σ(t³−t) = N³−N ⇒ the correction equals N+1), so z is NULL
+    // — undefined, matching DuckDB — while U stays exact
     val varU = nd1 * nd2 / lit(12.0) *
-      ((nd + lit(1.0)) - col("tc").cast("double") / (nd * (nd - lit(1.0))))
-    val z = (u1x2 - col("n1").cast(D38) * col("n2")).cast("double") /
-      (lit(2.0) * sqrt(varU))
+      ((nd + lit(1.0)) - graft.functions.NumOps.safeDiv(
+        col("tc").cast("double"), nd * (nd - lit(1.0))))
+    val z = graft.functions.NumOps.safeDiv(
+      (u1x2 - col("n1").cast(D38) * col("n2")).cast("double"),
+      lit(2.0) * sqrt(varU))
     m.select(col("n1"), col("n2"),
         roundz(u1x2.cast("double") / 2, 1).as("u"),
         roundz(z, 6).as("z"))
@@ -2755,8 +2818,13 @@ object AnalyticsQueries {
       .groupBy("bucket")
       .agg(sum("y").as("pos"), (count(lit(1)) - sum("y")).as("neg"))
     val tot = h.agg(sum("pos").as("pt"), sum("neg").as("nt"))
-    val pb = (col("pos").cast("double") + lit(0.5)) / col("pt").cast("double")
-    val nb = (col("neg").cast("double") + lit(0.5)) / col("nt").cast("double")
+    // a ONE-CLASS corpus (no positives at all, or no negatives) zeroes a
+    // class total: WOE/IV go NULL (safeDiv contract) instead of an ANSI
+    // DIVIDE_BY_ZERO — the +0.5 smoothing protects empty BUCKETS, not
+    // empty CLASSES
+    import graft.functions.NumOps.safeDiv
+    val pb = safeDiv(col("pos").cast("double") + lit(0.5), col("pt").cast("double"))
+    val nb = safeDiv(col("neg").cast("double") + lit(0.5), col("nt").cast("double"))
     val scored = h.crossJoin(broadcast(tot))
       .withColumn("woe", roundz(log(pb / nb), 6))
       .withColumn("iv_term", roundz((pb - nb) * col("woe"), 6))
@@ -2834,12 +2902,17 @@ object AnalyticsQueries {
       s2 * (s1 * s2y - s1y * s2)
     val det2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
       sy * (s1 * s12 - s11 * s2)
-    val (b0, b1, b2) = (det0 / det, det1 / det, det2 / det)
+    // a COLLINEAR design (e.g. every order's quantity sum proportional to
+    // its line count — all-constant quantities do exactly that) zeroes the
+    // normal-equation determinant, and an all-tied response zeroes SST:
+    // coefficients / R² go NULL (safeDiv contract), never an ANSI failure
+    import graft.functions.NumOps.safeDiv
+    val (b0, b1, b2) = (safeDiv(det0, det), safeDiv(det1, det), safeDiv(det2, det))
     val sse = syy - b0 * sy - b1 * s1y - b2 * s2y
     val sst = syy - sy * sy / n
     mm.select(col("n"),
       roundz(b0, 2).as("b0"), roundz(b1, 4).as("b1"), roundz(b2, 4).as("b2"),
-      roundz(lit(1.0) - sse / sst, 6).as("r2"))
+      roundz(lit(1.0) - safeDiv(sse, sst), 6).as("r2"))
   }
   val linreg2fSql: String =
     """WITH rows_t AS (

@@ -233,8 +233,12 @@ object PipelineQueries {
       sum(col("y").cast(D6)).cast("double").as("sy"),
       sum(col("xx").cast(D6)).cast("double").as("sxx"),
       sum(col("xy").cast(D6)).cast("double").as("sxy"))
-    val b = (col("k") * col("sxy") - col("sx") * col("sy")) /
-      (col("k") * col("sxx") - col("sx") * col("sx"))
+    // a DEGENERATE point set (k = 1, or a constant x domain) zeroes the
+    // least-squares denominator: slope/intercept go NULL (the NumOps
+    // safeDiv contract, = DuckDB's native x/0 -> NULL), never ANSI-fatal
+    val b = graft.functions.NumOps.safeDiv(
+      col("k") * col("sxy") - col("sx") * col("sy"),
+      col("k") * col("sxx") - col("sx") * col("sx"))
     m.select(col("k").as("n_terms"),
       round(b, 4).as("slope"),
       round((col("sy") - b * col("sx")) / col("k"), 4).as("intercept"))
@@ -1786,9 +1790,14 @@ object PipelineQueries {
         (col("sx") / col("n")).as("mean_qty"),
         (col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")))
           .as("var_qty"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-            sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"))
+        // a zero-variance column (constant quantity or price — schema-valid
+        // degenerate data) zeroes the σ product: ρ is NULL (the NumOps
+        // safeDiv contract; DuckDB's x/0 is NULL natively), never an ANSI
+        // DIVIDE_BY_ZERO job failure
+        graft.functions.NumOps.safeDiv(
+          col("n") * col("sxy") - col("sx") * col("sy"),
+          sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))).as("corr_qty_price"))
   }
   val corrStatsSql: String =
     """WITH m AS (SELECT count(*) AS n,
@@ -2272,8 +2281,12 @@ object PipelineQueries {
       sum(col("y").cast(D6)).cast("double").as("sy"),
       sum(col("xx").cast(D6)).cast("double").as("sxx"),
       sum(col("xy").cast(D6)).cast("double").as("sxy"))
-    val b = (col("k") * col("sxy") - col("sx") * col("sy")) /
-      (col("k") * col("sxx") - col("sx") * col("sx"))
+    // a DEGENERATE point set (k = 1, or a constant x domain) zeroes the
+    // least-squares denominator: slope/intercept go NULL (the NumOps
+    // safeDiv contract, = DuckDB's native x/0 -> NULL), never ANSI-fatal
+    val b = graft.functions.NumOps.safeDiv(
+      col("k") * col("sxy") - col("sx") * col("sy"),
+      col("k") * col("sxx") - col("sx") * col("sx"))
     m.select(col("k").as("n_docs"),
       round(b, 4).as("beta"),
       round((col("sy") - b * col("sx")) / col("k"), 4).as("intercept"))
