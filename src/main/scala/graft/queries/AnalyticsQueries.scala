@@ -2240,6 +2240,8 @@ object AnalyticsQueries {
       (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("y"))
     val pairs = rows.groupBy("g", "x", "y").agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true) // feeds both marginals AND the moment fold
+      // (measured: dropping this for ReuseExchange reads 4.44 s vs 3.60 s
+      // at sf0.1 — the three consumers do NOT share one exchange subtree)
     // bucketed two-level cumulated counts — no value-NDV-sized per-group
     // window (the group key has only a handful of values, so a plain
     // per-group window would put each group's whole value domain in ONE
