@@ -247,8 +247,15 @@ object TimeSeriesOps {
       .agg(count(lit(1)).as("n_trades"), sum("vol").as("volume"),
         sum(col("cents") * col("vol")).as("pv"))
       .select(col("user_id"), col("bucket"), col("n_trades"), col("volume"),
+        // integer-domain rounding (x*100 -> round -> /1e4), NOT round(x, 4):
+        // measured at sf0.1 (4/95583 rows), a vwap sitting on the .00005
+        // boundary flips between Spark's BigDecimal round and DuckDB's
+        // multiply-first round; rounding pv/volume*100 to an integer is
+        // the same IEEE multiply and the same away-from-zero tie rule in
+        // both engines (the readability/varEs discipline)
         when(col("volume") > 0,
-          round(col("pv").cast("double") / col("volume") / 100.0, 4)).as("vwap"))
+          round(col("pv").cast("double") / col("volume") * 100.0).cast("long") /
+            lit(10000.0)).as("vwap"))
       .orderBy("user_id", "bucket")
   val vwapSql: String =
     """WITH e AS (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
@@ -258,7 +265,7 @@ object TimeSeriesOps {
       |SELECT user_id, bucket, CAST(count(*) AS BIGINT) AS n_trades,
       |  CAST(sum(vol) AS BIGINT) AS volume,
       |  CASE WHEN sum(vol) > 0
-      |       THEN round(CAST(sum(cents * vol) AS DOUBLE) / sum(vol) / 100.0, 4) END AS vwap
+      |       THEN CAST(round(CAST(sum(cents * vol) AS DOUBLE) / sum(vol) * 100.0) AS BIGINT) / 10000.0 END AS vwap
       |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Amihud illiquidity per instrument (Amihud 2002 — the standard
