@@ -48,9 +48,20 @@ object NumOps {
     * (theilSen's join-local division): CaseWhen branches are not evaluated
     * speculatively in codegen, so the division cannot trip ANSI even
     * transiently.
+    *
+    * Contract limits, pinned: the guard covers the ZERO case only. A NaN
+    * denominator passes `=!= 0.0` and propagates NaN — callers must keep
+    * denominators NaN-free (every current site divides by exact
+    * integer/decimal combinations or `sqrt` of provably nonnegative
+    * values). That is deliberate: DuckDB errors outright on the operations
+    * that would manufacture a NaN denominator (e.g. sqrt of a negative),
+    * so a NaN-swallowing guard here would silently diverge from the
+    * oracle instead of surfacing the caller's broken invariant. A NULL
+    * denominator yields NULL through both the guard and the division —
+    * same as DuckDB.
     */
   def safeDiv(num: Column, den: Column): Column =
-    when(den =!= lit(0.0), num / den)
+    when(den =!= lit(0.0), num / den).otherwise(lit(null))
 
   /** Normalize every float/double in a result frame — top level and one
     * array level deep — so `-0.0` can never reach the correctness dump.

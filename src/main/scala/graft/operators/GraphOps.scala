@@ -610,9 +610,16 @@ object GraphOps {
         sum(col("dy") * col("dy")).cast("double").as("syy"),
         sum(col("dx") * col("dy")).cast("double").as("sxy"))
       .select(col("n_edges"),
-        ((col("n_edges") * col("sxy") - col("sx") * col("sy")) /
-          (sqrt(col("n_edges") * col("sxx") - col("sx") * col("sx")) *
-            sqrt(col("n_edges") * col("syy") - col("sy") * col("sy"))))
+        // safeDiv, not a raw `/`: a zero-variance degree side (every
+        // customer buying from exactly one supplier — a star corpus) zeroes
+        // the denominator, and under ANSI that would DIVIDE_BY_ZERO-kill
+        // the job; the oracle's x/0 is already NULL, so NULL is the
+        // cross-engine value for "assortativity undefined". Found by
+        // RandomizedGraphDifferentialSpec's star-component corpus.
+        graft.functions.NumOps.safeDiv(
+          col("n_edges") * col("sxy") - col("sx") * col("sy"),
+          sqrt(col("n_edges") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n_edges") * col("syy") - col("sy") * col("sy")))
           .as("assortativity"))
   }
 

@@ -175,11 +175,16 @@ object RetrievalOps {
       .crossJoin(broadcast(q))
       .withColumn("cos",
         // a zero-norm embedding (failed encoder output) zeroes the
-        // denominator: NULL cosine (NumOps.safeDiv contract), ranked last
-        // and dropped by the top-k — never an ANSI DIVIDE_BY_ZERO
+        // denominator: NULL cosine (NumOps.safeDiv contract), never an
+        // ANSI DIVIDE_BY_ZERO. The explicit isNotNull filter (mirrored in
+        // the oracle CTE) excludes such docs from fusion even when the
+        // corpus has fewer than LegK finite-cosine candidates — without
+        // it a NULL cosine is only pushed last by DESC ordering and could
+        // still earn an r_dense rank on a small corpus
         round(graft.functions.NumOps.safeDiv(
           dot_product(col("embedding"), col("eq")),
           col("nrm") * col("nq")), 4))
+      .filter(col("cos").isNotNull)
       .select(col("vec_id").as("doc_id"), col("cos"))
       .orderBy(col("cos").desc, col("doc_id")).limit(LegK)
       .withColumn("r_dense", row_number().over(wDense))
@@ -239,10 +244,12 @@ object RetrievalOps {
        |  FROM embeddings),
        |q AS (SELECT embedding AS eq, nrm AS nq FROM e WHERE vec_id = 0),
        |dscored AS (
-       |  SELECT c.vec_id AS doc_id,
-       |    round(list_sum(list_transform(generate_series(1, 64),
-       |          i -> c.embedding[i]::DOUBLE * q.eq[i]::DOUBLE)) / (c.nrm * q.nq), 4) AS cos
-       |  FROM e c CROSS JOIN q WHERE c.vec_id <> 0
+       |  SELECT doc_id, cos FROM (
+       |    SELECT c.vec_id AS doc_id,
+       |      round(list_sum(list_transform(generate_series(1, 64),
+       |            i -> c.embedding[i]::DOUBLE * q.eq[i]::DOUBLE)) / (c.nrm * q.nq), 4) AS cos
+       |    FROM e c CROSS JOIN q WHERE c.vec_id <> 0)
+       |  WHERE cos IS NOT NULL
        |  ORDER BY cos DESC, doc_id LIMIT $LegK),
        |dense AS (
        |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r_dense

@@ -34,16 +34,59 @@ object BoxCanary {
     (System.nanoTime() - t0) / 1e9
   }.min
 
-  /** The quiet-box bound: 0.14 s pinned for local[32]; the canary has 32
-    * partitions, so smaller-cpu profiles slow ~linearly in 32/cpus and
-    * the factor clamps at 1 above 32 cores (the job cannot run faster
-    * than the pin). Non-numeric cpus (the local[*] builder path) falls
-    * back to 32. `overrideBound` (SPARK_GRAFT_CANARY_BOUND) re-pins
-    * profiles where the linear model is off. Pure — spec-tested.
+  /** Last-resort base bound when no calibration artifact exists and no env
+    * override is set: the original hand pin for THIS box's local[32]
+    * profile. [[CalibrateCanary]] replaces it with a measured, committed,
+    * re-stampable figure in [[ArtifactPath]] — the hand constant survives
+    * only as the staleness fallback so a deleted/garbled artifact degrades
+    * to round-15 behavior instead of disabling the gates.
     */
-  def quietBound(cpus: String, overrideBound: Option[String]): Double =
+  val FallbackBound = 0.14
+
+  /** The committed calibration artifact (repo root — gates and bench run
+    * with cwd there, the same convention BENCH_FULL.json rides).
+    */
+  val ArtifactPath = "CANARY_BOUNDS.json"
+
+  /** Parse a calibration artifact's pinned bound: positive finite
+    * `bound_s`, else None (a garbled artifact must fall back, never throw
+    * inside a gate preamble). Pure — spec-tested.
+    */
+  def parseCalibration(json: String): Option[Double] =
+    """"bound_s"\s*:\s*([0-9.eE+-]+)""".r.findFirstMatchIn(json)
+      .flatMap(_.group(1).toDoubleOption)
+      .filter(b => b > 0 && java.lang.Double.isFinite(b))
+
+  /** The base (local[32]) quiet bound: the committed calibration when it
+    * parses, [[FallbackBound]] otherwise. Pure in the artifact content —
+    * spec-tested on good/garbled/missing inputs.
+    */
+  def calibratedBase(artifact: Option[String]): Double =
+    artifact.flatMap(parseCalibration).getOrElse(FallbackBound)
+
+  private def readArtifact(): Option[String] =
+    try Some(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(ArtifactPath)), "UTF-8"))
+    catch { case _: Throwable => None }
+
+  /** The quiet-box bound: `base` s pinned for local[32] (the committed
+    * calibration via [[boundFromArtifact]], or [[FallbackBound]]); the
+    * canary has 32 partitions, so smaller-cpu profiles slow ~linearly in
+    * 32/cpus and the factor clamps at 1 above 32 cores (the job cannot
+    * run faster than the pin). Non-numeric cpus (the local[*] builder
+    * path) falls back to 32. `overrideBound` (SPARK_GRAFT_CANARY_BOUND)
+    * re-pins profiles where the linear model is off. Pure — spec-tested.
+    */
+  def quietBound(cpus: String, overrideBound: Option[String],
+      base: Double = FallbackBound): Double =
     overrideBound.map(_.toDouble)
-      .getOrElse(0.14 * math.max(1.0, 32.0 / cpus.toIntOption.getOrElse(32)))
+      .getOrElse(base * math.max(1.0, 32.0 / cpus.toIntOption.getOrElse(32)))
+
+  /** [[quietBound]] with the base read from the committed calibration
+    * artifact — the entry point every gate preamble and the bench use.
+    */
+  def boundFromArtifact(cpus: String, overrideBound: Option[String]): Double =
+    quietBound(cpus, overrideBound, calibratedBase(readArtifact()))
 
   /** Pure verdict: Some(reason) when the box must be treated as loaded. */
   def verdict(canary: Double, bound: Double): Option[String] =
@@ -60,7 +103,7 @@ object BoxCanary {
     * disables it).
     */
   def requireQuiet(spark: SparkSession, tool: String): Double = {
-    val bound = quietBound(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+    val bound = boundFromArtifact(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
       sys.env.get("SPARK_GRAFT_CANARY_BOUND"))
     measure(spark) // warm the range/codegen path
     var c = measure(spark)
