@@ -10,18 +10,17 @@ import java.nio.file.{Files, Paths}
   * `SPARK_GRAFT_CANARY_BOUND` env override; the override remains the
   * emergency escape hatch, the artifact is the durable, reviewable pin.
   *
-  * Certification: the 1-minute load average must be below
-  * `SPARK_GRAFT_CALIB_MAXLOAD` (default 0.5 — <2% of a 32-cpu box; the
-  * round-15 note pins "cool to load avg < 0.2" as the conservative target)
-  * BEFORE any Spark work starts, else the tool refuses — a bound stamped
-  * on a loaded box would be permanently loose and mask real load in every
-  * later gate run. The bound itself is `max(samples) × margin` (margin
-  * default 1.25, `SPARK_GRAFT_CALIB_MARGIN`): the max of
-  * `SPARK_GRAFT_CALIB_SAMPLES` (default 5) min-of-3 measurements absorbs
-  * sample-to-sample idle jitter, and the margin covers the residual
-  * run-to-run band an idle box still shows (~±8%, SCALE.md) with room to
-  * spare — idle samples of ~0.10–0.11 s land the stamped bound at the same
-  * ~0.14 the hand pin chose, by measurement instead of decree.
+  * Certification: the 1-minute load average must settle below
+  * `SPARK_GRAFT_CALIB_MAXLOAD` (default 0.25 — <1% of a 32-cpu box; the
+  * round-15 field note pins "cool to load avg < 0.2") within a 3-minute
+  * settle loop BEFORE any Spark work starts, else the tool refuses — a
+  * bound stamped on a loaded box would be permanently loose and mask real
+  * load in every later gate run. The bound itself is `median(samples) ×
+  * margin` (margin default 1.25, `SPARK_GRAFT_CALIB_MARGIN`) over
+  * `SPARK_GRAFT_CALIB_SAMPLES` (default 5) min-of-3 measurements — see
+  * [[boundOf]] for why median, not max. Idle samples of ~0.10–0.11 s land
+  * the stamped bound at the same ~0.14 the hand pin chose, by measurement
+  * instead of decree.
   */
 object CalibrateCanary {
 
@@ -45,39 +44,68 @@ object CalibrateCanary {
       s""""samples_s":$ss,"loadavg1":$lv,"date":"$date"}"""
   }
 
-  /** bound = max(samples) × margin, rounded UP at 3 decimals so the
+  /** bound = MEDIAN(samples) × margin, rounded UP at 3 decimals so the
     * stamped figure is never tighter than the measurement that justified
-    * it. Pure — spec-tested.
+    * it. Median, not max: the tool necessarily runs moments after a JVM
+    * boot, and the first samples of the very first calibration attempt
+    * read 0.180→0.133 as that residue drained — a max-based bound stamped
+    * 0.225 against a 0.10–0.115 true idle floor, loose enough to certify
+    * genuinely loaded boxes as quiet. The median rejects a decaying-head
+    * minority of contaminated samples; the margin (default 1.25) covers
+    * the idle box's own ±8% run-to-run band plus young-JVM spread. Pure —
+    * spec-tested.
     */
-  def boundOf(samples: Seq[Double], margin: Double): Double =
-    math.ceil(samples.max * margin * 1000.0) / 1000.0
+  def boundOf(samples: Seq[Double], margin: Double): Double = {
+    val med = samples.sorted.apply(samples.size / 2)
+    math.ceil(med * margin * 1000.0) / 1000.0
+  }
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val maxLoad = sys.env.get("SPARK_GRAFT_CALIB_MAXLOAD")
-      .flatMap(_.toDoubleOption).getOrElse(0.5)
+      .flatMap(_.toDoubleOption).getOrElse(0.15)
     val margin = sys.env.get("SPARK_GRAFT_CALIB_MARGIN")
       .flatMap(_.toDoubleOption).getOrElse(1.25)
     val nSamples = sys.env.get("SPARK_GRAFT_CALIB_SAMPLES")
       .flatMap(_.toIntOption).getOrElse(5).max(2)
 
-    val load = try Some(new String(Files.readAllBytes(Paths.get("/proc/loadavg")), "UTF-8"))
-      .flatMap(loadavg1) catch { case _: Throwable => None }
-    load match {
-      case Some(l) if l > maxLoad =>
-        throw new RuntimeException(
-          f"CalibrateCanary REFUSED: 1-min load average $l%.2f > $maxLoad%.2f — " +
-            "calibrating on a loaded box would stamp a permanently loose bound. " +
-            "Cool the box first (SPARK_GRAFT_CALIB_MAXLOAD re-pins the threshold).")
-      case None =>
-        System.err.println("[calibrate] /proc/loadavg unreadable — skipping " +
-          "idle certification; verify box state by hand before committing")
-      case _ => ()
+    // Idle certification with a SETTLE loop: the tool's own JVM boot puts
+    // ~0.2–0.4 on the 1-min average, which decays with a 60 s time
+    // constant — so instead of refusing on the boot's own footprint, wait
+    // up to 6 min for the average to drain below the threshold, and
+    // refuse only if it will not settle (genuine external load). The
+    // threshold is deliberately strict (0.15 default): a calibration
+    // attempt at loadavg 0.21–0.24 read samples 0.128–0.164 against the
+    // 0.108–0.132 band deep-idle gates actually see — upward-biased
+    // samples stamp a bound loose enough to certify loaded boxes.
+    def readLoad(): Option[Double] =
+      try Some(new String(Files.readAllBytes(Paths.get("/proc/loadavg")), "UTF-8"))
+        .flatMap(loadavg1) catch { case _: Throwable => None }
+    var load = readLoad()
+    if (load.isEmpty)
+      System.err.println("[calibrate] /proc/loadavg unreadable — skipping " +
+        "idle certification; verify box state by hand before committing")
+    val settleDeadline = System.nanoTime() + 360L * 1000 * 1000 * 1000
+    while (load.exists(_ > maxLoad) && System.nanoTime() < settleDeadline) {
+      System.err.println(f"[calibrate] 1-min load ${load.get}%.2f > $maxLoad%.2f — settling 15 s")
+      Thread.sleep(15000L)
+      load = readLoad()
+    }
+    load.filter(_ > maxLoad).foreach { l =>
+      throw new RuntimeException(
+        f"CalibrateCanary REFUSED: 1-min load average $l%.2f > $maxLoad%.2f after a " +
+          "6-min settle — calibrating on a loaded box would stamp a permanently " +
+          "loose bound. Cool the box first (SPARK_GRAFT_CALIB_MAXLOAD re-pins the threshold).")
     }
 
     val spark = graft.Sessions.localBuilder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    BoxCanary.measure(spark) // warm the range/codegen path (uncounted)
+    // THREE warm measure() calls (9 runs), not the gates' one: this canary
+    // is the JVM's very first Spark work, and C2 maturation alone decays
+    // readings 0.173 → 0.116 over the first ~12 runs (measured) — the
+    // gates' canaries run inside already-warmed sessions, so calibration
+    // must compare like with like or the stamped bound is ~40% loose
+    (1 to 3).foreach(_ => BoxCanary.measure(spark))
     val samples = (1 to nSamples).map(_ => BoxCanary.measure(spark))
     spark.stop()
 
