@@ -1678,6 +1678,17 @@ object AnalyticsQueries {
     * bounded-frame discipline. Replicate means are round-4 on exact
     * integer sums; CI bounds are the ceil(0.025·B)/ceil(0.975·B) order
     * statistics of those means.
+    *
+    * Intra-run jitter, adjudicated (r15's committed board showed the
+    * board's largest med/min spread here, 2.53 vs 1.17 s): an ISOLATED
+    * 7-repeat bench at sf0.1 reads median 1.17 / min 1.07 (1.09×), with
+    * the min identical to the board's — the plan is stable and the warm
+    * pass suffices; the board-context inflation is heap/GC debt landing
+    * on the board's most allocation-heavy projection (the explode carries
+    * the 32-char md5 through ~14M rows at sf0.1), not plan instability or
+    * RNG warm-up. Kept as-is: hoisting the byte extraction before the
+    * explode would need an interpreted `transform` lambda, breaking
+    * whole-stage codegen — the documented worse trade.
     */
   val BootReps = 96  // 6 md5 draws x 16 bytes each
   private val BootLoRank = 3  // ceil(0.025 * BootReps)
