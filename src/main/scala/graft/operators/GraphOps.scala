@@ -616,10 +616,18 @@ object GraphOps {
         // the job; the oracle's x/0 is already NULL, so NULL is the
         // cross-engine value for "assortativity undefined". Found by
         // RandomizedGraphDifferentialSpec's star-component corpus.
+        // Each sqrt argument is clamped at 0: n*sxx - sx*sx is nonnegative
+        // in exact arithmetic but computed in doubles, and near-zero
+        // variance with large moment magnitudes can round to a tiny
+        // NEGATIVE — sqrt would produce NaN, which passes the =!= 0.0
+        // guard (the NumOps NaN contract limit) and diverges from the
+        // oracle exactly in the degenerate-variance regime the NULL
+        // contract targets. The clamp lands a rounding-negative variance
+        // on the guarded-zero path instead; mirrored in assortativitySql.
         graft.functions.NumOps.safeDiv(
           col("n_edges") * col("sxy") - col("sx") * col("sy"),
-          sqrt(col("n_edges") * col("sxx") - col("sx") * col("sx")) *
-            sqrt(col("n_edges") * col("syy") - col("sy") * col("sy")))
+          sqrt(greatest(col("n_edges") * col("sxx") - col("sx") * col("sx"), lit(0.0))) *
+            sqrt(greatest(col("n_edges") * col("syy") - col("sy") * col("sy"), lit(0.0))))
           .as("assortativity"))
   }
 
@@ -639,7 +647,8 @@ object GraphOps {
       |      FROM pairs JOIN dc USING (cust) JOIN dsp USING (supp))
       |SELECT CAST(n AS BIGINT) AS n_edges,
       |  (n * sxy - sx * sy) /
-      |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) + 0.0 AS assortativity
+      |    (sqrt(GREATEST(n * sxx - sx * sx, 0.0)) *
+      |     sqrt(GREATEST(n * syy - sy * sy, 0.0))) + 0.0 AS assortativity
       |FROM m""".stripMargin
 
   val adamicAdarSql: String =

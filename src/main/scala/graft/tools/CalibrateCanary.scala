@@ -11,9 +11,11 @@ import java.nio.file.{Files, Paths}
   * emergency escape hatch, the artifact is the durable, reviewable pin.
   *
   * Certification: the 1-minute load average must settle below
-  * `SPARK_GRAFT_CALIB_MAXLOAD` (default 0.25 — <1% of a 32-cpu box; the
-  * round-15 field note pins "cool to load avg < 0.2") within a 3-minute
-  * settle loop BEFORE any Spark work starts, else the tool refuses — a
+  * `SPARK_GRAFT_CALIB_MAXLOAD` (default 0.15 — <0.5% of a 32-cpu box,
+  * deliberately stricter than the round-15 field note's "cool to load
+  * avg < 0.2": a calibration attempt at loadavg 0.21–0.24 read samples
+  * upward-biased by ~20%) within a 6-minute settle loop BEFORE any Spark
+  * work starts, else the tool refuses — a
   * bound stamped on a loaded box would be permanently loose and mask real
   * load in every later gate run. The bound itself is `median(samples) ×
   * margin` (margin default 1.25, `SPARK_GRAFT_CALIB_MARGIN`) over
@@ -44,6 +46,22 @@ object CalibrateCanary {
       s""""samples_s":$ss,"loadavg1":$lv,"date":"$date"}"""
   }
 
+  /** Median with the two middle elements AVERAGED for even counts: the
+    * naive `sorted(n/2)` picks the UPPER-middle element, and the sample
+    * heads this tool sees decay (JVM-boot residue draining), so an even
+    * sample count (`SPARK_GRAFT_CALIB_SAMPLES` floors at 2, settable to
+    * any even value) would systematically bias the stamped bound upward —
+    * the exact looseness the median was chosen to reject. Shared by
+    * [[boundOf]] and the bench drift arm's min-ratio adjudication
+    * ([[graft.Bench.driftVerdict]]). Pure — spec-tested on even counts
+    * in Round17OpsSpec.
+    */
+  def medianOf(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
   /** bound = MEDIAN(samples) × margin, rounded UP at 3 decimals so the
     * stamped figure is never tighter than the measurement that justified
     * it. Median, not max: the tool necessarily runs moments after a JVM
@@ -55,10 +73,8 @@ object CalibrateCanary {
     * the idle box's own ±8% run-to-run band plus young-JVM spread. Pure —
     * spec-tested.
     */
-  def boundOf(samples: Seq[Double], margin: Double): Double = {
-    val med = samples.sorted.apply(samples.size / 2)
-    math.ceil(med * margin * 1000.0) / 1000.0
-  }
+  def boundOf(samples: Seq[Double], margin: Double): Double =
+    math.ceil(medianOf(samples) * margin * 1000.0) / 1000.0
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
