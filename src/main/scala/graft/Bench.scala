@@ -211,7 +211,14 @@ object Bench {
     * is genuinely loaded (wait) — r16 hit five refusals with no such
     * signal in the artifacts. Inputs are a fresh post-refusal probe: the
     * 1-min load average and the median of a few quiet-path canary
-    * re-measures. Pure — spec-tested in Round17OpsSpec.
+    * re-measures. Caveat, measured live the day this shipped: host
+    * co-tenant CPU steal reads exactly like bound drift here (canary
+    * 0.244 s at loadavg 0.09 — the load average cannot see steal), so
+    * `bound-drift-recalibrate` means "re-run CalibrateCanary", NOT "the
+    * bound is definitely wrong": the calibration tool's own loosen guard
+    * ([[graft.tools.CalibrateCanary.loosenGuard]]) then refuses to stamp
+    * a step-loosened bound during a steal window, which is what keeps
+    * following this verdict safe. Pure — spec-tested in Round17OpsSpec.
     */
   def calibVerdict(loadavg: Option[Double], median: Double, bound: Double,
       maxLoad: Double = 0.15): String =

@@ -76,6 +76,30 @@ object CalibrateCanary {
   def boundOf(samples: Seq[Double], margin: Double): Double =
     math.ceil(medianOf(samples) * margin * 1000.0) / 1000.0
 
+  /** Refuse a re-stamp that LOOSENS the committed bound by more than
+    * `slack` (default 15%, the idle box's own stamp-to-stamp band) unless
+    * explicitly allowed. The load-average certification cannot see host
+    * co-tenant CPU steal — measured live in r17: canary 0.244 s against
+    * the 0.142 bound at 1-min loadavg 0.09 — so an operator following a
+    * refused bench line's `bound-drift-recalibrate` verdict during a
+    * steal window would pass certification and stamp a bound (~0.28 from
+    * 0.22 samples) loose enough to certify every stolen box as quiet,
+    * permanently. Drift on real hardware is gradual and small; steal is
+    * a step. A big loosening therefore defaults to refusal with a
+    * wait-and-re-measure instruction; `SPARK_GRAFT_CALIB_ALLOW_LOOSEN=1`
+    * overrides for a genuine hardware change. Tightening (new ≤ old) is
+    * always allowed. Pure — spec-tested in Round17OpsSpec.
+    */
+  def loosenGuard(newBound: Double, oldBound: Option[Double],
+      allow: Boolean, slack: Double = 0.15): Option[String] =
+    oldBound.filter(old => !allow && newBound > old * (1.0 + slack)).map(old =>
+      f"refusing to stamp $newBound%.3f s over the committed $old%.3f s " +
+        f"(> ${(1.0 + slack)}%.2fx looser): loadavg certification cannot " +
+        "see co-tenant CPU steal, and a bound stamped during a steal window " +
+        "certifies every stolen box as quiet. Re-measure after the box " +
+        "recovers; SPARK_GRAFT_CALIB_ALLOW_LOOSEN=1 overrides for a " +
+        "genuine hardware change.")
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val maxLoad = sys.env.get("SPARK_GRAFT_CALIB_MAXLOAD")
@@ -126,6 +150,13 @@ object CalibrateCanary {
     spark.stop()
 
     val bound = boundOf(samples, margin)
+    val prior = (try Some(new String(Files.readAllBytes(
+        Paths.get(BoxCanary.ArtifactPath)), "UTF-8"))
+      catch { case _: Throwable => None }).flatMap(BoxCanary.parseCalibration)
+    loosenGuard(bound, prior,
+      sys.env.get("SPARK_GRAFT_CALIB_ALLOW_LOOSEN").contains("1")).foreach { why =>
+      throw new RuntimeException(s"CalibrateCanary REFUSED: $why")
+    }
     val json = artifactJson(bound, cpus.toIntOption.getOrElse(32), samples,
       load, margin, java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString)
     Files.write(Paths.get(BoxCanary.ArtifactPath),

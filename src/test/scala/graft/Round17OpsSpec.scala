@@ -34,7 +34,10 @@ class Round17OpsSpec extends AnyFunSuite {
     assert(qs.size > 250 && qs.size == mins.size,
       s"full board expected: ${qs.size} medians / ${mins.size} mins")
     val Some((total, cMins)) = Bench.committedBoard(quiet): @unchecked
-    assert(math.abs(total - 214.657) < 0.01, s"quiet board of record: $total")
+    // the writer invariant, not a pinned figure (the board of record is
+    // re-captured across rounds): "value" is exactly the sum of medians
+    assert(math.abs(total - qs.values.sum) < 1e-6, s"total $total vs median sum")
+    assert(total > 0)
     assert(cMins == mins)
     // mins are mins: never above the medians they pair with
     qs.foreach { case (k, med) => assert(mins(k) <= med + 1e-12, k) }
@@ -144,6 +147,21 @@ class Round17OpsSpec extends AnyFunSuite {
     // even sample count: median averages the middle pair (0.1+0.2)/2
     val even = Bench.calibFields(Some(0.02), Seq(0.2, 0.1), 0.142)
     assert(even.contains(""""calib_median":0.150"""), even)
+  }
+
+  test("loosenGuard: a step-loosened re-stamp is refused; tightening and override pass") {
+    // the steal scenario measured live in r17: samples ~0.22 during a
+    // co-tenant steal window (loadavg 0.09) would stamp 0.275 over the
+    // committed 0.142 — refused
+    assert(CalibrateCanary.loosenGuard(0.275, Some(0.142), allow = false).nonEmpty)
+    // within the idle box's stamp-to-stamp band (15%): allowed
+    assert(CalibrateCanary.loosenGuard(0.160, Some(0.142), allow = false).isEmpty)
+    // tightening is always allowed
+    assert(CalibrateCanary.loosenGuard(0.120, Some(0.142), allow = false).isEmpty)
+    // explicit override for a genuine hardware change
+    assert(CalibrateCanary.loosenGuard(0.275, Some(0.142), allow = true).isEmpty)
+    // first-ever stamp (no committed artifact): nothing to guard against
+    assert(CalibrateCanary.loosenGuard(0.275, None, allow = false).isEmpty)
   }
 
   // ---- even-count median (advice fix) ---------------------------------------
