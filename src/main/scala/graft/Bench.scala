@@ -132,16 +132,18 @@ object Bench {
           .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
       }.getOrElse(Map.empty)
 
-  /** The committed BENCH_FULL.json's load-robust evidence — (total
-    * seconds, per-query MIN map) — for [[driftVerdict]]'s committed-board
-    * arm. None when either field is missing or garbled. Pure —
-    * spec-tested in Round17OpsSpec.
+  /** The committed BENCH_FULL.json's evidence for [[driftVerdict]]'s
+    * committed-board arm — (per-query MEDIAN map, per-query MIN map).
+    * Medians rather than the headline total: the arm compares totals over
+    * the SHARED key set only, so a future round that adds (earned) board
+    * queries cannot false-refuse a quiet board whose live total grew for
+    * legitimate reasons. None when either map is missing or garbled.
+    * Pure — spec-tested in Round17OpsSpec.
     */
-  def committedBoard(json: String): Option[(Double, Map[String, Double])] = {
-    val total = """"value"\s*:\s*(-?[0-9.eE+-]+)""".r.findFirstMatchIn(json)
-      .flatMap(_.group(1).toDoubleOption)
+  def committedBoard(json: String): Option[(Map[String, Double], Map[String, Double])] = {
+    val meds = boardMap(json, "queries")
     val mins = boardMap(json, "queries_min")
-    total.filter(_ => mins.nonEmpty).map((_, mins))
+    if (meds.nonEmpty && mins.nonEmpty) Some((meds, mins)) else None
   }
 
   /** Per-query drift COMMIT GATE — the third adjudication arm, closing the
@@ -161,14 +163,16 @@ object Bench {
     *      keeps millisecond-scale queries' scheduling noise out of the
     *      count; needs no committed artifact.
     *  (b) committed-board comparison — live total > `boxBand`× the
-    *      committed quiet total while the per-query MIN column still sits
-    *      on the committed mins (median live/committed min ratio ≤
-    *      `minQuietCap`; mins are load-robust — a query can run slower
-    *      than its plan under contention, never faster) means plans
-    *      unchanged and the delta is box — refuse. A GENUINE board-wide
-    *      regression moves the min column too (median ratio above the
-    *      cap), so it commits and stays visible to the judge instead of
-    *      hiding behind a refusal. `minOverlap` keeps partial
+    *      committed quiet total (both summed over the SHARED key set, so
+    *      board additions/removals since the committed capture read as
+    *      legitimate movement, not box evidence) while the per-query MIN
+    *      column still sits on the committed mins (median live/committed
+    *      min ratio ≤ `minQuietCap`; mins are load-robust — a query can
+    *      run slower than its plan under contention, never faster) means
+    *      plans unchanged and the delta is box — refuse. A GENUINE
+    *      board-wide regression moves the min column too (median ratio
+    *      above the cap), so it commits and stays visible to the judge
+    *      instead of hiding behind a refusal. `minOverlap` keeps partial
     *      SPARK_GRAFT_ONLY boards out of this arm (they never write
     *      anyway, but the verdict text must not claim board-level
     *      evidence from three queries).
@@ -180,7 +184,7 @@ object Bench {
     * and the quiet board (commits).
     */
   def driftVerdict(results: Seq[(String, (Double, Double))],
-      committed: Option[(Double, Map[String, Double])],
+      committed: Option[(Map[String, Double], Map[String, Double])],
       spreadCap: Double = 2.5, spreadN: Int = 3, medFloor: Double = 0.5,
       boxBand: Double = 1.5, minQuietCap: Double = 1.35,
       minOverlap: Int = 50): Option[String] = {
@@ -191,15 +195,20 @@ object Bench {
       Some(f"per-query drift: ${spread.size} queries >= $medFloor%.1f s with " +
         f"med/min spread > $spreadCap%.1fx (worst $wk $wv%.1fx) — " +
         "sustained load between the canary samples")
-    } else committed.flatMap { case (cTotal, cMins) =>
-      val total = results.iterator.map(_._2._1).sum
-      val ratios = results.flatMap { case (k, (_, mn)) =>
+    } else committed.flatMap { case (cMeds, cMins) =>
+      // totals over the SHARED key set only: queries added to (or removed
+      // from) the board since the committed capture are legitimate total
+      // movement, not evidence about the box
+      val shared = results.filter { case (k, _) => cMeds.contains(k) }
+      val total = shared.iterator.map(_._2._1).sum
+      val cTotal = shared.iterator.map { case (k, _) => cMeds(k) }.sum
+      val ratios = shared.flatMap { case (k, (_, mn)) =>
         cMins.get(k).filter(_ > 0).map(mn / _) }
       if (ratios.size >= minOverlap && cTotal > 0 && total > boxBand * cTotal) {
         val medRatio = graft.tools.CalibrateCanary.medianOf(ratios)
         if (medRatio <= minQuietCap)
-          Some(f"board inflated: live total $total%.1f s > $boxBand%.1fx the " +
-            f"committed $cTotal%.1f s while per-query mins sit on committed " +
+          Some(f"board inflated: live shared total $total%.1f s > $boxBand%.1fx " +
+            f"the committed $cTotal%.1f s while per-query mins sit on committed " +
             f"values (median ratio $medRatio%.2f) — box load, plans unchanged")
         else None
       } else None

@@ -33,12 +33,14 @@ class Round17OpsSpec extends AnyFunSuite {
     val mins = Bench.boardMap(quiet, "queries_min")
     assert(qs.size > 250 && qs.size == mins.size,
       s"full board expected: ${qs.size} medians / ${mins.size} mins")
-    val Some((total, cMins)) = Bench.committedBoard(quiet): @unchecked
+    val Some((cMeds, cMins)) = Bench.committedBoard(quiet): @unchecked
+    assert(cMeds == qs)
+    assert(cMins == mins)
     // the writer invariant, not a pinned figure (the board of record is
     // re-captured across rounds): "value" is exactly the sum of medians
+    val total = """"value"\s*:\s*([0-9.eE+-]+)""".r.findFirstMatchIn(quiet)
+      .get.group(1).toDouble
     assert(math.abs(total - qs.values.sum) < 1e-6, s"total $total vs median sum")
-    assert(total > 0)
-    assert(cMins == mins)
     // mins are mins: never above the medians they pair with
     qs.foreach { case (k, med) => assert(mins(k) <= med + 1e-12, k) }
     // garbled inputs: empty map / None, never a throw
@@ -63,9 +65,10 @@ class Round17OpsSpec extends AnyFunSuite {
     val a = Bench.driftVerdict(cont, committed = None)
     assert(a.exists(_.contains("per-query drift")), a.toString)
     assert(a.exists(_.contains("g_unpivot")), "worst offender named: " + a)
-    // arm (b) alone (spread arm disabled by an absurd cap): live total
-    // 408.99 s is 1.91x the committed 214.66 while the min column's median
-    // live/committed ratio is ~1.21 <= 1.35 — plans unchanged, box load
+    // arm (b) alone (spread arm disabled by an absurd cap): the live
+    // total (408.99 s) is >1.8x whichever quiet board is committed
+    // (214.66 r15 / 223.08 r17) while the min column's median
+    // live/committed ratio is ~1.1-1.2 <= 1.35 — plans unchanged, box load
     val b = Bench.driftVerdict(cont, committed, spreadCap = 1e9)
     assert(b.exists(_.contains("board inflated")), b.toString)
     // the full verdict (both arms armed) refuses
@@ -83,26 +86,35 @@ class Round17OpsSpec extends AnyFunSuite {
   }
 
   test("arm (b) lets a genuine board-wide regression commit, refuses pure box inflation") {
-    // synthetic full-size board: 60 queries, committed min 1.0 each,
-    // committed total 100
-    val committed = Some((100.0, (1 to 60).map(i => s"q$i" -> 1.0).toMap))
-    // genuine regression: medians AND mins both moved (min ratio 1.5 >
-    // 1.35 cap) — must COMMIT so the regression stays visible
-    val regressed = (1 to 60).map(i => s"q$i" -> ((3.0, 1.5)))
+    // synthetic board: 60 queries, committed median 1.0 / min 0.9 each
+    // (shared committed total 60)
+    val committed = Some(((1 to 60).map(i => s"q$i" -> 1.0).toMap,
+      (1 to 60).map(i => s"q$i" -> 0.9).toMap))
+    // genuine regression: medians AND mins both moved (min ratio
+    // 1.35/0.9 = 1.5 > 1.35 cap) — must COMMIT so the regression stays
+    // visible (spread 2.0/1.35 = 1.48 keeps arm (a) silent)
+    val regressed = (1 to 60).map(i => s"q$i" -> ((2.0, 1.35)))
     assert(Bench.driftVerdict(regressed, committed).isEmpty)
-    // box inflation: same inflated medians but mins still near committed
-    // (ratio 1.3 <= 1.35; spreads 3.0/1.3 = 2.3x stay under arm (a)'s cap
-    // so this isolates arm (b)) — refused
-    val boxed = (1 to 60).map(i => s"q$i" -> ((3.0, 1.3)))
+    // box inflation: inflated medians (total 120 > 1.5 x 60) but mins
+    // still near committed (ratio 1.1/0.9 = 1.22 <= 1.35; spread
+    // 2.0/1.1 = 1.8x keeps arm (a) silent, isolating arm (b)) — refused
+    val boxed = (1 to 60).map(i => s"q$i" -> ((2.0, 1.1)))
     val v = Bench.driftVerdict(boxed, committed)
     assert(v.exists(_.contains("board inflated")), v.toString)
-    // below the box band (total 120 < 1.5 x 100): commits either way
-    val mild = (1 to 60).map(i => s"q$i" -> ((2.0, 1.3)))
+    // below the box band (total 84 < 1.5 x 60): commits either way
+    val mild = (1 to 60).map(i => s"q$i" -> ((1.4, 1.1)))
     assert(Bench.driftVerdict(mild, committed).isEmpty)
+    // board GROWTH: 30 new heavy queries (not in the committed maps) push
+    // the raw live total to 2.7x the committed 60 — but the shared subset
+    // is quiet, so the run commits instead of false-refusing
+    val grown = (1 to 60).map(i => s"q$i" -> ((1.05, 0.95))) ++
+      (1 to 30).map(i => s"new$i" -> ((3.5, 3.4)))
+    assert(Bench.driftVerdict(grown, committed).isEmpty)
   }
 
   test("driftVerdict guards: partial boards, zero mins, ms-scale noise") {
-    val committed = Some((100.0, (1 to 60).map(i => s"q$i" -> 1.0).toMap))
+    val committed = Some(((1 to 60).map(i => s"q$i" -> 1.0).toMap,
+      (1 to 60).map(i => s"q$i" -> 0.9).toMap))
     // a partial SPARK_GRAFT_ONLY board (3 queries) never reaches arm (b),
     // whatever its totals look like
     val partial = Seq("q1" -> ((200.0, 90.0)), "q2" -> ((200.0, 90.0)))
