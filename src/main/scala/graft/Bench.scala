@@ -126,7 +126,10 @@ object Bench {
     * throw. Pure — spec-tested in Round17OpsSpec.
     */
   def boardMap(json: String, field: String): Map[String, Double] =
-    (s""""$field"\\s*:\\s*\\{([^}]*)\\}""").r.findFirstMatchIn(json)
+    // Pattern.quote: current callers pass literal "queries"/"queries_min",
+    // but a future field name carrying a regex metacharacter would
+    // silently mis-parse instead of failing loudly
+    (s""""${java.util.regex.Pattern.quote(field)}"\\s*:\\s*\\{([^}]*)\\}""").r.findFirstMatchIn(json)
       .map(_.group(1)).map { block =>
         """"([^"]+)"\s*:\s*(-?[0-9.eE+-]+)""".r.findAllMatchIn(block)
           .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
@@ -219,19 +222,24 @@ object Bench {
     * operator must know whether the BOUND drifted (recalibrate) or the box
     * is genuinely loaded (wait) — r16 hit five refusals with no such
     * signal in the artifacts. Inputs are a fresh post-refusal probe: the
-    * 1-min load average and the median of a few quiet-path canary
-    * re-measures. Caveat, measured live the day this shipped: host
-    * co-tenant CPU steal reads exactly like bound drift here (canary
-    * 0.244 s at loadavg 0.09 — the load average cannot see steal), so
-    * `bound-drift-recalibrate` means "re-run CalibrateCanary", NOT "the
-    * bound is definitely wrong": the calibration tool's own loosen guard
-    * ([[graft.tools.CalibrateCanary.loosenGuard]]) then refuses to stamp
-    * a step-loosened bound during a steal window, which is what keeps
-    * following this verdict safe. Pure — spec-tested in Round17OpsSpec.
+    * 1-min load average, the median of a few quiet-path canary
+    * re-measures, and (since r18) the DIRECT steal measurement
+    * ([[graft.tools.StealProbe]]) that closes the r17 hole: host
+    * co-tenant CPU steal used to read exactly like bound drift here
+    * (canary 0.244 s at loadavg 0.09 — the load average cannot see
+    * steal), sending the operator toward a recalibration that only
+    * [[graft.tools.CalibrateCanary.loosenGuard]] then blocked. The steal
+    * probe adjudicates FIRST: measured steal above `stealCap` means the
+    * slowdown is hypervisor-level — `co-tenant-steal-wait`, never
+    * recalibrate — so `bound-drift-recalibrate` is now reachable only
+    * when the probe says the cpu was genuinely ours and STILL slow.
+    * Pure — spec-tested in Round17OpsSpec / Round18OpsSpec.
     */
   def calibVerdict(loadavg: Option[Double], median: Double, bound: Double,
-      maxLoad: Double = 0.15): String =
-    if (loadavg.exists(_ > maxLoad)) "box-loaded-wait"
+      maxLoad: Double = 0.15, steal: Option[Double] = None,
+      stealCap: Double = 0.05): String =
+    if (steal.exists(_ > stealCap)) "co-tenant-steal-wait"
+    else if (loadavg.exists(_ > maxLoad)) "box-loaded-wait"
     else if (median > bound) "bound-drift-recalibrate"
     else "transient-retry"
 
@@ -242,14 +250,17 @@ object Bench {
     * — spec-tested in Round17OpsSpec.
     */
   def calibFields(loadavg: Option[Double], samples: Seq[Double],
-      bound: Double): String =
+      bound: Double, steal: Option[Double] = None,
+      cpuShare: Option[Double] = None): String =
     if (samples.isEmpty) ""
     else {
       def n(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       val med = graft.tools.CalibrateCanary.medianOf(samples)
       val lv = loadavg.map(n).getOrElse("null")
-      s""","calib_loadavg":$lv,"calib_median":${n(med)}""" +
-        s""","calib_verdict":"${calibVerdict(loadavg, med, bound)}""""
+      val st = steal.map(s => s""","calib_steal":${n(s)}""").getOrElse("")
+      val sh = cpuShare.map(s => s""","calib_cpu_share":${n(s)}""").getOrElse("")
+      s""","calib_loadavg":$lv,"calib_median":${n(med)}$st$sh""" +
+        s""","calib_verdict":"${calibVerdict(loadavg, med, bound, steal = steal)}""""
     }
 
   def main(args: Array[String]): Unit = {
@@ -295,7 +306,14 @@ object Bench {
     def canary(): Double = graft.tools.BoxCanary.measure(spark)
     val canaryBound = graft.tools.BoxCanary.boundFromArtifact(cpus,
       sys.env.get("SPARK_GRAFT_CANARY_BOUND"))
-    canary() // warm the range/codegen path before the measured one
+    // Warm until the box demonstrates quiet speed or the cap exhausts
+    // (BoxCanary.warmUntil): one discarded pass was not enough on a fresh
+    // JVM — a certified-quiet box (steal 0.000, cpu share 1.00) measured
+    // the canary decaying 0.217 → 0.100 s across ~45 s of uptime, so a
+    // cold start canary could refuse a genuinely quiet board (some of the
+    // r16/r17 refusals likely mixed this artifact with real steal).
+    // The bound is untouched; a loaded box still reads loaded.
+    graft.tools.BoxCanary.warmUntil(spark, canaryBound)
     var canaryStart = canary()
     // A loaded START canary means the ~280-query board would be measured
     // on a box already certified noisy — the refusal at the end could
@@ -409,8 +427,13 @@ object Bench {
     // is computed above, before the board, so the cooldown retry can use
     // it), nor one whose own per-query evidence shows mid-board load the
     // canaries never sampled (see driftVerdict — the r16 blind spot).
+    // driftVerdict is board-level evidence and the headline swap is a
+    // board-level claim: neither belongs to a SPARK_GRAFT_ONLY iteration
+    // run (it never writes the artifact, and a 3-query run headlining the
+    // committed ~223 s FULL total would mislead anyone scanning the line)
     val refusal = canaryVerdict(canaryStart, canaryEnd, canaryBound, maxRatio = 1.5)
-      .orElse(driftVerdict(results, committedJson.flatMap(committedBoard)))
+      .orElse(if (only.isEmpty)
+        driftVerdict(results, committedJson.flatMap(committedBoard)) else None)
       .filterNot(_ => sys.env.get("SPARK_GRAFT_FORCE_BENCH").contains("1"))
     refusal.foreach(why => System.err.println(
       s"[bench] REFUSING to overwrite BENCH_FULL.json: $why " +
@@ -434,7 +457,13 @@ object Bench {
           java.nio.file.Paths.get("/proc/loadavg")), "UTF-8"))
         catch { case _: Throwable => None })
         .flatMap(graft.tools.CalibrateCanary.loadavg1)
-      calibFields(load, samples, canaryBound)
+      // direct steal measurement (r18): the r17 refusal streak showed
+      // loadavg blind to co-tenant steal, so the probe provokes demand
+      // and reads /proc/stat's steal column + spinner cpu-share — the
+      // verdict then distinguishes steal (wait, NEVER recalibrate) from
+      // genuine bound drift
+      val p = graft.tools.StealProbe.probe()
+      calibFields(load, samples, canaryBound, p.stealFrac, Some(p.cpuShare))
     }.getOrElse("")
     // Self-adjudication fields for a refused run (see adjudicationFields):
     // the refusal verdict + the committed quiet totals ride the SAME
@@ -443,8 +472,10 @@ object Bench {
     val adjudication = adjudicationFields(refusal, committedJson)
     // Refused-run headline swap (see headline): "value" carries the
     // committed quiet total, the live contaminated total rides live_total.
+    // Partial runs keep their live total unconditionally (see the
+    // driftVerdict note above).
     val (headVal, liveSwapped) = headline(refusal, total,
-      committedJson.flatMap(committedSummary).map(_._1))
+      if (only.isEmpty) committedJson.flatMap(committedSummary).map(_._1) else None)
     // Stdout line: slowest-first, 2-decimal, capped so line + sbt suffix fit
     // the driver's 2000-char tail with margin.
     // Locale.ROOT: under a comma-decimal default locale f"%.2f" would emit

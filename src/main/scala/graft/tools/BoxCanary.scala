@@ -20,19 +20,52 @@ import org.apache.spark.sql.SparkSession
   */
 object BoxCanary {
 
-  /** One canary measurement: min-of-3 of a fixed, deterministic,
-    * CPU-bound job (no I/O, no data dependence) — its wall time IS the
-    * box's effective speed. min-of-3 because the canary itself must be
-    * load-robust. Callers warm the range/codegen path by discarding one
-    * call before the first measured one.
+  /** One run of the canary job: fixed, deterministic, CPU-bound (no I/O,
+    * no data dependence) — its wall time IS the box's effective speed.
     */
-  def measure(spark: SparkSession): Double = (1 to 3).map { _ =>
+  def once(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
     spark.range(0, 200_000_000L, 1, 32)
       .selectExpr("sum((id % 1000003) * 31) as s").write // bounded: no ANSI overflow
       .format("noop").mode("overwrite").save()
     (System.nanoTime() - t0) / 1e9
-  }.min
+  }
+
+  /** One canary measurement: min-of-3 of [[once]], because the canary
+    * itself must be load-robust. Callers warm the range/codegen path
+    * with [[warmUntil]] (or at least one discarded call) before the
+    * first measured one.
+    */
+  def measure(spark: SparkSession): Double = (1 to 3).map(_ => once(spark)).min
+
+  /** Cold-start warm-up (r18): run warm passes until one reads under
+    * `bound` — the box has DEMONSTRATED it can hit quiet speed — or
+    * `maxPasses` exhaust. The single discarded warm pass the gates used
+    * through r17 was not always enough: a CanaryWatch series on a
+    * certified-quiet box (steal 0.000, spinner cpu-share 1.00
+    * throughout) measured the canary decaying 0.217 → 0.100 s across
+    * ~45 s of fresh-JVM uptime, so a gate preamble measuring min-of-3
+    * right after one warm pass read a COLD JVM/clock as a loaded box —
+    * three ScaleGate aborts in a row on a box every contention
+    * instrument called quiet (the r17 18-abort streak likely mixed
+    * genuine steal windows with this same artifact). This phase cannot
+    * loosen anything: the bound is untouched and the subsequent measured
+    * min-of-3 must still beat it — a genuinely loaded box never produces
+    * an under-bound warm pass and aborts exactly as before, just
+    * `maxPasses-1` runs (~2 s) later. Returns the pass count (artifact
+    * evidence: 1 = was already warm). The injected runner overload is
+    * the pure-testable core — spec-fed with the measured decay series in
+    * Round18OpsSpec.
+    */
+  def warmUntil(bound: Double, maxPasses: Int)(run: () => Double): Int = {
+    var i = 1
+    var t = run()
+    while (t > bound && i < maxPasses) { t = run(); i += 1 }
+    i
+  }
+
+  def warmUntil(spark: SparkSession, bound: Double, maxPasses: Int = 15): Int =
+    warmUntil(bound, maxPasses)(() => once(spark))
 
   /** Last-resort base bound when no calibration artifact exists and no env
     * override is set: the original hand pin for THIS box's local[32]
@@ -94,18 +127,22 @@ object BoxCanary {
       Some(f"box canary $canary%.3f s > quiet bound $bound%.3f s — box is loaded")
     else None
 
-  /** Gate preamble: measure (after one warm pass), retry once after a
-    * cooldown if loaded, ABORT with a distinct box-loaded error if still
-    * loaded — so a gate failure always means a regression, never
-    * contention. Returns the quiet canary seconds for the artifact line.
-    * SPARK_GRAFT_FORCE_GATE=1 runs anyway (deliberate loaded-box
-    * diagnostics); SPARK_GRAFT_CANARY_COOLDOWN_S tunes the retry (0
-    * disables it).
+  /** Gate preamble: measure (after [[warmUntil]] warm passes — see its
+    * scaladoc for the cold-start artifact that made one warm pass
+    * insufficient), retry once after a cooldown if loaded, ABORT with a
+    * distinct box-loaded error if still loaded — so a gate failure
+    * always means a regression, never contention. Returns the quiet
+    * canary seconds for the artifact line. SPARK_GRAFT_FORCE_GATE=1 runs
+    * anyway (deliberate loaded-box diagnostics);
+    * SPARK_GRAFT_CANARY_COOLDOWN_S tunes the retry (0 disables it).
     */
   def requireQuiet(spark: SparkSession, tool: String): Double = {
     val bound = boundFromArtifact(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
       sys.env.get("SPARK_GRAFT_CANARY_BOUND"))
-    measure(spark) // warm the range/codegen path
+    val warmed = warmUntil(spark, bound)
+    if (warmed > 1)
+      System.err.println(s"[$tool] canary warm-up took $warmed passes " +
+        "(cold JVM/clock — see BoxCanary.warmUntil)")
     var c = measure(spark)
     verdict(c, bound).foreach { why =>
       val cool = sys.env.get("SPARK_GRAFT_CANARY_COOLDOWN_S")
@@ -113,12 +150,22 @@ object BoxCanary {
       if (cool > 0) {
         System.err.println(s"[$tool] $why; cooling down $cool s, re-measuring once")
         Thread.sleep(cool * 1000L)
+        warmUntil(spark, bound, maxPasses = 5) // the cooldown idles clocks back down
         c = measure(spark)
       }
       verdict(c, bound).filterNot(_ =>
         sys.env.get("SPARK_GRAFT_FORCE_GATE").contains("1")).foreach { w =>
+        // name the contention MODE in the abort: r17 burned eighteen gate
+        // attempts before hand-measurement pinned the slowdown on
+        // hypervisor steal the load average cannot see — the direct probe
+        // makes that adjudication part of the abort itself
+        val p = StealProbe.probe()
+        val mode = StealProbe.verdict(p).getOrElse(
+          f"probe quiet now (steal ${p.stealFrac.map(s => f"${s * 100}%.0f%%")
+            .getOrElse("n/a")}, cpu share ${p.cpuShare * 100}%.0f%%) — " +
+            "contention was transient; retry soon")
         throw new RuntimeException(
-          s"$tool ABORTED (box loaded, NOT a regression): $w — re-run " +
+          s"$tool ABORTED (box loaded, NOT a regression): $w — $mode — re-run " +
             "exclusively on a quiet box; SPARK_GRAFT_FORCE_GATE=1 forces")
       }
     }

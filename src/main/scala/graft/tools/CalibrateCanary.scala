@@ -137,6 +137,21 @@ object CalibrateCanary {
           "6-min settle — calibrating on a loaded box would stamp a permanently " +
           "loose bound. Cool the box first (SPARK_GRAFT_CALIB_MAXLOAD re-pins the threshold).")
     }
+    // Steal certification (r18): the load check above CANNOT see host
+    // co-tenant CPU steal (measured r17: canary 0.244 s at loadavg 0.09),
+    // so before this guard the only protection against a steal-window
+    // calibration was loosenGuard refusing the resulting bound — the
+    // certification itself was blind to the cause. StealProbe provokes
+    // demand and measures the steal directly; a stolen or contended box
+    // refuses HERE, with the mode named. SPARK_GRAFT_CALIB_SKIP_STEAL=1
+    // skips (non-Linux boxes where the spin share misreads).
+    if (!sys.env.get("SPARK_GRAFT_CALIB_SKIP_STEAL").contains("1"))
+      StealProbe.verdict(StealProbe.probe()).foreach { why =>
+        throw new RuntimeException(
+          s"CalibrateCanary REFUSED (idle certification failed): $why — a bound " +
+            "stamped now would be permanently loose; wait for the box to recover " +
+            "(SPARK_GRAFT_CALIB_SKIP_STEAL=1 skips this probe).")
+      }
 
     val spark = graft.Sessions.localBuilder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

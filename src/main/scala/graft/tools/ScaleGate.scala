@@ -110,6 +110,59 @@ object ScaleGate {
       }
     }
 
+  /** The artifact/bounds sync state the divergence sentinel reports (see
+    * ScaleGateSpec): round 17 used the RED test itself as the "re-stamp
+    * pending" banner — eighteen steal-window refusals meant the honest
+    * state was "bounds pinned, artifact awaits a quiet gate run" — but a
+    * permanently red suite masks any NEW regression introduced meanwhile.
+    * A committed `RESTAMP_PENDING` marker file (the json-only query keys
+    * awaiting an artifact row, one per line, `#` comments for the reason)
+    * turns exactly that declared divergence into a CANCELED test with the
+    * reason in the output; every undeclared divergence — including a
+    * STALE marker after the artifact ships, or an artifact-only key the
+    * marker cannot explain — stays red. So red again unambiguously means
+    * a real, unacknowledged divergence.
+    */
+  sealed trait RestampState
+  case object InSync extends RestampState
+  final case class Pending(reason: String) extends RestampState
+  final case class Diverged(reason: String) extends RestampState
+
+  /** Parse a RESTAMP_PENDING marker body: one pending query key per
+    * line, blank lines and `#` comments ignored. Pure — spec-tested.
+    */
+  def pendingKeys(marker: String): Set[String] =
+    marker.linesIterator.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .toSet
+
+  /** Adjudicate artifact coverage vs committed bounds coverage under an
+    * optional marker. Pure — spec-tested in Round18OpsSpec on all five
+    * branches (in-sync, stale marker, declared pending, undeclared
+    * json-only, artifact-only).
+    */
+  def restampState(artifactKeys: Set[String], jsonKeys: Set[String],
+      marker: Option[String]): RestampState = {
+    val jsonOnly = jsonKeys -- artifactKeys
+    val artifactOnly = artifactKeys -- jsonKeys
+    if (jsonOnly.isEmpty && artifactOnly.isEmpty)
+      marker match {
+        case Some(_) => Diverged("artifact and SCALE_BOUNDS.json agree but a " +
+          "RESTAMP_PENDING marker is still committed — remove the stale marker")
+        case None => InSync
+      }
+    else marker.map(pendingKeys) match {
+      case Some(pend) if artifactOnly.isEmpty && jsonOnly == pend =>
+        Pending(s"re-stamp pending (declared in RESTAMP_PENDING): bounds pinned " +
+          s"for ${jsonOnly.toSeq.sorted.mkString(", ")} await a quiet-window " +
+          "gate artifact — run ScaleGate on a quiet box and commit its output")
+      case _ =>
+        Diverged(s"artifact/JSON coverage mismatch: artifact-only=$artifactOnly, " +
+          s"json-only=$jsonOnly" + marker.map(m => s" (RESTAMP_PENDING declares " +
+            s"${pendingKeys(m)} — does not match)").getOrElse(
+            " (no RESTAMP_PENDING marker declares this)"))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val factor = if (args.length > 1) args(1).toInt else 4
