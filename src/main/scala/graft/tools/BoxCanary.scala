@@ -64,8 +64,23 @@ object BoxCanary {
     i
   }
 
-  def warmUntil(spark: SparkSession, bound: Double, maxPasses: Int = 15): Int =
-    warmUntil(bound, maxPasses)(() => once(spark))
+  /** Live warm-up. The `pauseMs` between passes is load-bearing, found
+    * the hard way: a back-to-back warm loop (maxPasses=15, no pause)
+    * capped out at 0.149–0.165 s on a box whose settled canary reads
+    * 0.10, because the canary saturates all 32 cores and STARVES the C2
+    * background compiler threads doing the maturing — the CanaryWatch
+    * series that settled to 0.10 in ~45 s had ~3 s gaps between
+    * measures. ~60 passes × (~0.2 s pass + 0.3 s pause) ≈ a 30 s budget,
+    * which covers the measured settle time; a quiet warm box still exits
+    * on pass 1 with no pause paid.
+    */
+  def warmUntil(spark: SparkSession, bound: Double, maxPasses: Int = 60,
+      pauseMs: Long = 300): Int =
+    warmUntil(bound, maxPasses) { () =>
+      val t = once(spark)
+      if (t > bound && pauseMs > 0) Thread.sleep(pauseMs)
+      t
+    }
 
   /** Last-resort base bound when no calibration artifact exists and no env
     * override is set: the original hand pin for THIS box's local[32]
@@ -150,7 +165,7 @@ object BoxCanary {
       if (cool > 0) {
         System.err.println(s"[$tool] $why; cooling down $cool s, re-measuring once")
         Thread.sleep(cool * 1000L)
-        warmUntil(spark, bound, maxPasses = 5) // the cooldown idles clocks back down
+        warmUntil(spark, bound, maxPasses = 20) // the cooldown idles clocks back down
         c = measure(spark)
       }
       verdict(c, bound).filterNot(_ =>
