@@ -89,14 +89,30 @@ object SloGate {
     spark.sparkContext.setLogLevel("WARN")
     // a loaded box ABORTS here (distinct verdict, one cooldown retry)
     // instead of recording a phantom p99 regression; the quiet canary is
-    // printed with the verdict so the artifact carries its box evidence
-    val (canary, results) =
+    // printed with the verdict so the artifact carries its box evidence.
+    // The END canary + steal probe close this gate's mid-run blind spot
+    // (the r16 bench lesson, re-learned here live in r18): a steal wave
+    // arriving AFTER the preamble contaminated the later tiers of a run
+    // whose start canary read 0.133 quiet — 300k p99 2199 ms and the 1M
+    // knee at 24501 ms (ingest path untouched since the 1196 ms r15
+    // stamp), with provoked steal measuring 7.3% minutes later. Tiers
+    // run sequentially, so the damage grows monotonically through the
+    // run — exactly what a start-only canary cannot see.
+    val (canary, results, endCanary, endProbe, windowSteal) =
       try {
         val c = BoxCanary.requireQuiet(spark, "slogate")
-        (c, bounds.p99MsByRps.keys.toSeq.sorted.map { rps =>
+        val s0 = StealProbe.sample()
+        val rs = bounds.p99MsByRps.keys.toSeq.sorted.map { rps =>
           StreamIngestBench.measureLatencyTier(spark, rps,
             bounds.waves, bounds.intervalMs)
-        })
+        }
+        // cumulative steal across the WHOLE tier window: a wave that
+        // ends before the end probe is invisible to point samples but
+        // fully accrued here (the tiers demand cpu throughout, so
+        // steal-of-demand over the window is well-defined)
+        val s1 = StealProbe.sample()
+        val w = for { a <- s0; b <- s1; f <- StealProbe.stealFraction(a, b) } yield f
+        (c, rs, BoxCanary.measure(spark), StealProbe.probe(), w)
       } finally spark.stop()
     println(f"[slogate] box canary $canary%.3f s (quiet)")
     val bad = violations(results, bounds)
@@ -107,9 +123,35 @@ object SloGate {
       println(f"[slogate] ${r.offeredRps}%8d rows/s  p50=${r.p50}%5.0f p95=${r.p95}%5.0f " +
         f"p99=${r.p99}%5.0f max=${r.maxMs}%5.0f ms  bound=$bound%5.0f  $mark")
     }
-    if (bad.nonEmpty)
+    val endBound = BoxCanary.boundFromArtifact(cpus,
+      sys.env.get("SPARK_GRAFT_CANARY_BOUND"))
+    println(f"[slogate] end canary $endCanary%.3f s (bound $endBound%.3f); steal " +
+      endProbe.stealFrac.map(s => f"$s%.3f").getOrElse("n/a") +
+      f", cpu share ${endProbe.cpuShare}%.2f; window steal " +
+      windowSteal.map(s => f"$s%.3f").getOrElse("n/a"))
+    if (bad.nonEmpty) {
+      // adjudicate before reporting a regression: violations measured on
+      // a box whose END evidence OR whole-window steal accrual shows
+      // contention are box noise, and the "box loaded" phrasing routes
+      // gate_loop to retry instead of stop. Zero window steal + quiet
+      // end canary + violations = a REAL failure worth investigating
+      // (e.g. co-tenant disk I/O, which no cpu instrument can see).
+      val contended = BoxCanary.verdict(endCanary, endBound)
+        .orElse(StealProbe.verdict(endProbe))
+        .orElse(windowSteal.filter(_ > 0.05).map(s =>
+          f"cumulative steal ${s * 100}%.0f%% of demand across the tier window " +
+            "(wave ended before the end probe)"))
+      contended.filterNot(_ =>
+        sys.env.get("SPARK_GRAFT_FORCE_GATE").contains("1")).foreach { w =>
+        throw new RuntimeException(
+          s"slogate ABORTED (box loaded, NOT a regression): load arrived " +
+            s"mid-run after a quiet start canary — $w — tier violations " +
+            s"(${bad.map(_._1.offeredRps).mkString(", ")} rows/s) are box " +
+            "noise; re-run exclusively on a quiet box")
+      }
       throw new RuntimeException("slo gate FAILED: " +
         bad.map { case (r, why) => s"${r.offeredRps} rows/s: $why" }.mkString("; "))
+    }
     println(s"[slogate] PASS: ${results.size} tiers within p99 bounds " +
       s"(${bounds.waves} waves @ ${bounds.intervalMs} ms)")
   }

@@ -111,10 +111,18 @@ object StealProbe {
           "wall time with steal counter quiet — in-guest competition " +
           "(check for a concurrent JVM/compile)"))
 
-  private def readProcStat(): Option[CpuSample] =
+  /** One cumulative sample of the aggregate cpu line — public so gates
+    * can bracket a WHOLE measured phase (sample before, sample after,
+    * [[stealFraction]] across) instead of relying on point probes: steal
+    * arrives in waves, and a wave that ends before the end-of-run probe
+    * is invisible to it but fully accrued in the cumulative counters.
+    */
+  def sample(): Option[CpuSample] =
     try parseProcStat(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/proc/stat")), "UTF-8").linesIterator.next())
     catch { case _: Throwable => None }
+
+  private def readProcStat(): Option[CpuSample] = sample()
 
   /** The live probe: spin `threads` busy threads for `wallMs`, sample
     * `/proc/stat` around the window, measure each spinner's scheduled
