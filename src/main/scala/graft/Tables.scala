@@ -10,8 +10,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * catalog at scale) without touching operator code.
   */
 object Tables {
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Inferred-schema cache, keyed by (path, mtime, length) — the local
+    * analog of reading through a catalog/metastore (at 100 TB a manifest-
+    * backed table format supplies the schema; see the optimization guide
+    * §6 on avoiding per-query listing/footer work). Measured (ReadCost,
+    * sf0.1): a bare `spark.read.parquet` pays 42–71 ms of driver-side
+    * footer inference PER CALL; with the schema supplied it is 5–8 ms,
+    * and the file listing still happens fresh on every load — so data
+    * rewritten under the same path is picked up (and the mtime/length in
+    * the key drops the stale schema if a rewrite changes it, e.g. the
+    * ScaleBench replica builders). This caches METADATA only: every query
+    * run still scans the parquet bytes.
+    */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val f = new java.io.File(path)
+    val key = s"$path@${f.lastModified}:${f.length}"
+    val schema = schemaCache.computeIfAbsent(key,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** Normalize `events.ts` to a micros TimestampType whatever the parquet
     * writer produced — the generator has shipped both encodings across

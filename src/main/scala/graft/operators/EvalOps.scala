@@ -74,9 +74,14 @@ object EvalOps {
     // sum folded into the same groupBy, so the scored frame is evaluated
     // ONCE (the two-frame join form re-ran the whole scoring pipeline and
     // benched 3.3 s vs ~1 s for this)
+    // checkpoint: h feeds the in-bucket window AND the bucket totals (and
+    // bt is itself read three times via off/tot) — unmaterialized, the
+    // whole scoring pipeline above re-ran once per consumer (16 parquet
+    // scans in the before-plan; see AnalyticsQueries.cumulatedHistogramOf)
     val h = sl.groupBy("zc")
       .agg(count(lit(1)).as("cnt"), sum("y").as("p"))
       .withColumn("_b", expr("zc div 65536"))
+      .localCheckpoint(true)
     val inBucket = org.apache.spark.sql.expressions.Window
       .partitionBy("_b").orderBy("zc")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

@@ -576,8 +576,21 @@ object AnalyticsQueries {
     */
   private[graft] def cumulatedHistogramOf(counted: DataFrame, grp: String,
       v: String): DataFrame = {
+    // Materialize the NDV-sized histogram ONCE: `h` feeds both the
+    // in-bucket window (hh) and the bucket-offset aggregation (off), and
+    // without a checkpoint Spark re-executes the whole upstream counted
+    // frame — including its data-scale groupBy and everything below it —
+    // once per consumer (guide §3.3 plan truncation: ts_theil_sen's plan
+    // carried FOUR copies of its O(D²) pair generation, 18 parquet scans
+    // in g_mad_outliers / t_quantile_norm). Measured at sf0.1 (full-board
+    // medians): ts_theil_sen 3.84→1.34 s, g_mad_outliers 2.63→1.61 s,
+    // g_spearman 5.24→2.59 s, g_exact_pcts 2.31→1.18 s, g_trimmed_mean
+    // 2.07→1.40 s. The checkpoint is value-NDV-sized (the
+    // helper's defining bound), the same in-run materialization discipline
+    // every iterative operator here already uses.
     val h = counted
       .withColumn("_b", expr(s"`$v` div $HistBucketWidth"))
+      .localCheckpoint(true)
     val inBucket = Window.partitionBy(grp, "_b").orderBy(v)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val hh = h.withColumn("_hi_in", sum("cnt").over(inBucket))
@@ -607,8 +620,13 @@ object AnalyticsQueries {
     * partitioned by value bucket, exactly as in the grouped form.
     */
   private[graft] def globalCumHistogram(vals: DataFrame, v: String): DataFrame = {
+    // Same single-materialization rationale as [[cumulatedHistogramOf]]:
+    // `h` is consumed by hh AND bt (and bt three more times via off/tot),
+    // so an unmaterialized h re-runs the data-scale `vals` aggregation per
+    // consumer. NDV-sized checkpoint, one job, upstream runs once.
     val h = vals.groupBy(col(v)).agg(count(lit(1)).as("cnt"))
       .withColumn("_b", expr(s"`$v` div $HistBucketWidth"))
+      .localCheckpoint(true)
     val inBucket = Window.partitionBy("_b").orderBy(v)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val hh = h.withColumn("_hi_in", sum("cnt").over(inBucket))
