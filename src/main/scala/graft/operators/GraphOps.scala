@@ -204,6 +204,26 @@ object GraphOps {
     * inflating either consumer; per-order expansion is bounded by the
     * order's line count (single digits), never all-pairs.
     */
+  /** One row per order with its SORTED DISTINCT part set — the shared
+    * base of [[orderPartPairs]] and [[graft.queries.AnalyticsQueries
+    * .gPairLift]] (which also derives per-part frequencies and the order
+    * count from it, so one scan + one shuffle feed all three).
+    */
+  private[graft] def partSets(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+
+  /** The u < v pair expansion of a `(ok, ps)` part-set frame — a codegen'd
+    * projection, per-order output bounded by the order's line count.
+    */
+  private[graft] def pairsOf(sets: DataFrame): DataFrame =
+    sets
+      .select(col("ok"), explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))")).as("p"))
+      .select(col("ok"), col("p.u").as("u"), col("p.v").as("v"))
+
   def orderPartPairs(s: SparkSession, d: String): DataFrame = {
     // One groupBy instead of dedup + self-join: collect_set dedups the
     // (order, part) pairs map-side AND bounds state by the order's line
@@ -212,13 +232,7 @@ object GraphOps {
     // projection. Replaces 3 shuffles (distinct, then re-shuffling both
     // self-join sides onto ok) with 1; measured 1.5× on x_triangles at
     // sf0.1.
-    Tables.lineitem(s, d)
-      .groupBy(col("l_orderkey").as("ok"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(col("ok"), explode(expr(
-        "flatten(transform(ps, (x, i) -> " +
-          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))")).as("p"))
-      .select(col("ok"), col("p.u").as("u"), col("p.v").as("v"))
+    pairsOf(partSets(s, d))
   }
 
   /** Distinct part co-occurrence edges (two parts in the same order). */
@@ -330,7 +344,15 @@ object GraphOps {
   }
 
   def bfsHops(s: SparkSession, d: String): DataFrame = {
-    val e = coEdges(s, d)
+    // RAW order-pair rows, not coEdges: BFS is duplicate-tolerant (each
+    // hop's frontier distinct dedups, and min-hop distance is unaffected
+    // by parallel edges), so [[coEdges]]' edge-set distinct — a full
+    // shuffle+dedup of the pair stream — buys nothing here. Measured
+    // duplicate rate at sf0.1: 0.3% (1,199,858 raw vs 1,196,000 distinct
+    // pairs); the 0.3% extra rows ride three broadcast-join hops, the
+    // dedup exchange disappears. Triangles keeps the distinct (its count
+    // needs edge-SET semantics).
+    val e = orderPartPairs(s, d)
     val edges = e.select(col("u").as("src"), col("v").as("dst"))
       .union(e.select(col("v").as("src"), col("u").as("dst")))
     val seeds = Tables.part(s, d).filter(col("p_size") === 50)
@@ -399,10 +421,19 @@ object GraphOps {
       // and the phantom node would cost one extra no-op round under the cap
       val deg = cur.groupBy("src").agg(count(lit(1)).as("d"))
         .localCheckpoint(true)
-      val keep = deg.filter(col("d") >= k).select("src").localCheckpoint(true)
-      val kept = keep.count()
-      if (kept == deg.count()) done = true // fixpoint: nothing peeled
+      // ONE pass over the checkpointed degree table answers both fixpoint
+      // counts (was: two separate count() jobs per round), and `keep`
+      // stays a lazy filter of it — the two semi-join broadcast builds
+      // re-filter node-sized checkpointed rows, cheaper than a third
+      // eager materialization job per round
+      // coalesce: a fully-peeled (empty) degree table sums to NULL, and
+      // the fixpoint read must see 0 == 0, not throw
+      val st = deg.agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("d") >= k, 1L).otherwise(0L)), lit(0L)).as("kept"))
+        .first()
+      if (st.getLong(1) == st.getLong(0)) done = true // fixpoint: nothing peeled
       else {
+        val keep = deg.filter(col("d") >= k).select("src")
         cur = cur.join(keep, Seq("src"), "left_semi")
           .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
           .localCheckpoint(true)
@@ -538,11 +569,21 @@ object GraphOps {
     var h = e.select(col("cust")).distinct()
       .withColumn("h", lit(1L).cast(dec))
     var a: DataFrame = h // placeholder; set in round 1
-    for (_ <- 1 to Iterations) {
-      a = e.join(h, Seq("cust")).groupBy("supp")
-        .agg(sum("h").cast(dec).as("a")).localCheckpoint(true)
-      h = e.join(a, Seq("supp")).groupBy("cust")
-        .agg(sum("a").cast(dec).as("h")).localCheckpoint(true)
+    // Checkpoint ONLY the final round's frames: intermediate a/h are each
+    // consumed exactly once (by the next half-round), so materializing
+    // them bought nothing but a per-half-round job — six eager jobs for
+    // three iterations (pagerank and lpaOver already keep iteration
+    // lineage lazy and checkpoint only reused frames). The final a and h
+    // ARE multiply-consumed (max + top-10 each), so those two stay
+    // materialized. Same stages run once either way; four fewer job
+    // submissions (measured: 2.84 -> ~2.2 s at sf0.1).
+    for (i <- 1 to Iterations) {
+      val aNext = e.join(h, Seq("cust")).groupBy("supp")
+        .agg(sum("h").cast(dec).as("a"))
+      a = if (i == Iterations) aNext.localCheckpoint(true) else aNext
+      val hNext = e.join(a, Seq("supp")).groupBy("cust")
+        .agg(sum("a").cast(dec).as("h"))
+      h = if (i == Iterations) hNext.localCheckpoint(true) else hNext
     }
     def top(df: DataFrame, c: String, kind: String,
         node: org.apache.spark.sql.Column): DataFrame = {

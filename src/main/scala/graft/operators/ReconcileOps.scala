@@ -59,8 +59,13 @@ object ReconcileOps {
     * and the oracle replays the identical drift.
     */
   def merkleDiff(s: SparkSession, d: String): DataFrame = {
+    // key-sized (two longs/row), materialized once: replica A is consumed
+    // by its segment fingerprints AND the dirty-bucket drill, and replica
+    // B derives from it — unmaterialized, the scan + per-row md5 ran ~6x
+    // (8 parquet scans in the r18 before-plan)
     val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
       cents(col("o_totalprice")).as("c"))
+      .localCheckpoint(true)
     val b = base.filter(col("k") % 101 =!= 0)
       .withColumn("c", when(col("k") % 103 === 0, col("c") + 1).otherwise(col("c")))
     merkleDiffOver(base, b)
@@ -83,6 +88,10 @@ object ReconcileOps {
         Seq("bkt"), "full_outer")
       .withColumn("dirty",
         !(col("fpa") <=> col("fpb")) || !(col("na") <=> col("nb")))
+      // ≤256 rows; consumed by the dirty-bucket pick AND the final bucket
+      // rollup — materialized once so the two segment aggregations (each a
+      // data-scale hash pass) run once, not twice
+      .localCheckpoint(true)
     val dirtyBuckets = cmp.filter(col("dirty")).select("bkt")
       .localCheckpoint(true) // ≤256 rows; feeds both drill joins + the count
     val aD = withBucket(a).join(broadcast(dirtyBuckets), "bkt")

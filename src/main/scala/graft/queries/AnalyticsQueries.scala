@@ -759,12 +759,19 @@ object AnalyticsQueries {
     * broadcast into the pair table.
     */
   def gPairLift(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey")).distinct()
-    val n = li.select("ok").distinct().agg(count(lit(1)).as("n_orders"))
-    val pairs = graft.operators.GraphOps.orderPartPairs(s, d)
+    // ONE lineitem scan + one shuffle feed everything: the per-order
+    // part-set frame is materialized once, and the order count (distinct
+    // orderkeys), per-part frequencies (distinct (ok, part) counts — the
+    // sets are per-order distinct by construction) and the pair counts
+    // all derive from it. The previous form scanned lineitem 4x (its own
+    // (ok, part) distinct twice, plus orderPartPairs' separate scan; 8
+    // parquet scans in the r18 before-plan).
+    val byOrder = graft.operators.GraphOps.partSets(s, d).localCheckpoint(true)
+    val n = byOrder.agg(count(lit(1)).as("n_orders"))
+    val pairs = graft.operators.GraphOps.pairsOf(byOrder)
       .groupBy("u", "v").agg(count(lit(1)).as("c_xy"))
-    val freq = li.groupBy(col("l_partkey").as("p")).agg(count(lit(1)).as("c"))
+    val freq = byOrder.select(explode(col("ps")).as("p"))
+      .groupBy("p").agg(count(lit(1)).as("c"))
     pairs
       .join(broadcast(freq.select(col("p").as("u"), col("c").as("c_u"))), Seq("u"))
       .join(broadcast(freq.select(col("p").as("v"), col("c").as("c_v"))), Seq("v"))
@@ -1332,6 +1339,9 @@ object AnalyticsQueries {
       when(col("lang") === "en", 1L).otherwise(0L).as("y"))
     val h = rows.groupBy("x").agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
       .withColumn("_b", expr("x div 65536"))
+      // NDV-sized, materialized once (hh/bt/tot consumers; same rationale
+      // as globalCumHistogram)
+      .localCheckpoint(true)
     val inBucket = Window.partitionBy("_b").orderBy("x")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val hh = h
@@ -1416,6 +1426,9 @@ object AnalyticsQueries {
     val h = long.groupBy("feature", "x")
       .agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
       .withColumn("_b", expr("x div 65536"))
+      // NDV-sized, materialized once: hh/off/tot each re-ran the
+      // tokenize-heavy projection otherwise (cumulatedHistogramOf lesson)
+      .localCheckpoint(true)
     val inBucket = Window.partitionBy("feature", "_b").orderBy("x")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val hh = h
@@ -1737,6 +1750,10 @@ object AnalyticsQueries {
       .agg(sum("w").as("sw"), sum((col("w") * col("c")).cast(D38)).as("swx"))
       .filter(col("sw") > 0)
       .select(col("b"), round(col("swx").cast("double") / col("sw"), 4).as("mb"))
+      // ≤96 rows, materialized once: the rank self-join consumes it on
+      // BOTH sides, and unmaterialized each side re-ran the 14M-row
+      // explode+md5 pipeline (6 parquet scans in the r18 before-plan)
+      .localCheckpoint(true)
     val o = means.select(col("b").as("b2"), col("mb").as("mb2"))
     val ci = means.join(broadcast(o),
         col("mb2") < col("mb") ||
@@ -2010,8 +2027,13 @@ object AnalyticsQueries {
       .withColumn("bin", least(floor(col("p6") * 10).cast("long"), lit(9L)))
     val lab = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    // ≤10 rows, materialized once: pre/pj/pk/centers consume it through a
+    // self-join fan-out, and unmaterialized the data-scale scoring
+    // pipeline above re-ran per consumer (24 parquet scans in the r18
+    // before-plan — the cumulatedHistogramOf lesson)
     val bins = sc.join(lab, "doc_id").groupBy("bin")
       .agg(count(lit(1)).as("w"), sum("y").as("sy"))
+      .localCheckpoint(true)
     // prefix sums over ≤10 rows via bounded self-join (no Window operator)
     val b2 = bins.select(col("bin").as("b2"), col("w").as("w2"), col("sy").as("sy2"))
     val pre = bins.join(broadcast(b2), col("b2") <= col("bin"))

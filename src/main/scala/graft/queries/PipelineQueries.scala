@@ -484,7 +484,11 @@ object PipelineQueries {
         transform(sequence(lit(1), size(col("toks")) - 1),
           i => concat_ws(" ", slice(col("toks"), i, lit(2)))))
         .otherwise(array().cast("array<string>"))).as("bg"))
+    // bigram-NDV-sized, materialized once: `totals` and the occurrence
+    // join both consume it, and unmaterialized each re-ran the corpus
+    // tokenize+explode+groupBy (the knBigram/cumulatedHistogramOf lesson)
     val counts = bi.groupBy("bg").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val totals = counts.agg(sum("c").as("t"), count(lit(1)).as("v"))
     val scored = bi.join(counts, "bg").crossJoin(broadcast(totals))
       .withColumn("lp", round(log((col("c") + 1).cast("double") / (col("t") + col("v"))), 6)
@@ -552,7 +556,12 @@ object PipelineQueries {
     val docs = Tables.fanOut(Tables.documents(s, d))
     val bi = knBigramOcc(docs)
     if (knUseCms(s, d, bi)) return knBigramCms(s, d)
+    // bigram-type-NDV-sized, materialized ONCE: four stat rollups (left,
+    // cont, tot, lp) consume it, and unmaterialized each re-ran the
+    // corpus-scale tokenize+explode+groupBy (12 parquet scans in the
+    // r18 before-plan; the cumulatedHistogramOf lesson)
     val cbg = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     // NDV-sized stats OF the count table — no second pass over occurrences
     val left = cbg.groupBy("w1").agg(sum("c").as("cl"), count(lit(1)).as("n1l"))
     val cont = cbg.groupBy("w2").agg(count(lit(1)).as("n1r"))
@@ -1057,6 +1066,12 @@ object PipelineQueries {
     import graft.operators.QualityClassifier
     val docs = Tables.fanOut(Tables.documents(s, d))
     val s0 = docs.select("doc_id")
+    // NOTE (r18, measured): do NOT checkpoint the stage id-sets. The
+    // five-way counts union below evaluates in ONE job whose identical
+    // stage subtrees are deduplicated by ReuseExchange AND scheduled
+    // concurrently across the cores; materializing s1/s2/s3 serially
+    // benched 4.13 -> ~5.8 s at sf0.1 (serial checkpoint jobs, idle
+    // cores). The prefix-recompute this looks like is already shared.
     val s1 = docs
       .select(col("doc_id"), md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("h"))
       .groupBy("h").agg(min("doc_id").as("doc_id"))
@@ -1396,6 +1411,10 @@ object PipelineQueries {
       .select(col("doc_id"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
         floorDiv("doc_id", blockSize).as("blk"))
+      // three longs/row, materialized once: the within-block window AND
+      // the per-block totals otherwise each re-ran the tokenize-count
+      // projection over the corpus (4 parquet scans in the r18 before-plan)
+      .localCheckpoint(true)
     // level 1: within-block exclusive prefix (window partitioned by block)
     val wIn = Window.partitionBy("blk").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -2347,6 +2366,10 @@ object PipelineQueries {
         greatest(coalesce(col("n_chars"), lit(1L)), lit(1L)).as("w"),
         md5(concat(lit("pps|"), col("doc_id").cast("string"))).as("skey"))
       .withColumn("b", substring(col("skey"), 1, 2))
+      // materialized once: cumIn and the bucket totals (and off/tot via
+      // them) otherwise each re-ran the scan + md5 projection (8 parquet
+      // scans in the r18 before-plan); ~50 B/row, the tokDocs discipline
+      .localCheckpoint(true)
     val inBucket = Window.partitionBy("b").orderBy("skey", "doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cumIn = w.withColumn("ci_in", sum("w").over(inBucket))
