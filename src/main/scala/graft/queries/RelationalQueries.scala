@@ -97,14 +97,18 @@ object RelationalQueries {
     * the max_by formulation below keeps it a plain partial+final agg, which IS
     * map-side combinable, unlike row_number() over a window).
     */
-  def a9LatestWins(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+  def a9LatestWins(s: SparkSession, d: String): DataFrame =
+    // the map-side-combinable form the scaladoc above describes: max_by
+    // over the tie-free (ts, event_id) total order picks the same row as
+    // the row_number window did, without the data-scale per-partition sort
     Tables.events(s, d)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("user_id", "event_id", "event_type", "value")
+      .groupBy("user_id")
+      .agg(max_by(
+        struct(col("event_id"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("m.event_id").as("event_id"),
+        col("m.event_type").as("event_type"), col("m.value").as("value"))
       .orderBy("user_id")
-  }
   val a9LatestWinsSql: String =
     """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)
       |SELECT user_id, event_id, event_type, value FROM (
