@@ -44,14 +44,22 @@ object BucketingOps {
     val wh = warehouseDir
     s.sql("DROP TABLE IF EXISTS graft_orders_bkt")
     s.sql("DROP TABLE IF EXISTS graft_lineitem_bkt")
+    // repartition(N, key) BEFORE the bucketed write: HashPartitioning's
+    // partition id is the same pmod(murmur3(key), N) the bucket spec uses,
+    // so each of the N write tasks holds exactly one bucket's rows — the
+    // per-bucket sort+parquet-encode runs N-wide instead of single-task
+    // (the source is one input split locally), and the file count is
+    // unchanged (N files per side, one per bucket).
     Tables.orders(s, d)
       .select("o_orderkey", "o_orderpriority")
+      .repartition(NumBuckets, col("o_orderkey"))
       .write.format("parquet")
       .bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
       .option("path", s"$wh/orders_bkt")
       .mode("overwrite").saveAsTable("graft_orders_bkt")
     Tables.lineitem(s, d)
       .select("l_orderkey", "l_extendedprice", "l_discount")
+      .repartition(NumBuckets, col("l_orderkey"))
       .write.format("parquet")
       .bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
       .option("path", s"$wh/lineitem_bkt")

@@ -74,6 +74,12 @@ object LayoutOps {
     Tables.events(s, d)
       .select(col("user_id"), col("value"))
       .withColumn("bucket", (col("user_id") % 16).cast("int"))
+      // hash-repartition by the partition column before the layout write:
+      // locally the source is ONE input split, so without this a single
+      // task wrote all 16 partition directories serially; 16-way tasks
+      // each own whole buckets, so the directory count and file-per-
+      // partition count are unchanged (16 files total)
+      .repartition(16, col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/events_part")
     import s.implicits._
     Seq(1, 5, 11).toDF("bucket").write.mode("overwrite").parquet(s"$dir/dim")
