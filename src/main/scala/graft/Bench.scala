@@ -218,6 +218,28 @@ object Bench {
     }
   }
 
+  /** Committed-board medians for the queries shown on a REFUSED line —
+    * `"cqueries"` (r19, additions-only). A refused run's `"queries"` map
+    * carries the LIVE contaminated medians (kept: never rename/remove
+    * existing fields), so a cross-round consumer diffing per-query values
+    * between a refused artifact and an earlier round compared
+    * committed-to-live and manufactured phantom regressions (r18: four
+    * phantom regressions and one phantom 21x win adjudicated by hand).
+    * With the committed medians for the SAME shown keys riding the line,
+    * the comparison can be committed-to-committed at the per-query level,
+    * matching the headline swap ([[headline]]) at the total level. Empty
+    * on a committed run, a partial (SPARK_GRAFT_ONLY) run, or when the
+    * committed artifact is unreadable. Pure — spec-tested in
+    * Round19OpsSpec.
+    */
+  def cqueriesField(shown: Seq[String],
+      committedMeds: Option[Map[String, Double]]): String =
+    committedMeds.map { m =>
+      def n(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      val entries = shown.flatMap(k => m.get(k).map(v => "\"" + k + "\":" + n(v)))
+      if (entries.isEmpty) "" else s""","cqueries":{${entries.mkString(",")}}"""
+    }.getOrElse("")
+
   /** Which way out of a refusal streak: after K consecutive refusals the
     * operator must know whether the BOUND drifted (recalibrate) or the box
     * is genuinely loaded (wait) — r16 hit five refusals with no such
@@ -482,21 +504,32 @@ object Bench {
     // "1,23" and break the JSON line.
     def fmt2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val liveField = liveSwapped.map(v => s""","live_total":${fmt2(v)}""").getOrElse("")
+    // On a refused full-board run the shown queries ALSO carry the
+    // committed quiet medians (see cqueriesField) — committed-to-committed
+    // per-query comparison, same rationale as the headline swap.
+    val cMeds = if (refusal.nonEmpty && only.isEmpty)
+      committedJson.flatMap(committedBoard).map(_._1) else None
     val budget = 1700 - adjudication.length - liveField.length - calib.length
     // each shown query carries BOTH figures — "qmin" is the load-robust one
     // the judge adjudicates regressions from (see the median/min note above)
     val sb = new StringBuilder
     val sbMin = new StringBuilder
+    val shownKeys = scala.collection.mutable.ArrayBuffer.empty[String]
     var n = 0
     results.sortBy(-_._2._1).foreach { case (k, (med, mn)) =>
       val sep = if (n == 0) "" else ","
       val entry = sep + "\"" + k + "\":" + fmt2(med)
       val entryMin = sep + "\"" + k + "\":" + fmt2(mn)
-      if (sb.length + sbMin.length + entry.length + entryMin.length <= budget) {
-        sb.append(entry); sbMin.append(entryMin); n += 1
+      // a shown query costs THREE entries on a refused line (med + min +
+      // committed med), two otherwise — budget for all of them
+      val cLen = cMeds.flatMap(_.get(k))
+        .map(v => sep.length + k.length + 3 + fmt2(v).length).getOrElse(0)
+      if (sb.length + sbMin.length + entry.length + entryMin.length + cLen <= budget) {
+        sb.append(entry); sbMin.append(entryMin); shownKeys += k; n += 1
       }
     }
-    println(s"""{"metric":"total","value":${fmt2(headVal)},"unit":"sec","n":${results.size + failed.size},"shown":$n,"failed":${failed.size},"canary":[${fmt2(canaryStart)},${fmt2(canaryEnd)}],"queries":{${sb.result()}},"qmin":{${sbMin.result()}},"full":"BENCH_FULL.json","sf":"$sfDir"$adjudication$liveField$calib}""")
+    val cq = cqueriesField(shownKeys.toSeq, cMeds)
+    println(s"""{"metric":"total","value":${fmt2(headVal)},"unit":"sec","n":${results.size + failed.size},"shown":$n,"failed":${failed.size},"canary":[${fmt2(canaryStart)},${fmt2(canaryEnd)}],"queries":{${sb.result()}},"qmin":{${sbMin.result()}},"full":"BENCH_FULL.json","sf":"$sfDir"$adjudication$liveField$calib$cq}""")
     spark.stop()
   }
 }

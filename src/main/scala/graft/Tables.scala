@@ -23,15 +23,24 @@ object Tables {
     * run still scans the parquet bytes.
     */
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.sql.types.StructType]()
+    String, (String, org.apache.spark.sql.types.StructType)]()
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     val f = new java.io.File(path)
-    val key = s"$path@${f.lastModified}:${f.length}"
-    val schema = schemaCache.computeIfAbsent(key,
-      _ => spark.read.parquet(path).schema)
-    spark.read.schema(schema).parquet(path)
+    // Bypass the cache when the stamp is unreadable (non-local URI or a
+    // vanished path: File.lastModified returns 0 there, and a 0-keyed
+    // entry could serve a stale schema after a rewrite — spark.read
+    // .schema silently drops/miscasts columns rather than erroring).
+    if (!f.exists() || f.lastModified == 0L) return spark.read.parquet(path)
+    val stamp = s"${f.lastModified}:${f.length}"
+    // one entry PER PATH, replaced on rewrite — not appended (the r18
+    // keyed-by-(path,stamp) map accumulated dead entries across the
+    // ScaleBench replica rewrites in long-lived sessions)
+    val cached = schemaCache.compute(path, (_, prev) =>
+      if (prev != null && prev._1 == stamp) prev
+      else (stamp, spark.read.parquet(path).schema))
+    spark.read.schema(cached._2).parquet(path)
   }
 
   /** Normalize `events.ts` to a micros TimestampType whatever the parquet

@@ -115,10 +115,17 @@ object FeatureOps {
     var step = 1
     var exhausted = false
     while (step <= k && !exhausted) {
-      val coveredToks = toks.filter(col("doc_id").isin(selIds: _*))
-        .select("token").distinct()
-      val gains = toks.filter(!col("doc_id").isin(selIds: _*))
-        .join(broadcast(coveredToks), Seq("token"), "left_anti")
+      // no .distinct() on the covered set (r19): left_anti semantics are
+      // unchanged by duplicate build-side keys, so the per-step dedup
+      // exchange + aggregate was pure overhead; and step 1's covered set
+      // is EMPTY by construction — skip its scan + anti-join outright
+      // (one fewer broadcast build against the full token table)
+      val uncovered =
+        if (selIds.isEmpty) toks
+        else toks.filter(!col("doc_id").isin(selIds: _*))
+          .join(broadcast(toks.filter(col("doc_id").isin(selIds: _*))
+            .select("token")), Seq("token"), "left_anti")
+      val gains = uncovered
         // count, not countDistinct: toks is explode(array_distinct(...)),
         // so (doc_id, token) rows are unique by construction and the
         // distinct-aggregate's extra dedup pass per greedy step is pure

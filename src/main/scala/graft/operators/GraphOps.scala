@@ -344,15 +344,16 @@ object GraphOps {
   }
 
   def bfsHops(s: SparkSession, d: String): DataFrame = {
-    // RAW order-pair rows, not coEdges: BFS is duplicate-tolerant (each
-    // hop's frontier distinct dedups, and min-hop distance is unaffected
-    // by parallel edges), so [[coEdges]]' edge-set distinct — a full
-    // shuffle+dedup of the pair stream — buys nothing here. Measured
-    // duplicate rate at sf0.1: 0.3% (1,199,858 raw vs 1,196,000 distinct
-    // pairs); the 0.3% extra rows ride three broadcast-join hops, the
-    // dedup exchange disappears. Triangles keeps the distinct (its count
-    // needs edge-SET semantics).
-    val e = orderPartPairs(s, d)
+    // DISTINCT edges (coEdges), restored in r19: the r18 raw-pairs form
+    // justified skipping the edge-set dedup by a 0.3% duplicate rate, but
+    // that rate is a property of THIS uniform synthetic data — parallel-
+    // edge multiplicity for popular part pairs grows with order count, so
+    // on a skewed co-purchase graph at the 100 TB target the frontier x
+    // edges join would multiply by the per-pair order count BEFORE each
+    // hop's distinct (guide §2.5 skew). One dedup shuffle, paid once into
+    // the edge materialization that [[bfsHopsOver]] already does, is
+    // amortized over every hop and bounds the walk input by the edge SET.
+    val e = coEdges(s, d)
     val edges = e.select(col("u").as("src"), col("v").as("dst"))
       .union(e.select(col("v").as("src"), col("u").as("dst")))
     val seeds = Tables.part(s, d).filter(col("p_size") === 50)
@@ -527,12 +528,20 @@ object GraphOps {
     * integer sums; the top-K total-orders on (score desc, b, c).
     */
   def adamicAdar(s: SparkSession, d: String): DataFrame = {
-    val pairs = custSuppPairs(s, d).localCheckpoint(true) // degrees + both wedge sides
+    val pairs = custSuppPairs(s, d).localCheckpoint(true) // degrees + wedge base
     // deg ≥ 2: a single-supplier customer spans no wedge (and ln(1) = 0)
     val w = pairs.groupBy("cust").agg(count(lit(1)).as("deg"))
       .filter(col("deg").between(2, AaMaxDeg))
       .select(col("cust"),
         round(lit(1e6) / log(col("deg").cast("double"))).cast("long").as("w_u"))
+    // KEPT as the wedge self-join (r19, measured): rewriting this as
+    // groupBy(cust) + sort_array(collect_list) + a codegen'd u < v
+    // expansion — the orderPartPairs trick, one exchange instead of two —
+    // A/B'd 1.7x SLOWER at sf0.1 (med 3.02 -> 5.13 s, min 2.65 -> 4.79):
+    // collect_list forces ObjectHashAggregate + per-customer array sort
+    // off the codegen path, while the self-join's two exchanges feed a
+    // fully-codegen'd sort-merge join. Fewer shuffles lost to slower
+    // per-row work (guide §1.2: algorithm first, but MEASURE).
     val nb = pairs.join(broadcast(w), Seq("cust"))
     nb.select(col("cust"), col("supp").as("b"), col("w_u"))
       .join(nb.select(col("cust"), col("supp").as("c")), Seq("cust"))

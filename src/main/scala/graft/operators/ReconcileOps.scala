@@ -59,16 +59,58 @@ object ReconcileOps {
     * and the oracle replays the identical drift.
     */
   def merkleDiff(s: SparkSession, d: String): DataFrame = {
-    // key-sized (two longs/row), materialized once: replica A is consumed
-    // by its segment fingerprints AND the dirty-bucket drill, and replica
-    // B derives from it — unmaterialized, the scan + per-row md5 ran ~6x
-    // (8 parquet scans in the r18 before-plan)
+    // NO key-scale materialization (r19; guide §5): the r18 version
+    // localCheckpointed `base` — one row per ORDER, fine at sf0.1 but
+    // billions of rows of pinned executor cache at the 100 TB target.
+    // Instead, exploit that replica B is a deterministic projection of A:
+    // BOTH replicas' segment fingerprints fold in ONE scan+md5 pass
+    // (conditional aggregates per bucket), so the fingerprint phase needs
+    // no cached frame, no second scan, and no full_outer stitch join.
+    // Result is identical to merkleDiffOver(base, b): B's keys are a
+    // subset of A's, so a bucket with zero B rows reads (nb=0, fpb=NULL)
+    // here vs (NULL, NULL) from the full_outer — the dirty verdict and
+    // every reported count are unchanged.
+    val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
       cents(col("o_totalprice")).as("c"))
-      .localCheckpoint(true)
-    val b = base.filter(col("k") % 101 =!= 0)
-      .withColumn("c", when(col("k") % 103 === 0, col("c") + 1).otherwise(col("c")))
-    merkleDiffOver(base, b)
+    def h(c: Column) =
+      conv(substring(md5(concat(col("k").cast("string"), lit(":"),
+        c.cast("string"))), 1, 15), 16, 10).cast("long")
+    val inB = col("k") % 101 =!= 0
+    val cb = when(col("k") % 103 === 0, col("c") + 1).otherwise(col("c"))
+    val cmp = base
+      .withColumn("bkt", substring(md5(col("k").cast("string")), 1, 2))
+      .withColumn("ha", h(col("c")))
+      // the second md5 is paid only on corrupted rows (c' <> c); clean
+      // B rows reuse ha
+      .withColumn("hb", when(!inB, lit(null).cast("long"))
+        .when(col("k") % 103 === 0, h(cb)).otherwise(col("ha")))
+      .groupBy("bkt").agg(
+        count(lit(1)).as("na"), sum(col("ha").cast(D38)).as("fpa"),
+        sum(when(inB, 1L).otherwise(0L)).as("nb"),
+        sum(col("hb").cast(D38)).as("fpb"))
+      .withColumn("dirty",
+        !(col("fpa") <=> col("fpb")) || !(col("na") <=> col("nb")))
+      .localCheckpoint(true) // ≤256 rows: dirty pick + final rollup
+    val dirtyBuckets = cmp.filter(col("dirty")).select("bkt")
+    // drill over LAZY replica scans, pruned to the dirty buckets — the
+    // anti-entropy contract: repair reads ~d/256 of each replica, nothing
+    // key-scale is cached
+    val b = base.filter(inB).withColumn("c", cb)
+    def withBucket(df: DataFrame) =
+      df.withColumn("bkt", substring(md5(col("k").cast("string")), 1, 2))
+    val aD = withBucket(base).join(broadcast(dirtyBuckets), "bkt")
+      .select(col("k"), col("c").as("ca"))
+    val bD = withBucket(b).join(broadcast(dirtyBuckets), "bkt")
+      .select(col("k"), col("c").as("cb"))
+    val rows = aD.join(bD, Seq("k"), "full_outer").agg(
+      coalesce(sum(when(col("cb").isNull, 1L).otherwise(0L)), lit(0L)).as("n_missing"),
+      coalesce(sum(when(col("ca").isNull, 1L).otherwise(0L)), lit(0L)).as("n_extra"),
+      coalesce(sum(when(col("ca").isNotNull && col("cb").isNotNull &&
+        col("ca") =!= col("cb"), 1L).otherwise(0L)), lit(0L)).as("n_corrupt"))
+    cmp.agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("dirty"), 1L).otherwise(0L)).as("n_dirty"))
+      .crossJoin(broadcast(rows))
   }
 
   /** [[merkleDiff]] over two explicit (`k`, `c`) replica frames. */

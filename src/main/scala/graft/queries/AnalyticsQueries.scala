@@ -588,6 +588,11 @@ object AnalyticsQueries {
     // 2.07→1.40 s. The checkpoint is value-NDV-sized (the
     // helper's defining bound), the same in-run materialization discipline
     // every iterative operator here already uses.
+    // CLUSTER CAVEAT (guide §5): localCheckpoint stores blocks on
+    // executors and is NON-RECOVERABLE under executor loss or dynamic
+    // allocation — on a real cluster this shared helper should persist
+    // the histogram to reliable storage (checkpoint dir / a table)
+    // instead; every histogram consumer inherits that swap from here.
     val h = counted
       .withColumn("_b", expr(s"`$v` div $HistBucketWidth"))
       .localCheckpoint(true)
@@ -1750,10 +1755,15 @@ object AnalyticsQueries {
       .agg(sum("w").as("sw"), sum((col("w") * col("c")).cast(D38)).as("swx"))
       .filter(col("sw") > 0)
       .select(col("b"), round(col("swx").cast("double") / col("sw"), 4).as("mb"))
-      // ≤96 rows, materialized once: the rank self-join consumes it on
-      // BOTH sides, and unmaterialized each side re-ran the 14M-row
-      // explode+md5 pipeline (6 parquet scans in the r18 before-plan)
-      .localCheckpoint(true)
+    // NO eager materialization of `means` (r19, driver ground truth): the
+    // r18 localCheckpoint(true) here A/B'd ~flat on the build box but the
+    // driver measured it 5-9x SLOWER in its environment (10.28 s med /
+    // 8.94 min at 32c, 17.84/14.90 at 8c, vs ~1.1-2.1 s without — two
+    // independent runs, min column agreeing). The rank self-join's two
+    // sides are the same aggregation subtree, so runtime exchange reuse
+    // already dedups the 14M-row explode+md5 pipeline; the extra eager
+    // job bought nothing and behaved pathologically off-box. Duplicated
+    // scans in explain() do NOT prove duplicated execution — measure.
     val o = means.select(col("b").as("b2"), col("mb").as("mb2"))
     val ci = means.join(broadcast(o),
         col("mb2") < col("mb") ||
@@ -2290,26 +2300,38 @@ object AnalyticsQueries {
       col("l_quantity").cast("long").as("x"),
       (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("y"))
     val pairs = rows.groupBy("g", "x", "y").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true) // feeds both marginals AND the moment fold
+      .localCheckpoint(true) // feeds the x-marginal AND the y-fold
       // (measured: dropping this for ReuseExchange reads 4.44 s vs 3.60 s
-      // at sf0.1 — the three consumers do NOT share one exchange subtree)
+      // at sf0.1 — the consumers do NOT share one exchange subtree)
     // bucketed two-level cumulated counts — no value-NDV-sized per-group
     // window (the group key has only a handful of values, so a plain
     // per-group window would put each group's whole value domain in ONE
     // task); the centered double-rank falls out as lo + hi - 1 - n
-    def ranks(v: String, out: String): DataFrame =
-      cumulatedHistogramOf(
-        pairs.groupBy("g", v).agg(sum("cnt").as("cnt")), "g", v)
-        .select(col("g"), col(v),
-          (col("lo") + col("hi") - 1 - col("n")).as(out))
-    val withRanks = pairs
-      .join(ranks("x", "r2x"), Seq("g", "x"))
-      .join(ranks("y", "r2y"), Seq("g", "y"))
-    withRanks.groupBy("g")
+    // ASYMMETRIC marginals (r19): x (quantity) is bounded-NDV, so its
+    // rank table broadcasts; y (price cents) is near-unique, so the old
+    // ranks("y") join back onto the pair table was a DATA-scale
+    // sort-merge join (guide §2.4). Instead, fold the x-moment partials
+    // into the (g, y) histogram — Σ cnt·r2x·r2y factors as
+    // Σ_y r2y·(Σ_x cnt·r2x) because r2y depends only on (g, y) — and
+    // compute y-ranks ON that NDV(y)-sized frame (the extra partial
+    // columns ride through cumulatedHistogramOf untouched). Same exact
+    // integer sums, one partial-aggregable exchange instead of the join.
+    val rx = cumulatedHistogramOf(
+        pairs.groupBy("g", "x").agg(sum("cnt").as("cnt")), "g", "x")
+      .select(col("g"), col("x"),
+        (col("lo") + col("hi") - 1 - col("n")).as("r2x"))
+    val hy = pairs.join(broadcast(rx), Seq("g", "x"))
+      .groupBy("g", "y").agg(
+        sum("cnt").as("cnt"),
+        sum((col("cnt") * col("r2x")).cast(D38)).as("sxr"),
+        sum((col("cnt") * col("r2x") * col("r2x")).cast(D38)).as("sxx"))
+    cumulatedHistogramOf(hy, "g", "y")
+      .withColumn("r2y", col("lo") + col("hi") - 1 - col("n"))
+      .groupBy("g")
       .agg(
         sum("cnt").as("n"),
-        sum((col("cnt") * col("r2x") * col("r2y")).cast(D38)).as("sxy"),
-        sum((col("cnt") * col("r2x") * col("r2x")).cast(D38)).as("vx"),
+        sum(col("r2y").cast(D38) * col("sxr")).as("sxy"),
+        sum("sxx").as("vx"),
         sum((col("cnt") * col("r2y") * col("r2y")).cast(D38)).as("vy"))
       .select(col("g").as("l_returnflag"), col("n"),
         // NULL — not a crash, not NaN — for a zero-variance group: the

@@ -1082,29 +1082,31 @@ object PipelineQueries {
     // ONE tokenize pass feeds decontamination AND DSIR (round-11 sharing:
     // previously each stage re-ran the tokenize projection over the corpus)
     val tokDocs = tokenizedDocs(s, d).localCheckpoint(true)
-    val dropSet = contaminationOver(tokDocs).select(col("corpus_id").as("doc_id"))
-      .union(docs.filter(col("doc_id") % 50 === 0).select("doc_id"))
-      .distinct()
     val dsel = dsirSelectOver(tokDocs).filter(col("selected")).select("doc_id")
-    // ONE flag pass instead of five stage-count aggregations: each stage
-    // set is a left-join flag onto the corpus ids (every right side is
-    // per-doc unique, so row counts are preserved), and all five funnel
-    // counts fold in a single aggregation — each pipeline component
-    // (md5 dedup, quality scores, decontamination, DSIR) is evaluated
-    // exactly ONCE, where the five-branch counts union re-evaluated the
-    // cumulative chain per stage (ReuseExchange shared some but not all
-    // of it; same-harness A/B at sf0.1: min 5.12 -> 4.16 s). Stage
-    // semantics unchanged: s2 = s1 ∩ q, s3 = s2 \ drop, s4 = s3 ∩ dsel.
-    val flags = s0
-      .join(s1.withColumn("f1", lit(true)), Seq("doc_id"), "left")
-      .join(q.select("doc_id").withColumn("fq", lit(true)), Seq("doc_id"), "left")
-      .join(dropSet.withColumn("fd", lit(true)), Seq("doc_id"), "left")
-      .join(dsel.withColumn("fs", lit(true)), Seq("doc_id"), "left")
-      .select(
-        coalesce(col("f1"), lit(false)).as("f1"),
-        coalesce(col("fq"), lit(false)).as("fq"),
-        coalesce(col("fd"), lit(false)).as("fd"),
-        coalesce(col("fs"), lit(false)).as("fs"))
+    // ONE flag pass instead of five stage-count aggregations, and (r19)
+    // ONE exchange instead of four doc-id join exchanges: every stage set
+    // is a subset of the corpus ids, so a union of TAGGED ids followed by
+    // a single groupBy(doc_id) flag fold reaches the same per-doc flags
+    // as the r18 four-way left join (guide §2.4 — five map sides into one
+    // exchange, partial aggregation per branch) while each pipeline
+    // component (md5 dedup, quality scores, decontamination, DSIR) is
+    // still evaluated exactly once. The union form also needs no
+    // distinct() on the drop set (duplicate tags fold to the same flag),
+    // dropping that exchange too. Stage semantics unchanged:
+    // s2 = s1 ∩ q, s3 = s2 \ drop, s4 = s3 ∩ dsel.
+    val tagged = s0.withColumn("tag", lit(0))
+      .union(s1.withColumn("tag", lit(1)))
+      .union(q.select("doc_id").withColumn("tag", lit(2)))
+      .union(contaminationOver(tokDocs).select(col("corpus_id").as("doc_id"))
+        .withColumn("tag", lit(3)))
+      .union(docs.filter(col("doc_id") % 50 === 0).select("doc_id")
+        .withColumn("tag", lit(3)))
+      .union(dsel.withColumn("tag", lit(4)))
+    val flags = tagged.groupBy("doc_id").agg(
+      max(col("tag") === 1).as("f1"),
+      max(col("tag") === 2).as("fq"),
+      max(col("tag") === 3).as("fd"),
+      max(col("tag") === 4).as("fs"))
     val one = flags.agg(
       count(lit(1)).as("n0"),
       sum(when(col("f1"), 1L).otherwise(0L)).as("n1"),
