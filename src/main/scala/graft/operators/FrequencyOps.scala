@@ -84,11 +84,18 @@ object FrequencyOps {
   /** Exact heavy-hitter bigrams: share ≥ 1/[[ThresholdDen]] of the corpus. */
   def heavyHitters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // feeds three consumers (candidate scan, total count, recount);
-    // materialized once — at multi-node scale: persist(MEMORY_AND_DISK)
+    // feeds two consumers (candidate scan, recount); materialized once —
+    // at multi-node scale: persist(MEMORY_AND_DISK)
     val bg = bigrams(s, d).localCheckpoint(true)
     val cands = bg.as[String].mapPartitions(misraGries(Counters)).toDF("b").distinct()
-    val total = bg.agg(count(lit(1)).as("n"))
+    // the corpus bigram COUNT needs no bigram strings at all: each doc
+    // with n >= 2 tokens contributes exactly n - 1 occurrences, so one
+    // doc-level pass sums it without the explode (r19; same number by
+    // construction — bigrams() filters size >= 2 then emits size - 1 rows)
+    val total = Tables.fanOut(Tables.documents(s, d))
+      .select(size(graft.functions.TextOps.tokens(col("text"))).as("nt"))
+      .agg(coalesce(sum(when(col("nt") >= 2, col("nt").cast("long") - 1L)
+        .otherwise(0L)), lit(0L)).as("n"))
     bg.join(broadcast(cands), Seq("b"), "left_semi")
       .groupBy("b").agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(total))

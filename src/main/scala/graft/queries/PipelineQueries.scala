@@ -1082,7 +1082,22 @@ object PipelineQueries {
     // ONE tokenize pass feeds decontamination AND DSIR (round-11 sharing:
     // previously each stage re-ran the tokenize projection over the corpus)
     val tokDocs = tokenizedDocs(s, d).localCheckpoint(true)
-    val dsel = dsirSelectOver(tokDocs).filter(col("selected")).select("doc_id")
+    // OVERLAP the two independent component materializations (r19, guide
+    // §2.6 "overlap independent jobs"): contaminationOver and
+    // dsirSelectOver each run eager NDV-sized checkpoints internally
+    // (shingle table / scored rollup) whose jobs otherwise serialize at
+    // plan-construction time, idling the box between their small stages.
+    // Both derive only from the already-materialized tokDocs, so they
+    // share no mutable state; Spark's scheduler runs concurrent jobs
+    // FIFO and back-fills the tail (actions are only sequential because
+    // driver code calls them sequentially).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val contF = Future(contaminationOver(tokDocs))
+    val dselF = Future(dsirSelectOver(tokDocs).filter(col("selected")).select("doc_id"))
+    val cont = Await.result(contF, Duration.Inf)
+    val dsel = Await.result(dselF, Duration.Inf)
     // ONE flag pass instead of five stage-count aggregations, and (r19)
     // ONE exchange instead of four doc-id join exchanges: every stage set
     // is a subset of the corpus ids, so a union of TAGGED ids followed by
@@ -1097,7 +1112,7 @@ object PipelineQueries {
     val tagged = s0.withColumn("tag", lit(0))
       .union(s1.withColumn("tag", lit(1)))
       .union(q.select("doc_id").withColumn("tag", lit(2)))
-      .union(contaminationOver(tokDocs).select(col("corpus_id").as("doc_id"))
+      .union(cont.select(col("corpus_id").as("doc_id"))
         .withColumn("tag", lit(3)))
       .union(docs.filter(col("doc_id") % 50 === 0).select("doc_id")
         .withColumn("tag", lit(3)))
