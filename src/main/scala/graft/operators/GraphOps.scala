@@ -210,6 +210,14 @@ object GraphOps {
     * count from it, so one scan + one shuffle feed all three).
     */
   private[graft] def partSets(s: SparkSession, d: String): DataFrame =
+    // KEPT NARROW (r19, measured): StageCost showed the set build and the
+    // downstream pair explode running 3-4 wide (scan splits / AQE
+    // coalescing), so an explicit repartition(width, l_orderkey) was
+    // A/B'd to widen both — and measured flat-to-WORSE on every consumer
+    // (x_bfs_hops 3.74 -> 4.01 med, x_triangles ~2.9 -> 3.19,
+    // g_pair_lift flat): the extra raw-row exchange + the lost map-side
+    // collect_set combine cost exactly what the width bought. Same
+    // lesson as the 64k coalescing-floor A/B (Sessions.scala).
     Tables.lineitem(s, d)
       .groupBy(col("l_orderkey").as("ok"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))

@@ -650,8 +650,16 @@ object TimeSeriesOps {
       .orderBy(col("_n").desc, col("user_id"))
       .limit(PairCorrUniverse)
       .select("user_id")
-    // universe×days-sized (bounded) — checkpoint once, feed both join sides
+    // universe×days-sized (bounded) — checkpoint once, feed both join
+    // sides. WIDEN first (r19, measured via tools/StageCost): the
+    // groupBy+window upstream leaves this ~40k-row frame in ONE
+    // AQE-coalesced partition, and the checkpoint freezes that, so the
+    // day-join's ~14.6M-row pair expansion + six DECIMAL moment sums ran
+    // in a single task (2.3 s of CPU on one core, 86 ms parallel floor).
+    // Unlike the tiny loop exchanges (see Sessions.scala note), this is
+    // one CPU-dense expansion that amortizes task overhead — width wins.
     val r = dailyReturns(s, d).join(broadcast(uni), "user_id")
+      .repartition(s.sparkContext.defaultParallelism)
       .localCheckpoint(true)
     val b = r.select(col("user_id").as("u2"), col("day"), col("r").as("r2"))
     val m = r.join(b, Seq("day")).filter(col("user_id") < col("u2"))

@@ -1660,8 +1660,14 @@ object AnalyticsQueries {
     val b = dly.select(col("di").as("dj"), col("nn").as("nj"))
     // the when() guard is semantically a no-op (the join admits only
     // dj > di) but keeps the ANSI-mode division from being evaluated
-    // speculatively for non-matching pairs inside the join's codegen
-    val pairs = dly.join(b, col("dj") > col("di"))
+    // speculatively for non-matching pairs inside the join's codegen.
+    // WIDEN the streaming side first (r19, StageCost): the day aggregate
+    // lands in one AQE-coalesced partition, so the O(D²) pair expansion
+    // ran as a single 1.2 s task (the broadcast side is unaffected) —
+    // one CPU-dense expansion amortizes the extra tasks, same rationale
+    // as ts_pair_corr's widen.
+    val pairs = dly.repartition(s.sparkContext.defaultParallelism)
+      .join(b, col("dj") > col("di"))
       .select(when(col("dj") =!= col("di"),
         round((col("nj") - col("nn")).cast("double") /
           (col("dj") - col("di")) * lit(1e6)).cast("long")).as("s6"))
@@ -2299,7 +2305,17 @@ object AnalyticsQueries {
       col("l_returnflag").as("g"),
       col("l_quantity").cast("long").as("x"),
       (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("y"))
-    val pairs = rows.groupBy("g", "x", "y").agg(count(lit(1)).as("cnt"))
+    // keyed repartition BEFORE the cell aggregation (r19, StageCost): the
+    // joint (g, x, y) cells are near-unique (599,881 of 600,000 rows), so
+    // map-side partial aggregation compressed nothing while the scan's 3
+    // input splits ran the whole cell-build 3-wide (0.8 s single-stage).
+    // Pre-partitioning on the group keys replaces the aggregate's own
+    // exchange (same hash partitioning, guide §2.4), moves the work after
+    // it to full width, and skips the useless partial-agg pass — the
+    // 0.02% compression it bought is noise at any scale.
+    val pairs = rows
+      .repartition(s.sparkContext.defaultParallelism, col("g"), col("x"), col("y"))
+      .groupBy("g", "x", "y").agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true) // feeds the x-marginal AND the y-fold
       // (measured: dropping this for ReuseExchange reads 4.44 s vs 3.60 s
       // at sf0.1 — the consumers do NOT share one exchange subtree)

@@ -16,12 +16,9 @@ import scala.collection.mutable
   */
 object StageCost {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: StageCost <dataDir> <query> [warmReps]")
+    require(args.length >= 2, "usage: StageCost <dataDir> <q1,q2,...> [warmReps]")
     val dir = args(0)
-    val name = args(1)
     val warmReps = if (args.length > 2) args(2).toInt else 2
-    val fn = graft.SparkEntry.queries.getOrElse(name,
-      throw new IllegalArgumentException(s"unknown query: $name"))
     val spark = ScaleBench.session()
     spark.sparkContext.setLogLevel("WARN")
     // optional runtime conf overrides: k=v args after warmReps (adaptive
@@ -31,6 +28,17 @@ object StageCost {
       spark.conf.set(k, v)
       println(s"[stagecost] conf $k=$v")
     }
+    args(1).split(",").map(_.trim).filter(_.nonEmpty).foreach { name =>
+      profile(spark, dir, name, warmReps)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+    spark.stop()
+  }
+
+  private def profile(spark: org.apache.spark.sql.SparkSession, dir: String,
+      name: String, warmReps: Int): Unit = {
+    val fn = graft.SparkEntry.queries.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown query: $name"))
     // warm: codegen + page cache + checkpoint paths
     (1 to warmReps).foreach { _ =>
       fn(spark, dir).write.format("noop").mode("overwrite").save()
@@ -75,6 +83,6 @@ object StageCost {
     println(f"[stagecost] totals: run=${totRun}ms cpu=${totCpu}ms " +
       f"gc=${stages.map(_.gcMs).sum}ms wall=${wall}%.3f s " +
       f"(run/32 = ${totRun / 32}ms — perfectly parallel floor)")
-    spark.stop()
+    spark.sparkContext.removeSparkListener(listener)
   }
 }
